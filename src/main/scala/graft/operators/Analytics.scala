@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Core analytics queries over the star schema.
+  *
+  * These exercise the engine the reference's Postgres backend provides
+  * implicitly (filter/join/agg/order/limit over relational tables,
+  * /root/reference/database.py:332-369 builds exactly such SQL). Plans are
+  * declarative DataFrames: Catalyst handles pushdown/pruning, dimension
+  * joins are explicitly broadcast, money aggregates accumulate in
+  * decimal(18,2) so results are exact and partitioning-independent.
+  */
+object Analytics {
+
+  /** Exact money sum: decimal accumulation, surfaced as a rounded double. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(28,6)")).cast("double"), 2)
+
+  private def moneyAvg(c: Column, cnt: Column): Column =
+    round((sum(c.cast("decimal(28,6)")) / cnt).cast("double"), 4)
+
+  /** TPC-H Q1-ish pricing summary: scan-heavy grouped aggregation with
+    * partial (map-side) aggregation; only 7 of 11 lineitem columns read.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneyAvg(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        moneyAvg(col("l_discount"), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** 3-way join + agg + top-N revenue orders; customer dim broadcast. */
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+  }
+
+  /** Star join: revenue per nation within one region; the whole dimension
+    * chain (region→nation→customer/supplier) broadcasts, so the only
+    * shuffle is the final groupBy on 25 nations.
+    */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window ranking: top-3 customers by account balance per market segment. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+}
