@@ -17,6 +17,12 @@ object SparkEntry {
     "q3_revenue"    -> (Analytics.q3Revenue _),
     "q5_region"     -> (Analytics.q5Region _),
     "top_customers" -> (Analytics.topCustomers _),
+    "kb_ingest"         -> (Similarity.kbIngest _),
+    "sim_topk"          -> (Similarity.simTopk _),
+    "knn_join"          -> (Similarity.knnJoin _),
+    "neardup_embedding" -> (Similarity.nearDupEmbedding _),
+    "ann_ivf"           -> (Similarity.annIvf _),
+    "lsh_ann"           -> (Similarity.lshAnn _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -58,11 +64,92 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "top_customers" ->
-      """SELECT c_mktsegment, rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
+      """SELECT c_mktsegment, rank::INT AS rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal AS bal,
         |    row_number() OVER (PARTITION BY c_mktsegment
         |                       ORDER BY c_acctbal DESC, c_custkey) AS rank
         |  FROM customer) WHERE rank <= 3
         |ORDER BY c_mktsegment, rank""".stripMargin,
+    "kb_ingest" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+        |  len(e.embedding)::INT AS dim,
+        |  round(sqrt(list_sum(list_transform(range(1,65),
+        |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))), 4) AS norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+    "knn_join" ->
+      """SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rank
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "neardup_embedding" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_ivf" ->
+      """WITH comp AS (
+        |  SELECT label, i, CAST(round(avg(embedding[i]::DOUBLE), 6) AS FLOAT) AS cv
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM comp GROUP BY label),
+        |probes AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS q_id, c.label AS clabel,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        |                 c.label) AS pr
+        |    FROM embeddings q, cent c WHERE q.vec_id % 100 = 0)
+        |  WHERE pr <= 2),
+        |cand AS (
+        |  SELECT p.q_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.clabel
+        |  JOIN embeddings q ON q.vec_id = p.q_id
+        |  WHERE e.vec_id <> p.q_id)
+        |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+        |  SELECT q_id, neighbor_id, s,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+    "lsh_ann" ->
+      """WITH hp AS (
+        |  SELECT j, list(CASE WHEN substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1) >= '8'
+        |                      THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END ORDER BY i) AS h
+        |  FROM range(0, 16) t1(j), range(0, 64) t2(i) GROUP BY j),
+        |sig AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+        |        k -> e.embedding[k]::DOUBLE * hp.h[k]::DOUBLE)) >= 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS sg
+        |  FROM embeddings e, hp GROUP BY e.vec_id, e.embedding),
+        |banded AS (
+        |  SELECT vec_id, embedding, b::INT AS band, substr(sg, (1 + 4*b)::INT, 4) AS key
+        |  FROM sig, range(0, 4) t(b)),
+        |qb AS (SELECT vec_id AS q_id, embedding AS qe, band AS qband, key AS qkey
+        |       FROM banded WHERE vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT DISTINCT q_id, neighbor_id, s FROM (
+        |    SELECT qb.q_id, b.vec_id AS neighbor_id,
+        |      list_cosine_similarity(b.embedding::DOUBLE[], qb.qe::DOUBLE[]) AS s
+        |    FROM banded b JOIN qb ON b.band = qb.qband AND b.key = qb.qkey
+        |                          AND b.vec_id <> qb.q_id))
+        |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+        |  SELECT q_id, neighbor_id, s,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst vector math over `array<float>` embedding columns.
+  *
+  * The reference computes cosine similarity per-document in NumPy on the
+  * driver (/root/reference/rag_processor.py:26-77); here it is a codegen'd
+  * expression evaluated inside whole-stage codegen — a tight primitive
+  * loop over ArrayData with zero boxing, accumulating in double (which is
+  * also exactly what DuckDB's list_cosine_similarity computes, keeping the
+  * oracle hash-stable).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  /** Java loop body; sees `a`, `b` (ArrayData), writes `${ev.value}`. */
+  protected def loopCode(a: String, b: String, result: String): String
+  protected def loopEval(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    loopEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(a, b, ev.value))
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_similarity"
+
+  protected def loopEval(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  protected def loopCode(a: String, b: String, result: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double dot = 0.0, nx = 0.0, ny = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double x = (double) $a.getFloat(i);
+       |  double y = (double) $b.getFloat(i);
+       |  dot += x * y; nx += x * x; ny += y * y;
+       |}
+       |$result = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+       |""".stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product"
+
+  protected def loopEval(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  protected def loopCode(a: String, b: String, result: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double dot = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$result = dot;
+       |""".stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Cosine similarity between two `array<float>` columns, as double. */
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Dot product between two `array<float>` columns, as double. */
+  def dot(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+}
