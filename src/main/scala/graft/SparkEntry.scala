@@ -23,6 +23,15 @@ object SparkEntry {
     "neardup_embedding" -> (Similarity.nearDupEmbedding _),
     "ann_ivf"           -> (Similarity.annIvf _),
     "lsh_ann"           -> (Similarity.lshAnn _),
+    "clean_text"           -> (TextOps.cleanTextQ _),
+    "template_classify"    -> (TextOps.templateClassify _),
+    "topic_detect"         -> (TextOps.topicDetect _),
+    "safety_screen"        -> (TextOps.safetyScreen _),
+    "effectiveness"        -> (TextOps.effectiveness _),
+    "training_examples"    -> (TextOps.trainingExamples _),
+    "conversation_history" -> (Interactions.conversationHistory _),
+    "topic_interactions"   -> (Interactions.topicInteractions _),
+    "high_quality"         -> (Interactions.highQuality _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -151,5 +160,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
         |  FROM cand) WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
+    "clean_text"           -> graft.oracle.DuckSql.cleanText,
+    "template_classify"    -> graft.oracle.DuckSql.templateClassify,
+    "topic_detect"         -> graft.oracle.DuckSql.topicDetect,
+    "safety_screen"        -> graft.oracle.DuckSql.safetyScreen,
+    "effectiveness"        -> graft.oracle.DuckSql.effectiveness,
+    "training_examples"    -> graft.oracle.DuckSql.trainingExamples,
+    "conversation_history" -> graft.oracle.DuckSql.conversationHistory,
+    "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
+    "high_quality"         -> graft.oracle.DuckSql.highQuality,
   )
 }

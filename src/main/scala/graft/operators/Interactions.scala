@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Interaction-log operators over the `events` table (events ≈ the
+  * reference's `interactions` table, user_id ≈ session, props ≈ the JSON
+  * `metadata` column):
+  *
+  *  - conversation_history — last-N per session
+  *    (/root/reference/database.py:67-95, last 5 used in rag_processor.py:100-110)
+  *  - topic_interactions — JSON topic filter + per-session recency limit
+  *    (/root/reference/database.py:316-343)
+  *  - high_quality — JSON metric extract + cast + threshold + order + limit
+  *    (/root/reference/database.py:344-387:
+  *     `metadata->'effectiveness'->>'term_overlap' >= 0.7 OR
+  *      template_adherence = 'high'`)
+  *
+  * The synthetic `props` column carries one metric `k` (0..99); it stands in
+  * for the reference's nested effectiveness object: term_overlap ≔ k/100,
+  * topic ≔ taxonomy[k mod |taxonomy|], template_adherence ≔ by event_type.
+  * Recency is ordered by event_id, which the generator makes monotone in ts
+  * (verified), so both engines agree without sub-second timestamp games.
+  */
+object Interactions {
+
+  private def propsK = get_json_object(col("props"), "$.k").cast("int")
+
+  /** conversation_history: the last 5 interactions of every session. */
+  def conversationHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), propsK.as("k"))
+  }
+
+  /** topic_interactions: filter by detected topic, keep the 3 most recent
+    * per session.
+    */
+  def topicInteractions(spark: SparkSession, dir: String): DataFrame = {
+    val names = array(RefVocab.taxonomy.map(t => lit(t._1)): _*)
+    val topic = element_at(names,
+      (pmod(propsK, lit(RefVocab.taxonomy.size)) + 1).cast("int"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("topic", topic)
+      .filter(col("topic") === "Anxiety")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("topic"))
+  }
+
+  /** high_quality: effectiveness threshold OR high template adherence,
+    * most recent first, limit 100 — the reference's training-data gate.
+    */
+  def highQuality(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = round(propsK / 100.0, 2)
+    val adherence = when(col("event_type") === "purchase", "high")
+      .when(col("event_type") === "signup", "medium")
+      .otherwise("low")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        overlap.as("term_overlap"), adherence.as("template_adherence"))
+      .filter(col("term_overlap") >= 0.7 || col("template_adherence") === "high")
+      .orderBy(col("event_id").desc)
+      .limit(100)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+/** The reference application's classification vocabulary, held once so the
+  * Spark plans and the DuckDB oracle SQL are generated from the same data
+  * (hand-syncing two copies is how parity checks rot).
+  *
+  * Sources (cited, not copied — these are plain keyword lists):
+  *  - template keywords: /root/reference/prompt_selector.py:37-57
+  *    (`keyword_mappings`, insertion order = match priority)
+  *  - topic taxonomy: /root/reference/utilities/text_utils.py:123-210
+  *    (`load_enhanced_mental_health_taxonomy`, insertion order = tie-break)
+  *  - safety patterns: /root/reference/safety_handler.py:18-44
+  *    (`categories`, insertion order = match priority)
+  */
+object RefVocab {
+
+  /** template name -> keywords; first template with any substring match wins
+    * (prompt_selector.py:215-219), default "Others".
+    */
+  val templateKeywords: Seq[(String, Seq[String])] = Seq(
+    "Empathy and Validation" -> Seq(
+      "sad", "depressed", "down", "unhappy", "alone", "lonely", "grief",
+      "loss", "hurt", "pain", "suffering", "cry", "tears", "heartbroken"),
+    "Affirmation and Reassurance" -> Seq(
+      "anxious", "worried", "stressed", "nervous", "fear", "scared", "panic",
+      "overwhelmed", "frightened", "uneasy", "tense", "afraid"),
+    "Providing Suggestions" -> Seq(
+      "help", "advice", "tips", "suggestion", "guidance", "recommend",
+      "strategy", "solution", "fix", "resolve", "approach", "technique",
+      "method", "cope", "handle"),
+    "Information" -> Seq(
+      "why", "explain", "understand", "how", "what", "learn", "know",
+      "curious", "information", "research", "fact", "science", "reason",
+      "cause"),
+    "Question" -> Seq(
+      "confused", "unsure", "uncertain", "wonder", "think", "feel", "opinion"))
+
+  val defaultTemplate = "Others"
+
+  /** topic -> keywords; score = number of keywords present as substrings,
+    * argmax with ties broken by taxonomy order (Python max() keeps the first
+    * maximal entry, prompt_selector.py:322-325); all-zero -> default.
+    * The reference's category-info "boosts" (prompt_selector.py:286-300) key
+    * on names its category generator never emits, so they are dead code and
+    * intentionally not reproduced.
+    */
+  val taxonomy: Seq[(String, Seq[String])] = Seq(
+    "Depression" -> Seq(
+      "depressed", "sad", "hopeless", "worthless", "guilt", "suicidal",
+      "fatigue", "insomnia", "hypersomnia", "weight", "appetite",
+      "concentration", "indecisive", "psychomotor", "anhedonia", "emptiness",
+      "unmotivated", "tired", "can't eat", "can't sleep", "don't enjoy",
+      "no interest", "meaningless"),
+    "Anxiety" -> Seq(
+      "anxious", "worry", "fear", "panic", "nervous", "tense", "stress",
+      "phobia", "obsessive", "compulsive", "avoidance", "catastrophizing",
+      "overthinking", "racing thoughts", "restless", "irritable", "on edge",
+      "hypervigilant", "apprehensive", "dread", "arousal", "social anxiety"),
+    "Trauma" -> Seq(
+      "trauma", "ptsd", "flashback", "nightmare", "hyperarousal", "avoidance",
+      "intrusion", "dissociate", "abuse", "assault", "violence", "accident",
+      "disaster", "threat", "danger", "helpless", "horror", "numb",
+      "detached", "triggered", "startle", "hypervigilant",
+      "emotional dysregulation"),
+    "Interpersonal" -> Seq(
+      "relationship", "marriage", "partner", "spouse", "family", "friend",
+      "colleague", "conflict", "intimacy", "attachment", "boundary",
+      "communication", "trust", "abandonment", "rejection", "loneliness",
+      "isolation", "connection", "breakup", "divorce", "separation",
+      "betrayal", "argument", "misunderstanding"),
+    "Identity" -> Seq(
+      "self-esteem", "identity", "self-worth", "confidence", "imposter",
+      "shame", "perfectionism", "failure", "inadequacy", "self-doubt",
+      "body image", "self-criticism", "self-compassion", "validation",
+      "purpose", "meaning", "values", "authentic", "true self", "gender",
+      "sexuality", "culture"),
+    "Adjustment" -> Seq(
+      "grief", "loss", "bereavement", "change", "transition", "adaptation",
+      "adjustment", "stress", "coping", "resilience", "life stage",
+      "retirement", "career", "moving", "relocation", "major life event",
+      "crisis", "upheaval", "uncertainty", "decision-making", "crossroads",
+      "opportunity", "challenge"),
+    "Behavior" -> Seq(
+      "addiction", "substance", "alcohol", "drug", "gambling", "compulsive",
+      "habit", "dependence", "withdrawal", "craving", "relapse", "recovery",
+      "abstinence", "moderation", "harm-reduction", "impulse control",
+      "self-regulation", "behavioral therapy", "reinforcement", "trigger"),
+    "Wellness" -> Seq(
+      "mindfulness", "meditation", "relaxation", "self-care", "resilience",
+      "growth", "strength", "resource", "wellness", "prevention",
+      "maintenance", "balance", "harmony", "fulfillment", "joy",
+      "satisfaction", "gratitude", "meaning", "purpose", "flourishing",
+      "thriving", "vitality"),
+    "Cognition" -> Seq(
+      "thought", "belief", "cognition", "distortion", "schema", "assumption",
+      "automatic thought", "rumination", "worry", "attention", "memory",
+      "concentration", "problem-solving", "decision-making", "perception",
+      "interpretation", "reframe", "perspective", "mindset", "attribution"),
+    "Grief & Loss" -> Seq(
+      "bereavement", "loss", "mourning", "acceptance", "denial", "anger",
+      "bargaining", "depression", "adaptation", "adjustment",
+      "memorialization", "letting go", "moving on", "honoring", "memory"),
+    "Self-Compassion" -> Seq(
+      "self-kindness", "common humanity", "mindfulness", "self-criticism",
+      "self-care", "forgiveness", "acceptance", "compassionate voice",
+      "inner peace", "empathy"),
+    "Guilt & Shame" -> Seq(
+      "guilt", "shame", "self-judgment", "self-blame", "embarrassment",
+      "regret", "wrongdoing", "redemption", "forgiveness", "moral distress",
+      "humiliation", "self-forgiveness"),
+    "Obsessive-Compulsive Disorder (OCD)" -> Seq(
+      "obsession", "compulsion", "ritual", "perfectionism", "control",
+      "anxiety", "reassurance-seeking", "intrusive thought", "cleaning",
+      "checking", "counting", "hoarding"),
+    "Suicidality & Self-Harm" -> Seq(
+      "suicidal", "self-harm", "cutting", "despair", "hopelessness",
+      "crisis", "emotional pain", "coping", "prevention", "life-threatening",
+      "overwhelming"))
+
+  val defaultTopic = "emotional_support"
+
+  /** (category, severity, combined case-insensitive pattern); first matching
+    * category in order wins (safety_handler.py:60-78 iterates dict order).
+    */
+  val safetyCategories: Seq[(String, String, String)] = Seq(
+    ("suicide", "critical",
+      "(?i)(suicide|kill myself|end my life|take my life|don't want to live" +
+        "|want to die|no reason to live|can't go on|better off dead" +
+        "|life is too painful|ending it all|my suicide note|planning to end" +
+        "|how to commit suicide)"),
+    ("self_harm", "high",
+      "(?i)(cut myself|hurt myself|self harm|self-harm|injure myself" +
+        "|burning myself|hitting myself|starve myself)"),
+    ("violence", "high",
+      "(?i)((kill|murder|hurt|attack|bomb|shoot) (someone|people|them|him|her)" +
+        "|(planning|want|going) to (kill|murder|hurt|attack))"))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (public common-word lists; order = tie-break priority).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that",
+      "it", "for", "on", "with", "as", "this", "was", "are"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "du",
+      "mit", "ein", "eine", "zu", "auf", "sie", "von"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "en", "un",
+      "una", "por", "con", "para", "del", "se"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "je", "tu", "dans",
+      "pour", "que", "qui", "sur", "pas", "vous"))
+
+  val unknownLang = "und"
+
+  /** English stopwords used by the document quality score. */
+  val enStopwords: Seq[String] = langStopwords.head._2
+}

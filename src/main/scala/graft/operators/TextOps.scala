@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text surface of the reference app, as pure `functions._` column
+  * compositions (whole-stage codegen, no UDFs):
+  *
+  *  - clean_text        — /root/reference/utilities/text_utils.py:26-49 +
+  *                        /root/reference/prompt_selector.py:62-76
+  *  - template_classify — /root/reference/prompt_selector.py:36-57,180-240
+  *  - topic_detect      — /root/reference/prompt_selector.py:242-330
+  *  - safety_screen     — /root/reference/safety_handler.py:15-78
+  *  - effectiveness     — /root/reference/prompt_selector.py:332-395
+  *  - training_examples — /root/reference/rag_processor.py:182-238
+  *
+  * Documented deviations from the reference (kept intentionally):
+  *  - html.unescape is approximated by the six entities that occur in
+  *    practice (&amp; &lt; &gt; &quot; &#39;/&#x27; &nbsp;);
+  *  - the URL regex is the standard simplified form, not the reference's
+  *    500-char monster (identical on all URLs with a scheme or www.);
+  *  - token overlap uses lowercased whitespace tokens, not spaCy lemmas
+  *    (no JVM spaCy; the *metric* — |Q∩R|/|Q| over token sets — is the
+  *    reference's, prompt_selector.py:369-377);
+  *  - the reference's final `.replace("'", "''")` SQL-escape step is a
+  *    string-SQL-building artifact, not text semantics, and is dropped.
+  */
+object TextOps {
+
+  /** (java/RE2-compatible pattern, replacement) steps applied in order.
+    * Shared with the DuckDB oracle generator so both engines run the
+    * byte-identical pipeline.
+    */
+  val cleanSteps: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;|&#x27;" -> "'",
+    "&amp;" -> "&",
+    "<[^>]*>" -> "",
+    "(?i)\\b(https?://\\S+|www\\.\\S+)" -> "",
+    "’" -> "'",
+    "—" -> "-",
+    "“" -> "\"",
+    "”" -> "\"",
+    "…" -> "...",
+    "[^a-zA-Z0-9\\s.,?!'\":-]" -> "",
+    "\\s+" -> " ")
+
+  /** The reference clean-text pipeline as one codegen'd column. */
+  def cleanText(c: Column): Column =
+    trim(cleanSteps.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    })
+
+  /** True iff any keyword occurs as a substring (Python `kw in text`). */
+  private def anyKeyword(lc: Column, kws: Seq[String]): Column =
+    lc.rlike(kws.mkString("(", "|", ")"))
+
+  /** Number of keywords present as substrings (boolean per keyword, summed
+    * — prompt_selector.py:273 counts keywords, not occurrences).
+    */
+  private def keywordScore(lc: Column, kws: Seq[String]): Column =
+    kws.map(kw => when(lc.contains(kw), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** First-match-priority template over a lowercased clean text column. */
+  def templateCol(lc: Column): Column =
+    RefVocab.templateKeywords.foldRight(lit(RefVocab.defaultTemplate)) {
+      case ((name, kws), fallback) =>
+        when(anyKeyword(lc, kws), lit(name)).otherwise(fallback)
+    }
+
+  /** Argmax-encoded topic score: score*100 + (99 - idx), so `greatest`
+    * picks the highest score and, among ties, the earliest taxonomy entry —
+    * exactly Python `max()` over insertion order. The same integer encoding
+    * runs in DuckDB, so both engines agree bit-for-bit.
+    */
+  def topicEncoded(lc: Column): Column =
+    greatest(RefVocab.taxonomy.zipWithIndex.map { case ((_, kws), i) =>
+      keywordScore(lc, kws) * 100 + (99 - i)
+    }: _*)
+
+  def topicFromEncoded(best: Column): Column = {
+    val names = array(RefVocab.taxonomy.map(t => lit(t._1)): _*)
+    when(best < 100, lit(RefVocab.defaultTopic))
+      .otherwise(element_at(names, (lit(100) - pmod(best, lit(100))).cast("int")))
+  }
+
+  def topicScoreFromEncoded(best: Column): Column =
+    floor(best / 100).cast("int")
+
+  private def lcClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        lower(cleanText(col("text"))).as("lc"))
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  /** clean_text: the normalization pipeline over every document. */
+  def cleanTextQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        cleanText(col("text")).as("clean"),
+        length(cleanText(col("text"))).cast("int").as("clean_chars"))
+
+  /** template_classify: keyword -> prompt template, first match wins. */
+  def templateClassify(spark: SparkSession, dir: String): DataFrame =
+    lcClean(spark, dir)
+      .select(col("doc_id"), templateCol(col("lc")).as("template"))
+
+  /** topic_detect: taxonomy keyword-count scoring, argmax with tie-break. */
+  def topicDetect(spark: SparkSession, dir: String): DataFrame =
+    lcClean(spark, dir)
+      .withColumn("best", topicEncoded(col("lc")))
+      .select(col("doc_id"),
+        topicFromEncoded(col("best")).as("topic"),
+        topicScoreFromEncoded(col("best")).as("score"))
+
+  /** safety_screen: first matching harmful-content category, or 'none'. */
+  def safetyScreen(spark: SparkSession, dir: String): DataFrame = {
+    val cat = RefVocab.safetyCategories.foldRight(lit("none")) {
+      case ((name, _, pat), fallback) =>
+        when(col("text").rlike(pat), lit(name)).otherwise(fallback)
+    }
+    val sev = RefVocab.safetyCategories.foldRight(lit("none")) {
+      case ((name, severity, _), fallback) =>
+        when(col("category") === name, lit(severity)).otherwise(fallback)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), cat.as("category"))
+      .select(col("doc_id"), (col("category") =!= "none").as("is_harmful"),
+        col("category"), sev.as("severity"))
+  }
+
+  /** effectiveness: response-quality metrics over (question, response)
+    * pairs; here consecutive documents stand in for an interaction pair.
+    */
+  def effectiveness(spark: SparkSession, dir: String): DataFrame = {
+    val c = lcClean(spark, dir).select(col("doc_id"), col("lc"))
+    val q = c.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("q_id"), col("lc").as("ql"))
+    val r = c.select(col("doc_id").as("r_id"), col("lc").as("rl"))
+    val toks = (s: Column) => filter(split(s, " "), x => x =!= "")
+    val paired = q.join(r, col("r_id") === col("q_id") + 1)
+      .select(col("q_id"), col("r_id"), col("ql"), col("rl"),
+        toks(col("ql")).as("qt"), toks(col("rl")).as("rt"))
+    val qd = array_distinct(col("qt"))
+    val rd = array_distinct(col("rt"))
+    val overlap = when(size(qd) > 0,
+      size(array_intersect(qd, rd)).cast("double") / size(qd)).otherwise(0d)
+    paired
+      .withColumn("template", templateCol(col("ql")))
+      .select(
+        col("q_id"), col("r_id"),
+        size(col("rt")).cast("int").as("response_length"),
+        when(size(col("rt")) < 20, "too_short")
+          .when(size(col("rt")) > 500, "too_long")
+          .otherwise("appropriate").as("length_quality"),
+        round(overlap, 4).as("term_overlap"),
+        col("template"),
+        when(col("template") === "Question" && col("rl").contains("?"), "high")
+          .when(col("template") === "Empathy and Validation" &&
+            col("rl").rlike("(understand|feel|valid)"), "high")
+          .otherwise("medium").as("template_adherence"))
+  }
+
+  /** training_examples: instruction/input/output formatting with the
+    * template+topic detectors composed in (rag_processor.py:216-227).
+    */
+  def trainingExamples(spark: SparkSession, dir: String): DataFrame =
+    lcClean(spark, dir)
+      .withColumn("template", templateCol(col("lc")))
+      .withColumn("topic", topicFromEncoded(topicEncoded(col("lc"))))
+      .select(col("doc_id"),
+        concat(lit("You are a therapeutic AI assistant skilled in "),
+          col("template"),
+          lit(". Provide a compassionate and helpful response about "),
+          col("topic"), lit(".")).as("instruction"),
+        substring(col("text"), 1, 120).as("input"),
+        substring(cleanText(col("text")), 1, 120).as("output"))
+}

@@ -1,0 +1,145 @@
+package graft.oracle
+
+import graft.operators.{RefVocab, TextOps}
+
+/** DuckDB oracle SQL, *generated* from the same constants
+  * (graft.operators.RefVocab, TextOps.cleanSteps) that drive the Spark
+  * plans. One source of truth means a keyword edit cannot silently desync
+  * the correctness gate.
+  *
+  * DuckDB string literals do not process backslash escapes, so Java/RE2
+  * patterns embed verbatim; only single quotes need doubling.
+  */
+object DuckSql {
+
+  /** SQL-escape a string for a single-quoted literal. */
+  def sq(s: String): String = s.replace("'", "''")
+
+  /** The clean-text pipeline as a nested regexp_replace chain. */
+  def cleanSql(e: String): String =
+    "trim(" + TextOps.cleanSteps.foldLeft(e) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+    } + ")"
+
+  private def anyKwSql(lc: String, kws: Seq[String]): String =
+    s"regexp_matches($lc, '(${sq(kws.mkString("|"))})')"
+
+  private def kwScoreSql(lc: String, kws: Seq[String]): String =
+    kws.map(k => s"(CASE WHEN strpos($lc, '${sq(k)}')>0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  def templateCaseSql(lc: String): String =
+    "CASE " + RefVocab.templateKeywords.map { case (name, kws) =>
+      s"WHEN ${anyKwSql(lc, kws)} THEN '${sq(name)}'"
+    }.mkString(" ") + s" ELSE '${RefVocab.defaultTemplate}' END"
+
+  def topicEncodedSql(lc: String): String =
+    "greatest(" + RefVocab.taxonomy.zipWithIndex.map { case ((_, kws), i) =>
+      s"${kwScoreSql(lc, kws)} * 100 + ${99 - i}"
+    }.mkString(", ") + ")"
+
+  private def topicNamesList: String =
+    RefVocab.taxonomy.map(t => s"'${sq(t._1)}'").mkString("[", ", ", "]")
+
+  def topicDecodeSql(best: String): String =
+    s"CASE WHEN $best < 100 THEN '${RefVocab.defaultTopic}' " +
+      s"ELSE list_extract($topicNamesList, 100 - $best % 100) END"
+
+  /** Shared CTE: documents with the cleaned and lowercased text. */
+  private val docsCte =
+    s"""WITH t0 AS (SELECT doc_id, text, ${cleanSql("text")} AS cl FROM documents),
+       |t AS (SELECT doc_id, text, cl, lower(cl) AS lc FROM t0)""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val cleanText: String =
+    s"""$docsCte
+       |SELECT doc_id, cl AS clean, length(cl)::INT AS clean_chars FROM t""".stripMargin
+
+  val templateClassify: String =
+    s"""$docsCte
+       |SELECT doc_id, ${templateCaseSql("lc")} AS template FROM t""".stripMargin
+
+  val topicDetect: String =
+    s"""$docsCte,
+       |b AS (SELECT doc_id, ${topicEncodedSql("lc")} AS best FROM t)
+       |SELECT doc_id, ${topicDecodeSql("best")} AS topic,
+       |  (best // 100)::INT AS score FROM b""".stripMargin
+
+  val safetyScreen: String = {
+    val catCase = "CASE " + RefVocab.safetyCategories.map {
+      case (name, _, pat) =>
+        s"WHEN regexp_matches(text, '${sq(pat)}') THEN '$name'"
+    }.mkString(" ") + " ELSE 'none' END"
+    val sevCase = "CASE category " + RefVocab.safetyCategories.map {
+      case (name, sev, _) => s"WHEN '$name' THEN '$sev'"
+    }.mkString(" ") + " ELSE 'none' END"
+    s"""WITH c AS (SELECT doc_id, $catCase AS category FROM documents)
+       |SELECT doc_id, (category <> 'none') AS is_harmful, category,
+       |  $sevCase AS severity FROM c""".stripMargin
+  }
+
+  val effectiveness: String =
+    s"""$docsCte,
+       |p AS (SELECT q.doc_id AS q_id, r.doc_id AS r_id, q.lc AS ql, r.lc AS rl
+       |      FROM t q JOIN t r ON r.doc_id = q.doc_id + 1 WHERE q.doc_id % 2 = 0),
+       |tok AS (SELECT q_id, r_id, ql, rl,
+       |  list_distinct(list_filter(string_split(ql, ' '), x -> x <> '')) AS qd,
+       |  list_distinct(list_filter(string_split(rl, ' '), x -> x <> '')) AS rd,
+       |  len(list_filter(string_split(rl, ' '), x -> x <> '')) AS rn FROM p),
+       |m AS (SELECT q_id, r_id, ql, rl, rn,
+       |  len(list_filter(qd, x -> list_contains(rd, x))) AS inter, len(qd) AS qn,
+       |  ${templateCaseSql("ql")} AS template FROM tok)
+       |SELECT q_id, r_id, rn::INT AS response_length,
+       |  CASE WHEN rn < 20 THEN 'too_short' WHEN rn > 500 THEN 'too_long'
+       |       ELSE 'appropriate' END AS length_quality,
+       |  round(CASE WHEN qn > 0 THEN inter::DOUBLE / qn ELSE 0 END, 4) AS term_overlap,
+       |  template,
+       |  CASE WHEN template = 'Question' AND strpos(rl, '?') > 0 THEN 'high'
+       |       WHEN template = 'Empathy and Validation'
+       |            AND regexp_matches(rl, '(understand|feel|valid)') THEN 'high'
+       |       ELSE 'medium' END AS template_adherence
+       |FROM m""".stripMargin
+
+  val trainingExamples: String =
+    s"""$docsCte,
+       |x AS (SELECT doc_id, text, cl, ${templateCaseSql("lc")} AS template,
+       |      ${topicEncodedSql("lc")} AS best FROM t)
+       |SELECT doc_id,
+       |  'You are a therapeutic AI assistant skilled in ' || template ||
+       |  '. Provide a compassionate and helpful response about ' ||
+       |  ${topicDecodeSql("best")} || '.' AS instruction,
+       |  substr(text, 1, 120) AS input, substr(cl, 1, 120) AS output
+       |FROM x""".stripMargin
+
+  val conversationHistory: String =
+    """SELECT user_id, rn, event_id, event_type,
+      |  round(value, 2) AS value,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn <= 5""".stripMargin
+
+  val topicInteractions: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |  list_extract($topicNamesList,
+       |    (CAST(json_extract_string(props, '$$.k') AS INT) % ${RefVocab.taxonomy.size}) + 1) AS topic
+       |  FROM events)
+       |SELECT user_id, rn, event_id, topic
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                   ORDER BY event_id DESC) AS rn
+       |      FROM e WHERE topic = 'Anxiety')
+       |WHERE rn <= 3""".stripMargin
+
+  val highQuality: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,
+      |  CASE WHEN event_type = 'purchase' THEN 'high'
+      |       WHEN event_type = 'signup' THEN 'medium'
+      |       ELSE 'low' END AS template_adherence
+      |  FROM events)
+      |SELECT * FROM e
+      |WHERE term_overlap >= 0.7 OR template_adherence = 'high'
+      |ORDER BY event_id DESC LIMIT 100""".stripMargin
+}
