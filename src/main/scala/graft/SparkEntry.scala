@@ -32,6 +32,10 @@ object SparkEntry {
     "conversation_history" -> (Interactions.conversationHistory _),
     "topic_interactions"   -> (Interactions.topicInteractions _),
     "high_quality"         -> (Interactions.highQuality _),
+    "lang_id"         -> (TextAnalysis.langId _),
+    "quality_score"   -> (TextAnalysis.qualityScore _),
+    "token_count"     -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -169,5 +173,9 @@ object SparkEntry {
     "conversation_history" -> graft.oracle.DuckSql.conversationHistory,
     "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
     "high_quality"         -> graft.oracle.DuckSql.highQuality,
+    "lang_id"         -> graft.oracle.DuckSql.langId,
+    "quality_score"   -> graft.oracle.DuckSql.qualityScore,
+    "token_count"     -> graft.oracle.DuckSql.tokenCount,
+    "doc_fingerprint" -> graft.oracle.DuckSql.docFingerprint,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus text-analysis operators for the training-data pipeline: language
+  * ID, document quality scoring, token counting, and winnowing
+  * fingerprints. All are single-pass column compositions — no shuffle except
+  * the (optional) final explode; at 100 TB these scale embarrassingly with
+  * input splits.
+  *
+  * The reference tokenizes with spaCy (utilities/text_utils.py:53-77);
+  * here tokens are whitespace tokens of the cleaned text — the statistics
+  * (ratios, counts, fingerprints) are engine features, not model features.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), x => x =!= "")
+
+  /** Encoded argmax over (name, score) pairs: score*100 + (99-i), so
+    * `greatest` breaks ties toward the earlier entry (same trick as
+    * TextOps.topicEncoded — and the same integer math runs in DuckDB).
+    */
+  private def encodedBest(scores: Seq[Column]): Column =
+    greatest(scores.zipWithIndex.map { case (s, i) => s * 100 + (99 - i) }: _*)
+
+  /** lang_id: stopword-overlap language scoring, argmax, 'und' if no
+    * evidence. Distinct tokens, so a repeated article doesn't dominate.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val dtoks = array_distinct(toks(lower(col("text"))))
+    val scores = RefVocab.langStopwords.map { case (_, stop) =>
+      size(array_intersect(dtoks, array(stop.map(lit): _*)))
+    }
+    val names = array(RefVocab.langStopwords.map(l => lit(l._1)): _*)
+    Tables.documents(spark, dir)
+      .withColumn("best", encodedBest(scores))
+      .select(col("doc_id"),
+        when(col("best") < 100, lit(RefVocab.unknownLang))
+          .otherwise(element_at(names,
+            (lit(100) - pmod(col("best"), lit(100))).cast("int")))
+          .as("lang_pred"),
+        floor(col("best") / 100).cast("int").as("score"))
+  }
+
+  /** quality_score: length/stopword/punctuation heuristics composited into
+    * a [0,1] score — the standard pre-training quality gate shape.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nWords = size(t)
+    val charSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val stopHits = size(filter(t,
+      x => array_contains(array(RefVocab.enStopwords.map(lit): _*), lower(x))))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,?!'\":-]", ""))
+    val stopRatio = stopHits.cast("double") / nWords
+    val punctRatio = punct.cast("double") / nChars
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nWords.cast("int").as("n_words"),
+        round(charSum.cast("double") / nWords, 4).as("avg_word_len"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(least(lit(1.0), nWords / 100.0) * 0.4 +
+          stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3, 4).as("score"))
+  }
+
+  /** token_count: whitespace tokens, BPE-ish regex tokens, chars/4
+    * estimate — the three standard token budgets.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("int").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("int").as("re_tokens"),
+        ceil(length(col("text")) / 4.0).cast("int").as("est_bpe"))
+
+  /** doc_fingerprint: winnowing — word-3-gram rolling hashes, sliding
+    * window (w=4) minima, distinct selected fingerprints per document
+    * (Schleimer, Wilkerson & Aiken, SIGMOD'03). md5-based hashes, so any
+    * engine reproduces the exact fingerprint set.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks(col("text"))
+    val sh = transform(sequence(lit(1), size(col("ws")) - 2),
+      j => concat_ws(" ", element_at(col("ws"), j),
+        element_at(col("ws"), j + 1), element_at(col("ws"), j + 2)))
+    val wins = transform(sequence(lit(1), size(col("hs")) - 3),
+      i => array_min(slice(col("hs"), i, lit(4))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) >= 6, sh)
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => substring(md5(s), 1, 8)).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) >= 4, wins)
+          .otherwise(array().cast("array<string>")).as("wins"))
+      .select(col("doc_id"),
+        explode(array_distinct(col("wins"))).as("fp"))
+  }
+}

@@ -132,6 +132,63 @@ object DuckSql {
        |      FROM e WHERE topic = 'Anxiety')
        |WHERE rn <= 3""".stripMargin
 
+  // ---- text analysis -------------------------------------------------
+
+  private def listLit(xs: Seq[String]): String =
+    xs.map(x => s"'${sq(x)}'").mkString("[", ", ", "]")
+
+  val langId: String = {
+    val scores = RefVocab.langStopwords.zipWithIndex.map {
+      case ((_, stop), i) =>
+        s"len(list_filter(dt, x -> list_contains(${listLit(stop)}, x))) * 100 + ${99 - i}"
+    }
+    val names = listLit(RefVocab.langStopwords.map(_._1))
+    s"""WITH w AS (SELECT doc_id,
+       |  list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
+       |  FROM documents),
+       |b AS (SELECT doc_id, greatest(${scores.mkString(", ")}) AS best FROM w)
+       |SELECT doc_id,
+       |  CASE WHEN best < 100 THEN '${RefVocab.unknownLang}'
+       |       ELSE list_extract($names, 100 - best % 100) END AS lang_pred,
+       |  (best // 100)::INT AS score FROM b""".stripMargin
+  }
+
+  val qualityScore: String =
+    s"""WITH w AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |m AS (SELECT doc_id, len(t) AS n_words,
+       |  list_sum(list_transform(t, x -> length(x))) AS char_sum,
+       |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
+       |  FROM w)
+       |SELECT doc_id, n_words::INT AS n_words,
+       |  round(char_sum::DOUBLE / n_words, 4) AS avg_word_len,
+       |  round(stop_hits::DOUBLE / n_words, 4) AS stopword_ratio,
+       |  round(punct::DOUBLE / n_chars, 4) AS punct_ratio,
+       |  round(least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
+       |        + (1.0 - punct::DOUBLE / n_chars) * 0.3, 4) AS score
+       |FROM m""".stripMargin
+
+  val tokenCount: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT AS re_tokens,
+      |  ceil(length(text) / 4.0)::INT AS est_bpe
+      |FROM documents""".stripMargin
+
+  val docFingerprint: String =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(ws) >= 6
+      |  THEN list_transform(range(1, len(ws) - 1),
+      |    j -> substr(md5(ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2]), 1, 8))
+      |  ELSE []::VARCHAR[] END AS hs FROM w),
+      |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+      |  THEN list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))
+      |  ELSE []::VARCHAR[] END AS wins FROM s)
+      |SELECT doc_id, unnest(wins) AS fp FROM f""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,
