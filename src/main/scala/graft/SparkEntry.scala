@@ -36,6 +36,10 @@ object SparkEntry {
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "dedup_exact"   -> (Dedup.dedupExact _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_ngram"   -> (Dedup.dedupNgram _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -177,5 +181,9 @@ object SparkEntry {
     "quality_score"   -> graft.oracle.DuckSql.qualityScore,
     "token_count"     -> graft.oracle.DuckSql.tokenCount,
     "doc_fingerprint" -> graft.oracle.DuckSql.docFingerprint,
+    "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
+    "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
+    "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
+    "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
   )
 }

@@ -189,6 +189,81 @@ object DuckSql {
       |  ELSE []::VARCHAR[] END AS wins FROM s)
       |SELECT doc_id, unnest(wins) AS fp FROM f""".stripMargin
 
+  // ---- dedup family --------------------------------------------------
+
+  /** Shared CTE: normalized tokens + distinct word-3-gram shingle sets. */
+  private val shCte =
+    """WITH n AS (SELECT doc_id, source,
+      |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |              x -> x <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])) AS s
+      |  FROM n WHERE len(ws) >= 3)""".stripMargin
+
+  private val jacSql =
+    "round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE" +
+      " / len(list_distinct(sa.s || sb.s)), 4)"
+
+  val dedupExact: String =
+    """WITH n AS (SELECT doc_id,
+      |  md5(array_to_string(list_filter(
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |    x -> x <> ''), ' ')) AS text_hash FROM documents)
+      |SELECT doc_id, text_hash, canonical, (doc_id <> canonical) AS is_dup
+      |FROM (SELECT doc_id, text_hash,
+      |        min(doc_id) OVER (PARTITION BY text_hash) AS canonical FROM n)""".stripMargin
+
+  val dedupMinhash: String =
+    s"""$shCte,
+       |mh AS (SELECT doc_id, list_transform(range(0, 12),
+       |  j -> list_min(list_transform(s, x -> md5(j::VARCHAR || '_' || x)))) AS m
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b,
+       |  substr(md5(m[3*b+1] || m[3*b+2] || m[3*b+3]), 1, 16) AS key
+       |  FROM mh, range(0, 4) t(b)
+       |  QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |j AS (SELECT id_a, id_b, $jacSql AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+       |            JOIN sh sb ON sb.doc_id = cand.id_b)
+       |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  val dedupSimhash: String = {
+    val bitTerms = (0 until 64).map { i =>
+      val pos = i / 4 + 1
+      val shift = 3 - i % 4
+      s"(CASE WHEN list_sum(list_transform(hs, h -> " +
+        s"(((strpos('0123456789abcdef', h[$pos]) - 1) >> $shift) & 1) * 2 - 1)) >= 0 " +
+        s"THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""$shCte,
+       |hsrc AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh),
+       |sg AS (SELECT doc_id, $bitTerms AS sig FROM hsrc),
+       |bands AS (SELECT doc_id, b, substr(sig, 1 + 16*b, 16) AS key
+       |  FROM sg, range(0, 4) t(b)
+       |  QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |h AS (SELECT id_a, id_b,
+       |  len(list_filter(range(1, 65), i -> ga.sig[i] <> gb.sig[i]))::INT AS hamming
+       |  FROM cand JOIN sg ga ON ga.doc_id = cand.id_a
+       |            JOIN sg gb ON gb.doc_id = cand.id_b)
+       |SELECT * FROM h WHERE hamming <= 8""".stripMargin
+  }
+
+  val dedupNgram: String =
+    s"""$shCte
+       |SELECT source, id_a, id_b, jaccard FROM (
+       |  SELECT sa.source AS source, sa.doc_id AS id_a, sb.doc_id AS id_b,
+       |    $jacSql AS jaccard
+       |  FROM sh sa JOIN sh sb
+       |    ON sa.source = sb.source AND sa.doc_id < sb.doc_id)
+       |WHERE jaccard > 0""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,
