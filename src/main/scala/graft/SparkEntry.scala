@@ -40,6 +40,9 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
+    "sessionize" -> (Sessions.sessionize _),
+    "window_agg" -> (Sessions.windowAgg _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -185,5 +188,8 @@ object SparkEntry {
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
+    "sessionize" -> graft.oracle.DuckSql.sessionize,
+    "window_agg" -> graft.oracle.DuckSql.windowAgg,
+    "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
   )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode/feature-extraction runs per
+  * partition behind a pluggable decoder.
+  *
+  * No image/audio codecs exist in this environment, so `StubDecoder` is a
+  * clearly-marked deterministic FAKE — it derives plausible dimensions from
+  * the payload bytes. The Spark-side plumbing is real and tested: schema,
+  * binary column handling, typed Dataset batch shape, per-partition decode
+  * (the Scala analogue of a pandas-batch UDF — the decoder is invoked once
+  * per row inside one partition iterator, so a native library would be
+  * loaded once per task, not once per row).
+  *
+  * The synthetic corpus has no media files, so the document text's UTF-8
+  * bytes stand in for the payload (an ASCII-safe choice the DuckDB oracle
+  * can reproduce with string functions).
+  */
+object Multimodal {
+
+  /** One decoded media record (the "feature extraction" output schema). */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+      height: Int, channels: Int, content_md5: String)
+
+  /** Per-payload decoder contract; real deployments plug libjpeg/ffmpeg
+    * bindings here.
+    */
+  trait MediaDecoder extends Serializable {
+    /** @return (width, height, channels) */
+    def decode(payload: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** STUB: deterministic fake decode — *not* a real codec. Dimensions are
+    * derived from payload length and first byte so tests are reproducible.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val len = payload.length
+      val head = if (len > 0) payload(0) & 0xff else 0
+      ((len * 7 + 13) % 640 + 1, (len * 3 + head) % 480 + 1, 3)
+    }
+  }
+
+  /** Typed per-partition decode: the escape hatch the brief sanctions for
+    * binary decode (everything else in this library stays declarative).
+    */
+  def decodeFeatures(spark: SparkSession, payloads: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val (w, h, c) = decoder.decode(bytes)
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length, w, h, c, digest)
+        }
+      }
+  }
+
+  /** Documents with a binary payload column attached. */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+
+  /** multimodal_meta: typed metadata over the binary column — byte length,
+    * magic bytes, content hash, and the stub-decoded dimensions, all as a
+    * declarative plan (the column mirror of StubDecoder's arithmetic).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("payload"))
+    val head = when(len > 0,
+      conv(lower(hex(expr("substring(payload, 1, 1)"))), 16, 10).cast("int"))
+      .otherwise(0)
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("source"),
+        len.cast("int").as("byte_len"),
+        lower(hex(expr("substring(payload, 1, 4)"))).as("magic"),
+        md5(col("payload")).as("content_md5"),
+        (pmod(len * 7 + 13, lit(640)) + 1).cast("int").as("width"),
+        (pmod(len * 3 + head, lit(480)) + 1).cast("int").as("height"),
+        lit(3).as("channels"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event sessionization and windowed aggregation (the batch twins of
+  * graft.streaming.EventStream — same column logic, different source).
+  *
+  * Event time derives from floor-epoch-seconds (`ts div 1e9` on the
+  * nanos-as-long column), which a nanosecond engine computes identically —
+  * sub-second precision never decides a boundary. Money-style sums
+  * accumulate in decimal so results are partitioning-independent.
+  */
+object Sessions {
+
+  /** Session gap: a new session starts after >4h of inactivity (the event
+    * stream's median inter-event gap is ~7h, so this yields a healthy mix
+    * of single- and multi-event sessions).
+    */
+  val GapSec = 14400L
+
+  private def decSum(cname: String) =
+    sum(col(cname).cast("decimal(28,6)"))
+
+  /** sessionize: gap-based session assignment + per-session rollup.
+    * Two window passes over (user_id, event_id) — one shuffle on user_id —
+    * then a partial-agg-friendly groupBy on (user_id, session_idx).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000000000").as("ts_sec"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > GapSec, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
+        round(decSum("value").cast("double"), 2).as("total_value"))
+      .select(col("user_id"), col("session_idx").cast("int").as("session_idx"),
+        col("n_events"), col("first_event"), col("last_event"),
+        col("duration_sec"), col("total_value"))
+  }
+
+  /** window_agg: tumbling 1-hour event-time windows per event type —
+    * a single partial-agg groupBy, the shape that scales linearly.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val hr = expr("ts div 3600000000000")
+    Tables.events(spark, dir)
+      .select(hr.as("hr"), col("event_type"), col("value"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        round(decSum("value").cast("double"), 2).as("sum_value"),
+        round((decSum("value") / count(lit(1))).cast("double"), 4)
+          .as("avg_value"))
+      .select(
+        date_format(timestamp_seconds(col("hr") * 3600),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+  }
+}

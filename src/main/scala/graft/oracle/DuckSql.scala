@@ -264,6 +264,47 @@ object DuckSql {
        |    ON sa.source = sb.source AND sa.doc_id < sb.doc_id)
        |WHERE jaccard > 0""".stripMargin
 
+  // ---- sessions / windows --------------------------------------------
+
+  val sessionize: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |  floor(epoch(ts))::BIGINT AS ts_sec FROM events),
+       |l AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM e),
+       |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_sec - prev > ${graft.operators.Sessions.GapSec}
+       |                     THEN 1 ELSE 0 END AS is_new FROM l),
+       |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
+       |SELECT user_id, session_idx::INT AS session_idx, count(*)::INT AS n_events,
+       |  min(event_id) AS first_event, max(event_id) AS last_event,
+       |  (max(ts_sec) - min(ts_sec)) AS duration_sec,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
+       |FROM x GROUP BY user_id, session_idx""".stripMargin
+
+  val windowAgg: String =
+    """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
+      |           FROM events)
+      |SELECT strftime(make_timestamp(hr * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*)::INT AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_value
+      |FROM e GROUP BY hr, event_type""".stripMargin
+
+  /** ASCII-safe mirror of the binary-column metadata: DuckDB string-byte
+    * functions equal Spark's binary ops because md5/hex hash UTF-8 bytes
+    * in both engines.
+    */
+  val multimodalMeta: String =
+    """SELECT doc_id, source,
+      |  octet_length(encode(text))::INT AS byte_len,
+      |  lower(hex(substr(text, 1, 4))) AS magic,
+      |  md5(text) AS content_md5,
+      |  ((octet_length(encode(text)) * 7 + 13) % 640 + 1)::INT AS width,
+      |  ((octet_length(encode(text)) * 3 +
+      |    CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END)
+      |   % 480 + 1)::INT AS height,
+      |  3 AS channels
+      |FROM documents""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,
