@@ -42,12 +42,24 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => loopCode(a, b, ev.value))
 }
 
+object VectorBinaryExpression {
+  /** Dimension mismatch is a data bug; fail loudly (as DuckDB's
+    * list_cosine_similarity does) instead of silently truncating — a wrong
+    * answer that *looks* right is the worst failure mode an engine has.
+    * Called from both interpreted eval and generated code.
+    */
+  def requireSameDim(a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"vector dimension mismatch: $a vs $b")
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "cosine_similarity"
 
   protected def loopEval(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    VectorBinaryExpression.requireSameDim(n, y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -59,7 +71,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   protected def loopCode(a: String, b: String, result: String): String =
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |int n = $a.numElements();
+       |graft.functions.VectorBinaryExpression.requireSameDim(n, $b.numElements());
        |double dot = 0.0, nx = 0.0, ny = 0.0;
        |for (int i = 0; i < n; i++) {
        |  double x = (double) $a.getFloat(i);
@@ -78,7 +91,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 
   protected def loopEval(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    VectorBinaryExpression.requireSameDim(n, y.numElements())
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     dot
@@ -86,7 +100,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   protected def loopCode(a: String, b: String, result: String): String =
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |int n = $a.numElements();
+       |graft.functions.VectorBinaryExpression.requireSameDim(n, $b.numElements());
        |double dot = 0.0;
        |for (int i = 0; i < n; i++) {
        |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);

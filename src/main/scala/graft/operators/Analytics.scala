@@ -42,7 +42,13 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** 3-way join + agg + top-N revenue orders; customer dim broadcast. */
+  /** 3-way join + agg + top-N revenue orders.
+    *
+    * No explicit broadcasts: orders and customer are fact-sized at scale
+    * (orders ~1.5M rows/SF), so o⋈c and l⋈o must be shuffle joins on their
+    * keys; AQE still picks broadcast-hash at small SF where a side fits
+    * under the threshold, which is the right call in both regimes.
+    */
   def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -53,7 +59,7 @@ object Analytics {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+    l.join(o.join(c, o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -65,9 +71,13 @@ object Analytics {
         col("revenue"))
   }
 
-  /** Star join: revenue per nation within one region; the whole dimension
-    * chain (region→nation→customer/supplier) broadcasts, so the only
-    * shuffle is the final groupBy on 25 nations.
+  /** Star join: revenue per nation within one region.
+    *
+    * Only the *true* dimensions broadcast: region⋈nation is ≤25 rows after
+    * the region filter. customer/supplier/orders grow linearly with SF
+    * (customer 150K/SF, supplier 10K/SF, orders 1.5M/SF — all fact-sized
+    * at the 100 TB target), so those joins shuffle on their keys and AQE
+    * is free to downgrade them to broadcast when a side is actually small.
     */
   def q5Region(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -79,9 +89,9 @@ object Analytics {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s),
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s,
         l("l_suppkey") === s("s_suppkey") &&
           c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))

@@ -53,10 +53,11 @@ def main(outdir, sfdir):
     ok = fail = 0
     for name in sorted(oracle):
         d = os.path.join(outdir, name)
-        files = glob.glob(f"{d}/*.parquet")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output");  fail += 1; continue
-        spark_tbl = pq.read_table(files[0])
+        import pyarrow as pa
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         scols = spark_tbl.column_names
         srows = [tuple(r[c] for c in scols) for r in spark_tbl.to_pylist()]
         try:
