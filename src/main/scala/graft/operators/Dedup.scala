@@ -16,8 +16,17 @@ import graft.sources.Tables
   *    candidate pairs verified by true Jaccard; buckets are capped so one
   *    degenerate key cannot quadratically explode a partition;
   *  - simhash: 64-bit sign-hash → 4×16-bit band equi-join → Hamming verify;
-  *  - ngram:   blocked all-pairs *within a small blocking key* (source),
-  *    the correctness baseline the LSH paths approximate.
+  *  - ngram:   sparse inverted-index join *within a small blocking key*
+  *    (source) — pairs sharing zero shingles are never materialized.
+  *
+  * Representation note: shingles are ROWS, not per-doc arrays. Tokens are
+  * exploded once and 3-grams built with `lead()` windows, so tokenization
+  * runs once per document. (The array formulation — `transform(sequence,
+  * j -> element_at(ws, j))` — re-evaluates the whole tokenization chain
+  * per element after projection collapse, because codegen subexpression
+  * elimination cannot reach inside higher-order-function lambdas: a ~50×
+  * hidden blowup measured at sf0.1.) Rows also shuffle as scalars, feed
+  * partial aggregates, and never hit per-row array size limits at scale.
   *
   * All hashes are md5-derived, so the DuckDB oracle reproduces every
   * signature bit-for-bit (no RNG state, no engine-specific hashing).
@@ -29,29 +38,37 @@ object Dedup {
   private val SIM_BITS = 64
   private val SIM_BANDS = 4 // 16 bits per band
   private val BUCKET_CAP = 1000
-  private val HEX = "0123456789abcdef"
 
   /** Normalized whitespace tokens (lowercase, collapsed). */
   private def normToks(c: Column): Column =
     filter(split(lower(trim(regexp_replace(c, "\\s+", " "))), " "),
       x => x =!= "")
 
-  /** (doc_id, source, s = distinct word-3-gram shingles); docs with <3
-    * words carry no shingles and drop out of the near-dup operators.
+  /** (doc_id, source, g): DISTINCT word-3-gram shingles, one row each.
+    * Repartitioning by doc_id before the heavy work parallelizes the
+    * compute regardless of how few input splits the corpus has, and
+    * co-partitions the per-doc aggregates that follow.
     */
-  def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val ws = normToks(col("text"))
-    val sh = transform(sequence(lit(1), size(col("ws")) - 2),
-      j => concat_ws(" ", element_at(col("ws"), j),
-        element_at(col("ws"), j + 1), element_at(col("ws"), j + 2)))
+  def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), ws.as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), col("source"), array_distinct(sh).as("s"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(normToks(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w),
+          lead(col("w"), 2).over(w)).as("g"),
+        lead(col("w"), 2).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("source"), col("g"))
+      .dropDuplicates("doc_id", "g")
   }
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Shingle rows + per-doc set size (for |A∪B| arithmetic). */
+  private def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
   /** dedup_exact: md5 of normalized text; canonical = min doc_id per hash
     * group (the survivor); is_dup marks rows a dedup pass would drop.
@@ -66,85 +83,91 @@ object Dedup {
         (col("doc_id") =!= col("canonical")).as("is_dup"))
   }
 
-  /** MinHash signature column: element j is the md5-min over shingles with
-    * salt j — a classic permutation-free MinHash (min over a salted hash
-    * family), reproducible by any engine with md5.
+  /** Candidate pairs from a (doc_id, band, key) frame: bucket-capped
+    * band equi-join, id pairs only (no payloads in the shuffle).
     */
-  private def minhashSig(s: Column): Column =
-    array((0 until MINHASHES).map { j =>
-      array_min(transform(s, x => md5(concat(lit(s"${j}_"), x))))
-    }: _*)
-
-  /** (doc_id, band, key) rows, giant buckets capped. */
-  private def mhBanded(sh: DataFrame): DataFrame = {
-    val keys = array((0 until MH_BANDS).map { b =>
-      substring(md5(concat(element_at(col("m"), 3 * b + 1),
-        element_at(col("m"), 3 * b + 2),
-        element_at(col("m"), 3 * b + 3))), 1, 16)
-    }: _*)
+  private def bandCandidates(banded: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
-    sh.select(col("doc_id"), minhashSig(col("s")).as("m"))
-      .select(col("doc_id"), posexplode(keys).as(Seq("band", "key")))
+    val capped = banded
       .withColumn("bc", count(lit(1)).over(w))
       .filter(col("bc") <= BUCKET_CAP)
       .drop("bc")
-  }
-
-  /** dedup_minhash: LSH candidate pairs (≥1 shared band) verified by true
-    * Jaccard ≥ 0.5. Candidates are id pairs only — shingle sets re-attach
-    * by key join, so the band-join shuffle never carries array payloads.
-    */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val banded = mhBanded(sh)
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
-    val sb = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+  }
+
+  /** True-Jaccard verification of candidate id pairs against the shingle
+    * rows: |A∩B| by co-occurrence count, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
+      col("g").as("gb"))
+    cand.join(a, "id_a")
+      .join(b, col("id_b") === col("id_b2") && col("ga") === col("gb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** dedup_minhash: 12 salted-md5 min-hashes per doc (one partial-agg
+    * groupBy over shingle rows), 4 bands of 3 → LSH candidate pairs,
+    * verified by true Jaccard ≥ 0.5.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRowsWithSize(spark, dir)
+    val mins = (0 until MINHASHES).map { j =>
+      min(md5(concat(lit(s"${j}_"), col("g")))).as(s"m$j")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandKeys = array((0 until MH_BANDS).map { b =>
+      substring(md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"),
+        col(s"m${3 * b + 2}"))), 1, 16)
+    }: _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    verifyJaccard(bandCandidates(banded), sh)
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** 64-char '0'/'1' SimHash signature over the shingle set: bit i is the
-    * sign of the summed ±1 contributions of bit i of each shingle's md5.
+  /** (doc_id, sig): 64-char '0'/'1' SimHash signatures — bit i is the sign
+    * of the summed ±1 contributions of bit i of each shingle's md5, as one
+    * codegen'd hash-aggregate with 64 sum columns.
     */
-  private def simhashSig(s: Column): Column = {
-    val hs = transform(s, x => md5(x))
-    concat((0 until SIM_BITS).map { i =>
+  private def simhashSigs(sh: DataFrame): DataFrame = {
+    val dv = transform(sequence(lit(1), lit(16)),
+      d => conv(col("h").substr(d, lit(1)), 16, 10).cast("int"))
+    val ex = sh.select(col("doc_id"), md5(col("g")).as("h"))
+      .select(col("doc_id"), dv.as("dv"))
+    val sums = (0 until SIM_BITS).map { i =>
       val pos = i / 4 + 1
       val shift = 3 - i % 4
-      val contrib = aggregate(hs, lit(0), (acc, h) =>
-        acc + (shiftright(conv(substring(h, pos, 1), 16, 10).cast("int"),
-          shift).bitwiseAND(lit(1)) * 2 - 1))
-      when(contrib >= 0, lit("1")).otherwise(lit("0"))
+      sum(shiftright(element_at(col("dv"), pos), shift)
+        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+    }
+    val sig = concat((0 until SIM_BITS).map { i =>
+      when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+    ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   /** dedup_simhash: 16-bit-band candidate generation + Hamming ≤ 8 verify. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = shingleSets(spark, dir)
-      .select(col("doc_id"), simhashSig(col("s")).as("sig"))
+    val sigs = simhashSigs(shingleRows(spark, dir))
     val bandKeys = array((0 until SIM_BANDS).map { b =>
       substring(col("sig"), 1 + 16 * b, 16)
     }: _*)
-    val w = Window.partitionBy(col("band"), col("key"))
     val banded = sigs
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
-      .withColumn("bc", count(lit(1)).over(w))
-      .filter(col("bc") <= BUCKET_CAP)
-      .drop("bc")
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = bandCandidates(banded)
     val ga = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val gb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     val hamming = aggregate(
@@ -158,17 +181,23 @@ object Dedup {
   }
 
   /** dedup_ngram: exact word-3-gram Jaccard join inside a blocking key
-    * (source). The honest quadratic baseline — but quadratic only in the
-    * block size, and the block is a metadata key, never the whole corpus.
+    * (source), as a sparse inverted-index join on (source, shingle):
+    * pairs sharing zero shingles are never materialized, the shuffle is
+    * keyed by high-cardinality shingles, every stage partial-aggregates.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val a = sh.select(col("source"), col("doc_id").as("id_a"), col("s").as("sa"))
-    val b = sh.select(col("source").as("src_b"), col("doc_id").as("id_b"),
-      col("s").as("sb"))
-    a.join(b, col("source") === col("src_b") && col("id_a") < col("id_b"))
+    val ex = shingleRowsWithSize(spark, dir)
+    val a = ex.select(col("source"), col("doc_id").as("id_a"),
+      col("n").as("na"), col("g"))
+    val b = ex.select(col("source").as("src_b"), col("doc_id").as("id_b"),
+      col("n").as("nb"), col("g").as("gb"))
+    a.join(b, col("source") === col("src_b") &&
+        col("g") === col("gb") && col("id_a") < col("id_b"))
+      .groupBy(col("source"), col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("source"), col("id_a"), col("id_b"),
-        round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") > 0)
   }
 }

@@ -64,10 +64,14 @@ object Multimodal {
       }
   }
 
-  /** Documents with a binary payload column attached. */
+  /** Documents with a binary payload column attached. Repartitioned by
+    * doc_id so payload hashing parallelizes beyond the input split count
+    * (media corpora are few-large-files; decode must not inherit that).
+    */
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .repartition(col("doc_id"))
 
   /** multimodal_meta: typed metadata over the binary column — byte length,
     * magic bytes, content hash, and the stub-decoded dimensions, all as a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -85,25 +86,31 @@ object TextAnalysis {
     * window (w=4) minima, distinct selected fingerprints per document
     * (Schleimer, Wilkerson & Aiken, SIGMOD'03). md5-based hashes, so any
     * engine reproduces the exact fingerprint set.
+    *
+    * Row-shaped: tokens explode once, 3-grams come from `lead()` and the
+    * winnowing minimum from a 4-row sliding frame over the same sort —
+    * one shuffle by doc_id, tokenization evaluated once per document (the
+    * array formulation hides a per-element re-evaluation; see Dedup).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val ws = toks(col("text"))
-    val sh = transform(sequence(lit(1), size(col("ws")) - 2),
-      j => concat_ws(" ", element_at(col("ws"), j),
-        element_at(col("ws"), j + 1), element_at(col("ws"), j + 2)))
-    val wins = transform(sequence(lit(1), size(col("hs")) - 3),
-      i => array_min(slice(col("hs"), i, lit(4))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w4 = w.rowsBetween(Window.currentRow, 3)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w),
+          lead(col("w"), 2).over(w)).as("g"),
+        lead(col("w"), 2).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("g")), 1, 8).as("h"))
       .select(col("doc_id"),
-        when(size(col("ws")) >= 6, sh)
-          .otherwise(array().cast("array<string>")).as("sh"))
-      .select(col("doc_id"),
-        transform(col("sh"), s => substring(md5(s), 1, 8)).as("hs"))
-      .select(col("doc_id"),
-        when(size(col("hs")) >= 4, wins)
-          .otherwise(array().cast("array<string>")).as("wins"))
-      .select(col("doc_id"),
-        explode(array_distinct(col("wins"))).as("fp"))
+        min(col("h")).over(w4).as("fp"),
+        count(lit(1)).over(w4).as("wlen"))
+      .filter(col("wlen") === 4)
+      .select(col("doc_id"), col("fp"))
+      .dropDuplicates("doc_id", "fp")
   }
 }
