@@ -148,28 +148,34 @@ object SparkEntry {
       """WITH hp AS (
         |  SELECT j, list(CASE WHEN substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1) >= '8'
         |                      THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END ORDER BY i) AS h
-        |  FROM range(0, 16) t1(j), range(0, 64) t2(i) GROUP BY j),
+        |  FROM range(0, 64) t1(j), range(0, 64) t2(i) GROUP BY j),
         |sig AS (
-        |  SELECT e.vec_id, e.embedding,
+        |  SELECT e.vec_id,
         |    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
         |        k -> e.embedding[k]::DOUBLE * hp.h[k]::DOUBLE)) >= 0
         |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS sg
-        |  FROM embeddings e, hp GROUP BY e.vec_id, e.embedding),
+        |  FROM embeddings e, hp GROUP BY e.vec_id),
         |banded AS (
-        |  SELECT vec_id, embedding, b::INT AS band, substr(sg, (1 + 4*b)::INT, 4) AS key
-        |  FROM sig, range(0, 4) t(b)),
-        |qb AS (SELECT vec_id AS q_id, embedding AS qe, band AS qband, key AS qkey
+        |  SELECT vec_id, b::INT AS band, substr(sg, (1 + 8*b)::INT, 8) AS key
+        |  FROM sig, range(0, 8) t(b)),
+        |capped AS (
+        |  SELECT * FROM banded
+        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
+        |qb AS (SELECT vec_id AS q_id, band AS qband, key AS qkey
         |       FROM banded WHERE vec_id % 100 = 0),
         |cand AS (
-        |  SELECT DISTINCT q_id, neighbor_id, s FROM (
-        |    SELECT qb.q_id, b.vec_id AS neighbor_id,
-        |      list_cosine_similarity(b.embedding::DOUBLE[], qb.qe::DOUBLE[]) AS s
-        |    FROM banded b JOIN qb ON b.band = qb.qband AND b.key = qb.qkey
-        |                          AND b.vec_id <> qb.q_id))
+        |  SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
+        |  FROM capped c JOIN qb ON c.band = qb.qband AND c.key = qb.qkey
+        |                        AND c.vec_id <> qb.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+        |  FROM cand JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        |            JOIN embeddings qe ON qe.vec_id = cand.q_id)
         |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
         |  SELECT q_id, neighbor_id, s,
         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
-        |  FROM cand) WHERE rank <= 3
+        |  FROM scored) WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
     "clean_text"           -> graft.oracle.DuckSql.cleanText,
     "template_classify"    -> graft.oracle.DuckSql.templateClassify,
