@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Crafted duplicate scenarios for the dedup family: an exact duplicate, a
+  * normalization-only duplicate, and a one-word-changed near-duplicate.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta"
+  private def dir() = fixtureDir(docs = Seq(
+    doc(0, base),
+    doc(1, base), // exact duplicate
+    doc(2, "  Alpha   beta GAMMA delta epsilon zeta eta theta "), // normalization dup
+    doc(3, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup (last word)
+    doc(4, "one two three four five six seven eight"))) // unrelated
+
+  test("dedup_exact: canonical min-id per normalized hash") {
+    val out = Dedup.dedupExact(spark, dir())
+      .select("doc_id", "canonical", "is_dup")
+    assert(rows(out) === Set(
+      Seq(0L, 0L, false), Seq(1L, 0L, true), Seq(2L, 0L, true),
+      Seq(3L, 3L, false), Seq(4L, 4L, false)))
+  }
+
+  test("dedup_minhash: identical shingle sets always collide, jaccard = 1") {
+    val out = Dedup.dedupMinhash(spark, dir())
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 0,1,2 share one shingle set: all three pairs must be found at 1.0
+    assert(out((0L, 1L)) === 1.0)
+    assert(out((0L, 2L)) === 1.0)
+    assert(out((1L, 2L)) === 1.0)
+    // the unrelated doc shares no band with anything
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("dedup_simhash: identical docs at hamming 0, unrelated not paired") {
+    val out = Dedup.dedupSimhash(spark, dir())
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((0L, 1L)) === 0)
+    assert(out((0L, 2L)) === 0)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("dedup_ngram: exact jaccard values within the source block") {
+    val out = Dedup.dedupNgram(spark, dir())
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) === 1.0)
+    // 8 words -> 6 shingles; only the final shingle contains the changed
+    // last word: inter = 5, union = 7 -> 5/7 = 0.7143
+    assert(out((0L, 3L)) === 0.7143)
+    // unrelated docs share no shingle -> pair absent entirely
+    assert(!out.contains((0L, 4L)))
+  }
+}

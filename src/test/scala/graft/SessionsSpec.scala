@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Interactions, Sessions}
+
+/** Session boundaries, window rollups, and the interaction-log operators
+  * on crafted event streams.
+  */
+class SessionsSpec extends SparkSpecBase {
+
+  test("sessionize: gap >4h opens a new session") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 0, user = 1, value = 1.0),
+      ev(1, 100, user = 1, value = 2.0),     // same session (gap 100s)
+      ev(2, 20000, user = 1, value = 3.0),   // gap 19900s > 14400 -> new
+      ev(3, 20100, user = 1, value = 4.0),
+      ev(4, 50, user = 2, value = 5.0)))     // other user
+    val out = Sessions.sessionize(spark, dir)
+      .select("user_id", "session_idx", "n_events", "first_event",
+        "last_event", "duration_sec", "total_value")
+    assert(rows(out) === Set(
+      Seq(1L, 1, 2, 0L, 1L, 100L, 3.0),
+      Seq(1L, 2, 2, 2L, 3L, 100L, 7.0),
+      Seq(2L, 1, 1, 4L, 4L, 0L, 5.0)))
+  }
+
+  test("window_agg: tumbling hour buckets per event type") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 60, 1, "click", 1.5),
+      ev(1, 120, 2, "click", 2.5),
+      ev(2, 60, 3, "view", 4.0),
+      ev(3, 3660, 1, "click", 8.0))) // next hour
+    val out = Sessions.windowAgg(spark, dir)
+      .select("window_start", "event_type", "n", "sum_value", "avg_value")
+    assert(rows(out) === Set(
+      Seq("1970-01-01 00:00:00", "click", 2, 4.0, 2.0),
+      Seq("1970-01-01 00:00:00", "view", 1, 4.0, 4.0),
+      Seq("1970-01-01 01:00:00", "click", 1, 8.0, 8.0)))
+  }
+
+  test("conversation_history: last 5 per session, newest first") {
+    val dir = fixtureDir(evs = (0 until 7).map(i =>
+      ev(i, i * 1000L, user = 1, value = i.toDouble, k = i)))
+    val out = Interactions.conversationHistory(spark, dir)
+      .select("rn", "event_id")
+    // events 6..2 survive as rn 1..5
+    assert(rows(out) === Set(
+      Seq(1, 6L), Seq(2, 5L), Seq(3, 4L), Seq(4, 3L), Seq(5, 2L)))
+  }
+
+  test("high_quality: threshold OR adherence, most recent first") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 0, 1, "click", 1.0, k = 90),    // overlap 0.9 -> in
+      ev(1, 1, 1, "click", 1.0, k = 10),    // overlap 0.1, low -> out
+      ev(2, 2, 1, "purchase", 1.0, k = 0),  // adherence high -> in
+      ev(3, 3, 1, "signup", 1.0, k = 70)))  // overlap 0.7 -> in (boundary)
+    val out = Interactions.highQuality(spark, dir)
+      .select("event_id", "term_overlap", "template_adherence")
+    assert(rows(out) === Set(
+      Seq(0L, 0.9, "low"), Seq(2L, 0.0, "high"), Seq(3L, 0.7, "medium")))
+  }
+}

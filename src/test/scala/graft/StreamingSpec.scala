@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+
+/** Structured Streaming twins driven end-to-end: a file-backed stream
+  * (public API, deterministic with Trigger.AvailableNow) through the
+  * windowed and session plans into a memory sink.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def streamEvents(dir: String) =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(s"$dir/events.parquet")
+
+  test("streaming window_agg matches the batch shape") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 60, 1, "click", 1.5),
+      ev(1, 120, 2, "click", 2.5),
+      ev(2, 3660, 1, "view", 4.0)))
+    val q = EventStream.windowAgg(streamEvents(dir))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = rows(spark.table("win_out")
+      .select("window_start", "event_type", "n", "sum_value"))
+    assert(out === Set(
+      Seq("1970-01-01 00:00:00", "click", 2, 4.0),
+      Seq("1970-01-01 01:00:00", "view", 1, 4.0)))
+  }
+
+  test("streaming sessionize emits a closed session once the watermark passes") {
+    // user 1's session spans t=0..600s; the t=40h event pushes the
+    // watermark (max event time - 8h) far past session end + 4h gap.
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 0, 1, "click", 1.0),
+      ev(1, 600, 1, "click", 2.0),
+      ev(2, 144000, 9, "click", 9.0)))
+    val q = EventStream.sessionize(streamEvents(dir))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = rows(spark.table("sess_out")
+      .select("user_id", "session_start", "n_events", "first_event",
+        "last_event", "total_value"))
+    assert(out === Set(
+      Seq(1L, "1970-01-01 00:00:00", 2, 0L, 1L, 3.0)))
+  }
+}

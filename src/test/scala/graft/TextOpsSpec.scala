@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Discriminative tests for the text surface: the synthetic corpus rarely
+  * exercises the therapeutic keyword lists, so these crafted inputs hit
+  * every branch (the oracle gate covers mechanism parity on real data).
+  */
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def clean(s: String): String =
+    Seq(s).toDF("t").select(TextOps.cleanText(col("t"))).head().getString(0)
+
+  private def template(s: String): String =
+    Seq(s).toDF("t").select(TextOps.templateCol(lower(col("t"))))
+      .head().getString(0)
+
+  private def topic(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextOps.topicFromEncoded(TextOps.topicEncoded(lower(col("t")))))
+      .head().getString(0)
+
+  test("clean_text: entities, tags, urls, unicode folding, charset, spaces") {
+    // &amp; unescapes to '&', which the charset filter then strips — the
+    // reference pipeline does exactly this (unescape before charset).
+    assert(clean("Hello &amp; <b>world</b>") === "Hello world")
+    assert(clean("see https://x.com/page now") === "see now")
+    assert(clean("go www.example.com today") === "go today")
+    assert(clean("’—“”…") === "'-\"\"...")
+    assert(clean("a   b\t\n c") === "a b c")
+    assert(clean("héllo @#$%^") === "hllo")
+    assert(clean("keep .,?!'\":- these") === "keep .,?!'\":- these")
+  }
+
+  test("template_classify: one keyword per template, first match wins") {
+    assert(template("i feel so sad today") === "Empathy and Validation")
+    assert(template("i am anxious about it") === "Affirmation and Reassurance")
+    assert(template("please help me with this") === "Providing Suggestions")
+    assert(template("why does this happen") === "Information")
+    assert(template("i wonder about that") === "Question")
+    assert(template("totally unrelated words") === "Others")
+    // priority: 'sad' (template 1) beats 'anxious' (template 2)
+    assert(template("sad and anxious") === "Empathy and Validation")
+  }
+
+  test("topic_detect: scoring, tie-break by taxonomy order, default") {
+    assert(topic("depressed and hopeless and tired") === "Depression")
+    // 'worry' is in both Anxiety (idx 1) and Cognition (idx 8): tie -> Anxiety
+    assert(topic("i worry") === "Anxiety")
+    assert(topic("nothing relevant here") === "emotional_support")
+    // score wins over order: two Trauma keywords beat one Depression keyword
+    assert(topic("sad flashback nightmare") === "Trauma")
+  }
+
+  test("safety_screen: category priority and severity") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "I want to kill myself"),
+      doc(1, "I cut myself yesterday"),
+      doc(2, "planning to attack"),
+      doc(3, "have a nice day")))
+    val out = graft.operators.TextOps.safetyScreen(spark, dir)
+      .select("doc_id", "is_harmful", "category", "severity")
+    assert(rows(out) === Set(
+      Seq(0L, true, "suicide", "critical"),
+      Seq(1L, true, "self_harm", "high"),
+      Seq(2L, true, "violence", "high"),
+      Seq(3L, false, "none", "none")))
+  }
+
+  test("effectiveness: overlap, length band, adherence") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "why does the sun shine bright"),
+      doc(1, "the sun shines bright because fusion energy")))
+    val out = TextOps.effectiveness(spark, dir)
+      .select("q_id", "r_id", "response_length", "length_quality",
+        "term_overlap", "template", "template_adherence")
+    // q terms {why,does,the,sun,shine,bright}=6; overlap {the,sun,bright}=3
+    assert(rows(out) === Set(
+      Seq(0L, 1L, 7, "too_short", 0.5, "Information", "medium")))
+  }
+
+  test("training_examples composes template+topic into the instruction") {
+    val dir = fixtureDir(docs = Seq(doc(0, "i feel sad and depressed")))
+    val r = TextOps.trainingExamples(spark, dir).head()
+    assert(r.getAs[String]("instruction") ===
+      "You are a therapeutic AI assistant skilled in Empathy and Validation. " +
+        "Provide a compassionate and helpful response about Depression.")
+  }
+}
