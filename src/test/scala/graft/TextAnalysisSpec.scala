@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Discriminative coverage for the text-analysis family: crafted
+  * multilingual sentences for lang_id, hand-computed quality metrics,
+  * token budgets, and winnowing edge cases.
+  */
+class TextAnalysisSpec extends SparkSpecBase {
+
+  test("lang_id: stopword evidence picks the language, no evidence -> und") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "the cat and the dog is on a mat"),
+      doc(1, "der hund und die katze ist nicht da"),
+      doc(2, "el perro y la casa es en un lugar"),
+      doc(3, "le chat est dans une maison pour toi"),
+      doc(4, "zzz qqq xxx")))
+    val out = TextAnalysis.langId(spark, dir).select("doc_id", "lang_pred")
+    assert(rows(out) === Set(
+      Seq(0L, "en"), Seq(1L, "de"), Seq(2L, "es"), Seq(3L, "fr"),
+      Seq(4L, "und")))
+  }
+
+  test("quality_score: hand-computed metrics") {
+    val dir = fixtureDir(docs = Seq(doc(0, "the cat sat")))
+    val r = TextAnalysis.qualityScore(spark, dir).head()
+    assert(r.getAs[Int]("n_words") === 3)
+    assert(r.getAs[Double]("avg_word_len") === 3.0)
+    assert(r.getAs[Double]("stopword_ratio") === 0.3333)
+    assert(r.getAs[Double]("punct_ratio") === 0.0)
+    // 0.4*min(1, 3/100) + 0.3*(1/3) + 0.3*1 = 0.412
+    assert(r.getAs[Double]("score") === 0.412)
+  }
+
+  test("token_count: whitespace vs regex vs chars/4 budgets") {
+    val dir = fixtureDir(docs = Seq(doc(0, "hello, world 42")))
+    val r = TextAnalysis.tokenCount(spark, dir).head()
+    assert(r.getAs[Int]("ws_tokens") === 3)
+    assert(r.getAs[Int]("re_tokens") === 4) // hello , world 42
+    assert(r.getAs[Int]("est_bpe") === 4)   // ceil(15/4)
+  }
+
+  test("doc_fingerprint: winnowing minimum count and determinism") {
+    val six = "w1 w2 w3 w4 w5 w6"
+    val dir = fixtureDir(docs = Seq(
+      doc(0, six),              // 4 shingles -> exactly 1 winnowed window
+      doc(1, six),              // identical -> identical fingerprint
+      doc(2, "a b c d e")))     // 3 shingles -> no full window, no rows
+    val out = TextAnalysis.docFingerprint(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length === 2)
+    val byDoc = out.toMap
+    assert(byDoc.keySet === Set(0L, 1L))
+    assert(byDoc(0L) === byDoc(1L))
+  }
+}
