@@ -43,6 +43,7 @@ object SparkEntry {
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "embed_text" -> (Embedder.embedText _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -197,5 +198,6 @@ object SparkEntry {
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
+    "embed_text" -> graft.oracle.DuckSql.embedText,
   )
 }

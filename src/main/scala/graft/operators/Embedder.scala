@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic text featurizer — the engine-side stand-in for the
+  * reference's embedding generation (/root/reference/text_generator.py:300-320
+  * mean-pools transformer hidden states; no model runs inside the engine,
+  * so the STUB derives 64 hash features instead and the plumbing — schema,
+  * normalization, distribution — is the real part).
+  *
+  * Feature i = Σ_tokens (bit_i(md5(token)) ? +1 : -1), L2-normalized, so
+  * token multiplicity matters (mean-pooling-like) and every engine with
+  * md5 reproduces the vector bit-for-bit. Unit norm makes downstream
+  * cosine equal dot product.
+  *
+  * Shape: explode tokens → one codegen'd hash-aggregate with 64 sums →
+  * normalize in a final projection. One shuffle by doc_id.
+  */
+object Embedder {
+
+  val DIM = 64
+
+  private def normToks(c: Column): Column =
+    filter(split(lower(trim(regexp_replace(c, "\\s+", " "))), " "),
+      x => x =!= "")
+
+  /** (doc_id, embedding array<double> unit-norm rounded to 6dp). */
+  def embedText(spark: SparkSession, dir: String): DataFrame = {
+    val dv = transform(sequence(lit(1), lit(16)),
+      d => conv(col("h").substr(d, lit(1)), 16, 10).cast("int"))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(normToks(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"), dv.as("dv"))
+    val sums = (0 until DIM).map { i =>
+      val pos = i / 4 + 1
+      val shift = 3 - i % 4
+      sum(shiftright(element_at(col("dv"), pos), shift)
+        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+    }
+    val norm = sqrt((0 until DIM).map(i =>
+      col(s"s$i").cast("double") * col(s"s$i").cast("double")).reduce(_ + _))
+    val emb = array((0 until DIM).map(i =>
+      round(col(s"s$i").cast("double") / col("nrm"), 6)): _*)
+    ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .withColumn("nrm", norm)
+      .select(col("doc_id"),
+        when(col("nrm") > 0, emb)
+          .otherwise(array_repeat(lit(0.0), DIM)).as("embedding"))
+  }
+}

@@ -305,6 +305,29 @@ object DuckSql {
       |  3 AS channels
       |FROM documents""".stripMargin
 
+  /** Mirror of Embedder.embedText: 64 ±1-bit sums per doc, L2-normalized. */
+  val embedText: String = {
+    val sums = (0 until 64).map { i =>
+      val pos = i / 4 + 1
+      val shift = 3 - i % 4
+      s"sum((((strpos('0123456789abcdef', h[$pos]) - 1) >> $shift) & 1) * 2 - 1) AS s$i"
+    }
+    val normTerms = (0 until 64)
+      .map(i => s"s$i::DOUBLE * s$i::DOUBLE").mkString(" + ")
+    val comps = (0 until 64)
+      .map(i => s"round(s$i::DOUBLE / nrm, 6)").mkString("[", ", ", "]")
+    val zeros = Seq.fill(64)("0.0").mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |ex AS (SELECT doc_id, md5(unnest(ws)) AS h FROM n),
+       |s AS (SELECT doc_id, ${sums.mkString(", ")} FROM ex GROUP BY doc_id),
+       |m AS (SELECT *, sqrt($normTerms) AS nrm FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN nrm > 0 THEN $comps ELSE $zeros END AS embedding
+       |FROM m""".stripMargin
+  }
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,

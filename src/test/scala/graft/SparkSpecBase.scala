@@ -54,6 +54,7 @@ object SparkSpecBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
