@@ -44,6 +44,7 @@ object SparkEntry {
     "window_agg" -> (Sessions.windowAgg _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedText _),
+    "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -199,5 +200,6 @@ object SparkEntry {
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
+    "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
   )
 }

@@ -328,6 +328,45 @@ object DuckSql {
        |FROM m""".stripMargin
   }
 
+  /** Mirror of Similarity.annIvfKmeans: 2 unrolled Lloyd iterations from
+    * the deterministic init, then probe + rank inside trained clusters.
+    */
+  val annIvfKmeans: String = {
+    def assignCte(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |               c.cid) AS rn
+         |  FROM embeddings e, $cents c) WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String) =
+      s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
+         |  SELECT cid, i, CAST(round(avg(embedding[i]::DOUBLE), 6) AS FLOAT) AS cv
+         |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${assignCte("c0", "a1")},
+       |${recomputeCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${recomputeCte("a2", "c2")},
+       |${assignCte("c2", "idx")},
+       |probes AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |cand AS (SELECT p.q_id, x.vec_id AS neighbor_id,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+       |  FROM probes p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id)
+       |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+       |  SELECT q_id, neighbor_id, s,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 3""".stripMargin
+  }
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,

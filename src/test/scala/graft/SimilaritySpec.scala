@@ -40,6 +40,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("ann_ivf_kmeans trains centroids and still ranks the twin first") {
+    val out = Similarity.annIvfKmeans(spark, dir())
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((0L, 1L, 1)))
+  }
+
   test("lsh_ann finds the identical twin (all bands collide)") {
     val out = Similarity.lshAnn(spark, dir())
       .select("neighbor_id", "sim", "rank").collect()
