@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import graft.operators.Analytics
+
+case class Cust(c_custkey: Long, c_nationkey: Long, c_mktsegment: String,
+    c_acctbal: Double)
+case class Line(l_orderkey: Long, l_suppkey: Long, l_returnflag: String,
+    l_linestatus: String, l_quantity: Double, l_extendedprice: Double,
+    l_discount: Double, l_shipdate: Date)
+
+/** Hand-computed results for the analytics core on crafted star-schema
+  * fragments (the DuckDB oracle covers the full TPC-H-ish shapes; these
+  * pin the aggregation/window arithmetic itself).
+  */
+class AnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def starDir(custs: Seq[Cust] = Nil, lines: Seq[Line] = Nil): String = {
+    val dir = Files.createTempDirectory("graft-star").toString
+    if (custs.nonEmpty)
+      custs.toDF().write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    if (lines.nonEmpty)
+      lines.toDF().write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q1_pricing: decimal-exact sums, averages, date filter") {
+    val d = Date.valueOf("1998-01-01")
+    val late = Date.valueOf("1999-01-01") // beyond the shipdate cutoff
+    val dir = starDir(lines = Seq(
+      Line(1, 1, "A", "F", 10.0, 100.0, 0.1, d),
+      Line(2, 1, "A", "F", 5.0, 50.0, 0.0, d),
+      Line(3, 1, "A", "F", 99.0, 999.0, 0.5, late)))
+    val out = Analytics.q1Pricing(spark, dir)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_disc", "count_order")
+    assert(rows(out) === Set(
+      Seq("A", "F", 15.0, 150.0, 140.0, 7.5, 0.05, 2L)))
+  }
+
+  test("top_customers: top-3 per segment with acctbal/custkey tie-break") {
+    val dir = starDir(custs = Seq(
+      Cust(1, 0, "BUILDING", 900.0), Cust(2, 0, "BUILDING", 800.0),
+      Cust(3, 0, "BUILDING", 700.0), Cust(4, 0, "BUILDING", 600.0),
+      Cust(5, 0, "AUTOMOBILE", 100.0), Cust(6, 0, "AUTOMOBILE", 100.0)))
+    val out = Analytics.topCustomers(spark, dir)
+      .select("c_mktsegment", "rank", "c_custkey")
+    assert(rows(out) === Set(
+      Seq("BUILDING", 1, 1L), Seq("BUILDING", 2, 2L), Seq("BUILDING", 3, 3L),
+      Seq("AUTOMOBILE", 1, 5L), Seq("AUTOMOBILE", 2, 6L)))
+  }
+}

@@ -18,6 +18,15 @@ class SimilaritySpec extends SparkSpecBase {
       Emb(2, vec(0.0, 1.0), 0),
       Emb(3, vec(0.9, 0.1), 0)))
 
+  test("kb_ingest reports dimension and 4dp-rounded L2 norm") {
+    val d = fixtureDir(
+      docs = Seq(doc(0, "a b c")),
+      embs = Seq(Emb(0, vec(3.0, 4.0), 0)))
+    val r = Similarity.kbIngest(spark, d)
+      .select("doc_id", "dim", "norm").head()
+    assert((r.getLong(0), r.getInt(1), r.getDouble(2)) === ((0L, 64, 5.0)))
+  }
+
   test("sim_topk ranks the identical twin first, orthogonal last") {
     val out = Similarity.simTopk(spark, dir())
       .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
