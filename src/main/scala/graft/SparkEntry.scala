@@ -30,6 +30,7 @@ object SparkEntry {
     "effectiveness"        -> (TextOps.effectiveness _),
     "training_examples"    -> (TextOps.trainingExamples _),
     "conversation_history" -> (Interactions.conversationHistory _),
+    "conversation_context" -> (Interactions.conversationContext _),
     "topic_interactions"   -> (Interactions.topicInteractions _),
     "high_quality"         -> (Interactions.highQuality _),
     "lang_id"         -> (TextAnalysis.langId _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "effectiveness"        -> graft.oracle.DuckSql.effectiveness,
     "training_examples"    -> graft.oracle.DuckSql.trainingExamples,
     "conversation_history" -> graft.oracle.DuckSql.conversationHistory,
+    "conversation_context" -> graft.oracle.DuckSql.conversationContext,
     "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
     "high_quality"         -> graft.oracle.DuckSql.highQuality,
     "lang_id"         -> graft.oracle.DuckSql.langId,

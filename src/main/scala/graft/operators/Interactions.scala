@@ -55,6 +55,23 @@ object Interactions {
       .select(col("user_id"), col("rn"), col("event_id"), col("topic"))
   }
 
+  /** conversation_context: rolling context of the previous ≤3 turns per
+    * session (/root/reference/utilities/text_utils.py:78-131
+    * `create_context` — a pandas loop with a per-question deque there; a
+    * single window frame here). Each turn renders as "Q: .. A: .." and the
+    * context is the frame-ordered join of the prior turns.
+    */
+  def conversationContext(spark: SparkSession, dir: String): DataFrame = {
+    val turn = concat(lit("Q: "), col("event_type"),
+      lit(" A: "), col("value").cast("string"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("context", concat_ws(" ", collect_list(turn).over(w)))
+      .select(col("user_id"), col("event_id"), col("context"))
+  }
+
   /** high_quality: effectiveness threshold OR high template adherence,
     * most recent first, limit 100 — the reference's training-data gate.
     */

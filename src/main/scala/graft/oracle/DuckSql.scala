@@ -367,6 +367,13 @@ object DuckSql {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  val conversationContext: String =
+    """SELECT user_id, event_id,
+      |  coalesce(string_agg('Q: ' || event_type || ' A: ' || value::VARCHAR, ' ')
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+      |FROM events""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,

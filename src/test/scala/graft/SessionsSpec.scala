@@ -47,6 +47,19 @@ class SessionsSpec extends SparkSpecBase {
       Seq(1, 6L), Seq(2, 5L), Seq(3, 4L), Seq(4, 3L), Seq(5, 2L)))
   }
 
+  test("conversation_context: previous <=3 turns, frame-ordered") {
+    val dir = fixtureDir(evs = (0 until 5).map(i =>
+      ev(i, i * 10L, user = 1, typ = s"t$i", value = i.toDouble)))
+    val out = Interactions.conversationContext(spark, dir)
+      .select("event_id", "context")
+    assert(rows(out) === Set(
+      Seq(0L, ""),
+      Seq(1L, "Q: t0 A: 0.0"),
+      Seq(2L, "Q: t0 A: 0.0 Q: t1 A: 1.0"),
+      Seq(3L, "Q: t0 A: 0.0 Q: t1 A: 1.0 Q: t2 A: 2.0"),
+      Seq(4L, "Q: t1 A: 1.0 Q: t2 A: 2.0 Q: t3 A: 3.0")))
+  }
+
   test("high_quality: threshold OR adherence, most recent first") {
     val dir = fixtureDir(evs = Seq(
       ev(0, 0, 1, "click", 1.0, k = 90),    // overlap 0.9 -> in
