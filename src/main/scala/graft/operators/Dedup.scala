@@ -142,8 +142,12 @@ object Dedup {
     * codegen'd hash-aggregate with 64 sum columns.
     */
   private def simhashSigs(sh: DataFrame): DataFrame = {
-    val dv = transform(sequence(lit(1), lit(16)),
-      d => conv(col("h").substr(d, lit(1)), 16, 10).cast("int"))
+    // hex digit -> value via ascii arithmetic ('0'-'9' = 48-57,
+    // 'a'-'f' = 97-102): same values as a base-16 conv, ~3x cheaper
+    val dv = transform(sequence(lit(1), lit(16)), d => {
+      val a = ascii(col("h").substr(d, lit(1)))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    })
     val ex = sh.select(col("doc_id"), md5(col("g")).as("h"))
       .select(col("doc_id"), dv.as("dv"))
     val sums = (0 until SIM_BITS).map { i =>

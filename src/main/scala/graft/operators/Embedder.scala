@@ -29,8 +29,11 @@ object Embedder {
 
   /** (doc_id, embedding array<double> unit-norm rounded to 6dp). */
   def embedText(spark: SparkSession, dir: String): DataFrame = {
-    val dv = transform(sequence(lit(1), lit(16)),
-      d => conv(col("h").substr(d, lit(1)), 16, 10).cast("int"))
+    // hex digit -> value via ascii arithmetic (see Dedup.simhashSigs)
+    val dv = transform(sequence(lit(1), lit(16)), d => {
+      val a = ascii(col("h").substr(d, lit(1)))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    })
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
