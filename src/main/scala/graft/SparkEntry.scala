@@ -46,6 +46,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedText _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
+    "media_frames" -> (Multimodal.mediaFrames _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -203,5 +204,6 @@ object SparkEntry {
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
+    "media_frames" -> graft.oracle.DuckSql.mediaFrames,
   )
 }

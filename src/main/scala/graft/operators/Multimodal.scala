@@ -73,6 +73,34 @@ object Multimodal {
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .repartition(col("doc_id"))
 
+  /** media_frames: deterministic stub frame sampling — the video-shaped
+    * batch plan (one row per sampled frame, fanned out with explode; a
+    * real pipeline would decode keyframes per partition instead of
+    * hashing). Frame count derives from the payload, frame ids are
+    * md5-chained so any engine reproduces them.
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = (pmod(length(col("payload")), lit(7)) + 1).cast("int")
+    withPayload(spark, dir)
+      .select(col("doc_id"), nFrames.as("nf"))
+      .select(col("doc_id"), col("nf"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("nf").as("n_frames"), col("frame_idx"),
+        md5(concat(md5(col("doc_id").cast("string")), lit("#"),
+          col("frame_idx").cast("string"))).as("frame_md5"))
+  }
+
+  /** Aspect-preserving fit of (w, h) into a bounding box — the resize
+    * arithmetic a real decoder would apply, kept integral and
+    * deterministic (never upscales).
+    */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxW > 0 && maxH > 0)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, math.floor(w * scale).toInt),
+      math.max(1, math.floor(h * scale).toInt))
+  }
+
   /** multimodal_meta: typed metadata over the binary column — byte length,
     * magic bytes, content hash, and the stub-decoded dimensions, all as a
     * declarative plan (the column mirror of StubDecoder's arithmetic).

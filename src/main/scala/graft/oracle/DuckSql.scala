@@ -374,6 +374,15 @@ object DuckSql {
       |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
       |FROM events""".stripMargin
 
+  val mediaFrames: String =
+    """WITH f AS (SELECT doc_id,
+      |  (octet_length(encode(text)) % 7 + 1)::INT AS n_frames FROM documents),
+      |x AS (SELECT doc_id, n_frames,
+      |  unnest(range(0, n_frames))::INT AS frame_idx FROM f)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  md5(md5(doc_id::VARCHAR) || '#' || frame_idx::VARCHAR) AS frame_md5
+      |FROM x""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,

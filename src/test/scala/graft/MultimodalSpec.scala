@@ -30,6 +30,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(typed(0)._5 === "d60cadf1a41c651e1f0ade50136bad43")
   }
 
+  test("media_frames fans out one row per sampled frame") {
+    val dir = fixtureDir(docs = Seq(doc(0, "abcdefgh"))) // 8 bytes -> 8%7+1 = 2 frames
+    val out = Multimodal.mediaFrames(spark, dir)
+      .select("doc_id", "n_frames", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((0L, 2, 0), (0L, 2, 1)))
+  }
+
+  test("fitWithin preserves aspect ratio and never upscales") {
+    assert(Multimodal.fitWithin(1920, 1080, 640, 480) === ((640, 360)))
+    assert(Multimodal.fitWithin(100, 200, 640, 480) === ((100, 200))) // no upscale
+    assert(Multimodal.fitWithin(1, 10000, 640, 480) === ((1, 480)))
+  }
+
   test("stub decoder is deterministic and bounded") {
     val (w, h, c) = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
     assert(w === (3 * 7 + 13) % 640 + 1)
