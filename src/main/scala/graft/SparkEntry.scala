@@ -125,7 +125,9 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf" ->
       """WITH comp AS (
-        |  SELECT label, i, CAST(round(avg(embedding[i]::DOUBLE), 6) AS FLOAT) AS cv
+        |  SELECT label, i,
+        |    CAST(round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
+        |               / count(*), 6) AS FLOAT) AS cv
         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM comp GROUP BY label),
         |probes AS (

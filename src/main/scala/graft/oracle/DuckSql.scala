@@ -341,7 +341,9 @@ object DuckSql {
          |  FROM embeddings e, $cents c) WHERE rn = 1)""".stripMargin
     def recomputeCte(assigned: String, out: String) =
       s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
-         |  SELECT cid, i, CAST(round(avg(embedding[i]::DOUBLE), 6) AS FLOAT) AS cv
+         |  SELECT cid, i,
+         |    CAST(round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
+         |               / count(*), 6) AS FLOAT) AS cv
          |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
     s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
        |            FROM embeddings WHERE vec_id < 8),
