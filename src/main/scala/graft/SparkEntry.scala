@@ -58,8 +58,8 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
         |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_disc,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -126,8 +126,8 @@ object SparkEntry {
     "ann_ivf" ->
       """WITH comp AS (
         |  SELECT label, i,
-        |    CAST(round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
-        |               / count(*), 6) AS FLOAT) AS cv
+        |    CAST(floor(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
+        |               / count(*) * 1000000 + 0.5) / 1000000 AS FLOAT) AS cv
         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM comp GROUP BY label),
         |probes AS (

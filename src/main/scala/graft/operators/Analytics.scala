@@ -21,8 +21,10 @@ object Analytics {
   private def moneySum(c: Column): Column =
     round(sum(c.cast("decimal(28,6)")).cast("double"), 2)
 
+  // double-divide the exact decimal sum and floor-round: decimal-quotient
+  // scales and round-at-tie behavior differ across engines
   private def moneyAvg(c: Column, cnt: Column): Column =
-    round((sum(c.cast("decimal(28,6)")) / cnt).cast("double"), 4)
+    floor(sum(c.cast("decimal(28,6)")).cast("double") / cnt * 10000 + 0.5) / 10000
 
   /** TPC-H Q1-ish pricing summary: scan-heavy grouped aggregation with
     * partial (map-side) aggregation; only 7 of 11 lineitem columns read.

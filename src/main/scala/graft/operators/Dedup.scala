@@ -113,8 +113,9 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        (floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
   }
 
   /** dedup_minhash: 12 salted-md5 min-hashes per doc (one partial-agg
@@ -200,8 +201,9 @@ object Dedup {
       .groupBy(col("source"), col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("source"), col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        (floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
       .filter(col("jaccard") > 0)
   }
 }

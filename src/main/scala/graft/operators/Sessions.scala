@@ -63,8 +63,8 @@ object Sessions {
       .agg(
         count(lit(1)).cast("int").as("n"),
         round(decSum("value").cast("double"), 2).as("sum_value"),
-        round((decSum("value") / count(lit(1))).cast("double"), 4)
-          .as("avg_value"))
+        (floor(decSum("value").cast("double") / count(lit(1)) * 10000 + 0.5)
+          / 10000).as("avg_value"))
       .select(
         date_format(timestamp_seconds(col("hr") * 3600),
           "yyyy-MM-dd HH:mm:ss").as("window_start"),

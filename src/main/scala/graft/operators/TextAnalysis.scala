@@ -60,14 +60,18 @@ object TextAnalysis {
     val punct = nChars - length(regexp_replace(col("text"), "[.,?!'\":-]", ""))
     val stopRatio = stopHits.cast("double") / nWords
     val punctRatio = punct.cast("double") / nChars
+    // rational-valued metrics can land exactly on a 4dp tie, where
+    // engine round() implementations disagree; rnd4 is the same
+    // floor-based primitive the oracle SQL uses on the same double
+    def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         nWords.cast("int").as("n_words"),
-        round(charSum.cast("double") / nWords, 4).as("avg_word_len"),
-        round(stopRatio, 4).as("stopword_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(least(lit(1.0), nWords / 100.0) * 0.4 +
-          stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3, 4).as("score"))
+        rnd4(charSum.cast("double") / nWords).as("avg_word_len"),
+        rnd4(stopRatio).as("stopword_ratio"),
+        rnd4(punctRatio).as("punct_ratio"),
+        rnd4(least(lit(1.0), nWords / 100.0) * 0.4 +
+          stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3).as("score"))
   }
 
   /** token_count: whitespace tokens, BPE-ish regex tokens, chars/4

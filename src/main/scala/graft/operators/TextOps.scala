@@ -163,7 +163,7 @@ object TextOps {
         when(size(col("rt")) < 20, "too_short")
           .when(size(col("rt")) > 500, "too_long")
           .otherwise("appropriate").as("length_quality"),
-        round(overlap, 4).as("term_overlap"),
+        (floor(overlap * 10000 + 0.5) / 10000).as("term_overlap"),
         col("template"),
         when(col("template") === "Question" && col("rl").contains("?"), "high")
           .when(col("template") === "Empathy and Validation" &&

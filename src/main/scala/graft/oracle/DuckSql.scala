@@ -93,7 +93,7 @@ object DuckSql {
        |SELECT q_id, r_id, rn::INT AS response_length,
        |  CASE WHEN rn < 20 THEN 'too_short' WHEN rn > 500 THEN 'too_long'
        |       ELSE 'appropriate' END AS length_quality,
-       |  round(CASE WHEN qn > 0 THEN inter::DOUBLE / qn ELSE 0 END, 4) AS term_overlap,
+       |  floor((CASE WHEN qn > 0 THEN inter::DOUBLE / qn ELSE 0 END) * 10000 + 0.5) / 10000 AS term_overlap,
        |  template,
        |  CASE WHEN template = 'Question' AND strpos(rl, '?') > 0 THEN 'high'
        |       WHEN template = 'Empathy and Validation'
@@ -163,11 +163,11 @@ object DuckSql {
        |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
        |  FROM w)
        |SELECT doc_id, n_words::INT AS n_words,
-       |  round(char_sum::DOUBLE / n_words, 4) AS avg_word_len,
-       |  round(stop_hits::DOUBLE / n_words, 4) AS stopword_ratio,
-       |  round(punct::DOUBLE / n_chars, 4) AS punct_ratio,
-       |  round(least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
-       |        + (1.0 - punct::DOUBLE / n_chars) * 0.3, 4) AS score
+       |  floor(char_sum::DOUBLE / n_words * 10000 + 0.5) / 10000 AS avg_word_len,
+       |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
+       |  floor(punct::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS punct_ratio,
+       |  floor((least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
+       |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
        |FROM m""".stripMargin
 
   val tokenCount: String =
@@ -202,8 +202,8 @@ object DuckSql {
       |  FROM n WHERE len(ws) >= 3)""".stripMargin
 
   private val jacSql =
-    "round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE" +
-      " / len(list_distinct(sa.s || sb.s)), 4)"
+    "floor(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE" +
+      " / len(list_distinct(sa.s || sb.s)) * 10000 + 0.5) / 10000"
 
   val dedupExact: String =
     """WITH n AS (SELECT doc_id,
@@ -286,7 +286,7 @@ object DuckSql {
       |SELECT strftime(make_timestamp(hr * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*)::INT AS n,
       |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
-      |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_value
+      |  floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_value
       |FROM e GROUP BY hr, event_type""".stripMargin
 
   /** ASCII-safe mirror of the binary-column metadata: DuckDB string-byte
@@ -342,8 +342,8 @@ object DuckSql {
     def recomputeCte(assigned: String, out: String) =
       s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
          |  SELECT cid, i,
-         |    CAST(round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
-         |               / count(*), 6) AS FLOAT) AS cv
+         |    CAST(floor(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
+         |               / count(*) * 1000000 + 0.5) / 1000000 AS FLOAT) AS cv
          |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
     s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
        |            FROM embeddings WHERE vec_id < 8),
