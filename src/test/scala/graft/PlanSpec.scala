@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Analytics, Dedup, Similarity}
+
+/** Scale-posture regression tests: these assert PLAN SHAPE, not results.
+  * With the broadcast threshold disabled (the 100 TB world, where no fact
+  * side fits in memory), the plans must degrade to shuffle joins — except
+  * the explicitly-hinted true dimensions — and must never contain a
+  * cartesian product.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q5_region at scale: only the nation dim broadcasts; facts shuffle") {
+    withNoAutoBroadcast {
+      val plan = planOf(Analytics.q5Region(spark, dir))
+      // exactly the hinted region⋈nation chain broadcasts (2 exchanges:
+      // region into nation, nation into the fact join)
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+      assert(broadcasts === 2, s"expected 2 dim broadcasts, plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fact joins must shuffle at scale, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q3_revenue at scale: no broadcast at all, shuffle joins only") {
+    withNoAutoBroadcast {
+      val plan = planOf(Analytics.q3Revenue(spark, dir))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"q3 has no dim small enough to hint, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q1_pricing: partial (map-side) aggregation and pruned scan") {
+    val plan = planOf(Analytics.q1Pricing(spark, dir))
+    // partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // 7 of 11 lineitem columns read
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 7, s"scan not pruned: $read")
+  }
+
+  test("dedup and LSH candidate generation never cross-joins") {
+    withNoAutoBroadcast {
+      for (df <- Seq(
+          Dedup.dedupMinhash(spark, dir),
+          Dedup.dedupSimhash(spark, dir),
+          Dedup.dedupNgram(spark, dir))) {
+        val plan = planOf(df)
+        assert(!plan.contains("CartesianProduct"), plan)
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      }
+    }
+  }
+
+  test("lsh_ann keeps only the tiny query side as a broadcast") {
+    val plan = planOf(Similarity.lshAnn(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
