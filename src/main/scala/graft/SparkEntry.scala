@@ -31,6 +31,7 @@ object SparkEntry {
     "training_examples"    -> (TextOps.trainingExamples _),
     "conversation_history" -> (Interactions.conversationHistory _),
     "conversation_context" -> (Interactions.conversationContext _),
+    "interaction_history"  -> (Interactions.interactionHistory _),
     "topic_interactions"   -> (Interactions.topicInteractions _),
     "high_quality"         -> (Interactions.highQuality _),
     "lang_id"         -> (TextAnalysis.langId _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "training_examples"    -> graft.oracle.DuckSql.trainingExamples,
     "conversation_history" -> graft.oracle.DuckSql.conversationHistory,
     "conversation_context" -> graft.oracle.DuckSql.conversationContext,
+    "interaction_history"  -> graft.oracle.DuckSql.interactionHistory,
     "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
     "high_quality"         -> graft.oracle.DuckSql.highQuality,
     "lang_id"         -> graft.oracle.DuckSql.langId,

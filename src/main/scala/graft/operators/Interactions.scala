@@ -55,6 +55,19 @@ object Interactions {
       .select(col("user_id"), col("rn"), col("event_id"), col("topic"))
   }
 
+  /** interaction_history: the FULL per-session interaction log in order
+    * (/root/reference/database.py:236-251 `get_interaction_history` — the
+    * all-rows sibling of the last-5 `get_conversation_history`), with a
+    * per-session sequence number.
+    */
+  def interactionHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("seq", row_number().over(w))
+      .select(col("user_id"), col("seq"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), propsK.as("k"))
+  }
+
   /** conversation_context: rolling context of the previous ≤3 turns per
     * session (/root/reference/utilities/text_utils.py:78-131
     * `create_context` — a pandas loop with a per-question deque there; a

@@ -369,6 +369,13 @@ object DuckSql {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  val interactionHistory: String =
+    """SELECT user_id, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY event_id) AS seq,
+      |  event_id, event_type, round(value, 2) AS value,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events""".stripMargin
+
   val conversationContext: String =
     """SELECT user_id, event_id,
       |  coalesce(string_agg('Q: ' || event_type || ' A: ' || value::VARCHAR, ' ')

@@ -32,6 +32,18 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Hive-style partitioned parquet (e.g. by day/hour): a time or tenant
+    * predicate becomes directory pruning — the scan never opens
+    * non-matching partitions. Low-cardinality partition keys only; a
+    * high-cardinality key here is the classic small-files bomb.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("compression", "zstd")
+      .parquet(path)
+
   /** Hash-bucketed (optionally bucket-sorted) parquet table — the CTAS
     * that pre-pays the shuffle of every future join on `bucketCol`.
     */

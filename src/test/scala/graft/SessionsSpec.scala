@@ -47,6 +47,15 @@ class SessionsSpec extends SparkSpecBase {
       Seq(1, 6L), Seq(2, 5L), Seq(3, 4L), Seq(4, 3L), Seq(5, 2L)))
   }
 
+  test("interaction_history: full per-session log with sequence numbers") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 0, 1), ev(1, 10, 1), ev(2, 20, 2)))
+    val out = Interactions.interactionHistory(spark, dir)
+      .select("user_id", "seq", "event_id")
+    assert(rows(out) === Set(
+      Seq(1L, 1, 0L), Seq(1L, 2, 1L), Seq(2L, 1, 2L)))
+  }
+
   test("conversation_context: previous <=3 turns, frame-ordered") {
     val dir = fixtureDir(evs = (0 until 5).map(i =>
       ev(i, i * 10L, user = 1, typ = s"t$i", value = i.toDouble)))

@@ -35,6 +35,21 @@ class SinksSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() === 1000)
   }
 
+  test("writePartitioned: hive layout, pruned reads see only their partition") {
+    val path = Files.createTempDirectory("graft-part").toString + "/out"
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("day", col("id") % 3)
+    Sinks.writePartitioned(df, path, Seq("day"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("day=0", "day=1", "day=2"))
+    val pruned = spark.read.parquet(path).filter(col("day") === 1)
+    assert(pruned.count() === 33)
+    // partition filter must reach the scan, not the rows
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
+
   test("writeBucketedTable: bucketed join plans without a shuffle exchange") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
