@@ -118,19 +118,30 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** dedup_minhash: 12 salted-md5 min-hashes per doc (one partial-agg
-    * groupBy over shingle rows), 4 bands of 3 → LSH candidate pairs,
-    * verified by true Jaccard ≥ 0.5.
+  /** Modulus for the Carter-Wegman min-hash family (2^31 - 1). */
+  private val MH_MOD = 2147483647L
+
+  /** dedup_minhash: 12 min-hashes per doc from a Carter-Wegman family over
+    * the two 32-bit halves of ONE md5 per shingle — h_j = (v1 + j·v2) mod
+    * (2^31-1) — instead of 12 salted md5s (12× fewer digest calls, integer
+    * mins instead of string mins in the aggregate). 4 bands of 3 → LSH
+    * candidate pairs, verified by true Jaccard ≥ 0.5.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRowsWithSize(spark, dir)
+    val hv = sh.select(col("doc_id"), md5(col("g")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("v2"))
     val mins = (0 until MINHASHES).map { j =>
-      min(md5(concat(lit(s"${j}_"), col("g")))).as(s"m$j")
+      min((col("v1") + lit(j.toLong) * col("v2")) % lit(MH_MOD)).as(s"m$j")
     }
-    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sigs = hv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandKeys = array((0 until MH_BANDS).map { b =>
-      substring(md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"),
-        col(s"m${3 * b + 2}"))), 1, 16)
+      substring(md5(concat_ws("_",
+        col(s"m${3 * b}").cast("string"),
+        col(s"m${3 * b + 1}").cast("string"),
+        col(s"m${3 * b + 2}").cast("string"))), 1, 16)
     }: _*)
     val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band", "key")))

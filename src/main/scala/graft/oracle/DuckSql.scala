@@ -214,13 +214,20 @@ object DuckSql {
       |FROM (SELECT doc_id, text_hash,
       |        min(doc_id) OVER (PARTITION BY text_hash) AS canonical FROM n)""".stripMargin
 
-  val dedupMinhash: String =
+  val dedupMinhash: String = {
+    val mins = (0 until 12)
+      .map(j => s"min((v1 + $j*v2) % 2147483647) AS m$j").mkString(", ")
+    val bandStrs = (0 until 4).map { b =>
+      s"m${3 * b}::VARCHAR || '_' || m${3 * b + 1}::VARCHAR || '_' || m${3 * b + 2}::VARCHAR"
+    }.mkString("[", ", ", "]")
     s"""$shCte,
-       |mh AS (SELECT doc_id, list_transform(range(0, 12),
-       |  j -> list_min(list_transform(s, x -> md5(j::VARCHAR || '_' || x)))) AS m
-       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |hv AS (SELECT doc_id,
+       |  ('0x' || substr(md5(g), 1, 8))::BIGINT AS v1,
+       |  ('0x' || substr(md5(g), 9, 8))::BIGINT AS v2 FROM ex),
+       |mh AS (SELECT doc_id, $mins FROM hv GROUP BY doc_id),
        |bands AS (SELECT doc_id, b,
-       |  substr(md5(m[3*b+1] || m[3*b+2] || m[3*b+3]), 1, 16) AS key
+       |  substr(md5(list_extract($bandStrs, b + 1)), 1, 16) AS key
        |  FROM mh, range(0, 4) t(b)
        |  QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
@@ -230,6 +237,7 @@ object DuckSql {
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
        |            JOIN sh sb ON sb.doc_id = cand.id_b)
        |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
 
   val dedupSimhash: String = {
     val bitTerms = (0 until 64).map { i =>
