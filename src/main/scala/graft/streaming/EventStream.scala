@@ -38,6 +38,18 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop events repeating the same key within the
+    * watermark horizon — the streaming face of Dedup.dedupExact. State is
+    * bounded by the watermark (a duplicate arriving later than the horizon
+    * is not caught: the standard streaming trade, which the batch dedup
+    * sweep mops up).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour",
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based sessions per user (4h gap, matching Sessions.GapSec). */
   def sessionize(events: DataFrame, watermark: String = "8 hours"): DataFrame =
     withEventTime(events)

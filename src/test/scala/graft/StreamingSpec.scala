@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpecBase {
       Seq("1970-01-01 01:00:00", "view", 1, 4.0)))
   }
 
+  test("streaming dedup drops repeats within the watermark horizon") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 0, 1, "click", 1.0),
+      ev(1, 60, 1, "click", 2.0),    // duplicate (user 1, click) within 1h
+      ev(2, 120, 1, "view", 3.0),    // different type -> kept
+      ev(3, 30, 2, "click", 4.0)))   // different user -> kept
+    val q = EventStream.dedupEvents(streamEvents(dir))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    // exactly one of the two (user 1, click) events survives (which one is
+    // processing-order dependent); the distinct-keyed events always pass
+    assert(out.intersect(Set(0L, 1L)).size === 1)
+    assert(out.contains(2L) && out.contains(3L))
+    assert(out.size === 3)
+  }
+
   test("streaming sessionize emits a closed session once the watermark passes") {
     // user 1's session spans t=0..600s; the t=40h event pushes the
     // watermark (max event time - 8h) far past session end + 4h gap.
