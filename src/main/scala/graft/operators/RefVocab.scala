@@ -37,6 +37,35 @@ object RefVocab {
 
   val defaultTemplate = "Others"
 
+  /** Step-3 category fallback (prompt_selector.py:221-232 +
+    * generate_category_info prompt_selector.py:115-160): when no primary
+    * keyword matches, the first category rule whose stem substring-matches
+    * wins — stems like "depress" catch inflections ("depression") the
+    * primary lists miss. Only categories that are valid prompt templates
+    * participate (therapeutic_promt.py keys); the NER-derived Grief/
+    * Interpersonal rules need spaCy entities and are intentionally not
+    * reproduced.
+    */
+  val categoryFallback: Seq[(String, Seq[String])] = Seq(
+    "Empathy and Validation" -> Seq(
+      "depress", "hopeless", "sad", "suicid", "end my life", "kill myself",
+      "worthless"),
+    "Affirmation and Reassurance" -> Seq(
+      "anxi", "worry", "panic", "fear", "stress"),
+    "Providing Suggestions" -> Seq("help", "advice", "tip", "suggestion"),
+    "Information" -> Seq("explain", "why", "how", "what", "reason"),
+    "Cognitive Behavioral Therapy (CBT)" -> Seq(
+      "thought", "belief", "think", "pattern"),
+    "Mindfulness and Relaxation" -> Seq(
+      "calm", "breathe", "relax", "mindful"))
+
+  /** Full first-match rule chain: primaries, then the category fallback
+    * (a fallback rule can only fire when no primary matched, so plain
+    * concatenation preserves the reference's two-step semantics).
+    */
+  val templateRules: Seq[(String, Seq[String])] =
+    templateKeywords ++ categoryFallback
+
   /** topic -> keywords; score = number of keywords present as substrings,
     * argmax with ties broken by taxonomy order (Python max() keeps the first
     * maximal entry, prompt_selector.py:322-325); all-zero -> default.

@@ -68,9 +68,12 @@ object TextOps {
     kws.map(kw => when(lc.contains(kw), 1).otherwise(0))
       .reduce(_ + _)
 
-  /** First-match-priority template over a lowercased clean text column. */
+  /** First-match-priority template over a lowercased clean text column:
+    * primary keyword lists, then the category-info fallback stems
+    * (RefVocab.templateRules — prompt_selector.py steps 1 and 3).
+    */
   def templateCol(lc: Column): Column =
-    RefVocab.templateKeywords.foldRight(lit(RefVocab.defaultTemplate)) {
+    RefVocab.templateRules.foldRight(lit(RefVocab.defaultTemplate)) {
       case ((name, kws), fallback) =>
         when(anyKeyword(lc, kws), lit(name)).otherwise(fallback)
     }

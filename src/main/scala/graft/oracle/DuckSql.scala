@@ -29,7 +29,7 @@ object DuckSql {
       .mkString("(", " + ", ")")
 
   def templateCaseSql(lc: String): String =
-    "CASE " + RefVocab.templateKeywords.map { case (name, kws) =>
+    "CASE " + RefVocab.templateRules.map { case (name, kws) =>
       s"WHEN ${anyKwSql(lc, kws)} THEN '${sq(name)}'"
     }.mkString(" ") + s" ELSE '${RefVocab.defaultTemplate}' END"
 

@@ -46,6 +46,18 @@ class TextOpsSpec extends SparkSpecBase {
     assert(template("sad and anxious") === "Empathy and Validation")
   }
 
+  test("template_classify: category fallback catches inflections (step 3)") {
+    // 'depression' misses every primary keyword but hits the 'depress'
+    // category stem (prompt_selector.py generate_category_info)
+    assert(template("my depression is back") === "Empathy and Validation")
+    assert(template("i notice a pattern here") ===
+      "Cognitive Behavioral Therapy (CBT)")
+    assert(template("just breathe deeply") === "Mindfulness and Relaxation")
+    // primary match still wins over any fallback
+    assert(template("i feel sad about my depression") ===
+      "Empathy and Validation")
+  }
+
   test("topic_detect: scoring, tie-break by taxonomy order, default") {
     assert(topic("depressed and hopeless and tired") === "Depression")
     // 'worry' is in both Anxiety (idx 1) and Cognition (idx 8): tie -> Anxiety
