@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Corpus deduplication family for the training-data pipeline.
+  * (MinHash: Broder, "On the resemblance and containment of documents",
+  * SEQUENCES'97; banding/LSH: Indyk & Motwani, STOC'98; SimHash:
+  * Charikar, "Similarity estimation techniques from rounding algorithms",
+  * STOC'02.)
   *
   * The scale posture is the whole point (SURVEY.md §5): none of these
   * operators ever forms an all-pairs product —
