@@ -69,10 +69,19 @@ object Dedup {
       .dropDuplicates("doc_id", "g")
   }
 
-  /** Shingle rows + per-doc set size (for |A∪B| arithmetic). */
+  /** Shingle rows + per-doc set size (for |A∪B| arithmetic).
+    *
+    * Materialized (localCheckpoint): the near-dup operators consume this
+    * frame from 3-4 branches of one query (signature build, band
+    * self-join, both verify sides). Left as lineage, the replicated
+    * subplan made a 50k-doc dedup time out (>10 min) where the same
+    * joins over a materialized frame run in seconds — shared heavy
+    * subplans must be computed once, not once per consumer.
+    */
   private def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
 
   /** dedup_exact: md5 of normalized text; canonical = min doc_id per hash
     * group (the survivor); is_dup marks rows a dedup pass would drop.
@@ -96,8 +105,11 @@ object Dedup {
       .withColumn("bc", count(lit(1)).over(w))
       .filter(col("bc") <= BUCKET_CAP)
       .drop("bc")
-    capped.alias("a")
-      .join(capped.alias("b"),
+    // merge hint: banded rows are an exploded frame whose size the
+    // planner underestimates from the scan bytes — without the hint it
+    // broadcasts millions of rows at scale (measured: a 10x corpus hung)
+    capped.alias("a").hint("merge")
+      .join(capped.alias("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -112,8 +124,10 @@ object Dedup {
       col("g").as("ga"))
     val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
       col("g").as("gb"))
-    cand.join(a, "id_a")
-      .join(b, col("id_b") === col("id_b2") && col("ga") === col("gb"))
+    cand.localCheckpoint()
+      .join(a.hint("merge"), "id_a")
+      .join(b.hint("merge"),
+        col("id_b") === col("id_b2") && col("ga") === col("gb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
@@ -181,7 +195,8 @@ object Dedup {
 
   /** dedup_simhash: 16-bit-band candidate generation + Hamming ≤ 8 verify. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(shingleRows(spark, dir))
+    // materialized: consumed by the band self-join and both hamming sides
+    val sigs = simhashSigs(shingleRows(spark, dir)).localCheckpoint()
     val bandKeys = array((0 until SIM_BANDS).map { b =>
       substring(col("sig"), 1 + 16 * b, 16)
     }: _*)
@@ -195,7 +210,7 @@ object Dedup {
         when(col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)),
           1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    cand.join(ga, "id_a").join(gb, "id_b")
+    cand.join(ga.hint("merge"), "id_a").join(gb.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= 8)
   }
@@ -211,7 +226,8 @@ object Dedup {
       col("n").as("na"), col("g"))
     val b = ex.select(col("source").as("src_b"), col("doc_id").as("id_b"),
       col("n").as("nb"), col("g").as("gb"))
-    a.join(b, col("source") === col("src_b") &&
+    a.hint("merge").join(b.hint("merge"),
+        col("source") === col("src_b") &&
         col("g") === col("gb") && col("id_a") < col("id_b"))
       .groupBy(col("source"), col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
