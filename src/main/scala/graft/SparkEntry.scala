@@ -45,7 +45,7 @@ object SparkEntry {
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
-    "embed_text" -> (Embedder.embedText _),
+    "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "media_frames" -> (Multimodal.mediaFrames _),
   )

@@ -13,14 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity",
+      info(classOf[CosineSimilarity], "cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays"),
       (children: Seq[Expression]) => children match {
         case Seq(l, r) => CosineSimilarity(l, r)
@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
-      info("dot_product",
+      info(classOf[DotProduct], "dot_product",
         "dot_product(a, b) - dot product of two float arrays"),
       (children: Seq[Expression]) => children match {
         case Seq(l, r) => DotProduct(l, r)

@@ -27,8 +27,11 @@ object Embedder {
     filter(split(lower(trim(regexp_replace(c, "\\s+", " "))), " "),
       x => x =!= "")
 
-  /** (doc_id, embedding array<double> unit-norm rounded to 6dp). */
-  def embedText(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, s0..s63 raw ±1 sums, nrm): the shared aggregate both output
+    * shapes derive from — explode tokens → one codegen'd hash-aggregate
+    * with 64 sums → norm in a following projection.
+    */
+  private def bitSums(spark: SparkSession, dir: String): DataFrame = {
     // hex digit -> value via ascii arithmetic (see Dedup.simhashSigs)
     val dv = transform(sequence(lit(1), lit(16)), d => {
       val a = ascii(col("h").substr(d, lit(1)))
@@ -48,12 +51,41 @@ object Embedder {
     }
     val norm = sqrt((0 until DIM).map(i =>
       col(s"s$i").cast("double") * col(s"s$i").cast("double")).reduce(_ + _))
-    val emb = array((0 until DIM).map(i =>
-      round(col(s"s$i").cast("double") / col("nrm"), 6)): _*)
     ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .withColumn("nrm", norm)
+  }
+
+  /** (doc_id, embedding array<double> unit-norm rounded to 6dp). */
+  def embedText(spark: SparkSession, dir: String): DataFrame = {
+    val emb = array((0 until DIM).map(i =>
+      round(col(s"s$i").cast("double") / col("nrm"), 6)): _*)
+    bitSums(spark, dir)
       .select(col("doc_id"),
         when(col("nrm") > 0, emb)
           .otherwise(array_repeat(lit(0.0), DIM)).as("embedding"))
+  }
+
+  /** Gate-comparable view of [[embedText]]: one (doc_id, i, component) row
+    * per vector component — the driver's oracle compare hashes scalar
+    * columns (an array<double> column is unhashable on its side); library
+    * users keep the array-valued [[embedText]].
+    *
+    * Shape matters: explode the RAW sums and divide by the norm after the
+    * Generate. Exploding the finished array instead inlines the 64-term
+    * norm into every one of the 64 array components plus explode's
+    * implicit `size(...) > 0` filter (projection collapse; codegen CSE
+    * does not reach across Generate/Filter) — a ~130× expression blow-up
+    * measured at 0.5s → 30s on sf0.1.
+    */
+  def embedTextComponents(spark: SparkSession, dir: String): DataFrame = {
+    val rawSums = array((0 until DIM).map(i =>
+      col(s"s$i").cast("double")): _*)
+    bitSums(spark, dir)
+      .select(col("doc_id"), col("nrm"),
+        posexplode(rawSums).as(Seq("i", "s")))
+      .select(col("doc_id"), col("i"),
+        when(col("nrm") > 0, round(col("s") / col("nrm"), 6))
+          .otherwise(0.0).as("component"))
+      .orderBy(col("doc_id"), col("i"))
   }
 }

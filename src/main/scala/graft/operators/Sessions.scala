@@ -19,6 +19,14 @@ object Sessions {
   /** Session gap: a new session starts after >4h of inactivity (the event
     * stream's median inter-event gap is ~7h, so this yields a healthy mix
     * of single- and multi-event sessions).
+    *
+    * Boundary parity with Structured Streaming (r2 ADVICE asked): Spark's
+    * `session_window("4 hours")` merges two windows when the new event's
+    * start is <= the open session's end (= last_event + 4h) — INCLUSIVE at
+    * exactly last+4h, verified empirically in StreamingSpec/SessionsSpec
+    * boundary tests. Batch's strict `gap > GapSec` therefore classifies an
+    * exact-4h gap identically (same session); no off-by-boundary drift
+    * between the streaming path and the batch mop-up.
     */
   val GapSec = 14400L
 

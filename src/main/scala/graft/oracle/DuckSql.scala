@@ -297,21 +297,29 @@ object DuckSql {
       |  floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_value
       |FROM e GROUP BY hr, event_type""".stripMargin
 
-  /** ASCII-safe mirror of the binary-column metadata: DuckDB string-byte
-    * functions equal Spark's binary ops because md5/hex hash UTF-8 bytes
-    * in both engines.
+  /** Byte-true mirror of the binary-column metadata: magic and first-byte
+    * are computed over the UTF-8 bytes (hex(encode(text)) — two hex chars
+    * per byte), not over characters, so a non-ASCII document agrees with
+    * Spark's substring-on-binary ops (r2 ADVICE: char-based substr/ascii
+    * only coincided because the corpus happened to be pure ASCII).
     */
   val multimodalMeta: String =
-    """SELECT doc_id, source,
-      |  octet_length(encode(text))::INT AS byte_len,
-      |  lower(hex(substr(text, 1, 4))) AS magic,
+    """WITH b AS (SELECT doc_id, source, text,
+      |             octet_length(encode(text))::INT AS byte_len,
+      |             hex(encode(text)) AS hx
+      |           FROM documents)
+      |SELECT doc_id, source, byte_len,
+      |  lower(substr(hx, 1, 8)) AS magic,
       |  md5(text) AS content_md5,
-      |  ((octet_length(encode(text)) * 7 + 13) % 640 + 1)::INT AS width,
-      |  ((octet_length(encode(text)) * 3 +
-      |    CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END)
+      |  ((byte_len * 7 + 13) % 640 + 1)::INT AS width,
+      |  ((byte_len * 3 +
+      |    CASE WHEN byte_len > 0
+      |         THEN (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+      |            + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
+      |         ELSE 0 END)
       |   % 480 + 1)::INT AS height,
       |  3 AS channels
-      |FROM documents""".stripMargin
+      |FROM b""".stripMargin
 
   /** Mirror of Embedder.embedText: 64 ±1-bit sums per doc, L2-normalized. */
   val embedText: String = {
@@ -325,15 +333,20 @@ object DuckSql {
     val comps = (0 until 64)
       .map(i => s"round(s$i::DOUBLE / nrm, 6)").mkString("[", ", ", "]")
     val zeros = Seq.fill(64)("0.0").mkString("[", ", ", "]")
+    // Exploded to (doc_id, i, component) scalar rows: the driver's pandas
+    // hash-compare cannot hash an array-typed column (r2 ADVICE).
     s"""WITH n AS (SELECT doc_id,
        |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |              x -> x <> '') AS ws FROM documents),
        |ex AS (SELECT doc_id, md5(unnest(ws)) AS h FROM n),
        |s AS (SELECT doc_id, ${sums.mkString(", ")} FROM ex GROUP BY doc_id),
-       |m AS (SELECT *, sqrt($normTerms) AS nrm FROM s)
-       |SELECT doc_id,
-       |  CASE WHEN nrm > 0 THEN $comps ELSE $zeros END AS embedding
-       |FROM m""".stripMargin
+       |m AS (SELECT *, sqrt($normTerms) AS nrm FROM s),
+       |f AS (SELECT doc_id,
+       |        CASE WHEN nrm > 0 THEN $comps ELSE $zeros END AS emb
+       |      FROM m)
+       |SELECT doc_id, (i - 1)::INT AS i, emb[i::INT] AS component
+       |FROM f, range(1, 65) t(i)
+       |ORDER BY doc_id, i""".stripMargin
   }
 
   /** Mirror of Similarity.annIvfKmeans: 2 unrolled Lloyd iterations from

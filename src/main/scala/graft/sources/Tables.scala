@@ -31,11 +31,22 @@ object Tables {
     * (`ts div 1e9`), which any nanosecond-capable engine (e.g. the DuckDB
     * oracle) computes identically — sub-second precision never decides a
     * window or session boundary.
+    *
+    * The graft entrypoints (Verify/Bench/Explain and the test session) set
+    * the flag once at session build — see [[nanosAsLong]]. This accessor
+    * only bootstraps it when the session has no explicit value, and never
+    * overrides a caller's own setting, so mixing graft tables with a
+    * caller's own parquet reads keeps the caller in control of the conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption(NanosFlag).isEmpty) s.conf.set(NanosFlag, "true")
     load(s, d, "events")
   }
+
+  /** SQL-conf key for the TIMESTAMP(NANOS)-as-long legacy read; session
+    * builders should pass `.config(Tables.NanosFlag, "true")`.
+    */
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -7,20 +7,26 @@ import graft.operators.{Interactions, Sessions}
   */
 class SessionsSpec extends SparkSpecBase {
 
-  test("sessionize: gap >4h opens a new session") {
+  test("sessionize: gap >4h opens a new session; exact-gap stays (session_window parity)") {
     val dir = fixtureDir(evs = Seq(
       ev(0, 0, user = 1, value = 1.0),
       ev(1, 100, user = 1, value = 2.0),     // same session (gap 100s)
       ev(2, 20000, user = 1, value = 3.0),   // gap 19900s > 14400 -> new
       ev(3, 20100, user = 1, value = 4.0),
-      ev(4, 50, user = 2, value = 5.0)))     // other user
+      ev(4, 50, user = 2, value = 5.0),      // other user
+      // exactly GapSec later: session_window merges inclusively at
+      // last+gap (verified in StreamingSpec), so batch's strict `>`
+      // keeps this in the SAME session — identical classification.
+      ev(5, 50 + Sessions.GapSec, user = 2, value = 6.0),
+      // one second past the horizon of event 5 -> still same session
+      ev(6, 50 + 2 * Sessions.GapSec, user = 2, value = 7.0)))
     val out = Sessions.sessionize(spark, dir)
       .select("user_id", "session_idx", "n_events", "first_event",
         "last_event", "duration_sec", "total_value")
     assert(rows(out) === Set(
       Seq(1L, 1, 2, 0L, 1L, 100L, 3.0),
       Seq(1L, 2, 2, 2L, 3L, 100L, 7.0),
-      Seq(2L, 1, 1, 4L, 4L, 0L, 5.0)))
+      Seq(2L, 1, 3, 4L, 6L, 2 * Sessions.GapSec, 18.0)))
   }
 
   test("window_agg: tumbling hour buckets per event type") {

@@ -56,6 +56,7 @@ object SparkSpecBase {
     .appName("graft-tests")
     .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
+    .config(graft.sources.Tables.NanosFlag, "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

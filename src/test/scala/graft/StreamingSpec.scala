@@ -67,4 +67,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Set(
       Seq(1L, "1970-01-01 00:00:00", 2, 0L, 1L, 3.0)))
   }
+
+  test("streaming sessionize boundary matches batch: exact-gap event merges") {
+    // Spark merges session windows when the new event's start is <= the
+    // open session's end (last + gap) — INCLUSIVE at exactly last+gap.
+    // That matches batch Sessions.sessionize's strict `gap > GapSec`
+    // (exact-gap stays in-session); see the SessionsSpec boundary twin.
+    val gap = graft.operators.Sessions.GapSec
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 50, 2, "click", 5.0),
+      ev(1, 50 + gap, 2, "click", 6.0),     // exactly at end -> merged
+      ev(2, 50 + 2 * gap, 2, "click", 7.0), // exactly at new end -> merged
+      ev(3, 900000, 9, "click", 9.0)))      // watermark pusher
+    val q = EventStream.sessionize(streamEvents(dir))
+      .writeStream.format("memory").queryName("sess_boundary_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = rows(spark.table("sess_boundary_out")
+      .where("user_id = 2")
+      .select("user_id", "n_events", "first_event", "last_event",
+        "total_value"))
+    assert(out === Set(Seq(2L, 3, 0L, 2L, 18.0)))
+  }
 }
