@@ -43,6 +43,41 @@ object Dedup {
   private val SIM_BANDS = 4 // 16 bits per band
   private val BUCKET_CAP = 1000
 
+  /** Packed per-bit counters for md5-derived 64-bit hashes: instead of 64
+    * separate `sum` aggregates (one per bit), each hex digit's 4 bits are
+    * spread into 16-bit lanes of one long via a 16-entry lookup table, so
+    * the aggregate runs 16 lane-parallel sums (+1 count). Lane l of
+    * packed digit k accumulates the ones-count of bit (4k + 3-l); the ±1
+    * sum the operators need is then `2*ones - n`.
+    *
+    * Lane width bounds the aggregate at 65 535 hashed items per group —
+    * ~65 k distinct shingles (simhash) or tokens (embedder) per document.
+    * Documents beyond that must be chunked upstream (at 100 TB that is
+    * the standard pre-split anyway; a 65 k-word document is ~150 pages).
+    */
+  private[operators] object BitPack {
+    val Spread: Array[Long] = Array.tabulate(16) { d =>
+      (((d >> 3) & 1).toLong << 48) | (((d >> 2) & 1).toLong << 32) |
+        (((d >> 1) & 1).toLong << 16) | ((d & 1).toLong)
+    }
+
+    /** 16 packed-lane columns p0..p15 from an md5-hex column. */
+    def packedDigits(h: Column): Seq[Column] = (0 until 16).map { k =>
+      val a = ascii(substring(h, k + 1, 1))
+      val v = when(a >= 97, a - 87).otherwise(a - 48) // 'a'-'f' | '0'-'9'
+      element_at(typedlit(Spread), v + 1).as(s"p$k")
+    }
+
+    /** Sum aggregates S0..S15 + item count n over the packed columns. */
+    def sumAggs: Seq[Column] =
+      (0 until 16).map(k => sum(col(s"p$k")).as(s"S$k")) :+
+        count(lit(1)).as("n")
+
+    /** Ones-count of global bit i (md5 bit order: digit i/4, bit 3-i%4). */
+    def ones(i: Int): Column =
+      shiftright(col(s"S${i / 4}"), 16 * (3 - i % 4)).bitwiseAND(lit(0xFFFFL))
+  }
+
   /** Normalized whitespace tokens (lowercase, collapsed). */
   private def normToks(c: Column): Column =
     filter(split(lower(trim(regexp_replace(c, "\\s+", " "))), " "),
@@ -167,51 +202,44 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** (doc_id, sig): 64-char '0'/'1' SimHash signatures — bit i is the sign
-    * of the summed ±1 contributions of bit i of each shingle's md5, as one
-    * codegen'd hash-aggregate with 64 sum columns.
+  /** (doc_id, sig): SimHash signatures as ONE 64-bit long — bit i (from
+    * the high end) is the sign of the summed ±1 contributions of bit i of
+    * each shingle's md5. The aggregate is 16 packed-lane sums (BitPack)
+    * instead of 64; the sign test `±1-sum >= 0` becomes `2*ones >= n`.
     */
   private def simhashSigs(sh: DataFrame): DataFrame = {
-    // hex digit -> value via ascii arithmetic ('0'-'9' = 48-57,
-    // 'a'-'f' = 97-102): same values as a base-16 conv, ~3x cheaper
-    val dv = transform(sequence(lit(1), lit(16)), d => {
-      val a = ascii(col("h").substr(d, lit(1)))
-      when(a >= 97, a - 87).otherwise(a - 48)
-    })
     val ex = sh.select(col("doc_id"), md5(col("g")).as("h"))
-      .select(col("doc_id"), dv.as("dv"))
-    val sums = (0 until SIM_BITS).map { i =>
-      val pos = i / 4 + 1
-      val shift = 3 - i % 4
-      sum(shiftright(element_at(col("dv"), pos), shift)
-        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
-    }
-    val sig = concat((0 until SIM_BITS).map { i =>
-      when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
-    ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id") +: BitPack.packedDigits(col("h")): _*)
+    val aggs = BitPack.sumAggs
+    val sig = (0 until SIM_BITS).map { i =>
+      shiftleft(when(BitPack.ones(i) * 2 >= col("n"), lit(1L))
+        .otherwise(lit(0L)), 63 - i)
+    }.reduce(_ bitwiseOR _)
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** dedup_simhash: 16-bit-band candidate generation + Hamming ≤ 8 verify. */
+  /** dedup_simhash: 16-bit-band candidate generation + Hamming ≤ 8 verify.
+    * With long signatures the band key is a shift+mask and the Hamming
+    * verify is a single `bit_count(sig_a XOR sig_b)` per candidate pair —
+    * not 64 per-character compares.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // materialized: consumed by the band self-join and both hamming sides
     val sigs = simhashSigs(shingleRows(spark, dir)).localCheckpoint()
     val bandKeys = array((0 until SIM_BANDS).map { b =>
-      substring(col("sig"), 1 + 16 * b, 16)
+      // band b = signature bits [16b, 16b+16) = long bits 63-16b .. 48-16b
+      shiftright(col("sig"), 48 - 16 * b).bitwiseAND(lit(0xFFFFL))
     }: _*)
     val banded = sigs
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
     val cand = bandCandidates(banded)
     val ga = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val gb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val hamming = aggregate(
-      transform(sequence(lit(1), lit(SIM_BITS)), i =>
-        when(col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)),
-          1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
     cand.join(ga.hint("merge"), "id_a").join(gb.hint("merge"), "id_b")
-      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= 8)
   }
 

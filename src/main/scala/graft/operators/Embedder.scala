@@ -29,29 +29,25 @@ object Embedder {
 
   /** (doc_id, s0..s63 raw ±1 sums, nrm): the shared aggregate both output
     * shapes derive from — explode tokens → one codegen'd hash-aggregate
-    * with 64 sums → norm in a following projection.
+    * with 16 packed-lane sums (Dedup.BitPack; token multiplicity counts,
+    * bounded at 65 535 tokens/doc by the lane width) → unpack the ±1 sums
+    * as `2*ones - n` and norm in following projections.
     */
   private def bitSums(spark: SparkSession, dir: String): DataFrame = {
-    // hex digit -> value via ascii arithmetic (see Dedup.simhashSigs)
-    val dv = transform(sequence(lit(1), lit(16)), d => {
-      val a = ascii(col("h").substr(d, lit(1)))
-      when(a >= 97, a - 87).otherwise(a - 48)
-    })
+    import Dedup.BitPack
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(normToks(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id"), dv.as("dv"))
+      .select(col("doc_id") +: BitPack.packedDigits(md5(col("w"))): _*)
+    val aggs = BitPack.sumAggs
     val sums = (0 until DIM).map { i =>
-      val pos = i / 4 + 1
-      val shift = 3 - i % 4
-      sum(shiftright(element_at(col("dv"), pos), shift)
-        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+      (BitPack.ones(i) * 2 - col("n")).as(s"s$i")
     }
     val norm = sqrt((0 until DIM).map(i =>
       col(s"s$i").cast("double") * col(s"s$i").cast("double")).reduce(_ + _))
-    ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: sums: _*)
       .withColumn("nrm", norm)
   }
 
