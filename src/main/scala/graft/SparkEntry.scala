@@ -29,6 +29,9 @@ object SparkEntry {
     "safety_screen"        -> (TextOps.safetyScreen _),
     "effectiveness"        -> (TextOps.effectiveness _),
     "training_examples"    -> (TextOps.trainingExamples _),
+    "lemma_tokens"         -> (TextOps.lemmaTokens _),
+    "category_info"        -> (TextOps.categoryInfo _),
+    "response_clean"       -> (TextOps.responseClean _),
     "conversation_history" -> (Interactions.conversationHistory _),
     "conversation_context" -> (Interactions.conversationContext _),
     "interaction_history"  -> (Interactions.interactionHistory _),
@@ -190,6 +193,9 @@ object SparkEntry {
     "safety_screen"        -> graft.oracle.DuckSql.safetyScreen,
     "effectiveness"        -> graft.oracle.DuckSql.effectiveness,
     "training_examples"    -> graft.oracle.DuckSql.trainingExamples,
+    "lemma_tokens"         -> graft.oracle.DuckSql.lemmaTokens,
+    "category_info"        -> graft.oracle.DuckSql.categoryInfo,
+    "response_clean"       -> graft.oracle.DuckSql.responseClean,
     "conversation_history" -> graft.oracle.DuckSql.conversationHistory,
     "conversation_context" -> graft.oracle.DuckSql.conversationContext,
     "interaction_history"  -> graft.oracle.DuckSql.interactionHistory,

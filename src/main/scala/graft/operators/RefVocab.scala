@@ -164,6 +164,106 @@ object RefVocab {
       "(?i)((kill|murder|hurt|attack|bomb|shoot) (someone|people|them|him|her)" +
         "|(planning|want|going) to (kill|murder|hurt|attack))"))
 
+  /** Words preserved through the lemma pipeline's stopword filter
+    * (/root/reference/utilities/keep_words.py:17-19 — pronouns and
+    * be/have/do forms that carry therapeutic meaning).
+    */
+  val keepWords: Seq[String] = Seq(
+    "i", "me", "my", "mine", "you", "your", "yours", "he", "him", "his",
+    "she", "her", "hers", "it", "its", "we", "us", "our", "ours", "they",
+    "them", "their", "theirs", "be", "am", "is", "are", "was", "were",
+    "been", "being", "have", "has", "had", "having", "do", "does", "did",
+    "doing")
+
+  /** Stopword list for the lemma pipeline STUB. The reference filters with
+    * spaCy's `is_stop` (/root/reference/utilities/text_utils.py:66-68); no
+    * JVM spaCy, so this declared common-English list stands in. It
+    * deliberately includes every keepWord so the keep-override is
+    * observable, exactly as in the reference (spaCy stops pronouns too).
+    */
+  val lemmaStopwords: Seq[String] = keepWords ++ Seq(
+    "the", "a", "an", "and", "or", "but", "if", "so", "of", "to", "in",
+    "on", "at", "by", "for", "with", "about", "as", "from", "into",
+    "that", "this", "these", "those", "there", "here", "when", "where",
+    "which", "who", "whom", "what", "why", "how", "not", "no", "nor",
+    "too", "very", "can", "will", "just", "should", "would", "could",
+    "now", "than", "then", "once", "while", "because", "until",
+    "against", "between", "through", "during", "before", "after",
+    "above", "below", "up", "down", "out", "off", "over", "under",
+    "again", "further", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "only", "own", "same")
+
+  /** Suffix-strip lemma rules, first match wins: (suffix, min length,
+    * chars cut, append). A deterministic stand-in for spaCy lemmata
+    * (text_utils.py:51 tokenize_and_lemmatize) — same shape as Porter
+    * step-1, engine-neutral (no regex dialect, just ends-with + substr).
+    */
+  val lemmaRules: Seq[(String, Int, Int, String)] = Seq(
+    ("sses", 5, 2, ""), // classes -> class
+    ("ies", 5, 3, "y"), // studies -> study
+    ("ss", 0, 0, ""),   // guard: stress stays stress
+    ("s", 4, 1, ""),    // thoughts -> thought
+    ("ing", 6, 3, ""),  // feeling -> feel
+    ("ed", 5, 2, ""))   // helped -> help
+
+  /** Multi-label category rules (prompt_selector.py:99-160
+    * generate_category_info): category -> (trigger substrings,
+    * description); EVERY matching rule fires, unlike the single-label
+    * template chain. The Grief/Interpersonal rules are the reference's
+    * NER path stubbed as keyword presence — the reference string-matches
+    * the extracted entity text against these same word lists, so on
+    * single-word entities the semantics coincide.
+    */
+  val categoryRules: Seq[(String, Seq[String], String)] = Seq(
+    ("Empathy and Validation",
+      Seq("depress", "hopeless", "sad", "suicid", "end my life",
+        "kill myself", "worthless"),
+      "Supporting depression and hopelessness with validation"),
+    ("Affirmation and Reassurance",
+      Seq("anxi", "worry", "panic", "fear", "stress"),
+      "Supporting anxiety with reassurance"),
+    ("Trauma", Seq("trauma", "abuse", "assault", "ptsd"),
+      "Supporting trauma recovery"),
+    ("Grief", Seq("grief", "loss", "bereavement", "death", "died"),
+      "Support for dealing with loss and grief"),
+    ("Interpersonal",
+      Seq("relationship", "partner", "breakup", "divorce", "marriage"),
+      "Supporting relationship issues or interpersonal struggles"),
+    ("Providing Suggestions", Seq("help", "advice", "tip", "suggestion"),
+      "Offering gentle suggestions or strategies for improvement"),
+    ("Information", Seq("explain", "why", "how", "what", "reason"),
+      "Providing relevant psychoeducational information"),
+    ("Cognitive Behavioral Therapy (CBT)",
+      Seq("thought", "belief", "think", "pattern"),
+      "Addressing thought patterns"),
+    ("Mindfulness and Relaxation",
+      Seq("calm", "breathe", "relax", "mindful"),
+      "Guiding relaxation and mindfulness practices"))
+
+  val defaultCategory: (String, String) =
+    ("Others", "General therapeutic support")
+
+  /** Markers that truncate a generated response at their first
+    * case-insensitive occurrence (text_generator.py:178-182 dialogue
+    * markers + :228-236 instruction markers, merged into one cut pass).
+    */
+  val responseMarkers: Seq[String] = Seq(
+    "USER:", "THERAPIST:", "PATIENT:", "CLIENT:", "DOCTOR:",
+    "Exercise:", "Instructions:", "Your response:", "Note to AI:",
+    "USER QUESTION:", "THERAPEUTIC APPROACH:", "RESPONSE (keep",
+    "PREVIOUS CONVERSATION:", "RELEVANT KNOWLEDGE:")
+
+  /** Artifact-removal regexes for response cleaning
+    * (text_generator.py:183-204), constrained to the RE2 ∩ Java dialect:
+    * no lookaround, no backrefs, so one pattern string drives both
+    * engines.
+    */
+  val responseArtifacts: Seq[(String, String)] = Seq(
+    "Question \\d+:|Answer:|Response:" -> "",
+    "(?i)\\bexercise:[^\\n]*" -> "",
+    "\\[[^\\]]*\\]" -> "",
+    "(?i)\\b(TR:|THERPST:|THERAP:|THERAPY:)" -> "")
+
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (public common-word lists; order = tie-break priority).
     */

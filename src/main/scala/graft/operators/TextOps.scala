@@ -174,6 +174,108 @@ object TextOps {
           .otherwise("medium").as("template_adherence"))
   }
 
+  /** One lemma rule chain application (RefVocab.lemmaRules, first match
+    * wins) — pure ends-with + substr, identical semantics in DuckDB.
+    */
+  def lemmaOf(t: Column): Column =
+    RefVocab.lemmaRules.foldRight(t) {
+      case ((suf, minLen, cut, app), fallback) =>
+        val stripped =
+          if (cut == 0) t
+          else if (app.isEmpty) t.substr(lit(1), length(t) - cut)
+          else concat(t.substr(lit(1), length(t) - cut), lit(app))
+        when(t.endsWith(suf) && length(t) >= minLen, stripped)
+          .otherwise(fallback)
+    }
+
+  /** lemma_tokens: tokenize + rule-lemmatize + stopword-filter with the
+    * keep-words override (text_utils.py:51 tokenize_and_lemmatize; the
+    * spaCy lemmatizer/stop-list are stubbed by RefVocab.lemmaRules/
+    * lemmaStopwords — deterministic, engine-neutral). Entirely per-row
+    * array ops: zero shuffles, scales embarrassingly.
+    */
+  def lemmaTokens(spark: SparkSession, dir: String): DataFrame = {
+    val stripPunct = (t: Column) =>
+      regexp_replace(t, "^[.,?!'\":-]+|[.,?!'\":-]+$", "")
+    val toks = filter(
+      transform(split(lower(cleanText(col("text"))), " "), stripPunct),
+      t => t =!= "")
+    val keep = typedlit(RefVocab.keepWords)
+    val stop = typedlit(RefVocab.lemmaStopwords)
+    val lemmas = filter(transform(toks, lemmaOf(_)),
+      l => array_contains(keep, l) || !array_contains(stop, l))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lemmas.as("ls"))
+      .select(col("doc_id"), array_join(col("ls"), " ").as("lemmas"),
+        size(col("ls")).cast("int").as("n_kept"))
+  }
+
+  /** category_info: multi-label category assignment
+    * (prompt_selector.py:99-160) — one output row per matching rule,
+    * or the Others default. Per-row array build + explode: no shuffle.
+    */
+  def categoryInfo(spark: SparkSession, dir: String): DataFrame = {
+    val matched = filter(array(RefVocab.categoryRules.map {
+      case (name, kws, desc) =>
+        when(anyKeyword(col("lc"), kws),
+          struct(lit(name).as("c"), lit(desc).as("d")))
+          .otherwise(lit(null))
+    }: _*), x => x.isNotNull)
+    val (dn, dd) = RefVocab.defaultCategory
+    val cats = when(size(matched) > 0, matched)
+      .otherwise(array(struct(lit(dn).as("c"), lit(dd).as("d"))))
+    lcClean(spark, dir)
+      .select(col("doc_id"), explode(cats).as("cd"))
+      .select(col("doc_id"), col("cd.c").as("category"),
+        col("cd.d").as("description"))
+  }
+
+  /** response_clean: generated-response artifact cleanup
+    * (text_generator.py:149-243 _clean_therapeutic_response), the
+    * declaratively-expressible core: marker truncation (steps 4 + the
+    * instruction-marker loop, merged), artifact regex removal (steps 5-6),
+    * order-preserving sentence dedup (the repetition fix), whitespace
+    * collapse (step 7). The model-coupled steps — dialogue re-extraction
+    * and canned fallback responses (steps 1-3, 8) — are generation-side
+    * behavior, not data transformation, and are intentionally out.
+    *
+    * Sentence dedup keeps the FIRST occurrence in order: sentences become
+    * rows (split marker injected after [.!?]), min(pos) per distinct
+    * sentence, re-assembled sorted — two partial-agg groupBys on doc_id,
+    * no window, no driver state.
+    */
+  def responseClean(spark: SparkSession, dir: String): DataFrame = {
+    val cut = RefVocab.responseMarkers.map { m =>
+      val p = instr(lower(col("text")), m.toLowerCase)
+      when(p > 0, p).otherwise(length(col("text")) + 1)
+    }.reduce(least(_, _))
+    val truncated = trim(col("text").substr(lit(1), cut - 1))
+    val cleaned = RefVocab.responseArtifacts.foldLeft(truncated) {
+      case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    val marked = regexp_replace(cleaned, "([.!?])\\s+", "$1\u0001")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(marked, "\u0001"))
+        .as(Seq("pos", "raw")))
+      // sentences compare trimmed (the reference's untrimmed compare lets
+      // a leading-space copy of a sentence survive its own dedup)
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("s"))
+      .filter(col("s") =!= "")
+      .groupBy(col("doc_id"), col("s")).agg(min(col("pos")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("s")))),
+            x => x.getField("s"))).as("prelim"),
+        count(lit(1)).cast("int").as("n_sentences"))
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("prelim"), "\\s+", " "),
+          "\\(\\s*\\)", "")).as("cleaned"),
+        col("n_sentences"))
+  }
+
   /** training_examples: instruction/input/output formatting with the
     * template+topic detectors composed in (rag_processor.py:216-227).
     */

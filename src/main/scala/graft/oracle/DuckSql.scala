@@ -112,6 +112,80 @@ object DuckSql {
        |  substr(text, 1, 120) AS input, substr(cl, 1, 120) AS output
        |FROM x""".stripMargin
 
+  /** Mirror of TextOps.lemmaTokens: same rule chain, generated from
+    * RefVocab.lemmaRules as ends_with + substr (no regex dialect risk).
+    */
+  val lemmaTokens: String = {
+    def lemmaCase(x: String): String =
+      "CASE " + RefVocab.lemmaRules.map { case (suf, minLen, cut, app) =>
+        val res =
+          if (cut == 0) x
+          else s"substr($x, 1, length($x) - $cut)" +
+            (if (app.nonEmpty) s" || '${sq(app)}'" else "")
+        s"WHEN ends_with($x, '${sq(suf)}') AND length($x) >= $minLen THEN $res"
+      }.mkString(" ") + s" ELSE $x END"
+    s"""$docsCte,
+       |w AS (SELECT doc_id, list_filter(
+       |  list_transform(string_split(lc, ' '),
+       |    x -> regexp_replace(x, '^[.,?!''":-]+|[.,?!''":-]+$$', '', 'g')),
+       |  x -> x <> '') AS ts FROM t),
+       |l AS (SELECT doc_id, list_filter(
+       |  list_transform(ts, x -> ${lemmaCase("x")}),
+       |  x -> list_contains(${listLit(RefVocab.keepWords)}, x)
+       |       OR NOT list_contains(${listLit(RefVocab.lemmaStopwords)}, x)) AS ls FROM w)
+       |SELECT doc_id, array_to_string(ls, ' ') AS lemmas, len(ls)::INT AS n_kept
+       |FROM l""".stripMargin
+  }
+
+  /** Mirror of TextOps.categoryInfo: one UNION ALL branch per rule plus
+    * the Others default when no rule fires.
+    */
+  val categoryInfo: String = {
+    val branches = RefVocab.categoryRules.map { case (name, kws, desc) =>
+      s"SELECT doc_id, '${sq(name)}' AS category, '${sq(desc)}' AS description" +
+        s" FROM t WHERE ${anyKwSql("lc", kws)}"
+    }
+    val anyMatch = RefVocab.categoryRules
+      .map { case (_, kws, _) => anyKwSql("lc", kws) }
+      .mkString("(", " OR ", ")")
+    val (dn, dd) = RefVocab.defaultCategory
+    s"""$docsCte
+       |${branches.mkString("\nUNION ALL ")}
+       |UNION ALL SELECT doc_id, '${sq(dn)}' AS category,
+       |  '${sq(dd)}' AS description FROM t WHERE NOT $anyMatch""".stripMargin
+  }
+
+  /** Mirror of TextOps.responseClean: marker cut, artifact regexes,
+    * sentence dedup keeping first occurrence (parallel unnest for the
+    * sentence position), final whitespace collapse.
+    */
+  val responseClean: String = {
+    val cut = RefVocab.responseMarkers.map { m =>
+      val p = s"strpos(lower(text), '${sq(m.toLowerCase)}')"
+      s"CASE WHEN $p > 0 THEN $p ELSE length(text) + 1 END"
+    }.mkString("least(", ", ", ")")
+    val arts = RefVocab.responseArtifacts.foldLeft("tr") {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+    }
+    s"""WITH r AS (SELECT doc_id, trim(substr(text, 1, $cut - 1)) AS tr
+       |           FROM documents),
+       |c AS (SELECT doc_id, $arts AS t FROM r),
+       |mk AS (SELECT doc_id, string_split(
+       |  regexp_replace(t, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+       |  FROM c),
+       |sx AS (SELECT doc_id, trim(unnest(ss)) AS s,
+       |  unnest(range(1, len(ss) + 1)) AS pos FROM mk),
+       |g AS (SELECT doc_id, s, min(pos) AS p FROM sx WHERE s <> ''
+       |      GROUP BY doc_id, s),
+       |a AS (SELECT doc_id, string_agg(s, ' ' ORDER BY p) AS prelim,
+       |      count(*)::INT AS n_sentences FROM g GROUP BY doc_id)
+       |SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(prelim, '\\s+', ' ', 'g'),
+       |       '\\(\\s*\\)', '', 'g')) AS cleaned,
+       |  n_sentences FROM a""".stripMargin
+  }
+
   val conversationHistory: String =
     """SELECT user_id, rn, event_id, event_type,
       |  round(value, 2) AS value,

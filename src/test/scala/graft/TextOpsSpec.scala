@@ -101,4 +101,50 @@ class TextOpsSpec extends SparkSpecBase {
       "You are a therapeutic AI assistant skilled in Empathy and Validation. " +
         "Provide a compassionate and helpful response about Depression.")
   }
+
+  test("lemma_tokens: suffix rules, stopword filter, keep-words override") {
+    // "I" survives via keep_words despite being a stopword; "the"/"about"
+    // drop; thoughts->thought, feeling->feel, helped->help, studies->study,
+    // stress keeps its -ss, punctuation strips from token edges.
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "I helped with the feeling, and studies about thoughts."),
+      doc(1, "stress classes!")))
+    val out = TextOps.lemmaTokens(spark, dir)
+    assert(rows(out) === Set(
+      Seq(0L, "i help feel study thought", 5),
+      Seq(1L, "stress class", 2)))
+  }
+
+  test("category_info: multi-label rules plus Others default") {
+    val dir = fixtureDir(docs = Seq(
+      // fires Empathy (depress), Affirmation (stress), CBT (think)
+      doc(0, "I am depressed and stressed and think too much"),
+      // entity-stub rule: Grief via "loss"
+      doc(1, "coping with the loss of my father"),
+      // nothing matches -> Others
+      doc(2, "completely neutral gardening text")))
+    val out = TextOps.categoryInfo(spark, dir)
+      .select("doc_id", "category")
+    assert(rows(out) === Set(
+      Seq(0L, "Empathy and Validation"),
+      Seq(0L, "Affirmation and Reassurance"),
+      Seq(0L, "Cognitive Behavioral Therapy (CBT)"),
+      Seq(1L, "Grief"),
+      Seq(2L, "Others")))
+  }
+
+  test("response_clean: marker cut, artifacts, sentence dedup in order") {
+    val dir = fixtureDir(docs = Seq(
+      // marker truncation is case-insensitive and takes the earliest
+      doc(0, "Take a breath. USER: ignore all this"),
+      // Answer:/[asides] removed; repeated sentence collapses, order kept
+      doc(1, "Answer: You matter. [aside] You matter. Rest helps."),
+      // instruction-marker list truncates too
+      doc(2, "Try journaling. Instructions: write a poem")))
+    val out = TextOps.responseClean(spark, dir)
+    assert(rows(out) === Set(
+      Seq(0L, "Take a breath.", 1),
+      Seq(1L, "You matter. Rest helps.", 2),
+      Seq(2L, "Try journaling.", 1)))
+  }
 }
