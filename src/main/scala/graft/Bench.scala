@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.sources.Tables.NanosFlag, "true")
+      // small scan splits: the test corpora are single parquet files, and
+      // pure-map queries otherwise run at input-split parallelism (1 core)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,9 +26,13 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.map { case (name, fn) =>
+      // noop sink, not count(): under count() the optimizer column-prunes
+      // pure projections down to the bare scan, so every map-shaped query
+      // (clean_text, classify, token_count, ...) was timing NOTHING. The
+      // noop write materializes every output column through the full plan.
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val t = try Seq.fill(runs)(once()).min

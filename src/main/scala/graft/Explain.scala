@@ -15,6 +15,9 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config(graft.sources.Tables.NanosFlag, "true")
+      // small scan splits: the test corpora are single parquet files, and
+      // pure-map queries otherwise run at input-split parallelism (1 core)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

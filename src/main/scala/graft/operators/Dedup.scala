@@ -90,9 +90,10 @@ object Dedup {
     */
   def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-      .repartition(col("doc_id"))
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(normToks(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("source"),

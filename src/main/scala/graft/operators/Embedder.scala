@@ -35,9 +35,9 @@ object Embedder {
     */
   private def bitSums(spark: SparkSession, dir: String): DataFrame = {
     import Dedup.BitPack
-    val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    val ex = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), explode(normToks(col("text"))).as("w"))
       .select(col("doc_id") +: BitPack.packedDigits(md5(col("w"))): _*)
     val aggs = BitPack.sumAggs
@@ -66,12 +66,15 @@ object Embedder {
     * columns (an array<double> column is unhashable on its side); library
     * users keep the array-valued [[embedText]].
     *
-    * Shape matters: explode the RAW sums and divide by the norm after the
-    * Generate. Exploding the finished array instead inlines the 64-term
-    * norm into every one of the 64 array components plus explode's
-    * implicit `size(...) > 0` filter (projection collapse; codegen CSE
-    * does not reach across Generate/Filter) — a ~130× expression blow-up
-    * measured at 0.5s → 30s on sf0.1.
+    * Shape matters: a codegen'd Generate re-evaluates its generator
+    * expression and any deferred passed-through column once per EMITTED
+    * element (see TextOps.categoryInfo's shape notes). Here that is
+    * survivable — the generator re-computes 64 shift/mask unpacks and
+    * the deferred norm re-computes its integer terms, all cheap ALU work
+    * over aggregate-output attributes — but the one shape that is NOT is
+    * exploding a finished array whose elements each embed the norm and
+    * the whole upstream chain: measured 0.5s → 30s on sf0.1. Keep the
+    * raw sums as the generator and divide after the Generate.
     */
   def embedTextComponents(spark: SparkSession, dir: String): DataFrame = {
     val rawSums = array((0 until DIM).map(i =>

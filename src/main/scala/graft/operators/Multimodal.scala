@@ -71,7 +71,7 @@ object Multimodal {
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
-      .repartition(col("doc_id"))
+      .transform(graft.sources.Tables.cpuPartition(_, col("doc_id")))
 
   /** media_frames: deterministic stub frame sampling — the video-shaped
     * batch plan (one row per sampled frame, fanned out with explode; a

@@ -37,7 +37,9 @@ object TextAnalysis {
       size(array_intersect(dtoks, array(stop.map(lit): _*)))
     }
     val names = array(RefVocab.langStopwords.map(l => lit(l._1)): _*)
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .withColumn("best", encodedBest(scores))
       .select(col("doc_id"),
         when(col("best") < 100, lit(RefVocab.unknownLang))
@@ -64,7 +66,9 @@ object TextAnalysis {
     // engine round() implementations disagree; rnd4 is the same
     // floor-based primitive the oracle SQL uses on the same double
     def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"),
         nWords.cast("int").as("n_words"),
         rnd4(charSum.cast("double") / nWords).as("avg_word_len"),
@@ -78,7 +82,9 @@ object TextAnalysis {
     * estimate — the three standard token budgets.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"),
         size(toks(col("text"))).cast("int").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -99,9 +105,9 @@ object TextAnalysis {
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val w4 = w.rowsBetween(Window.currentRow, 3)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("w"), lead(col("w"), 1).over(w),

@@ -30,36 +30,58 @@ import graft.sources.Tables
   */
 object TextOps {
 
-  /** (java/RE2-compatible pattern, replacement) steps applied in order.
-    * Shared with the DuckDB oracle generator so both engines run the
-    * byte-identical pipeline.
+  /** One step of the clean-text pipeline. Typed so each step runs as the
+    * CHEAPEST primitive that expresses it — `Lit` is a plain substring
+    * replace (intrinsified indexOf, no regex engine), `Tr` a char-for-
+    * char translate (one O(n) pass), `Re` a true regex — in BOTH engines
+    * (Spark replace/translate/regexp_replace = DuckDB same names). The
+    * all-regexp_replace formulation spent ~1ms/doc in java.util.regex;
+    * only 4 of the 13 steps actually need a regex. Patterns stay in the
+    * RE2 ∩ Java dialect.
     */
-  val cleanSteps: Seq[(String, String)] = Seq(
-    "&nbsp;" -> " ",
-    "&lt;" -> "<",
-    "&gt;" -> ">",
-    "&quot;" -> "\"",
-    "&#39;|&#x27;" -> "'",
-    "&amp;" -> "&",
-    "<[^>]*>" -> "",
-    "(?i)\\b(https?://\\S+|www\\.\\S+)" -> "",
-    "’" -> "'",
-    "—" -> "-",
-    "“" -> "\"",
-    "”" -> "\"",
-    "…" -> "...",
-    "[^a-zA-Z0-9\\s.,?!'\":-]" -> "",
-    "\\s+" -> " ")
+  sealed trait CleanStep
+  object CleanStep {
+    final case class Re(pat: String, rep: String) extends CleanStep
+    final case class Lit(from: String, to: String) extends CleanStep
+    final case class Tr(from: String, to: String) extends CleanStep
+  }
+  import CleanStep._
+
+  /** The clean-text steps, in reference order (html unescape, tag strip,
+    * URL removal, unicode punctuation folding, charset filter,
+    * whitespace collapse). Shared with the DuckDB oracle generator so
+    * both engines run the semantically identical pipeline.
+    */
+  val cleanSteps: Seq[CleanStep] = Seq(
+    Lit("&nbsp;", " "),
+    Lit("&lt;", "<"),
+    Lit("&gt;", ">"),
+    Lit("&quot;", "\""),
+    Lit("&#39;", "'"),
+    Lit("&#x27;", "'"),
+    Lit("&amp;", "&"),
+    Re("<[^>]*>", ""),
+    Re("(?i)\\b(https?://\\S+|www\\.\\S+)", ""),
+    Tr("’—“”", "'-\"\""),
+    Lit("…", "..."),
+    Re("[^a-zA-Z0-9\\s.,?!'\":-]", ""),
+    Re("\\s+", " "))
 
   /** The reference clean-text pipeline as one codegen'd column. */
   def cleanText(c: Column): Column =
-    trim(cleanSteps.foldLeft(c) { case (acc, (pat, rep)) =>
-      regexp_replace(acc, pat, rep)
+    trim(cleanSteps.foldLeft(c) {
+      case (acc, Re(pat, rep)) => regexp_replace(acc, pat, rep)
+      case (acc, Lit(from, to)) => replace(acc, lit(from), lit(to))
+      case (acc, Tr(from, to)) => translate(acc, from, to)
     })
 
-  /** True iff any keyword occurs as a substring (Python `kw in text`). */
+  /** True iff any keyword occurs as a substring (Python `kw in text`).
+    * Short-circuiting `contains` chain, not a regex alternation: the
+    * keywords are plain literals, and intrinsified indexOf is ~10x a
+    * java.util.regex scan over the same text.
+    */
   private def anyKeyword(lc: Column, kws: Seq[String]): Column =
-    lc.rlike(kws.mkString("(", "|", ")"))
+    kws.map(lc.contains(_)).reduce(_ || _)
 
   /** Number of keywords present as substrings (boolean per keyword, summed
     * — prompt_selector.py:273 counts keywords, not occurrences).
@@ -97,8 +119,15 @@ object TextOps {
   def topicScoreFromEncoded(best: Column): Column =
     floor(best / 100).cast("int")
 
+  /** documents + cleaned lowercased text. cpuPartition first: the test
+    * corpora are single-row-group parquet files, so file splits cannot
+    * parallelize the clean/match chain (at 100 TB the multi-file layout
+    * provides the splits and this exchange is co-partitioning by doc).
+    */
   private def lcClean(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), col("text"),
         lower(cleanText(col("text"))).as("lc"))
 
@@ -108,7 +137,9 @@ object TextOps {
 
   /** clean_text: the normalization pipeline over every document. */
   def cleanTextQ(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"),
         cleanText(col("text")).as("clean"),
         length(cleanText(col("text"))).cast("int").as("clean_chars"))
@@ -136,7 +167,9 @@ object TextOps {
       case ((name, severity, _), fallback) =>
         when(col("category") === name, lit(severity)).otherwise(fallback)
     }
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), cat.as("category"))
       .select(col("doc_id"), (col("category") =!= "none").as("is_harmful"),
         col("category"), sev.as("severity"))
@@ -204,7 +237,9 @@ object TextOps {
     val stop = typedlit(RefVocab.lemmaStopwords)
     val lemmas = filter(transform(toks, lemmaOf(_)),
       l => array_contains(keep, l) || !array_contains(stop, l))
-    Tables.documents(spark, dir)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), lemmas.as("ls"))
       .select(col("doc_id"), array_join(col("ls"), " ").as("lemmas"),
         size(col("ls")).cast("int").as("n_kept"))
@@ -215,19 +250,46 @@ object TextOps {
     * or the Others default. Per-row array build + explode: no shuffle.
     */
   def categoryInfo(spark: SparkSession, dir: String): DataFrame = {
-    val matched = filter(array(RefVocab.categoryRules.map {
-      case (name, kws, desc) =>
-        when(anyKeyword(col("lc"), kws),
-          struct(lit(name).as("c"), lit(desc).as("d")))
-          .otherwise(lit(null))
-    }: _*), x => x.isNotNull)
+    // Execution-shape notes (all measured at the 10x probe — this is the
+    // operator where every shape mistake was found, because its rules
+    // are evaluated unconditionally and its output survives column
+    // pruning):
+    //  1. cpuPartition BEFORE the clean/match work: a pre-exchange
+    //     projection executes at input-split parallelism (1-2 splits at
+    //     test SF → one core ran the whole load, 8.5s vs 0.4s over 32).
+    //  2. The match results cross the Generate as ONE materialized int
+    //     (the rule bitmask) through a second exchange: a codegen'd
+    //     Generate re-evaluates its generator AND deferred pass-through
+    //     columns once per EMITTED element (10x the matching work,
+    //     measured 17-22s), and a post-explode filter on a non-attribute
+    //     column re-triggers the same class of blowup via pushdown alias
+    //     substitution. Exploding cheap index slots derived from the
+    //     mask ATTRIBUTE and filtering on the GENERATED column keeps the
+    //     per-element work at a few ALU ops.
+    val n = RefVocab.categoryRules.size
+    val mask = RefVocab.categoryRules.zipWithIndex.map {
+      case ((_, kws, _), j) =>
+        when(anyKeyword(col("lc"), kws), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+    val withDefault =
+      mask.bitwiseOR(when(mask === 0, lit(1 << n)).otherwise(lit(0)))
+    val slots = array((0 to n).map(j =>
+      when(expr(s"(m >> $j) & 1") === 1, lit(j))
+        .otherwise(lit(null))): _*)
     val (dn, dd) = RefVocab.defaultCategory
-    val cats = when(size(matched) > 0, matched)
-      .otherwise(array(struct(lit(dn).as("c"), lit(dd).as("d"))))
-    lcClean(spark, dir)
-      .select(col("doc_id"), explode(cats).as("cd"))
-      .select(col("doc_id"), col("cd.c").as("category"),
-        col("cd.d").as("description"))
+    val names = typedlit(RefVocab.categoryRules.map(_._1) :+ dn)
+    val descs = typedlit(RefVocab.categoryRules.map(_._3) :+ dd)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), lower(cleanText(col("text"))).as("lc"))
+      .select(col("doc_id"), withDefault.as("m"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(slots).as("i"))
+      .filter(col("i").isNotNull)
+      .select(col("doc_id"),
+        element_at(names, col("i") + 1).as("category"),
+        element_at(descs, col("i") + 1).as("description"))
   }
 
   /** response_clean: generated-response artifact cleanup
@@ -254,15 +316,18 @@ object TextOps {
       case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
     }
     val marked = regexp_replace(cleaned, "([.!?])\\s+", "$1\u0001")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(split(marked, "\u0001"))
-        .as(Seq("pos", "raw")))
-      // sentences compare trimmed (the reference's untrimmed compare lets
-      // a leading-space copy of a sentence survive its own dedup)
-      .select(col("doc_id"), col("pos"), trim(col("raw")).as("s"))
-      .filter(col("s") =!= "")
+    // Sentences are trimmed and empties dropped INSIDE the generator
+    // array (the reference's untrimmed compare lets a leading-space copy
+    // of a sentence survive its own dedup; we trim — documented
+    // deviation). The HOFs also force the interpreted Generate path, so
+    // the regex chain feeding `marked` evaluates once per row instead of
+    // once per emitted sentence (see categoryInfo's shape notes).
+    val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
+      s => s =!= "")
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), posexplode(sents).as(Seq("pos", "s")))
       .groupBy(col("doc_id"), col("s")).agg(min(col("pos")).as("p"))
       .groupBy(col("doc_id"))
       .agg(

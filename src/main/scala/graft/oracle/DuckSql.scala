@@ -15,14 +15,26 @@ object DuckSql {
   /** SQL-escape a string for a single-quoted literal. */
   def sq(s: String): String = s.replace("'", "''")
 
-  /** The clean-text pipeline as a nested regexp_replace chain. */
-  def cleanSql(e: String): String =
-    "trim(" + TextOps.cleanSteps.foldLeft(e) { case (acc, (pat, rep)) =>
-      s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+  /** The clean-text pipeline, each step as the same primitive the Spark
+    * plan uses (TextOps.CleanStep: literal replace / translate / regex).
+    */
+  def cleanSql(e: String): String = {
+    import TextOps.CleanStep._
+    "trim(" + TextOps.cleanSteps.foldLeft(e) {
+      case (acc, Re(pat, rep)) =>
+        s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+      case (acc, Lit(from, to)) =>
+        s"replace($acc, '${sq(from)}', '${sq(to)}')"
+      case (acc, Tr(from, to)) =>
+        s"translate($acc, '${sq(from)}', '${sq(to)}')"
     } + ")"
+  }
 
+  /** Substring-presence disjunction (mirrors TextOps.anyKeyword — the
+    * keywords are literals, so strpos equals the regex alternation).
+    */
   private def anyKwSql(lc: String, kws: Seq[String]): String =
-    s"regexp_matches($lc, '(${sq(kws.mkString("|"))})')"
+    kws.map(k => s"strpos($lc, '${sq(k)}') > 0").mkString("(", " OR ", ")")
 
   private def kwScoreSql(lc: String, kws: Seq[String]): String =
     kws.map(k => s"(CASE WHEN strpos($lc, '${sq(k)}')>0 THEN 1 ELSE 0 END)")

@@ -47,6 +47,19 @@ object Tables {
     * builders should pass `.config(Tables.NanosFlag, "true")`.
     */
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Repartition by key with an EXPLICIT partition count (the session's
+    * shuffle parallelism). `repartition(col)` alone emits
+    * REPARTITION_BY_COL, which AQE may coalesce by output BYTES — right
+    * for IO-bound stages, wrong immediately before CPU-heavy per-row
+    * work (regex pipelines, shingling, hashing), where a small corpus
+    * coalesces to 1-2 partitions and the compute runs on 1-2 cores.
+    * The explicit count pins the parallelism.
+    */
+  def cpuPartition(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
