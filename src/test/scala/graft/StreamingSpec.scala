@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpecBase {
       Seq(1L, "1970-01-01 00:00:00", 2, 0L, 1L, 3.0)))
   }
 
+  test("sessionize runs on the RocksDB state store (production backend)") {
+    // At 100 TB-scale streaming the session/window state outgrows the
+    // default HDFS-backed in-memory store; RocksDB spills to local disk
+    // with bounded heap. Same plan, same results — only the state
+    // backend changes (set at query start from session conf).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = fixtureDir(evs = Seq(
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 100, 1, "click", 2.0),
+        ev(2, 900000, 9, "click", 9.0))) // watermark pusher
+      val q = EventStream.sessionize(streamEvents(dir))
+        .writeStream.format("memory").queryName("rocks_sess_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val out = rows(spark.table("rocks_sess_out")
+        .where("user_id = 1")
+        .select("user_id", "n_events", "first_event", "last_event",
+          "total_value"))
+      assert(out === Set(Seq(1L, 2, 0L, 1L, 3.0)))
+    } finally {
+      old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("streaming sessionize boundary matches batch: exact-gap event merges") {
     // Spark merges session windows when the new event's start is <= the
     // open session's end (last + gap) — INCLUSIVE at exactly last+gap.
