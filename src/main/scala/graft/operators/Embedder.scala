@@ -85,6 +85,5 @@ object Embedder {
       .select(col("doc_id"), col("i"),
         when(col("nrm") > 0, round(col("s") / col("nrm"), 6))
           .otherwise(0.0).as("component"))
-      .orderBy(col("doc_id"), col("i"))
   }
 }

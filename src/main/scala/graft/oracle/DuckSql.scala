@@ -431,8 +431,7 @@ object DuckSql {
        |        CASE WHEN nrm > 0 THEN $comps ELSE $zeros END AS emb
        |      FROM m)
        |SELECT doc_id, (i - 1)::INT AS i, emb[i::INT] AS component
-       |FROM f, range(1, 65) t(i)
-       |ORDER BY doc_id, i""".stripMargin
+       |FROM f, range(1, 65) t(i)""".stripMargin
   }
 
   /** Mirror of Similarity.annIvfKmeans: 2 unrolled Lloyd iterations from
