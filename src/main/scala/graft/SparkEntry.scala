@@ -41,6 +41,8 @@ object SparkEntry {
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "pii_scrub"        -> (TextAnalysis.piiScrub _),
+    "repetition_score" -> (TextAnalysis.repetitionScore _),
     "dedup_exact"   -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -205,6 +207,8 @@ object SparkEntry {
     "quality_score"   -> graft.oracle.DuckSql.qualityScore,
     "token_count"     -> graft.oracle.DuckSql.tokenCount,
     "doc_fingerprint" -> graft.oracle.DuckSql.docFingerprint,
+    "pii_scrub"        -> graft.oracle.DuckSql.piiScrub,
+    "repetition_score" -> graft.oracle.DuckSql.repetitionScore,
     "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,

@@ -264,6 +264,20 @@ object RefVocab {
     "\\[[^\\]]*\\]" -> "",
     "(?i)\\b(TR:|THERPST:|THERAP:|THERAPY:)" -> "")
 
+  /** PII redaction rules for the training-data pipeline: (name, pattern,
+    * replacement), applied in order (emails first — they contain digit
+    * runs and dots that the later rules would otherwise bite into).
+    * Patterns are in the RE2 ∩ Java dialect (no lookaround/backrefs) so
+    * one string drives both engines. Standard C4/Dolma-style scrubbing.
+    */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    ("phone",
+      "(\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+      "<PHONE>"))
+
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (public common-word lists; order = tie-break priority).
     */

@@ -123,4 +123,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
       .dropDuplicates("doc_id", "fp")
   }
+
+  /** pii_scrub: C4/Dolma-style PII redaction — emails, IPv4s, phone
+    * numbers replaced by typed tokens (RefVocab.piiRules, applied in
+    * order), with per-kind match counts taken on the ORIGINAL text.
+    * Pure per-row regex work behind a cpuPartition; zero further
+    * shuffles.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = RefVocab.piiRules.foldLeft(col("text")) {
+      case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    val counts = RefVocab.piiRules.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("int").as(s"n_${name}s")
+    }
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id") +: scrubbed.as("scrubbed") +: counts: _*)
+  }
+
+  /** repetition_score: Gopher/Dolma-style repetition signals — the
+    * duplicate-line fraction and the duplicate-word-2-gram fraction of
+    * each document (boilerplate and stutter detection). Array ops over
+    * materialized token arrays (zip_with over slices, NOT
+    * element_at-over-sequence — see the shape rules); zero shuffles
+    * beyond the cpuPartition.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    val t = toks(col("text"))
+    val g2len = greatest(size(t) - 1, lit(0))
+    val g2 = zip_with(slice(t, lit(1), g2len), slice(t, lit(2), g2len),
+      (a, b) => concat_ws(" ", a, b))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        floor((lit(1.0) - size(array_distinct(arr)).cast("double")
+          / size(arr)) * 10000 + 0.5) / 10000).otherwise(0.0)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), lines.as("ls"), t.as("ts"), g2.as("g2"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("int").as("n_lines"),
+        dupFrac(col("ls")).as("dup_line_frac"),
+        size(col("g2")).cast("int").as("n_2grams"),
+        dupFrac(col("g2")).as("dup_2gram_frac"))
+  }
 }

@@ -263,6 +263,43 @@ object DuckSql {
       |  ceil(length(text) / 4.0)::INT AS est_bpe
       |FROM documents""".stripMargin
 
+  /** Mirror of TextAnalysis.piiScrub: same ordered patterns, counts on
+    * the original text.
+    */
+  val piiScrub: String = {
+    val scrubbed = RefVocab.piiRules.foldLeft("text") {
+      case (acc, (_, pat, rep)) =>
+        s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+    }
+    val counts = RefVocab.piiRules.map { case (name, pat, _) =>
+      s"len(regexp_extract_all(text, '${sq(pat)}'))::INT AS n_${name}s"
+    }
+    s"""SELECT doc_id, $scrubbed AS scrubbed, ${counts.mkString(", ")}
+       |FROM documents""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.repetitionScore: duplicate-line and
+    * duplicate-2-gram fractions with the shared floor-at-half rounding.
+    */
+  val repetitionScore: String = {
+    def dupFrac(arr: String) =
+      s"CASE WHEN len($arr) > 0 THEN floor((1.0 - len(list_distinct($arr))::DOUBLE / len($arr)) * 10000 + 0.5) / 10000 ELSE 0.0 END"
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |              l -> l <> '') AS ls,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id, ls,
+      |  CASE WHEN len(ts) >= 2
+      |    THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+      |    ELSE []::VARCHAR[] END AS g2 FROM w)
+      |SELECT doc_id, len(ls)::INT AS n_lines, DUPLINE AS dup_line_frac,
+      |  len(g2)::INT AS n_2grams, DUP2GRAM AS dup_2gram_frac
+      |FROM g""".stripMargin
+      .replace("DUPLINE", dupFrac("ls"))
+      .replace("DUP2GRAM", dupFrac("g2"))
+  }
+
   val docFingerprint: String =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),

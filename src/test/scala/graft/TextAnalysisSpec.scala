@@ -40,6 +40,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Int]("est_bpe") === 4)   // ceil(15/4)
   }
 
+  test("pii_scrub: emails, IPs, phones redacted in order, counted") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "mail a.b+c@example.org or call 555-123-4567 from 10.0.0.1"),
+      doc(1, "no pii here at all")))
+    val out = TextAnalysis.piiScrub(spark, dir)
+      .select("doc_id", "scrubbed", "n_emails", "n_ips", "n_phones")
+    assert(rows(out) === Set(
+      Seq(0L, "mail <EMAIL> or call <PHONE> from <IP>", 1, 1, 1),
+      Seq(1L, "no pii here at all", 0, 0, 0)))
+  }
+
+  test("repetition_score: duplicate line and 2-gram fractions") {
+    val dir = fixtureDir(docs = Seq(
+      // 3 non-empty lines, one duplicated -> dup_line_frac = 1 - 2/3;
+      // tokens split on spaces only, so the newlines glue 4 tokens ->
+      // 3 distinct 2-grams
+      doc(0, "same line\nsame line\nother line"),
+      // "a b a b a" -> 2-grams [a b, b a, a b, b a] -> 1 - 2/4 = 0.5
+      doc(1, "a b a b a"),
+      doc(2, "one")))  // single token: no 2-grams, one line
+    val out = TextAnalysis.repetitionScore(spark, dir)
+      .select("doc_id", "n_lines", "dup_line_frac", "n_2grams",
+        "dup_2gram_frac")
+    assert(rows(out) === Set(
+      Seq(0L, 3, 0.3333, 3, 0.0),
+      Seq(1L, 1, 0.0, 4, 0.5),
+      Seq(2L, 1, 0.0, 0, 0.0)))
+  }
+
   test("doc_fingerprint: winnowing minimum count and determinism") {
     val six = "w1 w2 w3 w4 w5 w6"
     val dir = fixtureDir(docs = Seq(
