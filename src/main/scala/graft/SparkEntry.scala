@@ -52,6 +52,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
+    "ann_pq"         -> (Similarity.annPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
   )
 
@@ -132,8 +133,8 @@ object SparkEntry {
     "ann_ivf" ->
       """WITH comp AS (
         |  SELECT label, i,
-        |    CAST(floor(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
-        |               / count(*) * 1000000 + 0.5) / 1000000 AS FLOAT) AS cv
+        |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM comp GROUP BY label),
         |probes AS (
@@ -218,6 +219,7 @@ object SparkEntry {
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
+    "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
   )
 }

@@ -485,8 +485,7 @@ object DuckSql {
     def recomputeCte(assigned: String, out: String) =
       s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
          |  SELECT cid, i,
-         |    CAST(floor(CAST(sum(CAST(embedding[i] AS DECIMAL(27,7))) AS DOUBLE)
-         |               / count(*) * 1000000 + 0.5) / 1000000 AS FLOAT) AS cv
+         |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
          |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
     s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
        |            FROM embeddings WHERE vec_id < 8),
@@ -510,6 +509,55 @@ object DuckSql {
        |  SELECT q_id, neighbor_id, s,
        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
        |  FROM cand) WHERE rank <= 3""".stripMargin
+  }
+
+  /** Mirror of Similarity.annPq. Inner products are unrolled 8-term
+    * left-associative sums of double-cast float products — the exact
+    * arithmetic of the Spark DotProduct loop, so distances and
+    * orderings agree bit-for-bit; ADC parts round to 6dp and accumulate
+    * in DECIMAL (order-independent).
+    */
+  val annPq: String = {
+    def ip(a: String, b: String): String = (1 to 8)
+      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def d2(a: String, b: String): String =
+      s"(${ip(a, a)}) - 2.0 * (${ip(a, b)}) + (${ip(b, b)})"
+    def assignCte(cb: String, out: String) =
+      s"""$out AS (SELECT vec_id, m, sub, cid FROM (
+         |  SELECT sv.vec_id, sv.m, sv.sub, c.cid,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+         |      ORDER BY ${d2("sv.sub", "c.cvec")}, c.cid) AS rn
+         |  FROM sv JOIN $cb c ON c.m = sv.m) WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String) =
+      s"""$out AS (SELECT m, cid, list(cv ORDER BY i) AS cvec FROM (
+         |  SELECT m, cid, i,
+         |    CAST(floor(CAST(sum(CAST(floor(CAST(sub[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
+         |  FROM $assigned, range(1, 9) t(i) GROUP BY m, cid, i)
+         |  GROUP BY m, cid)""".stripMargin
+    s"""WITH sv AS (SELECT vec_id, m::INT AS m,
+       |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
+       |  FROM embeddings, range(0, 8) t(m)),
+       |c0 AS (SELECT m, vec_id::INT AS cid, sub AS cvec FROM sv
+       |       WHERE vec_id < 16),
+       |${assignCte("c0", "a1")},
+       |${recomputeCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${recomputeCte("a2", "c2")},
+       |${assignCte("c2", "enc")},
+       |codes AS (SELECT vec_id, m, cid FROM enc),
+       |adc AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+       |  CAST(floor((${ip("list_slice(q.embedding, c.m*8 + 1, c.m*8 + 8)", "c.cvec")})
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0),
+       |sc AS (SELECT a.q_id, k.vec_id AS neighbor_id, sum(a.part) AS s
+       |  FROM codes k JOIN adc a ON a.m = k.m AND a.cid = k.cid
+       |  WHERE k.vec_id <> a.q_id GROUP BY a.q_id, k.vec_id)
+       |SELECT q_id, neighbor_id, s::DOUBLE AS approx_dot, rank::INT AS rank
+       |FROM (SELECT q_id, neighbor_id, s,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY s DESC, neighbor_id) AS rank
+       |      FROM sc) WHERE rank <= 3""".stripMargin
   }
 
   val interactionHistory: String =

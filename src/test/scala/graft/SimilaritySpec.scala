@@ -71,4 +71,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(m((0L, 1L)) === 1.0)
     assert(!m.contains((0L, 2L)))
   }
+
+  test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
+    // 20 vectors (16 seed the codebooks; vec 0 is the query), clustered
+    // so near neighbors of the query share its codewords.
+    val embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    }
+    val dir = fixtureDir(embs = embs)
+    val out = graft.operators.Similarity.annPq(spark, dir)
+      .select("q_id", "neighbor_id", "approx_dot", "rank")
+    val r1 = out.collect().map(_.toSeq)
+    assert(r1.length === 3)
+    assert(r1.map(_(3)).toSet === Set(1, 2, 3))
+    assert(r1.forall(r => r(0) == 0L && r(1) != 0L))
+    // approx_dot non-increasing with rank
+    val byRank = r1.sortBy(_(3).asInstanceOf[Int]).map(_(2).asInstanceOf[Double])
+    assert(byRank.sliding(2).forall { case Array(a, b) => a >= b })
+    // deterministic across executions
+    val r2 = out.collect().map(_.toSeq)
+    assert(r1.toSet === r2.toSet)
+  }
 }
