@@ -53,6 +53,7 @@ object SparkEntry {
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_pq"         -> (Similarity.annPq _),
+    "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
   )
 
@@ -220,6 +221,7 @@ object SparkEntry {
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
+    "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
   )
 }

@@ -471,22 +471,76 @@ object DuckSql {
        |FROM f, range(1, 65) t(i)""".stripMargin
   }
 
+  /** Shared k-means CTE builders (mirror Similarity.assign/recompute):
+    * full-dimension cosine assignment, long-integer-accumulated means.
+    */
+  private def kmAssignCte(cents: String, out: String) =
+    s"""$out AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS rn
+       |  FROM embeddings e, $cents c) WHERE rn = 1)""".stripMargin
+
+  private def kmRecomputeCte(assigned: String, out: String) =
+    s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
+       |  SELECT cid, i,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
+       |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+
+  /** Shared PQ CTE builders (mirror Similarity.assignPq/recomputePq):
+    * unrolled left-associative inner products = the Spark DotProduct
+    * loop bit-for-bit.
+    */
+  private def pqIp(a: String, b: String): String = (1 to 8)
+    .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+    .mkString(" + ")
+
+  private def pqD2(a: String, b: String): String =
+    s"(${pqIp(a, a)}) - 2.0 * (${pqIp(a, b)}) + (${pqIp(b, b)})"
+
+  private def pqAssignCte(cb: String, out: String) =
+    s"""$out AS (SELECT vec_id, m, sub, cid FROM (
+       |  SELECT sv.vec_id, sv.m, sv.sub, c.cid,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+       |      ORDER BY ${pqD2("sv.sub", "c.cvec")}, c.cid) AS rn
+       |  FROM sv JOIN $cb c ON c.m = sv.m) WHERE rn = 1)""".stripMargin
+
+  private def pqRecomputeCte(assigned: String, out: String) =
+    s"""$out AS (SELECT m, cid, list(cv ORDER BY i) AS cvec FROM (
+       |  SELECT m, cid, i,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(sub[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
+       |  FROM $assigned, range(1, 9) t(i) GROUP BY m, cid, i)
+       |  GROUP BY m, cid)""".stripMargin
+
+  /** Shared PQ CTE prefix: subvectors + codebook training (c0->c2). */
+  private val pqTrainCtes: String =
+    s"""sv AS (SELECT vec_id, m::INT AS m,
+       |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
+       |  FROM embeddings, range(0, 8) t(m)),
+       |pq0 AS (SELECT m, vec_id::INT AS cid, sub AS cvec FROM sv
+       |        WHERE vec_id < 16),
+       |${pqAssignCte("pq0", "pqa1")},
+       |${pqRecomputeCte("pqa1", "pq1")},
+       |${pqAssignCte("pq1", "pqa2")},
+       |${pqRecomputeCte("pqa2", "pq2")},
+       |${pqAssignCte("pq2", "pqenc")},
+       |codes AS (SELECT vec_id, m, cid FROM pqenc)""".stripMargin
+
+  /** Shared ADC-parts CTE over the trained codebook `pq2`. */
+  private val adcCte: String =
+    s"""adc AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+       |  CAST(floor((${pqIp("list_slice(q.embedding, c.m*8 + 1, c.m*8 + 8)", "c.cvec")})
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM embeddings q, pq2 c WHERE q.vec_id % 100 = 0)""".stripMargin
+
   /** Mirror of Similarity.annIvfKmeans: 2 unrolled Lloyd iterations from
     * the deterministic init, then probe + rank inside trained clusters.
     */
   val annIvfKmeans: String = {
-    def assignCte(cents: String, out: String) =
-      s"""$out AS (SELECT vec_id, embedding, cid FROM (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
-         |               c.cid) AS rn
-         |  FROM embeddings e, $cents c) WHERE rn = 1)""".stripMargin
+    def assignCte(cents: String, out: String) = kmAssignCte(cents, out)
     def recomputeCte(assigned: String, out: String) =
-      s"""$out AS (SELECT cid, list(cv ORDER BY i) AS cvec FROM (
-         |  SELECT cid, i,
-         |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
-         |  FROM $assigned, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+      kmRecomputeCte(assigned, out)
     s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
        |            FROM embeddings WHERE vec_id < 8),
        |${assignCte("c0", "a1")},
@@ -517,39 +571,9 @@ object DuckSql {
     * orderings agree bit-for-bit; ADC parts round to 6dp and accumulate
     * in DECIMAL (order-independent).
     */
-  val annPq: String = {
-    def ip(a: String, b: String): String = (1 to 8)
-      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString(" + ")
-    def d2(a: String, b: String): String =
-      s"(${ip(a, a)}) - 2.0 * (${ip(a, b)}) + (${ip(b, b)})"
-    def assignCte(cb: String, out: String) =
-      s"""$out AS (SELECT vec_id, m, sub, cid FROM (
-         |  SELECT sv.vec_id, sv.m, sv.sub, c.cid,
-         |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
-         |      ORDER BY ${d2("sv.sub", "c.cvec")}, c.cid) AS rn
-         |  FROM sv JOIN $cb c ON c.m = sv.m) WHERE rn = 1)""".stripMargin
-    def recomputeCte(assigned: String, out: String) =
-      s"""$out AS (SELECT m, cid, list(cv ORDER BY i) AS cvec FROM (
-         |  SELECT m, cid, i,
-         |    CAST(floor(CAST(sum(CAST(floor(CAST(sub[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
-         |  FROM $assigned, range(1, 9) t(i) GROUP BY m, cid, i)
-         |  GROUP BY m, cid)""".stripMargin
-    s"""WITH sv AS (SELECT vec_id, m::INT AS m,
-       |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
-       |  FROM embeddings, range(0, 8) t(m)),
-       |c0 AS (SELECT m, vec_id::INT AS cid, sub AS cvec FROM sv
-       |       WHERE vec_id < 16),
-       |${assignCte("c0", "a1")},
-       |${recomputeCte("a1", "c1")},
-       |${assignCte("c1", "a2")},
-       |${recomputeCte("a2", "c2")},
-       |${assignCte("c2", "enc")},
-       |codes AS (SELECT vec_id, m, cid FROM enc),
-       |adc AS (SELECT q.vec_id AS q_id, c.m, c.cid,
-       |  CAST(floor((${ip("list_slice(q.embedding, c.m*8 + 1, c.m*8 + 8)", "c.cvec")})
-       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
-       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0),
+  val annPq: String =
+    s"""WITH $pqTrainCtes,
+       |$adcCte,
        |sc AS (SELECT a.q_id, k.vec_id AS neighbor_id, sum(a.part) AS s
        |  FROM codes k JOIN adc a ON a.m = k.m AND a.cid = k.cid
        |  WHERE k.vec_id <> a.q_id GROUP BY a.q_id, k.vec_id)
@@ -558,7 +582,39 @@ object DuckSql {
        |        row_number() OVER (PARTITION BY q_id
        |                           ORDER BY s DESC, neighbor_id) AS rank
        |      FROM sc) WHERE rank <= 3""".stripMargin
-  }
+
+  /** Mirror of Similarity.annIvfPq: trained coarse quantizer routes each
+    * query to nprobe=2 cells; ADC over PQ codes scores only candidates
+    * in those cells.
+    */
+  val annIvfPq: String =
+    s"""WITH ck0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |             FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("ck0", "cka1")},
+       |${kmRecomputeCte("cka1", "ck1")},
+       |${kmAssignCte("ck1", "cka2")},
+       |${kmRecomputeCte("cka2", "ck2")},
+       |${kmAssignCte("ck2", "cells0")},
+       |cells AS (SELECT vec_id, cid AS ccell FROM cells0),
+       |$pqTrainCtes,
+       |probes AS (SELECT q_id, pcell FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, ck2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |$adcCte,
+       |cand AS (SELECT p.q_id, c.vec_id FROM cells c
+       |  JOIN probes p ON c.ccell = p.pcell WHERE c.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.vec_id AS neighbor_id, sum(a.part) AS s
+       |  FROM cand JOIN codes k ON k.vec_id = cand.vec_id
+       |       JOIN adc a ON a.q_id = cand.q_id AND a.m = k.m AND a.cid = k.cid
+       |  GROUP BY cand.q_id, cand.vec_id)
+       |SELECT q_id, neighbor_id, s::DOUBLE AS approx_dot, rank::INT AS rank
+       |FROM (SELECT q_id, neighbor_id, s,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY s DESC, neighbor_id) AS rank
+       |      FROM sc) WHERE rank <= 3""".stripMargin
 
   val interactionHistory: String =
     """SELECT user_id, row_number() OVER (PARTITION BY user_id

@@ -72,6 +72,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!m.contains((0L, 2L)))
   }
 
+  test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
+    val embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    }
+    val dir = fixtureDir(embs = embs)
+    val out = graft.operators.Similarity.annIvfPq(spark, dir)
+      .select("q_id", "neighbor_id", "approx_dot", "rank")
+    val r = out.collect().map(_.toSeq)
+    assert(r.nonEmpty && r.length <= 3)
+    assert(r.map(_(3).asInstanceOf[Int]).toSet === (1 to r.length).toSet)
+    assert(r.forall(x => x(0) == 0L && x(1) != 0L))
+    // routed subset of the exhaustive ADC ranking: every returned
+    // neighbor must carry the same approx_dot ann_pq assigns it
+    val pq = graft.operators.Similarity.annPq(spark, dir)
+      .select("neighbor_id", "approx_dot").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { x =>
+      val n = x(1).asInstanceOf[Long]
+      if (pq.contains(n)) assert(pq(n) === x(2).asInstanceOf[Double])
+    }
+  }
+
   test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
     // 20 vectors (16 seed the codebooks; vec 0 is the query), clustered
     // so near neighbors of the query share its codewords.
