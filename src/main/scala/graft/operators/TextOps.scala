@@ -128,8 +128,12 @@ object TextOps {
     Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
-      .select(col("doc_id"), col("text"),
-        lower(cleanText(col("text"))).as("lc"))
+      // cl materializes once; lc/downstream outputs derive from the
+      // column (multi-referenced non-cheap aliases stay in their own
+      // projection, and same-stage reuse is a local variable read)
+      .select(col("doc_id"), col("text"), cleanText(col("text")).as("cl"))
+      .select(col("doc_id"), col("text"), col("cl"),
+        lower(col("cl")).as("lc"))
 
   // ------------------------------------------------------------------
   // queries
@@ -354,5 +358,5 @@ object TextOps {
           lit(". Provide a compassionate and helpful response about "),
           col("topic"), lit(".")).as("instruction"),
         substring(col("text"), 1, 120).as("input"),
-        substring(cleanText(col("text")), 1, 120).as("output"))
+        substring(col("cl"), 1, 120).as("output"))
 }
