@@ -513,12 +513,11 @@ object DuckSql {
        |  FROM $assigned, range(1, 9) t(i) GROUP BY m, cid, i)
        |  GROUP BY m, cid)""".stripMargin
 
-  /** Shared PQ CTE prefix: subvectors + codebook training (c0->c2). */
+  /** Shared PQ CTE prefix: codebook training + encode over a caller-
+    * provided `sv` CTE of (vec_id, m, sub) subvector rows.
+    */
   private val pqTrainCtes: String =
-    s"""sv AS (SELECT vec_id, m::INT AS m,
-       |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
-       |  FROM embeddings, range(0, 8) t(m)),
-       |pq0 AS (SELECT m, vec_id::INT AS cid, sub AS cvec FROM sv
+    s"""pq0 AS (SELECT m, vec_id::INT AS cid, sub AS cvec FROM sv
        |        WHERE vec_id < 16),
        |${pqAssignCte("pq0", "pqa1")},
        |${pqRecomputeCte("pqa1", "pq1")},
@@ -571,8 +570,17 @@ object DuckSql {
     * orderings agree bit-for-bit; ADC parts round to 6dp and accumulate
     * in DECIMAL (order-independent).
     */
+  /** Raw-vector subvector rows (ann_pq trains on the vectors
+    * themselves; the residual variant lives in annIvfPq).
+    */
+  private val rawSvCte: String =
+    s"""sv AS (SELECT vec_id, m::INT AS m,
+       |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
+       |  FROM embeddings, range(0, 8) t(m))""".stripMargin
+
   val annPq: String =
-    s"""WITH $pqTrainCtes,
+    s"""WITH $rawSvCte,
+       |$pqTrainCtes,
        |$adcCte,
        |sc AS (SELECT a.q_id, k.vec_id AS neighbor_id, sum(a.part) AS s
        |  FROM codes k JOIN adc a ON a.m = k.m AND a.cid = k.cid
@@ -583,9 +591,11 @@ object DuckSql {
        |                           ORDER BY s DESC, neighbor_id) AS rank
        |      FROM sc) WHERE rank <= 3""".stripMargin
 
-  /** Mirror of Similarity.annIvfPq: trained coarse quantizer routes each
-    * query to nprobe=2 cells; ADC over PQ codes scores only candidates
-    * in those cells.
+  /** Mirror of Similarity.annIvfPq (residual IVFADC): the trained
+    * coarse quantizer routes queries to nprobe=2 cells; PQ codebooks are
+    * trained on RESIDUALS (x - centroid(cell(x))); each query gets one
+    * ADC table per probed cell, built from the query's residual against
+    * that cell. Float subtraction is IEEE-identical across engines.
     */
   val annIvfPq: String =
     s"""WITH ck0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
@@ -595,7 +605,11 @@ object DuckSql {
        |${kmAssignCte("ck1", "cka2")},
        |${kmRecomputeCte("cka2", "ck2")},
        |${kmAssignCte("ck2", "cells0")},
-       |cells AS (SELECT vec_id, cid AS ccell FROM cells0),
+       |cells AS (SELECT vec_id, embedding, cid AS ccell FROM cells0),
+       |sv AS (SELECT c.vec_id, m::INT AS m,
+       |  list_slice(list_transform(range(1, 65),
+       |    i -> c.embedding[i] - k.cvec[i]), m*8 + 1, m*8 + 8) AS sub
+       |  FROM cells c JOIN ck2 k ON k.cid = c.ccell, range(0, 8) t(m)),
        |$pqTrainCtes,
        |probes AS (SELECT q_id, pcell FROM (
        |  SELECT q.vec_id AS q_id, c.cid AS pcell,
@@ -603,12 +617,21 @@ object DuckSql {
        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
        |               c.cid) AS pr
        |  FROM embeddings q, ck2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
-       |$adcCte,
-       |cand AS (SELECT p.q_id, c.vec_id FROM cells c
+       |qs AS (SELECT p.q_id, p.pcell, m::INT AS m,
+       |  list_slice(list_transform(range(1, 65),
+       |    i -> q.embedding[i] - k.cvec[i]), m*8 + 1, m*8 + 8) AS qsub
+       |  FROM probes p JOIN embeddings q ON q.vec_id = p.q_id
+       |       JOIN ck2 k ON k.cid = p.pcell, range(0, 8) t(m)),
+       |adc AS (SELECT qs.q_id, qs.pcell, c.m, c.cid,
+       |  CAST(floor((${pqIp("qs.qsub", "c.cvec")})
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM qs JOIN pq2 c ON c.m = qs.m),
+       |cand AS (SELECT p.q_id, p.pcell, c.vec_id FROM cells c
        |  JOIN probes p ON c.ccell = p.pcell WHERE c.vec_id <> p.q_id),
        |sc AS (SELECT cand.q_id, cand.vec_id AS neighbor_id, sum(a.part) AS s
        |  FROM cand JOIN codes k ON k.vec_id = cand.vec_id
-       |       JOIN adc a ON a.q_id = cand.q_id AND a.m = k.m AND a.cid = k.cid
+       |       JOIN adc a ON a.q_id = cand.q_id AND a.pcell = cand.pcell
+       |                 AND a.m = k.m AND a.cid = k.cid
        |  GROUP BY cand.q_id, cand.vec_id)
        |SELECT q_id, neighbor_id, s::DOUBLE AS approx_dot, rank::INT AS rank
        |FROM (SELECT q_id, neighbor_id, s,

@@ -84,15 +84,10 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.nonEmpty && r.length <= 3)
     assert(r.map(_(3).asInstanceOf[Int]).toSet === (1 to r.length).toSet)
     assert(r.forall(x => x(0) == 0L && x(1) != 0L))
-    // routed subset of the exhaustive ADC ranking: every returned
-    // neighbor must carry the same approx_dot ann_pq assigns it
-    val pq = graft.operators.Similarity.annPq(spark, dir)
-      .select("neighbor_id", "approx_dot").collect()
-      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    r.foreach { x =>
-      val n = x(1).asInstanceOf[Long]
-      if (pq.contains(n)) assert(pq(n) === x(2).asInstanceOf[Double])
-    }
+    // residual encoding: scores differ from ann_pq's raw-vector ADC by
+    // construction; determinism is the invariant to hold
+    val r2 = out.collect().map(_.toSeq)
+    assert(r.toSet === r2.toSet)
   }
 
   test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
