@@ -72,4 +72,17 @@ class PlanSpec extends SparkSpecBase {
     val plan = planOf(Similarity.lshAnn(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("ann_ivfpq probe is training-free and cell-pruned over the index") {
+    val idx = Similarity.ivfPqIndex(spark, dir)
+    val plan = planOf(Similarity.annIvfPqProbe(spark, dir, idx))
+    // the codes scan must carry a dynamic partition-pruning filter on the
+    // cell column — the probe reads only the nprobe probed inverted lists
+    assert(plan.contains("dynamicpruning"),
+      s"codes scan not pruned to probed cells:\n$plan")
+    // a probe never trains: training materializes through localCheckpoint
+    // (ExistingRDD scans); a pure probe plan reads parquet only
+    assert(!plan.contains("ExistingRDD"),
+      s"probe plan contains checkpointed training lineage:\n$plan")
+  }
 }

@@ -90,6 +90,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.toSet === r2.toSet)
   }
 
+  test("ivfpq index persists coarse/codebooks/cell-partitioned codes") {
+    val embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    }
+    val dir = fixtureDir(embs = embs)
+    val idx = graft.operators.Similarity.ivfPqIndex(spark, dir)
+    assert(idx.coarse.columns.toSet === Set("cid", "cvec"))
+    assert(idx.codebooks.columns.toSet === Set("m", "cid", "cvec"))
+    assert(idx.codes.columns.toSet === Set("vec_id", "m", "cid", "ccell"))
+    // every vector encodes to exactly 8 subspace codes in one cell
+    val perVec = idx.codes.groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.countDistinct("ccell").as("cells"))
+      .collect()
+    assert(perVec.length === 20)
+    assert(perVec.forall(r => r.getLong(1) === 8L && r.getLong(2) === 1L))
+    // probing the persisted index matches the end-to-end query entry
+    val viaEntry = graft.operators.Similarity.annIvfPq(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaProbe = graft.operators.Similarity
+      .annIvfPqProbe(spark, dir, idx).collect().map(_.toSeq).toSet
+    assert(viaEntry === viaProbe)
+  }
+
   test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
     // 20 vectors (16 seed the codebooks; vec 0 is the query), clustered
     // so near neighbors of the query share its codewords.
