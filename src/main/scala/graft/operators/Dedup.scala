@@ -76,6 +76,34 @@ object Dedup {
     /** Ones-count of global bit i (md5 bit order: digit i/4, bit 3-i%4). */
     def ones(i: Int): Column =
       shiftright(col(s"S${i / 4}"), 16 * (3 - i % 4)).bitwiseAND(lit(0xFFFFL))
+
+    val LaneCap = 65535L
+
+    /** The item count `n`, ENFORCING the lane cap: past 65 535 items a
+      * lane's ones-count could carry into the adjacent lane and yield a
+      * signature that LOOKS right — the silent-corruption failure mode
+      * this engine must never have (a ~150-page concatenation artifact
+      * WILL appear in a 100 TB corpus). Consumers must read `n` through
+      * this guard so an over-cap group fails the job loudly; chunk such
+      * documents upstream.
+      *
+      * Two tripwires cover the whole overflow surface, both loud:
+      *  1. the packed SUM itself: the top lane sits at bit 48, so a
+      *     top-lane ones-count ≥ 32 768 overflows the signed long DURING
+      *     aggregation and ANSI mode (the Spark 4 default, which the
+      *     engine requires) fails the job right there — this can fire
+      *     before the guard for heavily skewed groups;
+      *  2. this guard: any group that completes aggregation with
+      *     n > 65 535 raises before a signature is emitted.
+      * A group that passes both has every lane ones-count ≤ n ≤ 65 535 —
+      * below the carry bound, so emitted signatures are exact.
+      */
+    def guardedN: Column =
+      when(col("n") > LaneCap, raise_error(concat(
+        lit("BitPack lane overflow: "), col("n").cast("string"),
+        lit(s" hashed items in one group exceeds $LaneCap; " +
+          "chunk the document upstream"))))
+        .otherwise(col("n"))
   }
 
   /** Normalized whitespace tokens (lowercase, collapsed). */
@@ -213,7 +241,7 @@ object Dedup {
       .select(col("doc_id") +: BitPack.packedDigits(col("h")): _*)
     val aggs = BitPack.sumAggs
     val sig = (0 until SIM_BITS).map { i =>
-      shiftleft(when(BitPack.ones(i) * 2 >= col("n"), lit(1L))
+      shiftleft(when(BitPack.ones(i) * 2 >= BitPack.guardedN, lit(1L))
         .otherwise(lit(0L)), 63 - i)
     }.reduce(_ bitwiseOR _)
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

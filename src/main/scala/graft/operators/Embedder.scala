@@ -42,7 +42,7 @@ object Embedder {
       .select(col("doc_id") +: BitPack.packedDigits(md5(col("w"))): _*)
     val aggs = BitPack.sumAggs
     val sums = (0 until DIM).map { i =>
-      (BitPack.ones(i) * 2 - col("n")).as(s"s$i")
+      (BitPack.ones(i) * 2 - BitPack.guardedN).as(s"s$i")
     }
     val norm = sqrt((0 until DIM).map(i =>
       col(s"s$i").cast("double") * col(s"s$i").cast("double")).reduce(_ + _))

@@ -55,4 +55,23 @@ class DedupSpec extends SparkSpecBase {
     // unrelated docs share no shingle -> pair absent entirely
     assert(!out.contains((0L, 4L)))
   }
+
+  test("BitPack lane cap: a >65535-shingle document fails LOUDLY") {
+    // 65 540 distinct tokens -> 65 538 distinct 3-gram shingles, past the
+    // 16-bit lane width. The aggregate must raise, never emit a
+    // plausible-but-corrupt signature.
+    val big = (0 until 65540).map(i => s"t$i").mkString(" ")
+    val dir = fixtureDir(docs = Seq(doc(0, big), doc(1, "a b c d e")))
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    val e = intercept[Exception] {
+      Dedup.dedupSimhash(spark, dir).collect()
+    }
+    // either tripwire is a correct loud failure: the ANSI long-overflow
+    // of the packed sum (fires during aggregation when the top lane is
+    // heavy) or the explicit lane-cap guard (any surviving n > 65535)
+    val m = messages(e)
+    assert(m.contains("BitPack lane overflow") ||
+      m.contains("ARITHMETIC_OVERFLOW"), m)
+  }
 }
