@@ -17,6 +17,7 @@ object SparkEntry {
     "q3_revenue"    -> (Analytics.q3Revenue _),
     "q5_region"     -> (Analytics.q5Region _),
     "top_customers" -> (Analytics.topCustomers _),
+    "q14_promo"     -> (Analytics.q14Promo _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
     "knn_join"          -> (Similarity.knnJoin _),
@@ -37,12 +38,14 @@ object SparkEntry {
     "interaction_history"  -> (Interactions.interactionHistory _),
     "topic_interactions"   -> (Interactions.topicInteractions _),
     "high_quality"         -> (Interactions.highQuality _),
+    "high_quality_topic"   -> (Interactions.highQualityTopic _),
     "lang_id"         -> (TextAnalysis.langId _),
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
+    "toxicity_screen"  -> (TextAnalysis.toxicityScreen _),
     "dedup_exact"   -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -95,6 +98,20 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_promo" ->
+      """WITH u AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5) AS BIGINT) AS ru,
+        |  CASE WHEN p_type = 'ECONOMY'
+        |       THEN CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5) AS BIGINT)
+        |       ELSE 0 END AS pu
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (SELECT ship_month, sum(pu) AS pu, sum(ru) AS tu
+        |      FROM u GROUP BY ship_month)
+        |SELECT ship_month,
+        |  floor(pu::DOUBLE / 100 + 0.5) / 100 AS promo_revenue,
+        |  floor(tu::DOUBLE / 100 + 0.5) / 100 AS total_revenue,
+        |  floor(pu::DOUBLE / tu::DOUBLE * 100 * 10000 + 0.5) / 10000 AS promo_pct
+        |FROM s ORDER BY ship_month""".stripMargin,
     "top_customers" ->
       """SELECT c_mktsegment, rank::INT AS rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal AS bal,
@@ -205,12 +222,14 @@ object SparkEntry {
     "interaction_history"  -> graft.oracle.DuckSql.interactionHistory,
     "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
     "high_quality"         -> graft.oracle.DuckSql.highQuality,
+    "high_quality_topic"   -> graft.oracle.DuckSql.highQualityTopic,
     "lang_id"         -> graft.oracle.DuckSql.langId,
     "quality_score"   -> graft.oracle.DuckSql.qualityScore,
     "token_count"     -> graft.oracle.DuckSql.tokenCount,
     "doc_fingerprint" -> graft.oracle.DuckSql.docFingerprint,
     "pii_scrub"        -> graft.oracle.DuckSql.piiScrub,
     "repetition_score" -> graft.oracle.DuckSql.repetitionScore,
+    "toxicity_screen"  -> graft.oracle.DuckSql.toxicityScreen,
     "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,

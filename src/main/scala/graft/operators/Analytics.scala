@@ -103,6 +103,38 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q14-shaped promo-revenue share: part ⋈ lineitem on partkey,
+    * monthly revenue share of 'ECONOMY'-type parts (the testdata's stand-in
+    * for PROMO%). The join shape is fact⋈mid-dim: part scales with SF
+    * (TPC-H part = 200K rows × SF — fact-sized at the 100 TB target), so
+    * it is NOT hinted broadcast; both sides shuffle on partkey at scale
+    * (PlanSpec asserts it) and AQE may still downgrade to broadcast at toy
+    * SF where part fits — right in both regimes. The share divides the two
+    * exact decimal sums as doubles with the shared floor-round primitive.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    // revenue is exact at 4dp (2dp price × 2dp discount): accumulate
+    // integer 1e-4 units via the shared floor primitive — a double→decimal
+    // cast would HALF-UP on Spark but shortest-repr-round on DuckDB, and
+    // a conditional subtotal can land a cent boundary on the disagreement
+    val revU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
+    val promoU = when(col("p_type") === "ECONOMY", revU).otherwise(lit(0L))
+    val money = (u: Column) => floor(u.cast("double") / 100 + 0.5) / 100
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(sum(promoU).as("pu"), sum(revU).as("tu"))
+      .select(col("ship_month"),
+        money(col("pu")).as("promo_revenue"),
+        money(col("tu")).as("total_revenue"),
+        (floor(col("pu").cast("double") / col("tu").cast("double")
+          * 100 * 10000 + 0.5) / 10000).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
   /** Window ranking: top-3 customers by account balance per market segment. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

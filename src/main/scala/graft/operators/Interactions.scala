@@ -86,18 +86,35 @@ object Interactions {
   }
 
   /** high_quality: effectiveness threshold OR high template adherence,
-    * most recent first, limit 100 — the reference's training-data gate.
+    * most recent first, limit 100 — the reference's training-data gate,
+    * with the reference's optional topic filter
+    * (/root/reference/database.py:344,358-361: `topic_filter` becomes
+    * `metadata->>'topic' = '<filter>'` ANDed with the effectiveness
+    * clause).
     */
-  def highQuality(spark: SparkSession, dir: String): DataFrame = {
+  def highQualityFiltered(spark: SparkSession, dir: String,
+      topicFilter: Option[String]): DataFrame = {
     val overlap = round(propsK / 100.0, 2)
     val adherence = when(col("event_type") === "purchase", "high")
       .when(col("event_type") === "signup", "medium")
       .otherwise("low")
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
+    val names = array(RefVocab.taxonomy.map(t => lit(t._1)): _*)
+    val topic = element_at(names,
+      (pmod(propsK, lit(RefVocab.taxonomy.size)) + 1).cast("int"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), topic.as("topic"),
         overlap.as("term_overlap"), adherence.as("template_adherence"))
       .filter(col("term_overlap") >= 0.7 || col("template_adherence") === "high")
+    topicFilter.fold(base.drop("topic"))(t => base.filter(col("topic") === t))
       .orderBy(col("event_id").desc)
       .limit(100)
   }
+
+  /** high_quality: the unfiltered training-data gate. */
+  def highQuality(spark: SparkSession, dir: String): DataFrame =
+    highQualityFiltered(spark, dir, None)
+
+  /** high_quality_topic: the gate restricted to one detected topic. */
+  def highQualityTopic(spark: SparkSession, dir: String): DataFrame =
+    highQualityFiltered(spark, dir, Some("Anxiety"))
 }

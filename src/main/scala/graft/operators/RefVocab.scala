@@ -295,4 +295,22 @@ object RefVocab {
 
   /** English stopwords used by the document quality score. */
   val enStopwords: Seq[String] = langStopwords.head._2
+
+  /** Toxicity lexicon for the stubbed toxicity screen
+    * (/root/reference/text_generator.py:270-299 `is_toxic` runs a
+    * transformer classifier; no model runs inside the engine, so the stub
+    * scores lexicon-term density instead — the <5-word short-circuit and
+    * the 0.7 threshold ARE the reference's). Placeholder terms: mild
+    * negative vocabulary chosen so the synthetic corpus exercises both
+    * sides of the threshold; a deployment supplies its own lexicon.
+    */
+  val toxicLexicon: Seq[String] = Seq(
+    "kill", "hate", "crash", "broken", "slow", "stupid", "awful",
+    "terrible", "worthless", "dead")
+
+  /** Reference thresholds for the toxicity screen
+    * (text_generator.py:274-276, 296).
+    */
+  val toxicMinWords = 5
+  val toxicThreshold = 0.7
 }

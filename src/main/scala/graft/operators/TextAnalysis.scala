@@ -172,4 +172,33 @@ object TextAnalysis {
         size(col("g2")).cast("int").as("n_2grams"),
         dupFrac(col("g2")).as("dup_2gram_frac"))
   }
+
+  /** toxicity_screen: stub of the reference's response toxicity gate
+    * (/root/reference/text_generator.py:270-299 `is_toxic`). The model
+    * is stubbed (as embed_text's is): a lexicon-density score stands in
+    * for the classifier probability. The decision shape is the
+    * reference's exactly — responses under 5 words short-circuit to
+    * non-toxic (:274-276) and the threshold is `score > 0.7` (:296).
+    * Map-shaped; embarrassingly parallel at any scale.
+    */
+  def toxicityScreen(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(lower(col("text")))
+    val lex = array(RefVocab.toxicLexicon.map(lit): _*)
+    def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        size(t).cast("int").as("n_words"),
+        size(filter(t, x => array_contains(lex, x))).cast("int")
+          .as("toxic_hits"))
+      .withColumn("toxic_score",
+        when(col("n_words") >= RefVocab.toxicMinWords,
+          rnd4(least(lit(1.0),
+            col("toxic_hits") * 10.0 / col("n_words"))))
+          .otherwise(0.0))
+      .withColumn("is_toxic",
+        col("n_words") >= RefVocab.toxicMinWords &&
+          col("toxic_score") > RefVocab.toxicThreshold)
+  }
 }

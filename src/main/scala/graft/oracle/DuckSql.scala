@@ -256,6 +256,27 @@ object DuckSql {
        |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
        |FROM m""".stripMargin
 
+  /** Mirror of TextAnalysis.toxicityScreen: lexicon-density score from
+    * the shared RefVocab lexicon, the reference's <5-word short-circuit
+    * and 0.7 threshold.
+    */
+  val toxicityScreen: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |h AS (SELECT doc_id, len(ws)::INT AS n_words,
+       |  len(list_filter(ws, x -> list_contains(${listLit(RefVocab.toxicLexicon)}, x)))::INT AS toxic_hits
+       |  FROM w),
+       |s AS (SELECT doc_id, n_words, toxic_hits,
+       |  CASE WHEN n_words >= ${RefVocab.toxicMinWords}
+       |       THEN floor(least(CAST(1.0 AS DOUBLE), toxic_hits * 10.0 / n_words) * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS toxic_score
+       |  FROM h)
+       |SELECT doc_id, n_words, toxic_hits, toxic_score,
+       |  (n_words >= ${RefVocab.toxicMinWords}
+       |   AND toxic_score > ${RefVocab.toxicThreshold}) AS is_toxic
+       |FROM s""".stripMargin
+
   val tokenCount: String =
     """SELECT doc_id,
       |  len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS ws_tokens,
@@ -672,4 +693,21 @@ object DuckSql {
       |SELECT * FROM e
       |WHERE term_overlap >= 0.7 OR template_adherence = 'high'
       |ORDER BY event_id DESC LIMIT 100""".stripMargin
+
+  /** Mirror of Interactions.highQualityTopic: the reference's
+    * topic_filter clause ANDed with the effectiveness gate.
+    */
+  val highQualityTopic: String =
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  list_extract($topicNamesList,
+       |    (CAST(json_extract_string(props, '$$.k') AS INT) % ${RefVocab.taxonomy.size}) + 1) AS topic,
+       |  round(CAST(json_extract_string(props, '$$.k') AS INT) / 100.0, 2) AS term_overlap,
+       |  CASE WHEN event_type = 'purchase' THEN 'high'
+       |       WHEN event_type = 'signup' THEN 'medium'
+       |       ELSE 'low' END AS template_adherence
+       |  FROM events)
+       |SELECT * FROM e
+       |WHERE topic = 'Anxiety'
+       |  AND (term_overlap >= 0.7 OR template_adherence = 'high')
+       |ORDER BY event_id DESC LIMIT 100""".stripMargin
 }

@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q14_promo at scale: part⋈lineitem shuffles, never broadcasts") {
+    withNoAutoBroadcast {
+      val plan = planOf(Analytics.q14Promo(spark, dir))
+      // part is fact-sized at scale (200K rows × SF): no broadcast hint,
+      // so with the threshold off the join must degrade to a shuffle join
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"part join must shuffle at scale, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("q1_pricing: partial (map-side) aggregation and pruned scan") {
     val plan = planOf(Analytics.q1Pricing(spark, dir))
     // partial + final HashAggregate pair

@@ -82,4 +82,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(byDoc.keySet === Set(0L, 1L))
     assert(byDoc(0L) === byDoc(1L))
   }
+
+  test("toxicity_screen: short-circuit, threshold, lexicon density") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "hate kill crash"),                  // 3 words: short-circuit
+      doc(1, "hate kill crash broken slow"),      // 5 hits / 5 words -> 1.0
+      doc(2, "the cat sat on the mat calmly"),    // 0 hits
+      doc(3, "hate kill it and more words here"), // 2*10/7 capped at 1.0
+      // 1 hit / 20 words -> 10/20 = 0.5: scored but under the threshold
+      doc(4, "hate " + (1 to 19).map(i => s"w$i").mkString(" "))))
+    val out = TextAnalysis.toxicityScreen(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_words"), r.getAs[Int]("toxic_hits"),
+          r.getAs[Double]("toxic_score"), r.getAs[Boolean]("is_toxic"))))
+      .toMap
+    // reference short-circuit (text_generator.py:274): <5 words is never
+    // toxic and is not scored
+    assert(out(0L) === ((3, 3, 0.0, false)))
+    assert(out(1L) === ((5, 5, 1.0, true)))
+    assert(out(2L) === ((7, 0, 0.0, false)))
+    assert(out(3L) === ((7, 2, 1.0, true)))
+    assert(out(4L) === ((20, 1, 0.5, false)))
+  }
 }
