@@ -14,13 +14,14 @@ import graft.sources.Tables
   * recall/cost tradeoff the toy oracle setting (k=8, nprobe=2) cannot
   * show.
   *
-  * Usage: runMain graft.tools.AnnProbe <dir> [k] [nprobe]
+  * Usage: runMain graft.tools.AnnProbe <dir> [k] [nprobe] [rotate01]
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = if (args.length > 1) args(1).toInt else 8
     val nprobe = if (args.length > 2) args(2).toInt else 2
+    val rotate = args.length > 3 && args(3) == "1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,9 +31,10 @@ object AnnProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val path = s"${Similarity.ivfPqIndexPath(dir)}-k$k"
+    val path = s"${Similarity.ivfPqIndexPath(dir)}-k$k" +
+      (if (rotate) "-rot" else "")
     val t0 = System.nanoTime()
-    Similarity.buildIvfPqIndex(spark, dir, path, k)
+    Similarity.buildIvfPqIndex(spark, dir, path, k, rotate)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val idx = Similarity.loadIvfPqIndex(spark, path)
 
@@ -63,8 +65,9 @@ object AnnProbe {
     val nHit = approx.intersect(exact).count()
     val recall = nHit.toDouble / nExact
 
-    println(s"""{"k":$k,"nprobe":$nprobe,"build_sec":$buildSec,""" +
-      s""""probe_sec":$probeSec,"recall_at_3":$recall,"dir":"$dir"}""")
+    println(s"""{"k":$k,"nprobe":$nprobe,"rotate":$rotate,""" +
+      s""""build_sec":$buildSec,"probe_sec":$probeSec,""" +
+      s""""recall_at_3":$recall,"dir":"$dir"}""")
     spark.stop()
   }
 }

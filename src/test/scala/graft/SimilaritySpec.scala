@@ -115,6 +115,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(viaEntry === viaProbe)
   }
 
+  test("OPQ-style rotation: orthogonal by construction, neighbors stable") {
+    import graft.operators.Similarity
+    // signed permutation = orthogonal: perm is a bijection, signs are ±1
+    assert(Similarity.OpqPerm.sorted.toSeq === (0 until 64))
+    assert(Similarity.OpqSigns.forall(s => s == 1.0f || s == -1.0f))
+    val embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    }
+    val dir = fixtureDir(embs = embs)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-opq-idx").toString
+    Similarity.buildIvfPqIndex(spark, dir, path, rotate = true)
+    val idx = Similarity.loadIvfPqIndex(spark, path)
+    assert(idx.rotated)
+    val rot = Similarity.annIvfPqProbe(spark, dir, idx)
+      .orderBy("rank").collect()
+    // inner products are invariant under the rotation, so the clustered
+    // fixture ranks the same neighbors (rank-1 = a same-cluster twin)
+    val plain = Similarity.annIvfPq(spark, dir).orderBy("rank").collect()
+    assert(rot.length === plain.length)
+    assert(rot.head.getLong(1) === plain.head.getLong(1))
+  }
+
   test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
     // 20 vectors (16 seed the codebooks; vec 0 is the query), clustered
     // so near neighbors of the query share its codewords.
