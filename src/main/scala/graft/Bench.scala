@@ -46,10 +46,18 @@ object Bench {
           (-1.0, -1.0) }
       name -> ((tMin, tMax))
     }
+    // Millisecond precision: sub-ms digits are noise and they bloat the
+    // line (the driver captures only the TAIL of stdout, so the parseable
+    // line must stay compact and LAST — r4's full-precision min+max line
+    // overflowed the capture and the round lost its bench grade).
+    def ms(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     def obj(f: ((Double, Double)) => Double): String = results
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + ms(f(v)) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"queries_max":${obj(_._2)},"sf":"$sfDir"}""")
+    // Detail line first (self-diagnosing: max >> min flags external load
+    // or one-time work like codegen/index build), compact metric line last.
+    println(s"""{"metric":"detail_max","value":${ms(total)},"unit":"sec","queries_max":${obj(_._2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
