@@ -58,6 +58,9 @@ object SparkEntry {
     "ann_pq"         -> (Similarity.annPq _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
+    "decontaminate"     -> (Curation.decontaminate _),
+    "stratified_sample" -> (Curation.stratifiedSample _),
+    "pack_sequences"    -> (Curation.packSequences _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -242,5 +245,8 @@ object SparkEntry {
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
+    "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
+    "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
+    "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
   )
 }

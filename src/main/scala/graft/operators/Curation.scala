@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators — the steps between "raw crawl" and
+  * "training mix" that the reference's single-tenant store never needs
+  * but any 100 TB pipeline runs daily:
+  *
+  *  - decontaminate — flag training docs sharing n-grams with a held-out
+  *    benchmark set (the GPT-3 appendix-C / Gopher eval-decontamination
+  *    step: exact n-gram collision against the eval suite)
+  *  - stratified_sample — deterministic seeded per-stratum downsampling
+  *    (the data-mixing primitive: rates per language/domain)
+  *  - pack_sequences — concat-and-chunk sequence packing: assign each doc
+  *    an offset and training-sequence bin inside a sharded token stream
+  *
+  * All three are driver-gated with DuckDB oracles (constants below are
+  * the single source for both engines — mirrored in
+  * [[graft.oracle.DuckSql]]).
+  */
+object Curation {
+
+  /** Benchmark membership: doc_id ≡ ContamSlot (mod ContamMod) — a
+    * deterministic ~2% stand-in for the external eval suite.
+    */
+  val ContamMod = 50
+  val ContamSlot = 7
+
+  /** Per-language keep rates; [[SampleDefaultRate]] for the tail. The
+    * keep decision hashes (doc_id, seed), so re-running the pipeline —
+    * or running it on a different cluster layout — keeps the SAME docs.
+    */
+  val SampleSeed = "graft42"
+  val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.5)
+  val SampleDefaultRate = 0.25
+
+  /** Packing stream shards and the per-sequence token budget. Each shard
+    * is an independent concat-and-chunk stream: the cumulative token
+    * offset is windowed PER SHARD, so packing 100 TB never funnels
+    * through one global ordering — shards scale with the cluster and the
+    * within-shard window is the only sequential structure.
+    */
+  val PackShards = 8
+  val PackBudget = 512
+
+  /** decontaminate: training docs (doc_id ∉ benchmark) that share at
+    * least one distinct word-3-gram with any benchmark doc, with the
+    * count of contaminated shingles. The benchmark side is a fixed-size
+    * eval suite — tiny at any corpus scale — so its distinct shingles
+    * BROADCAST and the flagging pass is a map-side semi-join over the
+    * training corpus: no shuffle of the 100 TB side at all.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
+    val benchG = sh.filter(isBench).select(col("g")).distinct()
+    sh.filter(!isBench)
+      .join(broadcast(benchG), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Uniform hash of (doc_id, seed) in [0, 1): the first 8 md5 hex chars
+    * as an integer over 2^32 — exact binary rational, so the `< rate`
+    * comparison is bit-identical on any engine.
+    */
+  private def hashU(id: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + SampleSeed))),
+      1, 8), 16, 10).cast("long") / lit(4294967296.0)
+
+  /** stratified_sample: keep each doc iff hash(doc_id, seed) < rate(lang).
+    * Map-only — no shuffle, no per-stratum state; the rates table is a
+    * literal when-chain. Deterministic across runs and cluster layouts,
+    * which is what makes the sampled mix reproducible.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(SampleDefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .filter(hashU(col("doc_id")) < rate)
+  }
+
+  /** pack_sequences: shard the corpus into [[PackShards]] independent
+    * token streams (shard = doc_id mod shards), lay docs end-to-end in
+    * doc_id order, and emit each doc's stream offset and training-
+    * sequence bin (offset div budget). Token counts are whitespace
+    * tokens (the tokenizer stub shared with token_count). Integer
+    * arithmetic end-to-end; the only non-map structure is the per-shard
+    * running sum.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(
+      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+      x => x =!= "")).cast("long")
+    val shard = pmod(col("doc_id"), lit(PackShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.as("shard"), toks.as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("offset") / lit(PackBudget)).cast("long"))
+  }
+}

@@ -710,4 +710,46 @@ object DuckSql {
        |WHERE topic = 'Anxiety'
        |  AND (term_overlap >= 0.7 OR template_adherence = 'high')
        |ORDER BY event_id DESC LIMIT 100""".stripMargin
+
+  // ---- corpus curation (graft.operators.Curation constants) ----------
+
+  /** Mirror of Curation.decontaminate: distinct-shingle collisions of
+    * training docs against the benchmark slot.
+    */
+  val decontaminate: String = {
+    import graft.operators.Curation.{ContamMod, ContamSlot}
+    s"""$shCte,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % $ContamMod = $ContamSlot)
+       |SELECT doc_id, count(*) AS hits FROM ex JOIN bench USING (g)
+       |WHERE doc_id % $ContamMod <> $ContamSlot GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirror of Curation.stratifiedSample: the same (doc_id, seed) hash
+    * in [0,1) — first 8 md5 hex chars over 2^32, an exact binary
+    * rational — against the same per-language rate chain.
+    */
+  val stratifiedSample: String = {
+    import graft.operators.Curation.{SampleDefaultRate, SampleRates, SampleSeed}
+    val rateCase = SampleRates
+      .map { case (l, r) => s"WHEN lang = '${sq(l)}' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $SampleDefaultRate END")
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
+       |      / 4294967296.0 < $rateCase""".stripMargin
+  }
+
+  /** Mirror of Curation.packSequences: per-shard running token offsets
+    * and budget bins, integer arithmetic end-to-end.
+    */
+  val packSequences: String = {
+    import graft.operators.Curation.{PackBudget, PackShards}
+    s"""WITH n AS (SELECT doc_id, (doc_id % $PackShards)::INT AS shard,
+       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+       |o AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset" FROM n)
+       |SELECT doc_id, shard, n_tokens, "offset",
+       |  floor("offset" / $PackBudget)::BIGINT AS bin FROM o""".stripMargin
+  }
 }
