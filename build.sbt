@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses stdout for Bench's one-line JSON metric. Raw
+// forked output (no [info] prefix) + no trailing "[success] Total time"
+// line keeps that JSON as the LAST stdout line (BENCH_r1-r5 all recorded
+// "parsed": null because sbt's epilogue followed the metric line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

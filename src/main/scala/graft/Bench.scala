@@ -50,13 +50,19 @@ object Bench {
     // line (the driver captures only the TAIL of stdout, so the parseable
     // line must stay compact and LAST — r4's full-precision min+max line
     // overflowed the capture and the round lost its bench grade).
-    def ms(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+    // comma-decimal default locale would silently break the JSON.
+    def ms(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", d)
     def obj(f: ((Double, Double)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + ms(f(v)) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    val totalMax = results.values.map(_._2).filter(_ >= 0).sum
     // Detail line first (self-diagnosing: max >> min flags external load
     // or one-time work like codegen/index build), compact metric line last.
-    println(s"""{"metric":"detail_max","value":${ms(total)},"unit":"sec","queries_max":${obj(_._2)},"sf":"$sfDir"}""")
+    // build.sbt suppresses sbt's trailing [success] line and forks run
+    // with raw stdout, so the total line below IS the last stdout line.
+    println(s"""{"metric":"detail_max","value":${ms(totalMax)},"unit":"sec","queries_max":${obj(_._2)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,17 +49,24 @@ object Curation {
 
   /** decontaminate: training docs (doc_id ∉ benchmark) that share at
     * least one distinct word-3-gram with any benchmark doc, with the
-    * count of contaminated shingles. The benchmark side is a fixed-size
-    * eval suite — tiny at any corpus scale — so its distinct shingles
-    * BROADCAST and the flagging pass is a map-side semi-join over the
-    * training corpus: no shuffle of the 100 TB side at all.
+    * count of contaminated shingles.
+    *
+    * A REAL eval suite is fixed-size (thousands of docs regardless of
+    * corpus scale), and its distinct shingles would broadcast into a
+    * map-side semi-join — no shuffle of the 100 TB side. The mod-50
+    * membership stand-in here does NOT model that: it grows linearly
+    * with the corpus (~2%), so a forced broadcast() would OOM at scale.
+    * The join is therefore left to the size-based planner/AQE: small
+    * bench side → broadcast hash join for free; large stand-in →
+    * shuffle hash join. Callers with a genuinely fixed-size suite can
+    * wrap the bench side in broadcast() safely.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleRows(spark, dir)
     val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
     val benchG = sh.filter(isBench).select(col("g")).distinct()
     sh.filter(!isBench)
-      .join(broadcast(benchG), "g")
+      .join(benchG, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hits"))
   }

@@ -714,15 +714,18 @@ object DuckSql {
   // ---- corpus curation (graft.operators.Curation constants) ----------
 
   /** Mirror of Curation.decontaminate: distinct-shingle collisions of
-    * training docs against the benchmark slot.
+    * training docs against the benchmark slot. pmod semantics (Spark's
+    * pmod vs DuckDB's dividend-signed %) so the two engines agree even
+    * for negative doc_id.
     */
   val decontaminate: String = {
     import graft.operators.Curation.{ContamMod, ContamSlot}
+    val slot = s"((doc_id % $ContamMod) + $ContamMod) % $ContamMod"
     s"""$shCte,
        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-       |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % $ContamMod = $ContamSlot)
+       |bench AS (SELECT DISTINCT g FROM ex WHERE $slot = $ContamSlot)
        |SELECT doc_id, count(*) AS hits FROM ex JOIN bench USING (g)
-       |WHERE doc_id % $ContamMod <> $ContamSlot GROUP BY doc_id""".stripMargin
+       |WHERE $slot <> $ContamSlot GROUP BY doc_id""".stripMargin
   }
 
   /** Mirror of Curation.stratifiedSample: the same (doc_id, seed) hash
@@ -740,11 +743,12 @@ object DuckSql {
   }
 
   /** Mirror of Curation.packSequences: per-shard running token offsets
-    * and budget bins, integer arithmetic end-to-end.
+    * and budget bins, integer arithmetic end-to-end. pmod shard id to
+    * match Spark's pmod for any doc_id sign.
     */
   val packSequences: String = {
     import graft.operators.Curation.{PackBudget, PackShards}
-    s"""WITH n AS (SELECT doc_id, (doc_id % $PackShards)::INT AS shard,
+    s"""WITH n AS (SELECT doc_id, (((doc_id % $PackShards) + $PackShards) % $PackShards)::INT AS shard,
        |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |      x -> x <> ''))::BIGINT AS n_tokens FROM documents),
        |o AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
