@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
+    "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,

@@ -358,14 +358,17 @@ object DuckSql {
       |FROM (SELECT doc_id, text_hash,
       |        min(doc_id) OVER (PARTITION BY text_hash) AS canonical FROM n)""".stripMargin
 
-  val dedupMinhash: String = {
+  /** MinHash pair CTE chain (appended after shCte): `j` holds verified
+    * (id_a, id_b, jaccard) candidates — shared by dedupMinhash and
+    * dedupClusters.
+    */
+  private val minhashJCtes: String = {
     val mins = (0 until 12)
       .map(j => s"min((v1 + $j*v2) % 2147483647) AS m$j").mkString(", ")
     val bandStrs = (0 until 4).map { b =>
       s"m${3 * b}::VARCHAR || '_' || m${3 * b + 1}::VARCHAR || '_' || m${3 * b + 2}::VARCHAR"
     }.mkString("[", ", ", "]")
-    s"""$shCte,
-       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    s"""ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |hv AS (SELECT doc_id,
        |  ('0x' || substr(md5(g), 1, 8))::BIGINT AS v1,
        |  ('0x' || substr(md5(g), 9, 8))::BIGINT AS v2 FROM ex),
@@ -379,9 +382,33 @@ object DuckSql {
        |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
        |j AS (SELECT id_a, id_b, $jacSql AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
-       |            JOIN sh sb ON sb.doc_id = cand.id_b)
-       |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+       |            JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
+
+  val dedupMinhash: String =
+    s"""$shCte,
+       |$minhashJCtes
+       |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  /** Mirror of Dedup.dedupClusters: connected components of the verified
+    * minhash pairs as a recursive transitive closure (the oracle-sized
+    * formulation; the engine side is log-round pointer jumping), each doc
+    * labeled with its component minimum, singletons labeling themselves.
+    */
+  val dedupClusters: String =
+    s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$minhashJCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |        FROM reach GROUP BY u)
+       |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin
 
   val dedupSimhash: String = {
     val bitTerms = (0 until 64).map { i =>

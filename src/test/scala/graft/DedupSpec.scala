@@ -56,6 +56,52 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains((0L, 4L)))
   }
 
+  test("dedup_clusters: components of the minhash pairs, min-id labels") {
+    val d = dir()
+    // expected components: union-find over the operator's own pair list
+    val pairs = Dedup.dedupMinhash(spark, d)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val out = Dedup.dedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L)) // one row per doc
+    out.foreach { case (id, c) => assert(c === find(id), s"doc $id") }
+    // 0,1,2 are identical docs: guaranteed one component labeled 0
+    assert(out(0L) === 0L && out(1L) === 0L && out(2L) === 0L)
+    // the unrelated doc is a singleton labeling itself
+    assert(out(4L) === 4L)
+  }
+
+  test("dedup_clusters: a transitive chain collapses to one component") {
+    // 0-1 and 1-2 are high-jaccard near-dups (one word changed in a
+    // 40-word doc, j ≈ 0.92); 0-2 (two words changed) may or may not
+    // pair directly — components must contain all three either way
+    // (transitivity).
+    val base = (0 until 40).map(i => s"w$i").toVector
+    val d = fixtureDir(docs = Seq(
+      doc(0, base.mkString(" ")),
+      doc(1, base.updated(10, "x").mkString(" ")),
+      doc(2, base.updated(10, "x").updated(30, "y").mkString(" ")),
+      doc(3, "one two three four five six seven eight")))
+    val pairs = Dedup.dedupMinhash(spark, d)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(pairs((0L, 1L)) && pairs((1L, 2L))) // the chain exists
+    val out = Dedup.dedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 0L && out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 3L)
+  }
+
   test("BitPack lane cap: a >65535-shingle document fails LOUDLY") {
     // 65 540 distinct tokens -> 65 538 distinct 3-gram shingles, past the
     // 16-bit lane width. The aggregate must raise, never emit a
