@@ -19,7 +19,15 @@ object Bench {
     // Each query is timed as the min of N runs (default 2): the first run
     // pays Janino codegen + JIT, which at sf<=0.1 can dominate the query
     // itself and made per-round numbers swing ±40%.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Default 3 runs: with 2, one contended sample leaves min == the
+    // contended time and two rounds needed judge re-runs to adjudicate.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Host 1-minute loadavg at bench start and end: a poisoned sample
+    // (external load) becomes machine-detectable from the artifact alone.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries (dev loop).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -62,8 +70,9 @@ object Bench {
     // or one-time work like codegen/index build), compact metric line last.
     // build.sbt suppresses sbt's trailing [success] line and forks run
     // with raw stdout, so the total line below IS the last stdout line.
+    val loadEnd = loadavg()
     println(s"""{"metric":"detail_max","value":${ms(totalMax)},"unit":"sec","queries_max":${obj(_._2)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

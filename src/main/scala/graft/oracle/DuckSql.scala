@@ -385,10 +385,15 @@ object DuckSql {
        |            JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
 
+  /** Shared near-dup threshold (single-sourced from the engine constant —
+    * see Dedup.JaccardThreshold).
+    */
+  private val jacThresh = graft.operators.Dedup.JaccardThreshold
+
   val dedupMinhash: String =
     s"""$shCte,
        |$minhashJCtes
-       |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+       |SELECT * FROM j WHERE jaccard >= $jacThresh""".stripMargin
 
   /** Mirror of Dedup.dedupClusters: connected components of the verified
     * minhash pairs as a recursive transitive closure (the oracle-sized
@@ -398,7 +403,7 @@ object DuckSql {
   val dedupClusters: String =
     s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$minhashJCtes,
-       |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $jacThresh),
        |e AS (SELECT id_a AS u, id_b AS v FROM p
        |      UNION ALL SELECT id_b, id_a FROM p),
        |reach(u, v) AS (
