@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Lexical (sparse) retrieval over the documents corpus — the missing
+  * half of the reference's retrieval surface: `get_relevant_documents`
+  * (/root/reference/rag_processor.py:26-77) ranks context by embedding
+  * cosine only, but every production RAG/data pipeline runs a lexical
+  * ranker (BM25) alongside the vector one and fuses the two.
+  *
+  *  - `bm25_topk` — Okapi BM25 (Robertson & Walker, SIGIR'94; the
+  *    Robertson-Spärck Jones idf): per-query top-k over an inverted
+  *    postings frame.
+  *  - `tfidf_vectors` — sparse tf-idf document vectors (top terms per
+  *    doc), the classic feature extraction step (Salton & Buckley, 1988;
+  *    the smoothed idf variant popularized by scikit-learn).
+  *
+  * Scale shape: postings are ROWS keyed by term — document frequency and
+  * scoring are partial-agg-friendly groupBys/joins that shuffle on term
+  * or doc_id, never a cross product. The QUERY side (a bounded batch of
+  * query docs, like knnJoin's query vectors) broadcasts; document
+  * frequency joins against it restrict the idf table to query vocabulary
+  * before it ever shuffles. Corpus-side frames never carry text past
+  * tokenization — postings are (doc_id, term, tf) scalars.
+  *
+  * Cross-engine parity: tf/df/dl are exact integers; every floating
+  * step mirrors the oracle's arithmetic order exactly, and per-term
+  * score contributions round to 6dp with the shared floor primitive and
+  * accumulate in DECIMAL — order-independent under any partitioning.
+  * `ln` is the one library call (not IEEE-mandated); a 1-ulp engine
+  * disagreement would have to land within 1 ulp of a 0.5e-6 rounding
+  * boundary to flip a 6dp-rounded idf — negligible, and deterministic
+  * per corpus either way.
+  */
+object Retrieval {
+
+  /** Query docs: doc_id ≡ 0 (mod QueryMod) — a deterministic ~1% query
+    * batch (the bounded "questions" side; the reference retrieves for one
+    * question at a time, the engine batches them).
+    */
+  val QueryMod = 100
+
+  val BmK1 = 1.2
+  val BmB = 0.75
+  /** BM25's (k1 + 1) as a LITERAL on both engines — a runtime k1+1 sum
+    * could round differently than the parsed literal "2.2".
+    */
+  val BmK1Plus1 = 2.2
+  val BmTopK = 10
+
+  val TfidfTopTerms = 5
+
+  /** (doc_id, term): one row per token occurrence, compute-parallelized
+    * by doc (same posture as Dedup.shingleRows).
+    */
+  private def tokenRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.normToks(col("text"))).as("term"))
+
+  /** bm25_topk: BM25 top-k documents per query doc.
+    *
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+    *   idf(t)     = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *
+    * Plan: postings (corpus tf) shuffle on (doc, term) then join the
+    * BROADCAST query-term/idf table on term; per-(query, doc) partial-agg
+    * sum; one window for the top-k. df is computed corpus-side but
+    * restricted to query vocabulary first — the idf table is
+    * |query terms| sized, never |vocabulary| sized.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenRows(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
+
+    val corpus = toks.filter(!isQuery)
+    val docLens = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val ctf = corpus.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: ONE row (exact integer sums), broadcast everywhere
+    val stats = docLens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs")).as("avgdl"))
+
+    val qterms = toks.filter(isQuery)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val qvocab = qterms.select(col("term")).distinct()
+    // df over the corpus, restricted to query vocabulary before grouping
+    val dft = ctf.join(broadcast(qvocab), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dft.crossJoin(broadcast(stats))
+      .select(col("term"),
+        (floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * 1000000 + lit(0.5))
+          / 1000000).as("idf"))
+    // (q_id, term, idf): the bounded query side of the scoring join
+    val qt = qterms.join(idf, "term")
+
+    val part = (floor(col("idf") *
+      ((col("tf").cast("double") * lit(BmK1Plus1)) /
+        (col("tf").cast("double") + lit(BmK1) *
+          (lit(1.0) - lit(BmB) +
+            lit(BmB) * (col("dl").cast("double") / col("avgdl")))))
+      * 1000000 + lit(0.5)) / 1000000).cast("decimal(18,6)")
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    ctf.join(docLens, "doc_id")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("q_id"), col("doc_id"), part.as("part"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BmTopK)
+      .select(col("q_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("rank"))
+  }
+
+  /** tfidf_vectors: the top [[TfidfTopTerms]] tf-idf terms per document
+    * (the sparse document vector, rows not arrays).
+    *
+    *   tfidf(d,t) = tf · (ln((1+N)/(1+df)) + 1)   — smoothed idf
+    *
+    * Plan: tf groupBy (doc, term); df groupBy term; tf⋈df on term (both
+    * corpus-sized at scale — left to the planner, shuffles on term); one
+    * window per doc for the top terms.
+    */
+  def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenRows(spark, dir)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dft.crossJoin(broadcast(stats))
+      .select(col("term"),
+        (floor((log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) + lit(1.0))
+          * 1000000 + lit(0.5)) / 1000000).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        (floor(col("tf").cast("double") * col("idf") * 10000 + lit(0.5))
+          / 10000).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopTerms)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rank"))
+  }
+}

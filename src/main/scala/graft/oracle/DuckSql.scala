@@ -448,6 +448,78 @@ object DuckSql {
        |    ON sa.source = sb.source AND sa.doc_id < sb.doc_id)
        |WHERE jaccard > 0""".stripMargin
 
+  // ---- lexical retrieval (graft.operators.Retrieval constants) --------
+
+  /** Shared CTE: one row per token occurrence (the postings source),
+    * same normalization as the Spark tokenRows.
+    */
+  private val tokCte =
+    """WITH n AS (SELECT doc_id,
+      |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |              x -> x <> '') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM n)""".stripMargin
+
+  /** Mirror of Retrieval.bm25Topk: identical arithmetic order everywhere;
+    * per-term parts round to 6dp and accumulate in DECIMAL. All explicit
+    * ::DOUBLE casts — a bare `df + 0.5` would be DECIMAL arithmetic in
+    * DuckDB and double in Spark.
+    */
+  val bm25Topk: String = {
+    import graft.operators.Retrieval.{BmB, BmK1, BmK1Plus1, BmTopK, QueryMod}
+    val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""$tokCte,
+       |ctf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |        WHERE NOT ($isQ) GROUP BY doc_id, term),
+       |dlen AS (SELECT doc_id, count(*) AS dl FROM tok
+       |         WHERE NOT ($isQ) GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dlen),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE $isQ),
+       |dft AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+       |idf AS (SELECT term,
+       |  floor(ln(1.0 + (s.n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5))
+       |        * 1000000 + 0.5) / 1000000 AS idf
+       |  FROM dft, stats s),
+       |sc AS (SELECT q.q_id, c.doc_id,
+       |  CAST(floor(i.idf * ((c.tf::DOUBLE * $BmK1Plus1) /
+       |    (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (d.dl::DOUBLE / s.avgdl))))
+       |    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM ctf c JOIN dlen d USING (doc_id)
+       |       JOIN qt q ON q.term = c.term
+       |       JOIN idf i ON i.term = c.term, stats s),
+       |agg AS (SELECT q_id, doc_id, sum(part) AS score FROM sc
+       |        GROUP BY q_id, doc_id)
+       |SELECT q_id, doc_id, score::DOUBLE AS score, rank::INT AS rank
+       |FROM (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY score DESC, doc_id) AS rank
+       |      FROM agg) WHERE rank <= $BmTopK""".stripMargin
+  }
+
+  /** Mirror of Retrieval.tfidfVectors: smoothed idf, 6dp idf rounding,
+    * 4dp tfidf rounding, top terms per doc.
+    */
+  val tfidfVectors: String = {
+    import graft.operators.Retrieval.TfidfTopTerms
+    s"""$tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT term,
+       |  floor((ln((s.n_docs::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) + 1.0)
+       |        * 1000000 + 0.5) / 1000000 AS idf
+       |  FROM dft, stats s),
+       |x AS (SELECT t.doc_id, t.term, t.tf,
+       |        floor(t.tf::DOUBLE * i.idf * 10000 + 0.5) / 10000 AS tfidf
+       |      FROM tf t JOIN idf i ON i.term = t.term)
+       |SELECT doc_id, term, tf, tfidf, rank::INT AS rank
+       |FROM (SELECT doc_id, term, tf, tfidf,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY tfidf DESC, term) AS rank
+       |      FROM x) WHERE rank <= $TfidfTopTerms""".stripMargin
+  }
+
   // ---- sessions / windows --------------------------------------------
 
   val sessionize: String =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Retrieval, Similarity}
 
 /** Scale-posture regression tests: these assert PLAN SHAPE, not results.
   * With the broadcast threshold disabled (the 100 TB world, where no fact
@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpecBase {
   test("lsh_ann keeps only the tiny query side as a broadcast") {
     val plan = planOf(Similarity.lshAnn(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bm25 postings join shuffles on term, never cartesians") {
+    withNoAutoBroadcast {
+      val plan = planOf(Retrieval.bm25Topk(spark, dir))
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the only nested-loop joins are the 1-row stats broadcasts; the
+      // postings joins (corpus tf ⋈ query terms / doc lens) must be
+      // key-partitioned equi-joins
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"postings join must shuffle on its key at scale, plan:\n$plan")
+    }
   }
 
   test("ann_ivfpq probe is training-free and cell-pruned over the index") {

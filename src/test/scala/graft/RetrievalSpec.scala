@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** Hand-checkable BM25 / tf-idf scenarios. Query docs are doc_id ≡ 0
+  * (mod 100), so doc 0 is the query and 1..4 the corpus.
+  */
+class RetrievalSpec extends SparkSpecBase {
+
+  private def dir() = fixtureDir(docs = Seq(
+    doc(0, "apple banana"), // the query
+    doc(1, "apple apple apple"), // high tf on 'apple'
+    doc(2, "apple cherry date"), // one hit
+    doc(3, "banana banana cherry"), // hits the rarer query term
+    doc(4, "cherry date elderberry fig"))) // no query term
+
+  test("bm25_topk: only docs sharing a query term score; ranking sane") {
+    val out = Retrieval.bm25Topk(spark, dir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    // doc 4 shares no term with the query: absent
+    assert(!out.keys.exists(_._2 == 4L))
+    // docs 1, 2, 3 all share >= 1 term: all present for query 0
+    assert(out.keySet.map(_._2) === Set(1L, 2L, 3L))
+    // 'banana' (df=1) is rarer than 'apple' (df=2): doc 3 (tf=2 on the
+    // rare term) must outrank doc 2 (tf=1 on the common term)
+    assert(out((0L, 3L))._1 > out((0L, 2L))._1)
+    // ranks are 1..3 and ordered by score
+    assert(out.values.map(_._2).toSet === Set(1, 2, 3))
+    val byRank = out.toSeq.sortBy(_._2._2).map(_._2._1)
+    assert(byRank === byRank.sorted.reverse)
+  }
+
+  test("bm25_topk: scores match the formula (hand computation)") {
+    val out = Retrieval.bm25Topk(spark, dir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // corpus: docs 1..4, N=4, dl = 3,3,3,4, avgdl = 13/4 = 3.25
+    val n = 4.0; val avgdl = 13.0 / 4
+    def idf(df: Int): Double =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6
+    def term(tf: Int, dl: Int, df: Int): Double =
+      math.floor(idf(df) * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) * 1e6 + 0.5) / 1e6
+    // doc 1: apple tf=3, dl=3, df(apple)=2
+    assert(math.abs(out((0L, 1L)) - term(3, 3, 2)) < 1e-9)
+    // doc 3: banana tf=2, dl=3, df(banana)=1
+    assert(math.abs(out((0L, 3L)) - term(2, 3, 1)) < 1e-9)
+    // doc 2: apple tf=1, dl=3
+    assert(math.abs(out((0L, 2L)) - term(1, 3, 2)) < 1e-9)
+  }
+
+  test("tfidf_vectors: rare terms outweigh common ones, top-k per doc") {
+    val out = Retrieval.tfidfVectors(spark, dir()).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // all 5 docs tokenize: every doc has rows, none more than 5 terms
+    val byDoc = out.keys.groupBy(_._1)
+    assert(byDoc.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(byDoc.values.forall(_.size <= Retrieval.TfidfTopTerms))
+    // doc 4's 'elderberry' (df=1) must score above its 'cherry' (df=3)
+    assert(out((4L, "elderberry"))._2 > out((4L, "cherry"))._2)
+    // tf carried through: doc 1 has apple tf=3
+    assert(out((1L, "apple"))._1 === 3L)
+  }
+}
