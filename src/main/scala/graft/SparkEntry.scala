@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
+    "asof_join"  -> (Sessions.asofJoin _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
+    "asof_join"  -> graft.oracle.DuckSql.asofJoin,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,

@@ -60,6 +60,57 @@ object Sessions {
         col("duration_sec"), col("total_value"))
   }
 
+  /** asof_join: event-time as-of join — every event is matched with the
+    * most recent at-or-before 'purchase' of the same user (the
+    * slowly-changing-dimension lookup: "what was the user's last
+    * transaction state when this event happened").
+    *
+    * NOT a range join: the scalable formulation is union + carry-forward
+    * — dimension rows are unioned into the fact stream, both sides
+    * co-shuffle ONCE on the join key, and one ordered window carries the
+    * last dimension value forward (`last(..., ignoreNulls)` over
+    * rows-unbounded-preceding). A range join would re-pair every fact
+    * with every candidate version (quadratic in version count per key);
+    * the carry is linear, partial-ordering only within user — the plan
+    * contains no join node at all (PlanSpec asserts it).
+    *
+    * Tie semantics (mirrored by the DuckDB ASOF JOIN oracle): a
+    * dimension row at exactly the event's timestamp matches (at-or-
+    * before), and multiple purchases at the same (user, ts) collapse to
+    * the max-event_id one before the carry. Comparisons run on the raw
+    * nanosecond longs — full precision, identical ordering to the
+    * oracle's timestamp compare.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val wTie = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val dim = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wTie))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("asof_event"), col("value").as("asof_value"))
+    val facts = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), lit(0).as("is_dim"),
+      lit(null).cast("long").as("asof_event"),
+      lit(null).cast("double").as("asof_value"))
+    val dimRows = dim.select(col("asof_event").as("event_id"), col("ts"),
+      col("user_id"), lit("purchase").as("event_type"),
+      lit(1).as("is_dim"), col("asof_event"), col("asof_value"))
+    // dim rows sort BEFORE facts at equal ts (is_dim desc) = at-or-before
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_dim").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    facts.union(dimRows)
+      .withColumn("ae", last(col("asof_event"), ignoreNulls = true).over(w))
+      .withColumn("av", last(col("asof_value"), ignoreNulls = true).over(w))
+      .filter(col("is_dim") === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ae").as("asof_event"), round(col("av"), 2).as("asof_value"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

@@ -536,6 +536,23 @@ object DuckSql {
        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
        |FROM x GROUP BY user_id, session_idx""".stripMargin
 
+  /** Mirror of Sessions.asofJoin, as a genuinely INDEPENDENT formulation:
+    * DuckDB's native ASOF LEFT JOIN (greatest d.ts <= e.ts per key)
+    * against the engine's union+carry-forward window — the two agreeing
+    * covers both the carry logic and the tie semantics.
+    */
+  val asofJoin: String =
+    """WITH d0 AS (SELECT user_id, ts, event_id, value FROM events
+      |            WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, ts, event_id, value FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                     ORDER BY event_id DESC) AS rn
+      |        FROM d0) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  d.event_id AS asof_event, round(d.value, 2) AS asof_value
+      |FROM events e ASOF LEFT JOIN d
+      |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin
+
   val windowAgg: String =
     """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
       |           FROM events)

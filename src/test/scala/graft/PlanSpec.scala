@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asof_join is a pure union + window: no join node of any kind") {
+    withNoAutoBroadcast {
+      val plan = planOf(graft.operators.Sessions.asofJoin(spark, dir))
+      // the union + carry-forward formulation never pairs rows: a range
+      // join (quadratic per key) or cartesian must not appear — nor any
+      // join at all
+      assert(!plan.contains("Join"), s"asof must not join, plan:\n$plan")
+      assert(plan.contains("Window"), plan)
+    }
+  }
+
   test("ann_ivfpq probe is training-free and cell-pruned over the index") {
     val idx = Similarity.ivfPqIndex(spark, dir)
     val plan = planOf(Similarity.annIvfPqProbe(spark, dir, idx))

@@ -43,6 +43,29 @@ class SessionsSpec extends SparkSpecBase {
       Seq("1970-01-01 01:00:00", "click", 1, 8.0, 8.0)))
   }
 
+  test("asof_join: at-or-before match, same-ts ties, pre-first-dim nulls") {
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 5, user = 1, "click", 1.0),            // before any purchase
+      ev(2, 10, user = 1, "purchase", 100.0),      // dim v1
+      ev(3, 10, user = 1, "click", 2.0),           // same ts as dim -> v1
+      ev(4, 15, user = 1, "click", 3.0),           // between -> v1
+      ev(5, 20, user = 1, "purchase", 200.0),      // dim v2
+      ev(6, 20, user = 1, "purchase", 300.0),      // same-ts dim tie: max id wins
+      ev(7, 25, user = 1, "click", 4.0),           // after both -> v2' (ev 6)
+      ev(8, 30, user = 2, "click", 5.0)))          // user without purchases
+    val out = Sessions.asofJoin(spark, dir)
+      .select("event_id", "asof_event", "asof_value")
+    assert(rows(out) === Set(
+      Seq(1L, null, null),
+      Seq(2L, 2L, 100.0),   // a purchase matches itself
+      Seq(3L, 2L, 100.0),   // at-or-before is inclusive
+      Seq(4L, 2L, 100.0),
+      Seq(5L, 6L, 300.0),   // same-ts purchases collapse to max event_id
+      Seq(6L, 6L, 300.0),
+      Seq(7L, 6L, 300.0),
+      Seq(8L, null, null)))
+  }
+
   test("conversation_history: last 5 per session, newest first") {
     val dir = fixtureDir(evs = (0 until 7).map(i =>
       ev(i, i * 1000L, user = 1, value = i.toDouble, k = i)))
