@@ -110,6 +110,34 @@ object Interactions {
       .limit(100)
   }
 
+  /** interaction_ingest: the engine's WRITE surface for the interaction
+    * log — the `add_interaction` path (/root/reference/database.py:96-160)
+    * including its dedup-on-insert RPC (:161-199): re-submissions of the
+    * same logical interaction (same user, type, value, props) keep only
+    * the earliest event_id. The accepted batch lands as a BUCKETED table
+    * keyed by user_id, bucket-sorted by event_id — the layout every
+    * per-session consumer (conversation_history, sessionize, asof_join)
+    * shuffles on, so ingest pre-pays their exchange once at write time.
+    *
+    * Dedup-on-insert is one window over the content key (shuffle on the
+    * key, partial-ordering within groups only) — at 100 TB the same
+    * shape, and the bucketed write replaces the Postgres upsert.
+    * Returns the read-back of the written table.
+    */
+  def interactionIngest(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .orderBy(col("event_id"))
+    val accepted = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    graft.sources.Sinks.writeBucketedTable(accepted, table, "user_id",
+      buckets = 8, sortCols = Seq("user_id", "event_id"))
+    spark.table(table)
+  }
+
   /** high_quality: the unfiltered training-data gate. */
   def highQuality(spark: SparkSession, dir: String): DataFrame =
     highQualityFiltered(spark, dir, None)

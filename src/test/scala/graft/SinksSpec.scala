@@ -50,6 +50,42 @@ class SinksSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
   }
 
+  test("interaction_ingest: dedup-on-insert, bucketed reads aggregate shuffle-free") {
+    // ev 3 re-submits ev 1's content (same user/type/value/props); the
+    // same content under ANOTHER user (ev 4) is a distinct interaction
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, 1, "click", 1.0, k = 5),
+      ev(2, 20, 1, "view", 2.0, k = 6),
+      ev(3, 30, 1, "click", 1.0, k = 5),
+      ev(4, 40, 2, "click", 1.0, k = 5)))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.operators.Interactions
+        .interactionIngest(spark, dir, "graft_ingest_t")
+      // dedup-on-insert keeps the earliest submission only
+      assert(out.select("event_id").collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L, 4L))
+      // read-back equality: accepted rows survive the write bit-for-bit
+      val src = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id").isin(1L, 2L, 4L))
+      assert(rows(out.select("event_id", "ts", "user_id", "event_type",
+        "value", "props")) === rows(src.select("event_id", "ts", "user_id",
+        "event_type", "value", "props")))
+      // the per-session consumers' shape: groupBy on the bucket key runs
+      // with NO shuffle exchange (the write pre-paid it)
+      val agg = spark.table("graft_ingest_t")
+        .groupBy(col("user_id")).agg(count(lit(1)))
+      assert(agg.count() === 2)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed aggregation must not shuffle, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS graft_ingest_t")
+    }
+  }
+
   test("writeBucketedTable: bucketed join plans without a shuffle exchange") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
