@@ -15,10 +15,17 @@ import graft.sources.Tables
   * show.
   *
   * Usage: runMain graft.tools.AnnProbe <dir> [k] [nprobe] [rotate01]
+  *
+  * `<dir>` may be `embed:<srcDir>` — the probe then runs over the
+  * engine's OWN embed_text vectors of that corpus's documents (hash
+  * features of real text: duplicate/near-dup docs collapse to
+  * identical/near vectors — the clustered regime real embedding corpora
+  * live in), instead of the uniform-random embeddings table (the known
+  * IVF worst case).
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
+    val dir0 = args(0)
     val k = if (args.length > 1) args(1).toInt else 8
     val nprobe = if (args.length > 2) args(2).toInt else 2
     val rotate = args.length > 3 && args(3) == "1"
@@ -30,6 +37,19 @@ object AnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val dir = if (dir0.startsWith("embed:")) {
+      val src = dir0.stripPrefix("embed:")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-embed-corpus").toString
+      graft.operators.Embedder.embedText(spark, src)
+        .select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("label"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      out
+    } else dir0
 
     val path = s"${Similarity.ivfPqIndexPath(dir)}-k$k" +
       (if (rotate) "-rot" else "")
