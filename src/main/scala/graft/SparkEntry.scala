@@ -63,8 +63,9 @@ object SparkEntry {
     "decontaminate"     -> (Curation.decontaminate _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
-    "bm25_topk"     -> (Retrieval.bm25Topk _),
-    "tfidf_vectors" -> (Retrieval.tfidfVectors _),
+    "bm25_topk"       -> (Retrieval.bm25Topk _),
+    "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
+    "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -254,7 +255,8 @@ object SparkEntry {
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
-    "bm25_topk"     -> graft.oracle.DuckSql.bm25Topk,
-    "tfidf_vectors" -> graft.oracle.DuckSql.tfidfVectors,
+    "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
+    "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
+    "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.cosineSim
 import graft.sources.Tables
 
 /** Lexical (sparse) retrieval over the documents corpus — the missing
@@ -122,6 +123,54 @@ object Retrieval {
       .filter(col("rank") <= BmTopK)
       .select(col("q_id"), col("doc_id"),
         col("score").cast("double").as("score"), col("rank"))
+  }
+
+  /** RRF fusion constant (Cormack, Clarke & Buettcher, SIGIR'09 use 60). */
+  val RrfK = 60
+  val HybridTopK = 5
+
+  /** hybrid_retrieve: reciprocal-rank fusion of the lexical (BM25) and
+    * vector (cosine) rankings — the production retrieval shape the
+    * reference approximates with vectors alone
+    * (/root/reference/rag_processor.py:26-77 ranks by embedding cosine;
+    * real RAG pipelines fuse a lexical ranker with it):
+    *
+    *   rrf(q,d) = Σ_rankers 1/(K + rank_r(d)),  d absent from a ranker
+    *   contributes 0 (Cormack et al., SIGIR'09).
+    *
+    * Rank fusion is the parity-friendly fusion: only integer RANKS cross
+    * the ranker boundary (no score normalization games), and 1/(K+rank)
+    * is one exact double division. The two rankers are independent
+    * subplans (postings join / broadcast-query cosine scan) fused by a
+    * full-outer equi-join on (query, doc) — each side keeps its own
+    * scale shape.
+    */
+  def hybridRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lrank"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val vec = e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
+      .join(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("qe")).as("s"))
+      .withColumn("vrank", row_number().over(wV))
+      .filter(col("vrank") <= BmTopK)
+      .select(col("q_id"), col("doc_id"), col("vrank"))
+    // 1/(K + null rank) is null -> coalesce to 0: absent-from-ranker
+    val rrf = floor((
+      coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)))
+      * 1000000 + lit(0.5)) / 1000000
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= HybridTopK)
   }
 
   /** tfidf_vectors: the top [[TfidfTopTerms]] tf-idf terms per document

@@ -459,13 +459,14 @@ object DuckSql {
       |              x -> x <> '') AS ws FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS term FROM n)""".stripMargin
 
-  /** Mirror of Retrieval.bm25Topk: identical arithmetic order everywhere;
-    * per-term parts round to 6dp and accumulate in DECIMAL. All explicit
-    * ::DOUBLE casts — a bare `df + 0.5` would be DECIMAL arithmetic in
-    * DuckDB and double in Spark.
+  /** BM25 CTE chain through the per-(query, doc) score `agg` — shared by
+    * bm25Topk and hybridRetrieve. Identical arithmetic order to the Spark
+    * plan everywhere; per-term parts round to 6dp and accumulate in
+    * DECIMAL. All explicit ::DOUBLE casts — a bare `df + 0.5` would be
+    * DECIMAL arithmetic in DuckDB and double in Spark.
     */
-  val bm25Topk: String = {
-    import graft.operators.Retrieval.{BmB, BmK1, BmK1Plus1, BmTopK, QueryMod}
+  private val bm25Ctes: String = {
+    import graft.operators.Retrieval.{BmB, BmK1, BmK1Plus1, QueryMod}
     val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
     s"""$tokCte,
        |ctf AS (SELECT doc_id, term, count(*) AS tf FROM tok
@@ -488,12 +489,53 @@ object DuckSql {
        |       JOIN qt q ON q.term = c.term
        |       JOIN idf i ON i.term = c.term, stats s),
        |agg AS (SELECT q_id, doc_id, sum(part) AS score FROM sc
-       |        GROUP BY q_id, doc_id)
+       |        GROUP BY q_id, doc_id)""".stripMargin
+  }
+
+  val bm25Topk: String = {
+    import graft.operators.Retrieval.BmTopK
+    s"""$bm25Ctes
        |SELECT q_id, doc_id, score::DOUBLE AS score, rank::INT AS rank
        |FROM (SELECT q_id, doc_id, score,
        |        row_number() OVER (PARTITION BY q_id
        |                           ORDER BY score DESC, doc_id) AS rank
        |      FROM agg) WHERE rank <= $BmTopK""".stripMargin
+  }
+
+  /** Mirror of Retrieval.hybridRetrieve: RRF over the BM25 `agg` ranking
+    * and the brute-force cosine ranking — only integer ranks cross the
+    * fusion boundary, and 1/(K+rank) is one exact double division.
+    */
+  val hybridRetrieve: String = {
+    import graft.operators.Retrieval.{BmTopK, HybridTopK, QueryMod, RrfK}
+    val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""$bm25Ctes,
+       |lex AS (SELECT q_id, doc_id, rank AS lrank
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE $isVq),
+       |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+       |  FROM embeddings e, vq q WHERE NOT ($isVq)),
+       |vr AS (SELECT q_id, doc_id, rnk AS vrank
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, doc_id) AS rnk
+       |        FROM vsc) WHERE rnk <= $BmTopK),
+       |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |        floor((coalesce(1.0::DOUBLE / ($RrfK + l.lrank), 0.0)
+       |             + coalesce(1.0::DOUBLE / ($RrfK + v.vrank), 0.0))
+       |              * 1000000 + 0.5) / 1000000 AS rrf
+       |      FROM lex l FULL OUTER JOIN vr v
+       |        ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, doc_id, rrf, rank::INT AS rank
+       |FROM (SELECT q_id, doc_id, rrf,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY rrf DESC, doc_id) AS rank
+       |      FROM f) WHERE rank <= $HybridTopK""".stripMargin
   }
 
   /** Mirror of Retrieval.tfidfVectors: smoothed idf, 6dp idf rounding,

@@ -49,6 +49,44 @@ class RetrievalSpec extends SparkSpecBase {
     assert(math.abs(out((0L, 2L)) - term(1, 3, 2)) < 1e-9)
   }
 
+  test("hybrid_retrieve: RRF fuses both rankers; vector-only docs surface") {
+    val d = fixtureDir(
+      docs = Seq(
+        doc(0, "apple banana"),
+        doc(1, "apple apple apple"),
+        doc(2, "apple cherry date"),
+        doc(3, "banana banana cherry"),
+        doc(4, "cherry date elderberry fig")), // no query term: lex-absent
+      embs = Seq(
+        Emb(0, vec(1.0), 0),
+        Emb(1, vec(0.0, 1.0), 0),       // orthogonal to the query
+        Emb(2, vec(1.0, 0.1), 0),       // near
+        Emb(3, vec(0.0, 0.0, 1.0), 0),  // orthogonal
+        Emb(4, vec(1.0, 0.05), 0)))     // nearest
+    val lex = operators.Retrieval.bm25Topk(spark, d).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // cosine ranks by hand: doc4 (.99875) > doc2 (.995) > doc1 = doc3 (0,
+    // tie broken by id)
+    val vrank = Map(4L -> 1, 2L -> 2, 1L -> 3, 3L -> 4)
+    def rrf(id: Long): Double = math.floor((
+      lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vrank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      * 1e6 + 0.5) / 1e6
+    val out = operators.Retrieval.hybridRetrieve(spark, d).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    // every candidate doc fused with the reference RRF value
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    out.foreach { case (id, (s, _)) =>
+      assert(math.abs(s - rrf(id)) < 1e-9, s"doc $id: $s vs ${rrf(id)}") }
+    // lex-absent doc 4 surfaces through the vector ranker alone
+    assert(out(4L)._1 === math.floor(1.0 / 61 * 1e6 + 0.5) / 1e6)
+    // output order = fused score desc, doc_id tie-break
+    val order = out.toSeq.sortBy(_._2._2).map(_._1)
+    val expOrder = Seq(1L, 2L, 3L, 4L).map(id => id -> rrf(id))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(order === expOrder)
+  }
+
   test("tfidf_vectors: rare terms outweigh common ones, top-k per doc") {
     val out = Retrieval.tfidfVectors(spark, dir()).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
