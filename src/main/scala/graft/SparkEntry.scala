@@ -63,6 +63,7 @@ object SparkEntry {
     "decontaminate"     -> (Curation.decontaminate _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
+    "quality_filter"    -> (Curation.qualityFilter _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
@@ -255,6 +256,7 @@ object SparkEntry {
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
+    "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,

@@ -93,6 +93,72 @@ object Curation {
       .filter(hashU(col("doc_id")) < rate)
   }
 
+  /** quality_filter thresholds (Gopher-rule shaped — Rae et al. 2021
+    * §A1.1 filter documents on word count, repetition, and stop-word
+    * evidence; thresholds tuned to this corpus's distributions).
+    * Single-sourced to the engine plan and the oracle SQL.
+    */
+  val QfMinWords = 20
+  val QfMaxDup2gram = 0.08
+  val QfMinStopRatio = 0.01
+
+  /** quality_filter: the keep/drop curation GATE — the step between the
+    * signal queries (quality_score, repetition_score, toxicity_screen)
+    * and the training mix. One document scan computes every signal
+    * inline (all are map-shaped column compositions), evaluates the
+    * rule set, and emits the decision WITH its reasons — a dropped doc
+    * must say why, or the pipeline is undebuggable at 100 TB.
+    *
+    * Rules (fail ⇒ drop; reasons joined in fixed order):
+    *   too_short     — n_words < QfMinWords
+    *   repetitive    — dup_2gram_frac > QfMaxDup2gram (Gopher's
+    *                   duplicate-n-gram boilerplate signal)
+    *   low_stopword  — stopword_ratio < QfMinStopRatio (gibberish /
+    *                   non-prose / wrong-language evidence)
+    *   toxic         — the toxicity_screen decision
+    *
+    * Rules compare against the 4dp-ROUNDED signals, so the threshold
+    * comparison is over doubles both engines hold bit-identically.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val tl = filter(split(lower(col("text")), " "), x => x =!= "")
+    val nWords = size(t)
+    val stopHits = size(filter(t,
+      x => array_contains(array(RefVocab.enStopwords.map(lit): _*),
+        lower(x))))
+    val g2len = greatest(nWords - 1, lit(0))
+    val g2 = zip_with(slice(t, lit(1), g2len), slice(t, lit(2), g2len),
+      (a, b) => concat_ws(" ", a, b))
+    val dup2 = when(size(g2) > 0,
+      floor((lit(1.0) - size(array_distinct(g2)).cast("double")
+        / size(g2)) * 10000 + 0.5) / 10000).otherwise(0.0)
+    val toxicHits = size(filter(tl,
+      x => array_contains(array(RefVocab.toxicLexicon.map(lit): _*), x)))
+    val toxicScore = when(nWords >= RefVocab.toxicMinWords,
+      rnd4(least(lit(1.0), toxicHits * 10.0 / nWords))).otherwise(0.0)
+    val sig = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        nWords.cast("int").as("n_words"),
+        rnd4(stopHits.cast("double") / nWords).as("stopword_ratio"),
+        dup2.as("dup_2gram_frac"),
+        toxicScore.as("toxic_score"))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_words") >= QfMinWords),
+      "repetitive" -> (col("dup_2gram_frac") <= QfMaxDup2gram),
+      "low_stopword" -> (col("stopword_ratio") >= QfMinStopRatio),
+      "toxic" -> !(col("n_words") >= RefVocab.toxicMinWords &&
+        col("toxic_score") > RefVocab.toxicThreshold))
+    sig.select(col("doc_id"), col("n_words"), col("stopword_ratio"),
+      col("dup_2gram_frac"), col("toxic_score"),
+      rules.map(_._2).reduce(_ && _).as("keep"),
+      concat_ws(";",
+        rules.map { case (n, c) => when(!c, lit(n)) }: _*).as("reasons"))
+  }
+
   /** pack_sequences: shard the corpus into [[PackShards]] independent
     * token streams (shard = doc_id mod shards), lay docs end-to-end in
     * doc_id order, and emit each doc's stream offset and training-

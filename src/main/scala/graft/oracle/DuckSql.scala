@@ -891,6 +891,45 @@ object DuckSql {
        |WHERE $slot <> $ContamSlot GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of Curation.qualityFilter: the same signal fragments as the
+    * qualityScore / repetitionScore / toxicityScreen oracles, thresholds
+    * interpolated from the shared constants, reasons in fixed order.
+    */
+  val qualityFilter: String = {
+    import graft.operators.Curation.{QfMaxDup2gram, QfMinStopRatio, QfMinWords}
+    import graft.operators.RefVocab.{toxicMinWords, toxicThreshold}
+    val toxicFired = s"(n_words >= $toxicMinWords AND toxic_score > $toxicThreshold)"
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tl
+       |  FROM documents),
+       |m AS (SELECT doc_id, len(t) AS n_words,
+       |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |    ELSE []::VARCHAR[] END AS g2,
+       |  len(list_filter(tl, x -> list_contains(${listLit(RefVocab.toxicLexicon)}, x))) AS toxic_hits
+       |  FROM w),
+       |sig AS (SELECT doc_id, n_words::INT AS n_words,
+       |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
+       |  CASE WHEN len(g2) > 0
+       |       THEN floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS dup_2gram_frac,
+       |  CASE WHEN n_words >= $toxicMinWords
+       |       THEN floor(least(CAST(1.0 AS DOUBLE), toxic_hits * 10.0 / n_words) * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS toxic_score
+       |  FROM m)
+       |SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac, toxic_score,
+       |  (n_words >= $QfMinWords AND dup_2gram_frac <= $QfMaxDup2gram
+       |   AND stopword_ratio >= $QfMinStopRatio AND NOT $toxicFired) AS keep,
+       |  concat_ws(';',
+       |    CASE WHEN n_words < $QfMinWords THEN 'too_short' END,
+       |    CASE WHEN dup_2gram_frac > $QfMaxDup2gram THEN 'repetitive' END,
+       |    CASE WHEN stopword_ratio < $QfMinStopRatio THEN 'low_stopword' END,
+       |    CASE WHEN $toxicFired THEN 'toxic' END) AS reasons
+       |FROM sig""".stripMargin
+  }
+
   /** Mirror of Curation.stratifiedSample: the same (doc_id, seed) hash
     * in [0,1) — first 8 md5 hex chars over 2^32, an exact binary
     * rational — against the same per-language rate chain.

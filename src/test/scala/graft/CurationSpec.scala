@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Curation
+
+/** quality_filter rule scenarios: one doc per failure mode, one that
+  * passes everything, one multi-failure doc (reasons must list every
+  * failed rule in fixed order).
+  */
+class CurationSpec extends SparkSpecBase {
+
+  private val good = "the quick brown fox jumps over a lazy dog and then " +
+    "it runs to the old mill near a river bank today" // 22 varied words
+  private val toxic = "the kill hate crash broken day was fine and it " +
+    "kept on going to the end of this long test" // 20 words, 4 toxic hits
+
+  private def dir() = fixtureDir(docs = Seq(
+    doc(0, good),
+    doc(1, "the cat sat"), // 3 words -> too_short
+    doc(2, Seq.fill(20)("the cat").mkString(" ")), // 40 words, 2 distinct bigrams
+    doc(3, (1 to 25).map(i => s"w$i").mkString(" ")), // no stopwords
+    doc(4, toxic),
+    doc(5, "kill hate kill hate"))) // short + repetitive + no stopwords
+
+  test("quality_filter: each rule fires alone; reasons in fixed order") {
+    val out = Curation.qualityFilter(spark, dir()).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(5), r.getString(6))).toMap
+    assert(out(0L) === ((true, "")))
+    assert(out(1L) === ((false, "too_short")))
+    assert(out(2L) === ((false, "repetitive")))
+    assert(out(3L) === ((false, "low_stopword")))
+    assert(out(4L) === ((false, "toxic")))
+    // n=4 < toxicMinWords: the toxic rule cannot fire, the others all do
+    assert(out(5L) === ((false, "too_short;repetitive;low_stopword")))
+  }
+
+  test("quality_filter: signals are the shared 4dp-rounded values") {
+    val out = Curation.qualityFilter(spark, dir()).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n2, _, dup2, _) = out(2L)
+    assert(n2 === 40)
+    // 39 bigrams, 2 distinct -> floor((1 - 2/39)*1e4 + .5)/1e4
+    assert(dup2 === math.floor((1.0 - 2.0 / 39) * 10000 + 0.5) / 10000)
+    val (n4, _, _, tox4) = out(4L)
+    assert(n4 === 20)
+    assert(tox4 === 1.0) // min(1, 4*10/20) capped
+  }
+}
