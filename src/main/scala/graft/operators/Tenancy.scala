@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multi-tenant routing — the Spark-native analogue of the reference's
+  * per-user schema isolation (`create_user_schema` /
+  * `ensure_user_schema_view`, /root/reference/database.py:32-66,253-281:
+  * Postgres gives each user a schema + view over shared tables).
+  *
+  * A storage engine owns its layout instead: tenancy is a PARTITION
+  * COLUMN. The interaction log is written partitioned by tenant shard,
+  * so every per-tenant read is a directory-pruned scan — no catalogs, no
+  * views, no per-tenant DDL. Sharding (tenant → user_id mod N) bounds
+  * the directory count: a raw user_id partition key at 10^9 users is the
+  * classic small-files bomb, while a shard is the listing unit and the
+  * user predicate prunes within it via the sorted layout's row-group
+  * min/max stats. The two-level prune (directory, then row group) is
+  * what makes "one user's data" an O(user) read on a 100 TB log.
+  */
+object Tenancy {
+
+  val TenantShards = 16
+
+  def shardOf(userId: Long): Int = (userId % TenantShards).toInt
+
+  /** The create_user_schema analogue, once for ALL tenants: write the
+    * event log partitioned by tenant shard, sorted by (user_id,
+    * event_id) within each shard so row-group stats prune to the user.
+    */
+  def writeTenantLayout(spark: SparkSession, dir: String,
+      path: String): Unit =
+    Tables.events(spark, dir)
+      .withColumn("tenant_shard",
+        pmod(col("user_id"), lit(TenantShards)).cast("int"))
+      .repartition(col("tenant_shard"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .write.mode("overwrite")
+      .partitionBy("tenant_shard")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** The ensure_user_schema_view analogue: one tenant's slice of the
+    * layout. The shard predicate is DERIVED from the user id, so the
+    * scan lists exactly one partition directory and the user filter
+    * pushes into the parquet row groups.
+    */
+  def tenantView(spark: SparkSession, path: String,
+      userId: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("tenant_shard") === shardOf(userId) &&
+        col("user_id") === userId)
+}

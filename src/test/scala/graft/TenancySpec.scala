@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tenancy
+
+/** Tenant layout: the per-tenant read must be directory-pruned (the
+  * partition filter reaches the scan) and row-identical to a direct
+  * filter over the source.
+  */
+class TenancySpec extends SparkSpecBase {
+
+  test("tenantView: partition-pruned, row-identical to the source filter") {
+    val dir = fixtureDir(evs = (0 until 100).map(i =>
+      ev(i, i * 100L, user = i % 10, typ = s"t${i % 3}",
+        value = i.toDouble)))
+    val path = Files.createTempDirectory("graft-tenant").toString + "/log"
+    Tenancy.writeTenantLayout(spark, dir, path)
+    // one directory per occupied shard (10 users -> shards 0..9)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === (0 until 10).map(s => s"tenant_shard=$s").toSet)
+    // the view returns exactly the user's rows
+    val view = Tenancy.tenantView(spark, path, userId = 7L)
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") === 7L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(rows(view.select("event_id", "ts", "user_id", "event_type",
+      "value", "props")) === rows(expected))
+    // and the shard predicate is a PARTITION filter (directory pruning),
+    // with the user predicate pushed to the parquet scan
+    val plan = view.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tenant_shard"),
+      plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
+      plan)
+  }
+}
