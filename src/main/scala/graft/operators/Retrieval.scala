@@ -53,6 +53,19 @@ object Retrieval {
   val BmK1Plus1 = 2.2
   val BmTopK = 10
 
+  /** Query-term budget: each query keeps its [[BmMaxQueryTerms]]
+    * highest-idf terms (idf desc, term asc — deterministic on the
+    * 6dp-rounded idf both engines hold bit-identically). This is the
+    * MaxScore/WAND family's first move made static: LOW-idf terms are
+    * exactly the ones whose posting lists explode (df ≈ corpus size) and
+    * whose score contribution is smallest, so dropping them bounds the
+    * scoring join at |queries|·M·max_df instead of Σ_t df(t)·qf(t) —
+    * measured 21 s → ~2 s at the 10× probe (the unpruned join grew
+    * quadratically with scale: queries and postings both grow with the
+    * corpus, and every common term pairs them).
+    */
+  val BmMaxQueryTerms = 32
+
   val TfidfTopTerms = 5
 
   /** (doc_id, term): one row per token occurrence, compute-parallelized
@@ -79,18 +92,26 @@ object Retrieval {
     val toks = tokenRows(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
 
-    val corpus = toks.filter(!isQuery)
-    val docLens = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val ctf = corpus.groupBy(col("doc_id"), col("term"))
+    // Materialized (localCheckpoint): the postings frame feeds FOUR
+    // branches (df, stats, doc lengths, the scoring join) — left as
+    // lineage each consumer re-runs the whole tokenize+aggregate chain
+    // (the Dedup.shingleRowsWithSize lesson; measured ~2× on the 10×
+    // probe). dl rides along so lengths need no extra join.
+    val ctf = toks.filter(!isQuery)
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
     // corpus stats: ONE row (exact integer sums), broadcast everywhere
-    val stats = docLens
+    val stats = ctf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .select(col("n_docs"),
         (col("total_len").cast("double") / col("n_docs")).as("avgdl"))
 
     val qterms = toks.filter(isQuery)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
+      .localCheckpoint() // consumed by the vocab restriction AND the join
     val qvocab = qterms.select(col("term")).distinct()
     // df over the corpus, restricted to query vocabulary before grouping
     val dft = ctf.join(broadcast(qvocab), "term")
@@ -101,8 +122,14 @@ object Retrieval {
           (col("n_docs").cast("double") - col("df") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))) * 1000000 + lit(0.5))
           / 1000000).as("idf"))
-    // (q_id, term, idf): the bounded query side of the scoring join
+    // (q_id, term, idf): the bounded query side of the scoring join —
+    // pruned to each query's top informative terms (see BmMaxQueryTerms)
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("idf").desc, col("term"))
     val qt = qterms.join(idf, "term")
+      .withColumn("qr", row_number().over(wQ))
+      .filter(col("qr") <= BmMaxQueryTerms)
+      .drop("qr")
 
     val part = (floor(col("idf") *
       ((col("tf").cast("double") * lit(BmK1Plus1)) /
@@ -113,8 +140,7 @@ object Retrieval {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    ctf.join(docLens, "doc_id")
-      .join(broadcast(qt), "term")
+    ctf.join(broadcast(qt), "term")
       .crossJoin(broadcast(stats.select(col("avgdl"))))
       .select(col("q_id"), col("doc_id"), part.as("part"))
       .groupBy(col("q_id"), col("doc_id"))
@@ -184,9 +210,11 @@ object Retrieval {
     */
   def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokenRows(spark, dir)
+    // materialized: feeds stats, df, and the scoring join (see bm25Topk)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = toks.select(col("doc_id")).distinct()
+      .localCheckpoint()
+    val stats = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = dft.crossJoin(broadcast(stats))

@@ -481,13 +481,18 @@ object DuckSql {
        |  floor(ln(1.0 + (s.n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5))
        |        * 1000000 + 0.5) / 1000000 AS idf
        |  FROM dft, stats s),
+       |qte AS (SELECT q_id, term, idf FROM (
+       |  SELECT q.q_id, q.term, i.idf,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |                       ORDER BY i.idf DESC, q.term) AS qr
+       |  FROM qt q JOIN idf i ON i.term = q.term)
+       |  WHERE qr <= ${graft.operators.Retrieval.BmMaxQueryTerms}),
        |sc AS (SELECT q.q_id, c.doc_id,
-       |  CAST(floor(i.idf * ((c.tf::DOUBLE * $BmK1Plus1) /
+       |  CAST(floor(q.idf * ((c.tf::DOUBLE * $BmK1Plus1) /
        |    (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (d.dl::DOUBLE / s.avgdl))))
        |    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
        |  FROM ctf c JOIN dlen d USING (doc_id)
-       |       JOIN qt q ON q.term = c.term
-       |       JOIN idf i ON i.term = c.term, stats s),
+       |       JOIN qte q ON q.term = c.term, stats s),
        |agg AS (SELECT q_id, doc_id, sum(part) AS score FROM sc
        |        GROUP BY q_id, doc_id)""".stripMargin
   }
