@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the as-of enrichment state operator (top-level: Spark
+  * encoders cannot reach inner classes).
+  */
+case class AsofEvent(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double)
+case class AsofState(ts: Long, event_id: Long, value: Double)
+case class AsofOut(event_id: Long, user_id: Long, event_type: String,
+    asof_event: Option[Long], asof_value: Option[Double])
 
 /** Structured Streaming twins of graft.operators.Sessions: the same column
   * logic over an unbounded source with event-time watermarking. The
@@ -49,6 +59,68 @@ object EventStream {
     withEventTime(events)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming as-of enrichment — the stateful twin of
+    * Sessions.asofJoin: every event is enriched with the most recent
+    * at-or-before 'purchase' of its user. Custom per-key state via
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API):
+    * the state is ONE row per user (the latest dimension version), so
+    * state size is bounded by key cardinality, not stream length.
+    *
+    * Within a batch, each group's events process in event-time order
+    * with the batch operator's exact tie semantics (same-ts purchases
+    * collapse to max event_id; a purchase matches itself). Across
+    * batches the state carries forward; an event arriving AFTER a
+    * later-ts dimension already updated the state enriches against
+    * that newer version — the standard streaming trade for
+    * out-of-order arrivals (same class as dedupEvents' horizon), which
+    * the batch asof_join mops up. On an in-order replay (the landing
+    * pattern) streaming and batch agree exactly (spec-verified).
+    */
+  def asofEnrich(events: DataFrame): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(enrichGroup)
+  }
+
+  private def enrichGroup(user: Long, it: Iterator[AsofEvent],
+      state: GroupState[AsofState]): Iterator[AsofOut] = {
+    var st = state.getOption
+    val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
+    val out = Array.newBuilder[AsofOut]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j).ts == sorted(i).ts) j += 1
+      // dimension rows first at equal ts (the batch ordering): all
+      // same-ts purchases update state before anything emits, so ties
+      // collapse to the max event_id version
+      var k = i
+      while (k < j) {
+        val e = sorted(k)
+        if (e.event_type == "purchase" &&
+          st.forall(s => s.ts < e.ts ||
+            (s.ts == e.ts && s.event_id < e.event_id)))
+          st = Some(AsofState(e.ts, e.event_id, e.value))
+        k += 1
+      }
+      k = i
+      while (k < j) {
+        val e = sorted(k)
+        out += AsofOut(e.event_id, e.user_id, e.event_type,
+          st.map(_.event_id), st.map(_.value))
+        k += 1
+      }
+      i = j
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
 
   /** Gap-based sessions per user (4h gap, matching Sessions.GapSec). */
   def sessionize(events: DataFrame, watermark: String = "8 hours"): DataFrame =

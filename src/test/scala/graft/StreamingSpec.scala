@@ -68,6 +68,61 @@ class StreamingSpec extends SparkSpecBase {
       Seq(1L, "1970-01-01 00:00:00", 2, 0L, 1L, 3.0)))
   }
 
+  test("streaming asof enrichment carries dimension state across batches") {
+    // batch 1: user 1 purchase@10 then click@15; batch 2 (a separate
+    // file, maxFilesPerTrigger=1): click@20 must still see the
+    // purchase from batch 1 via the carried group state, and the
+    // purchase@25 then click@30 roll the state forward.
+    val b1 = Seq(
+      ev(1, 5, 1, "click", 1.0),
+      ev(2, 10, 1, "purchase", 100.0),
+      ev(3, 15, 1, "click", 2.0))
+    val b2 = Seq(
+      ev(4, 20, 1, "click", 3.0),
+      ev(5, 25, 1, "purchase", 200.0),
+      ev(6, 30, 1, "click", 4.0),
+      ev(7, 30, 2, "click", 5.0)) // user without purchases: nulls
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-asof-stream").toString
+    import spark.implicits._
+    Seq(b1, b2).zipWithIndex.foreach { case (evs, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-asof-tmp").toString
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = EventStream.asofEnrich(src)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("asof_out").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === ((None, None)))
+    assert(out(2L) === ((Some(2L), Some(100.0)))) // purchase sees itself
+    assert(out(3L) === ((Some(2L), Some(100.0))))
+    assert(out(4L) === ((Some(2L), Some(100.0)))) // carried across batches
+    assert(out(5L) === ((Some(5L), Some(200.0)))) // state rolls forward
+    assert(out(6L) === ((Some(5L), Some(200.0))))
+    assert(out(7L) === ((None, None)))
+    // in-order replay agrees with the batch operator exactly
+    val dir = fixtureDir(evs = b1 ++ b2)
+    val batch = graft.operators.Sessions.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(batch === out)
+  }
+
   test("sessionize runs on the RocksDB state store (production backend)") {
     // At 100 TB-scale streaming the session/window state outgrows the
     // default HDFS-backed in-memory store; RocksDB spills to local disk
