@@ -51,6 +51,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
+    "semdedup"        -> (Similarity.semDedup _),
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
@@ -67,6 +69,9 @@ object SparkEntry {
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
+    "ngram_stats"        -> (CorpusStats.ngramStats _),
+    "domain_mix"         -> (CorpusStats.domainMix _),
+    "quality_thresholds" -> (CorpusStats.qualityThresholds _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -244,6 +249,8 @@ object SparkEntry {
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
+    "dedup_substring" -> graft.oracle.DuckSql.dedupSubstring,
+    "semdedup"        -> graft.oracle.DuckSql.semDedup,
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,
@@ -260,5 +267,8 @@ object SparkEntry {
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
+    "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
+    "domain_mix"         -> graft.oracle.DuckSql.domainMix,
+    "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
   )
 }

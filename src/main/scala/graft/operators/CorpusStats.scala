@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-level statistics for training-mix engineering — the steps that
+  * turn a raw crawl inventory into a data recipe:
+  *
+  *  - `ngram_stats`: the corpus's dominant word bigrams (boilerplate and
+  *    template phrases surface here first — the signal behind C4's
+  *    line-level boilerplate rules).
+  *  - `domain_mix`: token budgets per language vs a target mixture — the
+  *    sampling-weight planning step (cf. DoReMi, Xie et al. 2023, and the
+  *    fixed mixture tables of the Pile/LLaMA reports).
+  *  - `quality_thresholds`: per-language quantiles of the quality score —
+  *    data-driven cutoff calibration, so a single global threshold does
+  *    not over-prune low-resource languages (the CCNet per-language
+  *    perplexity-bucket insight, Wenzek et al. 2020).
+  *
+  * The reference has no corpus-planning surface (it curates per
+  * interaction, database.py:96-160); these operators are the batch
+  * analogue over the `documents` corpus.
+  *
+  * Scale shape: every operator is one scan plus partial-agg-friendly
+  * groupBys on low-cardinality keys (gram, lang). The only global step is
+  * ngram_stats's top-k, which is TakeOrdered (tree-reduced per-partition
+  * heaps), NOT a single-partition window sort.
+  */
+object CorpusStats {
+
+  val NgramTopK = 20
+
+  /** Target language mixture for domain_mix — a fixed recipe table (the
+    * LLaMA-style published-mixture shape). Single-sourced to the oracle
+    * SQL via [[graft.oracle.DuckSql]].
+    */
+  val LangTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.50, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.10, "zh" -> 0.10)
+
+  private def rnd6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+
+  /** ngram_stats: the corpus's top-[[NgramTopK]] word bigrams with
+    * occurrence and document counts.
+    *
+    * Plan: tokens explode once per document (the row-shaped posture of
+    * Dedup.shingleRows — lead() builds the bigram, no per-element
+    * re-tokenization), then ONE shuffle groupBy gram with map-side
+    * partial counts. The distinct-doc count rides the same aggregate via
+    * two-level (gram, doc) pre-aggregation, not count(distinct) over raw
+    * occurrence rows. The global top-k is orderBy+limit = TakeOrdered;
+    * the rank window runs on the k surviving rows only.
+    */
+  def ngramStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("gram"),
+        lead(col("tok"), 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+    // (gram, doc) partial first: the second groupBy then counts rows for
+    // n_docs and sums for n_occurrences — distinct-doc counting without
+    // an expand/distinct over the full occurrence stream.
+    val perDoc = grams.groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val counts = perDoc.groupBy(col("gram"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(NgramTopK)
+    // k rows at this point — the unpartitioned window is deliberate
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("gram"))))
+      .select(col("gram"), col("n_occurrences"), col("n_docs"), col("rank"))
+  }
+
+  /** domain_mix: per-language token inventory against [[LangTargets]] —
+    * natural share, target share, and the resampling factor
+    * (target_share · total / lang_tokens; >1 means the language must be
+    * oversampled, <1 downsampled) plus the planned token budget.
+    *
+    * Plan: one scan computes per-doc token counts (map-only), one
+    * partial-agg groupBy on lang (5 groups), and the 1-row total
+    * broadcast-crossed back — nothing here grows with corpus size except
+    * the scan.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("lang"), col("text")),
+      col("lang"))
+      .select(col("lang"),
+        size(Dedup.normToks(col("text"))).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).as("total_tokens"))
+    val target = coalesce(
+      element_at(typedlit(LangTargets.toMap), col("lang")), lit(0.0))
+    per.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        rnd6(col("tokens").cast("double") / col("total_tokens"))
+          .as("natural_share"),
+        target.as("target_share"),
+        rnd6(target * col("total_tokens").cast("double") / col("tokens"))
+          .as("sample_factor"),
+        floor(target * col("total_tokens").cast("double"))
+          .cast("long").as("planned_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** quality_thresholds: per-language p10/p50/p90 of the quality score —
+    * the cutoffs a per-language quality gate would use.
+    *
+    * The quantile is the DISCRETE lower quantile at integer position
+    * (n-1)·p div 1 + 1 under the total order (score, doc_id) — pure
+    * integer position arithmetic, so both engines pick the identical row
+    * (no interpolation, no float percentile semantics to reconcile).
+    * The score is the same 4dp expression quality_score emits
+    * ([[TextAnalysis.qualityScoreCol]]) — calibration and gate can never
+    * drift apart.
+    *
+    * Plan: one scan scores every doc (map-only), one shuffle on lang for
+    * the rank window (per-language sort: at 100 TB this is the standard
+    * quantile-by-key shape; with heavier skew you'd swap in
+    * approx_percentile, traded here for the exact oracle gate).
+    */
+  def qualityThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreCol.as("score"))
+    val wOrd = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    def pick(posNum: Int, posDen: Int) =
+      max(when(col("rn") ===
+        expr(s"(n - 1) * $posNum div $posDen") + 1, col("score")))
+    scored
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).cast("int").as("n_docs"),
+        pick(1, 10).as("p10"), pick(1, 2).as("p50"), pick(9, 10).as("p90"))
+      .orderBy(col("lang"))
+  }
+}

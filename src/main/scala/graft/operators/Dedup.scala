@@ -37,11 +37,11 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private val MINHASHES = 12
-  private val MH_BANDS = 4 // 3 minhashes per band
+  private[graft] val MINHASHES = 12
+  private[graft] val MH_BANDS = 4 // 3 minhashes per band
   private val SIM_BITS = 64
   private val SIM_BANDS = 4 // 16 bits per band
-  private val BUCKET_CAP = 1000
+  private[graft] val BUCKET_CAP = 1000
 
   /** Near-dup acceptance: verified Jaccard at or above this is a
     * duplicate pair. Single-sourced to the engine filter AND both oracle
@@ -117,7 +117,7 @@ object Dedup {
     * tokenizer of the dedup family and the lexical retrieval operators
     * (Retrieval).
     */
-  private[operators] def normToks(c: Column): Column =
+  private[graft] def normToks(c: Column): Column =
     filter(split(lower(trim(regexp_replace(c, "\\s+", " "))), " "),
       x => x =!= "")
 
@@ -211,7 +211,7 @@ object Dedup {
   }
 
   /** Modulus for the Carter-Wegman min-hash family (2^31 - 1). */
-  private val MH_MOD = 2147483647L
+  private[graft] val MH_MOD = 2147483647L
 
   /** dedup_minhash: 12 min-hashes per doc from a Carter-Wegman family over
     * the two 32-bit halves of ONE md5 per shingle — h_j = (v1 + j·v2) mod
@@ -221,6 +221,16 @@ object Dedup {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRowsWithSize(spark, dir)
+    verifyJaccard(bandCandidates(minhashBandedFrom(sh)), sh)
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** (doc_id, band, key) LSH band rows from a shingle-rows frame — the
+    * signature+banding stage of dedupMinhash, shared with the streaming
+    * incremental maintenance twin's batch baseline
+    * ([[graft.streaming.DedupStream]]).
+    */
+  private[graft] def minhashBandedFrom(sh: DataFrame): DataFrame = {
     val hv = sh.select(col("doc_id"), md5(col("g")).as("h"))
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v1"),
@@ -235,11 +245,16 @@ object Dedup {
         col(s"m${3 * b + 1}").cast("string"),
         col(s"m${3 * b + 2}").cast("string"))), 1, 16)
     }: _*)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band", "key")))
-    verifyJaccard(bandCandidates(banded), sh)
-      .filter(col("jaccard") >= JaccardThreshold)
+    sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
   }
+
+  /** UNVERIFIED band-collision candidate pairs for a corpus (the stage
+    * the streaming maintenance twin reproduces incrementally; the
+    * Jaccard verify is downstream in both worlds).
+    */
+  private[graft] def minhashCandidates(spark: SparkSession,
+      dir: String): DataFrame =
+    bandCandidates(minhashBandedFrom(shingleRows(spark, dir)))
 
   // --- persisted pair set: build once, cluster many --------------------
   //
@@ -418,5 +433,61 @@ object Dedup {
           (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
       .filter(col("jaccard") > 0)
+  }
+
+  /** dedup_substring constants: span grams are [[SubGramN]]-token windows;
+    * a reported span needs at least [[SubMinGrams]] consecutive duplicated
+    * grams (= SubGramN + SubMinGrams - 1 tokens).
+    */
+  val SubGramN = 8
+  val SubMinGrams = 3
+
+  /** dedup_substring: cross-document duplicated SPANS — the
+    * exact-substring dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL'22), re-expressed join-shaped
+    * instead of suffix-array-shaped: a token position participates in a
+    * duplicated span iff its 8-token window hash occurs in ≥2 distinct
+    * documents; maximal runs of consecutive such positions
+    * (gaps-and-islands: pos - row_number() is constant within a run) are
+    * the spans. Doc-level near-dup (minhash) misses these — a quote or
+    * boilerplate block inside an otherwise unique page — and they are the
+    * memorization risk the Lee paper measures.
+    *
+    * Scale shape: windows are ROWS (one lead()-chain per doc, tokenized
+    * once); duplicate detection is a two-level (hash, doc) partial
+    * aggregate; positions rejoin the surviving hashes on the
+    * high-cardinality hash key; islands are one window over (doc, pos).
+    * Everything shuffles on hash or doc_id — the suffix array's global
+    * sort never materializes, and no stage is quadratic: a hash shared by
+    * k docs contributes k rows, not k² pairs (span extension replaces
+    * pair enumeration).
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until SubGramN).map(i => lead(col("tok"), i).over(w))
+    val gramPos = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(normToks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (col("tok") +: leads): _*)).as("h"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), col("h"))
+      .localCheckpoint() // feeds both duplicate detection and the rejoin
+    val dup = gramPos.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    gramPos.join(dup, "h")
+      .withColumn("isl", col("pos") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= SubMinGrams)
+      .select(col("doc_id"), col("span_start"),
+        (col("n_grams") + lit(SubGramN - 1)).cast("int").as("span_tokens"),
+        col("n_grams").cast("int").as("n_grams"))
   }
 }

@@ -49,6 +49,22 @@ object TextAnalysis {
         floor(col("best") / 100).cast("int").as("score"))
   }
 
+  /** The composite [0,1] quality score of `quality_score`, 4dp-rounded —
+    * factored so `quality_thresholds` (CorpusStats) calibrates cutoffs on
+    * the IDENTICAL arithmetic it will later gate with.
+    */
+  private[operators] def qualityScoreCol: Column = {
+    val t = toks(col("text"))
+    val nWords = size(t)
+    val stopHits = size(filter(t,
+      x => array_contains(array(RefVocab.enStopwords.map(lit): _*), lower(x))))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,?!'\":-]", ""))
+    floor((least(lit(1.0), nWords / 100.0) * 0.4 +
+      stopHits.cast("double") / nWords * 0.3 +
+      (lit(1.0) - punct.cast("double") / nChars) * 0.3) * 10000 + 0.5) / 10000
+  }
+
   /** quality_score: length/stopword/punctuation heuristics composited into
     * a [0,1] score — the standard pre-training quality gate shape.
     */
@@ -74,8 +90,7 @@ object TextAnalysis {
         rnd4(charSum.cast("double") / nWords).as("avg_word_len"),
         rnd4(stopRatio).as("stopword_ratio"),
         rnd4(punctRatio).as("punct_ratio"),
-        rnd4(least(lit(1.0), nWords / 100.0) * 0.4 +
-          stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3).as("score"))
+        qualityScoreCol.as("score"))
   }
 
   /** token_count: whitespace tokens, BPE-ish regex tokens, chars/4

@@ -439,6 +439,32 @@ object DuckSql {
        |SELECT * FROM h WHERE hamming <= 8""".stripMargin
   }
 
+  /** Mirror of Dedup.dedupSubstring: 8-token window hashes with
+    * positions (struct unnest — DuckDB range() can't take lateral
+    * column args), cross-doc duplicated hashes, gaps-and-islands span
+    * merge. Integer arithmetic end-to-end.
+    */
+  val dedupSubstring: String = {
+    import graft.operators.Dedup.{SubGramN, SubMinGrams}
+    val g1 = SubGramN - 1 // 7: slice end offset and span-length pad
+    s"""WITH n AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - ${g1 - 1}, 1)),
+       |    j -> {'pos': j - 1, 'h': md5(array_to_string(ws[j:j+$g1], ' '))})) AS u
+       |  FROM n),
+       |gp AS (SELECT doc_id, u.pos::INT AS pos, u.h AS h FROM g),
+       |dup AS (SELECT h FROM (SELECT h, doc_id FROM gp GROUP BY h, doc_id)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT gp.doc_id, gp.pos,
+       |         row_number() OVER (PARTITION BY gp.doc_id ORDER BY gp.pos) AS rn
+       |       FROM gp JOIN dup USING (h))
+       |SELECT doc_id, min(pos)::INT AS span_start,
+       |  (count(*) + $g1)::INT AS span_tokens, count(*)::INT AS n_grams
+       |FROM dp GROUP BY doc_id, pos - rn HAVING count(*) >= $SubMinGrams""".stripMargin
+  }
+
   val dedupNgram: String =
     s"""$shCte
        |SELECT source, id_a, id_b, jaccard FROM (
@@ -753,6 +779,29 @@ object DuckSql {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  /** Mirror of Similarity.semDedup: the same trained k-means cells as
+    * annIvfKmeans (identical CTE chain), within-cell pairs at or above
+    * the shared threshold on the 6dp-rounded cosine, each duplicate
+    * reporting its lowest-id cluster-mate.
+    */
+  val semDedup: String = {
+    val thr = graft.operators.Similarity.SemDedupThreshold
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx")},
+       |p AS (SELECT b.vec_id, b.cid AS ccell, a.vec_id AS id_a,
+       |        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+       |      FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT vec_id, ccell, id_a AS dup_of, sim
+       |FROM (SELECT vec_id, ccell, id_a, sim,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY id_a) AS rn
+       |      FROM p WHERE sim >= $thr) WHERE rn = 1""".stripMargin
+  }
+
   /** Mirror of Similarity.annPq. Inner products are unrolled 8-term
     * left-associative sums of double-cast float products — the exact
     * arithmetic of the Spark DotProduct loop, so distances and
@@ -963,4 +1012,80 @@ object DuckSql {
        |SELECT doc_id, shard, n_tokens, "offset",
        |  floor("offset" / $PackBudget)::BIGINT AS bin FROM o""".stripMargin
   }
+
+  // ---- corpus statistics (graft.operators.CorpusStats constants) -----
+
+  /** Shared normalized-token-list CTE (`n(doc_id, lang, ws)`) — the
+    * Dedup.normToks tokenizer with lang carried through.
+    */
+  private val normCte: String =
+    """WITH n AS (SELECT doc_id, lang,
+      |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |              x -> x <> '') AS ws FROM documents)""".stripMargin
+
+  /** Mirror of CorpusStats.ngramStats: bigram rows, two-level (gram,
+    * doc) aggregation, top-k by (count desc, gram). sum casts back to
+    * BIGINT (DuckDB sums BIGINT into HUGEINT; Spark stays long).
+    */
+  val ngramStats: String = {
+    import graft.operators.CorpusStats.NgramTopK
+    s"""$normCte,
+       |g AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j] || ' ' || ws[j+1])) AS gram
+       |  FROM n),
+       |pd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id),
+       |c AS (SELECT gram, sum(c)::BIGINT AS n_occurrences, count(*) AS n_docs
+       |      FROM pd GROUP BY gram)
+       |SELECT gram, n_occurrences, n_docs, rank::INT AS rank
+       |FROM (SELECT gram, n_occurrences, n_docs,
+       |        row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+       |      FROM c) WHERE rank <= $NgramTopK""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.domainMix: per-language token inventory vs the
+    * shared LangTargets recipe. The target CASE casts to DOUBLE (a bare
+    * 0.50 literal is DECIMAL in DuckDB, double in Spark).
+    */
+  val domainMix: String = {
+    val tgt = graft.operators.CorpusStats.LangTargets
+      .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
+      .mkString("(CASE ", " ", " ELSE 0.0 END)::DOUBLE")
+    s"""$normCte,
+       |p AS (SELECT lang, count(*) AS n_docs, sum(len(ws))::BIGINT AS tokens
+       |      FROM n GROUP BY lang),
+       |t AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM p)
+       |SELECT lang, n_docs, tokens,
+       |  floor(tokens::DOUBLE / total_tokens * 1000000 + 0.5) / 1000000 AS natural_share,
+       |  $tgt AS target_share,
+       |  floor($tgt * total_tokens::DOUBLE / tokens * 1000000 + 0.5) / 1000000 AS sample_factor,
+       |  floor($tgt * total_tokens::DOUBLE)::BIGINT AS planned_tokens
+       |FROM p, t ORDER BY lang""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.qualityThresholds: the qualityScore composite
+    * (same fragments as the qualityScore oracle), discrete lower
+    * quantiles at integer positions under (score, doc_id) — position
+    * arithmetic is integer division on both engines.
+    */
+  val qualityThresholds: String =
+    s"""WITH w AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |m AS (SELECT doc_id, lang, len(t) AS n_words,
+       |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
+       |  FROM w),
+       |s AS (SELECT doc_id, lang,
+       |  floor((least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
+       |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
+       |  FROM m),
+       |x AS (SELECT lang, score,
+       |  row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       |  FROM s)
+       |SELECT lang, max(n)::INT AS n_docs,
+       |  max(CASE WHEN rn = (n-1)//10 + 1 THEN score END) AS p10,
+       |  max(CASE WHEN rn = (n-1)//2 + 1 THEN score END) AS p50,
+       |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN score END) AS p90
+       |FROM x GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{CorpusStats, TextAnalysis}
+
+/** Known-corpus checks for the corpus-statistics operators. */
+class CorpusStatsSpec extends SparkSpecBase {
+
+  test("ngram_stats: occurrence + doc counts, count-then-gram rank order") {
+    val dir = fixtureDir(docs = Seq(doc(1, "a b a b"), doc(2, "a b c")))
+    // doc 1 bigrams: "a b","b a","a b"; doc 2: "a b","b c"
+    val out = rows(CorpusStats.ngramStats(spark, dir))
+    assert(out === Set(
+      Seq("a b", 3L, 2L, 1),
+      Seq("b a", 1L, 1L, 2), // count tie broken by gram asc
+      Seq("b c", 1L, 1L, 3)))
+  }
+
+  test("domain_mix: shares and resampling factors against the recipe") {
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "a b c d", "en", "s0", 7),
+      Doc(2, "e f", "en", "s0", 3),
+      Doc(3, "w x y z", "de", "s0", 7)))
+    // total 10 tokens; en 6 (target 0.50), de 4 (target 0.15)
+    val out = rows(CorpusStats.domainMix(spark, dir))
+    assert(out === Set(
+      Seq("de", 1L, 4L, 0.4, 0.15, 0.375, 1L),    // 0.15*10/4
+      Seq("en", 2L, 6L, 0.6, 0.5, 0.833333, 5L))) // 0.5*10/6 floored 6dp
+  }
+
+  test("quality_thresholds: discrete quantile positions of quality_score") {
+    // 11 docs, varying length => varying scores; positions for n=11 are
+    // rn 2 / 6 / 10 (0-indexed 1 / 5 / 9 of the score-sorted order)
+    val docs = (1 to 11).map(i =>
+      Doc(i.toLong, ("word " * i).trim + " the end.", "en", "s0", 1L))
+    val dir = fixtureDir(docs = docs)
+    val scores = TextAnalysis.qualityScore(spark, dir)
+      .select("score").collect().map(_.getDouble(0)).sorted
+    val out = CorpusStats.qualityThresholds(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getInt(1) === 11)
+    assert(r.getDouble(2) === scores(1))
+    assert(r.getDouble(3) === scores(5))
+    assert(r.getDouble(4) === scores(9))
+  }
+}

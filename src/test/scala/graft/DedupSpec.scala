@@ -120,4 +120,19 @@ class DedupSpec extends SparkSpecBase {
     assert(m.contains("BitPack lane overflow") ||
       m.contains("ARITHMETIC_OVERFLOW"), m)
   }
+
+  test("dedup_substring: a shared 10-token run yields maximal spans") {
+    val shared = "one two three four five six seven eight nine ten"
+    val d = fixtureDir(docs = Seq(
+      doc(1, s"alpha beta $shared gamma delta"),
+      doc(2, s"$shared omega"),
+      doc(3, "totally different words only here nothing shared at all now")))
+    // 8-gram windows fully inside the run are cross-doc duplicated:
+    // doc 1 positions 2..4, doc 2 positions 0..2 — islands of 3 grams
+    // = spans of 10 tokens; boundary-crossing windows don't collide
+    val out = rows(Dedup.dedupSubstring(spark, d))
+    assert(out === Set(
+      Seq(1L, 2, 10, 3),
+      Seq(2L, 0, 10, 3)))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+import graft.streaming.DedupStream
+
+/** Incremental LSH pair maintenance, end-to-end: a file-backed document
+  * stream (two micro-batches via maxFilesPerTrigger=1) must reproduce the
+  * batch band-candidate set exactly, with re-deliveries as no-ops.
+  */
+class DedupStreamSpec extends SparkSpecBase {
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val near2 = near1 + " extra"
+
+  /** Stage doc batches as separate parquet files in one stream dir. */
+  private def stageBatches(batches: Seq[Seq[Doc]]): String = {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-dedup-stream").toString
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dedup-tmp").toString
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
+    }
+    stage
+  }
+
+  test("incremental candidates across micro-batches equal the batch set") {
+    val b1 = Seq(doc(1, near1), doc(2, near2),
+      doc(5, "unrelated totally different text with many various words here"))
+    // batch 2 re-delivers doc 1 (must be a no-op) and lands doc 3, a
+    // third near-dup that must pair against the STATE from batch 1
+    val b2 = Seq(doc(1, near1), doc(3, near1),
+      doc(4, "another completely distinct document about other topics entirely"))
+    val stage = stageBatches(Seq(b1, b2))
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = DedupStream.candidatePairs(src)
+      .writeStream.format("memory").queryName("cand_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cand_out").select("id_a", "id_b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs collide in every band; the cross-batch pairs (1,3)
+    // and (2,3) exist only because bucket state carried over
+    assert(streamed.contains((1L, 3L)))
+    // no self pairs from the re-delivery
+    assert(streamed.forall { case (a, b) => a < b })
+    // exact parity with the batch candidate generator on the same corpus
+    val dir = fixtureDir(docs = b1 ++ b2.filterNot(_.doc_id == 1))
+    val batch = Dedup.minhashCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+}

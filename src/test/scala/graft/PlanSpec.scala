@@ -108,6 +108,35 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("semdedup is a training-free equi-join over the persisted cells") {
+    withNoAutoBroadcast {
+      val plan = planOf(Similarity.semDedup(spark, dir))
+      // within-cell pairs come from a key-partitioned equi-join on ccell,
+      // never a cross product over the corpus
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // a pure consumer of the persisted index: no checkpointed training
+      // lineage may appear in the query plan
+      assert(!plan.contains("ExistingRDD"),
+        s"semdedup plan contains training lineage:\n$plan")
+    }
+  }
+
+  test("dedup_substring never cross-joins; spans come from window merges") {
+    withNoAutoBroadcast {
+      val plan = planOf(Dedup.dedupSubstring(spark, dir))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Window"), plan)
+    }
+  }
+
+  test("ngram_stats top-k is TakeOrdered, not a global sort") {
+    val plan = planOf(graft.operators.CorpusStats.ngramStats(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a tree-reduced TakeOrdered:\n$plan")
+  }
+
   test("ann_ivfpq probe is training-free and cell-pruned over the index") {
     val idx = Similarity.ivfPqIndex(spark, dir)
     val plan = planOf(Similarity.annIvfPqProbe(spark, dir, idx))

@@ -72,6 +72,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!m.contains((0L, 2L)))
   }
 
+  test("semdedup: the higher-id twin in a trained cell is the duplicate") {
+    // vecs 0 and 1 are identical -> same trained cell (tie -> cid 0);
+    // 1 is marked dup_of 0 at sim 1.0; the orthogonal and near vectors
+    // keep their own cells and emit nothing
+    val out = rows(Similarity.semDedup(spark, dir()))
+    assert(out === Set(Seq(1L, 0, 0L, 1.0)))
+  }
+
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
     val embs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) 1.0 else -1.0
