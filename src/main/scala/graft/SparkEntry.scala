@@ -53,6 +53,8 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "semdedup"        -> (Similarity.semDedup _),
+    "cluster_stats"   -> (Dedup.clusterStats _),
+    "source_overlap"  -> (Dedup.sourceOverlap _),
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
@@ -251,6 +253,8 @@ object SparkEntry {
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
     "dedup_substring" -> graft.oracle.DuckSql.dedupSubstring,
     "semdedup"        -> graft.oracle.DuckSql.semDedup,
+    "cluster_stats"   -> graft.oracle.DuckSql.clusterStats,
+    "source_overlap"  -> graft.oracle.DuckSql.sourceOverlap,
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,

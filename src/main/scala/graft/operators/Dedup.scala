@@ -152,7 +152,7 @@ object Dedup {
     * joins over a materialized frame run in seconds — shared heavy
     * subplans must be computed once, not once per consumer.
     */
-  private def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .localCheckpoint()
@@ -193,7 +193,7 @@ object Dedup {
   /** True-Jaccard verification of candidate id pairs against the shingle
     * rows: |A∩B| by co-occurrence count, |A∪B| = |A|+|B|-|A∩B|.
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("id_a"), col("n").as("na"),
       col("g").as("ga"))
     val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
@@ -433,6 +433,47 @@ object Dedup {
           (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
       .filter(col("jaccard") > 0)
+  }
+
+  /** cluster_stats: the cluster-size histogram of the dedup map — the
+    * audit a curation run reads before dropping duplicates (how much of
+    * the corpus is duplicated, and in how large groups). Pure consumer of
+    * dedup_clusters (itself a consumer of the persisted pair set); two
+    * partial-agg groupBys, output rows = distinct cluster sizes.
+    */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size").cast("int").as("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /** source_overlap: the cross-source duplication matrix — which sources
+    * copy from each other, at what similarity. The standard provenance
+    * audit over the verified pair set (e.g. the Dolma/C4 reports'
+    * inter-source overlap tables); a pure consumer of the persisted
+    * pairs: two doc_id-keyed joins to attach sources, one groupBy on the
+    * unordered source pair. Mean Jaccard accumulates the 4dp-exact pair
+    * values as integers (order-independent, engine-identical).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val srcLo = least(col("src_a"), col("src_b"))
+    val srcHi = greatest(col("src_a"), col("src_b"))
+    dedupPairs(spark, dir)
+      .join(d.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        "id_b")
+      .select(srcLo.as("src_lo"), srcHi.as("src_hi"),
+        floor(col("jaccard") * 10000 + lit(0.5)).cast("long").as("j4"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("jsum"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+        (floor(col("jsum").cast("double") / col("n_pairs") + lit(0.5))
+          / 10000).as("avg_jaccard"))
   }
 
   /** dedup_substring constants: span grams are [[SubGramN]]-token windows;

@@ -395,12 +395,13 @@ object DuckSql {
        |$minhashJCtes
        |SELECT * FROM j WHERE jaccard >= $jacThresh""".stripMargin
 
-  /** Mirror of Dedup.dedupClusters: connected components of the verified
-    * minhash pairs as a recursive transitive closure (the oracle-sized
-    * formulation; the engine side is log-round pointer jumping), each doc
-    * labeled with its component minimum, singletons labeling themselves.
+  /** Shared CTE chain ending in `labels(doc_id, cluster)` — the
+    * connected components of the verified minhash pairs as a recursive
+    * transitive closure (the oracle-sized formulation; the engine side
+    * is log-round pointer jumping), singletons labeling themselves.
+    * Consumed by dedupClusters and clusterStats.
     */
-  val dedupClusters: String =
+  private val clusterLabelCtes: String =
     s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$minhashJCtes,
        |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $jacThresh),
@@ -411,9 +412,42 @@ object DuckSql {
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
        |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
-       |        FROM reach GROUP BY u)
-       |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
-       |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin
+       |        FROM reach GROUP BY u),
+       |labels AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |           FROM documents d LEFT JOIN lbl l USING (doc_id))""".stripMargin
+
+  /** Mirror of Dedup.dedupClusters (see [[clusterLabelCtes]]). */
+  val dedupClusters: String =
+    s"""$clusterLabelCtes
+       |SELECT doc_id, cluster FROM labels""".stripMargin
+
+  /** Mirror of Dedup.clusterStats: the cluster-size histogram over the
+    * same component labels.
+    */
+  val clusterStats: String =
+    s"""$clusterLabelCtes,
+       |cs AS (SELECT cluster, count(*) AS cluster_size FROM labels
+       |       GROUP BY cluster)
+       |SELECT cluster_size::INT AS cluster_size, count(*) AS n_clusters,
+       |  (cluster_size * count(*))::BIGINT AS n_docs
+       |FROM cs GROUP BY cluster_size""".stripMargin
+
+  /** Mirror of Dedup.sourceOverlap: verified pairs joined to their
+    * sources, grouped on the unordered source pair; mean jaccard via
+    * exact integer accumulation of the 4dp pair values.
+    */
+  val sourceOverlap: String =
+    s"""$shCte,
+       |$minhashJCtes,
+       |v AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $jacThresh),
+       |s AS (SELECT least(da.source, db.source) AS src_lo,
+       |        greatest(da.source, db.source) AS src_hi,
+       |        CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j4
+       |      FROM v JOIN documents da ON da.doc_id = v.id_a
+       |             JOIN documents db ON db.doc_id = v.id_b)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs,
+       |  floor(sum(j4)::DOUBLE / count(*) + 0.5) / 10000 AS avg_jaccard
+       |FROM s GROUP BY src_lo, src_hi""".stripMargin
 
   val dedupSimhash: String = {
     val bitTerms = (0 until 64).map { i =>
