@@ -135,4 +135,29 @@ class DedupSpec extends SparkSpecBase {
       Seq(1L, 2, 10, 3),
       Seq(2L, 0, 10, 3)))
   }
+
+  test("cluster_stats: size histogram over exact-duplicate clusters") {
+    val d = fixtureDir(docs = Seq(
+      doc(0, base), doc(1, base), doc(2, base), // cluster of 3
+      doc(3, "one two three four five six"),
+      doc(4, "one two three four five six"), // cluster of 2
+      doc(5, "entirely different unique words here"))) // singleton
+    val out = rows(Dedup.clusterStats(spark, d))
+    assert(out === Set(
+      Seq(1, 1L, 1L),
+      Seq(2, 1L, 2L),
+      Seq(3, 1L, 3L)))
+  }
+
+  test("source_overlap: unordered source pairs with exact mean jaccard") {
+    val d = fixtureDir(docs = Seq(
+      doc(0, base, "cc"), doc(1, base, "wiki"), // cross-source, j = 1
+      doc(2, "one two three four five six", "cc"),
+      doc(3, "one two three four five six", "cc"), // within-cc, j = 1
+      doc(4, "entirely different unique words here", "wiki")))
+    val out = rows(Dedup.sourceOverlap(spark, d))
+    assert(out === Set(
+      Seq("cc", "cc", 1L, 1.0),
+      Seq("cc", "wiki", 1L, 1.0)))
+  }
 }
