@@ -168,4 +168,59 @@ class SimilaritySpec extends SparkSpecBase {
     val r2 = out.collect().map(_.toSeq)
     assert(r1.toSet === r2.toSet)
   }
+
+  test("ivf append: frozen-quantizer insert is probe-visible, no retrain") {
+    import spark.implicits._
+    val d = dir()
+    val path = Similarity.ivfFlatIndexPath(d)
+    val before = Similarity.ivfFlatIndex(spark, d)
+    val coarseBefore = before.coarse.collect().map(_.toSeq).toSet
+    // insert a vector nearly identical to query 0 (closer than vec 3)
+    Similarity.appendToIvfFlat(spark, path,
+      Seq(Emb(1000L, vec(0.99, 0.01), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    val after = Similarity.ivfFlatIndex(spark, d)
+    // quantizer frozen: centroids bit-identical
+    assert(after.coarse.collect().map(_.toSeq).toSet === coarseBefore)
+    // the insert landed in exactly one cell, alongside its twin's cell
+    val cellOf = after.lists.filter($"vec_id" === 1000L || $"vec_id" === 0L)
+      .select($"vec_id", $"ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(1000L) === cellOf(0L))
+    // and the probe over the SAME persisted path sees it immediately:
+    // cosine(q0, v1000) ~ 0.99995 > cosine(q0, v3) ~ 0.9939 -> rank 2
+    val probed = Similarity.annIvfKmeansProbe(spark, d, after)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed.contains((0L, 1L, 1)))
+    assert(probed.contains((0L, 1000L, 2)))
+  }
+
+  test("ivf append: works as a streaming foreachBatch sink") {
+    import spark.implicits._
+    val d = dir()
+    val path = Similarity.ivfFlatIndexPath(d)
+    Similarity.ivfFlatIndex(spark, d) // build
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString
+    Seq(Emb(2000L, vec(0.0, 0.98, 0.02), 0)).toDF()
+      .write.mode("overwrite").parquet(stage)
+    val q = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], _: Long) =>
+        Similarity.appendToIvfFlat(spark, path, b)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val lists = spark.read.parquet(s"$path/lists")
+    // routed to the orthogonal vector's cell (nearest centroid to e2)
+    val cellOf = lists.filter($"vec_id" === 2000L || $"vec_id" === 2L)
+      .select($"vec_id", $"ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(2000L) === cellOf(2L))
+  }
 }
