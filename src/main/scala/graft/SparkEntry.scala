@@ -58,6 +58,7 @@ object SparkEntry {
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
+    "interval_join" -> (Sessions.intervalJoin _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -258,6 +259,7 @@ object SparkEntry {
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,
+    "interval_join" -> graft.oracle.DuckSql.intervalJoin,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,

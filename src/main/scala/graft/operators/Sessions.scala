@@ -111,6 +111,49 @@ object Sessions {
         col("ae").as("asof_event"), round(col("av"), 2).as("asof_value"))
   }
 
+  /** interval_join attribution window: a click is credited to a same-user
+    * purchase at most this many seconds later. Single-sourced into the
+    * oracle SQL via [[graft.oracle.DuckSql]].
+    */
+  val AttributionSec = 600L
+
+  /** interval_join: ALL same-user 'click' events inside the trailing
+    * (p_sec - [[AttributionSec]], p_sec] window of each 'purchase' — the
+    * attribution/interval join (every match, where asof_join keeps only
+    * the latest one).
+    *
+    * NOT written as an inequality join: a bare range predicate leaves
+    * user_id as the only equi-key, so per-user pairing is quadratic and
+    * a keyless variant plans as BroadcastNestedLoop. The scale shape is
+    * bucket-explode + refine: bucket width = the window length, each
+    * click lands statically in ONE (user, bucket); each purchase probes
+    * exactly its own and the previous bucket (a trailing window of
+    * length W spans at most 2 W-buckets). The join is then a plain
+    * equi-join on (user_id, bucket) — hashable, AQE-skew-splittable —
+    * and the exact window predicate refines candidates. No dedup pass
+    * is needed: the click's bucket is unique and the two probed buckets
+    * differ, so a (purchase, click) pair can only arise once.
+    * SessionsSpec asserts the plan is BNL-free.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = AttributionSec
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("c_sec"), expr(s"sec div $w").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"))
+      .withColumn("bucket",
+        explode(array(expr(s"p_sec div $w") - 1, expr(s"p_sec div $w"))))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_sec") > col("p_sec") - w && col("c_sec") <= col("p_sec"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (col("p_sec") - col("c_sec")).as("gap_sec"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

@@ -660,6 +660,24 @@ object DuckSql {
       |FROM events e ASOF LEFT JOIN d
       |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin
 
+  /** Mirror of Sessions.intervalJoin as the DIRECT inequality join (the
+    * oracle-sized formulation; the engine side is bucket-explode +
+    * refine, an equi-join on (user_id, bucket)).
+    */
+  val intervalJoin: String = {
+    val w = graft.operators.Sessions.AttributionSec
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  floor(epoch(ts))::BIGINT AS sec FROM events),
+       |p AS (SELECT event_id AS purchase_id, user_id, sec AS p_sec
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id, sec AS c_sec
+       |      FROM e WHERE event_type = 'click')
+       |SELECT p.purchase_id, c.click_id, p.user_id,
+       |  p.p_sec - c.c_sec AS gap_sec
+       |FROM p JOIN c ON c.user_id = p.user_id
+       |  AND c.c_sec > p.p_sec - $w AND c.c_sec <= p.p_sec""".stripMargin
+  }
+
   val windowAgg: String =
     """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
       |           FROM events)

@@ -109,4 +109,26 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(out) === Set(
       Seq(0L, 0.9, "low"), Seq(2L, 0.0, "high"), Seq(3L, 0.7, "medium")))
   }
+
+  test("interval_join: trailing-window attribution, cross-bucket, BNL-free") {
+    val dir = fixtureDir(evs = Seq(
+      ev(10, 1000, 1, "purchase", 9.0),
+      // gap 600 = outside the half-open (p-600, p] window
+      ev(0, 400, 1, "click"),
+      // gap 599: inside, and in the PREVIOUS 600s bucket (crosses the
+      // bucket boundary at 600 -> proves the 2-bucket explode)
+      ev(1, 401, 1, "click"),
+      ev(2, 1000, 1, "click"),  // gap 0: at-the-instant, inside
+      ev(3, 1100, 1, "click"),  // after the purchase
+      ev(4, 500, 2, "click"),   // other user
+      ev(5, 999, 1, "view")))   // wrong type
+    val df = Sessions.intervalJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    val out = rows(df.select("purchase_id", "click_id", "user_id", "gap_sec"))
+    assert(out === Set(
+      Seq(10L, 1L, 1L, 599L),
+      Seq(10L, 2L, 1L, 0L)))
+  }
 }
