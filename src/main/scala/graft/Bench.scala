@@ -41,7 +41,16 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Drop this run's localCheckpoint/cache blocks: left in place,
+        // 62 queries x 3 runs of materialized frames pile up in the
+        // block manager and later queries pay eviction churn for
+        // earlier queries' blocks (measured: interaction_history 0.6 s
+        // alone vs 13 s late in a full sweep). Persisted parquet
+        // indexes live on disk and are unaffected.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }
       // min AND max of the N runs are both emitted: an external-load
       // spike (see BASELINE.md's noise caveat) shows up as max >> min and

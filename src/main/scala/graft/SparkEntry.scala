@@ -62,6 +62,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
+    "ann_recall" -> (Similarity.annRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
+    "hist_quantiles" -> (CorpusStats.histQuantiles _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -263,6 +265,7 @@ object SparkEntry {
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
+    "ann_recall" -> graft.oracle.DuckSql.annRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
@@ -276,5 +279,6 @@ object SparkEntry {
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
+    "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
   )
 }

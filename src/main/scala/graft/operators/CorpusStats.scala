@@ -150,4 +150,46 @@ object CorpusStats {
         pick(1, 10).as("p10"), pick(1, 2).as("p50"), pick(9, 10).as("p90"))
       .orderBy(col("lang"))
   }
+
+  /** hist_quantiles: per-language quantiles via a VALUE HISTOGRAM — the
+    * skew-resilient calibration path [[qualityThresholds]]'s scaladoc
+    * promises. The quality score is 4dp-exact, so its distinct values
+    * form at most 10 001 natural bins: groupBy (lang, score) with
+    * map-side partial counts replaces the per-language rank sort of
+    * EVERY document, and the cumulative window then runs over ≤10 001
+    * bin rows per language, not the corpus. At 100 TB one language
+    * holding 90% of all docs no longer sorts 90% of the corpus in one
+    * partition — the histogram is the same size for every language.
+    *
+    * Quantile rule: identical to qualityThresholds' integer positions —
+    * the value at 1-based position (n-1)·p div 1 + 1 equals the SMALLEST
+    * score whose cumulative count reaches that position (duplicates
+    * collapse into one bin, so the histogram lookup and the rank pick
+    * select the same score). Emits the wider calibration set
+    * p25/p50/p75/p90/p99.
+    */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("lang"), TextAnalysis.qualityScoreCol.as("score"))
+    val binned = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    def pickQ(num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"(n - 1) * $num div $den") + 1,
+        col("score")))
+    binned
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).cast("int").as("n_docs"),
+        pickQ(1, 4).as("p25"), pickQ(1, 2).as("p50"),
+        pickQ(3, 4).as("p75"), pickQ(9, 10).as("p90"),
+        pickQ(99, 100).as("p99"))
+      .orderBy(col("lang"))
+  }
 }

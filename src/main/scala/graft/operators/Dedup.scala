@@ -126,11 +126,17 @@ object Dedup {
     * compute regardless of how few input splits the corpus has, and
     * co-partitions the per-doc aggregates that follow.
     */
-  def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.documents(spark, dir))
+
+  /** Frame-shaped twin of [[shingleRows]] — shared with the streaming
+    * maintenance path, which shingles arriving micro-batches instead of
+    * a corpus directory.
+    */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")),
+      docs.select(col("doc_id"), col("source"), col("text")),
       col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(normToks(col("text"))).as(Seq("pos", "w")))

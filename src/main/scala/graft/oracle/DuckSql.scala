@@ -831,6 +831,25 @@ object DuckSql {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  /** Mirror of Similarity.annRecall: exact brute-force top-3 for the
+    * %100 eval queries, left-joined with the trained-IVF probe's top-3
+    * (the full annIvfKmeans chain as a subquery).
+    */
+  val annRecall: String =
+    s"""WITH ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ap AS (SELECT q_id, neighbor_id FROM ($annIvfKmeans))
+       |SELECT ex.q_id, count(ap.neighbor_id) AS n_matched,
+       |  floor(count(ap.neighbor_id)::DOUBLE / 3 * 10000 + 0.5) / 10000 AS recall
+       |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.q_id""".stripMargin
+
   /** Mirror of Similarity.semDedup: the same trained k-means cells as
     * annIvfKmeans (identical CTE chain), within-cell pairs at or above
     * the shared threshold on the 6dp-rounded cosine, each duplicate
@@ -1119,7 +1138,11 @@ object DuckSql {
     * quantiles at integer positions under (score, doc_id) — position
     * arithmetic is integer division on both engines.
     */
-  val qualityThresholds: String =
+  /** Shared CTE chain ending in `s(doc_id, lang, score)` — the 4dp
+    * quality-score composite, consumed by qualityThresholds and
+    * histQuantiles.
+    */
+  private val qualityScoreCtes: String =
     s"""WITH w AS (SELECT doc_id, lang, text,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |m AS (SELECT doc_id, lang, len(t) AS n_words,
@@ -1130,7 +1153,10 @@ object DuckSql {
        |s AS (SELECT doc_id, lang,
        |  floor((least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
        |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
-       |  FROM m),
+       |  FROM m)""".stripMargin
+
+  val qualityThresholds: String =
+    s"""$qualityScoreCtes,
        |x AS (SELECT lang, score,
        |  row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
        |  count(*) OVER (PARTITION BY lang) AS n
@@ -1139,5 +1165,23 @@ object DuckSql {
        |  max(CASE WHEN rn = (n-1)//10 + 1 THEN score END) AS p10,
        |  max(CASE WHEN rn = (n-1)//2 + 1 THEN score END) AS p50,
        |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN score END) AS p90
+       |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Mirror of CorpusStats.histQuantiles, via the rank formulation (the
+    * engine side is the histogram cumulative — the two agreeing is the
+    * point: same positions picked from bins vs from the full sort).
+    */
+  val histQuantiles: String =
+    s"""$qualityScoreCtes,
+       |x AS (SELECT lang, score,
+       |  row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       |  FROM s)
+       |SELECT lang, max(n)::INT AS n_docs,
+       |  max(CASE WHEN rn = (n-1)//4 + 1 THEN score END) AS p25,
+       |  max(CASE WHEN rn = (n-1)//2 + 1 THEN score END) AS p50,
+       |  max(CASE WHEN rn = ((n-1)*3)//4 + 1 THEN score END) AS p75,
+       |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN score END) AS p90,
+       |  max(CASE WHEN rn = ((n-1)*99)//100 + 1 THEN score END) AS p99
        |FROM x GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Dedup
 
@@ -115,5 +118,89 @@ object DedupStream {
     }
     state.update(BucketState(members, over))
     out.result().iterator
+  }
+
+  // --- full maintenance: candidates + Jaccard verify + persisted pair
+  //     set, per micro-batch -------------------------------------------
+
+  /** End-to-end incremental dedup maintenance — the streaming face of
+    * [[Dedup.buildDedupPairs]]. Per micro-batch of documents:
+    *
+    *  1. already-stored docs are dropped (re-delivery is a no-op);
+    *  2. the batch's shingle rows (doc_id, g, n) and LSH band rows
+    *     append to the persisted stores under `store`;
+    *  3. the batch's band rows join the UPDATED band store into new
+    *     candidate pairs (old⋈new and new⋈new; over-cap (band, key)
+    *     buckets are skipped — the batch bucket-drop semantics, with
+    *     the same no-retraction caveat as [[candidatePairs]]);
+    *  4. candidates verify by true Jaccard against the updated shingle
+    *     store, and survivors (≥ [[Dedup.JaccardThreshold]]) append to
+    *     `store/pairs`.
+    *
+    * After the stream drains, `store/pairs` equals the batch
+    * `dedupMinhash` pair set over the union corpus (spec-proven across
+    * micro-batches, re-deliveries included). Every step is a
+    * distributed frame op; the stores are plain parquet appends (new
+    * files only), so consumers ([[Dedup.dedupClusters]]-style probes,
+    * audits) read them like any other persisted pair set.
+    */
+  def maintainPairs(docs: DataFrame, store: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Row], _: Long) => processBatch(batch.toDF(), store)
+    }
+
+  private def readOr(batch: DataFrame, path: String, ddl: String): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(ddl))
+  }
+
+  private[graft] def processBatch(batch: DataFrame, store: String): Unit = {
+    val spark = batch.sparkSession
+    val shP = s"$store/shingles"
+    val bdP = s"$store/bands"
+    val prP = s"$store/pairs"
+    val knownIds = readOr(batch, shP,
+      "doc_id BIGINT, source STRING, g STRING, n BIGINT")
+      .select(col("doc_id")).distinct()
+    val newDocs = batch.select(col("doc_id"), col("source"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(knownIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!newDocs.isEmpty) {
+      val newSh = Dedup.shingleRowsOf(newDocs)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .localCheckpoint()
+      newSh.write.mode("append").parquet(shP)
+      Dedup.minhashBandedFrom(newSh).write.mode("append").parquet(bdP)
+      val allBands = readOr(batch, bdP, "doc_id BIGINT, band INT, key STRING")
+      val capped = allBands
+        .withColumn("bc",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .filter(col("bc") <= Dedup.BUCKET_CAP)
+        .drop("bc")
+      val newSide = capped.join(newDocs.select(col("doc_id")), "doc_id")
+      val cand = capped.alias("a").hint("merge")
+        .join(newSide.alias("b").hint("merge"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+        .distinct()
+      val knownPairs = readOr(batch, prP,
+        "id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+        .select(col("id_a"), col("id_b"))
+      val fresh = cand.join(knownPairs, Seq("id_a", "id_b"), "left_anti")
+      Dedup.verifyJaccard(fresh, readOr(batch, shP,
+          "doc_id BIGINT, source STRING, g STRING, n BIGINT"))
+        .filter(col("jaccard") >= Dedup.JaccardThreshold)
+        .write.mode("append").parquet(prP)
+    }
   }
 }

@@ -44,4 +44,27 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(r.getDouble(3) === scores(5))
     assert(r.getDouble(4) === scores(9))
   }
+
+  test("hist_quantiles: histogram cumulative picks the rank-sort scores") {
+    // duplicate scores on purpose (pairs of equal-length docs): the
+    // histogram collapses them into one bin and the cumulative lookup
+    // must still select the same positional score as a full rank sort
+    val docs = (1 to 10).map(i =>
+      Doc(i.toLong, ("word " * ((i + 1) / 2)).trim + " the end.", "en",
+        "s0", 1L)) :+ Doc(11L, "short one.", "en", "s0", 1L)
+    val dir = fixtureDir(docs = docs)
+    val scores = TextAnalysis.qualityScore(spark, dir)
+      .select("score").collect().map(_.getDouble(0)).sorted
+    // n=11: 1-based positions (n-1)*p div den + 1 -> idx 2/5/7/9/9 (0-based)
+    val out = CorpusStats.histQuantiles(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getInt(1) === 11)
+    assert(r.getDouble(2) === scores(2))  // p25: (10*1) div 4 = 2
+    assert(r.getDouble(3) === scores(5))  // p50
+    assert(r.getDouble(4) === scores(7))  // p75: 30 div 4 = 7
+    assert(r.getDouble(5) === scores(9))  // p90
+    assert(r.getDouble(6) === scores(9))  // p99: 990 div 100 = 9
+  }
 }

@@ -60,4 +60,35 @@ class DedupStreamSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed === batch)
   }
+
+  test("maintainPairs: drained pair store equals the batch verified set") {
+    val b1 = Seq(doc(1, near1), doc(2, near2),
+      doc(5, "unrelated totally different text with many various words here"))
+    // re-delivery of doc 1 must be a full no-op (no duplicate shingles,
+    // no duplicate pairs); doc 3 pairs against BOTH stored near-dups
+    val b2 = Seq(doc(1, near1), doc(3, near1),
+      doc(4, "another completely distinct document about other topics entirely"))
+    val stage = stageBatches(Seq(b1, b2))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-pair-store").toString
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = DedupStream.maintainPairs(src, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = rows(spark.read.parquet(s"$store/pairs")
+      .select("id_a", "id_b", "jaccard"))
+    val dir = fixtureDir(docs = b1 ++ b2.filterNot(_.doc_id == 1))
+    val batch = rows(Dedup.dedupMinhash(spark, dir)
+      .select("id_a", "id_b", "jaccard"))
+    assert(streamed === batch)
+    // re-delivered doc 1 left exactly one copy of its shingle set
+    val shCount = spark.read.parquet(s"$store/shingles")
+      .where("doc_id = 1").select("g").distinct().count()
+    val shRows = spark.read.parquet(s"$store/shingles")
+      .where("doc_id = 1").count()
+    assert(shCount === shRows)
+  }
 }

@@ -169,6 +169,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r1.toSet === r2.toSet)
   }
 
+  test("ann_recall: per-query overlap of the IVF probe with exact top-3") {
+    val d = dir()
+    val exact = Similarity.knnJoin(spark, d)
+      .filter("q_id % 100 = 0").select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvfKmeans(spark, d)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.annRecall(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === exact.map(_._1))
+    for ((q, (m, rec)) <- out) {
+      val expected = exact.filter(_._1 == q).count(approx.contains)
+      assert(m === expected.toLong)
+      assert(rec === math.floor(expected / 3.0 * 10000 + 0.5) / 10000)
+    }
+  }
+
   test("ivf append: frozen-quantizer insert is probe-visible, no retrain") {
     import spark.implicits._
     val d = dir()
