@@ -61,6 +61,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (-1.0, -1.0) }
+      // Broadcast/checkpoint blocks are reclaimed by the ContextCleaner
+      // only after the driver GCs their references; across 64 queries
+      // the backlog inflates later queries 3-10x vs isolation (measured
+      // even with the per-run unpersist). One GC per query keeps the
+      // cleaner current; it runs outside every timed window.
+      System.gc()
       name -> ((tMin, tMax))
     }
     // Millisecond precision: sub-ms digits are noise and they bloat the

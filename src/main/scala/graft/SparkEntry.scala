@@ -69,6 +69,7 @@ object SparkEntry {
     "decontaminate"     -> (Curation.decontaminate _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
+    "shuffle_assign"    -> (Curation.shuffleAssign _),
     "quality_filter"    -> (Curation.qualityFilter _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
@@ -272,6 +273,7 @@ object SparkEntry {
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
+    "shuffle_assign"    -> graft.oracle.DuckSql.shuffleAssign,
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,

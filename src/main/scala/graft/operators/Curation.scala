@@ -179,4 +179,38 @@ object Curation {
       .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("offset") / lit(PackBudget)).cast("long"))
   }
+
+  /** shuffle_assign seed + shard count. The 60-bit key (15 md5 hex
+    * chars) stays exact in any engine's signed 64-bit integer.
+    */
+  val ShuffleSeed = "graft-shuffle"
+  val ShuffleShards = 8
+
+  /** shuffle_assign: the deterministic GLOBAL SHUFFLE before training
+    * export (the Megatron/Dolma pre-shuffle): every doc draws a 60-bit
+    * seeded hash key; shard = hkey mod [[ShuffleShards]], position =
+    * rank by (hkey, doc_id) within the shard. Reading shards in
+    * position order replays ONE fixed pseudo-random permutation of the
+    * corpus — reproducible across runs and cluster layouts, with no RNG
+    * state to coordinate.
+    *
+    * [[packSequences]] decides per-shard OFFSETS over a given order;
+    * this op decides the ORDER itself. Scale shape: one shuffle on
+    * shard (shard count grows with the corpus; 8 here), within-shard
+    * sort by the hash key — the standard sort-by-random-key export,
+    * feeding straight into Sinks.writeSortedParquet at 100 TB.
+    */
+  def shuffleAssign(spark: SparkSession, dir: String): DataFrame = {
+    val hkey = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":" + ShuffleSeed))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("hkey", hkey)
+      .withColumn("shard",
+        pmod(col("hkey"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("hkey"))
+  }
 }

@@ -1084,6 +1084,22 @@ object DuckSql {
        |  floor("offset" / $PackBudget)::BIGINT AS bin FROM o""".stripMargin
   }
 
+  /** Mirror of Curation.shuffleAssign: the same 60-bit seeded md5 key
+    * (15 hex chars stay exact in a signed BIGINT; key >= 0 so plain %
+    * equals Spark's pmod), same (hkey, doc_id) rank within shard.
+    */
+  val shuffleAssign: String = {
+    import graft.operators.Curation.{ShuffleSeed, ShuffleShards}
+    s"""WITH h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(ShuffleSeed)}'), 1, 15))::BIGINT AS hkey
+       |  FROM documents)
+       |SELECT doc_id, (hkey % $ShuffleShards)::INT AS shard,
+       |  row_number() OVER (PARTITION BY hkey % $ShuffleShards
+       |                     ORDER BY hkey, doc_id)::INT AS pos,
+       |  hkey
+       |FROM h""".stripMargin
+  }
+
   // ---- corpus statistics (graft.operators.CorpusStats constants) -----
 
   /** Shared normalized-token-list CTE (`n(doc_id, lang, ws)`) — the

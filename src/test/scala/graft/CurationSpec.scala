@@ -45,4 +45,27 @@ class CurationSpec extends SparkSpecBase {
     assert(n4 === 20)
     assert(tox4 === 1.0) // min(1, 4*10/20) capped
   }
+
+  test("shuffle_assign: seeded md5 permutation, dense positions per shard") {
+    val docs = (0 until 40).map(i => doc(i.toLong, s"text number $i"))
+    val d = fixtureDir(docs = docs)
+    // independent expectation: the same md5 arithmetic in plain Java
+    def hkey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${Curation.ShuffleSeed}".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val expected = docs.map(_.doc_id).map(id => (id, hkey(id)))
+      .groupBy { case (_, h) => h % Curation.ShuffleShards }
+      .flatMap { case (shard, members) =>
+        members.sortBy { case (id, h) => (h, id) }.zipWithIndex.map {
+          case ((id, h), i) => Seq[Any](id, shard.toInt, i + 1, h)
+        }
+      }.toSet
+    val out = rows(Curation.shuffleAssign(spark, d))
+    assert(out === expected)
+    // deterministic replay
+    assert(rows(Curation.shuffleAssign(spark, d)) === out)
+  }
 }
