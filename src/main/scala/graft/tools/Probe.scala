@@ -36,7 +36,15 @@ object Probe {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // same hygiene as Bench: drop checkpoint blocks and let the
+      // ContextCleaner reclaim broadcasts, or probe numbers inflate
+      // 3-10x from earlier queries' backlog (measured: hist_quantiles
+      // 21.9 s after an index build vs 2.1 s clean)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      t
     }
     SparkEntry.queries.keys.filter(only).toSeq.sorted.foreach { name =>
       val t = math.min(once(name), once(name))
