@@ -63,6 +63,7 @@ object SparkEntry {
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_recall" -> (Similarity.annRecall _),
+    "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
@@ -195,39 +196,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
         |  FROM cand) WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
-    "lsh_ann" ->
-      """WITH hp AS (
-        |  SELECT j, list(CASE WHEN substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1) >= '8'
-        |                      THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END ORDER BY i) AS h
-        |  FROM range(0, 64) t1(j), range(0, 64) t2(i) GROUP BY j),
-        |sig AS (
-        |  SELECT e.vec_id,
-        |    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
-        |        k -> e.embedding[k]::DOUBLE * hp.h[k]::DOUBLE)) >= 0
-        |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS sg
-        |  FROM embeddings e, hp GROUP BY e.vec_id),
-        |banded AS (
-        |  SELECT vec_id, b::INT AS band, substr(sg, (1 + 8*b)::INT, 8) AS key
-        |  FROM sig, range(0, 8) t(b)),
-        |capped AS (
-        |  SELECT * FROM banded
-        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
-        |qb AS (SELECT vec_id AS q_id, band AS qband, key AS qkey
-        |       FROM banded WHERE vec_id % 100 = 0),
-        |cand AS (
-        |  SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
-        |  FROM capped c JOIN qb ON c.band = qb.qband AND c.key = qb.qkey
-        |                        AND c.vec_id <> qb.q_id),
-        |scored AS (
-        |  SELECT cand.q_id, cand.neighbor_id,
-        |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
-        |  FROM cand JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
-        |            JOIN embeddings qe ON qe.vec_id = cand.q_id)
-        |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
-        |  SELECT q_id, neighbor_id, s,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
-        |  FROM scored) WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+    "lsh_ann" -> graft.oracle.DuckSql.lshAnn,
     "clean_text"           -> graft.oracle.DuckSql.cleanText,
     "template_classify"    -> graft.oracle.DuckSql.templateClassify,
     "topic_detect"         -> graft.oracle.DuckSql.topicDetect,
@@ -267,6 +236,7 @@ object SparkEntry {
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
     "ann_recall" -> graft.oracle.DuckSql.annRecall,
+    "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,

@@ -831,6 +831,44 @@ object DuckSql {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  /** Mirror of Similarity.lshAnn (moved from SparkEntry's inline map so
+    * indexRecall can embed it): 64 deterministic md5-sign hyperplanes,
+    * 8x8-bit bands, capped buckets, true-cosine rerank.
+    */
+  val lshAnn: String =
+    """WITH hp AS (
+      |  SELECT j, list(CASE WHEN substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1) >= '8'
+      |                      THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END ORDER BY i) AS h
+      |  FROM range(0, 64) t1(j), range(0, 64) t2(i) GROUP BY j),
+      |sig AS (
+      |  SELECT e.vec_id,
+      |    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+      |        k -> e.embedding[k]::DOUBLE * hp.h[k]::DOUBLE)) >= 0
+      |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS sg
+      |  FROM embeddings e, hp GROUP BY e.vec_id),
+      |banded AS (
+      |  SELECT vec_id, b::INT AS band, substr(sg, (1 + 8*b)::INT, 8) AS key
+      |  FROM sig, range(0, 8) t(b)),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
+      |qb AS (SELECT vec_id AS q_id, band AS qband, key AS qkey
+      |       FROM banded WHERE vec_id % 100 = 0),
+      |cand AS (
+      |  SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
+      |  FROM capped c JOIN qb ON c.band = qb.qband AND c.key = qb.qkey
+      |                        AND c.vec_id <> qb.q_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.neighbor_id,
+      |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+      |  FROM cand JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+      |            JOIN embeddings qe ON qe.vec_id = cand.q_id)
+      |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+      |  SELECT q_id, neighbor_id, s,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Mirror of Similarity.annRecall: exact brute-force top-3 for the
     * %100 eval queries, left-joined with the trained-IVF probe's top-3
     * (the full annIvfKmeans chain as a subquery).
@@ -947,6 +985,35 @@ object DuckSql {
        |        row_number() OVER (PARTITION BY q_id
        |                           ORDER BY s DESC, neighbor_id) AS rank
        |      FROM sc) WHERE rank <= 3""".stripMargin
+
+  /** Mirror of Similarity.indexRecall: one exact brute-force CTE, four
+    * left-join recall arms — each embedding the full probe oracle as a
+    * subquery (annIvfKmeans / annPq / annIvfPq / lshAnn).
+    */
+  val indexRecall: String = {
+    def arm(name: String, approxSql: String) =
+      s"""SELECT '$name' AS index_name, ex.q_id,
+         |  count(ap.neighbor_id) AS n_matched,
+         |  floor(count(ap.neighbor_id)::DOUBLE / 3 * 10000 + 0.5) / 10000 AS recall
+         |FROM ex LEFT JOIN (SELECT q_id, neighbor_id FROM ($approxSql)) ap
+         |  ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.q_id""".stripMargin
+    s"""WITH ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |${arm("ivf_kmeans", annIvfKmeans)}
+       |UNION ALL
+       |${arm("pq", annPq)}
+       |UNION ALL
+       |${arm("ivfpq", annIvfPq)}
+       |UNION ALL
+       |${arm("lsh", lshAnn)}""".stripMargin
+  }
 
   val interactionHistory: String =
     """SELECT user_id, row_number() OVER (PARTITION BY user_id

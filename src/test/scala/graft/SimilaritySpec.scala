@@ -187,6 +187,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("index_recall: four arms, each matching its standalone recall") {
+    val embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    }
+    val d = fixtureDir(embs = embs)
+    val out = Similarity.indexRecall(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val arms = out.keys.map(_._1).toSet
+    assert(arms === Set("ivf_kmeans", "pq", "ivfpq", "lsh"))
+    // every arm covers the same exact-side query set
+    val qidsPerArm = out.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(qidsPerArm.values.toSet.size === 1)
+    // the ivf_kmeans arm agrees with the standalone ann_recall gauge
+    val standalone = Similarity.annRecall(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((q, v) <- standalone)
+      assert(out(("ivf_kmeans", q)) === v)
+    // recall values are the 4dp-exact thirds
+    assert(out.values.forall { case (m, rec) =>
+      m >= 0 && m <= 3 && rec === math.floor(m / 3.0 * 10000 + 0.5) / 10000
+    })
+  }
+
   test("ivf append: frozen-quantizer insert is probe-visible, no retrain") {
     import spark.implicits._
     val d = dir()
