@@ -59,6 +59,8 @@ object SparkEntry {
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
     "interval_join" -> (Sessions.intervalJoin _),
+    "funnel" -> (Sessions.funnel _),
+    "cohort_retention" -> (Sessions.cohortRetention _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -232,6 +234,8 @@ object SparkEntry {
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,
     "interval_join" -> graft.oracle.DuckSql.intervalJoin,
+    "funnel" -> graft.oracle.DuckSql.funnel,
+    "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,

@@ -154,6 +154,71 @@ object Sessions {
         (col("p_sec") - col("c_sec")).as("gap_sec"))
   }
 
+  /** funnel: ordered-step conversion counts over the event stream —
+    * signup → click → purchase, each step requiring its FIRST occurrence
+    * strictly after the previous step's first occurrence (the standard
+    * product-analytics funnel on first-touch semantics).
+    *
+    * Scale shape: one groupBy(user) computes the three first-occurrence
+    * times as conditional MIN aggregates (map-side partial, no window,
+    * no self-join — a per-user row regardless of event volume), then a
+    * constant-size conditional-count aggregate emits the step rows via
+    * an inline steps table. Two shuffles total, both partial-agg.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("sec"))).as(s"t_$t")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(firstOf("signup"), firstOf("click"), firstOf("purchase"))
+      .select(
+        col("t_signup").isNotNull.as("s1"),
+        (col("t_signup").isNotNull && col("t_click").isNotNull &&
+          col("t_click") > col("t_signup")).as("s2"),
+        (col("t_signup").isNotNull && col("t_click").isNotNull &&
+          col("t_click") > col("t_signup") &&
+          col("t_purchase").isNotNull &&
+          col("t_purchase") > col("t_click")).as("s3"))
+    val agg = perUser.agg(
+      sum(col("s1").cast("long")).as("n1"),
+      sum(col("s2").cast("long")).as("n2"),
+      sum(col("s3").cast("long")).as("n3"))
+    agg.select(explode(array(
+      struct(lit(1).as("step"), lit("signup").as("event_type"),
+        col("n1").as("n_users")),
+      struct(lit(2).as("step"), lit("click").as("event_type"),
+        col("n2").as("n_users")),
+      struct(lit(3).as("step"), lit("purchase").as("event_type"),
+        col("n3").as("n_users")))).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_users"))
+  }
+
+  /** cohort_retention: users grouped by the week of their FIRST event
+    * (the cohort), counted per subsequent activity week offset — the
+    * classic retention triangle.
+    *
+    * Scale shape: first-event week per user via one groupBy(user) MIN
+    * (partial-agg); the activity rows re-join that tiny per-user frame
+    * on user_id (co-partitioned by the same key, no extra shuffle
+    * beyond the join); distinct users per (cohort, offset) is a
+    * two-level aggregate — dedup rows first, then count — never
+    * count(distinct) over raw events.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("int").as("week_no"))
+      .distinct()
+      .groupBy(col("cohort_wk"), col("week_no"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

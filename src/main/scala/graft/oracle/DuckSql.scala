@@ -678,6 +678,43 @@ object DuckSql {
        |  AND c.c_sec > p.p_sec - $w AND c.c_sec <= p.p_sec""".stripMargin
   }
 
+  /** Mirror of Sessions.funnel: first-touch times per user, null-safe
+    * ordered-step predicates, inline steps table.
+    */
+  val funnel: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |  floor(epoch(ts))::BIGINT AS sec FROM events),
+      |u AS (SELECT user_id,
+      |  min(CASE WHEN event_type = 'signup' THEN sec END) AS t_signup,
+      |  min(CASE WHEN event_type = 'click' THEN sec END) AS t_click,
+      |  min(CASE WHEN event_type = 'purchase' THEN sec END) AS t_purchase
+      |  FROM e GROUP BY user_id),
+      |f AS (SELECT
+      |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |  sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+      |            AND t_click > t_signup THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |  sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+      |            AND t_click > t_signup AND t_purchase IS NOT NULL
+      |            AND t_purchase > t_click THEN 1 ELSE 0 END)::BIGINT AS n3
+      |  FROM u)
+      |SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users FROM f
+      |UNION ALL SELECT 2, 'click', n2 FROM f
+      |UNION ALL SELECT 3, 'purchase', n3 FROM f""".stripMargin
+
+  /** Mirror of Sessions.cohortRetention: epoch-week floors (nanos div
+    * 604800e9 on the engine side = seconds div 604800 here, identical
+    * for nonnegative timestamps).
+    */
+  val cohortRetention: String =
+    """WITH e AS (SELECT user_id,
+      |  (floor(epoch(ts))::BIGINT // 604800) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |d AS (SELECT DISTINCT e.user_id, f.cohort_wk,
+      |        (e.wk - f.cohort_wk)::INT AS week_no
+      |      FROM e JOIN f USING (user_id))
+      |SELECT cohort_wk, week_no, count(*) AS n_users
+      |FROM d GROUP BY cohort_wk, week_no""".stripMargin
+
   val windowAgg: String =
     """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
       |           FROM events)

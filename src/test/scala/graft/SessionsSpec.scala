@@ -110,6 +110,42 @@ class SessionsSpec extends SparkSpecBase {
       Seq(0L, 0.9, "low"), Seq(2L, 0.0, "high"), Seq(3L, 0.7, "medium")))
   }
 
+  test("funnel: ordered first-touch steps, out-of-order users drop out") {
+    val dir = fixtureDir(evs = Seq(
+      // user 1 completes the funnel in order
+      ev(0, 100, 1, "signup"), ev(1, 200, 1, "click"),
+      ev(2, 300, 1, "purchase"),
+      // user 2: click BEFORE signup -> counts only step 1
+      ev(3, 100, 2, "click"), ev(4, 200, 2, "signup"),
+      // user 3: signup + later click, purchase before click -> step 2
+      ev(5, 100, 3, "signup"), ev(6, 300, 3, "click"),
+      ev(7, 200, 3, "purchase"),
+      // user 4 never signs up -> no step
+      ev(8, 100, 4, "click"), ev(9, 200, 4, "purchase")))
+    val out = rows(Sessions.funnel(spark, dir))
+    assert(out === Set(
+      Seq(1, "signup", 3L),
+      Seq(2, "click", 2L),
+      Seq(3, "purchase", 1L)))
+  }
+
+  test("cohort_retention: first-event week cohorts, distinct weekly users") {
+    val wk = 604800L
+    val dir = fixtureDir(evs = Seq(
+      // user 1: first event week 0, active weeks 0 and 2 (twice in wk 2)
+      ev(0, 100, 1), ev(1, 2 * wk + 50, 1), ev(2, 2 * wk + 60, 1),
+      // user 2: also cohort week 0, active week 0 only
+      ev(3, 200, 2),
+      // user 3: cohort week 1, active weeks 1 and 2
+      ev(4, wk + 10, 3), ev(5, 2 * wk + 10, 3)))
+    val out = rows(Sessions.cohortRetention(spark, dir))
+    assert(out === Set(
+      Seq(0L, 0, 2L),
+      Seq(0L, 2, 1L),
+      Seq(1L, 0, 1L),
+      Seq(1L, 1, 1L)))
+  }
+
   test("interval_join: trailing-window attribution, cross-bucket, BNL-free") {
     val dir = fixtureDir(evs = Seq(
       ev(10, 1000, 1, "purchase", 9.0),
