@@ -8,7 +8,9 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpecBase {
 
   private val base = "alpha beta gamma delta epsilon zeta eta theta"
-  private def dir() = fixtureDir(docs = Seq(
+  // one shared corpus for the whole (read-only) dedup family: the
+  // persisted pair set and shingle frames build once per suite
+  private lazy val dir0: String = fixtureDir(docs = Seq(
     doc(0, base),
     doc(1, base), // exact duplicate
     doc(2, "  Alpha   beta GAMMA delta epsilon zeta eta theta "), // normalization dup
@@ -16,7 +18,7 @@ class DedupSpec extends SparkSpecBase {
     doc(4, "one two three four five six seven eight"))) // unrelated
 
   test("dedup_exact: canonical min-id per normalized hash") {
-    val out = Dedup.dedupExact(spark, dir())
+    val out = Dedup.dedupExact(spark, dir0)
       .select("doc_id", "canonical", "is_dup")
     assert(rows(out) === Set(
       Seq(0L, 0L, false), Seq(1L, 0L, true), Seq(2L, 0L, true),
@@ -24,7 +26,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("dedup_minhash: identical shingle sets always collide, jaccard = 1") {
-    val out = Dedup.dedupMinhash(spark, dir())
+    val out = Dedup.dedupMinhash(spark, dir0)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // 0,1,2 share one shingle set: all three pairs must be found at 1.0
@@ -36,7 +38,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("dedup_simhash: identical docs at hamming 0, unrelated not paired") {
-    val out = Dedup.dedupSimhash(spark, dir())
+    val out = Dedup.dedupSimhash(spark, dir0)
       .select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(out((0L, 1L)) === 0)
@@ -45,7 +47,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("dedup_ngram: exact jaccard values within the source block") {
-    val out = Dedup.dedupNgram(spark, dir())
+    val out = Dedup.dedupNgram(spark, dir0)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out((0L, 1L)) === 1.0)
@@ -57,7 +59,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("dedup_clusters: components of the minhash pairs, min-id labels") {
-    val d = dir()
+    val d = dir0
     // expected components: union-find over the operator's own pair list
     val pairs = Dedup.dedupMinhash(spark, d)
       .select("id_a", "id_b").collect()

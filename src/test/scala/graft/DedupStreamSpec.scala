@@ -46,7 +46,7 @@ class DedupStreamSpec extends SparkSpecBase {
     val q = DedupStream.candidatePairs(src)
       .writeStream.format("memory").queryName("cand_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val streamed = spark.table("cand_out").select("id_a", "id_b")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // identical docs collide in every band; the cross-batch pairs (1,3)
@@ -77,7 +77,7 @@ class DedupStreamSpec extends SparkSpecBase {
       .parquet(stage)
     val q = DedupStream.maintainPairs(src, store)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = rows(spark.read.parquet(s"$store/pairs")
       .select("id_a", "id_b", "jaccard"))
     val dir = fixtureDir(docs = b1 ++ b2.filterNot(_.doc_id == 1))

@@ -18,6 +18,20 @@ class SimilaritySpec extends SparkSpecBase {
       Emb(2, vec(0.0, 1.0), 0),
       Emb(3, vec(0.9, 0.1), 0)))
 
+  /** One shared corpus (and thus ONE content-addressed index build) for
+    * every read-only probe test; the ivf-append tests MUTATE their index
+    * and keep calling dir() for a fresh one.
+    */
+  private lazy val roDir = dir()
+
+  /** Shared 20-vector two-label corpus for the PQ/IVFPQ/leaderboard
+    * probes — read-only, so one set of index builds serves them all.
+    */
+  private lazy val pqDir = fixtureDir(embs = (0 until 20).map { i =>
+    val base = if (i % 2 == 0) 1.0 else -1.0
+    Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+  })
+
   test("kb_ingest reports dimension and 4dp-rounded L2 norm") {
     val d = fixtureDir(
       docs = Seq(doc(0, "a b c")),
@@ -28,7 +42,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("sim_topk ranks the identical twin first, orthogonal last") {
-    val out = Similarity.simTopk(spark, dir())
+    val out = Similarity.simTopk(spark, roDir)
       .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.head === ((1L, 1.0)))
     assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
@@ -36,28 +50,28 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("knn_join top-3 for the single sampled query") {
-    val out = Similarity.knnJoin(spark, dir())
+    val out = Similarity.knnJoin(spark, roDir)
       .select("q_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(out === Seq((0L, 1L, 1), (0L, 3L, 2), (0L, 2L, 3)))
   }
 
   test("ann_ivf routes through the centroid and ranks by true cosine") {
-    val out = Similarity.annIvf(spark, dir())
+    val out = Similarity.annIvf(spark, roDir)
       .select("neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(out === Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
   test("ann_ivf_kmeans trains centroids and still ranks the twin first") {
-    val out = Similarity.annIvfKmeans(spark, dir())
+    val out = Similarity.annIvfKmeans(spark, roDir)
       .select("q_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.contains((0L, 1L, 1)))
   }
 
   test("lsh_ann finds the identical twin (all bands collide)") {
-    val out = Similarity.lshAnn(spark, dir())
+    val out = Similarity.lshAnn(spark, roDir)
       .select("neighbor_id", "sim", "rank").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(out.contains((1L, 1.0, 1)))
@@ -65,7 +79,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("neardup_embedding pairs the twin within its label block") {
     // (0,1) identical -> sim 1.0; orthogonal pairs filtered by >= 0.40
-    val m = Similarity.nearDupEmbedding(spark, dir())
+    val m = Similarity.nearDupEmbedding(spark, roDir)
       .select("id_a", "id_b", "sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(m((0L, 1L)) === 1.0)
@@ -76,16 +90,12 @@ class SimilaritySpec extends SparkSpecBase {
     // vecs 0 and 1 are identical -> same trained cell (tie -> cid 0);
     // 1 is marked dup_of 0 at sim 1.0; the orthogonal and near vectors
     // keep their own cells and emit nothing
-    val out = rows(Similarity.semDedup(spark, dir()))
+    val out = rows(Similarity.semDedup(spark, roDir))
     assert(out === Set(Seq(1L, 0, 0L, 1.0)))
   }
 
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
-    val embs = (0 until 20).map { i =>
-      val base = if (i % 2 == 0) 1.0 else -1.0
-      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
-    }
-    val dir = fixtureDir(embs = embs)
+    val dir = pqDir
     val out = graft.operators.Similarity.annIvfPq(spark, dir)
       .select("q_id", "neighbor_id", "approx_dot", "rank")
     val r = out.collect().map(_.toSeq)
@@ -99,11 +109,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("ivfpq index persists coarse/codebooks/cell-partitioned codes") {
-    val embs = (0 until 20).map { i =>
-      val base = if (i % 2 == 0) 1.0 else -1.0
-      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
-    }
-    val dir = fixtureDir(embs = embs)
+    val dir = pqDir
     val idx = graft.operators.Similarity.ivfPqIndex(spark, dir)
     assert(idx.coarse.columns.toSet === Set("cid", "cvec"))
     assert(idx.codebooks.columns.toSet === Set("m", "cid", "cvec"))
@@ -128,11 +134,7 @@ class SimilaritySpec extends SparkSpecBase {
     // signed permutation = orthogonal: perm is a bijection, signs are ±1
     assert(Similarity.OpqPerm.sorted.toSeq === (0 until 64))
     assert(Similarity.OpqSigns.forall(s => s == 1.0f || s == -1.0f))
-    val embs = (0 until 20).map { i =>
-      val base = if (i % 2 == 0) 1.0 else -1.0
-      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
-    }
-    val dir = fixtureDir(embs = embs)
+    val dir = pqDir
     val path = java.nio.file.Files
       .createTempDirectory("graft-opq-idx").toString
     Similarity.buildIvfPqIndex(spark, dir, path, rotate = true)
@@ -150,11 +152,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("ann_pq: PQ codes + ADC ranking, deterministic top-3") {
     // 20 vectors (16 seed the codebooks; vec 0 is the query), clustered
     // so near neighbors of the query share its codewords.
-    val embs = (0 until 20).map { i =>
-      val base = if (i % 2 == 0) 1.0 else -1.0
-      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
-    }
-    val dir = fixtureDir(embs = embs)
+    val dir = pqDir
     val out = graft.operators.Similarity.annPq(spark, dir)
       .select("q_id", "neighbor_id", "approx_dot", "rank")
     val r1 = out.collect().map(_.toSeq)
@@ -170,7 +168,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("ann_recall: per-query overlap of the IVF probe with exact top-3") {
-    val d = dir()
+    val d = roDir
     val exact = Similarity.knnJoin(spark, d)
       .filter("q_id % 100 = 0").select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -188,11 +186,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("index_recall: four arms, each matching its standalone recall") {
-    val embs = (0 until 20).map { i =>
-      val base = if (i % 2 == 0) 1.0 else -1.0
-      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
-    }
-    val d = fixtureDir(embs = embs)
+    val d = pqDir
     val out = Similarity.indexRecall(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getDouble(3)))).toMap
@@ -258,7 +252,7 @@ class SimilaritySpec extends SparkSpecBase {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val lists = spark.read.parquet(s"$path/lists")
     // routed to the orthogonal vector's cell (nearest centroid to e2)
     val cellOf = lists.filter($"vec_id" === 2000L || $"vec_id" === 2L)

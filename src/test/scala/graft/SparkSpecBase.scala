@@ -18,8 +18,23 @@ case class Emb(vec_id: Long, embedding: Seq[Float], label: Int)
 case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
     value: Double, props: String)
 
-trait SparkSpecBase extends AnyFunSuite {
+trait SparkSpecBase extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
+
+  /** The session is shared across every suite in the JVM; without this,
+    * localCheckpoint blocks and unreclaimed broadcasts pile up across
+    * ~100 tests and late suites run minutes-slow (same churn measured
+    * and fixed in Bench/Probe). Runs after each suite, between tests'
+    * own lineage: checkpointed frames are only consumed inside the test
+    * that made them.
+    */
+  override def afterAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    super.afterAll()
+  }
 
   def doc(id: Long, text: String, source: String = "s0"): Doc =
     Doc(id, text, "en", source, text.length.toLong)

@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStream.windowAgg(streamEvents(dir))
       .writeStream.format("memory").queryName("win_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val out = rows(spark.table("win_out")
       .select("window_start", "event_type", "n", "sum_value"))
     assert(out === Set(
@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStream.dedupEvents(streamEvents(dir))
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val out = spark.table("dedup_out").select("event_id")
       .collect().map(_.getLong(0)).toSet
     // exactly one of the two (user 1, click) events survives (which one is
@@ -60,7 +60,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStream.sessionize(streamEvents(dir))
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val out = rows(spark.table("sess_out")
       .select("user_id", "session_start", "n_events", "first_event",
         "last_event", "total_value"))
@@ -102,7 +102,7 @@ class StreamingSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("asof_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val out = spark.table("asof_out").collect()
       .map(r => r.getLong(0) ->
         (Option(r.get(3)).map(_.asInstanceOf[Long]),
@@ -140,7 +140,7 @@ class StreamingSpec extends SparkSpecBase {
       val q = EventStream.sessionize(streamEvents(dir))
         .writeStream.format("memory").queryName("rocks_sess_out")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      q.awaitTermination(300000)
       val out = rows(spark.table("rocks_sess_out")
         .where("user_id = 1")
         .select("user_id", "n_events", "first_event", "last_event",
@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStream.sessionize(streamEvents(dir))
       .writeStream.format("memory").queryName("sess_boundary_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.awaitTermination(300000)
     val out = rows(spark.table("sess_boundary_out")
       .where("user_id = 2")
       .select("user_id", "n_events", "first_event", "last_event",
