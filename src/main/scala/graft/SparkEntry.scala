@@ -43,6 +43,7 @@ object SparkEntry {
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "winnow_overlap"  -> (TextAnalysis.winnowOverlap _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
     "toxicity_screen"  -> (TextAnalysis.toxicityScreen _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "quality_score"   -> graft.oracle.DuckSql.qualityScore,
     "token_count"     -> graft.oracle.DuckSql.tokenCount,
     "doc_fingerprint" -> graft.oracle.DuckSql.docFingerprint,
+    "winnow_overlap"  -> graft.oracle.DuckSql.winnowOverlap,
     "pii_scrub"        -> graft.oracle.DuckSql.piiScrub,
     "repetition_score" -> graft.oracle.DuckSql.repetitionScore,
     "toxicity_screen"  -> graft.oracle.DuckSql.toxicityScreen,

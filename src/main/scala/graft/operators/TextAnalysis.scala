@@ -117,7 +117,15 @@ object TextAnalysis {
     * one shuffle by doc_id, tokenization evaluated once per document (the
     * array formulation hides a per-element re-evaluation; see Dedup).
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(spark, dir)
+
+  /** The winnowed fingerprint set (doc_id, fp) — one row per distinct
+    * selected fingerprint per document. Factored so `winnow_overlap`
+    * ranks pairs over the IDENTICAL selection `doc_fingerprint` emits.
+    */
+  private[operators] def winnowFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val w4 = w.rowsBetween(Window.currentRow, 3)
     Tables.cpuPartition(
@@ -137,6 +145,56 @@ object TextAnalysis {
       .filter(col("wlen") === 4)
       .select(col("doc_id"), col("fp"))
       .dropDuplicates("doc_id", "fp")
+  }
+
+  /** A fingerprint shared by more documents than this is boilerplate
+    * (headers, licenses) — MOSS drops it from matching entirely
+    * (Schleimer SIGMOD'03 §5 "too common" postings), which also caps the
+    * per-fingerprint pair fan-out at WinnowHotCap² — the same role
+    * Dedup.BUCKET_CAP plays for the LSH band joins.
+    */
+  private[graft] val WinnowHotCap = 200
+
+  /** Pairs sharing fewer winnowed fingerprints than this are noise (a
+    * single 6-token collision); MOSS likewise ranks by match count.
+    */
+  private[graft] val WinnowMinShared = 2
+
+  /** winnow_overlap: MOSS-style cross-document overlap ranking over the
+    * winnowed fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD'03) —
+    * the BOUNDED substring index: winnowing keeps ~2/(w+1) of the k-gram
+    * hashes yet guarantees every shared run of ≥ w+k-1 tokens still
+    * collides, so this finds what `dedup_substring` finds at a fraction
+    * of the index size (the 100 TB trade: dedup_substring indexes every
+    * token position; this indexes the winnowed selection).
+    *
+    * Scale shape: fingerprint rows self-join on fp (equi-join, shuffle on
+    * fp) after the hot-fp filter bounds every bucket; pair aggregation
+    * and per-doc sizes are partial-agg groupBys. No cross product, no
+    * full-text re-shuffle — fingerprints are 8-char hashes.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    // feeds the hot-fp filter, both join sides, and the per-doc sizes
+    val fps = winnowFingerprints(spark, dir).localCheckpoint()
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= WinnowHotCap)
+      .select(col("fp"))
+    val sizes = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n"))
+    val shared = fps.join(keep, "fp")
+    shared.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(shared.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        rnd4(col("shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
   }
 
   /** pii_scrub: C4/Dolma-style PII redaction — emails, IPv4s, phone

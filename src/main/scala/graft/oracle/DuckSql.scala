@@ -321,7 +321,8 @@ object DuckSql {
       .replace("DUP2GRAM", dupFrac("g2"))
   }
 
-  val docFingerprint: String =
+  /** Shared CTE: the winnowed fingerprint rows of docFingerprint. */
+  private val winnowCte =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(ws) >= 6
@@ -330,8 +331,35 @@ object DuckSql {
       |  ELSE []::VARCHAR[] END AS hs FROM w),
       |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
       |  THEN list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))
-      |  ELSE []::VARCHAR[] END AS wins FROM s)
-      |SELECT doc_id, unnest(wins) AS fp FROM f""".stripMargin
+      |  ELSE []::VARCHAR[] END AS wins FROM s),
+      |fps AS (SELECT doc_id, unnest(wins) AS fp FROM f)""".stripMargin
+
+  val docFingerprint: String =
+    winnowCte + "\nSELECT doc_id, fp FROM fps"
+
+  /** Mirror of TextAnalysis.winnowOverlap: hot-fp filter, fp self-join,
+    * pair counts, containment vs the smaller fingerprint set.
+    */
+  val winnowOverlap: String = {
+    val cap = graft.operators.TextAnalysis.WinnowHotCap
+    val minShared = graft.operators.TextAnalysis.WinnowMinShared
+    winnowCte +
+      s""",
+         |keep AS (SELECT fp FROM fps GROUP BY fp
+         |         HAVING count(*) BETWEEN 2 AND $cap),
+         |sz AS (SELECT doc_id, count(*)::INT AS n FROM fps GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*)::INT AS shared
+         |      FROM fps a JOIN keep k ON a.fp = k.fp
+         |      JOIN fps b ON b.fp = a.fp
+         |      WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= $minShared)
+         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+         |  floor(shared::DOUBLE / least(sa.n, sb.n) * 10000 + 0.5) / 10000
+         |    AS containment
+         |FROM p JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin
+  }
 
   // ---- dedup family --------------------------------------------------
 

@@ -83,6 +83,38 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(byDoc(0L) === byDoc(1L))
   }
 
+  test("winnow_overlap: pair counts match brute force over the fp set") {
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      doc(0, common),
+      doc(1, common + " x1 x2 x3"),          // shares doc 0's windows
+      doc(2, (1 to 12).map(i => s"z$i").mkString(" ")), // disjoint
+      doc(3, "a b c d e")))                  // too short: no fingerprints
+    val fps = TextAnalysis.docFingerprint(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // brute-force expectation: drop fps outside [2, cap] docs, count
+    // pairs, keep >= WinnowMinShared, containment vs the smaller set
+    val byFp: Map[String, Seq[Long]] =
+      fps.toSeq.groupBy(_._2).map { case (fp, xs) => fp -> xs.map(_._1).sorted }
+    val sizes: Map[Long, Int] =
+      fps.toSeq.groupBy(_._1).map { case (d, xs) => d -> xs.length }
+    val expected = byFp.toSeq
+      .filter { case (_, ds) =>
+        ds.length >= 2 && ds.length <= TextAnalysis.WinnowHotCap }
+      .flatMap { case (_, ds) => for (a <- ds; b <- ds if a < b) yield (a, b) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.length }
+      .filter(_._2 >= TextAnalysis.WinnowMinShared)
+      .map { case ((a, b), n) =>
+        val cont = math.floor(
+          n.toDouble / math.min(sizes(a), sizes(b)) * 10000 + 0.5) / 10000
+        Seq[Any](a, b, n, sizes(a), sizes(b), cont)
+      }.toSet
+    val out = TextAnalysis.winnowOverlap(spark, dir)
+    assert(rows(out) === expected)
+    // the overlapping pair is exactly (0, 1); doc 2 pairs with no one
+    assert(expected.map(r => (r(0), r(1))) === Set((0L, 1L)))
+  }
+
   test("toxicity_screen: short-circuit, threshold, lexicon density") {
     val dir = fixtureDir(docs = Seq(
       doc(0, "hate kill crash"),                  // 3 words: short-circuit
