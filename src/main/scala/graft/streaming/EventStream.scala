@@ -12,6 +12,10 @@ case class AsofEvent(event_id: Long, ts: Long, user_id: Long,
 case class AsofState(ts: Long, event_id: Long, value: Double)
 case class AsofOut(event_id: Long, user_id: Long, event_type: String,
     asof_event: Option[Long], asof_value: Option[Double])
+case class AttrClick(click_id: Long, sec: Long)
+case class AttrState(clicks: Seq[AttrClick])
+case class AttrOut(purchase_id: Long, click_id: Long, user_id: Long,
+    gap_sec: Long)
 
 /** Structured Streaming twins of graft.operators.Sessions: the same column
   * logic over an unbounded source with event-time watermarking. The
@@ -119,6 +123,72 @@ object EventStream {
       i = j
     }
     st.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Streaming interval_join twin — state-buffered trailing-window
+    * attribution: every 'purchase' emits one row per same-user 'click'
+    * within the [[graft.operators.Sessions.AttributionSec]] trailing
+    * window, matching the batch operator's boundary semantics exactly
+    * (c_sec > p_sec - w strict, c_sec <= p_sec inclusive).
+    *
+    * State is the per-user buffer of clicks still inside the window of
+    * ANY future purchase — clicks older than maxSeen - w evict every
+    * batch, so state is bounded by per-user click rate × window, not
+    * stream length. Within a batch, events process in event-time order
+    * with same-ts clicks buffered before same-ts purchases (the batch
+    * join matches c_sec == p_sec regardless of event id). A click
+    * arriving out of order across batches — after a purchase it should
+    * have attributed — is missed: the standard streaming trade (cf.
+    * dedupEvents' horizon), which batch interval_join mops up.
+    */
+  def attributeClicks(events: DataFrame): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(attributeGroup)
+  }
+
+  private def attributeGroup(user: Long, it: Iterator[AsofEvent],
+      state: GroupState[AttrState]): Iterator[AttrOut] = {
+    val w = graft.operators.Sessions.AttributionSec
+    var clicks = state.getOption.map(_.clicks.toList).getOrElse(Nil)
+    val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
+    val out = Array.newBuilder[AttrOut]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j).ts == sorted(i).ts) j += 1
+      var k = i
+      while (k < j) {
+        val e = sorted(k)
+        if (e.event_type == "click")
+          clicks = AttrClick(e.event_id, e.ts / 1000000000L) :: clicks
+        k += 1
+      }
+      k = i
+      while (k < j) {
+        val e = sorted(k)
+        if (e.event_type == "purchase") {
+          val p = e.ts / 1000000000L
+          clicks.foreach { c =>
+            if (c.sec > p - w && c.sec <= p)
+              out += AttrOut(e.event_id, c.click_id, user, p - c.sec)
+          }
+        }
+        k += 1
+      }
+      i = j
+    }
+    if (sorted.nonEmpty) {
+      val maxSec = sorted.last.ts / 1000000000L
+      val kept = clicks.filter(_.sec > maxSec - w)
+      if (kept.isEmpty) state.remove() else state.update(AttrState(kept))
+    }
     out.result().iterator
   }
 

@@ -123,6 +123,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch === out)
   }
 
+  test("streaming attribution buffers clicks across batches, matches batch") {
+    // w = 600 s. Boundary cases on purpose:
+    //  - purchase@700 vs click@100: 100 > 700-600 is FALSE -> excluded
+    //    (strict lower bound), though the click is still buffered;
+    //  - click@900 / purchase@900 and click@1300 / purchase@1300: same-ts
+    //    matches at gap 0 regardless of event-id order (click id 8 >
+    //    purchase id 5);
+    //  - click@650 lands in batch 1, attributes to purchases @700 and
+    //    @900 in batch 2 via carried state.
+    val b1 = Seq(
+      ev(1, 100, 1, "click", 1.0),
+      ev(3, 600, 1, "purchase", 10.0),
+      ev(2, 650, 1, "click", 2.0),
+      ev(9, 50, 2, "click", 9.0)) // user without purchases: no rows
+    val b2 = Seq(
+      ev(4, 700, 1, "purchase", 20.0),
+      ev(6, 900, 1, "click", 3.0),
+      ev(7, 900, 1, "purchase", 30.0),
+      ev(5, 1300, 1, "purchase", 40.0),
+      ev(8, 1300, 1, "click", 4.0))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-attr-stream").toString
+    import spark.implicits._
+    Seq(b1, b2).zipWithIndex.foreach { case (evs, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-attr-tmp").toString
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = EventStream.attributeClicks(src)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val out = rows(spark.table("attr_out")
+      .select("purchase_id", "click_id", "user_id", "gap_sec"))
+    assert(out === Set(
+      Seq(3L, 1L, 1L, 500L),
+      Seq(4L, 2L, 1L, 50L),
+      Seq(7L, 2L, 1L, 250L),
+      Seq(7L, 6L, 1L, 0L),
+      Seq(5L, 6L, 1L, 400L),
+      Seq(5L, 8L, 1L, 0L)))
+    // in-order replay agrees with the batch operator exactly
+    val dir = fixtureDir(evs = b1 ++ b2)
+    val batch = rows(graft.operators.Sessions.intervalJoin(spark, dir)
+      .select("purchase_id", "click_id", "user_id", "gap_sec"))
+    assert(batch === out)
+  }
+
   test("sessionize runs on the RocksDB state store (production backend)") {
     // At 100 TB-scale streaming the session/window state outgrows the
     // default HDFS-backed in-memory store; RocksDB spills to local disk
