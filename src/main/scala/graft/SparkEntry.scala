@@ -62,6 +62,7 @@ object SparkEntry {
     "interval_join" -> (Sessions.intervalJoin _),
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
+    "event_transitions" -> (Sessions.eventTransitions _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "interval_join" -> graft.oracle.DuckSql.intervalJoin,
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
+    "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,

@@ -219,6 +219,34 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** event_transitions: the first-order Markov transition matrix of the
+    * event stream — counts and row-normalized probabilities of each
+    * (from_type → to_type) step within per-user event-time order (the
+    * product-analytics "next action" model; ties at the same second
+    * break by event_id, the corpus-wide deterministic order).
+    *
+    * Scale shape: one window shuffle on user_id for `lead`, then a
+    * partial-agg groupBy onto the |types|² matrix; the normalizing
+    * per-from sum windows over that tiny frame. No self-join — lead()
+    * is the single-pass formulation of the event-pair join.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / sum(col("n")).over(wf)
+          * 1000000 + 0.5) / 1000000).as("p"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

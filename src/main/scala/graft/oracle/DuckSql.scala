@@ -743,6 +743,24 @@ object DuckSql {
       |SELECT cohort_wk, week_no, count(*) AS n_users
       |FROM d GROUP BY cohort_wk, week_no""".stripMargin
 
+  /** Mirror of Sessions.eventTransitions: lead() within (sec, event_id)
+    * per-user order, pair counts, per-from row normalization. n is an
+    * exact BIGINT on both sides; the quotient's operands are exact in
+    * DOUBLE, so the 6dp floor-round agrees bit-for-bit.
+    */
+  val eventTransitions: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  floor(epoch(ts))::BIGINT AS sec FROM events),
+      |s AS (SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+      |    AS to_type FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
+      |    * 1000000 + 0.5) / 1000000 AS p
+      |FROM c""".stripMargin
+
   val windowAgg: String =
     """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
       |           FROM events)

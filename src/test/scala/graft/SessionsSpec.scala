@@ -146,6 +146,24 @@ class SessionsSpec extends SparkSpecBase {
       Seq(1L, 1, 1L)))
   }
 
+  test("event_transitions: lead pairs, event-id tie order, row-normalized") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 10, 1, "click"),
+      // tie at sec 20: event_id 1 (view) before 2 (click)
+      ev(1, 20, 1, "view"),
+      ev(2, 20, 1, "click"),
+      ev(3, 30, 1, "purchase"),
+      ev(4, 5, 2, "click"),
+      ev(5, 10, 2, "click")))
+    // user 1: click->view->click->purchase; user 2: click->click
+    val out = rows(Sessions.eventTransitions(spark, dir))
+    assert(out === Set(
+      Seq("click", "view", 1L, 0.333333),
+      Seq("click", "click", 1L, 0.333333),
+      Seq("click", "purchase", 1L, 0.333333),
+      Seq("view", "click", 1L, 1.0)))
+  }
+
   test("interval_join: trailing-window attribution, cross-bucket, BNL-free") {
     val dir = fixtureDir(evs = Seq(
       ev(10, 1000, 1, "purchase", 9.0),
