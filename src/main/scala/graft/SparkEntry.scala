@@ -18,6 +18,7 @@ object SparkEntry {
     "q5_region"     -> (Analytics.q5Region _),
     "top_customers" -> (Analytics.topCustomers _),
     "q14_promo"     -> (Analytics.q14Promo _),
+    "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
     "knn_join"          -> (Similarity.knnJoin _),
@@ -240,6 +241,7 @@ object SparkEntry {
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
+    "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,

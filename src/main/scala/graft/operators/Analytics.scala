@@ -135,6 +135,87 @@ object Analytics {
       .orderBy(col("ship_month"))
   }
 
+  /** Monetary histogram granularity for the RFM quartile grid: $100
+    * bins (cents div 10000), bounding the threshold histogram at a few
+    * thousand rows regardless of customer count.
+    */
+  val RfmMonBucketCents = 10000L
+
+  /** Quartile thresholds of an integer column via the histogram-
+    * cumulative path (the hist_quantiles posture): groupBy(value)
+    * partial counts, cumulative window over the BOUNDED bin frame, and
+    * t_k = min v with cum ≥ ⌈kN/4⌉ — expressed as 4·cum ≥ k·N so both
+    * engines stay in exact integer arithmetic. The orderBy window runs
+    * single-partition over bins only (recency ≤ date range in days,
+    * frequency ≤ max orders/customer, monetary ≤ price range / $100),
+    * never over customers.
+    */
+  private def quartiles(df: DataFrame, value: String,
+      pfx: String): DataFrame = {
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(col(value).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${pfx}1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as(s"${pfx}2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${pfx}3"))
+  }
+
+  /** rfm_segments: recency / frequency / monetary quartile segmentation
+    * of the customer base (the classic CRM model; Hughes, "Strategic
+    * Database Marketing"). Recency = days since the customer's last
+    * order vs the corpus-wide latest order (data-derived, so the query
+    * is deterministic); frequency = order count; monetary = exact
+    * decimal order-value sum carried as integer cents.
+    *
+    * Scale shape: one groupBy(o_custkey) partial-agg builds the
+    * per-customer frame; the reference date and the three quartile
+    * threshold frames are 1-row broadcasts; scoring is a map-side
+    * comparison — no global sort or ntile over customers (a rank-based
+    * quartile would total-order the customer base; thresholds from
+    * bounded histograms give the same segmentation map-side).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("sec"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("sec")).as("last_sec"),
+        count(lit(1)).as("frequency"),
+        floor(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+          * 100 + 0.5).cast("long").as("cents"))
+    val base = per.crossJoin(broadcast(
+        per.agg(max(col("last_sec")).as("ref_sec"))))
+      .select(col("o_custkey").as("c_custkey"),
+        expr("(ref_sec - last_sec) div 86400").cast("int").as("recency_days"),
+        col("frequency"), col("cents"),
+        expr(s"cents div $RfmMonBucketCents").as("mon_bin"))
+      .localCheckpoint() // feeds the three threshold frames + scoring
+    def sc(v: Column, t1: Column, t2: Column, t3: Column): Column =
+      lit(1) + (v > t1).cast("int") + (v > t2).cast("int") + (v > t3).cast("int")
+    val scored = base
+      .crossJoin(broadcast(quartiles(base, "recency_days", "r")))
+      .crossJoin(broadcast(quartiles(base, "frequency", "f")))
+      .crossJoin(broadcast(quartiles(base, "mon_bin", "m")))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        (col("cents").cast("double") / 100).as("monetary"),
+        // recency: LOWER is better, so invert the ascending quartile
+        (lit(5) - sc(col("recency_days"), col("r1"), col("r2"), col("r3")))
+          .as("r_score"),
+        sc(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_score"),
+        sc(col("mon_bin"), col("m1"), col("m2"), col("m3")).as("m_score"))
+    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"),
+      when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("f_score") >= 3, "loyal")
+        .when(col("r_score") >= 4, "recent")
+        .otherwise("hibernating").as("segment"))
+  }
+
   /** Window ranking: top-3 customers by account balance per market segment. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

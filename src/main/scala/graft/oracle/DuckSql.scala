@@ -743,6 +743,52 @@ object DuckSql {
       |SELECT cohort_wk, week_no, count(*) AS n_users
       |FROM d GROUP BY cohort_wk, week_no""".stripMargin
 
+  /** Mirror of Analytics.rfmSegments: per-customer RFM frame, quartile
+    * thresholds from histogram cumulatives (4·cum ≥ k·N exact-integer
+    * form), map-side scoring. The monetary bin width interpolates from
+    * the engine constant.
+    */
+  val rfmSegments: String = {
+    val bin = graft.operators.Analytics.RfmMonBucketCents
+    def hist(src: String, v: String, p: String): String =
+      s"""${p}h AS (SELECT $v AS v, count(*) AS cnt FROM $src GROUP BY 1),
+         |${p}c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM ${p}h),
+         |${p}q AS (SELECT min(CASE WHEN 4*cum >= n.n THEN v END) AS ${p}1,
+         |  min(CASE WHEN 4*cum >= 2*n.n THEN v END) AS ${p}2,
+         |  min(CASE WHEN 4*cum >= 3*n.n THEN v END) AS ${p}3 FROM ${p}c, n)""".stripMargin
+    def sc(v: String, p: String): String =
+      s"(1 + ($v > ${p}1)::INT + ($v > ${p}2)::INT + ($v > ${p}3)::INT)"
+    s"""WITH per AS (SELECT o_custkey AS c_custkey,
+       |  max(floor(epoch(o_orderdate))::BIGINT) AS last_sec,
+       |  count(*) AS frequency,
+       |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+       |    * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT max(last_sec) AS ref_sec FROM per),
+       |b AS (SELECT c_custkey,
+       |  ((r.ref_sec - last_sec) // 86400)::INT AS recency_days,
+       |  frequency, cents, cents // $bin AS mon_bin FROM per, r),
+       |n AS (SELECT count(*) AS n FROM b),
+       |${hist("b", "recency_days", "r")},
+       |${hist("b", "frequency", "f")},
+       |${hist("b", "mon_bin", "m")},
+       |s AS (SELECT c_custkey, recency_days, frequency,
+       |  cents::DOUBLE / 100 AS monetary,
+       |  (5 - ${sc("recency_days", "r")}) AS r_score,
+       |  ${sc("frequency", "f")} AS f_score,
+       |  ${sc("mon_bin", "m")} AS m_score
+       |  FROM b, rq, fq, mq)
+       |SELECT c_custkey, recency_days, frequency, monetary,
+       |  r_score, f_score, m_score,
+       |  (r_score * 100 + f_score * 10 + m_score) AS rfm,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+       |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |       WHEN f_score >= 3 THEN 'loyal'
+       |       WHEN r_score >= 4 THEN 'recent'
+       |       ELSE 'hibernating' END AS segment
+       |FROM s""".stripMargin
+  }
+
   /** Mirror of Sessions.eventTransitions: lead() within (sec, event_id)
     * per-user order, pair counts, per-from row normalization. n is an
     * exact BIGINT on both sides; the quotient's operands are exact in

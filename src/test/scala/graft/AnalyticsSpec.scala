@@ -7,6 +7,8 @@ import graft.operators.Analytics
 
 case class Cust(c_custkey: Long, c_nationkey: Long, c_mktsegment: String,
     c_acctbal: Double)
+case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double,
+    o_orderdate: Date)
 case class Line(l_orderkey: Long, l_suppkey: Long, l_returnflag: String,
     l_linestatus: String, l_quantity: Double, l_extendedprice: Double,
     l_discount: Double, l_shipdate: Date)
@@ -18,12 +20,15 @@ case class Line(l_orderkey: Long, l_suppkey: Long, l_returnflag: String,
 class AnalyticsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def starDir(custs: Seq[Cust] = Nil, lines: Seq[Line] = Nil): String = {
+  private def starDir(custs: Seq[Cust] = Nil, lines: Seq[Line] = Nil,
+      ords: Seq[Ord] = Nil): String = {
     val dir = Files.createTempDirectory("graft-star").toString
     if (custs.nonEmpty)
       custs.toDF().write.mode("overwrite").parquet(s"$dir/customer.parquet")
     if (lines.nonEmpty)
       lines.toDF().write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    if (ords.nonEmpty)
+      ords.toDF().write.mode("overwrite").parquet(s"$dir/orders.parquet")
     dir
   }
 
@@ -39,6 +44,25 @@ class AnalyticsSpec extends SparkSpecBase {
         "sum_disc_price", "avg_qty", "avg_disc", "count_order")
     assert(rows(out) === Set(
       Seq("A", "F", 15.0, 150.0, 140.0, 7.5, 0.05, 2L)))
+  }
+
+  test("rfm_segments: quartile thresholds and segment labels") {
+    def d(day: Int) = Date.valueOf(f"2020-01-$day%02d")
+    // 4 customers, one per quartile on every dimension: recency days
+    // {0,2,5,9}, frequency {4,3,2,1}, monetary bins {4,3,2,1}
+    val dir = starDir(ords = Seq(
+      Ord(1, 1, 100.0, d(1)), Ord(2, 1, 100.0, d(5)),
+      Ord(3, 1, 100.0, d(7)), Ord(4, 1, 100.0, d(10)),
+      Ord(5, 2, 100.0, d(2)), Ord(6, 2, 100.0, d(4)),
+      Ord(7, 2, 100.0, d(8)),
+      Ord(8, 3, 100.0, d(3)), Ord(9, 3, 100.0, d(5)),
+      Ord(10, 4, 100.0, d(1))))
+    val out = rows(Analytics.rfmSegments(spark, dir))
+    assert(out === Set(
+      Seq(1L, 0, 4L, 400.0, 4, 4, 4, 444, "champion"),
+      Seq(2L, 2, 3L, 300.0, 3, 3, 3, 333, "loyal"),
+      Seq(3L, 5, 2L, 200.0, 2, 2, 2, 222, "hibernating"),
+      Seq(4L, 9, 1L, 100.0, 1, 1, 1, 111, "hibernating")))
   }
 
   test("top_customers: top-3 per segment with acctbal/custkey tie-break") {
