@@ -84,6 +84,7 @@ object SparkEntry {
     "domain_mix"         -> (CorpusStats.domainMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
+    "perplexity_score" -> (CorpusStats.perplexityScore _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -262,5 +263,6 @@ object SparkEntry {
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
+    "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
   )
 }

@@ -1396,4 +1396,40 @@ object DuckSql {
        |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN score END) AS p90,
        |  max(CASE WHEN rn = ((n-1)*99)//100 + 1 THEN score END) AS p99
        |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Mirror of CorpusStats.perplexityScore: per-doc bigram multiplicities
+    * once (db), LM counts derived by sums (c2 → c1 → V), per-bigram
+    * 6dp-rounded ln((c1+V)/(c2+1)) × multiplicity accumulated in DECIMAL,
+    * 6dp per-token average, 4dp exp. Identical arithmetic order to the
+    * Spark plan; the two parallel unnests zip position-wise (same-length
+    * lists), matching lead(w, 1).
+    */
+  val perplexityScore: String =
+    s"""$normCte,
+       |bo AS (SELECT doc_id, lang,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS w1,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j+1])) AS w2
+       |  FROM n),
+       |db AS (SELECT doc_id, lang, w1, w2, count(*) AS n FROM bo
+       |       GROUP BY doc_id, lang, w1, w2),
+       |c2 AS (SELECT lang, w1, w2, sum(n)::BIGINT AS c2 FROM db
+       |       GROUP BY lang, w1, w2),
+       |c1 AS (SELECT lang, w1, sum(c2)::BIGINT AS c1 FROM c2
+       |       GROUP BY lang, w1),
+       |vv AS (SELECT lang, count(*) AS v FROM c1 GROUP BY lang),
+       |sc AS (SELECT d.doc_id, d.lang, d.n,
+       |  d.n * CAST(floor(ln((c1.c1 + vv.v)::DOUBLE / (c2.c2 + 1))
+       |                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM db d
+       |  JOIN c2 ON c2.lang = d.lang AND c2.w1 = d.w1 AND c2.w2 = d.w2
+       |  JOIN c1 ON c1.lang = d.lang AND c1.w1 = d.w1
+       |  JOIN vv ON vv.lang = d.lang),
+       |ag AS (SELECT doc_id, lang, sum(n)::BIGINT AS n_bigrams,
+       |              sum(part) AS nll_sum
+       |       FROM sc GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_bigrams,
+       |  floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_nll,
+       |  floor(exp(floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000)
+       |        * 10000 + 0.5) / 10000 AS ppl
+       |FROM ag""".stripMargin
 }

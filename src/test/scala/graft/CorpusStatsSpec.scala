@@ -67,4 +67,22 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(r.getDouble(5) === scores(9))  // p90
     assert(r.getDouble(6) === scores(9))  // p99: 990 div 100 = 9
   }
+
+  test("perplexity_score: hand-built add-one bigram LM, per-lang pooling") {
+    val dir = fixtureDir(docs = Seq(doc(1, "a b a b"), doc(2, "a b c")))
+    // LM (en): bigram counts ab=3 ba=1 bc=1; context counts a=3 b=2;
+    // V = 2 distinct contexts {a, b}
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ab = r6(math.log(5.0 / 4))  // ln((3+2)/(3+1))
+    val bx = r6(math.log(4.0 / 2))  // ba and bc: ln((2+2)/(1+1))
+    // engine accumulates 6dp terms exactly in DECIMAL, then one double div
+    def avg(sum: BigDecimal, n: Long) = r6(sum.toDouble / n)
+    val avg1 = avg(BigDecimal(2) * BigDecimal(ab) + BigDecimal(bx), 3)
+    val avg2 = avg(BigDecimal(ab) + BigDecimal(bx), 2)
+    val out = rows(CorpusStats.perplexityScore(spark, dir))
+    assert(out === Set(
+      Seq(1L, "en", 3L, avg1, r4(math.exp(avg1))),
+      Seq(2L, "en", 2L, avg2, r4(math.exp(avg2)))))
+  }
 }
