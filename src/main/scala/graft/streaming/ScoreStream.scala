@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.CorpusStats
+
+/** Streaming perplexity scoring — the streaming face of the frozen
+  * bigram LM (CorpusStats.buildBigramLm): documents arriving on a stream
+  * are scored against the TRAINED model, never against the batch they
+  * happen to arrive in (the same freeze-then-probe contract as the
+  * reference's build-once vector index, /root/reference/database.py:459,
+  * and this engine's ANN/dedup artifacts).
+  *
+  * Shape: stateless per-batch work — tokenize the arriving docs, join
+  * the static LM frame (a stream-static equi-join; no streaming state,
+  * no watermark), append one score row per doc to `store`. Bigrams the
+  * LM never saw take the smoothed Laplace floor; languages the LM never
+  * saw are unscorable by a per-language model and are dropped (both
+  * semantics live in CorpusStats.scoreAgainstLm, shared verbatim with
+  * the batch query — which is what makes the batch-parity spec exact).
+  *
+  * foreachBatch rather than a streaming-native aggregation: the score is
+  * a per-document terminal aggregate, and re-deliveries must be no-ops
+  * (dropDuplicates against the store), which the plain parquet-append
+  * store handles the same way DedupStream.maintainPairs does.
+  */
+object ScoreStream {
+
+  /** Score arriving docs against the frozen LM; append to `store`.
+    * Re-delivered doc_ids (source replays) are skipped, so the drained
+    * store holds exactly one row per distinct scoreable document.
+    */
+  def scoreDocs(docs: DataFrame, lm: DataFrame, store: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Row], _: Long) => processBatch(batch.toDF(), lm, store)
+    }
+
+  private[graft] def processBatch(batch: DataFrame, lm: DataFrame,
+      store: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val fresh = batch.dropDuplicates("doc_id")
+    val newDocs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(store)))
+        fresh.join(spark.read.parquet(store).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else fresh
+    val scored = CorpusStats.scoreAgainstLm(newDocs, lm)
+    if (!scored.isEmpty)
+      scored.write.mode("append").parquet(store)
+  }
+}

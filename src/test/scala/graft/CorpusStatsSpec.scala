@@ -80,9 +80,30 @@ class CorpusStatsSpec extends SparkSpecBase {
     def avg(sum: BigDecimal, n: Long) = r6(sum.toDouble / n)
     val avg1 = avg(BigDecimal(2) * BigDecimal(ab) + BigDecimal(bx), 3)
     val avg2 = avg(BigDecimal(ab) + BigDecimal(bx), 2)
-    val out = rows(CorpusStats.perplexityScore(spark, dir))
+    val out = rows(CorpusStats.perplexityScoreOf(
+      spark.read.parquet(s"$dir/documents.parquet")))
     assert(out === Set(
       Seq(1L, "en", 3L, avg1, r4(math.exp(avg1))),
       Seq(2L, "en", 2L, avg2, r4(math.exp(avg2)))))
+    // the driver-gated query (build + probe through the IndexStore path)
+    // must agree with the unpersisted twin on the same corpus
+    assert(rows(CorpusStats.perplexityScore(spark, dir)) === out)
+  }
+
+  test("perplexity_score: frozen LM floors unseen bigrams, drops unknown langs") {
+    import spark.implicits._
+    val lm = CorpusStats.bigramLmOf(
+      Seq(doc(1, "a b a b"), doc(2, "a b c")).toDF()).localCheckpoint()
+    // doc 3: (a b) seen [c2=3,c1=3], (b z) unseen bigram of a seen
+    // context [c2=0,c1=2]; doc 4: lang the LM never saw -> dropped
+    val out = rows(CorpusStats.scoreAgainstLm(
+      Seq(Doc(3, "a b z", "en", "s0", 5), Doc(4, "x y", "de", "s0", 3))
+        .toDF(), lm))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ab = r6(math.log(5.0 / 4))  // ln((3+2)/(3+1))
+    val bz = r6(math.log(4.0 / 1))  // ln((2+2)/(0+1)): smoothed floor
+    val avg = r6((BigDecimal(ab) + BigDecimal(bz)).toDouble / 2)
+    assert(out === Set(Seq(3L, "en", 2L, avg, r4(math.exp(avg)))))
   }
 }

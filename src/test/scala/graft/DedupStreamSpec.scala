@@ -14,23 +14,6 @@ class DedupStreamSpec extends SparkSpecBase {
   private val near1 = "the quick brown fox jumps over the lazy dog again and again"
   private val near2 = near1 + " extra"
 
-  /** Stage doc batches as separate parquet files in one stream dir. */
-  private def stageBatches(batches: Seq[Seq[Doc]]): String = {
-    import spark.implicits._
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-dedup-stream").toString
-    batches.zipWithIndex.foreach { case (docs, i) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-dedup-tmp").toString
-      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
-    }
-    stage
-  }
-
   test("incremental candidates across micro-batches equal the batch set") {
     val b1 = Seq(doc(1, near1), doc(2, near2),
       doc(5, "unrelated totally different text with many various words here"))

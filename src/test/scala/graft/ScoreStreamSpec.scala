@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.CorpusStats
+import graft.streaming.ScoreStream
+
+/** Streaming perplexity against a frozen LM: a file-backed doc stream
+  * (micro-batches via maxFilesPerTrigger=1) must reproduce the batch
+  * scorer exactly — re-deliveries as no-ops, unseen bigrams at the
+  * smoothed floor, unknown languages dropped.
+  */
+class ScoreStreamSpec extends SparkSpecBase {
+
+  test("drained score store equals the batch scorer against the same LM") {
+    import spark.implicits._
+    // LM frozen BEFORE the stream starts: docs arriving later (5) score
+    // against it, not against their own batch
+    val train = Seq(doc(1, "a b a b"), doc(2, "a b c"),
+      doc(3, "c a c a b"))
+    val lm = CorpusStats.bigramLmOf(train.toDF()).localCheckpoint()
+    val b1 = Seq(doc(1, "a b a b"), doc(2, "a b c"))
+    // batch 2: re-delivery of doc 1 (no-op), doc 5 with an unseen token,
+    // doc 6 in a language the LM never saw (dropped)
+    val b2 = Seq(doc(1, "a b a b"), doc(5, "a b z"),
+      Doc(6, "x y", "de", "s0", 3))
+    val stage = stageBatches(Seq(b1, b2))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-score-store").toString + "/scores"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = ScoreStream.scoreDocs(src, lm, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val streamed = rows(spark.read.parquet(store))
+    val batch = rows(CorpusStats.scoreAgainstLm(
+      (b1 ++ b2.filterNot(_.doc_id == 1)).toDF(), lm))
+    assert(streamed === batch)
+    // exactly one row per scoreable doc (1, 2, 5; 6 dropped)
+    assert(streamed.map(_.head) === Set(1L, 2L, 5L))
+  }
+}

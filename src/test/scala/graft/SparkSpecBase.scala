@@ -63,6 +63,25 @@ trait SparkSpecBase extends AnyFunSuite
 
   def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  /** Stage doc batches as separate parquet files in one stream dir (one
+    * file per micro-batch under maxFilesPerTrigger=1).
+    */
+  def stageBatches(batches: Seq[Seq[Doc]]): String = {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-doc-stream").toString
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-doc-stage").toString
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
+    }
+    stage
+  }
 }
 
 object SparkSpecBase {
