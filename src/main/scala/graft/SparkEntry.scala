@@ -18,6 +18,7 @@ object SparkEntry {
     "q5_region"     -> (Analytics.q5Region _),
     "top_customers" -> (Analytics.topCustomers _),
     "q14_promo"     -> (Analytics.q14Promo _),
+    "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "sessionize" -> (Sessions.sessionize _),
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
+    "scd2_build" -> (Sessions.scd2Build _),
     "interval_join" -> (Sessions.intervalJoin _),
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
@@ -82,6 +84,7 @@ object SparkEntry {
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
+    "apply_mix"          -> (CorpusStats.applyMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
@@ -139,6 +142,19 @@ object SparkEntry {
         |  floor(tu::DOUBLE / 100 + 0.5) / 100 AS total_revenue,
         |  floor(pu::DOUBLE / tu::DOUBLE * 100 * 10000 + 0.5) / 10000 AS promo_pct
         |FROM s ORDER BY ship_month""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |         >= ${graft.operators.Analytics.Q18MinQty})
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT ${graft.operators.Analytics.Q18TopN}""".stripMargin,
     "top_customers" ->
       """SELECT c_mktsegment, rank::INT AS rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal AS bal,
@@ -238,6 +254,7 @@ object SparkEntry {
     "sessionize" -> graft.oracle.DuckSql.sessionize,
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,
+    "scd2_build" -> graft.oracle.DuckSql.scd2Build,
     "interval_join" -> graft.oracle.DuckSql.intervalJoin,
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
@@ -261,6 +278,7 @@ object SparkEntry {
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,
+    "apply_mix"          -> graft.oracle.DuckSql.applyMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,

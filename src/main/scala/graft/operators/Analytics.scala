@@ -227,4 +227,40 @@ object Analytics {
         round(col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy(col("c_mktsegment"), col("rank"))
   }
+
+  /** q18 threshold: ~p99 of per-order total quantity on this data, so
+    * the HAVING survives a ~1% sliver (the TPC-H Q18 intent).
+    */
+  val Q18MinQty = 250
+  val Q18TopN = 100
+
+  /** q18_large_orders: the TPC-H Q18 shape — an aggregate-HAVING result
+    * driving the joins. Distinct from q3/q5: the lineitem aggregate runs
+    * FIRST and its filtered output (a ~1% sliver of orderkeys) is the
+    * build side of everything after, so the wide tables join against a
+    * pre-shrunk key set instead of each other.
+    *
+    * Plan: one partial-agg groupBy on l_orderkey (the fact shuffle),
+    * HAVING as a post-agg filter, then planner-chosen joins — at real
+    * scale the sliver broadcasts into orders (AQE sizes it post-agg) and
+    * orders⋈customer shuffles on custkey; top-N is TakeOrdered, never a
+    * global sort. Quantities are integral doubles, so the decimal sum is
+    * exact and the threshold compare has no FP edge.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") >= Q18MinQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(Q18TopN)
+  }
 }

@@ -113,6 +113,36 @@ object CorpusStats {
       .orderBy(col("lang"))
   }
 
+  /** apply_mix: EXECUTE the [[domainMix]] resampling plan — one manifest
+    * row per document with its integer repeat count for the training mix
+    * (the step after mixture planning: DoReMi/LLaMA-style weights become
+    * concrete per-doc repeats).
+    *
+    * n_copies = ⌊f⌋ + [hash(doc_id, seed) < f − ⌊f⌋] for the language's
+    * sample_factor f: every doc gets the integer part, and the
+    * fractional part is realized by the same deterministic (doc_id,
+    * seed) hash fraction as stratified_sample — reproducible across
+    * runs and cluster layouts, no RNG state. Downsampled languages
+    * (f < 1) get 0-or-1 manifests; drops stay IN the manifest as
+    * n_copies = 0 rows (an auditable decision, like quality_filter's
+    * reasons).
+    *
+    * Plan: the factor table is 5 rows (broadcast); everything else is
+    * one map-shaped pass over documents — no shuffle grows with the
+    * corpus.
+    */
+  def applyMix(spark: SparkSession, dir: String): DataFrame = {
+    val f = domainMix(spark, dir).select(col("lang"), col("sample_factor"))
+    val frac = col("sample_factor") - floor(col("sample_factor"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(f), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("sample_factor"),
+        (floor(col("sample_factor")).cast("long") +
+          when(Curation.hashU(col("doc_id")) < frac, lit(1L))
+            .otherwise(lit(0L))).as("n_copies"))
+  }
+
   /** quality_thresholds: per-language p10/p50/p90 of the quality score —
     * the cutoffs a per-language quality gate would use.
     *

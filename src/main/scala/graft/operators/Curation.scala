@@ -75,7 +75,7 @@ object Curation {
     * as an integer over 2^32 — exact binary rational, so the `< rate`
     * comparison is bit-identical on any engine.
     */
-  private def hashU(id: Column): Column =
+  private[graft] def hashU(id: Column): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + SampleSeed))),
       1, 8), 16, 10).cast("long") / lit(4294967296.0)
 

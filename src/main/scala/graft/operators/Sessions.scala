@@ -111,6 +111,41 @@ object Sessions {
         col("ae").as("asof_event"), round(col("av"), 2).as("asof_value"))
   }
 
+  /** scd2_build: compact the change log into SCD-2 validity intervals —
+    * the dimension-BUILDING twin of [[asofJoin]] (asof probes "the value
+    * at-or-before t"; scd2_build materializes the table that answers it:
+    * one row per version with [valid_from, valid_to) bounds, the
+    * Kimball type-2 dimension shape).
+    *
+    * Same version semantics as asofJoin's dim side: each user's
+    * 'purchase' events are the versions, same-ts duplicates collapse to
+    * the max-event_id row BEFORE interval construction, and each version
+    * closes at its successor's start (lead(); the current version stays
+    * open with NULL valid_to). Ordering runs on the raw nanosecond longs
+    * (full precision, identical to the oracle's timestamp order);
+    * emitted bounds are floor-epoch-seconds like every event-time column.
+    *
+    * Plan: one shuffle on user_id; the tie window, version window, and
+    * lead() all reuse it (same partition key, compatible ordering).
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val wTie = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wTie))
+      .filter(col("rn") === 1)
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_id").as("dim_event"),
+        round(col("value"), 2).as("dim_value"),
+        expr("ts div 1000000000").as("valid_from_sec"),
+        expr("next_ts div 1000000000").as("valid_to_sec"))
+  }
+
   /** interval_join attribution window: a click is credited to a same-user
     * purchase at most this many seconds later. Single-sourced into the
     * oracle SQL via [[graft.oracle.DuckSql]].

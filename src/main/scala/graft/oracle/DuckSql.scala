@@ -688,6 +688,27 @@ object DuckSql {
       |FROM events e ASOF LEFT JOIN d
       |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin
 
+  /** Mirror of Sessions.scd2Build: same tie-collapsed purchase versions
+    * as the asofJoin oracle, then version rank + lead() interval close.
+    * epoch() on the NULL open-version next_ts stays NULL on both engines.
+    */
+  val scd2Build: String =
+    """WITH d0 AS (SELECT user_id, ts, event_id, value FROM events
+      |            WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, ts, event_id, value FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                     ORDER BY event_id DESC) AS rn
+      |        FROM d0) WHERE rn = 1),
+      |v AS (SELECT user_id, ts, event_id, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version,
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+      |      FROM d)
+      |SELECT user_id, version::INT AS version, event_id AS dim_event,
+      |  round(value, 2) AS dim_value,
+      |  floor(epoch(ts))::BIGINT AS valid_from_sec,
+      |  floor(epoch(next_ts))::BIGINT AS valid_to_sec
+      |FROM v""".stripMargin
+
   /** Mirror of Sessions.intervalJoin as the DIRECT inequality join (the
     * oracle-sized formulation; the engine side is bucket-explode +
     * refine, an equi-join on (user_id, bucket)).
@@ -1343,6 +1364,31 @@ object DuckSql {
        |  floor($tgt * total_tokens::DOUBLE / tokens * 1000000 + 0.5) / 1000000 AS sample_factor,
        |  floor($tgt * total_tokens::DOUBLE)::BIGINT AS planned_tokens
        |FROM p, t ORDER BY lang""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.applyMix: the domainMix sample_factor per
+    * language (same 6dp floor form), realized per doc with the
+    * stratified_sample hash fraction — an exact binary rational on both
+    * engines, so the fractional-part compare has no FP edge.
+    */
+  val applyMix: String = {
+    import graft.operators.Curation.SampleSeed
+    val tgt = graft.operators.CorpusStats.LangTargets
+      .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
+      .mkString("(CASE ", " ", " ELSE 0.0 END)::DOUBLE")
+    s"""$normCte,
+       |p AS (SELECT lang, sum(len(ws))::BIGINT AS tokens FROM n GROUP BY lang),
+       |t AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM p),
+       |f AS (SELECT lang,
+       |        floor($tgt * total_tokens::DOUBLE / tokens * 1000000 + 0.5) / 1000000
+       |          AS sample_factor
+       |      FROM p, t)
+       |SELECT d.doc_id, d.lang, f.sample_factor,
+       |  (floor(f.sample_factor)::BIGINT + CASE WHEN
+       |     ('0x' || substr(md5(d.doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
+       |       / 4294967296.0 < f.sample_factor - floor(f.sample_factor)
+       |     THEN 1 ELSE 0 END)::BIGINT AS n_copies
+       |FROM documents d JOIN f USING (lang)""".stripMargin
   }
 
   /** Mirror of CorpusStats.qualityThresholds: the qualityScore composite

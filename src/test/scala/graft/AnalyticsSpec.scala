@@ -65,6 +65,25 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(4L, 9, 1L, 100.0, 1, 1, 1, 111, "hibernating")))
   }
 
+  test("q18_large_orders: HAVING-inclusive threshold drives the joins") {
+    import java.sql.Date
+    val d = Date.valueOf("1997-06-01")
+    val dir = starDir(lines = Seq(
+      Line(1, 1, "A", "F", 200.0, 1.0, 0.0, d),
+      Line(1, 1, "A", "F", 60.0, 1.0, 0.0, d),   // order 1: 260 >= 250
+      Line(2, 1, "A", "F", 100.0, 1.0, 0.0, d),  // order 2: 100 dropped
+      Line(3, 1, "A", "F", 250.0, 1.0, 0.0, d)), // order 3: boundary kept
+      ords = Seq(Ord(1, 10, 1000.5, d), Ord(2, 10, 5000.0, d),
+        Ord(3, 11, 2000.0, d)))
+    Seq((10L, "Customer#10"), (11L, "Customer#11"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Analytics.q18LargeOrders(spark, dir)
+    assert(rows(out) === Set(
+      Seq("Customer#11", 11L, 3L, "1997-06-01", 2000.0, 250.0),
+      Seq("Customer#10", 10L, 1L, "1997-06-01", 1000.5, 260.0)))
+  }
+
   test("top_customers: top-3 per segment with acctbal/custkey tie-break") {
     val dir = starDir(custs = Seq(
       Cust(1, 0, "BUILDING", 900.0), Cust(2, 0, "BUILDING", 800.0),

@@ -27,6 +27,29 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("en", 2L, 6L, 0.6, 0.5, 0.833333, 5L))) // 0.5*10/6 floored 6dp
   }
 
+  test("apply_mix: integer repeats plus hash-realized fractional part") {
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "a b c d", "en", "s0", 7),
+      Doc(2, "e f", "en", "s0", 3),
+      Doc(3, "w x y z", "de", "s0", 7)))
+    // domain_mix factors on this corpus: en 0.833333, de 0.375 (see the
+    // domain_mix test); both < 1, so n_copies = [hash(doc_id) < frac]
+    def hashU(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${graft.operators.Curation.SampleSeed}".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    val expected = Set(
+      Seq(1L, "en", 0.833333, if (hashU(1) < 0.833333) 1L else 0L),
+      Seq(2L, "en", 0.833333, if (hashU(2) < 0.833333) 1L else 0L),
+      Seq(3L, "de", 0.375, if (hashU(3) < 0.375) 1L else 0L))
+    assert(rows(CorpusStats.applyMix(spark, dir)) === expected)
+    // the fixture must exercise both outcomes or the test proves nothing
+    val copies = expected.map(_.last)
+    assert(copies.contains(0L) && copies.contains(1L))
+  }
+
   test("quality_thresholds: discrete quantile positions of quality_score") {
     // 11 docs, varying length => varying scores; positions for n=11 are
     // rn 2 / 6 / 10 (0-indexed 1 / 5 / 9 of the score-sorted order)

@@ -66,6 +66,20 @@ class SessionsSpec extends SparkSpecBase {
       Seq(8L, null, null)))
   }
 
+  test("scd2_build: tie-collapsed versions, lead-closed intervals, open tail") {
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 100, user = 1, "purchase", 10.0),
+      ev(2, 100, user = 1, "purchase", 20.0),  // same-ts tie: max id wins
+      ev(3, 200, user = 1, "click", 1.0),      // not a version
+      ev(5, 500, user = 1, "purchase", 30.0),
+      ev(7, 50, user = 2, "purchase", 40.0)))
+    val out = Sessions.scd2Build(spark, dir)
+    assert(rows(out) === Set(
+      Seq(1L, 1, 2L, 20.0, 100L, 500L),  // closed by v2
+      Seq(1L, 2, 5L, 30.0, 500L, null),  // current version stays open
+      Seq(2L, 1, 7L, 40.0, 50L, null)))
+  }
+
   test("conversation_history: last 5 per session, newest first") {
     val dir = fixtureDir(evs = (0 until 7).map(i =>
       ev(i, i * 1000L, user = 1, value = i.toDouble, k = i)))
