@@ -88,6 +88,7 @@ object SparkEntry {
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
+    "perplexity_ood" -> (CorpusStats.perplexityOod _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -282,5 +283,6 @@ object SparkEntry {
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
+    "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
   )
 }

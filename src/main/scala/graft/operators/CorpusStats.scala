@@ -304,6 +304,53 @@ object CorpusStats {
     spark.read.parquet(path)
   }
 
+  /** Training domain for [[perplexityOod]]: the out-of-domain LM trains
+    * on this source only. Single-sourced into the oracle SQL.
+    */
+  val OodTrainSource = "src0"
+
+  /** perplexity_ood: OUT-OF-DOMAIN perplexity — the literal CCNet shape
+    * (Wenzek et al. 2020 train their KenLM on Wikipedia and score the
+    * crawl): the bigram LM trains on ONE trusted source
+    * ([[OodTrainSource]]) and every OTHER source's documents score
+    * against that frozen model. Unlike [[perplexityScore]] (in-domain —
+    * self-corpus scoring hits every LM entry by construction), here the
+    * smoothing does real work: unseen bigrams take the (0+1)/(c1+V)
+    * floor, unseen context words contribute ln(V), and languages the
+    * training source never saw are unscorable by a per-language model
+    * and drop out (the inner V join — same semantics the frozen-LM spec
+    * proves for the streaming scorer).
+    *
+    * Same build/probe split as the in-domain LM: [[buildOodBigramLm]]
+    * persists the training-source count table once per corpus (a scan of
+    * the ~1/20 training slice, pushed-down source filter); the query
+    * tokenizes only the docs it scores. The streaming path needs no new
+    * code — [[graft.streaming.ScoreStream.scoreDocs]] against this
+    * artifact IS streaming out-of-domain scoring.
+    */
+  def perplexityOod(spark: SparkSession, dir: String): DataFrame =
+    scoreAgainstLm(
+      Tables.documents(spark, dir)
+        .filter(col("source") =!= OodTrainSource),
+      oodBigramLm(spark, dir))
+
+  private[graft] def oodLmIndexPath(dir: String): String =
+    IndexStore.path("bigram-lm-ood-v1", dir)
+
+  def buildOodBigramLm(spark: SparkSession, dir: String, path: String)
+      : Unit =
+    graft.sources.Sinks.writeSortedParquet(
+      bigramLmOf(Tables.documents(spark, dir)
+        .filter(col("source") === OodTrainSource)),
+      path, Seq("lang", "w1", "w2"))
+
+  /** The persisted out-of-domain LM (trained on [[OodTrainSource]] only). */
+  def oodBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val path = oodLmIndexPath(dir)
+    IndexStore.ensureBuilt(path)(buildOodBigramLm(spark, dir, path))
+    spark.read.parquet(path)
+  }
+
   /** Score `docs` against a frozen LM count table. Left joins: a bigram
     * the LM never saw contributes the smoothed floor ln((c1+V)/1); an
     * unseen context word contributes ln(V). Languages absent from the LM

@@ -1478,4 +1478,45 @@ object DuckSql {
        |  floor(exp(floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000)
        |        * 10000 + 0.5) / 10000 AS ppl
        |FROM ag""".stripMargin
+
+  /** Mirror of CorpusStats.perplexityOod: LM counts from the training
+    * source only, scored docs from every other source. LEFT joins give
+    * the smoothed unseen floors (coalesce counts to 0, exactly the
+    * engine's left-join coalesce); the inner vv join drops languages the
+    * training source never saw. Same arithmetic order as perplexityScore.
+    */
+  val perplexityOod: String = {
+    import graft.operators.CorpusStats.OodTrainSource
+    val src = sq(OodTrainSource)
+    s"""WITH n AS (SELECT doc_id, lang, source,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |bo AS (SELECT doc_id, lang, source,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS w1,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j+1])) AS w2
+       |  FROM n),
+       |db AS (SELECT doc_id, lang, w1, w2, count(*) AS n FROM bo
+       |       WHERE source <> '$src' GROUP BY doc_id, lang, w1, w2),
+       |c2 AS (SELECT lang, w1, w2, count(*)::BIGINT AS c2 FROM bo
+       |       WHERE source = '$src' GROUP BY lang, w1, w2),
+       |c1 AS (SELECT lang, w1, sum(c2)::BIGINT AS c1 FROM c2
+       |       GROUP BY lang, w1),
+       |vv AS (SELECT lang, count(*) AS v FROM c1 GROUP BY lang),
+       |sc AS (SELECT d.doc_id, d.lang, d.n,
+       |  d.n * CAST(floor(ln((coalesce(c1.c1, 0) + vv.v)::DOUBLE
+       |                      / (coalesce(c2.c2, 0) + 1))
+       |                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM db d
+       |  LEFT JOIN c2 ON c2.lang = d.lang AND c2.w1 = d.w1 AND c2.w2 = d.w2
+       |  LEFT JOIN c1 ON c1.lang = d.lang AND c1.w1 = d.w1
+       |  JOIN vv ON vv.lang = d.lang),
+       |ag AS (SELECT doc_id, lang, sum(n)::BIGINT AS n_bigrams,
+       |              sum(part) AS nll_sum
+       |       FROM sc GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_bigrams,
+       |  floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_nll,
+       |  floor(exp(floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000)
+       |        * 10000 + 0.5) / 10000 AS ppl
+       |FROM ag""".stripMargin
+  }
 }

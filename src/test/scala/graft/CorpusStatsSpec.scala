@@ -113,6 +113,26 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(rows(CorpusStats.perplexityScore(spark, dir)) === out)
   }
 
+  test("perplexity_ood: LM trains on src0 only, scores the complement") {
+    // training slice (src0) is the perplexity_score spec corpus; scored
+    // slice exercises a seen bigram, the unseen-bigram floor, and an
+    // unscorable language (de never appears in src0 -> dropped)
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "a b a b", "en", "src0", 7), Doc(2, "a b c", "en", "src0", 5),
+      Doc(3, "a b z", "en", "src1", 5), Doc(4, "x y", "de", "src1", 3)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ab = r6(math.log(5.0 / 4))  // ln((3+2)/(3+1)): seen, c2=3 c1=3
+    val bz = r6(math.log(4.0 / 1))  // ln((2+2)/(0+1)): smoothed floor
+    val avg = r6((BigDecimal(ab) + BigDecimal(bz)).toDouble / 2)
+    assert(rows(CorpusStats.perplexityOod(spark, dir)) ===
+      Set(Seq(3L, "en", 2L, avg, r4(math.exp(avg)))))
+    // and the persisted artifact must equal the unpersisted training run
+    assert(rows(CorpusStats.oodBigramLm(spark, dir)) === rows(
+      CorpusStats.bigramLmOf(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("source") === "src0"))))
+  }
+
   test("perplexity_score: frozen LM floors unseen bigrams, drops unknown langs") {
     import spark.implicits._
     val lm = CorpusStats.bigramLmOf(
