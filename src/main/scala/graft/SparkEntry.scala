@@ -19,6 +19,8 @@ object SparkEntry {
     "top_customers" -> (Analytics.topCustomers _),
     "q14_promo"     -> (Analytics.q14Promo _),
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "q4_priority"   -> (Analytics.q4Priority _),
+    "q22_idle_rich" -> (Analytics.q22IdleRich _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -156,6 +158,27 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT ${graft.operators.Analytics.Q18TopN}""".stripMargin,
+    "q4_priority" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '${graft.operators.Analytics.Q4Start}'
+        |  AND o_orderdate < DATE '${graft.operators.Analytics.Q4End}'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q22_idle_rich" ->
+      s"""WITH thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(28,6)))::DOUBLE
+        |               / count(*) AS thr
+        |             FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "top_customers" ->
       """SELECT c_mktsegment, rank::INT AS rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal AS bal,

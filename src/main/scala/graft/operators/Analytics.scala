@@ -247,6 +247,79 @@ object Analytics {
     * global sort. Quantities are integral doubles, so the decimal sum is
     * exact and the threshold compare has no FP edge.
     */
+  /** q4_priority window: one quarter of order dates (the TPC-H Q4
+    * parameter shape). Single-sourced into the oracle SQL.
+    */
+  val Q4Start = "1997-07-01"
+  val Q4End = "1997-10-01"
+
+  /** q4_priority: the TPC-H Q4 shape — an EXISTS subquery as a LEFT SEMI
+    * join, the plan shape none of the other analytics queries exercise
+    * (q3/q5/q18 are inner joins that *keep* right-side columns; a semi
+    * join only tests membership, so the probe side never widens and
+    * duplicate right-side matches never multiply rows). Orders in one
+    * quarter counted by priority when at least one of their lineitems
+    * was returned (no commit/receipt dates in this schema; returnflag is
+    * the stand-in predicate).
+    *
+    * Plan: the quarter filter prunes the orders scan (pushed to
+    * parquet); the lineitem side is filtered to 'R' rows and only its
+    * key column is read; the semi join is planner-chosen — broadcast at
+    * toy scale, shuffle-on-orderkey at real scale, and Spark dedups the
+    * build side internally (no DISTINCT pass needed). The groupBy output
+    * is |priorities| rows — a 5-row result regardless of fact size.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q4Start).cast("date") &&
+        col("o_orderdate") < lit(Q4End).cast("date"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q22_idle_rich cutoff: a customer is idle when they have NO order on
+    * or after this date. Single-sourced into the oracle SQL.
+    */
+  val Q22Cutoff = "2000-01-01"
+
+  /** q22_idle_rich: the TPC-H Q22 shape — NOT EXISTS as a LEFT ANTI join
+    * plus a scalar-aggregate subquery feeding a filter. Customers whose
+    * balance exceeds the average positive balance and who placed no
+    * order since [[Q22Cutoff]], grouped by nation.
+    *
+    * Parity note: the threshold is avg(c_acctbal) — a DOUBLE average
+    * would be partition-order dependent, so both engines compute the
+    * exact DECIMAL sum, cast it to double, and divide by the count once
+    * (bit-identical quotient; the strict `>` then agrees everywhere).
+    *
+    * Plan: the one-row threshold cross-joins in as a broadcast; the
+    * rich filter shrinks customers BEFORE the anti join; the anti join's
+    * right side is only the cutoff-filtered distinct custkeys (pushed
+    * date filter + key-only read), planner-chosen broadcast/shuffle like
+    * every membership join here.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("thr"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("date"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

@@ -84,6 +84,40 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq("Customer#10", 10L, 1L, "1997-06-01", 1000.5, 260.0)))
   }
 
+  test("q4_priority: semi join counts an order once despite multiple R lines") {
+    import java.sql.Date
+    val in = Date.valueOf("1997-08-01")
+    val out = Date.valueOf("1997-11-01")
+    val dir = starDir(lines = Seq(
+      Line(1, 1, "R", "F", 1.0, 1.0, 0.0, in),
+      Line(1, 1, "R", "F", 1.0, 1.0, 0.0, in),  // 2nd R line: still 1 order
+      Line(2, 1, "A", "F", 1.0, 1.0, 0.0, in),  // no R line: not counted
+      Line(3, 1, "R", "F", 1.0, 1.0, 0.0, in),
+      Line(4, 1, "R", "F", 1.0, 1.0, 0.0, out)))
+    Seq((1L, "1-URGENT", in), (2L, "1-URGENT", in), (3L, "2-HIGH", in),
+      (4L, "2-HIGH", out))  // order 4: R line but outside the quarter
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(rows(Analytics.q4Priority(spark, dir)) === Set(
+      Seq("1-URGENT", 1L), Seq("2-HIGH", 1L)))
+  }
+
+  test("q22_idle_rich: exact-average threshold, strict >, anti-join cutoff") {
+    import java.sql.Date
+    // positive balances 100/300/287.5/350/400 -> threshold exactly
+    // 287.5: cust 3 is a tie and must be excluded (strict >); -50 stays
+    // out of the average; cust 5 is rich but ordered after the cutoff
+    // and cust 6 ordered exactly ON the cutoff (>= boundary) -> dropped
+    val dir = starDir(
+      custs = Seq(Cust(1, 0, "A", 100.0), Cust(2, 0, "A", 300.0),
+        Cust(3, 1, "A", 287.5), Cust(4, 2, "A", -50.0),
+        Cust(5, 0, "A", 350.0), Cust(6, 3, "A", 400.0)),
+      ords = Seq(Ord(1, 2, 10.0, Date.valueOf("1999-05-01")),
+        Ord(2, 5, 10.0, Date.valueOf("2000-03-01")),
+        Ord(3, 6, 10.0, Date.valueOf("2000-01-01"))))
+    assert(rows(Analytics.q22IdleRich(spark, dir)) === Set(Seq(0L, 1L, 300.0)))
+  }
+
   test("top_customers: top-3 per segment with acctbal/custkey tie-break") {
     val dir = starDir(custs = Seq(
       Cust(1, 0, "BUILDING", 900.0), Cust(2, 0, "BUILDING", 800.0),

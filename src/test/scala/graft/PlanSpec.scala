@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q4/q22: membership subqueries plan as semi/anti joins, no cartesian") {
+    withNoAutoBroadcast {
+      val p4 = planOf(Analytics.q4Priority(spark, dir))
+      assert(p4.contains("LeftSemi"), s"EXISTS must be a semi join:\n$p4")
+      assert(!p4.contains("CartesianProduct") &&
+        !p4.contains("BroadcastNestedLoopJoin"), p4)
+      val p22 = planOf(Analytics.q22IdleRich(spark, dir))
+      assert(p22.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p22")
+      assert(!p22.contains("CartesianProduct"), p22)
+      // the ONE sanctioned nested-loop is the 1-row scalar threshold
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p22).size === 1, p22)
+    }
+  }
+
   test("q1_pricing: partial (map-side) aggregation and pruned scan") {
     val plan = planOf(Analytics.q1Pricing(spark, dir))
     // partial + final HashAggregate pair
