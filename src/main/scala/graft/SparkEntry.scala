@@ -84,6 +84,7 @@ object SparkEntry {
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
+    "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
     "apply_mix"          -> (CorpusStats.applyMix _),
@@ -300,6 +301,7 @@ object SparkEntry {
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
+    "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,
     "apply_mix"          -> graft.oracle.DuckSql.applyMix,

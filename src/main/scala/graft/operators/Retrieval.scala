@@ -233,4 +233,54 @@ object Retrieval {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
         col("rank"))
   }
+
+  /** Chunk window: [[ChunkTokens]] tokens per chunk, stride
+    * [[ChunkStride]] (overlap = tokens − stride). Single-sourced into
+    * the oracle SQL.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** chunk_docs: fixed-size overlapping token windows per document — the
+    * RAG ingest splitter (the reference's own text_utils.py:11 docstring
+    * advertises a `process_chunk` API that the module never defines;
+    * this is that surface, and the step every embedding pipeline runs
+    * before `embed_text`/`kb_ingest` so retrieval granularity is a
+    * chunk, not a whole document).
+    *
+    * Chunk k covers tokens [k·S, min(k·S+W, n)); chunks are emitted
+    * while the previous chunk did not already reach the end —
+    * kmax = max(0, ⌈(n−W)/S⌉) as the single integer primitive
+    * `(n − W + S − 1) div S` (floor division, identical in DuckDB) — so
+    * a short document yields exactly one chunk and no chunk is pure
+    * overlap.
+    *
+    * Plan shape: the tokenized (doc_id, ws) projection materializes
+    * through the cpuPartition Exchange BEFORE the sequence explode, so
+    * the generator's pass-through `ws` is an attribute read, not a
+    * re-evaluated expression (the Generate per-element re-eval trap);
+    * per-chunk `slice` then reads ≤ W tokens from the materialized
+    * array. Map-shaped end to end — the only shuffle is the explicit
+    * compute repartition; output is ~n/S rows per doc, no join, no
+    * window.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Dedup.normToks(col("text")).as("ws")),
+      col("doc_id"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"),
+        greatest(lit(0L), expr(s"(size(ws) - $w + $s - 1) div $s"))
+          .as("kmax"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("kmax"))).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_id"),
+        (col("k") * s).cast("int").as("start_tok"),
+        least(lit(w), col("n") - col("k").cast("int") * s).cast("int")
+          .as("n_tokens"),
+        array_join(slice(col("ws"), (col("k") * s + 1).cast("int"), lit(w)),
+          " ").as("chunk_text"))
+  }
 }

@@ -1327,6 +1327,27 @@ object DuckSql {
       |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |              x -> x <> '') AS ws FROM documents)""".stripMargin
 
+  /** Mirror of Retrieval.chunkDocs: same normToks token list, chunk
+    * count via the shared floor-division primitive (`//` floors like
+    * Spark's `div`, so the negative short-doc case lands on 0 on both
+    * engines), inclusive 1-based list_slice = Spark's slice(start, W)
+    * capped by the list end.
+    */
+  val chunkDocs: String = {
+    import graft.operators.Retrieval.{ChunkTokens, ChunkStride}
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""$normCte,
+       |m AS (SELECT doc_id, ws, len(ws) AS n FROM n WHERE len(ws) > 0),
+       |k AS (SELECT doc_id, ws, n,
+       |        unnest(range(0, greatest(0, (n - $w + $s - 1) // $s) + 1)) AS k
+       |      FROM m)
+       |SELECT doc_id, k::INT AS chunk_id, (k * $s)::INT AS start_tok,
+       |  least($w, n - k * $s)::INT AS n_tokens,
+       |  array_to_string(list_slice(ws, k * $s + 1, least(k * $s + $w, n)), ' ')
+       |    AS chunk_text
+       |FROM k""".stripMargin
+  }
+
   /** Mirror of CorpusStats.ngramStats: bigram rows, two-level (gram,
     * doc) aggregation, top-k by (count desc, gram). sum casts back to
     * BIGINT (DuckDB sums BIGINT into HUGEINT; Spark stays long).

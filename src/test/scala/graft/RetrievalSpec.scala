@@ -100,4 +100,23 @@ class RetrievalSpec extends SparkSpecBase {
     // tf carried through: doc 1 has apple tf=3
     assert(out((1L, "apple"))._1 === 3L)
   }
+
+  test("chunk_docs: stride windows, boundary kmax, no pure-overlap tail") {
+    def toks(n: Int) = (0 until n).map(i => s"t$i")
+    def txt(n: Int) = toks(n).mkString(" ")
+    val d = fixtureDir(docs = Seq(
+      doc(1, "a  b\tc"),   // short: one chunk, normToks collapses ws
+      doc(2, txt(70)),     // tail chunk has 22 tokens (16 overlap + 6 new)
+      doc(3, txt(112)),    // chunk 1 ends exactly at n: k=2 must NOT emit
+      doc(4, txt(113)),    // one past the boundary: k=2 emits 17 tokens
+      doc(5, "   ")))      // empty after normalization: dropped
+    def slice(n: Int, k: Int) =
+      toks(n).slice(k * 48, math.min(k * 48 + 64, n)).mkString(" ")
+    assert(rows(graft.operators.Retrieval.chunkDocs(spark, d)) === Set(
+      Seq(1L, 0, 0, 3, "a b c"),
+      Seq(2L, 0, 0, 64, slice(70, 0)), Seq(2L, 1, 48, 22, slice(70, 1)),
+      Seq(3L, 0, 0, 64, slice(112, 0)), Seq(3L, 1, 48, 64, slice(112, 1)),
+      Seq(4L, 0, 0, 64, slice(113, 0)), Seq(4L, 1, 48, 64, slice(113, 1)),
+      Seq(4L, 2, 96, 17, slice(113, 2))))
+  }
 }
