@@ -21,6 +21,7 @@ object SparkEntry {
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "q4_priority"   -> (Analytics.q4Priority _),
     "q22_idle_rich" -> (Analytics.q22IdleRich _),
+    "copurchase"    -> (Analytics.copurchase _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -180,6 +181,27 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "copurchase" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT l_orderkey, l_partkey FROM (
+        |        SELECT l_orderkey, l_partkey,
+        |          row_number() OVER (PARTITION BY l_orderkey
+        |                             ORDER BY l_partkey) AS rn
+        |        FROM li) WHERE rn <= ${graft.operators.Analytics.BasketCap}),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM c),
+        |n AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        count(*)::BIGINT AS support
+        |      FROM c a JOIN c b ON a.l_orderkey = b.l_orderkey
+        |                       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT part_a, part_b, support, na.cnt AS n_a, nb.cnt AS n_b,
+        |  floor((support * t.n_orders)::DOUBLE / (na.cnt * nb.cnt)
+        |        * 10000 + 0.5) / 10000 AS lift
+        |FROM p JOIN n na ON na.l_partkey = part_a
+        |       JOIN n nb ON nb.l_partkey = part_b, t
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT ${graft.operators.Analytics.CopurchaseTopK}""".stripMargin,
     "top_customers" ->
       """SELECT c_mktsegment, rank::INT AS rank, c_custkey, round(bal, 2) AS c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal AS bal,

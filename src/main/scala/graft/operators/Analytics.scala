@@ -320,6 +320,61 @@ object Analytics {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Deterministic per-basket item cap: orders keep their [[BasketCap]]
+    * lowest part keys before pairing. Max observed basket is 17 items at
+    * sf0.1; the cap exists for the 100 TB outlier order, because the
+    * pair join is quadratic PER BASKET — the same reason the LSH band
+    * joins cap their buckets. Single-sourced into the oracle SQL.
+    */
+  val BasketCap = 32
+  val CopurchaseTopK = 100
+
+  /** copurchase: market-basket co-occurrence — the top part pairs bought
+    * in the same order, with per-pair support and lift (the association
+    * mining primitive behind recommenders, Agrawal & Srikant VLDB'94
+    * shape without the multi-level lattice: pairs only).
+    *
+    * Plan: one distinct on (order, part) = one shuffle on order; the
+    * basket-cap window reuses that partitioning; the pair self-join is
+    * an equi-join on orderkey whose per-key fan-out the cap bounds
+    * (quadratic per basket, never across baskets). The capped frame
+    * feeds four consumers (both join sides, the per-part counts, the
+    * order total) so it is localCheckpoint-ed once. Lift divides exact
+    * integer products once in double — bit-identical across engines —
+    * and top-k is TakeOrdered on (support desc, part_a, part_b), never
+    * a global sort.
+    */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val capW = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    val capped = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= BasketCap)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .localCheckpoint()
+    val tot = capped.agg(
+      count_distinct(col("l_orderkey")).as("n_orders"))
+    val n = capped.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(n.select(col("l_partkey").as("part_a"), col("cnt").as("n_a")),
+        Seq("part_a"))
+      .join(n.select(col("l_partkey").as("part_b"), col("cnt").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("n_a"), col("n_b"),
+        (floor((col("support") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double") * 10000 + 0.5) / 10000)
+          .as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(CopurchaseTopK)
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

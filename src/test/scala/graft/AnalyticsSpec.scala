@@ -118,6 +118,30 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows(Analytics.q22IdleRich(spark, dir)) === Set(Seq(0L, 1L, 300.0)))
   }
 
+  test("copurchase: pair support and lift; duplicate lines collapse") {
+    val dir = starDir()
+    // order 1 {10,20,30} (part 10 twice: distinct collapses), order 2
+    // {10,20} -> support(10,20)=2, order 3 {10} still counts in N=3
+    Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(rows(Analytics.copurchase(spark, dir)) === Set(
+      Seq(10L, 20L, 2L, 3L, 2L, 1.0),   // 2*3/(3*2)
+      Seq(10L, 30L, 1L, 3L, 1L, 1.0),   // 1*3/(3*1)
+      Seq(20L, 30L, 1L, 2L, 1L, 1.5)))  // 1*3/(2*1)
+  }
+
+  test("copurchase: basket cap keeps only the 32 lowest part keys") {
+    val dir = starDir()
+    (100L to 133L).map(p => (1L, p)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Analytics.copurchase(spark, dir).collect()
+    assert(out.length === 100)  // C(32,2)=496 pairs, top-k truncates
+    // uncapped, (100,132)/(100,133) would sort INSIDE this top-100
+    assert(out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).max === 131L)
+  }
+
   test("top_customers: top-3 per segment with acctbal/custkey tie-break") {
     val dir = starDir(custs = Seq(
       Cust(1, 0, "BUILDING", 900.0), Cust(2, 0, "BUILDING", 800.0),

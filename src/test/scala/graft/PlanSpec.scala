@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
+    withNoAutoBroadcast {
+      val p = planOf(Analytics.copurchase(spark, dir))
+      assert(p.contains("TakeOrdered"), s"top-k must not global-sort:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      // the ONE sanctioned nested-loop is the 1-row n_orders scalar
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p)
+    }
+  }
+
   test("q1_pricing: partial (map-side) aggregation and pruned scan") {
     val plan = planOf(Analytics.q1Pricing(spark, dir))
     // partial + final HashAggregate pair
