@@ -41,4 +41,25 @@ COPY (SELECT event_id + {n_ev} * r AS event_id, ts, user_id + 10000 * r AS user_
              event_type, value, props
       FROM read_parquet('{src}/events.parquet'), range(0, {factor}) t(r))
 TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+# Star-schema facts for the analytics family (copurchase, q18, q4...):
+# orderkeys re-key (linear growth in orders/baskets, identical basket
+# size distribution); part/supp/cust keys stay, so per-part counts grow
+# by `factor` — the realistic axis (more orders, same catalog).
+n_ord = con.execute(
+    f"SELECT count(*) FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
+con.execute(f"""
+COPY (SELECT l_orderkey + {n_ord} * r AS l_orderkey, l_partkey, l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM read_parquet('{src}/lineitem.parquet'), range(0, {factor}) t(r))
+TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+COPY (SELECT o_orderkey + {n_ord} * r AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet'), range(0, {factor}) t(r))
+TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+for t in ("customer", "supplier", "part", "nation", "region"):
+    con.execute(f"""
+    COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))
+    TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
 print(f"wrote {factor}x replica of {src} to {dst}")
