@@ -69,6 +69,7 @@ object SparkEntry {
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
     "event_transitions" -> (Sessions.eventTransitions _),
+    "event_anomalies" -> (Sessions.eventAnomalies _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -306,6 +307,7 @@ object SparkEntry {
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
+    "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,

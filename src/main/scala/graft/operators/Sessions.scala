@@ -282,6 +282,47 @@ object Sessions {
           * 1000000 + 0.5) / 1000000).as("p"))
   }
 
+  /** event_anomalies: daily-volume outliers per event type — the ops
+    * monitoring query over the event stream: per (event_type, day)
+    * counts, each day scored against its type's population mean/σ,
+    * anomaly = count > mean + 3σ (the three-sigma control chart,
+    * Shewhart's rule).
+    *
+    * Parity: day counts are exact integers; mean and variance divide
+    * exact integer sums (S1, S2) in double with one fixed operand order
+    * — var = S2/d − (S1/d)·(S1/d) — so both engines hold identical
+    * bits; σ = sqrt (IEEE correctly rounded); the 3σ compare runs on
+    * the UNROUNDED doubles; a zero-variance type (and the −ε FP case of
+    * all-equal counts) clamps through greatest(var, 0) and scores z=0.
+    *
+    * Scale: two partial-agg groupBys (day grid, then per-type moments —
+    * the second input is |types|·|days| rows, tiny) + a broadcast of
+    * the |types|-row stats back onto the day grid. The day grid feeds
+    * both consumers, so it is localCheckpoint-ed once.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val mean = col("s1").cast("double") / col("d")
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"), mean.as("mean"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("d") - mean * mean,
+          lit(0.0))).as("sigma"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (floor(col("mean") * 1000000 + 0.5) / 1000000).as("mean_n"),
+        when(col("sigma") > 0,
+          floor((col("n") - col("mean")) / col("sigma") * 10000 + 0.5)
+            / 10000).otherwise(lit(0.0)).as("z"),
+        (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

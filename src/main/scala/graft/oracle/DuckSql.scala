@@ -764,6 +764,32 @@ object DuckSql {
       |SELECT cohort_wk, week_no, count(*) AS n_users
       |FROM d GROUP BY cohort_wk, week_no""".stripMargin
 
+  /** Mirror of Sessions.eventAnomalies: same epoch-day floor, same
+    * fixed operand order for the moments (var = S2/d − (S1/d)·(S1/d) on
+    * exact integer sums, clamped at 0), sqrt + the 3σ compare on the
+    * unrounded doubles.
+    */
+  val eventAnomalies: String =
+    """WITH e AS (SELECT event_type,
+      |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+      |g AS (SELECT event_type, day, count(*)::BIGINT AS n FROM e
+      |      GROUP BY event_type, day),
+      |s AS (SELECT event_type, count(*)::BIGINT AS d,
+      |        sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+      |      FROM g GROUP BY event_type),
+      |m AS (SELECT event_type, s1::DOUBLE / d AS mean,
+      |        sqrt(greatest(
+      |          s2::DOUBLE / d - (s1::DOUBLE / d) * (s1::DOUBLE / d),
+      |          0.0)) AS sigma
+      |      FROM s)
+      |SELECT g.event_type, g.day, g.n,
+      |  floor(m.mean * 1000000 + 0.5) / 1000000 AS mean_n,
+      |  CASE WHEN m.sigma > 0
+      |       THEN floor((g.n - m.mean) / m.sigma * 10000 + 0.5) / 10000
+      |       ELSE 0.0 END AS z,
+      |  g.n > m.mean + 3 * m.sigma AS is_anomaly
+      |FROM g JOIN m USING (event_type)""".stripMargin
+
   /** Mirror of Analytics.rfmSegments: per-customer RFM frame, quartile
     * thresholds from histogram cumulatives (4·cum ≥ k·N exact-integer
     * form), map-side scoring. The monetary bin width interpolates from

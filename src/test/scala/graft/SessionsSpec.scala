@@ -80,6 +80,30 @@ class SessionsSpec extends SparkSpecBase {
       Seq(2L, 1, 7L, 40.0, 50L, null)))
   }
 
+  test("event_anomalies: 3σ spike flagged; zero-σ type scores z=0") {
+    // "view": 29 one-event days + a 12-event spike on day 29;
+    // "click": identical daily counts -> σ=0 -> z=0, never anomalous
+    val quiet = (0 until 29).map(d => ev(d, d * 86400L, user = 1, "view"))
+    val spike = (0 until 12).map(i =>
+      ev(100 + i, 29 * 86400L + i, user = 1, "view"))
+    val flat = (0 until 3).map(d => ev(200 + d, d * 86400L, user = 1))
+    val dir = fixtureDir(evs = quiet ++ spike ++ flat)
+    // formula replicated with the operator's exact operand order
+    val (d, s1, s2) = (30.0, 29 + 12.0, 29 + 144.0)
+    val mean = s1 / d
+    val sigma = math.sqrt(s2 / d - (s1 / d) * (s1 / d))
+    assert(12 > mean + 3 * sigma) // the fixture must actually spike
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected =
+      (0 until 29).map(dd => Seq[Any]("view", dd.toLong, 1L, r6(mean),
+        r4((1 - mean) / sigma), false)).toSet +
+      Seq[Any]("view", 29L, 12L, r6(mean), r4((12 - mean) / sigma), true) ++
+      (0 until 3).map(dd =>
+        Seq[Any]("click", dd.toLong, 1L, 1.0, 0.0, false))
+    assert(rows(Sessions.eventAnomalies(spark, dir)) === expected)
+  }
+
   test("conversation_history: last 5 per session, newest first") {
     val dir = fixtureDir(evs = (0 until 7).map(i =>
       ev(i, i * 1000L, user = 1, value = i.toDouble, k = i)))
