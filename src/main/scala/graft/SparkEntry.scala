@@ -22,6 +22,7 @@ object SparkEntry {
     "q4_priority"   -> (Analytics.q4Priority _),
     "q22_idle_rich" -> (Analytics.q22IdleRich _),
     "copurchase"    -> (Analytics.copurchase _),
+    "revenue_trend" -> (Analytics.revenueTrend _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -182,6 +183,15 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "revenue_trend" ->
+      """WITH d AS (SELECT (floor(epoch(l_shipdate))::BIGINT // 86400) AS day,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS drev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, floor(drev::DOUBLE * 100 + 0.5) / 100 AS revenue,
+        |  floor((sum(drev) OVER w)::DOUBLE / (count(*) OVER w) * 100 + 0.5)
+        |    / 100 AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "copurchase" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |c AS (SELECT l_orderkey, l_partkey FROM (

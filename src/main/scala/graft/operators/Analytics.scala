@@ -375,6 +375,40 @@ object Analytics {
       .limit(CopurchaseTopK)
   }
 
+  /** revenue_trend: daily shipped revenue with a 7-day moving average —
+    * the RANGE-frame window shape (RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW on the day key, so calendar gaps SHRINK the frame
+    * instead of reaching back over them, which is what distinguishes it
+    * from every ROWS/unbounded window already in the suite).
+    *
+    * The global (unpartitioned) window is deliberate and safe HERE:
+    * it runs over the aggregated day grid, whose size is bounded by the
+    * calendar (~2.4 K rows for 7 years), not by the data — the fact
+    * scan reduces via partial agg first. Never do this over a
+    * data-sized frame (cf. shuffle_assign's sharded design).
+    *
+    * Parity: daily revenue accumulates in DECIMAL (exact,
+    * order-independent); the frame SUM stays DECIMAL (exact over ≤7
+    * addends regardless of intra-frame order) and divides by the frame
+    * count once in double. Both emitted columns round via the shared
+    * floor primitive, NOT round(): the 4dp discount product can land
+    * exactly on a 2dp half-way (…255), where Spark's HALF_UP and
+    * DuckDB's double-round disagree — measured on this very query at
+    * sf0.01 before the switch.
+    */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(expr("unix_timestamp(l_shipdate) div 86400").as("day"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev").cast("decimal(28,6)")).as("drev"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily.select(col("day"),
+      (floor(col("drev").cast("double") * 100 + 0.5) / 100).as("revenue"),
+      (floor(sum(col("drev")).over(w).cast("double") /
+        count(lit(1)).over(w) * 100 + 0.5) / 100).as("ma7"))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

@@ -118,6 +118,23 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows(Analytics.q22IdleRich(spark, dir)) === Set(Seq(0L, 1L, 300.0)))
   }
 
+  test("revenue_trend: range frame shrinks over calendar gaps") {
+    import java.sql.Date
+    val dir = starDir()
+    Seq(("1970-01-01", 100.0, 0.0), ("1970-01-02", 150.0, 0.0),
+      ("1970-01-02", 100.0, 0.5),   // same-day rows aggregate: 150+50
+      ("1970-01-04", 400.0, 0.0),   // gap at day 2
+      ("1970-01-11", 50.0, 0.0))    // day 10: no prior day within 6
+      .map { case (d, p, disc) => (Date.valueOf(d), p, disc) }
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(rows(Analytics.revenueTrend(spark, dir)) === Set(
+      Seq(0L, 100.0, 100.0),
+      Seq(1L, 200.0, 150.0),        // (100+200)/2
+      Seq(3L, 400.0, 233.33),       // (100+200+400)/3 floored at 2dp
+      Seq(10L, 50.0, 50.0)))        // frame holds only itself
+  }
+
   test("copurchase: pair support and lift; duplicate lines collapse") {
     val dir = starDir()
     // order 1 {10,20,30} (part 10 twice: distinct collapses), order 2
