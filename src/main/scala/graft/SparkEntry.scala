@@ -95,6 +95,7 @@ object SparkEntry {
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
+    "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -343,5 +344,6 @@ object SparkEntry {
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
+    "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
   )
 }

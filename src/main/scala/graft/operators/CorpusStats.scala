@@ -351,6 +351,119 @@ object CorpusStats {
     spark.read.parquet(path)
   }
 
+  /** Stupid-backoff discount (Brants et al., EMNLP'07 "Large Language
+    * Models in Machine Translation"). α² is a PARSED LITERAL on both
+    * engines, not a runtime 0.4·0.4 (which is 0.16000000000000003 in
+    * IEEE double — the BmK1Plus1 lesson).
+    */
+  val BackoffAlpha = 0.4
+  val BackoffAlpha2 = 0.16
+
+  /** perplexity_backoff: trigram stupid-backoff scoring against the
+    * frozen out-of-domain LMs (the roadmap's trigram/backoff variant,
+    * composed with the CCNet posture: train on [[OodTrainSource]],
+    * score the complement — backoff exists FOR unseen n-grams, so the
+    * out-of-domain query is the one where all three branches do real
+    * work; an in-domain self-score would never leave branch 1):
+    *
+    *   S(w3|w1,w2) = c3/c2(w1w2)               seen trigram
+    *               = α · c2(w2w3)/c1(w2)       backoff to bigram
+    *               = α² · (c1(w3)+1)/(N+V)     backoff to add-one unigram
+    *
+    * nll term = ln(1/S), 6dp-rounded × integer multiplicity in DECIMAL
+    * (the perplexityScore scaffolding). c1/N/V derive from the frozen
+    * BIGRAM artifact by partial-agg sums, so the two LM artifacts stay
+    * mutually consistent (c3 > 0 ⇒ its context bigram exists — both
+    * counted the same training slice).
+    *
+    * Plan: one trigram tokenization pass over the scored docs, five
+    * equi-joins against vocabulary-bounded LM frames (planner-chosen;
+    * only the |langs|-row (N,V) table is forced broadcast), one per-doc
+    * partial agg.
+    */
+  def perplexityBackoff(spark: SparkSession, dir: String): DataFrame =
+    backoffScore(
+      Tables.documents(spark, dir)
+        .filter(col("source") =!= OodTrainSource),
+      oodTrigramLm(spark, dir), oodBigramLm(spark, dir))
+
+  private[graft] def oodTrigramLmIndexPath(dir: String): String =
+    IndexStore.path("trigram-lm-ood-v1", dir)
+
+  /** (doc_id, lang, w1, w2, w3, n): per-doc trigram multiplicities —
+    * rows + two lead()s, the docBigramsOf posture.
+    */
+  private def docTrigramsOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.cpuPartition(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w1")))
+      .select(col("doc_id"), col("lang"), col("w1"),
+        lead(col("w1"), 1).over(w).as("w2"),
+        lead(col("w1"), 2).over(w).as("w3"))
+      .filter(col("w3").isNotNull)
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private[graft] def trigramLmOf(docs: DataFrame): DataFrame =
+    docTrigramsOf(docs)
+      .groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("n")).as("c3"))
+
+  def buildOodTrigramLm(spark: SparkSession, dir: String, path: String)
+      : Unit =
+    graft.sources.Sinks.writeSortedParquet(
+      trigramLmOf(Tables.documents(spark, dir)
+        .filter(col("source") === OodTrainSource)),
+      path, Seq("lang", "w1", "w2", "w3"))
+
+  /** The persisted out-of-domain trigram LM. */
+  def oodTrigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val path = oodTrigramLmIndexPath(dir)
+    IndexStore.ensureBuilt(path)(buildOodTrigramLm(spark, dir, path))
+    spark.read.parquet(path)
+  }
+
+  /** Score `docs` with stupid backoff against frozen trigram (`t3`) and
+    * bigram (`b2`) count tables from the same training slice.
+    */
+  private[graft] def backoffScore(docs: DataFrame, t3: DataFrame,
+      b2: DataFrame): DataFrame = {
+    val c1 = b2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+    val nv = c1.groupBy(col("lang"))
+      .agg(sum(col("c1")).as("nn"), count(lit(1)).as("v"))
+    val term = when(col("c3").isNotNull && col("c2ctx").isNotNull,
+        log(col("c2ctx").cast("double") / col("c3")))
+      .when(col("c2bo").isNotNull && col("c1w2").isNotNull,
+        log(col("c1w2").cast("double") / (lit(BackoffAlpha) * col("c2bo"))))
+      .otherwise(log((col("nn") + col("v")).cast("double") /
+        (lit(BackoffAlpha2) * (coalesce(col("c1w3"), lit(0L)) + lit(1)))))
+    val part = (col("n") * rnd6(term).cast("decimal(18,6)")).as("part")
+    val avg = rnd6(col("nll_sum").cast("double") / col("n_trigrams"))
+    docTrigramsOf(docs)
+      .join(t3, Seq("lang", "w1", "w2", "w3"), "left")
+      .join(b2.select(col("lang"), col("w1"), col("w2"),
+        col("c2").as("c2ctx")), Seq("lang", "w1", "w2"), "left")
+      .join(b2.select(col("lang"), col("w1").as("w2"),
+        col("w2").as("w3"), col("c2").as("c2bo")),
+        Seq("lang", "w2", "w3"), "left")
+      .join(c1.select(col("lang"), col("w1").as("w2"),
+        col("c1").as("c1w2")), Seq("lang", "w2"), "left")
+      .join(c1.select(col("lang"), col("w1").as("w3"),
+        col("c1").as("c1w3")), Seq("lang", "w3"), "left")
+      .join(broadcast(nv), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n"), part)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_trigrams"), sum(col("part")).as("nll_sum"))
+      .withColumn("avg_nll", avg)
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        col("avg_nll"),
+        (floor(exp(col("avg_nll")) * 10000 + 0.5) / 10000).as("ppl"))
+  }
+
   /** Score `docs` against a frozen LM count table. Left joins: a bigram
     * the LM never saw contributes the smoothed floor ln((c1+V)/1); an
     * unseen context word contributes ln(V). Languages absent from the LM

@@ -1566,4 +1566,65 @@ object DuckSql {
        |        * 10000 + 0.5) / 10000 AS ppl
        |FROM ag""".stripMargin
   }
+
+  /** Mirror of CorpusStats.perplexityBackoff: trigram/bigram counts from
+    * the training source, scored docs from the complement, the stupid-
+    * backoff CASE with the same join-null branch conditions and literal
+    * α / α² (interpolated from the shared constants — a runtime 0.4·0.4
+    * would differ from the parsed 0.16 in the last bit).
+    */
+  val perplexityBackoff: String = {
+    import graft.operators.CorpusStats.{OodTrainSource, BackoffAlpha,
+      BackoffAlpha2}
+    val src = sq(OodTrainSource)
+    s"""WITH n AS (SELECT doc_id, lang, source,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |t AS (SELECT doc_id, lang, source,
+       |  unnest(list_transform(range(1, len(ws) - 1), j -> ws[j])) AS w1,
+       |  unnest(list_transform(range(1, len(ws) - 1), j -> ws[j+1])) AS w2,
+       |  unnest(list_transform(range(1, len(ws) - 1), j -> ws[j+2])) AS w3
+       |  FROM n),
+       |bo AS (SELECT lang,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS w1,
+       |  unnest(list_transform(range(1, len(ws)), j -> ws[j+1])) AS w2
+       |  FROM n WHERE source = '$src'),
+       |db AS (SELECT doc_id, lang, w1, w2, w3, count(*) AS n FROM t
+       |       WHERE source <> '$src' GROUP BY doc_id, lang, w1, w2, w3),
+       |c3 AS (SELECT lang, w1, w2, w3, count(*)::BIGINT AS c3 FROM t
+       |       WHERE source = '$src' GROUP BY lang, w1, w2, w3),
+       |c2 AS (SELECT lang, w1, w2, count(*)::BIGINT AS c2 FROM bo
+       |       GROUP BY lang, w1, w2),
+       |c1 AS (SELECT lang, w1, sum(c2)::BIGINT AS c1 FROM c2
+       |       GROUP BY lang, w1),
+       |nv AS (SELECT lang, sum(c1)::BIGINT AS nn, count(*)::BIGINT AS v
+       |       FROM c1 GROUP BY lang),
+       |sc AS (SELECT d.doc_id, d.lang, d.n,
+       |  d.n * CAST(floor(CASE
+       |    WHEN c3.c3 IS NOT NULL AND ctx.c2 IS NOT NULL
+       |      THEN ln(ctx.c2::DOUBLE / c3.c3)
+       |    WHEN bg.c2 IS NOT NULL AND a1.c1 IS NOT NULL
+       |      THEN ln(a1.c1::DOUBLE / ($BackoffAlpha * bg.c2))
+       |    ELSE ln((nv.nn + nv.v)::DOUBLE
+       |            / ($BackoffAlpha2 * (coalesce(a3.c1, 0) + 1)))
+       |    END * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM db d
+       |  LEFT JOIN c3 ON c3.lang = d.lang AND c3.w1 = d.w1
+       |              AND c3.w2 = d.w2 AND c3.w3 = d.w3
+       |  LEFT JOIN c2 ctx ON ctx.lang = d.lang AND ctx.w1 = d.w1
+       |                  AND ctx.w2 = d.w2
+       |  LEFT JOIN c2 bg ON bg.lang = d.lang AND bg.w1 = d.w2
+       |                 AND bg.w2 = d.w3
+       |  LEFT JOIN c1 a1 ON a1.lang = d.lang AND a1.w1 = d.w2
+       |  LEFT JOIN c1 a3 ON a3.lang = d.lang AND a3.w1 = d.w3
+       |  JOIN nv ON nv.lang = d.lang),
+       |ag AS (SELECT doc_id, lang, sum(n)::BIGINT AS n_trigrams,
+       |              sum(part) AS nll_sum
+       |       FROM sc GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_trigrams,
+       |  floor(nll_sum::DOUBLE / n_trigrams * 1000000 + 0.5) / 1000000 AS avg_nll,
+       |  floor(exp(floor(nll_sum::DOUBLE / n_trigrams * 1000000 + 0.5) / 1000000)
+       |        * 10000 + 0.5) / 10000 AS ppl
+       |FROM ag""".stripMargin
+  }
 }

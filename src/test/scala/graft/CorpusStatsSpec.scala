@@ -133,6 +133,27 @@ class CorpusStatsSpec extends SparkSpecBase {
         .filter(org.apache.spark.sql.functions.col("source") === "src0"))))
   }
 
+  test("perplexity_backoff: all three stupid-backoff branches score") {
+    // train (src0): c3 abc=2 bca=1 cab=1 abd=1; c2 ab=3 bc=2 ca=1 bd=1;
+    // c1 a=3 b=3 c=1; N=7 V=3
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "a b c a b d", "en", "src0", 11), Doc(2, "a b c", "en", "src0", 5),
+      Doc(3, "a b c", "en", "src1", 5),    // branch 1: ln(c2(ab)/c3(abc))
+      Doc(4, "b c a x", "en", "src1", 7),  // bca branch 1; cax branch 3
+      Doc(5, "d a b", "en", "src1", 5)))   // dab unseen, ab seen: branch 2
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val abc = r6(math.log(3.0 / 2))           // ln(ctx 3 / c3 2)
+    val bca = r6(math.log(2.0 / 1))           // ln(ctx 2 / c3 1)
+    val cax = r6(math.log(10.0 / (0.16 * 1))) // ln((N+V)/(α²·(0+1)))
+    val dab = r6(math.log(3.0 / (0.4 * 3)))   // ln(c1(a)/(α·c2(ab)))
+    val avg4 = r6((BigDecimal(bca) + BigDecimal(cax)).toDouble / 2)
+    assert(rows(CorpusStats.perplexityBackoff(spark, dir)) === Set(
+      Seq(3L, "en", 1L, abc, r4(math.exp(abc))),
+      Seq(4L, "en", 2L, avg4, r4(math.exp(avg4))),
+      Seq(5L, "en", 1L, dab, r4(math.exp(dab)))))
+  }
+
   test("perplexity_score: frozen LM floors unseen bigrams, drops unknown langs") {
     import spark.implicits._
     val lm = CorpusStats.bigramLmOf(
