@@ -23,6 +23,7 @@ object SparkEntry {
     "q22_idle_rich" -> (Analytics.q22IdleRich _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
+    "revenue_rollup" -> (Analytics.revenueRollup _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -184,6 +185,19 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "revenue_rollup" ->
+      s"""SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  count(*)::BIGINT AS n_orders,
+        |  grouping_id(r_name, n_name)::INT AS lvl
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= DATE '${graft.operators.Analytics.RollupYear}-01-01'
+        |  AND o_orderdate < DATE '${graft.operators.Analytics.RollupYear + 1}-01-01'
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "revenue_trend" ->
       """WITH d AS (SELECT (floor(epoch(l_shipdate))::BIGINT // 86400) AS day,
         |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS drev

@@ -375,6 +375,41 @@ object Analytics {
       .limit(CopurchaseTopK)
   }
 
+  /** revenue_rollup year filter. Single-sourced into the oracle SQL. */
+  val RollupYear = 1997
+
+  /** revenue_rollup: region / nation / grand-total revenue subtotals in
+    * ONE pass — the GROUPING SETS shape (Catalyst's Expand operator:
+    * each input row fans out once per grouping level BEFORE the partial
+    * agg, so subtotals cost one shuffle, not three scans; grouping_id
+    * disambiguates a real NULL from a rolled-up level, identical bit
+    * semantics on both engines).
+    *
+    * Plan: orders filtered to one year (pushed to the scan) shuffles
+    * against customer on custkey; only nation⋈region broadcast (the
+    * q5_region rule); Expand ×3 then partial agg — the aggregate input
+    * triples, the shuffle carries only (region, nation, level) partial
+    * sums.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$RollupYear-01-01").cast("date") &&
+        col("o_orderdate") < lit(s"${RollupYear + 1}-01-01").cast("date"))
+      .select(col("o_custkey"), col("o_totalprice"))
+    o.join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id(col("r_name"), col("n_name")).cast("int").as("lvl"))
+  }
+
   /** revenue_trend: daily shipped revenue with a 7-day moving average —
     * the RANGE-frame window shape (RANGE BETWEEN 6 PRECEDING AND
     * CURRENT ROW on the day key, so calendar gaps SHRINK the frame

@@ -118,6 +118,26 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows(Analytics.q22IdleRich(spark, dir)) === Set(Seq(0L, 1L, 300.0)))
   }
 
+  test("revenue_rollup: one-pass region/nation/grand subtotals with levels") {
+    import java.sql.Date
+    val in = Date.valueOf("1997-05-01")
+    val dir = starDir(
+      custs = Seq(Cust(1, 0, "A", 0), Cust(2, 1, "A", 0), Cust(3, 2, "A", 0)),
+      ords = Seq(Ord(1, 1, 100.0, in), Ord(2, 1, 200.0, in),
+        Ord(3, 2, 50.0, in), Ord(4, 3, 1000.0, in),
+        Ord(5, 1, 999.0, Date.valueOf("1998-01-01"))))  // outside the year
+    Seq((0L, "N1", 0L), (1L, "N2", 0L), (2L, "N3", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, "R1"), (1L, "R2")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    assert(rows(Analytics.revenueRollup(spark, dir)) === Set(
+      Seq("R1", "N1", 300.0, 2L, 0), Seq("R1", "N2", 50.0, 1L, 0),
+      Seq("R2", "N3", 1000.0, 1L, 0),
+      Seq("R1", null, 350.0, 3L, 1), Seq("R2", null, 1000.0, 1L, 1),
+      Seq(null, null, 1350.0, 4L, 3)))
+  }
+
   test("revenue_trend: range frame shrinks over calendar gaps") {
     import java.sql.Date
     val dir = starDir()
