@@ -72,6 +72,7 @@ object SparkEntry {
     "cohort_retention" -> (Sessions.cohortRetention _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_anomalies" -> (Sessions.eventAnomalies _),
+    "event_pivot" -> (Sessions.eventPivot _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -333,6 +334,7 @@ object SparkEntry {
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
+    "event_pivot" -> graft.oracle.DuckSql.eventPivot,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,
     "embed_text" -> graft.oracle.DuckSql.embedText,

@@ -282,6 +282,35 @@ object Sessions {
           * 1000000 + 0.5) / 1000000).as("p"))
   }
 
+  /** The event-type vocabulary of the pivoted report — an EXPLICIT list
+    * because dynamic pivot (Spark inferring the columns) runs a hidden
+    * collect of the distinct values on the driver; a fixed output
+    * schema is also what makes the oracle compare well-defined.
+    * Single-sourced into the oracle SQL.
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** event_pivot: day-of-week × event-type count crosstab — the PIVOT
+    * relational shape (wide conditional aggregation). With the explicit
+    * value list this is purely declarative: one partial-agg groupBy
+    * whose output is ≤7 rows × |types| columns; missing combinations
+    * coalesce to 0 (Spark's pivot-count yields null there, the oracle's
+    * FILTER count yields 0 — reconciled engine-side).
+    *
+    * dow = (epoch_day + 4) mod 7, 0 = Sunday (1970-01-01 was a
+    * Thursday) — integer ops, identical on both engines.
+    */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val piv = Tables.events(spark, dir)
+      .select(expr("(ts div 86400000000000 + 4) % 7").as("dow"),
+        col("event_type"))
+      .groupBy(col("dow"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    piv.select(col("dow") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   /** event_anomalies: daily-volume outliers per event type — the ops
     * monitoring query over the event stream: per (event_type, day)
     * counts, each day scored against its type's population mean/σ,

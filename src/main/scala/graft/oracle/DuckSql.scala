@@ -764,6 +764,21 @@ object DuckSql {
       |SELECT cohort_wk, week_no, count(*) AS n_users
       |FROM d GROUP BY cohort_wk, week_no""".stripMargin
 
+  /** Mirror of Sessions.eventPivot: FILTER counts per type column from
+    * the shared EventTypes list (0 where Spark's coalesced pivot-null
+    * lands), same (epoch_day + 4) mod 7 dow.
+    */
+  val eventPivot: String = {
+    val cols = graft.operators.Sessions.EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '${sq(t)}')::BIGINT AS $t")
+      .mkString(",\n|  ")
+    s"""SELECT dow,
+       |  $cols
+       |FROM (SELECT ((floor(epoch(ts))::BIGINT // 86400 + 4) % 7) AS dow,
+       |        event_type FROM events)
+       |GROUP BY dow""".stripMargin
+  }
+
   /** Mirror of Sessions.eventAnomalies: same epoch-day floor, same
     * fixed operand order for the moments (var = S2/d − (S1/d)·(S1/d) on
     * exact integer sums, clamped at 0), sqrt + the 3σ compare on the

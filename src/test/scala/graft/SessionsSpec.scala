@@ -104,6 +104,17 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(Sessions.eventAnomalies(spark, dir)) === expected)
   }
 
+  test("event_pivot: dow crosstab, missing combos coalesce to 0") {
+    // day 0 = 1970-01-01 = Thursday -> dow 4; day 3 = Sunday -> dow 0
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, user = 1, "click"), ev(2, 20, user = 1, "click"),
+      ev(3, 30, user = 1, "view"),
+      ev(4, 3 * 86400L, user = 2, "purchase")))
+    assert(rows(Sessions.eventPivot(spark, dir)) === Set(
+      Seq(4L, 2L, 0L, 0L, 0L, 1L),   // Thu: click=2, view=1
+      Seq(0L, 0L, 0L, 1L, 0L, 0L)))  // Sun: purchase=1
+  }
+
   test("conversation_history: last 5 per session, newest first") {
     val dir = fixtureDir(evs = (0 until 7).map(i =>
       ev(i, i * 1000L, user = 1, value = i.toDouble, k = i)))
