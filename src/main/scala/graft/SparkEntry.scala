@@ -21,6 +21,10 @@ object SparkEntry {
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "q4_priority"   -> (Analytics.q4Priority _),
     "q22_idle_rich" -> (Analytics.q22IdleRich _),
+    "q7_volume"     -> (Analytics.q7Volume _),
+    "q8_share"      -> (Analytics.q8Share _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "q21_blame"     -> (Analytics.q21Blame _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
     "revenue_rollup" -> (Analytics.revenueRollup _),
@@ -186,6 +190,72 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::INT AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = '${graft.operators.Analytics.Q7NationA}'
+        |        AND n2.n_name = '${graft.operators.Analytics.Q7NationB}')
+        |    OR (n1.n_name = '${graft.operators.Analytics.Q7NationB}'
+        |        AND n2.n_name = '${graft.operators.Analytics.Q7NationA}'))
+        |  AND l_shipdate >= DATE '${graft.operators.Analytics.Q7Start}'
+        |  AND l_shipdate <= DATE '${graft.operators.Analytics.Q7End}'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_share" ->
+      s"""WITH u AS (
+        |  SELECT year(o_orderdate)::INT AS o_year,
+        |    CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5) AS BIGINT) AS vu,
+        |    CASE WHEN sn.n_name = '${graft.operators.Analytics.Q8Nation}'
+        |         THEN CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS nu
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = '${graft.operators.Analytics.Q8Type}'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |    AND r_name = '${graft.operators.Analytics.Q8Region}'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        |s AS (SELECT o_year, sum(nu) AS nus, sum(vu) AS vus
+        |      FROM u GROUP BY o_year)
+        |SELECT o_year,
+        |  floor(nus::DOUBLE / 100 + 0.5) / 100 AS nation_revenue,
+        |  floor(vus::DOUBLE / 100 + 0.5) / 100 AS total_revenue,
+        |  floor(nus::DOUBLE / vus::DOUBLE * 10000 + 0.5) / 10000 AS mkt_share
+        |FROM s ORDER BY o_year""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH lp AS (SELECT l_partkey, l_quantity::BIGINT AS q, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = '${graft.operators.Analytics.Q17Brand}'),
+        |st AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cnt
+        |       FROM lp GROUP BY l_partkey)
+        |SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |             / 7 * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lp JOIN st USING (l_partkey)
+        |WHERE 5 * q * cnt < sq""".stripMargin,
+    "q21_blame" ->
+      s"""SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT ${graft.operators.Analytics.Q21TopN}""".stripMargin,
     "revenue_rollup" ->
       s"""SELECT r_name, n_name,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)

@@ -444,6 +444,195 @@ object Analytics {
         count(lit(1)).over(w) * 100 + 0.5) / 100).as("ma7"))
   }
 
+  /** q7_volume nation pair + shipping window. Single-sourced into the
+    * oracle SQL.
+    */
+  val Q7NationA = "NATION_1"
+  val Q7NationB = "NATION_2"
+  val Q7Start = "1996-01-01"
+  val Q7End = "1997-12-31" // inclusive
+
+  /** q7_volume: the TPC-H Q7 shape — bilateral trade volume between two
+    * nations by year. The shape this adds over q5: TWO independent nation
+    * lookups (supplier side and customer side) whose PAIR is constrained
+    * by a disjunction, so the filter cannot be pushed into either
+    * dimension alone — only the two-nation membership can.
+    *
+    * Plan: the nation dim filters to the 2-row pair BEFORE broadcasting
+    * into supplier and customer, so both shrink to ~2/25 of their rows
+    * ahead of the fact joins (membership pushed); the cross-pair
+    * disjunction then runs on the joined slice. Fact joins
+    * (lineitem⋈orders⋈customer⋈supplier) are planner-chosen shuffles at
+    * scale; the date window is pushed to the lineitem scan.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(Q7NationA, Q7NationB))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q7Start).cast("date") &&
+        col("l_shipdate") <= lit(Q7End).cast("date"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    l.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter(
+        (col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q8_share parameters. Single-sourced into the oracle SQL. */
+  val Q8Region = "ASIA"
+  val Q8Nation = "NATION_5"
+  val Q8Type = "ECONOMY"
+
+  /** q8_share: the TPC-H Q8 shape — one nation's share of a region's
+    * imported revenue per year, restricted to one part type. The shape
+    * this adds: a CONDITIONAL-aggregate ratio (numerator = the subset
+    * where the supplier nation matches) computed in the same pass as the
+    * denominator — no second scan, no self-join.
+    *
+    * Plan: 7-table star. The region restriction prunes the customer side
+    * via a 2-level broadcast chain (region filter → nation keys →
+    * customer membership); the part-type filter prunes part before its
+    * planner-chosen join with lineitem (part is fact-sized at scale — no
+    * hint, same rule as q14); the supplier-side nation lookup broadcasts
+    * whole (25 rows) because every supplier nation contributes to the
+    * denominator. Parity: revenue accumulates as exact integer 1e-4
+    * units (the q14 rule — a conditional subtotal can land a cent
+    * boundary on the HALF_UP/shortest-repr disagreement), and the share
+    * divides the two exact longs once in double with floor-rounding.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val money = (u: Column) => floor(u.cast("double") / 100 + 0.5) / 100
+    val volU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === Q8Type).select("p_partkey")
+    val sn = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(regionNations), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"), volU.as("vu"),
+        when(col("supp_nation") === Q8Nation, volU).otherwise(lit(0L))
+          .as("nu"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("nu")).as("nus"), sum(col("vu")).as("vus"))
+      .select(col("o_year"),
+        money(col("nus")).as("nation_revenue"),
+        money(col("vus")).as("total_revenue"),
+        (floor(col("nus").cast("double") / col("vus").cast("double")
+          * 10000 + 0.5) / 10000).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** q17_small_qty brand filter. Single-sourced into the oracle SQL. */
+  val Q17Brand = "Brand#1"
+
+  /** q17_small_qty: the TPC-H Q17 shape — the correlated scalar-per-group
+    * subquery (l_quantity < 0.2 × avg quantity OF THAT PART) rewritten as
+    * a per-group aggregate joined back to the fact — the decorrelation
+    * every engine performs, expressed directly so the plan is one
+    * partial-agg groupBy + one equi-join instead of a per-row subquery.
+    *
+    * Parity: quantities are integral, so the threshold compare runs in
+    * EXACT integer form — q < sum/(5·cnt) ⇔ 5·q·cnt < sum — no 0.2×avg
+    * double ever materializes (a double threshold can flip rows whose
+    * quantity lands exactly on it, and the two engines would disagree on
+    * which way). The brand sliver feeds both the stats groupBy and the
+    * probe, so it materializes once (localCheckpoint, the copurchase
+    * rule).
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(Tables.part(spark, dir)
+        .filter(col("p_brand") === Q17Brand).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice"))
+      .localCheckpoint() // feeds the per-part stats AND the probe
+    val st = lp.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    lp.join(st, Seq("l_partkey"))
+      .filter(col("q") * col("cnt") * 5 < col("sq"))
+      .agg((floor(sum(col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double") / 7 * 100 + 0.5) / 100).as("avg_yearly"))
+  }
+
+  val Q21TopN = 20
+
+  /** q21_blame: the TPC-H Q21 shape — a SEMI and an ANTI join against the
+    * SAME fact self-join key in one query: suppliers who were the sole
+    * "failed" line (returnflag 'R', this schema's stand-in for a missed
+    * commit date) in a finalized multi-supplier order. q4/q22 exercise
+    * semi and anti separately against a different table; here both
+    * membership probes re-join lineitem to itself on orderkey with a
+    * supplier-inequality residual — the shape that tempts a quadratic
+    * per-order expansion but must stay a key-partitioned membership test.
+    *
+    * Plan: both probes are hash/merge joins on l_orderkey with the
+    * s2<>s1 inequality as a post-match residual (never a cartesian —
+    * PlanSpec pins LeftSemi + LeftAnti, no BNL); Spark dedups the build
+    * sides internally. The supplier name join runs AFTER the membership
+    * filters shrink l1; top-N is TakeOrdered on (numwait desc, s_name).
+    */
+  def q21Blame(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val oF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(oF, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l_orderkey") === col("o2") &&
+        col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(Q21TopN)
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

@@ -71,6 +71,33 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q21_blame: both membership probes are semi/anti equi-joins") {
+    withNoAutoBroadcast {
+      val p = planOf(Analytics.q21Blame(spark, dir))
+      assert(p.contains("LeftSemi"), s"EXISTS probe must be semi:\n$p")
+      assert(p.contains("LeftAnti"), s"NOT EXISTS probe must be anti:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"self-join probes must stay key-partitioned:\n$p")
+      assert(p.contains("TakeOrdered"), s"top-N must not global-sort:\n$p")
+    }
+  }
+
+  test("q7/q8 at scale: only nation/region dims broadcast; facts shuffle") {
+    withNoAutoBroadcast {
+      val p7 = planOf(Analytics.q7Volume(spark, dir))
+      // the two 2-row nation lookups (supplier + customer side)
+      assert("BroadcastExchange".r.findAllIn(p7).size === 2, p7)
+      assert(!p7.contains("CartesianProduct"), p7)
+      val p8 = planOf(Analytics.q8Share(spark, dir))
+      // supplier-side nation (25 rows) + region→nation chain (2 exchanges)
+      assert("BroadcastExchange".r.findAllIn(p8).size === 3, p8)
+      assert(!p8.contains("CartesianProduct"), p8)
+      assert(p8.contains("SortMergeJoin") || p8.contains("ShuffledHashJoin"),
+        s"fact joins must shuffle at scale:\n$p8")
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))
