@@ -102,6 +102,9 @@ object SparkEntry {
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
+    "dsir_weights" -> (CorpusStats.dsirWeights _),
+    "bpe_pairs"    -> (CorpusStats.bpePairs _),
+    "readability"  -> (TextAnalysis.readability _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -431,5 +434,8 @@ object SparkEntry {
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
+    "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,
+    "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
+    "readability"  -> graft.oracle.DuckSql.readability,
   )
 }

@@ -464,6 +464,155 @@ object CorpusStats {
         (floor(exp(col("avg_nll")) * 10000 + 0.5) / 10000).as("ppl"))
   }
 
+  // ---- dsir_weights: hashed n-gram importance weights (DSIR) ----------
+
+  /** DSIR feature-hash bucket count. Bounded by construction: the bucket
+    * table can never exceed this many rows regardless of corpus size,
+    * which is what makes its broadcast principled (vs a vocabulary,
+    * which grows with the data). Single-sourced into the oracle SQL.
+    */
+  val DsirBuckets = 1024
+
+  /** dsir_weights: Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023) — per-document log importance weight of the raw pool
+    * against the [[OodTrainSource]] target domain, over HASHED
+    * unigram+bigram bag-of-ngram features:
+    *
+    *   log w(d) = Σ_b n_b(d) · ln( p_tgt(b) / p_raw(b) )
+    *   p(b) = (c_b + 1) / (C + B)                       (add-one over B buckets)
+    *
+    * High-weight docs look like the target domain and survive the
+    * resample — the data-selection step between quality filtering and
+    * mixture planning (domain_mix decides per-LANGUAGE budgets;
+    * dsir_weights ranks individual docs by target-likeness).
+    *
+    * Build/probe split (the LM posture): [[buildDsirBuckets]] persists
+    * the (bucket, target_count, raw_count) table once per corpus —
+    * features hash to [[DsirBuckets]] buckets via the same md5 primitive
+    * as shuffle_assign (15 hex chars = 60 bits, exact in a signed long).
+    * The query featurizes only the docs it scores and joins the FROZEN
+    * bucket table (≤B rows, forced broadcast — bounded by construction).
+    *
+    * Parity: bucket counts are exact integers; each bucket's log-ratio
+    * is ln(p_tgt) − ln(p_raw) — two IEEE logs and one subtraction in a
+    * fixed order, 6dp-rounded, × integer multiplicity in DECIMAL (the
+    * perplexityScore scaffolding; a single-fraction form would overflow
+    * BIGINT products at real corpus scale, the difference-of-logs never
+    * does).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bkt = dsirBuckets(spark, dir)
+    val tot = bkt.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val lr = rnd6(
+      log((col("tc") + 1).cast("double") / (col("tt") + lit(DsirBuckets))) -
+      log((col("rc") + 1).cast("double") / (col("rt") + lit(DsirBuckets))))
+    docFeatsOf(Tables.documents(spark, dir)
+        .filter(col("source") =!= OodTrainSource))
+      .join(broadcast(bkt), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n"),
+        (col("n") * lr.cast("decimal(18,6)")).as("part"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("part")).as("lw_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("lw_sum").cast("double") * 1000000 + 0.5) / 1000000)
+          .as("log_weight"))
+  }
+
+  private[graft] def dsirIndexPath(dir: String): String =
+    IndexStore.path("dsir-buckets-v1", dir)
+
+  /** (doc_id, source, b, n): hashed feature multiplicities per doc —
+    * unigrams + space-joined bigrams, bucketed by the 60-bit md5 key
+    * mod [[DsirBuckets]]. Rows + lead(), the docBigramsOf posture.
+    */
+  private def docFeatsOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.cpuPartition(
+      docs.select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w1")))
+      .select(col("doc_id"), col("source"), col("w1"),
+        lead(col("w1"), 1).over(w).as("w2"))
+      .select(col("doc_id"), col("source"), explode(array(
+        col("w1"),
+        when(col("w2").isNotNull, concat_ws(" ", col("w1"), col("w2")))))
+        .as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The (b, tc, rc) bucket table: target vs raw feature counts. */
+  private[graft] def dsirBucketsOf(docs: DataFrame): DataFrame =
+    docFeatsOf(docs)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("source") === OodTrainSource, col("n"))
+          .otherwise(lit(0L))).as("tc"),
+        sum(when(col("source") =!= OodTrainSource, col("n"))
+          .otherwise(lit(0L))).as("rc"))
+
+  def buildDsirBuckets(spark: SparkSession, dir: String, path: String)
+      : Unit =
+    graft.sources.Sinks.writeSortedParquet(
+      dsirBucketsOf(Tables.documents(spark, dir)), path, Seq("b"))
+
+  /** The persisted frozen bucket table for a corpus. */
+  def dsirBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val path = dsirIndexPath(dir)
+    IndexStore.ensureBuilt(path)(buildDsirBuckets(spark, dir, path))
+    spark.read.parquet(path)
+  }
+
+  // ---- bpe_pairs: tokenizer-training pair statistics ------------------
+
+  val BpeTopK = 30
+
+  /** bpe_pairs: the first BPE iteration's merge-candidate table (Sennrich
+    * et al., ACL 2016) — adjacent character pairs over the corpus
+    * vocabulary, weighted by word frequency, with the number of distinct
+    * word types each pair occurs in. At tokenizer-training scale the
+    * insight is that pair counting runs over the VOCABULARY (bounded:
+    * distinct normalized words), not the corpus: one corpus-sized
+    * groupBy builds (word, freq), and every character-level step after
+    * is vocabulary-sized.
+    *
+    * Plan: tokens explode once (corpus scan) into the word-frequency
+    * partial agg; the char-pair explode walks sequence(1, len−1) with
+    * only ATTRIBUTE reads in the generator's pass-through (tok, freq —
+    * the Generate rule; substring(tok, i, 2) evaluates per element but
+    * reads an attribute, not a deferred chain). Two-level (pair, tok)
+    * partial agg yields distinct-type counts without count(distinct);
+    * global top-k is TakeOrdered.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val pairs = vocab.filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("freq"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok"), col("freq"),
+        expr("substring(tok, i, 2)").as("pair"))
+    val perType = pairs.groupBy(col("pair"), col("tok"), col("freq"))
+      .agg(count(lit(1)).as("k"))
+    val top = perType.groupBy(col("pair"))
+      .agg(sum(col("k") * col("freq")).as("pair_count"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpeTopK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("pair"))))
+      .select(col("pair"), col("pair_count"), col("n_types"), col("rank"))
+  }
+
   /** Score `docs` against a frozen LM count table. Left joins: a bigram
     * the LM never saw contributes the smoothed floor ln((c1+V)/1); an
     * unseen context word contributes ln(V). Languages absent from the LM

@@ -217,6 +217,44 @@ object TextAnalysis {
       .select(col("doc_id") +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** readability: Flesch-Kincaid grade level per document —
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with the
+    * standard heuristics (sentences = runs of [.!?], clamped ≥1;
+    * syllables = vowel-group runs per lowercased word, clamped ≥1 —
+    * "rhythm"-class words still count one). The readability band is a
+    * standing curation signal next to quality_score: very low grades
+    * flag template/listicle text, very high ones OCR garbage and
+    * run-on boilerplate.
+    *
+    * Plan: map-shaped — one explode of the shared space-token list
+    * (the per-word ≥1 clamp needs per-word evaluation), one partial-agg
+    * groupBy(doc_id); the sentence count rides the aggregate as max()
+    * of a per-doc constant. Parity: counts are exact integers; the
+    * grade is a fixed-order double expression (two divides, two
+    * multiplies, one subtract — bit-identical across engines), rounded
+    * once via the shared floor primitive. Tokenless docs drop out of
+    * the explode on both engines.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val fk = floor((lit(0.39) *
+      (col("n_words").cast("double") / col("n_sentences")) +
+      lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+      lit(15.59)) * 10000 + 0.5) / 10000
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        max(greatest(lit(1), regexp_count(col("text"), lit("[.!?]+"))))
+          .cast("int").as("n_sentences"),
+        sum(greatest(lit(1), regexp_count(lower(col("tok")),
+          lit("[aeiouy]+")))).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), fk.as("fk_grade"))
+  }
+
   /** repetition_score: Gopher/Dolma-style repetition signals — the
     * duplicate-line fraction and the duplicate-word-2-gram fraction of
     * each document (boilerplate and stutter detection). Array ops over

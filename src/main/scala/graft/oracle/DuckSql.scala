@@ -1642,4 +1642,86 @@ object DuckSql {
        |        * 10000 + 0.5) / 10000 AS ppl
        |FROM ag""".stripMargin
   }
+
+  /** Mirror of CorpusStats.dsirWeights: the same hashed unigram+bigram
+    * features (60-bit md5 key mod DsirBuckets — key >= 0 so plain %
+    * equals Spark's pmod), target/raw bucket counts, and the
+    * difference-of-logs ratio in the identical arithmetic order.
+    */
+  val dsirWeights: String = {
+    import graft.operators.CorpusStats.{DsirBuckets, OodTrainSource}
+    val src = sq(OodTrainSource)
+    s"""WITH n AS (SELECT doc_id, source,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |gr AS (
+       |  SELECT doc_id, source, unnest(ws) AS gram FROM n
+       |  UNION ALL
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(ws)), j -> ws[j] || ' ' || ws[j+1])) AS gram
+       |  FROM n),
+       |ft AS (SELECT doc_id, source,
+       |         (('0x' || substr(md5(gram), 1, 15))::BIGINT % $DsirBuckets)::INT AS b
+       |       FROM gr),
+       |df AS (SELECT doc_id, source, b, count(*)::BIGINT AS n
+       |       FROM ft GROUP BY doc_id, source, b),
+       |bkt AS (SELECT b,
+       |          sum(CASE WHEN source = '$src' THEN n ELSE 0 END)::BIGINT AS tc,
+       |          sum(CASE WHEN source <> '$src' THEN n ELSE 0 END)::BIGINT AS rc
+       |        FROM df GROUP BY b),
+       |tot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt FROM bkt),
+       |sc AS (SELECT d.doc_id, d.n,
+       |         d.n * CAST(floor((ln((bkt.tc + 1)::DOUBLE / (tot.tt + $DsirBuckets))
+       |                         - ln((bkt.rc + 1)::DOUBLE / (tot.rt + $DsirBuckets)))
+       |                    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |       FROM df d JOIN bkt USING (b), tot
+       |       WHERE d.source <> '$src')
+       |SELECT doc_id, sum(n)::BIGINT AS n_feats,
+       |  floor(sum(part)::DOUBLE * 1000000 + 0.5) / 1000000 AS log_weight
+       |FROM sc GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.bpePairs: vocabulary from the shared
+    * normalized tokens, char pairs via substr over 1..len-1 (DuckDB
+    * range() excludes the stop — same index set as Spark's
+    * sequence(1, len-1) under the len>=2 filter), two-level distinct-
+    * type counting.
+    */
+  val bpePairs: String = {
+    import graft.operators.CorpusStats.BpeTopK
+    s"""$tokCte,
+       |vocab AS (SELECT term AS tok, count(*)::BIGINT AS freq
+       |          FROM tok GROUP BY term),
+       |pr AS (SELECT tok, freq, substr(tok, i::INT, 2) AS pair
+       |       FROM (SELECT tok, freq, unnest(range(1, length(tok))) AS i
+       |             FROM vocab WHERE length(tok) >= 2)),
+       |pt AS (SELECT pair, tok, max(freq) AS freq, count(*)::BIGINT AS k
+       |       FROM pr GROUP BY pair, tok),
+       |ag AS (SELECT pair, sum(k * freq)::BIGINT AS pair_count,
+       |              count(*)::BIGINT AS n_types
+       |       FROM pt GROUP BY pair)
+       |SELECT pair, pair_count, n_types, rank::INT AS rank
+       |FROM (SELECT pair, pair_count, n_types,
+       |        row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+       |      FROM ag) WHERE rank <= $BpeTopK""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.readability: same raw-text space tokens as
+    * qualityScore, same clamped sentence/syllable heuristics, and the
+    * FK grade as one fixed-order double expression.
+    */
+  val readability: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |ag AS (SELECT doc_id,
+      |  count(*)::INT AS n_words,
+      |  max(greatest(1, len(regexp_extract_all(text, '[.!?]+'))))::INT AS n_sentences,
+      |  sum(greatest(1, len(regexp_extract_all(lower(tok), '[aeiouy]+'))))::BIGINT AS n_syllables
+      |  FROM t GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  floor((0.39::DOUBLE * (n_words::DOUBLE / n_sentences)
+      |       + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words)
+      |       - 15.59::DOUBLE) * 10000 + 0.5) / 10000 AS fk_grade
+      |FROM ag""".stripMargin
 }

@@ -170,4 +170,54 @@ class CorpusStatsSpec extends SparkSpecBase {
     val avg = r6((BigDecimal(ab) + BigDecimal(bz)).toDouble / 2)
     assert(out === Set(Seq(3L, "en", 2L, avg, r4(math.exp(avg)))))
   }
+
+  test("dsir_weights: target-like docs score high, off-domain low") {
+    // target (src0): "a b"; pool: doc 10 identical to the target, doc 11
+    // disjoint. Expected weights recomputed with the engine's own
+    // formula (same md5 bucketing, 6dp term rounds, decimal sum).
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "a b", "en", "src0", 3),
+      Doc(10, "a b", "en", "s1", 3),
+      Doc(11, "z z", "en", "s1", 3)))
+    val B = CorpusStats.DsirBuckets
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(
+        graft.operators.IndexStore.md5hex(g).substring(0, 15), 16) % B
+    // bucket -> (target count, raw count); features = unigrams + bigrams
+    def feats(t: String): Seq[String] = {
+      val ws = t.split(" ").toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (x, y) => s"$x $y" }
+    }
+    val tgt = feats("a b").groupBy(bucket).view.mapValues(_.size).toMap
+    val raw = (feats("a b") ++ feats("z z"))
+      .groupBy(bucket).view.mapValues(_.size).toMap
+    val (tt, rt) = (tgt.values.sum, raw.values.sum)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lw(t: String): Double = {
+      val terms = feats(t).groupBy(bucket).view.mapValues(_.size).map {
+        case (b, n) =>
+          BigDecimal(n) * BigDecimal(r6(
+            math.log((tgt.getOrElse(b, 0) + 1).toDouble / (tt + B)) -
+            math.log((raw.getOrElse(b, 0) + 1).toDouble / (rt + B))))
+      }
+      r6(terms.sum.toDouble)
+    }
+    val out = rows(CorpusStats.dsirWeights(spark, dir))
+    assert(out === Set(
+      Seq(10L, 3L, lw("a b")), Seq(11L, 3L, lw("z z"))))
+    // the fixture must separate the domains or the test proves nothing
+    assert(lw("a b") > 0 && lw("z z") < 0)
+  }
+
+  test("bpe_pairs: frequency-weighted char pairs, distinct-type counts") {
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "ab ab cab"), doc(2, "ab b"), doc(3, "aaa")))
+    // vocab: ab:3, cab:1, b:1 (len<2 skipped), aaa:1
+    // "ab" pairs: ab; "cab": ca, ab; "aaa": aa at i=1 AND i=2 (k=2)
+    val out = rows(CorpusStats.bpePairs(spark, dir))
+    assert(out === Set(
+      Seq("ab", 4L, 2L, 1), // 3 (from 'ab') + 1 (from 'cab'), 2 types
+      Seq("aa", 2L, 1L, 2), // k=2 within one type
+      Seq("ca", 1L, 1L, 3)))
+  }
 }

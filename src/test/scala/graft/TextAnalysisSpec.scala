@@ -136,4 +136,16 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(3L) === ((7, 2, 1.0, true)))
     assert(out(4L) === ((20, 1, 0.5, false)))
   }
+
+  test("readability: FK grade with sentence and zero-vowel-word clamps") {
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "The cat sat. It ran fast!"), // 6 words, 2 sentences, 6 syl
+      doc(2, "tv hmm.")))                  // both words clamp to 1 syllable
+    def fk(w: Int, s: Int, sy: Int): Double =
+      math.floor((0.39 * (w.toDouble / s) + 11.8 * (sy.toDouble / w)
+        - 15.59) * 10000 + 0.5) / 10000
+    assert(rows(TextAnalysis.readability(spark, dir)) === Set(
+      Seq(1L, 6, 2, 6L, fk(6, 2, 6)),
+      Seq(2L, 2, 1, 2L, fk(2, 1, 2))))
+  }
 }
