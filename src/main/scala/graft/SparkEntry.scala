@@ -105,6 +105,7 @@ object SparkEntry {
     "dsir_weights" -> (CorpusStats.dsirWeights _),
     "bpe_pairs"    -> (CorpusStats.bpePairs _),
     "readability"  -> (TextAnalysis.readability _),
+    "pagerank"     -> (Graph.pagerank _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -437,5 +438,6 @@ object SparkEntry {
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,
     "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
     "readability"  -> graft.oracle.DuckSql.readability,
+    "pagerank"     -> graft.oracle.DuckSql.pagerank,
   )
 }

@@ -344,14 +344,21 @@ object Analytics {
     * and top-k is TakeOrdered on (support desc, part_a, part_b), never
     * a global sort.
     */
-  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct capped (order, part) basket frame — shared by
+    * [[copurchase]] and the co-purchase graph operators (Graph).
+    */
+  private[operators] def cappedBaskets(spark: SparkSession, dir: String)
+      : DataFrame = {
     val capW = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-    val capped = Tables.lineitem(spark, dir)
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") <= BasketCap)
       .select(col("l_orderkey"), col("l_partkey"))
-      .localCheckpoint()
+  }
+
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val capped = cappedBaskets(spark, dir).localCheckpoint()
     val tot = capped.agg(
       count_distinct(col("l_orderkey")).as("n_orders"))
     val n = capped.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))

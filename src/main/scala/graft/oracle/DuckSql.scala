@@ -1706,6 +1706,54 @@ object DuckSql {
        |      FROM ag) WHERE rank <= $BpeTopK""".stripMargin
   }
 
+  /** Mirror of Graph.pagerank: same capped basket edges as the
+    * copurchase oracle, the fixed PrIters rounds UNROLLED as sequential
+    * CTEs (the iteration count is a constant, so unrolling is exact —
+    * a recursive CTE cannot aggregate in its recursive term), identical
+    * 6dp contribution rounding and DECIMAL accumulation per round.
+    */
+  val pagerank: String = {
+    import graft.operators.{Analytics, Graph}
+    val head =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |c AS (SELECT l_orderkey, l_partkey FROM (
+         |        SELECT l_orderkey, l_partkey,
+         |          row_number() OVER (PARTITION BY l_orderkey
+         |                             ORDER BY l_partkey) AS rn
+         |        FROM li) WHERE rn <= ${Analytics.BasketCap}),
+         |e0 AS (SELECT pa, pb FROM (
+         |         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         |                count(*) AS s
+         |         FROM c a JOIN c b ON a.l_orderkey = b.l_orderkey
+         |                          AND a.l_partkey < b.l_partkey
+         |         GROUP BY 1, 2)
+         |       WHERE s >= ${Graph.PrMinSupport}),
+         |e AS (SELECT pa AS src, pb AS dst FROM e0
+         |      UNION ALL SELECT pb, pa FROM e0),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |p0 AS (SELECT src AS node,
+         |         floor(1.0::DOUBLE / n * 1000000 + 0.5) / 1000000 AS pr
+         |       FROM deg, nn)""".stripMargin
+    val iters = (1 to Graph.PrIters).map { k =>
+      s"""p$k AS (SELECT e.dst AS node,
+         |  floor((${Graph.PrTeleport}::DOUBLE / nn.n
+         |         + ${Graph.PrDamping}::DOUBLE * sum(
+         |      CAST(floor(p.pr / d.deg * 1000000 + 0.5) / 1000000
+         |           AS DECIMAL(18,6)))::DOUBLE) * 1000000 + 0.5) / 1000000 AS pr
+         |FROM e JOIN p${k - 1} p ON p.node = e.src
+         |       JOIN deg d ON d.src = e.src, nn
+         |GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    s"""$head,
+       |${iters.mkString(",\n")}
+       |SELECT node AS part, pr, rank::INT AS rank
+       |FROM (SELECT node, pr,
+       |        row_number() OVER (ORDER BY pr DESC, node) AS rank
+       |      FROM p${Graph.PrIters})
+       |WHERE rank <= ${Graph.PrTopK}""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.readability: same raw-text space tokens as
     * qualityScore, same clamped sentence/syllable heuristics, and the
     * FK grade as one fixed-order double expression.

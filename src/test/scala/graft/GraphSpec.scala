@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Graph
+
+/** Hand-graph checks for the co-purchase PageRank. */
+class GraphSpec extends SparkSpecBase {
+
+  test("pagerank: support pruning, hand-iterated ranks, tie order") {
+    import spark.implicits._
+    // support-2 edges form the path 1–2–3; (4,5) is a support-1 noise
+    // pair and must be pruned; (100,1) duplicated to exercise distinct
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L),
+      (102L, 2L), (102L, 3L), (103L, 2L), (103L, 3L), (104L, 4L),
+      (104L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+
+    // hand-run the engine's own update rule: 6dp-rounded contributions,
+    // exact decimal sum, damped teleport re-rounded to 6dp
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var p = Map(1 -> r6(1.0 / 3), 2 -> r6(1.0 / 3), 3 -> r6(1.0 / 3))
+    for (_ <- 1 to Graph.PrIters) {
+      val s1 = BigDecimal(r6(p(2) / 2.0))
+      val s2 = BigDecimal(r6(p(1) / 1.0)) + BigDecimal(r6(p(3) / 1.0))
+      val s3 = BigDecimal(r6(p(2) / 2.0))
+      p = Map(
+        1 -> r6(0.15 / 3 + 0.85 * s1.toDouble),
+        2 -> r6(0.15 / 3 + 0.85 * s2.toDouble),
+        3 -> r6(0.15 / 3 + 0.85 * s3.toDouble))
+    }
+    // node 2 (the hub) ranks first; 1 and 3 are symmetric, so their tie
+    // breaks by part id — and the noise pair's nodes never appear
+    assert(rows(Graph.pagerank(spark, dir)) === Set(
+      Seq(2L, p(2), 1), Seq(1L, p(1), 2), Seq(3L, p(3), 3)))
+    assert(p(2) > p(1) && p(1) === p(3))
+  }
+}
