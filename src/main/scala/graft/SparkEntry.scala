@@ -106,6 +106,8 @@ object SparkEntry {
     "bpe_pairs"    -> (CorpusStats.bpePairs _),
     "readability"  -> (TextAnalysis.readability _),
     "pagerank"     -> (Graph.pagerank _),
+    "graph_stats"  -> (Graph.graphStats _),
+    "dedup_recall" -> (Dedup.dedupRecall _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -439,5 +441,7 @@ object SparkEntry {
     "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
     "readability"  -> graft.oracle.DuckSql.readability,
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
+    "graph_stats"  -> graft.oracle.DuckSql.graphStats,
+    "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
   )
 }

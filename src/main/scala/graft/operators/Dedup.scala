@@ -537,4 +537,59 @@ object Dedup {
         (col("n_grams") + lit(SubGramN - 1)).cast("int").as("span_tokens"),
         col("n_grams").cast("int").as("n_grams"))
   }
+
+  /** Hot-shingle document-frequency cap for the EXACT pair truth set of
+    * [[dedupRecall]]. A shingle shared by more docs than this is
+    * boilerplate, not near-dup evidence, and its pair fan-out is
+    * quadratic — the winnow_overlap hot-fp / LSH bucket-cap decision
+    * applied to the inverted index. Unhit at the gate corpora (max
+    * global doc-frequency there is 25), so the oracle sees the guard as
+    * a no-op while the plan carries it.
+    */
+  val DedupDocFreqCap = 1000
+
+  /** dedup_recall: the LSH-quality audit — recall and precision of the
+    * verified minhash pair set against the EXACT global Jaccard-≥-0.5
+    * pair set (the ann_recall/index_recall posture applied to dedup:
+    * banding is probabilistic — 4 bands of 3 catch a 0.5-Jaccard pair
+    * with probability 1−(1−0.5³)⁴ ≈ 0.41 — and this query is the
+    * standing gauge of what the bands actually miss).
+    *
+    * The truth set comes from the inverted-index join on shingle (the
+    * dedup_ngram shape, global rather than source-blocked) under the
+    * [[DedupDocFreqCap]] guard; Jaccard uses the TRUE set sizes, same
+    * 4dp arithmetic as verifyJaccard, so "exact pair" means exactly
+    * what dedupMinhash's verify means. Both pair frames feed two
+    * consumers (a count and the intersection join) — localCheckpoint
+    * each, the shared-subplan rule.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRowsWithSize(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupDocFreqCap).select(col("g"))
+    val sc = sh.join(hot, Seq("g"), "left_anti")
+    val a = sc.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sc.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("g").as("gb"))
+    val exact = a.hint("merge").join(b.hint("merge"),
+        col("ga") === col("gb") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter((floor(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+        >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val lsh = dedupMinhash(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val hit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        r4(col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        r4(col("n_hit").cast("double") / col("n_lsh")).as("prec"))
+  }
 }

@@ -62,15 +62,22 @@ object Graph {
     * bit-identical across engines and rounding error cannot compound
     * differently.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+  /** The support-pruned undirected co-purchase pair set, one canonical
+    * (pa < pb) row per edge — shared by [[pagerank]] and [[graphStats]].
+    */
+  private def prunedPairs(spark: SparkSession, dir: String): DataFrame = {
     val capped = Analytics.cappedBaskets(spark, dir)
     val a = capped.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = capped.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val e0 = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= PrMinSupport)
       .select(col("pa"), col("pb"))
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val e0 = prunedPairs(spark, dir)
     val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -101,5 +108,49 @@ object Graph {
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("pr").desc, col("node"))))
       .select(col("node").as("part"), col("pr"), col("rank"))
+  }
+
+  /** graph_stats: the one-row shape summary of the co-purchase graph —
+    * node/edge counts, degree moments, triangle count, and the global
+    * clustering coefficient 3·triangles / wedges (transitivity). The
+    * standing before/after gauge for any change to the basket cap or
+    * support threshold, and the graph twin of cluster_stats' dedup
+    * audit.
+    *
+    * Scale shape: triangles enumerate via the canonical-pair 2-path
+    * join — e(a,b) ⋈ e(b,c) on the shared middle node, closed by a semi
+    * join against e(a,c); with a < b < c each triangle counts exactly
+    * once, and the per-node fan-out is bounded by the pruned degree
+    * (the support threshold is what keeps this join affordable — on the
+    * raw support-1 graph the 2-path set would be quadratic in the hot
+    * parts' degrees). Wedges Σ deg·(deg−1)/2 come from the degree
+    * partial agg in exact integer arithmetic.
+    */
+  def graphStats(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val deg = e0.select(col("pa").as("v")).union(e0.select(col("pb")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"),
+      sum(col("deg")).as("degsum"),
+      // 2×wedges: deg·(deg−1) stays integer (a /2 here would go double);
+      // the transitivity ratio folds the halving into 6·tri/wedges2
+      sum(col("deg") * (col("deg") - 1)).as("wedges2"))
+    val ab = e0.select(col("pa").as("a"), col("pb").as("b"))
+    val bc = e0.select(col("pa").as("b"), col("pb").as("c"))
+    val tri = ab.join(bc, Seq("b"))
+      .join(e0.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(degStats)
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        r4(col("degsum").cast("double") / col("n_nodes")).as("avg_degree"),
+        col("n_triangles"),
+        r4(lit(6) * col("n_triangles").cast("double") / col("wedges2"))
+          .as("transitivity"))
   }
 }

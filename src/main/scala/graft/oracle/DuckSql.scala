@@ -1712,22 +1712,30 @@ object DuckSql {
     * a recursive CTE cannot aggregate in its recursive term), identical
     * 6dp contribution rounding and DECIMAL accumulation per round.
     */
-  val pagerank: String = {
+  /** Shared CTE chain for the support-pruned co-purchase graph:
+    * `e0(pa, pb)` canonical pairs — consumed by pagerank and graphStats.
+    */
+  private val graphE0Cte: String = {
     import graft.operators.{Analytics, Graph}
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |c AS (SELECT l_orderkey, l_partkey FROM (
+       |        SELECT l_orderkey, l_partkey,
+       |          row_number() OVER (PARTITION BY l_orderkey
+       |                             ORDER BY l_partkey) AS rn
+       |        FROM li) WHERE rn <= ${Analytics.BasketCap}),
+       |e0 AS (SELECT pa, pb FROM (
+       |         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       |                count(*) AS s
+       |         FROM c a JOIN c b ON a.l_orderkey = b.l_orderkey
+       |                          AND a.l_partkey < b.l_partkey
+       |         GROUP BY 1, 2)
+       |       WHERE s >= ${Graph.PrMinSupport})""".stripMargin
+  }
+
+  val pagerank: String = {
+    import graft.operators.Graph
     val head =
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |c AS (SELECT l_orderkey, l_partkey FROM (
-         |        SELECT l_orderkey, l_partkey,
-         |          row_number() OVER (PARTITION BY l_orderkey
-         |                             ORDER BY l_partkey) AS rn
-         |        FROM li) WHERE rn <= ${Analytics.BasketCap}),
-         |e0 AS (SELECT pa, pb FROM (
-         |         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         |                count(*) AS s
-         |         FROM c a JOIN c b ON a.l_orderkey = b.l_orderkey
-         |                          AND a.l_partkey < b.l_partkey
-         |         GROUP BY 1, 2)
-         |       WHERE s >= ${Graph.PrMinSupport}),
+      s"""$graphE0Cte,
          |e AS (SELECT pa AS src, pb AS dst FROM e0
          |      UNION ALL SELECT pb, pa FROM e0),
          |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
@@ -1752,6 +1760,71 @@ object DuckSql {
        |        row_number() OVER (ORDER BY pr DESC, node) AS rank
        |      FROM p${Graph.PrIters})
        |WHERE rank <= ${Graph.PrTopK}""".stripMargin
+  }
+
+  /** Mirror of Graph.graphStats: same pruned pair set, canonical-pair
+    * 2-path triangle closure, integer degree moments (wedges2 =
+    * Σ deg·(deg−1), the halving folded into 6·tri/wedges2).
+    */
+  val graphStats: String =
+    s"""$graphE0Cte,
+       |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+       |          SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+       |        GROUP BY v),
+       |ds AS (SELECT count(*)::BIGINT AS n_nodes,
+       |         max(deg)::BIGINT AS max_degree,
+       |         sum(deg)::BIGINT AS degsum,
+       |         sum(deg * (deg - 1))::BIGINT AS wedges2 FROM deg),
+       |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM (
+       |          SELECT ab.a, ab.b, bc.c
+       |          FROM (SELECT pa AS a, pb AS b FROM e0) ab
+       |          JOIN (SELECT pa AS b, pb AS c FROM e0) bc USING (b)
+       |          WHERE EXISTS (SELECT 1 FROM e0
+       |                        WHERE pa = ab.a AND pb = bc.c))),
+       |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e0)
+       |SELECT n_nodes, n_edges, max_degree,
+       |  floor(degsum::DOUBLE / n_nodes * 10000 + 0.5) / 10000 AS avg_degree,
+       |  n_triangles,
+       |  floor(6 * n_triangles::DOUBLE / wedges2 * 10000 + 0.5) / 10000
+       |    AS transitivity
+       |FROM ne, ds, tri""".stripMargin
+
+  /** Mirror of Dedup.dedupRecall: the exact global Jaccard pair set from
+    * the same shingle lists (inverted-index join under the doc-frequency
+    * cap, 4dp Jaccard on true set sizes) against the verified minhash
+    * pairs `j` — counts, recall, precision.
+    */
+  val dedupRecall: String = {
+    import graft.operators.Dedup
+    s"""$shCte,
+       |$minhashJCtes,
+       |lsh AS (SELECT id_a, id_b FROM j
+       |        WHERE jaccard >= ${Dedup.JaccardThreshold}),
+       |g0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM g0 GROUP BY g)
+       |        WHERE df > ${Dedup.DedupDocFreqCap}),
+       |sc AS (SELECT doc_id, g FROM g0 ANTI JOIN hot USING (g)),
+       |ei AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*)::BIGINT AS inter
+       |       FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |exj AS (SELECT id_a, id_b FROM ei
+       |        JOIN sz sa ON sa.doc_id = ei.id_a
+       |        JOIN sz sb ON sb.doc_id = ei.id_b
+       |        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter)
+       |                    * 10000 + 0.5) / 10000
+       |              >= ${Dedup.JaccardThreshold}),
+       |hit AS (SELECT id_a, id_b FROM lsh
+       |        WHERE EXISTS (SELECT 1 FROM exj e
+       |                      WHERE e.id_a = lsh.id_a AND e.id_b = lsh.id_b)),
+       |cs AS (SELECT (SELECT count(*) FROM exj)::BIGINT AS n_exact,
+       |              (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+       |              (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+       |SELECT n_exact, n_lsh, n_hit,
+       |  floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 AS recall,
+       |  floor(n_hit::DOUBLE / n_lsh * 10000 + 0.5) / 10000 AS prec
+       |FROM cs""".stripMargin
   }
 
   /** Mirror of TextAnalysis.readability: same raw-text space tokens as

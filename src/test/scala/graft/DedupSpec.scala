@@ -162,4 +162,16 @@ class DedupSpec extends SparkSpecBase {
       Seq("cc", "cc", 1L, 1.0),
       Seq("cc", "wiki", 1L, 1.0)))
   }
+
+  test("dedup_recall: exact truth set vs verified LSH pairs, one row") {
+    // docs 0/1 identical (jaccard 1.0 — every band collides, so LSH
+    // must catch it); 2/3 share nothing above threshold with anyone
+    val d = fixtureDir(docs = Seq(
+      doc(0, "alpha beta gamma delta epsilon zeta"),
+      doc(1, "alpha beta gamma delta epsilon zeta"),
+      doc(2, "one two three four five six seven"),
+      doc(3, "totally unrelated words in this line")))
+    assert(rows(Dedup.dedupRecall(spark, d)) ===
+      Set(Seq(1L, 1L, 1L, 1.0, 1.0)))
+  }
 }

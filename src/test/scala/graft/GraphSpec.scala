@@ -36,4 +36,21 @@ class GraphSpec extends SparkSpecBase {
       Seq(2L, p(2), 1), Seq(1L, p(1), 2), Seq(3L, p(3), 3)))
     assert(p(2) > p(1) && p(1) === p(3))
   }
+
+  test("graph_stats: degrees, one triangle, transitivity on a hand graph") {
+    import spark.implicits._
+    // support-2 edges: triangle (1,2),(2,3),(1,3) + pendant (3,4);
+    // support-1 noise (5,6) pruned. wedges2 = 2+2+6+0 = 10
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    val li = (basket(100, 1, 2) ++ basket(101, 1, 2) ++
+      basket(102, 2, 3) ++ basket(103, 2, 3) ++
+      basket(104, 1, 3) ++ basket(105, 1, 3) ++
+      basket(106, 3, 4) ++ basket(107, 3, 4) ++
+      basket(108, 5, 6))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    assert(rows(Graph.graphStats(spark, dir)) === Set(
+      Seq(4L, 4L, 3L, 2.0, 1L, 0.6))) // 6·1/10
+  }
 }
