@@ -108,6 +108,8 @@ object SparkEntry {
     "pagerank"     -> (Graph.pagerank _),
     "graph_stats"  -> (Graph.graphStats _),
     "dedup_recall" -> (Dedup.dedupRecall _),
+    "cluster_terms" -> (Retrieval.clusterTerms _),
+    "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -443,5 +445,7 @@ object SparkEntry {
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
+    "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
+    "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )
 }

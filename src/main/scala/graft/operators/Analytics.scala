@@ -640,6 +640,39 @@ object Analytics {
       .limit(Q21TopN)
   }
 
+  /** cheapest_supplier: the TPC-H Q2 shape — per part, the supplier
+    * offering the lowest observed line price, via the ARGMIN JOIN-BACK
+    * decorrelation (aggregate per group, equi-join the aggregate value
+    * back to recover the witness rows, collapse witness ties by min
+    * supplier). Distinct from q17 (aggregate drives a FILTER) and
+    * top_customers (rank window): here the aggregate RESULT is a join
+    * key — the pattern every "row holding the group's extreme" query
+    * compiles to without a window over the whole fact.
+    *
+    * Parity: prices are 2dp-exact doubles; min() selects one of them
+    * and the join-back compares for exact equality — the same bit
+    * pattern on both engines, no arithmetic performed.
+    *
+    * Plan: two partial-agg groupBys sharing the (part, supplier) frame
+    * (localCheckpoint — two consumers), one equi-join on (part, price);
+    * at scale everything shuffles on partkey. ~|parts| output rows.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("price"))
+      .localCheckpoint()
+    val best = ps.groupBy(col("l_partkey"))
+      .agg(min(col("price")).as("min_price"),
+        count(lit(1)).as("n_suppliers"))
+    ps.join(best, Seq("l_partkey"))
+      .filter(col("price") === col("min_price"))
+      .groupBy(col("l_partkey"), col("min_price"), col("n_suppliers"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+      .select(col("l_partkey"), col("s_suppkey"), col("min_price"),
+        col("n_suppliers"))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

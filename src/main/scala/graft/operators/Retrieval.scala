@@ -283,4 +283,53 @@ object Retrieval {
         array_join(slice(col("ws"), (col("k") * s + 1).cast("int"), lit(w)),
           " ").as("chunk_text"))
   }
+
+  val ClusterTopTerms = 5
+
+  /** cluster_terms: c-TF-IDF labels for the semantic clusters — the top
+    * terms of each persisted IVF-flat cell (BERTopic's class-based
+    * TF-IDF, Grootendorst 2022: pool every document of a cluster into
+    * one pseudo-document, then score terms by pooled tf × idf over the
+    * CELLS). The step that makes the k-means cells human-readable: the
+    * quality_filter / semdedup audits say which cells are junk; this
+    * says what each cell is about.
+    *
+    * Plan: one token explode (corpus scan) joined to the persisted cell
+    * assignments (a pure index consumer — no training in the query, the
+    * semdedup rule), one partial-agg groupBy (cell, term); idf inputs
+    * are CELL-cardinality frames (n_cells rows), so everything after
+    * the pooled tf is constant-sized. Stopwords are excluded (pooled
+    * counts would otherwise rank "the" first in every cell — the
+    * BERTopic stop-word note). Same smoothed-idf and rounding
+    * primitives as tfidf_vectors, idf over cells instead of docs.
+    */
+  def clusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.ivfFlatIndex(spark, dir).lists
+      .select(col("vec_id"), col("ccell"))
+    val sw = array(RefVocab.enStopwords.map(lit): _*)
+    val tf = tokenRows(spark, dir)
+      .filter(!array_contains(sw, col("term")))
+      .join(cells, col("doc_id") === col("vec_id"))
+      .groupBy(col("ccell"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds n_cells, df, and the scoring join
+    val nc = tf.select(col("ccell")).distinct()
+      .agg(count(lit(1)).as("n_cells"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nc))
+      .select(col("term"),
+        (floor((log((col("n_cells").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) + lit(1.0))
+          * 1000000 + lit(0.5)) / 1000000).as("idf"))
+    val w = Window.partitionBy(col("ccell"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(idf, "term")
+      .select(col("ccell"), col("term"), col("tf"),
+        (floor(col("tf").cast("double") * col("idf") * 10000 + lit(0.5))
+          / 10000).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ClusterTopTerms)
+      .select(col("ccell"), col("term"), col("tf"), col("score"),
+        col("rank"))
+  }
 }

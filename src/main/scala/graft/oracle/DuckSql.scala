@@ -1827,6 +1827,60 @@ object DuckSql {
        |FROM cs""".stripMargin
   }
 
+  /** Mirror of Retrieval.clusterTerms: cells from the same 2-iteration
+    * k-means chain as annIvfKmeans/semDedup, pooled per-cell term counts
+    * (stopwords excluded via the shared RefVocab list), tfidf_vectors'
+    * smoothed idf over CELLS.
+    */
+  val clusterTerms: String = {
+    import graft.operators.{RefVocab, Retrieval}
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx")},
+       |nt AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS term FROM nt),
+       |tf AS (SELECT i.cid AS ccell, t.term, count(*)::BIGINT AS tf
+       |       FROM tok t JOIN idx i ON t.doc_id = i.vec_id
+       |       WHERE NOT list_contains(${listLit(RefVocab.enStopwords)}, t.term)
+       |       GROUP BY i.cid, t.term),
+       |nc AS (SELECT count(DISTINCT ccell) AS n_cells FROM tf),
+       |idf AS (SELECT term,
+       |  floor((ln((nc.n_cells::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) + 1.0)
+       |        * 1000000 + 0.5) / 1000000 AS idf
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), nc),
+       |x AS (SELECT tf.ccell, tf.term, tf.tf,
+       |        floor(tf.tf::DOUBLE * i.idf * 10000 + 0.5) / 10000 AS score
+       |      FROM tf JOIN idf i ON i.term = tf.term)
+       |SELECT ccell::INT AS ccell, term, tf, score, rank::INT AS rank
+       |FROM (SELECT ccell, term, tf, score,
+       |        row_number() OVER (PARTITION BY ccell
+       |                           ORDER BY score DESC, term) AS rank
+       |      FROM x) WHERE rank <= ${Retrieval.ClusterTopTerms}""".stripMargin
+  }
+
+  /** Mirror of Analytics.cheapestSupplier: the argmin join-back — min
+    * price per (part, supplier), group minimum joined back on exact
+    * double equality, witness ties collapsed by min supplier.
+    */
+  val cheapestSupplier: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |              min(l_extendedprice) AS price
+      |            FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |best AS (SELECT l_partkey, min(price) AS min_price,
+      |           count(*)::BIGINT AS n_suppliers
+      |         FROM ps GROUP BY l_partkey)
+      |SELECT ps.l_partkey, min(ps.l_suppkey) AS s_suppkey,
+      |  b.min_price, b.n_suppliers
+      |FROM ps JOIN best b ON b.l_partkey = ps.l_partkey
+      |                   AND ps.price = b.min_price
+      |GROUP BY ps.l_partkey, b.min_price, b.n_suppliers""".stripMargin
+
   /** Mirror of TextAnalysis.readability: same raw-text space tokens as
     * qualityScore, same clamped sentence/syllable heuristics, and the
     * FK grade as one fixed-order double expression.

@@ -190,4 +190,16 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq("BUILDING", 1, 1L), Seq("BUILDING", 2, 2L), Seq("BUILDING", 3, 3L),
       Seq("AUTOMOBILE", 1, 5L), Seq("AUTOMOBILE", 2, 6L)))
   }
+
+  test("cheapest_supplier: argmin join-back, witness tie by min supplier") {
+    // part 1: supp 11 undercuts supp 10; part 2: price tie -> supp 10
+    val li = Seq(
+      (1L, 10L, 6.00), (1L, 10L, 5.00), (1L, 11L, 4.00),
+      (2L, 10L, 3.00), (2L, 12L, 3.00))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft-star").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    assert(rows(Analytics.cheapestSupplier(spark, dir)) === Set(
+      Seq(1L, 11L, 4.00, 2L), Seq(2L, 10L, 3.00, 2L)))
+  }
 }

@@ -119,4 +119,26 @@ class RetrievalSpec extends SparkSpecBase {
       Seq(4L, 0, 0, 64, slice(113, 0)), Seq(4L, 1, 48, 64, slice(113, 1)),
       Seq(4L, 2, 96, 17, slice(113, 2))))
   }
+
+  test("cluster_terms: pooled counts per cell, stopword-free, ranks dense") {
+    // every doc: 3×alpha dominates any cell it lands in (even a
+    // singleton cell, where a unique w_i term's higher idf peaks at
+    // ln((nc+1)/2)+1 < 3); "the" must be stopword-filtered
+    val docs = (0L until 10L).map(i => doc(i, s"the alpha alpha alpha beta w$i"))
+    val embs = (0L until 10L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val dir = fixtureDir(docs = docs, embs = embs)
+    val out = Retrieval.clusterTerms(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("term") != "the"))
+    out.groupBy(_.getAs[Int]("ccell")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[String]("term") === "alpha")
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to rs.size))
+    }
+    // pooled alpha multiplicity across cells covers the whole corpus
+    assert(out.filter(_.getAs[String]("term") == "alpha")
+      .map(_.getAs[Long]("tf")).sum === 30L)
+  }
 }
