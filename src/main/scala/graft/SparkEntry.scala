@@ -75,6 +75,8 @@ object SparkEntry {
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
     "event_transitions" -> (Sessions.eventTransitions _),
+    "event_paths" -> (Sessions.eventPaths _),
+    "key_skew" -> (Analytics.keySkew _),
     "event_anomalies" -> (Sessions.eventAnomalies _),
     "event_pivot" -> (Sessions.eventPivot _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
@@ -411,6 +413,8 @@ object SparkEntry {
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
+    "event_paths" -> graft.oracle.DuckSql.eventPaths,
+    "key_skew" -> graft.oracle.DuckSql.keySkew,
     "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
     "event_pivot" -> graft.oracle.DuckSql.eventPivot,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,

@@ -673,6 +673,37 @@ object Analytics {
         col("n_suppliers"))
   }
 
+  val SkewTopK = 20
+
+  /** key_skew: the join-key distribution profiler over lineitem's
+    * partkey — the operational query behind every salting/AQE-skew
+    * decision in this repo (SkewJoin's cap, the LSH bucket caps, the
+    * basket cap): top keys by row count with their share of the fact
+    * and their skew factor (count / mean count). A skew factor near 1
+    * means hash partitioning balances; a hot key's factor says how many
+    * partitions' worth of rows land on one reducer.
+    *
+    * Plan: one partial-agg groupBy on the key, a 1-row totals
+    * broadcast, TakeOrdered top-k — the profiler must be cheaper than
+    * the join it diagnoses.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = cnt.orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(SkewTopK)
+    top.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("total") * 1000000 + 0.5)
+          / 1000000).as("share"),
+        (floor(col("cnt").cast("double") * col("n_keys") / col("total")
+          * 10000 + 0.5) / 10000).as("skew"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l_partkey"))))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

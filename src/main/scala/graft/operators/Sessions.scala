@@ -282,6 +282,36 @@ object Sessions {
           * 1000000 + 0.5) / 1000000).as("p"))
   }
 
+  val PathTopK = 20
+
+  /** event_paths: the corpus's top 3-step event-type sequences — the
+    * n-gram extension of event_transitions' first-order matrix (where
+    * that answers "what follows a click", this answers "what JOURNEYS
+    * dominate"; the two disagreeing flags non-Markovian structure).
+    *
+    * Plan: the same per-user (sec, event_id) ordering window as
+    * event_transitions with two lead()s (the single-pass form of a
+    * double self-join), one partial-agg groupBy on the ≤|types|³ path
+    * space, TakeOrdered top-k.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("path")).limit(PathTopK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .select(col("path"), col("n"), col("rank"))
+  }
+
   /** The event-type vocabulary of the pivoted report — an EXPLICIT list
     * because dynamic pivot (Spark inferring the columns) runs a hidden
     * collect of the distinct values on the driver; a fixed output

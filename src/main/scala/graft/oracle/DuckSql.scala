@@ -869,6 +869,45 @@ object DuckSql {
       |    * 1000000 + 0.5) / 1000000 AS p
       |FROM c""".stripMargin
 
+  /** Mirror of Sessions.eventPaths: same ordering window as
+    * eventTransitions, two leads, top-k with path tie-break.
+    */
+  val eventPaths: String = {
+    import graft.operators.Sessions.PathTopK
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |  floor(epoch(ts))::BIGINT AS sec FROM events),
+       |l AS (SELECT event_type AS t1,
+       |  lead(event_type, 1) OVER w AS t2,
+       |  lead(event_type, 2) OVER w AS t3
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path,
+       |        count(*)::BIGINT AS n
+       |      FROM l WHERE t3 IS NOT NULL GROUP BY 1)
+       |SELECT path, n, rank::INT AS rank
+       |FROM (SELECT path, n,
+       |        row_number() OVER (ORDER BY n DESC, path) AS rank
+       |      FROM p) WHERE rank <= $PathTopK""".stripMargin
+  }
+
+  /** Mirror of Analytics.keySkew: one groupBy + totals, identical
+    * double arithmetic order for share and skew factor.
+    */
+  val keySkew: String = {
+    import graft.operators.Analytics.SkewTopK
+    s"""WITH c AS (SELECT l_partkey, count(*)::BIGINT AS cnt
+       |           FROM lineitem GROUP BY l_partkey),
+       |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys
+       |      FROM c),
+       |r AS (SELECT l_partkey, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
+       |      FROM c)
+       |SELECT l_partkey, cnt,
+       |  floor(cnt::DOUBLE / total * 1000000 + 0.5) / 1000000 AS share,
+       |  floor(cnt::DOUBLE * n_keys / total * 10000 + 0.5) / 10000 AS skew,
+       |  rank::INT AS rank
+       |FROM r, t WHERE rank <= $SkewTopK""".stripMargin
+  }
+
   val windowAgg: String =
     """WITH e AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hr, event_type, value
       |           FROM events)

@@ -202,4 +202,19 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows(Analytics.cheapestSupplier(spark, dir)) === Set(
       Seq(1L, 11L, 4.00, 2L), Seq(2L, 10L, 3.00, 2L)))
   }
+
+  test("key_skew: shares, skew factor vs mean, count-then-key rank") {
+    // key 1: 3 rows, keys 2/3: 1 row; mean 5/3 -> skew 1.8 for key 1
+    val li = Seq((1L, 0L, 1.0), (1L, 0L, 1.0), (1L, 0L, 1.0),
+      (2L, 0L, 1.0), (3L, 0L, 1.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft-star").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(Analytics.keySkew(spark, dir)) === Set(
+      Seq(1L, 3L, r6(3.0 / 5), r4(3.0 * 3 / 5), 1),
+      Seq(2L, 1L, r6(1.0 / 5), r4(1.0 * 3 / 5), 2),
+      Seq(3L, 1L, r6(1.0 / 5), r4(1.0 * 3 / 5), 3)))
+  }
 }

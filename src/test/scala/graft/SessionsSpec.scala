@@ -213,6 +213,18 @@ class SessionsSpec extends SparkSpecBase {
       Seq("view", "click", 1L, 1.0)))
   }
 
+  test("event_paths: 3-step journeys, per-user windows never cross") {
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 10, 1, "click"), ev(1, 20, 1, "view"),
+      ev(2, 30, 1, "click"), ev(3, 40, 1, "purchase"),
+      ev(4, 5, 2, "click"), ev(5, 10, 2, "view"), ev(6, 15, 2, "click")))
+    // user 1: click>view>click, view>click>purchase; user 2: click>view>click
+    val out = rows(Sessions.eventPaths(spark, dir))
+    assert(out === Set(
+      Seq("click>view>click", 2L, 1),
+      Seq("view>click>purchase", 1L, 2)))
+  }
+
   test("interval_join: trailing-window attribution, cross-bucket, BNL-free") {
     val dir = fixtureDir(evs = Seq(
       ev(10, 1000, 1, "purchase", 9.0),
