@@ -111,6 +111,7 @@ object SparkEntry {
     "graph_stats"  -> (Graph.graphStats _),
     "dedup_recall" -> (Dedup.dedupRecall _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
+    "mmr_rerank" -> (Similarity.mmrRerank _),
     "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
 
@@ -450,6 +451,7 @@ object SparkEntry {
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
+    "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,
     "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )
 }

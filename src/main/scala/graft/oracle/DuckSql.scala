@@ -1903,6 +1903,59 @@ object DuckSql {
        |      FROM x) WHERE rank <= ${Retrieval.ClusterTopTerms}""".stripMargin
   }
 
+  /** Mirror of Similarity.mmrRerank: same brute-force pool and 6dp sim
+    * frames, the greedy rounds UNROLLED as CTE pairs (pick_k over
+    * sel_{k-1}, sel_k = union) — identical score arithmetic and doc_id
+    * tie-breaks.
+    */
+  val mmrRerank: String = {
+    import graft.operators.Similarity.{MmrGamma, MmrK, MmrLambda, MmrPool}
+    val head =
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |sc AS (SELECT q.q_id, e.vec_id,
+         |         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+         |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |cand AS (SELECT q_id, vec_id AS doc_id, round(s, 6) AS simq
+         |  FROM (SELECT q_id, vec_id, s,
+         |          row_number() OVER (PARTITION BY q_id
+         |                             ORDER BY s DESC, vec_id) AS rank
+         |        FROM sc) WHERE rank <= $MmrPool),
+         |cc AS (SELECT a.q_id AS cq, a.doc_id AS d1, b.doc_id AS d2,
+         |         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cs
+         |       FROM cand a JOIN cand b ON a.q_id = b.q_id
+         |                              AND a.doc_id <> b.doc_id
+         |       JOIN embeddings ea ON ea.vec_id = a.doc_id
+         |       JOIN embeddings eb ON eb.vec_id = b.doc_id),
+         |sel1 AS (SELECT q_id, doc_id, simq, 1 AS pick FROM (
+         |  SELECT q_id, doc_id, simq,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      floor($MmrLambda::DOUBLE * simq * 1000000 + 0.5) / 1000000
+         |        DESC, doc_id) AS rn
+         |  FROM cand) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to MmrK).map { k =>
+      s"""pick$k AS (SELECT q_id, doc_id, simq, $k AS pick FROM (
+         |  SELECT p.q_id, p.doc_id, p.simq,
+         |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |      floor(($MmrLambda::DOUBLE * p.simq - $MmrGamma::DOUBLE * p.pen)
+         |            * 1000000 + 0.5) / 1000000 DESC, p.doc_id) AS rn
+         |  FROM (SELECT c.q_id, c.doc_id, c.simq, max(cc.cs) AS pen
+         |        FROM cand c
+         |        JOIN cc ON cc.cq = c.q_id AND cc.d1 = c.doc_id
+         |        JOIN sel${k - 1} s ON s.q_id = cc.cq AND s.doc_id = cc.d2
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+         |                          WHERE x.q_id = c.q_id
+         |                            AND x.doc_id = c.doc_id)
+         |        GROUP BY c.q_id, c.doc_id, c.simq) p) WHERE rn = 1),
+         |sel$k AS (SELECT q_id, doc_id, simq, pick FROM sel${k - 1}
+         |          UNION ALL
+         |          SELECT q_id, doc_id, simq, pick FROM pick$k)""".stripMargin
+    }
+    s"""$head,
+       |${rounds.mkString(",\n")}
+       |SELECT q_id, doc_id, simq, pick::INT AS pick FROM sel$MmrK""".stripMargin
+  }
+
   /** Mirror of Analytics.cheapestSupplier: the argmin join-back — min
     * price per (part, supplier), group minimum joined back on exact
     * double equality, witness ties collapsed by min supplier.

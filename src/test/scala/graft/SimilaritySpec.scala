@@ -260,4 +260,24 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cellOf(2000L) === cellOf(2L))
   }
+
+  test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
+    def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
+    // query 0 on the x axis; 1 and 2 are near-duplicates of each other
+    // at +25° (equally relevant), 3 mirrors at −25° (same relevance to
+    // the query, low similarity to 1). Relevance alone would pick
+    // 1, 2, 3 — MMR must pick 1, then 3 (2's max-sim penalty ≈ 1),
+    // then 2. Pick 1 is a relevance TIE (|±0.44|² equal in float):
+    // doc_id breaks it toward 1. Only 3 candidates exist, so rounds
+    // 4-5 must emit nothing (empty-remaining robustness).
+    val dir = fixtureDir(embs = Seq(
+      Emb(0, v(0 -> 1f), 0),
+      Emb(1, v(0 -> 0.9f, 1 -> 0.44f), 0),
+      Emb(2, v(0 -> 0.9f, 1 -> 0.44f, 2 -> 0.001f), 0),
+      Emb(3, v(0 -> 0.9f, 1 -> -0.44f), 0)))
+    val out = Similarity.mmrRerank(spark, dir)
+      .select("q_id", "doc_id", "pick")
+    assert(rows(out) === Set(
+      Seq(0L, 1L, 1), Seq(0L, 3L, 2), Seq(0L, 2L, 3)))
+  }
 }
