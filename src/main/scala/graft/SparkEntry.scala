@@ -91,6 +91,7 @@ object SparkEntry {
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
     "shuffle_assign"    -> (Curation.shuffleAssign _),
+    "export_manifest"   -> (Curation.exportManifest _),
     "quality_filter"    -> (Curation.qualityFilter _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
@@ -431,6 +432,7 @@ object SparkEntry {
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
     "shuffle_assign"    -> graft.oracle.DuckSql.shuffleAssign,
+    "export_manifest"   -> graft.oracle.DuckSql.exportManifest,
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,

@@ -213,4 +213,52 @@ object Curation {
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"), col("hkey"))
   }
+
+  /** export_manifest: the END-TO-END training-export manifest — the
+    * composition the curation stages exist for, in the order a real
+    * export runs them: apply_mix decides each doc's integer repeat
+    * count, every COPY then draws its own 60-bit shuffle key (seeded by
+    * (doc_id, copy_idx), so a 3× oversampled doc's copies scatter
+    * across the permutation instead of training adjacently — the reason
+    * the mix must be applied BEFORE the shuffle), and the packer's
+    * running token offsets and budget bins are computed over the
+    * SHUFFLED per-shard order (not doc_id order — pack_sequences
+    * demonstrates the offset mechanics, this is the manifest a trainer
+    * would actually read).
+    *
+    * Scale shape: the mix factors are a |langs|-row broadcast (via
+    * applyMix), the copy explode is bounded by ⌈max factor⌉, and the
+    * only non-map structure is the per-shard rank/running-sum window —
+    * the shuffle_assign posture with copies. Every stage is the same
+    * single-sourced primitive as its standalone query, so the manifest
+    * provably agrees with the per-stage audits.
+    */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(
+      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+      x => x =!= "")).cast("long")
+    val copies = CorpusStats.applyMix(spark, dir)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("ci"))
+    val hkey = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":"),
+      col("ci").cast("string"), lit(":" + ShuffleSeed))), 1, 15),
+      16, 10).cast("long")
+    val wOrd = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("doc_id"), col("copy_idx"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    copies
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("ci").cast("int").as("copy_idx"),
+        col("n_tokens"), hkey.as("hkey"))
+      .withColumn("shard",
+        pmod(col("hkey"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("offset", sum(col("n_tokens")).over(wRun) - col("n_tokens"))
+      .withColumn("bin", floor(col("offset") / lit(PackBudget)).cast("long"))
+      .select(col("doc_id"), col("copy_idx"), col("shard"), col("pos"),
+        col("n_tokens"), col("offset"), col("bin"))
+  }
 }

@@ -1472,7 +1472,11 @@ object DuckSql {
     * stratified_sample hash fraction — an exact binary rational on both
     * engines, so the fractional-part compare has no FP edge.
     */
-  val applyMix: String = {
+  /** Shared CTE chain ending in `nc(doc_id, n_tokens, n_copies)` — the
+    * applyMix repeat counts plus token lengths, consumed by applyMix
+    * and exportManifest.
+    */
+  private val mixCopiesCtes: String = {
     import graft.operators.Curation.SampleSeed
     val tgt = graft.operators.CorpusStats.LangTargets
       .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
@@ -1483,13 +1487,45 @@ object DuckSql {
        |f AS (SELECT lang,
        |        floor($tgt * total_tokens::DOUBLE / tokens * 1000000 + 0.5) / 1000000
        |          AS sample_factor
-       |      FROM p, t)
-       |SELECT d.doc_id, d.lang, f.sample_factor,
+       |      FROM p, t),
+       |nc AS (SELECT n.doc_id, n.lang, f.sample_factor,
+       |  len(n.ws)::BIGINT AS n_tokens,
        |  (floor(f.sample_factor)::BIGINT + CASE WHEN
-       |     ('0x' || substr(md5(d.doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
+       |     ('0x' || substr(md5(n.doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
        |       / 4294967296.0 < f.sample_factor - floor(f.sample_factor)
        |     THEN 1 ELSE 0 END)::BIGINT AS n_copies
-       |FROM documents d JOIN f USING (lang)""".stripMargin
+       |FROM n JOIN f USING (lang))""".stripMargin
+  }
+
+  val applyMix: String =
+    s"""$mixCopiesCtes
+       |SELECT doc_id, lang, sample_factor, n_copies FROM nc""".stripMargin
+
+  /** Mirror of Curation.exportManifest: applyMix copies exploded, a
+    * per-copy 60-bit shuffle key, per-shard rank + running token
+    * offsets over the shuffled order — every primitive identical to
+    * its standalone query's oracle.
+    */
+  val exportManifest: String = {
+    import graft.operators.Curation.{PackBudget, ShuffleSeed, ShuffleShards}
+    s"""$mixCopiesCtes,
+       |c AS (SELECT doc_id, n_tokens, unnest(range(0, n_copies)) AS ci
+       |      FROM nc WHERE n_copies >= 1),
+       |k AS (SELECT doc_id, ci::INT AS copy_idx, n_tokens,
+       |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || ci::VARCHAR
+       |                            || ':${sq(ShuffleSeed)}'), 1, 15))::BIGINT AS hkey
+       |      FROM c),
+       |s AS (SELECT *, (hkey % $ShuffleShards)::INT AS shard FROM k),
+       |o AS (SELECT doc_id, copy_idx, shard, n_tokens,
+       |        row_number() OVER w AS pos,
+       |        (sum(n_tokens) OVER (PARTITION BY shard
+       |           ORDER BY hkey, doc_id, copy_idx
+       |           ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+       |      FROM s
+       |      WINDOW w AS (PARTITION BY shard ORDER BY hkey, doc_id, copy_idx))
+       |SELECT doc_id, copy_idx, shard, pos::INT AS pos, n_tokens, "offset",
+       |  floor("offset" / $PackBudget)::BIGINT AS bin
+       |FROM o""".stripMargin
   }
 
   /** Mirror of CorpusStats.qualityThresholds: the qualityScore composite

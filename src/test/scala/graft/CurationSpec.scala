@@ -68,4 +68,38 @@ class CurationSpec extends SparkSpecBase {
     // deterministic replay
     assert(rows(Curation.shuffleAssign(spark, d)) === out)
   }
+
+  test("export_manifest: mixed copies, per-copy keys, shuffled offsets") {
+    // the applyMix fixture: en factor 0.833333, de 0.375 — every doc
+    // gets 0 or 1 copies by the sample hash, so the manifest is the
+    // kept subset with per-copy shuffle placement and running offsets
+    val docs = Seq(
+      Doc(1, "a b c d", "en", "s0", 7),
+      Doc(2, "e f", "en", "s0", 3),
+      Doc(3, "w x y z", "de", "s0", 7))
+    val d = fixtureDir(docs = docs)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hashU(id: Long): Double = java.lang.Long.parseLong(
+      md5hex(s"$id:${Curation.SampleSeed}").substring(0, 8), 16) / 4294967296.0
+    def hkey(id: Long, ci: Int): Long = java.lang.Long.parseLong(
+      md5hex(s"$id:$ci:${Curation.ShuffleSeed}").substring(0, 15), 16)
+    val factor = Map(1L -> 0.833333, 2L -> 0.833333, 3L -> 0.375)
+    val toks = Map(1L -> 4L, 2L -> 2L, 3L -> 4L)
+    val kept = docs.map(_.doc_id).filter(id => hashU(id) < factor(id))
+    assert(kept.nonEmpty && kept.size < 3) // both outcomes exercised
+    val expected = kept.map(id => (id, 0, hkey(id, 0)))
+      .groupBy { case (_, _, h) => (h % Curation.ShuffleShards).toInt }
+      .flatMap { case (shard, members) =>
+        val ord = members.sortBy { case (id, ci, h) => (h, id, ci) }
+        val offs = ord.scanLeft(0L) { case (acc, (id, _, _)) =>
+          acc + toks(id) }
+        ord.zipWithIndex.map { case ((id, ci, _), i) =>
+          Seq[Any](id, ci, shard, i + 1, toks(id), offs(i),
+            offs(i) / Curation.PackBudget)
+        }
+      }.toSet
+    assert(rows(Curation.exportManifest(spark, d)) === expected)
+  }
 }
