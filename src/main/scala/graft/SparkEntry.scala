@@ -25,6 +25,8 @@ object SparkEntry {
     "q8_share"      -> (Analytics.q8Share _),
     "q17_small_qty" -> (Analytics.q17SmallQty _),
     "q21_blame"     -> (Analytics.q21Blame _),
+    "q19_disjunct"  -> (Analytics.q19Disjunct _),
+    "lang_confusion" -> (TextAnalysis.langConfusion _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
     "revenue_rollup" -> (Analytics.revenueRollup _),
@@ -253,6 +255,18 @@ object SparkEntry {
         |             / 7 * 100 + 0.5) / 100 AS avg_yearly
         |FROM lp JOIN st USING (l_partkey)
         |WHERE 5 * q * cnt < sq""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "lang_confusion" -> graft.oracle.DuckSql.langConfusion,
     "q21_blame" ->
       s"""SELECT s_name, count(*)::BIGINT AS numwait
         |FROM lineitem l1

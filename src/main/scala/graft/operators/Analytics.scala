@@ -673,6 +673,32 @@ object Analytics {
         col("n_suppliers"))
   }
 
+  /** q19_disjunct: the TPC-H Q19 shape — an equi-join whose REAL filter
+    * is an OR of cross-table conjunctions (brand/size/quantity bands).
+    * The shape this adds: the disjunction references BOTH sides, so no
+    * single branch can be pushed wholly into either scan — the planner
+    * must keep the partkey equi-join (never a nested loop; PlanSpec
+    * pins it) and evaluate the residual on joined rows, while still
+    * pushing the per-side derivable parts (the brand/size union bounds
+    * the part scan). Revenue accumulates in DECIMAL; one row out.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def band(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#1", 1, 15, 1, 20) ||
+        band("Brand#2", 5, 25, 10, 30) ||
+        band("Brand#3", 10, 40, 20, 40))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val SkewTopK = 20
 
   /** key_skew: the join-key distribution profiler over lineitem's

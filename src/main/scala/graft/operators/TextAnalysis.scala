@@ -217,6 +217,42 @@ object TextAnalysis {
       .select(col("doc_id") +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** lang_confusion: the language-ID audit matrix — predicted vs
+    * declared language counts with per-declared-language rates (the
+    * confusion matrix every lang-ID gate gets judged by before its
+    * predictions route documents in stratified_sample / domain_mix).
+    * Off-diagonal mass flags either classifier weakness or mislabeled
+    * metadata — both actionable.
+    *
+    * Plan: the langId scan (map-only) joined to nothing — the declared
+    * lang rides the same documents scan — then one partial-agg groupBy
+    * on the ≤|langs|² matrix; rates normalize within the declared
+    * language via a window over matrix-sized rows.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val dtoks = array_distinct(toks(lower(col("text"))))
+    val scores = RefVocab.langStopwords.map { case (_, stop) =>
+      size(array_intersect(dtoks, array(stop.map(lit): _*)))
+    }
+    val names = array(RefVocab.langStopwords.map(l => lit(l._1)): _*)
+    val wl = Window.partitionBy(col("lang"))
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .withColumn("best", encodedBest(scores))
+      .select(col("lang"),
+        when(col("best") < 100, lit(RefVocab.unknownLang))
+          .otherwise(element_at(names,
+            (lit(100) - pmod(col("best"), lit(100))).cast("int")))
+          .as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        (floor(col("n").cast("double") / sum(col("n")).over(wl)
+          * 1000000 + 0.5) / 1000000).as("rate"))
+  }
+
   /** readability: Flesch-Kincaid grade level per document —
     * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with the
     * standard heuristics (sentences = runs of [.!?], clamped ≥1;

@@ -239,6 +239,33 @@ object DuckSql {
        |  (best // 100)::INT AS score FROM b""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.langConfusion: the langId argmax chain with
+    * the declared lang carried through, matrix counts, within-declared
+    * rate normalization.
+    */
+  val langConfusion: String = {
+    val scores = RefVocab.langStopwords.zipWithIndex.map {
+      case ((_, stop), i) =>
+        s"len(list_filter(dt, x -> list_contains(${listLit(stop)}, x))) * 100 + ${99 - i}"
+    }
+    val names = listLit(RefVocab.langStopwords.map(_._1))
+    s"""WITH w AS (SELECT doc_id, lang,
+       |  list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |        greatest(${scores.mkString(", ")}) AS best FROM w),
+       |p AS (SELECT lang,
+       |  CASE WHEN best < 100 THEN '${RefVocab.unknownLang}'
+       |       ELSE list_extract($names, 100 - best % 100) END AS lang_pred
+       |  FROM b),
+       |c AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+       |      FROM p GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n,
+       |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::DOUBLE
+       |    * 1000000 + 0.5) / 1000000 AS rate
+       |FROM c""".stripMargin
+  }
+
   val qualityScore: String =
     s"""WITH w AS (SELECT doc_id, text,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

@@ -98,6 +98,24 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q19/q17/cheapest_supplier: residuals and join-backs stay equi-joins") {
+    withNoAutoBroadcast {
+      // q19: the cross-table disjunction must remain a partkey equi-join
+      // residual, never a nested loop over the fact
+      val p19 = planOf(Analytics.q19Disjunct(spark, dir))
+      assert(!p19.contains("CartesianProduct") &&
+        !p19.contains("BroadcastNestedLoopJoin"), p19)
+      assert(p19.contains("SortMergeJoin") || p19.contains("ShuffledHashJoin"),
+        s"q19 must equi-join on partkey:\n$p19")
+      val p17 = planOf(Analytics.q17SmallQty(spark, dir))
+      assert(!p17.contains("CartesianProduct") &&
+        !p17.contains("BroadcastNestedLoopJoin"), p17)
+      val pcs = planOf(Analytics.cheapestSupplier(spark, dir))
+      assert(!pcs.contains("CartesianProduct") &&
+        !pcs.contains("BroadcastNestedLoopJoin"), pcs)
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))

@@ -137,6 +137,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4L) === ((20, 1, 0.5, false)))
   }
 
+  test("lang_confusion: off-diagonal mass surfaces, rates per declared lang") {
+    // two declared-en docs: one english, one german text (mislabel);
+    // one declared-de doc with no evidence -> und
+    val dir = fixtureDir(docs = Seq(
+      Doc(0, "the cat and the dog is on a mat", "en", "s0", 10),
+      Doc(1, "der hund und die katze ist nicht da", "en", "s0", 10),
+      Doc(2, "zzz qqq xxx", "de", "s0", 5)))
+    assert(rows(TextAnalysis.langConfusion(spark, dir)) === Set(
+      Seq("en", "en", 1L, 0.5),
+      Seq("en", "de", 1L, 0.5),
+      Seq("de", "und", 1L, 1.0)))
+  }
+
   test("readability: FK grade with sentence and zero-vowel-word clamps") {
     val dir = fixtureDir(docs = Seq(
       doc(1, "The cat sat. It ran fast!"), // 6 words, 2 sentences, 6 syl
