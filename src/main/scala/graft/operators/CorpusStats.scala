@@ -500,15 +500,28 @@ object CorpusStats {
     * BIGINT products at real corpus scale, the difference-of-logs never
     * does).
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val bkt = dsirBuckets(spark, dir)
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirScore(Tables.documents(spark, dir)
+      .filter(col("source") =!= OodTrainSource), dsirBuckets(spark, dir))
+
+  /** Score `docs` against a frozen (b, tc, rc) bucket table — shared
+    * verbatim by the batch query and the streaming twin
+    * ([[graft.streaming.ScoreStream.scoreDsir]]), which is what makes
+    * the batch-parity spec exact. A feature bucket the table never saw
+    * scores the (0+1)/(0+1) smoothed floors via the left-join
+    * coalesces (possible only for streamed docs — the batch artifact
+    * covers its own corpus by construction).
+    */
+  private[graft] def dsirScore(docs: DataFrame, bkt: DataFrame)
+      : DataFrame = {
     val tot = bkt.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
     val lr = rnd6(
-      log((col("tc") + 1).cast("double") / (col("tt") + lit(DsirBuckets))) -
-      log((col("rc") + 1).cast("double") / (col("rt") + lit(DsirBuckets))))
-    docFeatsOf(Tables.documents(spark, dir)
-        .filter(col("source") =!= OodTrainSource))
-      .join(broadcast(bkt), Seq("b"))
+      log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+        (col("tt") + lit(DsirBuckets))) -
+      log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+        (col("rt") + lit(DsirBuckets))))
+    docFeatsOf(docs)
+      .join(broadcast(bkt), Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n"),
         (col("n") * lr.cast("decimal(18,6)")).as("part"))

@@ -38,7 +38,28 @@ object ScoreStream {
     }
 
   private[graft] def processBatch(batch: DataFrame, lm: DataFrame,
-      store: String): Unit = {
+      store: String): Unit =
+    appendScored(batch, store)(CorpusStats.scoreAgainstLm(_, lm))
+
+  /** Streaming DSIR weighting — arriving docs score against the frozen
+    * (bucket, target, raw) count table (CorpusStats.buildDsirBuckets);
+    * same freeze-then-probe contract and store semantics as
+    * [[scoreDocs]]. Feature buckets the frozen table never saw take the
+    * smoothed (0+1) floors via the scorer's left join — the streaming-
+    * only path a self-corpus batch run can never exercise.
+    */
+  def scoreDsir(docs: DataFrame, bkt: DataFrame, store: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        appendScored(batch.toDF(), store)(CorpusStats.dsirScore(_, bkt))
+    }
+
+  /** Shared micro-batch skeleton: drop in-batch duplicates, anti-join
+    * the store (re-deliveries are no-ops), score, append.
+    */
+  private def appendScored(batch: DataFrame, store: String)(
+      score: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -48,7 +69,7 @@ object ScoreStream {
         fresh.join(spark.read.parquet(store).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else fresh
-    val scored = CorpusStats.scoreAgainstLm(newDocs, lm)
+    val scored = score(newDocs)
     if (!scored.isEmpty)
       scored.write.mode("append").parquet(store)
   }

@@ -41,4 +41,35 @@ class ScoreStreamSpec extends SparkSpecBase {
     // exactly one row per scoreable doc (1, 2, 5; 6 dropped)
     assert(streamed.map(_.head) === Set(1L, 2L, 5L))
   }
+
+  test("drained DSIR store equals the batch scorer; unseen buckets floor") {
+    import spark.implicits._
+    // buckets frozen from a corpus with src0 as the target domain
+    val corpus = Seq(
+      Doc(1, "a b", "en", "src0", 3),
+      Doc(10, "a b", "en", "s1", 3),
+      Doc(11, "z z", "en", "s1", 3))
+    val bkt = CorpusStats.dsirBucketsOf(corpus.toDF()).localCheckpoint()
+    val b1 = Seq(doc(10, "a b", "s1"))
+    // batch 2: re-delivery of 10 (no-op) + doc 12 whose grams the
+    // frozen table never saw (the left-join floor path)
+    val b2 = Seq(doc(10, "a b", "s1"), doc(12, "qq rr", "s1"))
+    val stage = stageBatches(Seq(b1, b2))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-dsir-store").toString + "/weights"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = ScoreStream.scoreDsir(src, bkt, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val streamed = rows(spark.read.parquet(store))
+    val batch = rows(CorpusStats.dsirScore(
+      Seq(doc(10, "a b", "s1"), doc(12, "qq rr", "s1")).toDF(), bkt))
+    assert(streamed === batch)
+    assert(streamed.map(_.head) === Set(10L, 12L))
+    // the unseen-bucket doc scored through the floor, not dropped
+    assert(streamed.count(_.head == 12L) === 1)
+  }
 }
