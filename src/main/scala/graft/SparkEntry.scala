@@ -26,6 +26,7 @@ object SparkEntry {
     "q17_small_qty" -> (Analytics.q17SmallQty _),
     "q21_blame"     -> (Analytics.q21Blame _),
     "q19_disjunct"  -> (Analytics.q19Disjunct _),
+    "q16_supplier_cnt" -> (Analytics.q16SupplierCnt _),
     "lang_confusion" -> (TextAnalysis.langConfusion _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
@@ -267,6 +268,15 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "lang_confusion" -> graft.oracle.DuckSql.langConfusion,
+    "q16_supplier_cnt" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ex AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, (p_size // 10)::INT AS size_bucket,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM sp JOIN part ON l_partkey = p_partkey
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE s_suppkey = l_suppkey)
+        |GROUP BY p_brand, p_size // 10
+        |ORDER BY supplier_cnt DESC, p_brand, size_bucket""".stripMargin,
     "q21_blame" ->
       s"""SELECT s_name, count(*)::BIGINT AS numwait
         |FROM lineitem l1

@@ -699,6 +699,31 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** q16_supplier_cnt: the TPC-H Q16 shape — COUNT(DISTINCT) grouped on
+    * dimension attributes with a NOT-IN supplier exclusion. Two plan
+    * features none of the other analytics rows exercise: the anti-join
+    * exclusion runs BEFORE aggregation (Q16's "customer complaints"
+    * subquery; negative account balance is this schema's stand-in), and
+    * the distinct count itself — Catalyst plans it as the two-phase
+    * distinct aggregate (partial distinct on (brand, bucket, supplier),
+    * then count), so the wide fact never carries duplicate
+    * (group, supplier) rows through the final shuffle.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val ex = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    sp.join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(ex, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"),
+        expr("p_size div 10").cast("int").as("size_bucket"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+  }
+
   val SkewTopK = 20
 
   /** key_skew: the join-key distribution profiler over lineitem's
