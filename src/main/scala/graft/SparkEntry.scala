@@ -257,16 +257,15 @@ object SparkEntry {
         |FROM lp JOIN st USING (l_partkey)
         |WHERE 5 * q * cnt < sq""".stripMargin,
     "q19_disjunct" ->
-      """SELECT
+      s"""SELECT
         |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
         |  count(*)::BIGINT AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
-        |       AND l_quantity BETWEEN 10 AND 30)
-        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
-        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+        |WHERE ${graft.operators.Analytics.Q19Bands.map {
+          case (b, szLo, szHi, qLo, qHi) =>
+            s"(p_brand = '$b' AND p_size BETWEEN $szLo AND $szHi" +
+              s" AND l_quantity BETWEEN $qLo AND $qHi)"
+        }.mkString("\n   OR ")}""".stripMargin,
     "lang_confusion" -> graft.oracle.DuckSql.langConfusion,
     "q16_supplier_cnt" ->
       """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

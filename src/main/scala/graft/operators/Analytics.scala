@@ -673,6 +673,15 @@ object Analytics {
         col("n_suppliers"))
   }
 
+  /** q19_disjunct bands: (brand, size lo/hi, quantity lo/hi) — each a
+    * conjunction referencing BOTH join sides. Single-sourced into the
+    * oracle SQL.
+    */
+  val Q19Bands: Seq[(String, Int, Int, Int, Int)] = Seq(
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 5, 25, 10, 30),
+    ("Brand#3", 10, 40, 20, 40))
+
   /** q19_disjunct: the TPC-H Q19 shape — an equi-join whose REAL filter
     * is an OR of cross-table conjunctions (brand/size/quantity bands).
     * The shape this adds: the disjunction references BOTH sides, so no
@@ -686,14 +695,13 @@ object Analytics {
     val l = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
-    def band(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+    val bands = Q19Bands.map { case (brand, szLo, szHi, qLo, qHi) =>
       col("p_brand") === brand &&
         col("p_size").between(szLo, szHi) &&
         col("l_quantity").between(qLo, qHi)
+    }
     l.join(p, col("l_partkey") === col("p_partkey"))
-      .filter(band("Brand#1", 1, 15, 1, 20) ||
-        band("Brand#2", 5, 25, 10, 30) ||
-        band("Brand#3", 10, 40, 20, 40))
+      .filter(bands.reduce(_ || _))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"),
         count(lit(1)).as("n_lines"))

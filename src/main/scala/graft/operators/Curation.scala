@@ -168,9 +168,7 @@ object Curation {
     * running sum.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val toks = size(filter(
-      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
-      x => x =!= "")).cast("long")
+    val toks = size(Dedup.normToks(col("text"))).cast("long")
     val shard = pmod(col("doc_id"), lit(PackShards)).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -234,9 +232,7 @@ object Curation {
     * provably agrees with the per-stage audits.
     */
   def exportManifest(spark: SparkSession, dir: String): DataFrame = {
-    val toks = size(filter(
-      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
-      x => x =!= "")).cast("long")
+    val toks = size(Dedup.normToks(col("text"))).cast("long")
     val copies = CorpusStats.applyMix(spark, dir)
       .filter(col("n_copies") >= 1)
       .select(col("doc_id"),

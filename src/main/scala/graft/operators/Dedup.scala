@@ -581,7 +581,11 @@ object Dedup {
         >= JaccardThreshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
-    val lsh = dedupMinhash(spark, dir).select(col("id_a"), col("id_b"))
+    // the minhash arm re-uses THIS query's sh frame (calling
+    // dedupMinhash would shingle + checkpoint the corpus a second time)
+    val lsh = verifyJaccard(bandCandidates(minhashBandedFrom(sh)), sh)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val hit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000

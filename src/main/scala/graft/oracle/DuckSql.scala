@@ -1885,10 +1885,11 @@ object DuckSql {
        |                        WHERE pa = ab.a AND pb = bc.c))),
        |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e0)
        |SELECT n_nodes, n_edges, max_degree,
-       |  floor(degsum::DOUBLE / n_nodes * 10000 + 0.5) / 10000 AS avg_degree,
+       |  floor(degsum::DOUBLE / nullif(n_nodes, 0) * 10000 + 0.5) / 10000
+       |    AS avg_degree,
        |  n_triangles,
-       |  floor(6 * n_triangles::DOUBLE / wedges2 * 10000 + 0.5) / 10000
-       |    AS transitivity
+       |  floor(6 * n_triangles::DOUBLE / nullif(wedges2, 0) * 10000 + 0.5)
+       |    / 10000 AS transitivity
        |FROM ne, ds, tri""".stripMargin
 
   /** Mirror of Dedup.dedupRecall: the exact global Jaccard pair set from
@@ -1924,8 +1925,8 @@ object DuckSql {
        |              (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
        |              (SELECT count(*) FROM hit)::BIGINT AS n_hit)
        |SELECT n_exact, n_lsh, n_hit,
-       |  floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 AS recall,
-       |  floor(n_hit::DOUBLE / n_lsh * 10000 + 0.5) / 10000 AS prec
+       |  floor(n_hit::DOUBLE / nullif(n_exact, 0) * 10000 + 0.5) / 10000 AS recall,
+       |  floor(n_hit::DOUBLE / nullif(n_lsh, 0) * 10000 + 0.5) / 10000 AS prec
        |FROM cs""".stripMargin
   }
 

@@ -116,6 +116,19 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q16: anti-join exclusion precedes the two-phase distinct aggregate") {
+    withNoAutoBroadcast {
+      val p = planOf(Analytics.q16SupplierCnt(spark, dir))
+      assert(p.contains("LeftAnti"), s"NOT IN must be an anti join:\n$p")
+      // count(distinct) plans as partial-distinct then count: at least
+      // two HashAggregate pairs (4 nodes) beyond the sp distinct
+      assert("HashAggregate".r.findAllIn(p).size >= 4,
+        s"distinct aggregate must be two-phase:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))
