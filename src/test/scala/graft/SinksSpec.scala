@@ -106,4 +106,45 @@ class SinksSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("writeZOrdered: per-file spans shrink on BOTH dims vs a 1-dim sort") {
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    // a 64x64 grid: under sort-by-a each file spans b's whole range;
+    // under the z-curve both dims span a fraction per file
+    val grid = spark.range(0, 64).toDF("a")
+      .crossJoin(spark.range(0, 64).toDF("b"))
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Sinks.writeSortedParquet(grid, s"$base/bya", Seq("a"), 16)
+    Sinks.writeZOrdered(grid, s"$base/z", "a", "b", 16)
+    def meanSpan(path: String, dim: String): Double = {
+      val spans = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((smax(dim) - smin(dim)).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      spans.sum.toDouble / spans.length
+    }
+    // same rows round-trip
+    assert(spark.read.parquet(s"$base/z").count() === 64L * 64)
+    val (sortB, zA, zB) =
+      (meanSpan(s"$base/bya", "b"), meanSpan(s"$base/z", "a"),
+        meanSpan(s"$base/z", "b"))
+    assert(sortB > 60, s"1-dim sort should span b fully, got $sortB")
+    assert(zA < 32 && zB < 32,
+      s"z-order must bound both dims per file: a=$zA b=$zB")
+  }
+
+  test("jsonl interchange: schema-pinned round trip, escapes survive") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc(1, "line one\nline \"two\" é中", "en", "s0", 20),
+      Doc(2, "tabs\tand\\backslashes", "de", "s1", 20),
+      Doc(3, null, "fr", "s2", 0)) // null text must survive
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    graft.sources.Interchange.writeJsonlDocs(docs.toDF(), s"$dir/docs")
+    val back = graft.sources.Interchange.readJsonlDocs(spark, s"$dir/docs")
+    assert(back.schema === graft.sources.Interchange.DocumentsSchema)
+    assert(rows(back.select("doc_id", "text", "lang", "source", "n_chars"))
+      === docs.map(d => Seq[Any](d.doc_id, d.text, d.lang, d.source,
+        d.n_chars)).toSet)
+  }
 }
