@@ -105,6 +105,7 @@ object SparkEntry {
     "apply_mix"          -> (CorpusStats.applyMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
+    "corpus_card" -> (CorpusStats.corpusCard _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
@@ -466,6 +467,7 @@ object SparkEntry {
     "apply_mix"          -> graft.oracle.DuckSql.applyMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
+    "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -464,6 +464,47 @@ object CorpusStats {
         (floor(exp(col("avg_nll")) * 10000 + 0.5) / 10000).as("ppl"))
   }
 
+  /** corpus_card short-document threshold (whitespace tokens).
+    * Single-sourced into the oracle SQL.
+    */
+  val CardShortTokens = 50
+
+  /** corpus_card: the one-row dataset datasheet (Gebru et al.,
+    * "Datasheets for Datasets") — the summary a data release ships and
+    * every downstream consumer reads first: sizes (docs / tokens /
+    * chars), diversity (distinct languages and sources), and health
+    * (mean quality score, short-document share). Emitting it as a gated
+    * query keeps the card provably in sync with the gates it summarizes
+    * (the quality term is the IDENTICAL 4dp composite quality_score and
+    * quality_thresholds use).
+    *
+    * Plan: one scan, one multi-aggregate — the distinct counts are
+    * Catalyst's expand-based multi-distinct (two count-distincts in one
+    * aggregate); nothing grows with the corpus but the scan. Parity:
+    * the 4dp score is floor-primitive-exact, so the decimal cast is
+    * safe (the perplexity rnd6→DECIMAL pattern); the mean divides the
+    * exact decimal sum once in double.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text")),
+      col("doc_id"))
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(Dedup.normToks(col("text"))).cast("long").as("toks"),
+        TextAnalysis.qualityScoreCol.cast("decimal(18,4)").as("q"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        r4(sum(col("q")).cast("double") / count(lit(1))).as("avg_quality"),
+        r4(sum(when(col("toks") < CardShortTokens, 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("pct_short"))
+  }
+
   // ---- dsir_weights: hashed n-gram importance weights (DSIR) ----------
 
   /** DSIR feature-hash bucket count. Bounded by construction: the bucket

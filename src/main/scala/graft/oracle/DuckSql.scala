@@ -1577,6 +1577,29 @@ object DuckSql {
        |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
        |  FROM m)""".stripMargin
 
+  /** Mirror of CorpusStats.corpusCard: the same 4dp quality composite
+    * (shared CTE chain), normToks token counts, expand-style distinct
+    * counts, floor-primitive means.
+    */
+  val corpusCard: String = {
+    import graft.operators.CorpusStats.CardShortTokens
+    s"""$qualityScoreCtes,
+       |nt AS (SELECT doc_id, source, n_chars,
+       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x <> ''))::BIGINT AS toks
+       |  FROM documents)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(nt.toks)::BIGINT AS n_tokens,
+       |  sum(nt.n_chars)::BIGINT AS total_chars,
+       |  count(DISTINCT s.lang)::BIGINT AS n_langs,
+       |  count(DISTINCT nt.source)::BIGINT AS n_sources,
+       |  floor(sum(CAST(s.score AS DECIMAL(18,4)))::DOUBLE / count(*)
+       |        * 10000 + 0.5) / 10000 AS avg_quality,
+       |  floor(sum(CASE WHEN nt.toks < $CardShortTokens THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS pct_short
+       |FROM s JOIN nt USING (doc_id)""".stripMargin
+  }
+
   val qualityThresholds: String =
     s"""$qualityScoreCtes,
        |x AS (SELECT lang, score,

@@ -171,6 +171,21 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out === Set(Seq(3L, "en", 2L, avg, r4(math.exp(avg)))))
   }
 
+  test("corpus_card: sizes, diversity, and the gate's own quality mean") {
+    val docs = Seq(
+      Doc(1, "the cat sat on the mat.", "en", "s0", 23),   // 6 toks: short
+      Doc(2, ("word " * 60).trim + " the end.", "de", "s1", 300)) // 62 toks
+    val dir = fixtureDir(docs = docs)
+    // the card's quality term must be the IDENTICAL composite the
+    // quality_score gate emits — derive the expectation from the gate
+    val scores = TextAnalysis.qualityScore(spark, dir)
+      .select("score").collect().map(r => BigDecimal(r.getDouble(0)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val avgQ = r4(scores.sum.toDouble / scores.length)
+    assert(rows(CorpusStats.corpusCard(spark, dir)) === Set(
+      Seq(2L, 6L + 62L, 323L, 2L, 2L, avgQ, 0.5)))
+  }
+
   test("dsir_weights: target-like docs score high, off-domain low") {
     // target (src0): "a b"; pool: doc 10 identical to the target, doc 11
     // disjoint. Expected weights recomputed with the engine's own
