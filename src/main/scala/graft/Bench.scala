@@ -11,6 +11,7 @@ object Bench {
       // small scan splits: the test corpora are single parquet files, and
       // pure-map queries otherwise run at input-split parallelism (1 core)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

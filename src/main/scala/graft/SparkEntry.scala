@@ -27,6 +27,10 @@ object SparkEntry {
     "q21_blame"     -> (Analytics.q21Blame _),
     "q19_disjunct"  -> (Analytics.q19Disjunct _),
     "q16_supplier_cnt" -> (Analytics.q16SupplierCnt _),
+    "q6_forecast"   -> (Analytics.q6Forecast _),
+    "q10_returns"   -> (Analytics.q10Returns _),
+    "q13_custdist"  -> (Analytics.q13Custdist _),
+    "q15_top_supplier" -> (Analytics.q15TopSupplier _),
     "lang_confusion" -> (TextAnalysis.langConfusion _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
@@ -105,6 +109,7 @@ object SparkEntry {
     "apply_mix"          -> (CorpusStats.applyMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
+    "zipf_fit" -> (CorpusStats.zipfFit _),
     "corpus_card" -> (CorpusStats.corpusCard _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
@@ -267,6 +272,51 @@ object SparkEntry {
             s"(p_brand = '$b' AND p_size BETWEEN $szLo AND $szHi" +
               s" AND l_quantity BETWEEN $qLo AND $qHi)"
         }.mkString("\n   OR ")}""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT floor(sum(CAST(floor(l_extendedprice*l_discount * 10000 + 0.5)
+        |                    AS BIGINT))::DOUBLE / 100 + 0.5) / 100 AS revenue,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '${graft.operators.Analytics.Q6Start}'
+        |  AND l_shipdate < DATE '${graft.operators.Analytics.Q6End}'
+        |  AND l_discount BETWEEN ${graft.operators.Analytics.Q6DiscLo}
+        |                     AND ${graft.operators.Analytics.Q6DiscHi}
+        |  AND l_quantity < ${graft.operators.Analytics.Q6MaxQty}""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  floor(sum(CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5)
+        |            AS BIGINT))::DOUBLE / 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '${graft.operators.Analytics.Q10Start}'
+        |  AND o_orderdate < DATE '${graft.operators.Analytics.Q10End}'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT ${graft.operators.Analytics.Q10TopN}""".stripMargin,
+    "q13_custdist" ->
+      s"""SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '${graft.operators.Analytics.Q13ExcludedPriority}')
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '${graft.operators.Analytics.Q15Start}'
+        |    AND l_shipdate < DATE '${graft.operators.Analytics.Q15End}'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "lang_confusion" -> graft.oracle.DuckSql.langConfusion,
     "q16_supplier_cnt" ->
       """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -467,6 +517,7 @@ object SparkEntry {
     "apply_mix"          -> graft.oracle.DuckSql.applyMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
+    "zipf_fit" -> graft.oracle.DuckSql.zipfFit,
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,

@@ -763,6 +763,167 @@ object Analytics {
         Window.orderBy(col("cnt").desc, col("l_partkey"))))
   }
 
+  /** q6_forecast band parameters. Single-sourced into the oracle SQL.
+    * Discounts in the data are exact 2dp doubles (0.00–0.10), so the
+    * BETWEEN endpoints compare bit-identical doubles on both engines.
+    */
+  val Q6Start = "1996-01-01"
+  val Q6End = "1997-01-01"
+  val Q6DiscLo = 0.05
+  val Q6DiscHi = 0.07
+  val Q6MaxQty = 24
+
+  /** q6_forecast: the TPC-H Q6 shape — the pure scan-aggregate. No join
+    * at all: three range predicates (ship year, discount band, quantity
+    * cap) ALL push to the parquet scan, and the surviving sliver reduces
+    * to one row via map-side partial aggregation. The shape this adds
+    * over q1: q1 keeps most rows and groups them; q6 is the
+    * selectivity-driven scan where the engine's win is reading nothing
+    * it doesn't need — at 100 TB the whole query is min/max row-group
+    * pruning plus a column-pruned scan of 4 of 11 columns.
+    *
+    * Parity: revenue = Σ extendedprice·discount, a 4dp-exact product
+    * (2dp × 2dp), accumulated as integer 1e-4 units via the shared floor
+    * primitive (the q14 rule) and surfaced as a 2dp double.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val revU = floor(col("l_extendedprice") * col("l_discount")
+      * 10000 + lit(0.5)).cast("long")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q6Start).cast("date") &&
+        col("l_shipdate") < lit(Q6End).cast("date") &&
+        col("l_discount").between(Q6DiscLo, Q6DiscHi) &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(sum(revU).as("ru"), count(lit(1)).as("n_lines"))
+      .select((floor(col("ru").cast("double") / 100 + 0.5) / 100)
+        .as("revenue"), col("n_lines"))
+  }
+
+  /** q10_returns window + top-N. Single-sourced into the oracle SQL. */
+  val Q10Start = "1996-01-01"
+  val Q10End = "1996-04-01"
+  val Q10TopN = 20
+
+  /** q10_returns: the TPC-H Q10 shape — lost revenue per customer from
+    * returned items in one quarter, top-N. The shape this adds: a
+    * HIGH-cardinality groupBy (per customer — grows with SF, unlike
+    * q1/q5's bounded groups) feeding a TakeOrdered top-N, with the
+    * grouping keys carrying descriptive columns (name, balance, nation)
+    * through the aggregate rather than re-joining them afterwards.
+    *
+    * Plan: the quarter filter prunes orders at the scan; returnflag
+    * prunes lineitem; the l⋈o⋈c joins are planner-chosen shuffles at
+    * scale; only the 25-row nation dim is hinted broadcast. The group
+    * count is bounded by |customers with a returned line in the
+    * quarter|, and top-N is TakeOrdered — never a global sort.
+    *
+    * Parity: revenue accumulates as exact integer 1e-4 units (the q14
+    * rule, not moneySum's round()) — this query's sf0.01 data actually
+    * lands a customer total on a 2dp half-way (…595), where Spark's
+    * HALF_UP and DuckDB's double-round disagree.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q10Start).cast("date") &&
+        col("o_orderdate") < lit(Q10End).cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val revU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(revU).as("ru"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"),
+        (floor(col("ru").cast("double") / 100 + 0.5) / 100).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(Q10TopN)
+  }
+
+  /** q13_custdist exclusion: the "special orders" carve-out (TPC-H Q13
+    * excludes comment-matched orders; priority is this schema's
+    * stand-in). Single-sourced into the oracle SQL.
+    */
+  val Q13ExcludedPriority = "1-URGENT"
+
+  /** q13_custdist: the TPC-H Q13 shape — the customer-order-count
+    * distribution. Two plan features nothing else in the suite
+    * exercises: a LEFT OUTER join whose NULL side is semantically load-
+    * bearing (customers with zero qualifying orders must survive to the
+    * c_count=0 bucket — a semi/inner join would silently drop exactly
+    * the most interesting group), and a two-level aggregation where the
+    * second groupBy runs over the FIRST one's output (per-customer
+    * counts → distribution over counts).
+    *
+    * Plan: the priority exclusion prunes the orders scan; the outer
+    * join shuffles both sides on custkey at scale (customer is the
+    * preserved side); count(o_orderkey) counts matched rows only (SQL
+    * null-skip semantics — no COALESCE gymnastics); the second groupBy's
+    * key space is bounded by max orders/customer, so the final shuffle
+    * is tiny regardless of SF.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= Q13ExcludedPriority)
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q15_top_supplier revenue window. Single-sourced into the oracle
+    * SQL.
+    */
+  val Q15Start = "1996-01-01"
+  val Q15End = "1996-04-01"
+
+  /** q15_top_supplier: the TPC-H Q15 shape — the supplier(s) achieving
+    * the MAXIMUM quarterly revenue: a global argmax join-back. Distinct
+    * from cheapest_supplier (argmin PER GROUP, the aggregate value is a
+    * many-row join key): here the aggregate collapses to ONE row (the
+    * global max), so the join-back is a 1-row broadcast compare — the
+    * scalar-subquery-in-WHERE decorrelation (q22's threshold pattern
+    * applied to a witness recovery instead of a filter threshold).
+    *
+    * Parity: per-supplier revenue is the 2dp-rounded exact decimal sum
+    * (moneySum); max() then selects one of those doubles and the
+    * join-back compares for exact equality — no arithmetic, identical
+    * bits on both engines. Ties all survive (ORDER BY s_suppkey).
+    *
+    * Plan: one partial-agg groupBy on l_suppkey over the date-pruned
+    * scan (localCheckpoint — the frame feeds both the max and the
+    * probe); Catalyst rewrites the crossJoin(max) + equality filter
+    * into a broadcast HASH join keyed on the normalized revenue value
+    * (PlanSpec pins it — no nested loop survives); the supplier name
+    * join is planner-chosen over the (usually 1-row) winner set.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q15Start).cast("date") &&
+        col("l_shipdate") < lit(Q15End).cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+      .localCheckpoint() // feeds the global max AND the witness probe
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

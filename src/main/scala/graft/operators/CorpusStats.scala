@@ -696,4 +696,68 @@ object CorpusStats {
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
         (floor(exp(col("avg_nll")) * 10000 + 0.5) / 10000).as("ppl"))
   }
+
+  /** zipf_fit regression window: the head of the rank-frequency curve.
+    * 500 terms keeps every moment sum in BIGINT range at any corpus
+    * size (xu ≤ ln(500)·1e6, yu ≤ ln(count)·1e6 — even a 1e18-token
+    * corpus keeps Σxu·yu under 2^63). Single-sourced into the oracle.
+    */
+  val ZipfTopK = 500
+
+  /** zipf_fit: least-squares fit of the corpus's rank-frequency curve in
+    * log-log space (Zipf's law: ln f ≈ intercept + slope·ln r, slope
+    * ≈ −1 for natural language — Piantadosi 2014's standing corpus
+    * sanity check). A crawl whose slope is far from −1 is usually
+    * boilerplate-dominated (too flat: templated text repeats mid-rank
+    * terms) or truncated/deduped too hard (too steep). One row out:
+    * n_terms, slope, intercept, r2.
+    *
+    * Plan: ONE corpus-sized step — the token explode into a groupBy(term)
+    * partial agg (vocabulary-sized output). The top-[[ZipfTopK]] head is
+    * TakeOrdered; the rank window and moment sums run over those k rows
+    * only. Nothing downstream grows with the corpus.
+    *
+    * Parity: ln(rank)/ln(count) are 6dp-rounded into integer micro-units
+    * (the perplexity primitive), moment sums are exact integers, and the
+    * closed-form slope/intercept/r² divide exact DECIMAL(38,0) cross
+    * products (n·Sxy − Sx·Sy can exceed BIGINT; HUGEINT on the oracle
+    * side) as doubles once, in an identical operation order.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(ZipfTopK)
+    // k rows from here on — the unpartitioned window is deliberate
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.orderBy(col("cnt").desc, col("tok"))))
+    val xu = floor(log(col("rank").cast("double")) * 1000000 + 0.5)
+      .cast("long")
+    val yu = floor(log(col("cnt").cast("double")) * 1000000 + 0.5)
+      .cast("long")
+    val m = ranked.select(xu.as("xu"), yu.as("yu"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"),
+        sum(col("yu") * col("yu")).as("syy"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val num = (d(col("n")) * col("sxy") - d(col("sx")) * col("sy"))
+      .cast("double")
+    val dx = (d(col("n")) * col("sxx") - d(col("sx")) * col("sx"))
+      .cast("double")
+    val dy = (d(col("n")) * col("syy") - d(col("sy")) * col("sy"))
+      .cast("double")
+    // intercept numerator carries 1e18-scaled units over the 1e12-scaled
+    // denominator, hence the extra 1e6 divide; the op ORDER is mirrored
+    // verbatim in the oracle so every IEEE step is bit-identical
+    val icNum = (d(col("sy")) * col("sxx") - d(col("sx")) * col("sxy"))
+      .cast("double")
+    m.select(col("n").as("n_terms"),
+      rnd6(num / dx).as("slope"),
+      rnd6(icNum / dx / 1000000).as("intercept"),
+      rnd6(num * num / (dx * dy)).as("r2"))
+  }
 }

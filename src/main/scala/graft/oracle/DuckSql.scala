@@ -1459,6 +1459,39 @@ object DuckSql {
     * doc) aggregation, top-k by (count desc, gram). sum casts back to
     * BIGINT (DuckDB sums BIGINT into HUGEINT; Spark stays long).
     */
+  /** Mirror of CorpusStats.zipfFit: same top-k head, 6dp micro-unit
+    * logs, exact HUGEINT cross products (they exceed BIGINT — the Spark
+    * side uses DECIMAL(38,0)), and a verbatim-order double division per
+    * emitted stat. DuckDB's sum(BIGINT) is already HUGEINT; the explicit
+    * casts make the n·Sxy−Sx·Sy products exact too.
+    */
+  val zipfFit: String = {
+    import graft.operators.CorpusStats.ZipfTopK
+    s"""$normCte,
+       |c AS (SELECT tok, count(*) AS cnt
+       |      FROM (SELECT unnest(ws) AS tok FROM n) GROUP BY tok),
+       |t AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT $ZipfTopK),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+       |      FROM t),
+       |u AS (SELECT
+       |  CAST(floor(ln(rank::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xu,
+       |  CAST(floor(ln(cnt::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS yu
+       |  FROM r),
+       |m AS (SELECT count(*) AS n,
+       |  sum(xu)::HUGEINT AS sx, sum(yu)::HUGEINT AS sy,
+       |  sum(xu*yu)::HUGEINT AS sxy, sum(xu*xu)::HUGEINT AS sxx,
+       |  sum(yu*yu)::HUGEINT AS syy FROM u)
+       |SELECT n::BIGINT AS n_terms,
+       |  floor((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |        * 1000000 + 0.5) / 1000000 AS slope,
+       |  floor((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |        / 1000000 * 1000000 + 0.5) / 1000000 AS intercept,
+       |  floor((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+       |        / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       |        * 1000000 + 0.5) / 1000000 AS r2
+       |FROM m""".stripMargin
+  }
+
   val ngramStats: String = {
     import graft.operators.CorpusStats.NgramTopK
     s"""$normCte,

@@ -25,22 +25,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; the legacy flag reads it as a long (ns since epoch).
-    * All event-time logic downstream derives floor-epoch-seconds
-    * (`ts div 1e9`), which any nanosecond-capable engine (e.g. the DuckDB
-    * oracle) computes identically — sub-second precision never decides a
-    * window or session boundary.
+  /** `events.ts` normalized to the engine contract: a LONG of nanos
+    * since epoch. The driver's testdata has shipped it two ways —
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+    * the legacy flag reads it as exactly the ns-long we want) and plain
+    * timestamp[us] (read natively as TIMESTAMP_NTZ). This accessor
+    * handles both: long columns pass through, timestamp columns convert
+    * via unix_micros×1000 (the NTZ→LTZ cast interprets wall time in the
+    * session timezone — every graft entrypoint pins UTC, matching the
+    * DuckDB oracle's epoch()). All event-time logic downstream derives
+    * floor-epoch-seconds (`ts div 1e9`), so sub-second representation
+    * never decides a window or session boundary.
     *
-    * The graft entrypoints (Verify/Bench/Explain and the test session) set
-    * the flag once at session build — see [[nanosAsLong]]. This accessor
-    * only bootstraps it when the session has no explicit value, and never
-    * overrides a caller's own setting, so mixing graft tables with a
-    * caller's own parquet reads keeps the caller in control of the conf.
+    * The graft entrypoints (Verify/Bench/Explain and the test session)
+    * set the legacy flag once at session build — see [[NanosFlag]]. This
+    * accessor only bootstraps it when the session has no explicit value,
+    * and never overrides a caller's own setting.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.getOption(NanosFlag).isEmpty) s.conf.set(NanosFlag, "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+          * 1000L)
+    }
   }
 
   /** SQL-conf key for the TIMESTAMP(NANOS)-as-long legacy read; session

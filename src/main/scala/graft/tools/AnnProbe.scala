@@ -34,6 +34,7 @@ object AnnProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config(Tables.NanosFlag, "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,6 +28,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config(Tables.NanosFlag, "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("PROBE_LOG", "WARN"))

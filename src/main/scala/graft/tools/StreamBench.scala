@@ -37,11 +37,14 @@ object StreamBench {
       .config(Tables.NanosFlag, "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // normalized read (ts as ns-long regardless of the parquet physical
+    // type) so the staged files honor EventStream's input contract
+    val raw = Tables.events(spark, dir)
     val schema = raw.schema
     val nEvents = raw.count()
     // Stage as nBatches event-time-ordered files (the landing-dir shape:

@@ -203,6 +203,50 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(1L, 11L, 4.00, 2L), Seq(2L, 10L, 3.00, 2L)))
   }
 
+  test("q6_forecast: all three band predicates filter; 4dp-exact revenue") {
+    val in = Date.valueOf("1996-06-01")
+    val out = Date.valueOf("1997-06-01") // outside the ship year
+    val dir = starDir(lines = Seq(
+      Line(1, 1, "N", "O", 10.0, 100.0, 0.06, in),  // kept: 6.00
+      Line(2, 1, "N", "O", 23.0, 200.0, 0.05, in),  // kept: 10.00
+      Line(3, 1, "N", "O", 24.0, 100.0, 0.06, in),  // quantity at cap: out
+      Line(4, 1, "N", "O", 10.0, 100.0, 0.04, in),  // discount below band
+      Line(5, 1, "N", "O", 10.0, 100.0, 0.06, out)))
+    assert(rows(Analytics.q6Forecast(spark, dir)) === Set(
+      Seq(16.00, 2L)))
+  }
+
+  test("q13_custdist: zero-order customers survive the outer join") {
+    val d = Date.valueOf("1997-01-01")
+    val dir = starDir(custs = Seq(
+      Cust(1, 0, "BUILDING", 0.0), Cust(2, 0, "BUILDING", 0.0),
+      Cust(3, 0, "BUILDING", 0.0)))
+    // cust 1: one urgent (excluded) + one kept -> 1; cust 2: two kept;
+    // cust 3: no orders at all -> the c_count=0 bucket
+    Seq((1L, 1L, "1-URGENT", d), (2L, 1L, "2-HIGH", d),
+      (3L, 2L, "3-MEDIUM", d), (4L, 2L, "5-LOW", d))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(rows(Analytics.q13Custdist(spark, dir)) === Set(
+      Seq(2L, 1L), Seq(1L, 1L), Seq(0L, 1L)))
+  }
+
+  test("q15_top_supplier: global max join-back keeps all tied witnesses") {
+    val in = Date.valueOf("1996-02-01")
+    val out = Date.valueOf("1996-06-01") // outside the quarter
+    val dir = starDir(lines = Seq(
+      Line(1, 1, "N", "O", 1.0, 100.0, 0.0, in),
+      Line(2, 2, "N", "O", 1.0, 60.0, 0.0, in),   // supp 2 ties via 2 lines
+      Line(3, 2, "N", "O", 1.0, 40.0, 0.0, in),
+      Line(4, 3, "N", "O", 1.0, 50.0, 0.0, in),   // below the max
+      Line(5, 3, "N", "O", 1.0, 500.0, 0.0, out)))
+    Seq((1L, "Supplier#1"), (2L, "Supplier#2"), (3L, "Supplier#3"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    assert(rows(Analytics.q15TopSupplier(spark, dir)) === Set(
+      Seq(1L, "Supplier#1", 100.0), Seq(2L, "Supplier#2", 100.0)))
+  }
+
   test("key_skew: shares, skew factor vs mean, count-then-key rank") {
     // key 1: 3 rows, keys 2/3: 1 row; mean 5/3 -> skew 1.8 for key 1
     val li = Seq((1L, 0L, 1.0), (1L, 0L, 1.0), (1L, 0L, 1.0),

@@ -15,6 +15,33 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("b c", 1L, 1L, 3)))
   }
 
+  test("zipf_fit: closed-form log-log regression over the ranked head") {
+    // term counts a:4, b:2, c:1 -> ranks 1..3
+    val dir = fixtureDir(docs = Seq(doc(1, "a a a a b b c")))
+    val out = CorpusStats.zipfFit(spark, dir).collect().head
+    // expected via the same exact-integer moment definition
+    def lu(v: Double): BigInt = BigInt(
+      math.floor(math.log(v) * 1e6 + 0.5).toLong)
+    val pts = Seq((1, 4), (2, 2), (3, 1))
+      .map { case (r, c) => (lu(r), lu(c)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum;      val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val num = (n * sxy - sx * sy).toDouble
+    val dx = (n * sxx - sx * sx).toDouble
+    val dy = (n * syy - sy * sy).toDouble
+    assert(out.getLong(0) === 3L)
+    assert(out.getDouble(1) === r6(num / dx))
+    assert(out.getDouble(2) ===
+      r6((sy * sxx - sx * sxy).toDouble / dx / 1000000))
+    assert(out.getDouble(3) === r6(num * num / (dx * dy)))
+    // and the fit itself behaves: a 4/2/1 head is a falling power law
+    assert(out.getDouble(1) < 0 && out.getDouble(3) > 0.9)
+  }
+
   test("domain_mix: shares and resampling factors against the recipe") {
     val dir = fixtureDir(docs = Seq(
       Doc(1, "a b c d", "en", "s0", 7),

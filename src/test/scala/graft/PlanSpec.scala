@@ -129,6 +129,41 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q6/q10/q13/q15: scan-agg pushes filters; outer/argmax stay keyed") {
+    // q6 is the pure scan-aggregate: no join node of ANY kind, and all
+    // three band predicates reach the parquet scan as pushed filters
+    val p6 = Analytics.q6Forecast(spark, dir).queryExecution
+    assert(!p6.executedPlan.toString.contains("Join"),
+      s"q6 must not join:\n${p6.executedPlan}")
+    val scan = p6.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      scan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q6 predicates must push to the scan:\n$scan")
+    withNoAutoBroadcast {
+      // q10: only the hinted 25-row nation dim broadcasts; top-N is
+      // TakeOrdered over the per-customer aggregate
+      val p10 = planOf(Analytics.q10Returns(spark, dir))
+      assert("BroadcastExchange".r.findAllIn(p10).size === 1, p10)
+      assert(p10.contains("TakeOrdered"), s"top-N must not global-sort:\n$p10")
+      assert(!p10.contains("CartesianProduct"), p10)
+      // q13: the zero-bucket-preserving join must stay LeftOuter and
+      // shuffle on custkey at scale (both sides fact-sized)
+      val p13 = planOf(Analytics.q13Custdist(spark, dir))
+      assert(p13.contains("LeftOuter"), s"q13 must outer-join:\n$p13")
+      assert(!p13.contains("BroadcastHashJoin") &&
+        !p13.contains("CartesianProduct"), p13)
+      // q15: Catalyst rewrites crossJoin(max) + equality filter into a
+      // broadcast HASH join keyed on the normalized revenue value — no
+      // nested loop survives at all
+      val p15 = planOf(Analytics.q15TopSupplier(spark, dir))
+      assert(p15.contains("BroadcastHashJoin") &&
+        p15.contains("knownfloatingpointnormalized"),
+        s"max join-back must hash on the value:\n$p15")
+      assert(!p15.contains("BroadcastNestedLoopJoin") &&
+        !p15.contains("CartesianProduct"), p15)
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))
