@@ -110,6 +110,9 @@ object SparkEntry {
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
     "zipf_fit" -> (CorpusStats.zipfFit _),
+    "token_entropy" -> (CorpusStats.tokenEntropy _),
+    "q11_important_stock" -> (Analytics.q11ImportantStock _),
+    "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
@@ -518,6 +521,33 @@ object SparkEntry {
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
     "zipf_fit" -> graft.oracle.DuckSql.zipfFit,
+    "token_entropy" -> graft.oracle.DuckSql.tokenEntropy,
+    "q11_important_stock" ->
+      s"""WITH ns AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = '${graft.operators.Analytics.Q11Nation}'),
+        |g AS (SELECT l_partkey,
+        |  sum(CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5)
+        |      AS BIGINT)) AS vu
+        |  FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(vu) AS tot, count(*) AS np FROM g)
+        |SELECT l_partkey, floor(vu::DOUBLE / 100 + 0.5) / 100 AS stock_value
+        |FROM g, t
+        |WHERE vu * np > tot * ${graft.operators.Analytics.Q11MeanMult}
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+    "q20_excess_stock" ->
+      s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  sum(l_quantity::BIGINT) AS sq FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, sum(sq) AS tq, count(*) AS ns
+        |      FROM ps GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN p USING (l_partkey)
+        |        WHERE sq * ns > tq * ${graft.operators.Analytics.Q20DomMult})
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = '${graft.operators.Analytics.Q20Nation}'
+        |  AND EXISTS (SELECT 1 FROM dom WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,

@@ -924,6 +924,104 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** q11 parameters: the nation whose suppliers' stock is audited, and
+    * the importance threshold as a multiple of the MEAN per-part value
+    * (a part is "important" when value · n_parts > [[Q11MeanMult]] ·
+    * national total — all-integer, so the threshold compare never
+    * materializes a double). TPC-H's literal fraction scales by 1/SF
+    * precisely because a fixed fraction empties at larger corpora (it
+    * did here at sf0.1); the mean-multiple form is scale-free.
+    * Single-sourced into the oracle SQL.
+    */
+  val Q11Nation = "NATION_19"
+  val Q11MeanMult = 2L
+
+  /** q11_important_stock: the TPC-H Q11 shape — per-group value vs a
+    * fraction of the global aggregate (no partsupp table in this
+    * schema; shipped lineitem value by the nation's suppliers stands in
+    * for stock value). The shape this adds over q22 (scalar threshold
+    * vs per-ROW filter): the HAVING compares each GROUP's aggregate to
+    * a scalar derived from the same grouped frame — aggregate-of-
+    * aggregate feeding back as a filter.
+    *
+    * Plan: the nation membership broadcasts into supplier, the shrunken
+    * supplier set joins the fact (planner-chosen; shuffle at scale), one
+    * partial-agg groupBy on partkey, a 1-row total broadcast, and the
+    * exact-integer compare value·n_parts > mult·total (no FP edge for
+    * rows landing on the threshold). The grouped frame feeds both the
+    * total and the filter — localCheckpoint, the q17 rule.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val valU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === Q11Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val grouped = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(valU).as("vu"))
+      .localCheckpoint() // feeds the national total AND the filter
+    val total = grouped.agg(sum(col("vu")).as("tot"),
+      count(lit(1)).as("np"))
+    grouped.crossJoin(broadcast(total))
+      .filter(col("vu") * col("np") > col("tot") * Q11MeanMult)
+      .select(col("l_partkey"),
+        (floor(col("vu").cast("double") / 100 + 0.5) / 100)
+          .as("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_partkey"))
+  }
+
+  /** q20 parameters: the nation whose dominant suppliers are listed,
+    * and the dominance multiple — a supplier is dominant for a part
+    * when it ships more than [[Q20DomMult]]× its fair share of that
+    * part's total quantity (sq·ns > mult·tq in exact integers; every
+    * part here has 10+ suppliers, so Q20's literal majority predicate
+    * never fires — concentration-vs-fair-share is the same "excess"
+    * intent with a data-realistic threshold). Single-sourced into the
+    * oracle SQL.
+    */
+  val Q20Nation = "NATION_19"
+  val Q20DomMult = 2L
+
+  /** q20_excess_stock: the TPC-H Q20 shape — a SEMI-join chain driven by
+    * a correlated aggregate threshold: suppliers (of one nation) who
+    * are a DOMINANT source of some part (fair-share predicate above,
+    * re-expressed without a partsupp table). Composition none of the
+    * single-shape rows exercise: q17's per-group-aggregate
+    * decorrelation produces the membership set, and that set feeds
+    * q4's LEFT SEMI into the dimension — the aggregate result is
+    * itself the semi-join's build side.
+    *
+    * Plan: one partial-agg groupBy on (part, supplier), a second on
+    * part (both shuffle on partkey; the first frame feeds both —
+    * localCheckpoint), the dominance filter, then a semi join into the
+    * nation-pruned supplier dim on suppkey. Output is ≤ |nation's
+    * suppliers| rows.
+    */
+  def q20ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    val perPS = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .localCheckpoint() // feeds the per-part totals AND the probe
+    val perP = perPS.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+    val dominant = perPS.join(perP, Seq("l_partkey"))
+      .filter(col("sq") * col("ns") > col("tq") * Q20DomMult)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === Q20Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

@@ -697,6 +697,43 @@ object CorpusStats {
         (floor(exp(col("avg_nll")) * 10000 + 0.5) / 10000).as("ppl"))
   }
 
+  /** token_entropy: per-language Shannon entropy of the unigram
+    * distribution, in nats, plus the vocabulary-normalized form
+    * H/ln(V) ∈ [0,1] — the lexical-diversity audit next to [[zipfFit]]:
+    * a language slice whose normalized entropy collapses is template- or
+    * boilerplate-dominated even when its Zipf head looks plausible
+    * (entropy sees the whole distribution, not the top-k).
+    *
+    * Identity used: H = ln N − (1/N)·Σ c·ln c — so the corpus-sized work
+    * is ONE groupBy(lang, tok) partial agg, and per-language moments
+    * reduce from vocabulary-sized rows. Parity: counts are exact
+    * integers; each type's ln c is 6dp-rounded and multiplied by its
+    * exact count in DECIMAL (the perplexity primitive); the final
+    * ln N − s/N runs in double with verbatim-mirrored operation order.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("lang"), col("text")),
+      col("lang"))
+      .select(col("lang"), explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val per = types.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * rnd6(log(col("c").cast("double")))
+          .cast("decimal(18,6)")).as("clogc"))
+    val ent = log(col("n_tokens").cast("double")) -
+      col("clogc").cast("double") / col("n_tokens")
+    per.select(col("lang"), col("n_tokens"), col("vocab"),
+      rnd6(ent).as("entropy"),
+      // vocab=1 ⇒ H=0 and ln(V)=0: define the normalized form as 0
+      // instead of 0/0 (mirrored in the oracle's CASE)
+      when(col("vocab") > 1, rnd6(ent / log(col("vocab").cast("double"))))
+        .otherwise(lit(0.0)).as("entropy_norm"))
+      .orderBy(col("lang"))
+  }
+
   /** zipf_fit regression window: the head of the rank-frequency curve.
     * 500 terms keeps every moment sum in BIGINT range at any corpus
     * size (xu ≤ ln(500)·1e6, yu ≤ ln(count)·1e6 — even a 1e18-token

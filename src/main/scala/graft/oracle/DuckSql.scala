@@ -1459,6 +1459,31 @@ object DuckSql {
     * doc) aggregation, top-k by (count desc, gram). sum casts back to
     * BIGINT (DuckDB sums BIGINT into HUGEINT; Spark stays long).
     */
+  /** Mirror of CorpusStats.tokenEntropy: same ln N − (1/N)Σ c·ln c
+    * identity, 6dp per-type log terms × exact counts in DECIMAL, and a
+    * verbatim-order double expression per emitted stat. The vocab=1
+    * guard keeps the normalized entropy at 0.0 instead of 0/0.
+    */
+  val tokenEntropy: String = {
+    s"""$normCte,
+       |ty AS (SELECT lang, tok, count(*) AS c
+       |       FROM (SELECT lang, unnest(ws) AS tok FROM n)
+       |       GROUP BY lang, tok),
+       |p AS (SELECT lang, sum(c)::BIGINT AS n_tokens,
+       |        count(*) AS vocab,
+       |        sum(c * CAST(floor(ln(c::DOUBLE) * 1000000 + 0.5) / 1000000
+       |                     AS DECIMAL(18,6))) AS clogc
+       |      FROM ty GROUP BY lang)
+       |SELECT lang, n_tokens, vocab::BIGINT AS vocab,
+       |  floor((ln(n_tokens::DOUBLE) - clogc::DOUBLE / n_tokens)
+       |        * 1000000 + 0.5) / 1000000 AS entropy,
+       |  CASE WHEN vocab > 1 THEN
+       |    floor((ln(n_tokens::DOUBLE) - clogc::DOUBLE / n_tokens)
+       |          / ln(vocab::DOUBLE) * 1000000 + 0.5) / 1000000
+       |  ELSE 0.0 END AS entropy_norm
+       |FROM p ORDER BY lang""".stripMargin
+  }
+
   /** Mirror of CorpusStats.zipfFit: same top-k head, 6dp micro-unit
     * logs, exact HUGEINT cross products (they exceed BIGINT — the Spark
     * side uses DECIMAL(38,0)), and a verbatim-order double division per

@@ -247,6 +247,45 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(1L, "Supplier#1", 100.0), Seq(2L, "Supplier#2", 100.0)))
   }
 
+  test("q11_important_stock: exact-integer fraction-of-total threshold") {
+    val dir = starDir()
+    // nation 19 suppliers 1,2; values 1000/100/100 over 3 parts ->
+    // mean 400, 2x-mean threshold keeps only part 100 (1000·3 > 2·1200);
+    // supplier 9's foreign shipment is excluded before grouping
+    Seq((19L, "NATION_19"), (0L, "NATION_0")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 19L), (2L, 19L), (9L, 0L))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((100L, 1L, 1000.0, 0.0), (200L, 2L, 100.0, 0.0),
+      (300L, 1L, 100.0, 0.0), (400L, 9L, 9999.0, 0.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(rows(Analytics.q11ImportantStock(spark, dir)) === Set(
+      Seq(100L, 1000.0)))
+  }
+
+  test("q20_excess_stock: dominance threshold feeds the nation semi-join") {
+    val dir = starDir()
+    Seq((19L, "NATION_19"), (0L, "NATION_0")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 19L, "Supplier#1"), (2L, 19L, "Supplier#2"),
+      (3L, 0L, "Supplier#3"))
+      .toDF("s_suppkey", "s_nationkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // part 100 (3 suppliers, total 40): supp1 ships 30 — 30·3 > 2·40,
+    // dominant; part 200: even 3-way split, 10·3 > 2·30 false for all;
+    // part 300: supp3 sole source (5·1 > 2·5 false — a monopolist of
+    // one part is AT fair share, not above it)
+    Seq((100L, 1L, 30.0), (100L, 2L, 5.0), (100L, 3L, 5.0),
+      (200L, 1L, 10.0), (200L, 2L, 10.0), (200L, 3L, 10.0),
+      (300L, 3L, 5.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(rows(Analytics.q20ExcessStock(spark, dir)) === Set(
+      Seq(1L, "Supplier#1")))
+  }
+
   test("key_skew: shares, skew factor vs mean, count-then-key rank") {
     // key 1: 3 rows, keys 2/3: 1 row; mean 5/3 -> skew 1.8 for key 1
     val li = Seq((1L, 0L, 1.0), (1L, 0L, 1.0), (1L, 0L, 1.0),

@@ -42,6 +42,20 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.getDouble(1) < 0 && out.getDouble(3) > 0.9)
   }
 
+  test("token_entropy: ln N − (1/N)Σ c·ln c per language, vocab=1 guard") {
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "a a b"),                      // en: N=3, c={2,1}
+      Doc(2, "x x x", "de", "s0", 5)))      // de: vocab=1 -> norm 0
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // per-type terms are 6dp-rounded BEFORE the exact multiply
+    val clogc = 2 * r6(math.log(2.0)) + 1 * r6(math.log(1.0))
+    val entEn = math.log(3.0) - clogc / 3
+    val out = rows(CorpusStats.tokenEntropy(spark, dir))
+    assert(out === Set(
+      Seq("de", 3L, 1L, r6(math.log(3.0) - 3 * r6(math.log(3.0)) / 3), 0.0),
+      Seq("en", 3L, 2L, r6(entEn), r6(entEn / math.log(2.0)))))
+  }
+
   test("domain_mix: shares and resampling factors against the recipe") {
     val dir = fixtureDir(docs = Seq(
       Doc(1, "a b c d", "en", "s0", 7),

@@ -164,6 +164,23 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q11/q20: aggregate-derived thresholds stay keyed joins") {
+    withNoAutoBroadcast {
+      // q11: the grouped frame is checkpointed (the fact join lives
+      // upstream of the visible plan); the ONE sanctioned nested-loop
+      // is the 1-row national total driving the inequality (q22 rule)
+      val p11 = planOf(Analytics.q11ImportantStock(spark, dir))
+      assert(!p11.contains("CartesianProduct"), p11)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p11).size === 1, p11)
+      // q20: the dominance probe is a partkey equi-join and the nation
+      // membership ends as a LEFT SEMI on suppkey
+      val p20 = planOf(Analytics.q20ExcessStock(spark, dir))
+      assert(p20.contains("LeftSemi"), s"q20 must semi-join:\n$p20")
+      assert(!p20.contains("CartesianProduct") &&
+        !p20.contains("BroadcastNestedLoopJoin"), p20)
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))
