@@ -90,6 +90,7 @@ object SparkEntry {
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_recall" -> (Similarity.annRecall _),
+    "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
@@ -501,6 +502,7 @@ object SparkEntry {
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
     "ann_recall" -> graft.oracle.DuckSql.annRecall,
+    "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,

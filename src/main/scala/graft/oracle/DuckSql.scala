@@ -2048,6 +2048,31 @@ object DuckSql {
        |      FROM x) WHERE rank <= ${Retrieval.ClusterTopTerms}""".stripMargin
   }
 
+  /** Mirror of Similarity.ivfCellStats: cells from the same 2-iteration
+    * k-means chain, per-cell counts, key_skew's share/skew math in a
+    * verbatim operation order.
+    */
+  val ivfCellStats: String = {
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx")},
+       |cnt AS (SELECT cid, count(*)::BIGINT AS n_vectors
+       |        FROM idx GROUP BY cid),
+       |t AS (SELECT sum(n_vectors)::BIGINT AS total,
+       |             count(*) AS n_cells FROM cnt)
+       |SELECT cid::INT AS ccell, n_vectors,
+       |  floor(n_vectors::DOUBLE / total * 1000000 + 0.5) / 1000000
+       |    AS share,
+       |  floor(n_vectors::DOUBLE * n_cells / total * 10000 + 0.5) / 10000
+       |    AS skew,
+       |  row_number() OVER (ORDER BY n_vectors DESC, cid)::INT AS rank
+       |FROM cnt, t""".stripMargin
+  }
+
   /** Mirror of Similarity.mmrRerank: same brute-force pool and 6dp sim
     * frames, the greedy rounds UNROLLED as CTE pairs (pick_k over
     * sel_{k-1}, sel_k = union) — identical score arithmetic and doc_id

@@ -94,6 +94,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Set(Seq(1L, 0, 0L, 1.0)))
   }
 
+  test("ivf_cell_stats: counts, shares, and skew over the trained cells") {
+    val out = graft.operators.Similarity.ivfCellStats(spark, pqDir).collect()
+    val k = out.length
+    assert(k > 1)
+    assert(out.map(_.getLong(1)).sum === 20L)
+    out.foreach { r =>
+      val nv = r.getLong(1).toDouble
+      assert(r.getDouble(2) === math.floor(nv / 20 * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(3) === math.floor(nv * k / 20 * 1e4 + 0.5) / 1e4)
+    }
+    assert(out.map(_.getInt(4)).sorted.toSeq === (1 to k))
+  }
+
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
     val dir = pqDir
     val out = graft.operators.Similarity.annIvfPq(spark, dir)
