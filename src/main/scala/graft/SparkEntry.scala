@@ -112,6 +112,7 @@ object SparkEntry {
     "hist_quantiles" -> (CorpusStats.histQuantiles _),
     "zipf_fit" -> (CorpusStats.zipfFit _),
     "token_entropy" -> (CorpusStats.tokenEntropy _),
+    "vocab_growth" -> (CorpusStats.vocabGrowth _),
     "q11_important_stock" -> (Analytics.q11ImportantStock _),
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
@@ -524,6 +525,7 @@ object SparkEntry {
     "hist_quantiles" -> graft.oracle.DuckSql.histQuantiles,
     "zipf_fit" -> graft.oracle.DuckSql.zipfFit,
     "token_entropy" -> graft.oracle.DuckSql.tokenEntropy,
+    "vocab_growth" -> graft.oracle.DuckSql.vocabGrowth,
     "q11_important_stock" ->
       s"""WITH ns AS (SELECT s_suppkey FROM supplier
         |  JOIN nation ON s_nationkey = n_nationkey

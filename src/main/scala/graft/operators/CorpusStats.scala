@@ -734,6 +734,52 @@ object CorpusStats {
       .orderBy(col("lang"))
   }
 
+  /** vocab_growth fraction grid: deciles of the deterministic document
+    * hash. Single-sourced into the oracle SQL.
+    */
+  val VocabBuckets = 10
+
+  /** vocab_growth: the Heaps/Herdan-law curve — vocabulary size vs
+    * corpus size at [[VocabBuckets]] nested sample fractions (V(N) ≈
+    * K·N^β, β ≈ 0.4-0.6 for natural text; a crawl whose curve flattens
+    * early is template-dominated, one that stays near-linear is
+    * ID/hash-polluted). The scaling audit beside [[zipfFit]] /
+    * [[tokenEntropy]]: those see one corpus size, this sees how lexical
+    * diversity GROWS.
+    *
+    * Scalable form — no N passes over N prefixes: each doc lands in a
+    * decile of the stratified_sample hash (exact binary rational,
+    * engine-identical), and fraction f's subcorpus is deciles ≤ f.
+    * Then per-bucket token counts and each type's MIN bucket (its first
+    * appearance along the nesting) reduce via two partial-agg groupBys,
+    * and one cumulative window over the ≤10 bucket rows yields every
+    * (N_f, V_f) point — the hist_quantiles histogram-cumulative posture
+    * applied to vocabulary growth.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.normToks(col("text"))).as("tok"))
+      .withColumn("b",
+        floor(Curation.hashU(col("doc_id")) * VocabBuckets).cast("int"))
+    val perB = toks.groupBy(col("b")).agg(count(lit(1)).as("toks"))
+    val firstB = toks.groupBy(col("tok")).agg(min(col("b")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("new_types"))
+    val joined = perB.join(firstB, col("b") === col("mb"), "full_outer")
+      .select(coalesce(col("b"), col("mb")).as("b"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val wCum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤10 rows from here — the unpartitioned window is deliberate
+    joined.select(
+      ((col("b") + 1).cast("double") / VocabBuckets).as("fraction"),
+      sum(col("toks")).over(wCum).as("n_tokens"),
+      sum(col("new_types")).over(wCum).as("vocab"))
+      .orderBy(col("fraction"))
+  }
+
   /** zipf_fit regression window: the head of the rank-frequency curve.
     * 500 terms keeps every moment sum in BIGINT range at any corpus
     * size (xu ≤ ln(500)·1e6, yu ≤ ln(count)·1e6 — even a 1e18-token

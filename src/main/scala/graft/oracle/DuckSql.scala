@@ -1459,6 +1459,36 @@ object DuckSql {
     * doc) aggregation, top-k by (count desc, gram). sum casts back to
     * BIGINT (DuckDB sums BIGINT into HUGEINT; Spark stays long).
     */
+  /** Mirror of CorpusStats.vocabGrowth: the same hash-decile nesting
+    * (exact binary rational, identical op order), per-bucket counts +
+    * min-bucket first appearances, cumulative over the bucket grid.
+    */
+  val vocabGrowth: String = {
+    import graft.operators.Curation.SampleSeed
+    import graft.operators.CorpusStats.VocabBuckets
+    s"""$normCte,
+       |tok AS (SELECT doc_id, unnest(ws) AS tok FROM n),
+       |tb AS (SELECT tok,
+       |  CAST(floor(('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
+       |             / 4294967296.0 * $VocabBuckets) AS INT) AS b
+       |  FROM tok),
+       |pb AS (SELECT b, count(*)::BIGINT AS toks FROM tb GROUP BY b),
+       |fb AS (SELECT mb, count(*)::BIGINT AS new_types
+       |       FROM (SELECT tok, min(b) AS mb FROM tb GROUP BY tok)
+       |       GROUP BY mb),
+       |j AS (SELECT coalesce(pb.b, fb.mb) AS b,
+       |        coalesce(toks, 0) AS toks,
+       |        coalesce(new_types, 0) AS new_types
+       |      FROM pb FULL OUTER JOIN fb ON pb.b = fb.mb)
+       |SELECT (b + 1)::DOUBLE / $VocabBuckets AS fraction,
+       |  (sum(toks) OVER w)::BIGINT AS n_tokens,
+       |  (sum(new_types) OVER w)::BIGINT AS vocab
+       |FROM j
+       |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)
+       |ORDER BY fraction""".stripMargin
+  }
+
   /** Mirror of CorpusStats.tokenEntropy: same ln N − (1/N)Σ c·ln c
     * identity, 6dp per-type log terms × exact counts in DECIMAL, and a
     * verbatim-order double expression per emitted stat. The vocab=1

@@ -42,6 +42,27 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.getDouble(1) < 0 && out.getDouble(3) > 0.9)
   }
 
+  test("vocab_growth: nested hash deciles accumulate tokens and types") {
+    val dir = fixtureDir(docs = Seq(doc(1, "a a b"), doc(2, "a c")))
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${graft.operators.Curation.SampleSeed}".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+      math.floor(u * 10).toInt
+    }
+    // rebuild the expected curve from the definition: cumulative token
+    // count and first-seen type count over the present deciles
+    val toks = Seq((bucket(1), "a"), (bucket(1), "a"), (bucket(1), "b"),
+      (bucket(2), "a"), (bucket(2), "c"))
+    val expected = toks.map(_._1).distinct.sorted.map { b =>
+      Seq((b + 1) / 10.0,
+        toks.count(_._1 <= b).toLong,
+        toks.groupBy(_._2).values.map(_.map(_._1).min).count(_ <= b).toLong)
+    }.toSet
+    assert(rows(CorpusStats.vocabGrowth(spark, dir)) === expected)
+  }
+
   test("token_entropy: ln N − (1/N)Σ c·ln c per language, vocab=1 guard") {
     val dir = fixtureDir(docs = Seq(
       doc(1, "a a b"),                      // en: N=3, c={2,1}
