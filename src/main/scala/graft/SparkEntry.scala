@@ -313,7 +313,8 @@ object SparkEntry {
     "q15_top_supplier" ->
       s"""WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_revenue
+        |    floor(sum(CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5)
+        |              AS BIGINT))::DOUBLE / 100 + 0.5) / 100 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= DATE '${graft.operators.Analytics.Q15Start}'
         |    AND l_shipdate < DATE '${graft.operators.Analytics.Q15End}'
@@ -542,7 +543,8 @@ object SparkEntry {
         |ORDER BY stock_value DESC, l_partkey""".stripMargin,
     "q20_excess_stock" ->
       s"""WITH ps AS (SELECT l_partkey, l_suppkey,
-        |  sum(l_quantity::BIGINT) AS sq FROM lineitem GROUP BY 1, 2),
+        |  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq
+        |  FROM lineitem GROUP BY 1, 2),
         |p AS (SELECT l_partkey, sum(sq) AS tq, count(*) AS ns
         |      FROM ps GROUP BY 1),
         |dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN p USING (l_partkey)

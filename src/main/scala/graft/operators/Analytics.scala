@@ -895,10 +895,14 @@ object Analytics {
     * scalar-subquery-in-WHERE decorrelation (q22's threshold pattern
     * applied to a witness recovery instead of a filter threshold).
     *
-    * Parity: per-supplier revenue is the 2dp-rounded exact decimal sum
-    * (moneySum); max() then selects one of those doubles and the
-    * join-back compares for exact equality — no arithmetic, identical
-    * bits on both engines. Ties all survive (ORDER BY s_suppkey).
+    * Parity: per-supplier revenue accumulates as exact integer 1e-4
+    * units and floor-rounds to 2dp (the q10 rule — moneySum's round()
+    * diverges between engines when a sum lands on a 2dp half-way, and
+    * HERE the rounded double is also the max-equality JOIN KEY, so a
+    * half-way tie would change the winner set, not just a digit);
+    * max() then selects one of those floored doubles and the join-back
+    * compares for exact equality. Ties all survive (ORDER BY
+    * s_suppkey).
     *
     * Plan: one partial-agg groupBy on l_suppkey over the date-pruned
     * scan (localCheckpoint — the frame feeds both the max and the
@@ -908,12 +912,16 @@ object Analytics {
     * join is planner-chosen over the (usually 1-row) winner set.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit(Q15Start).cast("date") &&
         col("l_shipdate") < lit(Q15End).cast("date"))
       .groupBy(col("l_suppkey"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .as("total_revenue"))
+      .agg(sum(revU).as("ru"))
+      .select(col("l_suppkey"),
+        (floor(col("ru").cast("double") / 100 + 0.5) / 100)
+          .as("total_revenue"))
       .localCheckpoint() // feeds the global max AND the witness probe
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(mx))
@@ -968,8 +976,13 @@ object Analytics {
       .localCheckpoint() // feeds the national total AND the filter
     val total = grouped.agg(sum(col("vu")).as("tot"),
       count(lit(1)).as("np"))
+    // DECIMAL(38,0) products: at the 100 TB design point vu·np and
+    // tot·mult exceed 2^63 (tot alone ~9e18 1e-4-units; np ~2e10) and a
+    // silent long wrap would flip the filter — DuckDB's sum is already
+    // HUGEINT, so the decimal side is also what keeps the mirrors equal
     grouped.crossJoin(broadcast(total))
-      .filter(col("vu") * col("np") > col("tot") * Q11MeanMult)
+      .filter(col("vu").cast("decimal(38,0)") * col("np") >
+        col("tot").cast("decimal(38,0)") * Q11MeanMult)
       .select(col("l_partkey"),
         (floor(col("vu").cast("double") / 100 + 0.5) / 100)
           .as("stock_value"))
@@ -1004,9 +1017,12 @@ object Analytics {
     * suppliers| rows.
     */
   def q20ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    // the shared floor primitive, NOT cast("long"): Spark's double→long
+    // cast truncates toward zero while DuckDB's ::BIGINT rounds — the
+    // mirrors only agreed while every quantity was exactly integral
     val perPS = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("sq"))
       .localCheckpoint() // feeds the per-part totals AND the probe
     val perP = perPS.groupBy(col("l_partkey"))
       .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))

@@ -757,14 +757,20 @@ object CorpusStats {
     * applied to vocabulary growth.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.cpuPartition(
+    // ONE corpus-sized pass: the token explode reduces immediately to
+    // the (bucket, type) frame, and both growth series derive from
+    // that vocabulary×buckets-sized frame (two direct consumers —
+    // localCheckpoint, or the explode re-runs per consumer)
+    val bt = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
       .select(col("doc_id"), explode(Dedup.normToks(col("text"))).as("tok"))
       .withColumn("b",
         floor(Curation.hashU(col("doc_id")) * VocabBuckets).cast("int"))
-    val perB = toks.groupBy(col("b")).agg(count(lit(1)).as("toks"))
-    val firstB = toks.groupBy(col("tok")).agg(min(col("b")).as("mb"))
+      .groupBy(col("b"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val perB = bt.groupBy(col("b")).agg(sum(col("c")).as("toks"))
+    val firstB = bt.groupBy(col("tok")).agg(min(col("b")).as("mb"))
       .groupBy(col("mb")).agg(count(lit(1)).as("new_types"))
     val joined = perB.join(firstB, col("b") === col("mb"), "full_outer")
       .select(coalesce(col("b"), col("mb")).as("b"),
@@ -838,9 +844,14 @@ object CorpusStats {
     // verbatim in the oracle so every IEEE step is bit-identical
     val icNum = (d(col("sy")) * col("sxx") - d(col("sx")) * col("sxy"))
       .cast("double")
+    // n=1 degenerates every moment difference to 0/0 (NaN — and the two
+    // engines disagree on what their floor paths make of it); a
+    // single-term head has no fit, so the stats are NULL (the
+    // tokenEntropy vocab=1 posture). n>1 guarantees dx>0: ranks are
+    // distinct and adjacent ln-rank micro-units never collide at k≤500.
     m.select(col("n").as("n_terms"),
-      rnd6(num / dx).as("slope"),
-      rnd6(icNum / dx / 1000000).as("intercept"),
-      rnd6(num * num / (dx * dy)).as("r2"))
+      when(col("n") > 1, rnd6(num / dx)).as("slope"),
+      when(col("n") > 1, rnd6(icNum / dx / 1000000)).as("intercept"),
+      when(col("n") > 1, rnd6(num * num / (dx * dy))).as("r2"))
   }
 }

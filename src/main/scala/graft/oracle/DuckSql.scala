@@ -1472,9 +1472,10 @@ object DuckSql {
        |  CAST(floor(('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
        |             / 4294967296.0 * $VocabBuckets) AS INT) AS b
        |  FROM tok),
-       |pb AS (SELECT b, count(*)::BIGINT AS toks FROM tb GROUP BY b),
+       |bt AS (SELECT b, tok, count(*)::BIGINT AS c FROM tb GROUP BY b, tok),
+       |pb AS (SELECT b, sum(c)::BIGINT AS toks FROM bt GROUP BY b),
        |fb AS (SELECT mb, count(*)::BIGINT AS new_types
-       |       FROM (SELECT tok, min(b) AS mb FROM tb GROUP BY tok)
+       |       FROM (SELECT tok, min(b) AS mb FROM bt GROUP BY tok)
        |       GROUP BY mb),
        |j AS (SELECT coalesce(pb.b, fb.mb) AS b,
        |        coalesce(toks, 0) AS toks,
@@ -1537,13 +1538,16 @@ object DuckSql {
        |  sum(xu*yu)::HUGEINT AS sxy, sum(xu*xu)::HUGEINT AS sxx,
        |  sum(yu*yu)::HUGEINT AS syy FROM u)
        |SELECT n::BIGINT AS n_terms,
-       |  floor((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
-       |        * 1000000 + 0.5) / 1000000 AS slope,
-       |  floor((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
-       |        / 1000000 * 1000000 + 0.5) / 1000000 AS intercept,
-       |  floor((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
-       |        / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
-       |        * 1000000 + 0.5) / 1000000 AS r2
+       |  CASE WHEN n > 1 THEN
+       |    floor((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |          * 1000000 + 0.5) / 1000000 END AS slope,
+       |  CASE WHEN n > 1 THEN
+       |    floor((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |          / 1000000 * 1000000 + 0.5) / 1000000 END AS intercept,
+       |  CASE WHEN n > 1 THEN
+       |    floor((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+       |          / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       |          * 1000000 + 0.5) / 1000000 END AS r2
        |FROM m""".stripMargin
   }
 

@@ -30,10 +30,13 @@ object Tables {
     * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
     * the legacy flag reads it as exactly the ns-long we want) and plain
     * timestamp[us] (read natively as TIMESTAMP_NTZ). This accessor
-    * handles both: long columns pass through, timestamp columns convert
-    * via unix_micros×1000 (the NTZ→LTZ cast interprets wall time in the
-    * session timezone — every graft entrypoint pins UTC, matching the
-    * DuckDB oracle's epoch()). All event-time logic downstream derives
+    * handles all three column types: longs pass through; NTZ converts
+    * via a timestampdiff against the NTZ epoch literal — wall-clock
+    * micros, INDEPENDENT of the session timezone (an NTZ→LTZ cast would
+    * silently shift every event by the caller's zone offset; the DuckDB
+    * oracle's epoch() makes the same wall-clock-as-UTC reading); an
+    * instant (LTZ) column uses unix_micros directly, which is likewise
+    * zone-free. All event-time logic downstream derives
     * floor-epoch-seconds (`ts div 1e9`), so sub-second representation
     * never decides a window or session boundary.
     *
@@ -45,12 +48,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.getOption(NanosFlag).isEmpty) s.conf.set(NanosFlag, "true")
     val df = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
           * 1000L)
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
     }
   }
 

@@ -42,6 +42,13 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.getDouble(1) < 0 && out.getDouble(3) > 0.9)
   }
 
+  test("zipf_fit: a single-term head has no fit — NULL stats") {
+    val dir = fixtureDir(docs = Seq(doc(1, "a a a")))
+    val out = CorpusStats.zipfFit(spark, dir).collect().head
+    assert(out.getLong(0) === 1L)
+    assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
+
   test("vocab_growth: nested hash deciles accumulate tokens and types") {
     val dir = fixtureDir(docs = Seq(doc(1, "a a b"), doc(2, "a c")))
     def bucket(id: Long): Int = {
