@@ -101,6 +101,7 @@ object SparkEntry {
     "shuffle_assign"    -> (Curation.shuffleAssign _),
     "export_manifest"   -> (Curation.exportManifest _),
     "quality_filter"    -> (Curation.qualityFilter _),
+    "curate_corpus"     -> (Curation.curateCorpus _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
@@ -515,6 +516,7 @@ object SparkEntry {
     "shuffle_assign"    -> graft.oracle.DuckSql.shuffleAssign,
     "export_manifest"   -> graft.oracle.DuckSql.exportManifest,
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
+    "curate_corpus"     -> graft.oracle.DuckSql.curateCorpus,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,

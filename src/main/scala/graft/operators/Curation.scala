@@ -257,4 +257,54 @@ object Curation {
       .select(col("doc_id"), col("copy_idx"), col("shard"), col("pos"),
         col("n_tokens"), col("offset"), col("bin"))
   }
+
+  /** curate_corpus: the END-TO-END curation manifest — every document's
+    * fate through the full gate sequence in ONE plan: quality →
+    * exact dedup → near dedup (minhash clusters) → decontamination →
+    * mixture sampling, with the FIRST failing stage recorded and
+    * n_copies from the mix for survivors. The Dolma/RefinedWeb-style
+    * "what happened to every doc and why" artifact: each stage's
+    * verdict comes from the SAME single-sourced operator the
+    * standalone audits gate, so the manifest provably agrees with
+    * them (the exportManifest posture applied to the drop side).
+    *
+    * Semantics: canonicals are corpus-GLOBAL — each stage computes on
+    * the full corpus, not the survivors of earlier stages (the
+    * engineering-standard choice: stage artifacts are built once; a
+    * cluster whose representative fails quality drops whole, which is
+    * the conservative direction for training data). The mod-50 eval
+    * slice itself flows through the manifest like any doc — the
+    * stand-in has no separate eval table to exclude.
+    *
+    * Plan: five per-doc frames (one scan each; dedup_clusters is a
+    * pure consumer of the persisted pair artifact) equi-joined on
+    * doc_id — at scale every join shuffles on the same key, so the
+    * partitioning is set once and reused; the stage CASE is map-side.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val qf = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val dx = Dedup.dedupExact(spark, dir)
+      .select(col("doc_id"), col("is_dup"))
+    val cl = Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"))
+    val fl = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val mx = CorpusStats.applyMix(spark, dir)
+      .select(col("doc_id"), col("n_copies"))
+    val kept = col("keep") && !col("is_dup") &&
+      col("cluster") === col("doc_id") && col("contaminated").isNull &&
+      col("n_copies") >= 1
+    qf.join(dx, Seq("doc_id")).join(cl, Seq("doc_id"))
+      .join(fl, Seq("doc_id"), "left_outer")
+      .join(mx, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(!col("keep"), "quality")
+          .when(col("is_dup"), "exact_dup")
+          .when(col("cluster") =!= col("doc_id"), "near_dup")
+          .when(col("contaminated").isNotNull, "contaminated")
+          .when(col("n_copies") === 0, "sampled_out")
+          .otherwise("kept").as("stage"),
+        when(kept, col("n_copies")).otherwise(lit(0L)).as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -392,7 +392,7 @@ object DuckSql {
 
   /** Shared CTE: normalized tokens + distinct word-3-gram shingle sets. */
   private val shCte =
-    """WITH n AS (SELECT doc_id, source,
+    """WITH n AS (SELECT doc_id, lang, source,
       |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |              x -> x <> '') AS ws FROM documents),
       |sh AS (SELECT doc_id, source,
@@ -404,14 +404,22 @@ object DuckSql {
     "floor(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE" +
       " / len(list_distinct(sa.s || sb.s)) * 10000 + 0.5) / 10000"
 
+  /** Exact-dup chain over an in-scope `n(doc_id, …, ws)` — ends in
+    * `dxc(doc_id, text_hash, canonical)`. Consumed by dedupExact and
+    * curateCorpus.
+    */
+  private val exactDupCtes: String =
+    """dx AS (SELECT doc_id, md5(array_to_string(ws, ' ')) AS text_hash
+      |       FROM n),
+      |dxc AS (SELECT doc_id, text_hash,
+      |          min(doc_id) OVER (PARTITION BY text_hash) AS canonical
+      |        FROM dx)""".stripMargin
+
   val dedupExact: String =
-    """WITH n AS (SELECT doc_id,
-      |  md5(array_to_string(list_filter(
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
-      |    x -> x <> ''), ' ')) AS text_hash FROM documents)
+    s"""$shCte,
+      |$exactDupCtes
       |SELECT doc_id, text_hash, canonical, (doc_id <> canonical) AS is_dup
-      |FROM (SELECT doc_id, text_hash,
-      |        min(doc_id) OVER (PARTITION BY text_hash) AS canonical FROM n)""".stripMargin
+      |FROM dxc""".stripMargin
 
   /** MinHash pair CTE chain (appended after shCte): `j` holds verified
     * (id_a, id_b, jaccard) candidates — shared by dedupMinhash and
@@ -1330,36 +1338,51 @@ object DuckSql {
     * pmod vs DuckDB's dividend-signed %) so the two engines agree even
     * for negative doc_id.
     */
-  val decontaminate: String = {
+  /** Contamination chain over an in-scope `sh(doc_id, s)` — ends in
+    * `flagged(doc_id, hits)`. Own shingle explode (`cex`) so the name
+    * never collides with the minhash chain's `ex` when composed.
+    * Consumed by decontaminate and curateCorpus.
+    */
+  private val contamCtes: String = {
     import graft.operators.Curation.{ContamMod, ContamSlot}
     val slot = s"((doc_id % $ContamMod) + $ContamMod) % $ContamMod"
-    s"""$shCte,
-       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-       |bench AS (SELECT DISTINCT g FROM ex WHERE $slot = $ContamSlot)
-       |SELECT doc_id, count(*) AS hits FROM ex JOIN bench USING (g)
-       |WHERE $slot <> $ContamSlot GROUP BY doc_id""".stripMargin
+    s"""cex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |bench AS (SELECT DISTINCT g FROM cex WHERE $slot = $ContamSlot),
+       |flagged AS (SELECT doc_id, count(*) AS hits
+       |            FROM cex JOIN bench USING (g)
+       |            WHERE $slot <> $ContamSlot GROUP BY doc_id)""".stripMargin
   }
+
+  val decontaminate: String =
+    s"""$shCte,
+       |$contamCtes
+       |SELECT doc_id, hits FROM flagged""".stripMargin
 
   /** Mirror of Curation.qualityFilter: the same signal fragments as the
     * qualityScore / repetitionScore / toxicityScreen oracles, thresholds
     * interpolated from the shared constants, reasons in fixed order.
     */
-  val qualityFilter: String = {
+  /** Quality-gate chain (self-contained over `documents`) — ends in
+    * `qf(doc_id, n_words, stopword_ratio, dup_2gram_frac, toxic_score,
+    * keep, reasons)`. q-prefixed names so it composes into statements
+    * that already bind w/m/sig (curateCorpus).
+    */
+  private val qualityKeepCtes: String = {
     import graft.operators.Curation.{QfMaxDup2gram, QfMinStopRatio, QfMinWords}
     import graft.operators.RefVocab.{toxicMinWords, toxicThreshold}
     val toxicFired = s"(n_words >= $toxicMinWords AND toxic_score > $toxicThreshold)"
-    s"""WITH w AS (SELECT doc_id,
+    s"""qw AS (SELECT doc_id,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS t,
        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tl
        |  FROM documents),
-       |m AS (SELECT doc_id, len(t) AS n_words,
+       |qm AS (SELECT doc_id, len(t) AS n_words,
        |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
        |  CASE WHEN len(t) >= 2
        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
        |    ELSE []::VARCHAR[] END AS g2,
        |  len(list_filter(tl, x -> list_contains(${listLit(RefVocab.toxicLexicon)}, x))) AS toxic_hits
-       |  FROM w),
-       |sig AS (SELECT doc_id, n_words::INT AS n_words,
+       |  FROM qw),
+       |qsig AS (SELECT doc_id, n_words::INT AS n_words,
        |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
        |  CASE WHEN len(g2) > 0
        |       THEN floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000
@@ -1367,8 +1390,8 @@ object DuckSql {
        |  CASE WHEN n_words >= $toxicMinWords
        |       THEN floor(least(CAST(1.0 AS DOUBLE), toxic_hits * 10.0 / n_words) * 10000 + 0.5) / 10000
        |       ELSE 0.0 END AS toxic_score
-       |  FROM m)
-       |SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac, toxic_score,
+       |  FROM qm),
+       |qf AS (SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac, toxic_score,
        |  (n_words >= $QfMinWords AND dup_2gram_frac <= $QfMaxDup2gram
        |   AND stopword_ratio >= $QfMinStopRatio AND NOT $toxicFired) AS keep,
        |  concat_ws(';',
@@ -1376,8 +1399,14 @@ object DuckSql {
        |    CASE WHEN dup_2gram_frac > $QfMaxDup2gram THEN 'repetitive' END,
        |    CASE WHEN stopword_ratio < $QfMinStopRatio THEN 'low_stopword' END,
        |    CASE WHEN $toxicFired THEN 'toxic' END) AS reasons
-       |FROM sig""".stripMargin
+       |FROM qsig)""".stripMargin
   }
+
+  val qualityFilter: String =
+    s"""WITH $qualityKeepCtes
+       |SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac,
+       |  toxic_score, keep, reasons
+       |FROM qf""".stripMargin
 
   /** Mirror of Curation.stratifiedSample: the same (doc_id, seed) hash
     * in [0,1) — first 8 md5 hex chars over 2^32, an exact binary
@@ -1595,26 +1624,34 @@ object DuckSql {
     * applyMix repeat counts plus token lengths, consumed by applyMix
     * and exportManifest.
     */
-  private val mixCopiesCtes: String = {
+  /** applyMix CTE chain over an in-scope `n(doc_id, lang, ws, …)` —
+    * ends in `nc(doc_id, lang, sample_factor, n_tokens, n_copies)`.
+    * Internal names are mix-prefixed so the fragment composes into
+    * statements that already bind p/t/f (curateCorpus).
+    */
+  private val mixFromNCtes: String = {
     import graft.operators.Curation.SampleSeed
     val tgt = graft.operators.CorpusStats.LangTargets
       .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
       .mkString("(CASE ", " ", " ELSE 0.0 END)::DOUBLE")
-    s"""$normCte,
-       |p AS (SELECT lang, sum(len(ws))::BIGINT AS tokens FROM n GROUP BY lang),
-       |t AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM p),
-       |f AS (SELECT lang,
+    s"""mp AS (SELECT lang, sum(len(ws))::BIGINT AS tokens FROM n GROUP BY lang),
+       |mt AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM mp),
+       |mf AS (SELECT lang,
        |        floor($tgt * total_tokens::DOUBLE / tokens * 1000000 + 0.5) / 1000000
        |          AS sample_factor
-       |      FROM p, t),
-       |nc AS (SELECT n.doc_id, n.lang, f.sample_factor,
+       |      FROM mp, mt),
+       |nc AS (SELECT n.doc_id, n.lang, mf.sample_factor,
        |  len(n.ws)::BIGINT AS n_tokens,
-       |  (floor(f.sample_factor)::BIGINT + CASE WHEN
+       |  (floor(mf.sample_factor)::BIGINT + CASE WHEN
        |     ('0x' || substr(md5(n.doc_id::VARCHAR || ':${sq(SampleSeed)}'), 1, 8))::BIGINT
-       |       / 4294967296.0 < f.sample_factor - floor(f.sample_factor)
+       |       / 4294967296.0 < mf.sample_factor - floor(mf.sample_factor)
        |     THEN 1 ELSE 0 END)::BIGINT AS n_copies
-       |FROM n JOIN f USING (lang))""".stripMargin
+       |FROM n JOIN mf USING (lang))""".stripMargin
   }
+
+  private val mixCopiesCtes: String =
+    s"""$normCte,
+       |$mixFromNCtes""".stripMargin
 
   val applyMix: String =
     s"""$mixCopiesCtes
@@ -2195,4 +2232,36 @@ object DuckSql {
       |       + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words)
       |       - 15.59::DOUBLE) * 10000 + 0.5) / 10000 AS fk_grade
       |FROM ag""".stripMargin
+
+  /** Mirror of Curation.curateCorpus: the five stage fragments composed
+    * into ONE statement — cluster labels (shCte + minhash + recursive
+    * closure), mix copies over the same `n`, contamination flags over
+    * the same `sh`, exact-dup canonicals over the same `n`, and the
+    * self-contained quality gate — with the identical fixed stage
+    * precedence and kept-condition arithmetic.
+    */
+  val curateCorpus: String =
+    s"""$clusterLabelCtes,
+       |$mixFromNCtes,
+       |$contamCtes,
+       |$exactDupCtes,
+       |$qualityKeepCtes
+       |SELECT n.doc_id,
+       |  CASE WHEN NOT qf.keep THEN 'quality'
+       |       WHEN dxc.doc_id <> dxc.canonical THEN 'exact_dup'
+       |       WHEN l.cluster <> l.doc_id THEN 'near_dup'
+       |       WHEN f.doc_id IS NOT NULL THEN 'contaminated'
+       |       WHEN nc.n_copies = 0 THEN 'sampled_out'
+       |       ELSE 'kept' END AS stage,
+       |  CASE WHEN qf.keep AND dxc.doc_id = dxc.canonical
+       |        AND l.cluster = l.doc_id AND f.doc_id IS NULL
+       |        AND nc.n_copies >= 1
+       |       THEN nc.n_copies ELSE 0 END AS n_copies
+       |FROM n
+       |JOIN qf ON qf.doc_id = n.doc_id
+       |JOIN dxc ON dxc.doc_id = n.doc_id
+       |JOIN labels l ON l.doc_id = n.doc_id
+       |LEFT JOIN flagged f ON f.doc_id = n.doc_id
+       |JOIN nc ON nc.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
 }

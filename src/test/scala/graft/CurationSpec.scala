@@ -46,6 +46,37 @@ class CurationSpec extends SparkSpecBase {
     assert(tox4 === 1.0) // min(1, 4*10/20) capped
   }
 
+  test("curate_corpus: first failing stage recorded; survivors carry copies") {
+    val base = "the alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey" // 24 words, 1 stopword
+    val alt = "and nebula quartz marble cobalt amber fjord garnet harbor " +
+      "island jungle kelp lantern meadow nectar orchid prairie quarry " +
+      "raven saddle timber urchin velvet zulu yankee xray" // 26, no overlap
+    val dirc = fixtureDir(docs = Seq(
+      doc(1, base),
+      doc(2, base),                                     // exact twin of 1
+      doc(3, "tiny text"),                              // fails quality
+      doc(4, base.split(' ').init.mkString(" ") + " xylophone"), // near 1
+      doc(7, "zulu yankee xray walrus vulture"),        // the bench slice
+      doc(8, alt)))                     // clean but shares a 3-gram with 7
+    def hashU(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${Curation.SampleSeed}".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    // all-en corpus -> sample_factor 0.5: doc 1's survival is the hash coin
+    val (s1, c1) = if (hashU(1) < 0.5) ("kept", 1L) else ("sampled_out", 0L)
+    assert(rows(Curation.curateCorpus(spark, dirc)) === Set(
+      Seq(1L, s1, c1),
+      Seq(2L, "exact_dup", 0L),
+      Seq(3L, "quality", 0L),
+      Seq(4L, "near_dup", 0L),
+      Seq(7L, "quality", 0L),   // 5 words; the eval slice flows through
+      Seq(8L, "contaminated", 0L)))
+  }
+
   test("shuffle_assign: seeded md5 permutation, dense positions per shard") {
     val docs = (0 until 40).map(i => doc(i.toLong, s"text number $i"))
     val d = fixtureDir(docs = docs)
