@@ -120,7 +120,16 @@ object Curation {
     * Rules compare against the 4dp-ROUNDED signals, so the threshold
     * comparison is over doubles both engines hold bit-identically.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")))
+
+  /** The quality gate over any (doc_id, text) frame — shared by the
+    * batch query above and the streaming ingest gate
+    * (graft.streaming.CurateStream).
+    */
+  private[graft] def qualityFilterOf(docs: DataFrame): DataFrame = {
     def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val t = filter(split(col("text"), " "), x => x =!= "")
     val tl = filter(split(lower(col("text")), " "), x => x =!= "")
@@ -138,9 +147,7 @@ object Curation {
       x => array_contains(array(RefVocab.toxicLexicon.map(lit): _*), x)))
     val toxicScore = when(nWords >= RefVocab.toxicMinWords,
       rnd4(least(lit(1.0), toxicHits * 10.0 / nWords))).otherwise(0.0)
-    val sig = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
+    val sig = docs
       .select(col("doc_id"),
         nWords.cast("int").as("n_words"),
         rnd4(stopHits.cast("double") / nWords).as("stopword_ratio"),

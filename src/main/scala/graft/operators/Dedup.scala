@@ -163,14 +163,20 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .localCheckpoint()
 
+  /** (doc_id, text_hash): the exact-dedup content hash of any
+    * (doc_id, text) frame — shared by [[dedupExact]] and the streaming
+    * ingest gate (graft.streaming.CurateStream).
+    */
+  private[graft] def exactHashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", normToks(col("text")))).as("text_hash"))
+
   /** dedup_exact: md5 of normalized text; canonical = min doc_id per hash
     * group (the survivor); is_dup marks rows a dedup pass would drop.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val norm = concat_ws(" ", normToks(col("text")))
     val w = Window.partitionBy(col("text_hash"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(norm).as("text_hash"))
+    exactHashOf(Tables.documents(spark, dir))
       .withColumn("canonical", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("text_hash"), col("canonical"),
         (col("doc_id") =!= col("canonical")).as("is_dup"))

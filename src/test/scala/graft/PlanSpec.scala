@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("curate_corpus: five-way doc_id composition stays cartesian-free") {
+    withNoAutoBroadcast {
+      val p = planOf(graft.operators.Curation.curateCorpus(spark, dir))
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested loops permitted are the 1-row scalar broadcasts
+      // inherited from the stage pipelines (apply_mix's totals)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    }
+  }
+
   test("copurchase: top-k is TakeOrdered; pair join is an equi-join") {
     withNoAutoBroadcast {
       val p = planOf(Analytics.copurchase(spark, dir))
