@@ -847,11 +847,15 @@ object CorpusStats {
     // n=1 degenerates every moment difference to 0/0 (NaN — and the two
     // engines disagree on what their floor paths make of it); a
     // single-term head has no fit, so the stats are NULL (the
-    // tokenEntropy vocab=1 posture). n>1 guarantees dx>0: ranks are
-    // distinct and adjacent ln-rank micro-units never collide at k≤500.
+    // tokenEntropy vocab=1 posture). n>1 guarantees dx>0 (ranks are
+    // distinct and adjacent ln-rank micro-units never collide at
+    // k≤500) — but NOT dy>0: an all-tied head (every count equal)
+    // zeroes dy and r² alone degenerates to 0/0, so r² carries its own
+    // guard. Slope/intercept stay well-defined there (a flat line).
     m.select(col("n").as("n_terms"),
       when(col("n") > 1, rnd6(num / dx)).as("slope"),
       when(col("n") > 1, rnd6(icNum / dx / 1000000)).as("intercept"),
-      when(col("n") > 1, rnd6(num * num / (dx * dy))).as("r2"))
+      when(col("n") > 1 && dy =!= 0.0, rnd6(num * num / (dx * dy)))
+        .as("r2"))
   }
 }

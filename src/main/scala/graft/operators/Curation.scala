@@ -150,7 +150,10 @@ object Curation {
     val sig = docs
       .select(col("doc_id"),
         nWords.cast("int").as("n_words"),
-        rnd4(stopHits.cast("double") / nWords).as("stopword_ratio"),
+        // 0-word guard: 0/0 is NaN, and Spark's floor path collapses it
+        // to 0.0 while DuckDB propagates NaN — define the ratio as 0
+        when(nWords > 0, rnd4(stopHits.cast("double") / nWords))
+          .otherwise(0.0).as("stopword_ratio"),
         dup2.as("dup_2gram_frac"),
         toxicScore.as("toxic_score"))
     val rules: Seq[(String, Column)] = Seq(

@@ -1383,7 +1383,9 @@ object DuckSql {
        |  len(list_filter(tl, x -> list_contains(${listLit(RefVocab.toxicLexicon)}, x))) AS toxic_hits
        |  FROM qw),
        |qsig AS (SELECT doc_id, n_words::INT AS n_words,
-       |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
+       |  CASE WHEN n_words > 0
+       |       THEN floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS stopword_ratio,
        |  CASE WHEN len(g2) > 0
        |       THEN floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000
        |       ELSE 0.0 END AS dup_2gram_frac,
@@ -1573,7 +1575,7 @@ object DuckSql {
        |  CASE WHEN n > 1 THEN
        |    floor((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
        |          / 1000000 * 1000000 + 0.5) / 1000000 END AS intercept,
-       |  CASE WHEN n > 1 THEN
+       |  CASE WHEN n > 1 AND (n*syy - sy*sy)::DOUBLE <> 0.0 THEN
        |    floor((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
        |          / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
        |          * 1000000 + 0.5) / 1000000 END AS r2

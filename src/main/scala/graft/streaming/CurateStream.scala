@@ -46,26 +46,20 @@ object CurateStream {
     }
 
   private[graft] def processBatch(batch: DataFrame, corpusHashes: DataFrame,
-      benchShingles: DataFrame, store: String): Unit = {
-    val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val fresh = batch.dropDuplicates("doc_id")
-    val newDocs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(store)))
-        fresh.join(spark.read.parquet(store).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else fresh
-    val gated = gateOf(newDocs, corpusHashes, benchShingles)
-    if (!gated.isEmpty)
-      gated.write.mode("append").parquet(store)
-  }
+      benchShingles: DataFrame, store: String): Unit =
+    StreamStore.appendNew(batch, store)(
+      gateOf(_, corpusHashes, benchShingles))
 
   /** The gate itself over any (doc_id, text, …) frame — also the batch
-    * definition the parity spec compares against.
+    * definition the parity spec compares against. A `source` column is
+    * carried into the shingle provenance when present; absent one, the
+    * gate supplies a placeholder (the shingle frame requires it).
     */
-  private[graft] def gateOf(docs: DataFrame, corpusHashes: DataFrame,
+  private[graft] def gateOf(in: DataFrame, corpusHashes: DataFrame,
       benchShingles: DataFrame): DataFrame = {
+    val docs =
+      if (in.columns.contains("source")) in
+      else in.withColumn("source", lit(""))
     val qf = Curation.qualityFilterOf(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep"))
     val dup = Dedup.exactHashOf(docs)

@@ -151,9 +151,7 @@ object DedupStream {
 
   private def readOr(batch: DataFrame, path: String, ddl: String): DataFrame = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    if (StreamStore.exists(spark, path))
       spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType.fromDDL(ddl))

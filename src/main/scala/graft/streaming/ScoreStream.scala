@@ -55,22 +55,10 @@ object ScoreStream {
         appendScored(batch.toDF(), store)(CorpusStats.dsirScore(_, bkt))
     }
 
-  /** Shared micro-batch skeleton: drop in-batch duplicates, anti-join
-    * the store (re-deliveries are no-ops), score, append.
+  /** Micro-batch skeleton shared across the foreachBatch sinks —
+    * see [[StreamStore.appendNew]].
     */
   private def appendScored(batch: DataFrame, store: String)(
-      score: DataFrame => DataFrame): Unit = {
-    val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val fresh = batch.dropDuplicates("doc_id")
-    val newDocs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(store)))
-        fresh.join(spark.read.parquet(store).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else fresh
-    val scored = score(newDocs)
-    if (!scored.isEmpty)
-      scored.write.mode("append").parquet(store)
-  }
+      score: DataFrame => DataFrame): Unit =
+    StreamStore.appendNew(batch, store)(score)
 }

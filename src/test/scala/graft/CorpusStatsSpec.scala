@@ -49,6 +49,15 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
   }
 
+  test("zipf_fit: an all-tied head fits a flat line with NULL r2") {
+    // every token distinct -> counts all 1 -> dy = 0 exactly
+    val dir = fixtureDir(docs = Seq(doc(1, "a b c")))
+    val out = CorpusStats.zipfFit(spark, dir).collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getDouble(1) === 0.0) // slope of the flat line
+    assert(out.isNullAt(3))          // r2 is 0/0 -> guarded NULL
+  }
+
   test("vocab_growth: nested hash deciles accumulate tokens and types") {
     val dir = fixtureDir(docs = Seq(doc(1, "a a b"), doc(2, "a c")))
     def bucket(id: Long): Int = {

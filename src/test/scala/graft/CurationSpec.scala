@@ -33,6 +33,15 @@ class CurationSpec extends SparkSpecBase {
     assert(out(5L) === ((false, "too_short;repetitive;low_stopword")))
   }
 
+  test("quality_filter: zero-word docs get ratio 0, not NaN") {
+    val out = Curation.qualityFilter(spark,
+      fixtureDir(docs = Seq(doc(9, "   ")))).collect().head
+    assert(out.getInt(1) === 0)
+    assert(out.getDouble(2) === 0.0) // stopword_ratio: guarded 0/0
+    assert(!out.getBoolean(5) &&
+      out.getString(6) === "too_short;low_stopword")
+  }
+
   test("quality_filter: signals are the shared 4dp-rounded values") {
     val out = Curation.qualityFilter(spark, dir()).collect()
       .map(r => r.getLong(0) ->
