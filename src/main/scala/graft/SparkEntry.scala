@@ -81,6 +81,7 @@ object SparkEntry {
     "interval_join" -> (Sessions.intervalJoin _),
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
+    "active_users" -> (Sessions.activeUsers _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -495,6 +496,7 @@ object SparkEntry {
     "interval_join" -> graft.oracle.DuckSql.intervalJoin,
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
+    "active_users" -> graft.oracle.DuckSql.activeUsers,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

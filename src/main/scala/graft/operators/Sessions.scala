@@ -254,6 +254,49 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** active_users period length: fixed 28-day epoch windows, NOT
+    * calendar months — fixed-size periods keep the stickiness ratio
+    * comparable across periods (no 28-vs-31-day skew) and the period
+    * key a pure integer division. Single-sourced into the oracle SQL.
+    */
+  val AuPeriodDays = 28L
+
+  /** active_users: the DAU/MAU engagement summary — per 28-day period,
+    * the distinct-user count (MAU), the average daily distinct-user
+    * count (avg DAU), and their ratio (stickiness, the classic
+    * product-health metric; ~1 means every active user shows up daily).
+    *
+    * Scale shape: the dedup-then-count rule everywhere (never
+    * count-distinct over raw events): one distinct on (user, day) —
+    * THE corpus-sized shuffle, shared by both series via
+    * localCheckpoint — then bounded partial aggs: DAU per day, MAU per
+    * period (second dedup on the already-shrunk frame), and a
+    * period-grid join. Parity: counts are exact integers; avg DAU and
+    * stickiness divide them in a fixed operation order with the shared
+    * 4dp floor primitive.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts div 1000000000 div 86400").as("day"))
+      .distinct()
+      .withColumn("period", expr(s"day div $AuPeriodDays"))
+      .localCheckpoint() // feeds the DAU and MAU series
+    val dau = ud.groupBy(col("period"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("period"))
+      .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+    val mau = ud.select(col("period"), col("user_id")).distinct()
+      .groupBy(col("period")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("period"))
+      .select(col("period"), col("n_days"), col("mau"),
+        (floor(col("dau_sum").cast("double") / col("n_days") * 10000
+          + 0.5) / 10000).as("avg_dau"),
+        (floor(col("dau_sum").cast("double") / col("n_days") / col("mau")
+          * 10000 + 0.5) / 10000).as("stickiness"))
+      .orderBy(col("period"))
+  }
+
   /** event_transitions: the first-order Markov transition matrix of the
     * event stream — counts and row-normalized probabilities of each
     * (from_type → to_type) step within per-user event-time order (the

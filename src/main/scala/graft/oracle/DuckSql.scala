@@ -785,6 +785,28 @@ object DuckSql {
       |UNION ALL SELECT 2, 'click', n2 FROM f
       |UNION ALL SELECT 3, 'purchase', n3 FROM f""".stripMargin
 
+  /** Mirror of Sessions.activeUsers: the same (user, day) dedup, DAU /
+    * MAU partial aggs over 28-day epoch periods, fixed-order 4dp
+    * divisions.
+    */
+  val activeUsers: String = {
+    import graft.operators.Sessions.AuPeriodDays
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+       |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+       |u2 AS (SELECT user_id, day, (day // $AuPeriodDays) AS period
+       |       FROM ud),
+       |d AS (SELECT period, day, count(*) AS dau FROM u2 GROUP BY 1, 2),
+       |ds AS (SELECT period, sum(dau)::BIGINT AS dau_sum,
+       |         count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+       |m AS (SELECT period, count(*)::BIGINT AS mau
+       |      FROM (SELECT DISTINCT period, user_id FROM u2) GROUP BY 1)
+       |SELECT period, n_days, mau,
+       |  floor(dau_sum::DOUBLE / n_days * 10000 + 0.5) / 10000 AS avg_dau,
+       |  floor(dau_sum::DOUBLE / n_days / mau * 10000 + 0.5) / 10000
+       |    AS stickiness
+       |FROM ds JOIN m USING (period) ORDER BY period""".stripMargin
+  }
+
   /** Mirror of Sessions.cohortRetention: epoch-week floors (nanos div
     * 604800e9 on the engine side = seconds div 604800 here, identical
     * for nonnegative timestamps).

@@ -178,6 +178,17 @@ class SessionsSpec extends SparkSpecBase {
       Seq(3, "purchase", 1L)))
   }
 
+  test("active_users: per-day dedup, per-period MAU, stickiness ratio") {
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 100, 1), ev(2, 200, 2),          // day 0: users {1,2}
+      ev(3, 86410, 1), ev(4, 86420, 1),      // day 1: user 1 (deduped)
+      ev(5, 28 * 86400 + 5, 3)))             // period 1, day 28: user 3
+    // period 0: dau_sum 3 over 2 days, mau 2 -> avg 1.5, stickiness .75
+    assert(rows(graft.operators.Sessions.activeUsers(spark, dir)) === Set(
+      Seq(0L, 2L, 2L, 1.5, 0.75),
+      Seq(1L, 1L, 1L, 1.0, 1.0)))
+  }
+
   test("cohort_retention: first-event week cohorts, distinct weekly users") {
     val wk = 604800L
     val dir = fixtureDir(evs = Seq(
