@@ -82,6 +82,7 @@ object SparkEntry {
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
     "active_users" -> (Sessions.activeUsers _),
+    "session_stats" -> (Sessions.sessionStats _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -497,6 +498,7 @@ object SparkEntry {
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "active_users" -> graft.oracle.DuckSql.activeUsers,
+    "session_stats" -> graft.oracle.DuckSql.sessionStats,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

@@ -254,6 +254,40 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** session_stats: the one-row session-shape summary over the
+    * [[sessionize]] output — session count, average events and duration
+    * per session, and p50/p90 session duration. The histogram-cumulative
+    * quantile path (hist_quantiles/rfm posture): durations bin to
+    * minutes (bounded by the corpus time span, not by session count),
+    * cumulative over the bin grid, p_k = the lowest bin with
+    * cum·100 ≥ k·N in exact integers, reported as the bin's lower bound
+    * in seconds. Never a total order over sessions.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .select(col("n_events").cast("long").as("ne"), col("duration_sec"),
+        expr("duration_sec div 60").as("bin"))
+      .localCheckpoint() // feeds the totals AND the histogram
+    val tot = s.agg(count(lit(1)).as("n_sessions"),
+      sum(col("ne")).as("se"), sum(col("duration_sec")).as("sd"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pcts = s.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(tot.select(col("n_sessions").as("ns"))))
+      .agg(
+        min(when(col("cum") * 100 >= col("ns") * 50, col("bin"))).as("b50"),
+        min(when(col("cum") * 100 >= col("ns") * 90, col("bin"))).as("b90"))
+    tot.crossJoin(broadcast(pcts))
+      .select(col("n_sessions"),
+        (floor(col("se").cast("double") / col("n_sessions") * 10000 + 0.5)
+          / 10000).as("avg_events"),
+        (floor(col("sd").cast("double") / col("n_sessions") * 10000 + 0.5)
+          / 10000).as("avg_duration"),
+        (col("b50") * 60).as("p50_duration_sec"),
+        (col("b90") * 60).as("p90_duration_sec"))
+  }
+
   /** active_users period length: fixed 28-day epoch windows, NOT
     * calendar months — fixed-size periods keep the stickiness ratio
     * comparable across periods (no 28-vs-31-day skew) and the period

@@ -785,6 +785,30 @@ object DuckSql {
       |UNION ALL SELECT 2, 'click', n2 FROM f
       |UNION ALL SELECT 3, 'purchase', n3 FROM f""".stripMargin
 
+  /** Mirror of Sessions.sessionStats: the sessionize statement wrapped
+    * as a derived table, minute-bin histogram cumulative, integer-form
+    * percentile picks, fixed-order 4dp averages.
+    */
+  val sessionStats: String =
+    s"""WITH sess AS (SELECT n_events, duration_sec,
+       |  (duration_sec // 60) AS bin FROM ($sessionize)),
+       |t AS (SELECT count(*)::BIGINT AS n_sessions,
+       |        sum(n_events)::BIGINT AS se,
+       |        sum(duration_sec)::BIGINT AS sd FROM sess),
+       |h AS (SELECT bin, count(*)::BIGINT AS cnt FROM sess GROUP BY bin),
+       |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+       |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+       |p AS (SELECT
+       |  min(CASE WHEN cum * 100 >= n_sessions * 50 THEN bin END) AS b50,
+       |  min(CASE WHEN cum * 100 >= n_sessions * 90 THEN bin END) AS b90
+       |  FROM c, t)
+       |SELECT n_sessions,
+       |  floor(se::DOUBLE / n_sessions * 10000 + 0.5) / 10000 AS avg_events,
+       |  floor(sd::DOUBLE / n_sessions * 10000 + 0.5) / 10000 AS avg_duration,
+       |  (b50 * 60)::BIGINT AS p50_duration_sec,
+       |  (b90 * 60)::BIGINT AS p90_duration_sec
+       |FROM t, p""".stripMargin
+
   /** Mirror of Sessions.activeUsers: the same (user, day) dedup, DAU /
     * MAU partial aggs over 28-day epoch periods, fixed-order 4dp
     * divisions.

@@ -178,6 +178,18 @@ class SessionsSpec extends SparkSpecBase {
       Seq(3, "purchase", 1L)))
   }
 
+  test("session_stats: histogram-cumulative duration percentiles") {
+    // sessions: (1 event, 0 s), (2 events, 120 s), (3 events, 600 s)
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 100, 1),
+      ev(2, 1000, 2), ev(3, 1120, 2),
+      ev(4, 5000, 3), ev(5, 5300, 3), ev(6, 5600, 3)))
+    // N=3: p50 -> first bin with cum*100 >= 150 (bin 2 = 120 s),
+    // p90 -> cum*100 >= 270 (bin 10 = 600 s)
+    assert(rows(graft.operators.Sessions.sessionStats(spark, dir)) === Set(
+      Seq(3L, 2.0, 240.0, 120L, 600L)))
+  }
+
   test("active_users: per-day dedup, per-period MAU, stickiness ratio") {
     val dir = fixtureDir(evs = Seq(
       ev(1, 100, 1), ev(2, 200, 2),          // day 0: users {1,2}
