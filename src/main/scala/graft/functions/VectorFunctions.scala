@@ -31,15 +31,21 @@ abstract class VectorBinaryExpression extends BinaryExpression {
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  /** Java loop body; sees `a`, `b` (ArrayData), writes `${ev.value}`. */
-  protected def loopCode(a: String, b: String, result: String): String
+  /** Java loop body; sees `a`, `b` (ArrayData), writes `${ev.value}`.
+    * Every Java local MUST come from `ctx.freshName` — two vector
+    * expressions can land in one generated function (a projection
+    * computing relevance and max-sim, or post-CSE reuse), and a fixed
+    * local name trips Janino ("Redefinition of local variable"), silently
+    * dropping the whole projection to interpreted mode.
+    */
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String
   protected def loopEval(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(a: Any, b: Any): Any =
     loopEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(ctx, a, b, ev.value))
 }
 
 object VectorBinaryExpression {
@@ -69,18 +75,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  protected def loopCode(a: String, b: String, result: String): String =
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     s"""
-       |int n = $a.numElements();
-       |graft.functions.VectorBinaryExpression.requireSameDim(n, $b.numElements());
-       |double dot = 0.0, nx = 0.0, ny = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; nx += x * x; ny += y * y;
+       |int $n = $a.numElements();
+       |graft.functions.VectorBinaryExpression.requireSameDim($n, $b.numElements());
+       |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
        |}
-       |$result = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+       |$result = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -98,16 +112,20 @@ case class DotProduct(left: Expression, right: Expression)
     dot
   }
 
-  protected def loopCode(a: String, b: String, result: String): String =
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
     s"""
-       |int n = $a.numElements();
-       |graft.functions.VectorBinaryExpression.requireSameDim(n, $b.numElements());
-       |double dot = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = $a.numElements();
+       |graft.functions.VectorBinaryExpression.requireSameDim($n, $b.numElements());
+       |double $dot = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$result = dot;
+       |$result = $dot;
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

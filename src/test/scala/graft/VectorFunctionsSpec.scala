@@ -65,6 +65,56 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("two vector expressions in one generated projection compile (no Janino local collision)") {
+    // Regression: loopCode used to emit fixed Java locals (n, dot, i, ...),
+    // so any generated function holding two vector expressions failed
+    // Janino with "Redefinition of local variable" and silently fell back
+    // to interpreted mode. GenerateUnsafeProjection.generate throws on a
+    // compile failure instead of falling back, so this asserts the fix.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val at = ArrayType(FloatType)
+    val a = BoundReference(0, at, nullable = false)
+    val b = BoundReference(1, at, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      CosineSimilarity(a, b), CosineSimilarity(b, a), DotProduct(a, b)))
+    val conv = CatalystTypeConverters.createToCatalystConverter(at)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      conv(Seq(1f, 2f, 3f)), conv(Seq(4f, 5f, 6f)))
+    val out = proj(row)
+    val expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert(math.abs(out.getDouble(0) - expect) < 1e-12)
+    assert(math.abs(out.getDouble(1) - expect) < 1e-12)
+    assert(math.abs(out.getDouble(2) - 32.0) < 1e-12)
+  }
+
+  test("composed-cosine DataFrame projection survives CODEGEN_ONLY (no interpreter fallback)") {
+    // The mmr_rerank shape: one projection computing both a relevance
+    // cosine and a diversity cosine. CODEGEN_ONLY turns the silent
+    // interpreted fallback into a hard failure, so green here means the
+    // hot path really is codegen'd.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), Seq(7f, 8f, 9f)))
+        .toDF("q", "d", "p")
+        .select(
+          VectorFunctions.cosineSim(col("q"), col("d")).as("rel"),
+          VectorFunctions.cosineSim(col("d"), col("p")).as("div"),
+          VectorFunctions.dot(col("q"), col("p")).as("qp"))
+      val r = df.head()
+      val expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+      assert(math.abs(r.getDouble(0) - expect) < 1e-12)
+      assert(r.getDouble(1) > 0.99) // near-parallel vectors
+      assert(math.abs(r.getDouble(2) - 50.0) < 1e-12)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("dimension mismatch fails loudly on both paths") {
     val ex1 = intercept[Exception](cosInterp(Seq(1f, 2f), Seq(1f)))
     assert(ex1.getMessage.contains("dimension mismatch"))
