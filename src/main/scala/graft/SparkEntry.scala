@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_recall" -> (Dedup.dedupRecall _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
+    "mmr_pool_recall" -> (Similarity.mmrPoolRecall _),
     "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
 
@@ -572,6 +573,7 @@ object SparkEntry {
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,
+    "mmr_pool_recall" -> graft.oracle.DuckSql.mmrPoolRecall,
     "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )
 }

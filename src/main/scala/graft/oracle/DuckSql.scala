@@ -2192,24 +2192,79 @@ object DuckSql {
        |FROM cnt, t""".stripMargin
   }
 
-  /** Mirror of Similarity.mmrRerank: same brute-force pool and 6dp sim
-    * frames, the greedy rounds UNROLLED as CTE pairs (pick_k over
+  /** Exact brute-force MMR pool as CTEs ending in
+    * `cand(q_id, doc_id, simq)` — mirror of Similarity.mmrPoolExact.
+    */
+  private def mmrExactPoolCtes(cand: String): String = {
+    import graft.operators.Similarity.MmrPool
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id % 100 = 0),
+       |sc AS (SELECT q.q_id, e.vec_id,
+       |         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+       |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |$cand AS (SELECT q_id, vec_id AS doc_id, round(s, 6) AS simq
+       |  FROM (SELECT q_id, vec_id, s,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, vec_id) AS rank
+       |        FROM sc) WHERE rank <= $MmrPool)""".stripMargin
+  }
+
+  /** IVF-probed MMR pool as CTEs ending in `cand(q_id, doc_id, simq)` —
+    * mirror of Similarity.mmrPoolIvf: the same unrolled k-means chain as
+    * annIvfKmeans, nprobe=2 routing, top-MmrPool true cosine within the
+    * probed cells.
+    */
+  private def mmrIvfPoolCtes(cand: String): String = {
+    import graft.operators.Similarity.MmrPool
+    s"""mc0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |        FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("mc0", "ma1")},
+       |${kmRecomputeCte("ma1", "mc1")},
+       |${kmAssignCte("mc1", "ma2")},
+       |${kmRecomputeCte("ma2", "mc2")},
+       |${kmAssignCte("mc2", "midx")},
+       |mprobes AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, mc2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |msc AS (SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+       |  FROM mprobes p JOIN midx x ON x.cid = p.pcid
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id),
+       |$cand AS (SELECT q_id, vec_id AS doc_id, round(s, 6) AS simq
+       |  FROM (SELECT q_id, vec_id, s,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, vec_id) AS rank
+       |        FROM msc) WHERE rank <= $MmrPool)""".stripMargin
+  }
+
+  /** Mirror of Similarity.mmrPoolRecall: exact pool left-joined with the
+    * IVF pool, per-query match count over the MmrPool denominator.
+    */
+  val mmrPoolRecall: String = {
+    import graft.operators.Similarity.MmrPool
+    s"""WITH ${mmrExactPoolCtes("cand_ex")},
+       |${mmrIvfPoolCtes("cand_ivf")}
+       |SELECT ex.q_id, count(iv.doc_id) AS n_matched,
+       |  floor(count(iv.doc_id)::DOUBLE / $MmrPool * 10000 + 0.5) / 10000 AS recall
+       |FROM cand_ex ex LEFT JOIN cand_ivf iv
+       |  ON iv.q_id = ex.q_id AND iv.doc_id = ex.doc_id
+       |GROUP BY ex.q_id""".stripMargin
+  }
+
+  /** Mirror of Similarity.mmrRerank: the IVF-probed pool (r8 — the
+    * index-serving shape, exact pool audited by mmr_pool_recall), 6dp
+    * sim frames, the greedy rounds UNROLLED as CTE pairs (pick_k over
     * sel_{k-1}, sel_k = union) — identical score arithmetic and doc_id
     * tie-breaks.
     */
   val mmrRerank: String = {
-    import graft.operators.Similarity.{MmrGamma, MmrK, MmrLambda, MmrPool}
+    import graft.operators.Similarity.{MmrGamma, MmrK, MmrLambda}
     val head =
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-         |           FROM embeddings WHERE vec_id % 100 = 0),
-         |sc AS (SELECT q.q_id, e.vec_id,
-         |         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
-         |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-         |cand AS (SELECT q_id, vec_id AS doc_id, round(s, 6) AS simq
-         |  FROM (SELECT q_id, vec_id, s,
-         |          row_number() OVER (PARTITION BY q_id
-         |                             ORDER BY s DESC, vec_id) AS rank
-         |        FROM sc) WHERE rank <= $MmrPool),
+      s"""WITH ${mmrIvfPoolCtes("cand")},
          |cc AS (SELECT a.q_id AS cq, a.doc_id AS d1, b.doc_id AS d2,
          |         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cs
          |       FROM cand a JOIN cand b ON a.q_id = b.q_id

@@ -288,9 +288,31 @@ class SimilaritySpec extends SparkSpecBase {
       Emb(1, v(0 -> 0.9f, 1 -> 0.44f), 0),
       Emb(2, v(0 -> 0.9f, 1 -> 0.44f, 2 -> 0.001f), 0),
       Emb(3, v(0 -> 0.9f, 1 -> -0.44f), 0)))
-    val out = Similarity.mmrRerank(spark, dir)
+    val out = Similarity.mmrRerankExact(spark, dir)
       .select("q_id", "doc_id", "pick")
     assert(rows(out) === Set(
       Seq(0L, 1L, 1), Seq(0L, 3L, 2), Seq(0L, 2L, 3)))
+  }
+
+  test("mmr_rerank serves from the IVF pool; mmr_pool_recall audits it") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pool = Similarity.mmrPoolIvf(spark, dir)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
+    val picks = Similarity.mmrRerank(spark, dir)
+      .select($"q_id", $"doc_id", $"pick").as[(Long, Long, Int)].collect()
+    // every pick comes from the probe pool (never the corpus), and each
+    // query's picks are numbered 1..n with no gaps
+    assert(picks.nonEmpty)
+    assert(picks.forall { case (q, d, _) => pool.contains((q, d)) })
+    picks.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._3).sorted.toSeq === (1 to ps.length))
+    }
+    val rec = Similarity.mmrPoolRecall(spark, dir)
+      .select($"q_id", $"n_matched", $"recall")
+      .as[(Long, Long, Double)].collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall { case (_, m, r) =>
+      m >= 0 && m <= Similarity.MmrPool && r >= 0.0 && r <= 1.0 })
   }
 }
