@@ -185,7 +185,7 @@ object Dedup {
   /** Candidate pairs from a (doc_id, band, key) frame: bucket-capped
     * band equi-join, id pairs only (no payloads in the shuffle).
     */
-  private def bandCandidates(banded: DataFrame): DataFrame = {
+  private[graft] def bandCandidates(banded: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
     val capped = banded
       .withColumn("bc", count(lit(1)).over(w))
