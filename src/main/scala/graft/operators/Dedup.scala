@@ -222,6 +222,76 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Salted twin of [[verifyJaccard]] — the skew-resilient verify for a
+    * corpus whose candidate set concentrates on hot documents (one
+    * boilerplate page near-duplicating half its crawl shard puts every
+    * one of its pairs, times its shingles, into a single shuffle
+    * partition of the plain verify). Both id joins run through
+    * [[SkewJoin.saltedJoin]]: each pair row carries a row-hash salt, the
+    * shingle side replicates per salt, so a hot doc's pair set spreads
+    * `salts` ways. Result-identical to the plain verify (spec-pinned and
+    * probe-measured — tools.SkewProbe); the cost is `salts`× shingle
+    * replication, so this is the variant to pick when key_skew flags the
+    * pair distribution, not the default.
+    */
+  private[graft] def verifyJaccardSalted(cand: DataFrame, sh: DataFrame,
+      salts: Int): DataFrame = {
+    val a = sh.select(col("doc_id").as("id_a2"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
+      col("g").as("gb"))
+    val j1 = SkewJoin.saltedJoin(cand.localCheckpoint(), a, salts)(
+      (bg, sm) => bg("id_a") === sm("id_a2"))
+    val j2 = SkewJoin.saltedJoin(j1, b, salts)(
+      (bg, sm) => bg("id_b") === sm("id_b2") && bg("ga") === sm("gb"))
+    j2.groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+  }
+
+  /** Skew-AWARE verify — the production arm: the inline key_skew
+    * diagnosis (per-doc pair counts) splits the candidate set into hot
+    * and cold id_a keys; cold pairs take the plain merge join, hot pairs
+    * take the salted join with the shingle side replicated ONLY for the
+    * hot docs (|hot| × ~22 × salts rows, not the whole store — the
+    * reason [[verifyJaccardSalted]]'s blanket replication loses at scale
+    * while this wins). Only the id_a join needs the split: the second
+    * join keys on (id_b, g), so a hot doc's row mass already spreads
+    * across its ~22 shingle keys there — salting it again would buy a
+    * 22×-diluted skew at the price of another union + replication.
+    * Result-identical to the plain verify; spec-pinned, measured by
+    * tools.SkewProbe.
+    */
+  private[graft] def verifyJaccardSkewAware(cand: DataFrame, sh: DataFrame,
+      salts: Int, hotThreshold: Long = 10000L): DataFrame = {
+    val a = sh.select(col("doc_id").as("id_a2"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
+      col("g").as("gb"))
+    val c0 = cand.localCheckpoint()
+    val hotA = c0.groupBy(col("id_a").as("hk"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= hotThreshold)
+      .select(col("hk")).localCheckpoint()
+    val j1 = c0.join(broadcast(hotA), col("id_a") === col("hk"), "left_anti")
+      .join(a.hint("merge"), col("id_a") === col("id_a2"))
+      .unionByName(SkewJoin.saltedJoin(
+        c0.join(broadcast(hotA), col("id_a") === col("hk"), "left_semi"),
+        a.join(broadcast(hotA), col("id_a2") === col("hk"), "left_semi"),
+        salts)((bg, sm) => bg("id_a") === sm("id_a2")))
+      .drop("id_a2")
+    j1.join(b.hint("merge"),
+        col("id_b") === col("id_b2") && col("ga") === col("gb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+  }
+
   /** Modulus for the Carter-Wegman min-hash family (2^31 - 1). */
   private[graft] val MH_MOD = 2147483647L
 

@@ -17,24 +17,35 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   private val SaltCol = "__graft_salt"
+  private val RepCol = "__graft_salt_rep"
+
+  /** General salted inner join: `cond` builds the equi-condition from
+    * the two (salt-augmented) frames; the salt equality is appended.
+    * Both sides carry merge hints — the replicated side is an exploded
+    * frame whose size estimate undercounts by `salts`×, exactly the
+    * shape the mis-broadcast trap bites.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, salts: Int)(
+      cond: (DataFrame, DataFrame) => Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // Hash the whole row so identical keys spread; any per-row value works
+    // for correctness — the salt only routes rows to partitions.
+    val bigCols = big.columns.map(big.apply).toSeq
+    val saltedBig = big.withColumn(SaltCol,
+      pmod(hash(bigCols: _*), lit(salts)))
+    val replicated = small.withColumn(RepCol,
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.hint("merge").join(replicated.hint("merge"),
+        cond(saltedBig, replicated) &&
+          saltedBig(SaltCol) === replicated(RepCol))
+      .drop(SaltCol).drop(RepCol)
+  }
 
   /** Inner equi-join of `big` (skewed side) with `small` on
     * `bigKey == smallKey`, salted `salts` ways. Output columns = big's
     * then small's, as a plain join would produce.
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
-      bigKey: String, smallKey: String, salts: Int): DataFrame = {
-    require(salts > 0, "salts must be positive")
-    // Hash the whole row so identical keys spread; any per-row value works
-    // for correctness — the salt only routes rows to partitions.
-    val bigCols = big.columns.map(col).toSeq
-    val saltedBig = big.withColumn(SaltCol,
-      pmod(hash(bigCols: _*), lit(salts)))
-    val replicated = small.withColumn(SaltCol,
-      explode(array((0 until salts).map(lit): _*)))
-    saltedBig.join(replicated,
-        saltedBig(bigKey) === replicated(smallKey) &&
-          saltedBig(SaltCol) === replicated(SaltCol))
-      .drop(SaltCol)
-  }
+      bigKey: String, smallKey: String, salts: Int): DataFrame =
+    saltedJoin(big, small, salts)((b, s) => b(bigKey) === s(smallKey))
 }
