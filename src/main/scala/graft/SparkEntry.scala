@@ -31,6 +31,8 @@ object SparkEntry {
     "q10_returns"   -> (Analytics.q10Returns _),
     "q13_custdist"  -> (Analytics.q13Custdist _),
     "q15_top_supplier" -> (Analytics.q15TopSupplier _),
+    "q9_profit"     -> (Analytics.q9Profit _),
+    "q12_shipmode"  -> (Analytics.q12Shipmode _),
     "lang_confusion" -> (TextAnalysis.langConfusion _),
     "copurchase"    -> (Analytics.copurchase _),
     "revenue_trend" -> (Analytics.revenueTrend _),
@@ -220,6 +222,34 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '${graft.operators.Analytics.Q22Cutoff}')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+        |  floor(sum(CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5)
+        |              AS BIGINT)
+        |          - CAST(floor(p_retailprice*${graft.operators.Analytics.Q9CostFrac} * 10000 + 0.5)
+        |              AS BIGINT)
+        |            * CAST(floor(l_quantity + 0.5) AS BIGINT)
+        |        )::DOUBLE / 100 + 0.5) / 100 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%${graft.operators.Analytics.Q9PartToken}%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_shipmode" ->
+      s"""SELECT l_linestatus AS ship_mode,
+        |  sum(CASE WHEN o_orderpriority IN
+        |    (${graft.operators.Analytics.Q12HighPriorities.map("'" + _ + "'").mkString(", ")})
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN
+        |    (${graft.operators.Analytics.Q12HighPriorities.map("'" + _ + "'").mkString(", ")})
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '${graft.operators.Analytics.Q12Start}'
+        |  AND l_shipdate < DATE '${graft.operators.Analytics.Q12End}'
+        |GROUP BY 1 ORDER BY ship_mode""".stripMargin,
     "q7_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate)::INT AS l_year,
@@ -292,7 +322,8 @@ object SparkEntry {
         |                     AND ${graft.operators.Analytics.Q6DiscHi}
         |  AND l_quantity < ${graft.operators.Analytics.Q6MaxQty}""".stripMargin,
     "q10_returns" ->
-      s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+      s"""SELECT c_custkey, c_name,
+        |  floor(c_acctbal*100 + 0.5)/100 AS c_acctbal, n_name,
         |  floor(sum(CAST(floor(l_extendedprice*(1-l_discount) * 10000 + 0.5)
         |            AS BIGINT))::DOUBLE / 100 + 0.5) / 100 AS revenue
         |FROM lineitem

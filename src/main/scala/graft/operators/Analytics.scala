@@ -840,7 +840,8 @@ object Analytics {
         col("n_name"))
       .agg(sum(revU).as("ru"))
       .select(col("c_custkey"), col("c_name"),
-        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"),
+        (floor(col("c_acctbal") * 100 + lit(0.5)) / 100).as("c_acctbal"),
+        col("n_name"),
         (floor(col("ru").cast("double") / 100 + 0.5) / 100).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(Q10TopN)
@@ -979,7 +980,13 @@ object Analytics {
     // DECIMAL(38,0) products: at the 100 TB design point vu·np and
     // tot·mult exceed 2^63 (tot alone ~9e18 1e-4-units; np ~2e10) and a
     // silent long wrap would flip the filter — DuckDB's sum is already
-    // HUGEINT, so the decimal side is also what keeps the mirrors equal
+    // HUGEINT, so the decimal side is also what keeps the mirrors equal.
+    // BOUND (explicit, because Spark caps decimal(38,0)·decimal(20,0)
+    // back to decimal(38,0) and non-ANSI overflow yields NULL, which
+    // would silently DROP threshold rows rather than fail): the larger
+    // product is tot·np ≤ 9e18 · 2e10 ≈ 2e29 ≪ 1e38 — ~8 orders of
+    // headroom. Revisit if either the unit scale (1e-4) or the partkey
+    // cardinality grows by >10^4.
     grouped.crossJoin(broadcast(total))
       .filter(col("vu").cast("decimal(38,0)") * col("np") >
         col("tot").cast("decimal(38,0)") * Q11MeanMult)
@@ -1053,5 +1060,96 @@ object Analytics {
         col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(Q18TopN)
+  }
+
+  /** q9 parameters: the part-name token driving the selective part scan
+    * (TPC-H Q9's `p_name LIKE '%green%'`) and the supply-cost fraction
+    * of retail price standing in for the missing partsupp.ps_supplycost.
+    * Single-sourced into the oracle SQL.
+    */
+  val Q9PartToken = "widget"
+  val Q9CostFrac = 0.6
+
+  /** q9_profit: the TPC-H Q9 shape — product-type profit by supplier
+    * nation and order year. The shape this adds over the rest of the
+    * TPC-H family: a DERIVED measure subtracting two fact-side products
+    * (revenue − supply cost · quantity) flowing through a 5-table join
+    * where the SELECTIVE filter lives on the part DIMENSION (p_name
+    * token), not the fact — the planner must drive the fact scan from
+    * the pre-shrunk part key set.
+    *
+    * Plan: the token filter prunes part before its join with lineitem
+    * (part is fact-sized at scale — planner-chosen shuffle, the q14
+    * rule); supplier joins on suppkey (planner-chosen); the 25-row
+    * nation dim broadcasts; orders joins on orderkey only for the year.
+    * The grouped space is |nations|×|years| — tiny, partial-agg
+    * friendly. Parity: both profit terms round to exact integer 1e-4
+    * units per row BEFORE summation (revU − costU as longs — a derived
+    * difference of two money products is exactly the round-at-tie
+    * minefield moneySum's decimal path avoids for single products), one
+    * double divide at the end.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val revU = floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      * 10000 + lit(0.5)).cast("long")
+    // per-unit cost in 1e-4 units (exact long), × integral quantity
+    val costU = floor(col("p_retailprice") * Q9CostFrac * 10000 + lit(0.5))
+      .cast("long") * floor(col("l_quantity") + lit(0.5)).cast("long")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(Q9PartToken))
+      .select("p_partkey", "p_retailprice")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revU - costU).as("pu"))
+      .select(col("nation"), col("o_year"),
+        (floor(col("pu").cast("double") / 100 + 0.5) / 100).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q12 parameters: the audited "ship modes" (l_linestatus stands in —
+    * the testdata carries no l_shipmode/commitdate/receiptdate) and the
+    * one-year receipt window. Single-sourced into the oracle SQL.
+    */
+  val Q12Start = "1997-01-01"
+  val Q12End = "1998-01-01"
+  val Q12HighPriorities = Seq("1-URGENT", "2-HIGH")
+
+  /** q12_shipmode: the TPC-H Q12 shape — per-ship-mode counts of high-
+    * vs low-priority orders among late-ish lineitems. The shape this
+    * adds: CONDITIONAL COUNTS over a JOINED-in attribute (the CASE runs
+    * on orders.o_orderpriority while the grouping key comes from
+    * lineitem) — the cross-table pivot the q8 conditional-ratio and
+    * q14 conditional-share never exercise with counts.
+    *
+    * Plan: the date window prunes the lineitem scan; the orderkey join
+    * is fact⋈fact (planner-chosen shuffle at scale); the grouped space
+    * is |linestatus| = 2 rows, so partial aggregation collapses
+    * everything map-side. Pure integer counts — no rounding surface at
+    * all.
+    */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin(Q12HighPriorities: _*)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q12Start).cast("date") &&
+        col("l_shipdate") < lit(Q12End).cast("date"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus").as("ship_mode"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_mode"))
   }
 }

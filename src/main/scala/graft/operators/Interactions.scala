@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Params
 import graft.sources.Tables
 
 /** Interaction-log operators over the `events` table (events ≈ the
@@ -29,12 +30,16 @@ object Interactions {
 
   private def propsK = get_json_object(col("props"), "$.k").cast("int")
 
-  /** conversation_history: the last 5 interactions of every session. */
+  /** conversation_history: the last 5 interactions of every session
+    * (limit is the reference's runtime arg database.py:68 — override
+    * via `spark.graft.param.conversation_history.limit`).
+    */
   def conversationHistory(spark: SparkSession, dir: String): DataFrame = {
+    val lastN = Params.int(spark, "conversation_history.limit", 5)
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= lastN)
       .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"), propsK.as("k"))
   }
@@ -43,15 +48,18 @@ object Interactions {
     * per session.
     */
   def topicInteractions(spark: SparkSession, dir: String): DataFrame = {
+    val wanted = Params.strOpt(spark, "topic_interactions.topic", None)
+      .getOrElse("Anxiety")
+    val lastN = Params.int(spark, "topic_interactions.limit", 3)
     val names = array(RefVocab.taxonomy.map(t => lit(t._1)): _*)
     val topic = element_at(names,
       (pmod(propsK, lit(RefVocab.taxonomy.size)) + 1).cast("int"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
     Tables.events(spark, dir)
       .withColumn("topic", topic)
-      .filter(col("topic") === "Anxiety")
+      .filter(col("topic") === wanted)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= lastN)
       .select(col("user_id"), col("rn"), col("event_id"), col("topic"))
   }
 
@@ -93,7 +101,12 @@ object Interactions {
     * clause).
     */
   def highQualityFiltered(spark: SparkSession, dir: String,
-      topicFilter: Option[String]): DataFrame = {
+      topicDefault: Option[String]): DataFrame = {
+    // the reference's three runtime args (database.py:344), defaults =
+    // the oracle-pinned constants
+    val minEff = Params.double(spark, "high_quality.min_effectiveness", 0.7)
+    val limitN = Params.int(spark, "high_quality.limit", 100)
+    val topicFilter = Params.strOpt(spark, "high_quality.topic", topicDefault)
     val overlap = round(propsK / 100.0, 2)
     val adherence = when(col("event_type") === "purchase", "high")
       .when(col("event_type") === "signup", "medium")
@@ -104,10 +117,11 @@ object Interactions {
     val base = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), topic.as("topic"),
         overlap.as("term_overlap"), adherence.as("template_adherence"))
-      .filter(col("term_overlap") >= 0.7 || col("template_adherence") === "high")
+      .filter(col("term_overlap") >= minEff ||
+        col("template_adherence") === "high")
     topicFilter.fold(base.drop("topic"))(t => base.filter(col("topic") === t))
       .orderBy(col("event_id").desc)
-      .limit(100)
+      .limit(limitN)
   }
 
   /** interaction_ingest: the engine's WRITE surface for the interaction

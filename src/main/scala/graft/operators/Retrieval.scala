@@ -146,7 +146,10 @@ object Retrieval {
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("part")).as("score"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= BmTopK)
+      // runtime k (the reference's `limit` arg, database.py:422 posture),
+      // default = the oracle-pinned BmTopK
+      .filter(col("rank") <=
+        graft.Params.int(spark, "bm25_topk.k", BmTopK))
       .select(col("q_id"), col("doc_id"),
         col("score").cast("double").as("score"), col("rank"))
   }

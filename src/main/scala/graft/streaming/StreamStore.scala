@@ -32,8 +32,13 @@ private[streaming] object StreamStore {
         fresh.join(spark.read.parquet(store).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else fresh
-    val out = transform(newDocs)
-    if (!out.isEmpty)
-      out.write.mode("append").parquet(store)
+    // localCheckpoint so the emptiness probe and the write share one
+    // evaluation of the transform (incl. the store anti-join) instead of
+    // running the full plan twice per micro-batch.
+    val out = transform(newDocs).localCheckpoint()
+    try {
+      if (!out.isEmpty)
+        out.write.mode("append").parquet(store)
+    } finally out.unpersist()
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Interactions, Retrieval, Similarity}
+
+/** Runtime-parameter surface: the reference's per-call arguments
+  * (topic_filter / min_effectiveness / limit, database.py:344; query id
+  * + limit, database.py:422) ride on `spark.graft.param.*`. The
+  * invariants that keep the oracle gate honest:
+  *
+  *  1. an UNSET session serves bit-identical results to the pre-params
+  *     engine (defaults are the gated constants),
+  *  2. a set param visibly changes the served result,
+  *  3. unset restores the default exactly,
+  *  4. malformed values fail loud, never silently default.
+  */
+class ParamsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def withParam[T](key: String, value: String)(f: => T): T = {
+    spark.conf.set(Params.Namespace + key, value)
+    try f finally spark.conf.unset(Params.Namespace + key)
+  }
+
+  test("conversation_history.limit changes depth; unset restores default") {
+    val before = sortedRows(Interactions.conversationHistory(spark, dir))
+    val maxRnDefault = Interactions.conversationHistory(spark, dir)
+      .agg(max("rn")).head.getInt(0)
+    assert(maxRnDefault === 5)
+    withParam("conversation_history.limit", "2") {
+      val shrunk = Interactions.conversationHistory(spark, dir)
+      assert(shrunk.agg(max("rn")).head.getInt(0) === 2)
+    }
+    assert(sortedRows(Interactions.conversationHistory(spark, dir)) === before)
+  }
+
+  test("high_quality limit/threshold/topic are the reference's args") {
+    val dflt = Interactions.highQuality(spark, dir)
+    assert(dflt.count() === 100) // gated default limit
+    withParam("high_quality.limit", "17") {
+      assert(Interactions.highQuality(spark, dir).count() === 17)
+    }
+    // a stricter threshold can only shrink the OR-gate's pass set;
+    // threshold 1.01 leaves only the adherence arm
+    val dfltIds = sortedRows(dflt.select("event_id"))
+    withParam("high_quality.min_effectiveness", "1.01") {
+      val strict = Interactions.highQuality(spark, dir)
+      assert(sortedRows(strict.filter(col("template_adherence") =!= "high")
+        .select("event_id")).isEmpty)
+    }
+    // topic filter on the UNfiltered gate behaves like high_quality_topic
+    withParam("high_quality.topic", "Anxiety") {
+      val topical = sortedRows(Interactions.highQuality(spark, dir))
+      val fixture = sortedRows(Interactions.highQualityTopic(spark, dir))
+      assert(topical === fixture)
+    }
+    // all knobs unset again: the served result is the gated default
+    assert(sortedRows(Interactions.highQuality(spark, dir).select("event_id"))
+      === dfltIds)
+  }
+
+  test("sim_topk query_id/k: a different query serves different neighbors") {
+    val dflt = sortedRows(Similarity.simTopk(spark, dir))
+    withParam("sim_topk.k", "3") {
+      assert(Similarity.simTopk(spark, dir).count() === 3)
+    }
+    withParam("sim_topk.query_id", "7") {
+      val other = Similarity.simTopk(spark, dir)
+      // the query vector itself must be excluded from its own result
+      assert(other.filter(col("vec_id") === 7).count() === 0)
+      assert(sortedRows(other) !== dflt)
+    }
+    assert(sortedRows(Similarity.simTopk(spark, dir)) === dflt)
+  }
+
+  test("bm25_topk.k caps the per-query depth") {
+    withParam("bm25_topk.k", "2") {
+      val capped = Retrieval.bm25Topk(spark, dir)
+      assert(capped.agg(max("rank")).head.getInt(0) <= 2)
+    }
+  }
+
+  test("malformed param values fail loud") {
+    withParam("sim_topk.k", "five") {
+      intercept[IllegalArgumentException] {
+        Similarity.simTopk(spark, dir)
+      }
+    }
+    withParam("high_quality.min_effectiveness", "0.7.0") {
+      intercept[IllegalArgumentException] {
+        Interactions.highQuality(spark, dir)
+      }
+    }
+  }
+}
