@@ -125,6 +125,7 @@ object SparkEntry {
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
     "dsir_weights" -> (CorpusStats.dsirWeights _),
+    "dsir_select" -> (CorpusStats.dsirSelect _),
     "bpe_pairs"    -> (CorpusStats.bpePairs _),
     "readability"  -> (TextAnalysis.readability _),
     "pagerank"     -> (Graph.pagerank _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
     "mmr_pool_recall" -> (Similarity.mmrPoolRecall _),
+    "hard_negatives" -> (Similarity.hardNegatives _),
     "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
 
@@ -597,6 +599,7 @@ object SparkEntry {
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,
+    "dsir_select" -> graft.oracle.DuckSql.dsirSelect,
     "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
     "readability"  -> graft.oracle.DuckSql.readability,
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
@@ -605,6 +608,7 @@ object SparkEntry {
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,
     "mmr_pool_recall" -> graft.oracle.DuckSql.mmrPoolRecall,
+    "hard_negatives" -> graft.oracle.DuckSql.hardNegatives,
     "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )
 }

@@ -573,6 +573,49 @@ object CorpusStats {
           .as("log_weight"))
   }
 
+  /** dsir_select parameters: sample size and the Gumbel-noise seed.
+    * Single-sourced into the oracle SQL.
+    */
+  val DsirSelectK = 200
+  val DsirSelectSeed = "gsel1"
+
+  /** dsir_select: EXECUTE the DSIR resample — the sampling step the
+    * paper defines (Xie et al., NeurIPS 2023, §2: importance resampling
+    * over the raw pool) that [[dsirWeights]] only scores. Sampling
+    * without replacement ∝ exp(log w) is exactly Gumbel top-k
+    * (Vieira 2014; Kool et al., ICML 2019): key = log w + Gumbel(0,1),
+    * take the k largest. The Gumbel draw is DETERMINISTIC — the
+    * shuffle_assign 60-bit seeded md5 hash → uniform
+    * u = (h+0.5)/2^60 → −ln(−ln u) — so one fixed sample reproduces
+    * across engines, partitionings, and reruns (no RNG state; the
+    * stratified_sample posture applied to weighted sampling).
+    *
+    * Scale shape: weight scoring is the frozen-bucket probe; the
+    * Gumbel key is map-side arithmetic; the global top-k is
+    * TakeOrdered (never a total sort); the rank window runs over the
+    * k-bounded selection only.
+    *
+    * Parity: the noise term rounds to 6dp (the one ln-vs-ln surface),
+    * the ranking key log_weight + g is then a deterministic IEEE
+    * double sum of two 6dp-rounded doubles — ordered unrounded,
+    * surfaced re-rounded, doc_id tie-break.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":" + DsirSelectSeed))), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+    val g = floor(-log(-log(u)) * 1000000 + lit(0.5)) / 1000000
+    val top = dsirWeights(spark, dir)
+      .withColumn("key", col("log_weight") + g)
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(DsirSelectK)
+    val wr = Window.orderBy(col("key").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(wr))
+      .select(col("doc_id"), col("log_weight"),
+        (floor(col("key") * 1000000 + lit(0.5)) / 1000000).as("gkey"),
+        col("rank"))
+  }
+
   private[graft] def dsirIndexPath(dir: String): String =
     IndexStore.path("dsir-buckets-v1", dir)
 

@@ -1950,10 +1950,17 @@ object DuckSql {
     * equals Spark's pmod), target/raw bucket counts, and the
     * difference-of-logs ratio in the identical arithmetic order.
     */
-  val dsirWeights: String = {
+  val dsirWeights: String =
+    s"WITH ${dsirWeightCtes("dw")} SELECT * FROM dw"
+
+  /** The DSIR weight pipeline as CTEs ending in
+    * `<out>(doc_id, n_feats, log_weight)` — shared by dsirWeights and
+    * dsirSelect.
+    */
+  private def dsirWeightCtes(out: String): String = {
     import graft.operators.CorpusStats.{DsirBuckets, OodTrainSource}
     val src = sq(OodTrainSource)
-    s"""WITH n AS (SELECT doc_id, source,
+    s"""n AS (SELECT doc_id, source,
        |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |              x -> x <> '') AS ws FROM documents),
        |gr AS (
@@ -1977,10 +1984,32 @@ object DuckSql {
        |                         - ln((bkt.rc + 1)::DOUBLE / (tot.rt + $DsirBuckets)))
        |                    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
        |       FROM df d JOIN bkt USING (b), tot
-       |       WHERE d.source <> '$src')
-       |SELECT doc_id, sum(n)::BIGINT AS n_feats,
+       |       WHERE d.source <> '$src'),
+       |$out AS (SELECT doc_id, sum(n)::BIGINT AS n_feats,
        |  floor(sum(part)::DOUBLE * 1000000 + 0.5) / 1000000 AS log_weight
-       |FROM sc GROUP BY doc_id""".stripMargin
+       |FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.dsirSelect: the same weight CTEs, the
+    * shuffle_assign 60-bit hash → uniform in (0,1) → 6dp-rounded
+    * Gumbel noise, rank on the unrounded double key.
+    */
+  val dsirSelect: String = {
+    import graft.operators.CorpusStats.{DsirSelectK, DsirSelectSeed}
+    s"""WITH ${dsirWeightCtes("w")},
+       |gh AS (SELECT doc_id, log_weight,
+       |  ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(DsirSelectSeed)}'), 1, 15))::BIGINT AS h
+       |  FROM w),
+       |gk AS (SELECT doc_id, log_weight,
+       |  log_weight + floor(-ln(-ln((h + 0.5) / 1152921504606846976.0))
+       |                     * 1000000 + 0.5) / 1000000 AS key
+       |  FROM gh),
+       |sel AS (SELECT doc_id, log_weight, key FROM gk
+       |        ORDER BY key DESC, doc_id LIMIT $DsirSelectK)
+       |SELECT doc_id, log_weight,
+       |  floor(key * 1000000 + 0.5) / 1000000 AS gkey,
+       |  row_number() OVER (ORDER BY key DESC, doc_id)::INT AS rank
+       |FROM sel""".stripMargin
   }
 
   /** Mirror of CorpusStats.bpePairs: vocabulary from the shared
@@ -2253,6 +2282,40 @@ object DuckSql {
        |FROM cand_ex ex LEFT JOIN cand_ivf iv
        |  ON iv.q_id = ex.q_id AND iv.doc_id = ex.doc_id
        |GROUP BY ex.q_id""".stripMargin
+  }
+
+  /** Mirror of Similarity.hardNegatives: the same unrolled k-means
+    * probe chain as the MMR IVF pool, ranked by unrounded cosine with
+    * vec_id tie-break, band (HnSkip, HnSkip+HnK].
+    */
+  val hardNegatives: String = {
+    import graft.operators.Similarity.{HnK, HnSkip}
+    s"""WITH hc0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("hc0", "ha1")},
+       |${kmRecomputeCte("ha1", "hc1")},
+       |${kmAssignCte("hc1", "ha2")},
+       |${kmRecomputeCte("ha2", "hc2")},
+       |${kmAssignCte("hc2", "hidx")},
+       |hprobes AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, hc2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |hsc AS (SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+       |  FROM hprobes p JOIN hidx x ON x.cid = p.pcid
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id)
+       |SELECT q_id, vec_id AS neg_id, round(s, 6) AS sim,
+       |  (rank - $HnSkip)::INT AS neg_rank
+       |FROM (SELECT q_id, vec_id, s,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY s DESC, vec_id) AS rank
+       |      FROM hsc)
+       |WHERE rank > $HnSkip AND rank <= ${HnSkip + HnK}
+       |ORDER BY q_id, neg_rank""".stripMargin
   }
 
   /** Mirror of Similarity.mmrRerank: the IVF-probed pool (r8 — the

@@ -302,6 +302,35 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(lw("a b") > 0 && lw("z z") < 0)
   }
 
+  test("dsir_select: deterministic Gumbel top-k favors target-like docs") {
+    val out = CorpusStats.dsirSelect(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    // exactly min(K, pool) rows, ranks 1..n, gkey non-increasing in rank
+    assert(out.nonEmpty && out.length <= CorpusStats.DsirSelectK)
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._4).toSeq === (1 to out.length))
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a._3 >= b._3
+      case _ => true
+    })
+    // reproducible: the sample is a pure function of (doc_id, seed)
+    val again = CorpusStats.dsirSelect(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(again.toSeq === out.toSeq)
+    // importance bias: the selected mean log-weight beats the pool mean
+    // (Gumbel noise is weight-independent, so selection must tilt up)
+    val pool = CorpusStats.dsirWeights(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getDouble(2))
+    if (out.length < pool.length) {
+      val selMean = out.map(_._2).sum / out.length
+      val poolMean = pool.sum / pool.length
+      assert(selMean > poolMean,
+        s"selected mean $selMean must beat pool mean $poolMean")
+    } else assert(out.length === pool.length) // K covers the whole pool
+  }
+
   test("bpe_pairs: frequency-weighted char pairs, distinct-type counts") {
     val dir = fixtureDir(docs = Seq(
       doc(1, "ab ab cab"), doc(2, "ab b"), doc(3, "aaa")))

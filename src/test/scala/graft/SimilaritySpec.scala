@@ -315,4 +315,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rec.forall { case (_, m, r) =>
       m >= 0 && m <= Similarity.MmrPool && r >= 0.0 && r <= 1.0 })
   }
+
+  test("hard_negatives: the probe band below the serving depth") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val negs = Similarity.hardNegatives(spark, dir)
+      .select($"q_id", $"neg_id", $"sim", $"neg_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(negs.nonEmpty)
+    // band invariants: ranks 1..HnK per query, sims non-increasing
+    negs.groupBy(_._1).foreach { case (_, ns) =>
+      val byRank = ns.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to ns.length))
+      assert(byRank.length <= Similarity.HnK)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+    // consistency with the serving pool: a mined negative is exactly a
+    // pool candidate at depth HnSkip+1..HnSkip+HnK (MmrPool covers the
+    // band, so the pool must contain every negative BELOW its own top)
+    val pool = Similarity.mmrPoolIvf(spark, dir)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(Similarity.HnSkip + Similarity.HnK <= Similarity.MmrPool)
+    assert(negs.forall { case (q, d, _, _) => pool.contains((q, d)) })
+  }
 }
