@@ -39,6 +39,7 @@ object SparkEntry {
     "revenue_rollup" -> (Analytics.revenueRollup _),
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
+    "embedding_norms"   -> (Similarity.embeddingNorms _),
     "sim_topk"          -> (Similarity.simTopk _),
     "knn_join"          -> (Similarity.knnJoin _),
     "neardup_embedding" -> (Similarity.nearDupEmbedding _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "decontaminate"     -> (Curation.decontaminate _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
+    "pack_stats"        -> (Curation.packStats _),
     "shuffle_assign"    -> (Curation.shuffleAssign _),
     "export_manifest"   -> (Curation.exportManifest _),
     "quality_filter"    -> (Curation.qualityFilter _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
+    "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
     "dsir_weights" -> (CorpusStats.dsirWeights _),
@@ -551,6 +554,7 @@ object SparkEntry {
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
+    "pack_stats"        -> graft.oracle.DuckSql.packStats,
     "shuffle_assign"    -> graft.oracle.DuckSql.shuffleAssign,
     "export_manifest"   -> graft.oracle.DuckSql.exportManifest,
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
@@ -596,6 +600,8 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
+    "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
+    "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

@@ -264,6 +264,48 @@ object CorpusStats {
   private[graft] def perplexityScoreOf(docs: DataFrame): DataFrame =
     scoreAgainstLm(docs, bigramLmOf(docs).localCheckpoint())
 
+  /** ccnet_buckets: CCNet's head/middle/tail corpus split (Wenzek et
+    * al., LREC 2020 §4.3 — the crawl is sorted by LM perplexity per
+    * language and cut into thirds; "head" feeds the highest-quality
+    * training mixes): every doc's [[perplexityScore]] against the
+    * frozen in-domain LM, bucketed by per-language TERCILES of the
+    * discrete 4dp perplexity histogram.
+    *
+    * Scale shape: scoring is the frozen-LM probe; the tercile
+    * thresholds come from a (lang, ppl) VALUE-histogram cumulative
+    * (the hist_quantiles posture — never a per-language total order
+    * over the corpus), and the bucket assignment is a broadcast join
+    * of the ≤|langs|-row threshold table back onto the scored frame.
+    *
+    * Parity: ppl is already 4dp; thresholds use the integer-position
+    * rule shared with quality_thresholds; buckets are closed on the
+    * left (ppl ≤ t1 → head) so ties land identically in both engines.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = perplexityScore(spark, dir)
+      .select(col("doc_id"), col("lang"), col("ppl"))
+      .localCheckpoint() // feeds the histogram AND the assignment join
+    val hist = scored.groupBy(col("lang"), col("ppl"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("ppl"))
+    val wAll = Window.partitionBy(col("lang"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) * 1 div 3") + 1, col("ppl")))
+          .as("t1"),
+        min(when(col("cum") >= expr("(n - 1) * 2 div 3") + 1, col("ppl")))
+          .as("t2"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def lmIndexPath(dir: String): String =
     IndexStore.path("bigram-lm-v1", dir)
 

@@ -188,6 +188,38 @@ object Curation {
       .withColumn("bin", floor(col("offset") / lit(PackBudget)).cast("long"))
   }
 
+  /** pack_stats: the per-shard packing audit over [[packSequences]] —
+    * the operational numbers a training-export owner watches: sequences
+    * produced (bins), fill ratio of the bin capacity, and DOC-BOUNDARY
+    * STRADDLES (documents split across two training sequences — the
+    * concat-and-chunk cost: attention bleeds across the cut, and both
+    * halves lose context; the fraction tells you whether the budget is
+    * sized sanely for the document length distribution).
+    *
+    * Pure consumer of the pack frame: one shard-sized partial agg.
+    * All-integer floor-div on nonnegative operands (offset ≥ 0), so
+    * Spark's `div` and DuckDB's `//` agree; ratios floor-round at 4dp.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val B = PackBudget
+    val straddles = col("n_tokens") > 0 &&
+      expr(s"`offset` div $B") =!= expr(s"(`offset` + n_tokens - 1) div $B")
+    packSequences(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(straddles, 1L).otherwise(0L)).as("straddle_docs"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        expr(s"(greatest(total_tokens, 1) - 1) div $B + 1").as("n_bins"),
+        col("straddle_docs"),
+        (floor(col("straddle_docs").cast("double") / col("n_docs")
+          * 10000 + lit(0.5)) / 10000).as("straddle_frac"),
+        (floor(col("total_tokens").cast("double")
+          / (expr(s"(greatest(total_tokens, 1) - 1) div $B + 1") * B)
+          * 10000 + lit(0.5)) / 10000).as("fill_ratio"))
+      .orderBy(col("shard"))
+  }
+
   /** shuffle_assign seed + shard count. The 60-bit key (15 md5 hex
     * chars) stays exact in any engine's signed 64-bit integer.
     */

@@ -1474,16 +1474,65 @@ object DuckSql {
     * and budget bins, integer arithmetic end-to-end. pmod shard id to
     * match Spark's pmod for any doc_id sign.
     */
-  val packSequences: String = {
+  val packSequences: String =
+    s"WITH ${packSequencesCtes("pk")} SELECT * FROM pk"
+
+  /** The sequence-packing pipeline as CTEs ending in
+    * `<out>(doc_id, shard, n_tokens, offset, bin)` — shared by
+    * packSequences and packStats.
+    */
+  private def packSequencesCtes(out: String): String = {
     import graft.operators.Curation.{PackBudget, PackShards}
-    s"""WITH n AS (SELECT doc_id, (((doc_id % $PackShards) + $PackShards) % $PackShards)::INT AS shard,
+    s"""n AS (SELECT doc_id, (((doc_id % $PackShards) + $PackShards) % $PackShards)::INT AS shard,
        |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |      x -> x <> ''))::BIGINT AS n_tokens FROM documents),
        |o AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |        ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset" FROM n)
-       |SELECT doc_id, shard, n_tokens, "offset",
-       |  floor("offset" / $PackBudget)::BIGINT AS bin FROM o""".stripMargin
+       |        ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset" FROM n),
+       |$out AS (SELECT doc_id, shard, n_tokens, "offset",
+       |  floor("offset" / $PackBudget)::BIGINT AS bin FROM o)""".stripMargin
   }
+
+  /** Mirror of Curation.packStats: per-shard packing audit over the
+    * same CTEs — bin count from the exact token total, boundary
+    * straddles via nonnegative integer floor-div (operands ≥ 0, so
+    * DuckDB's `//` equals Spark's `div`).
+    */
+  val packStats: String = {
+    import graft.operators.Curation.PackBudget
+    val B = PackBudget
+    s"""WITH ${packSequencesCtes("pk")},
+       |ag AS (SELECT shard, count(*)::BIGINT AS n_docs,
+       |         sum(n_tokens)::BIGINT AS total_tokens,
+       |         sum(CASE WHEN n_tokens > 0 AND
+       |               ("offset" // $B) <> (("offset" + n_tokens - 1) // $B)
+       |             THEN 1 ELSE 0 END)::BIGINT AS straddle_docs
+       |       FROM pk GROUP BY shard)
+       |SELECT shard, n_docs, total_tokens,
+       |  ((greatest(total_tokens, 1) - 1) // $B + 1)::BIGINT AS n_bins,
+       |  straddle_docs,
+       |  floor(straddle_docs::DOUBLE / n_docs * 10000 + 0.5) / 10000
+       |    AS straddle_frac,
+       |  floor(total_tokens::DOUBLE
+       |        / (((greatest(total_tokens, 1) - 1) // $B + 1) * $B)
+       |        * 10000 + 0.5) / 10000 AS fill_ratio
+       |FROM ag ORDER BY shard""".stripMargin
+  }
+
+  /** Mirror of Similarity.embeddingNorms: 6dp norms (irrational sqrt —
+    * round() safe), exact DECIMAL mean re-rounded via the floor
+    * primitive.
+    */
+  val embeddingNorms: String =
+    s"""WITH nm AS (SELECT label,
+       |  round(sqrt(list_sum(list_transform(range(1,65),
+       |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS norm
+       |  FROM embeddings)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_vecs,
+       |  floor(sum(CAST(norm AS DECIMAL(18,6)))::DOUBLE / count(*)
+       |        * 1000000 + 0.5) / 1000000 AS mean_norm,
+       |  min(norm) AS min_norm, max(norm) AS max_norm
+       |FROM nm GROUP BY label ORDER BY label""".stripMargin
 
   /** Mirror of Curation.shuffleAssign: the same 60-bit seeded md5 key
     * (15 hex chars stay exact in a signed BIGINT; key >= 0 so plain %
@@ -1815,7 +1864,14 @@ object DuckSql {
     * lists), matching lead(w, 1).
     */
   val perplexityScore: String =
-    s"""$normCte,
+    s"WITH ${perplexityScoreCtes("px")} SELECT * FROM px"
+
+  /** The in-domain perplexity pipeline as CTEs ending in
+    * `<out>(doc_id, lang, n_bigrams, avg_nll, ppl)` — shared by
+    * perplexityScore and ccnetBuckets. (normCte already opens WITH.)
+    */
+  private def perplexityScoreCtes(out: String): String =
+    s"""${normCte.stripPrefix("WITH ")},
        |bo AS (SELECT doc_id, lang,
        |  unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS w1,
        |  unnest(list_transform(range(1, len(ws)), j -> ws[j+1])) AS w2
@@ -1836,12 +1892,35 @@ object DuckSql {
        |  JOIN vv ON vv.lang = d.lang),
        |ag AS (SELECT doc_id, lang, sum(n)::BIGINT AS n_bigrams,
        |              sum(part) AS nll_sum
-       |       FROM sc GROUP BY doc_id, lang)
-       |SELECT doc_id, lang, n_bigrams,
+       |       FROM sc GROUP BY doc_id, lang),
+       |$out AS (SELECT doc_id, lang, n_bigrams,
        |  floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_nll,
        |  floor(exp(floor(nll_sum::DOUBLE / n_bigrams * 1000000 + 0.5) / 1000000)
        |        * 10000 + 0.5) / 10000 AS ppl
-       |FROM ag""".stripMargin
+       |FROM ag)""".stripMargin
+
+  /** Mirror of CorpusStats.ccnetBuckets: the same perplexity CTEs, the
+    * hist_quantiles integer-position tercile rule over the discrete 4dp
+    * ppl histogram, head ≤ t1 < middle ≤ t2 < tail.
+    */
+  val ccnetBuckets: String =
+    s"""WITH ${perplexityScoreCtes("px")},
+       |h AS (SELECT lang, ppl, count(*)::BIGINT AS c FROM px
+       |      GROUP BY lang, ppl),
+       |cm AS (SELECT lang, ppl,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+       |         sum(c) OVER (PARTITION BY lang) AS n
+       |       FROM h),
+       |th AS (SELECT lang,
+       |         min(CASE WHEN cum >= (n - 1) * 1 // 3 + 1 THEN ppl END) AS t1,
+       |         min(CASE WHEN cum >= (n - 1) * 2 // 3 + 1 THEN ppl END) AS t2
+       |       FROM cm GROUP BY lang)
+       |SELECT px.doc_id, px.lang, px.ppl,
+       |  CASE WHEN px.ppl <= th.t1 THEN 'head'
+       |       WHEN px.ppl <= th.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM px JOIN th ON th.lang = px.lang
+       |ORDER BY px.doc_id""".stripMargin
 
   /** Mirror of CorpusStats.perplexityOod: LM counts from the training
     * source only, scored docs from every other source. LEFT joins give

@@ -142,4 +142,49 @@ class CurationSpec extends SparkSpecBase {
       }.toSet
     assert(rows(Curation.exportManifest(spark, d)) === expected)
   }
+
+  test("pack_stats: bins, fill, and boundary straddles from known tokens") {
+    // one shard (ids ≡ 0 mod 8): 3 docs of 400/200/100 tokens under
+    // budget 512 → offsets 0/400/600; the 200-token doc straddles the
+    // 512 boundary (bins 0→1), the others do not; total 700 → 2 bins.
+    assert(Curation.PackBudget === 512)
+    val d = fixtureDir(docs = Seq(
+      doc(0, Seq.fill(400)("w").mkString(" ")),
+      doc(8, Seq.fill(200)("x").mkString(" ")),
+      doc(16, Seq.fill(100)("y").mkString(" "))))
+    val out = Curation.packStats(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getInt(0) === 0) // shard
+    assert(r.getLong(1) === 3L) // n_docs
+    assert(r.getLong(2) === 700L) // total_tokens
+    assert(r.getLong(3) === 2L) // n_bins
+    assert(r.getLong(4) === 1L) // straddle_docs (the 400..599 doc)
+    assert(r.getDouble(5) === 0.3333) // 1/3 at 4dp
+    assert(r.getDouble(6) === 0.6836) // 700/1024 at 4dp
+  }
+
+  test("ccnet_buckets: buckets are contiguous perplexity terciles") {
+    val out = graft.operators.CorpusStats
+      .ccnetBuckets(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, ds) =>
+      def maxP(b: String) = ds.filter(_._3 == b).map(_._2)
+      def minP(b: String) = ds.filter(_._3 == b).map(_._2)
+      // contiguity: every head ppl <= every middle ppl <= every tail ppl
+      for {
+        (lo, hi) <- Seq("head" -> "middle", "middle" -> "tail")
+        if maxP(lo).nonEmpty && minP(hi).nonEmpty
+      } assert(maxP(lo).max <= minP(hi).min,
+        s"$lo must not exceed $hi")
+      // tercile balance: t1 is the smallest ppl whose cumulative count
+      // reaches position (n-1) div 3 + 1, so head (ppl <= t1) must hold
+      // at least that many docs
+      val n = ds.length
+      val heads = ds.count(_._3 == "head")
+      assert(heads >= (n - 1) / 3 + 1,
+        s"head tercile too small: $heads of $n")
+    }
+  }
 }

@@ -316,6 +316,20 @@ class SimilaritySpec extends SparkSpecBase {
       m >= 0 && m <= Similarity.MmrPool && r >= 0.0 && r <= 1.0 })
   }
 
+  test("embedding_norms: known norms, zero vectors counted per label") {
+    // label 0: norms 5.0 and 0 (a broken zero vector); label 1: norm 1.0
+    val d = fixtureDir(embs = Seq(
+      Emb(0, vec(3.0, 4.0), 0),
+      Emb(1, vec(0.0, 0.0), 0),
+      Emb(2, vec(1.0), 1)))
+    val out = Similarity.embeddingNorms(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0, 2L, 1L, 2.5, 0.0, 5.0), // mean (5+0)/2, min 0, max 5
+      (1, 1L, 0L, 1.0, 1.0, 1.0)))
+  }
+
   test("hard_negatives: the probe band below the serving depth") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
