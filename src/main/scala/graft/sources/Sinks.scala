@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft,
+  shiftright}
 
 /** Write-side of the engine: layouts that make the NEXT read fast.
   *
@@ -81,12 +82,35 @@ object Sinks {
     * ~√(files) of their range). The standard lakehouse layout move
     * (Delta/Iceberg OPTIMIZE ZORDER) expressed with plain Spark
     * primitives.
+    *
+    * Both dimensions are MSB-ALIGNED to [[ZBits]] bits from their
+    * write-time min/max before interleaving (one cheap agg — this is a
+    * write-once layout). Raw interleaving only works for dims of equal
+    * bit width: a 16-bit doc_id against a 10-bit n_chars leaves the
+    * id's top 6 bits uncontested, the curve degenerates to a plain
+    * doc_id sort, and the second dim prunes NOTHING (measured on the
+    * 10× corpus — 64/64 files read; aligned: see BASELINE.md). The
+    * alignment is two power-of-two shifts (exact, overflow-free,
+    * codegen'd literals): down-shift ranges wider than ZBits, then
+    * up-shift so both top bits land at position ZBits−1.
     */
   def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
       numPartitions: Int = 0): Unit = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.withColumn("__z", zKey(col(a).cast("long"), col(b).cast("long")))
+    val r = df.agg(
+      min(col(a)).cast("long"), max(col(a)).cast("long"),
+      min(col(b)).cast("long"), max(col(b)).cast("long")).head()
+    def aligned(c: Column, lo: Long, hi: Long): Column = {
+      val range = hi - lo
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(range)
+      val down = math.max(0, bits - ZBits)
+      val up = ZBits - math.min(bits, ZBits)
+      shiftleft(shiftright(c.cast("long") - lit(lo), down), up)
+    }
+    df.withColumn("__z", zKey(
+        aligned(col(a), r.getLong(0), r.getLong(1)),
+        aligned(col(b), r.getLong(2), r.getLong(3))))
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
