@@ -125,6 +125,7 @@ object SparkEntry {
     "corpus_card" -> (CorpusStats.corpusCard _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
+    "signal_corr" -> (CorpusStats.signalCorr _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
     "dsir_weights" -> (CorpusStats.dsirWeights _),
@@ -601,6 +602,7 @@ object SparkEntry {
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
+    "signal_corr" -> graft.oracle.DuckSql.signalCorr,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

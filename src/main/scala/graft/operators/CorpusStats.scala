@@ -306,6 +306,59 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** signal_corr: per-language Pearson correlation between the CHEAP
+    * quality signal (the 4dp heuristic composite every gate uses) and
+    * the EXPENSIVE one (frozen-LM avg negative log-likelihood) — the
+    * standing calibration audit for a multi-signal curation stack: if
+    * the heuristic stops tracking the LM on some language, its
+    * per-language thresholds are stale (the CCNet/Gopher practice of
+    * cross-validating filters before trusting either at scale).
+    *
+    * Scale shape: both signal frames are per-doc map/probe passes; one
+    * equi-join on doc_id, one lang-sized partial agg of integer-unit
+    * moments, closed-form r per language (the zipf_fit least-squares
+    * posture applied to correlation).
+    *
+    * Parity + bounds: both signals round to 4dp integer units (score
+    * ≤ 1e4, nll-unit ≤ ~4e5), so per-row products stay ≤ 4e9 in a
+    * long and every DECIMAL(38,0) moment product stays ≤ ~1e33 at the
+    * 1e11-docs-per-language design point — 5 orders of headroom under
+    * the decimal cap (the q11 rule, stated because non-ANSI overflow
+    * NULLs would silently blank the correlation). One double
+    * num/sqrt(dx·dy) at the end, operation order mirrored verbatim.
+    */
+  def signalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreCol.as("score"))
+    val p = perplexityScore(spark, dir)
+      .select(col("doc_id").as("pdid"), col("avg_nll"))
+    val j = q.join(p, col("doc_id") === col("pdid"))
+      .select(col("lang"),
+        floor(col("score") * 10000 + lit(0.5)).cast("long").as("xu"),
+        floor(col("avg_nll") * 10000 + lit(0.5)).cast("long").as("yu"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val m = j.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      sum(d(col("xu"))).as("sx"), sum(d(col("yu"))).as("sy"),
+      sum(d(col("xu") * col("yu"))).as("sxy"),
+      sum(d(col("xu") * col("xu"))).as("sxx"),
+      sum(d(col("yu") * col("yu"))).as("syy"))
+    val num = (d(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val dx = (d(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dy = (d(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    m.select(col("lang"), col("n").as("n_docs"),
+      when(col("n") > 1 && dx =!= 0.0 && dy =!= 0.0,
+        floor(num / sqrt(dx * dy) * 10000 + lit(0.5)) / 10000)
+        .as("corr"))
+      .orderBy(col("lang"))
+  }
+
   private[graft] def lmIndexPath(dir: String): String =
     IndexStore.path("bigram-lm-v1", dir)
 

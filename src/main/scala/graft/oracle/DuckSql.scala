@@ -1922,6 +1922,30 @@ object DuckSql {
        |FROM px JOIN th ON th.lang = px.lang
        |ORDER BY px.doc_id""".stripMargin
 
+  /** Mirror of CorpusStats.signalCorr: the quality-score CTEs joined
+    * with the perplexity CTEs on doc_id (no CTE-name collision: w/m/s
+    * vs n/bo/db/c2/c1/vv/sc/ag/px), 4dp integer units on both signals,
+    * HUGEINT moments, one double num/sqrt(dx·dy) in mirrored order.
+    */
+  val signalCorr: String =
+    s"""$qualityScoreCtes,
+       |${perplexityScoreCtes("px")},
+       |jm AS (SELECT s.lang,
+       |  CAST(floor(s.score * 10000 + 0.5) AS BIGINT) AS xu,
+       |  CAST(floor(px.avg_nll * 10000 + 0.5) AS BIGINT) AS yu
+       |  FROM s JOIN px ON px.doc_id = s.doc_id),
+       |mo AS (SELECT lang, count(*) AS n,
+       |  sum(xu)::HUGEINT AS sx, sum(yu)::HUGEINT AS sy,
+       |  sum(xu*yu)::HUGEINT AS sxy, sum(xu*xu)::HUGEINT AS sxx,
+       |  sum(yu*yu)::HUGEINT AS syy FROM jm GROUP BY lang)
+       |SELECT lang, n::BIGINT AS n_docs,
+       |  CASE WHEN n > 1 AND (n*sxx - sx*sx)::DOUBLE <> 0.0
+       |            AND (n*syy - sy*sy)::DOUBLE <> 0.0 THEN
+       |    floor((n*sxy - sx*sy)::DOUBLE
+       |          / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       |          * 10000 + 0.5) / 10000 END AS corr
+       |FROM mo ORDER BY lang""".stripMargin
+
   /** Mirror of CorpusStats.perplexityOod: LM counts from the training
     * source only, scored docs from every other source. LEFT joins give
     * the smoothed unseen floors (coalesce counts to 0, exactly the

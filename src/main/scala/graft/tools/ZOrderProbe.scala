@@ -71,6 +71,32 @@ object ZOrderProbe {
           s"(probes: doc_id=[${idProbe._1},${idProbe._2}] " +
           s"n_chars=[${chProbe._1},${chProbe._2}])")
     }
+
+    // tenant layout: directory prune (shard) then row-group prune
+    // (user min/max within the shard's sorted files)
+    import graft.operators.Tenancy
+    Tenancy.writeTenantLayout(spark, dir, s"$base/tenants")
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      val f = new java.io.File(p)
+      if (!f.exists) Nil
+      else f.listFiles.toSeq.flatMap { c =>
+        if (c.isDirectory) parquetFiles(c.getPath)
+        else if (c.getName.endsWith(".parquet")) Seq(c) else Nil
+      }
+    }
+    val total = parquetFiles(s"$base/tenants").size
+    val user = spark.read.parquet(s"$base/tenants")
+      .select(max(col("user_id"))).head.getLong(0) / 2
+    val shardDir =
+      s"$base/tenants/tenant_shard=${Tenancy.shardOf(user)}"
+    val shardFiles = parquetFiles(shardDir).size
+    val userFiles = spark.read.parquet(shardDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+      .filter(col("lo") <= user && col("hi") >= user)
+      .count()
+    println(s"TENANT total_files=$total shard_files=$shardFiles " +
+      s"user_files=$userFiles (user=$user shard=${Tenancy.shardOf(user)})")
     spark.stop()
   }
 }

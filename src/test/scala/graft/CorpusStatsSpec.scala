@@ -331,6 +331,40 @@ class CorpusStatsSpec extends SparkSpecBase {
     } else assert(out.length === pool.length) // K covers the whole pool
   }
 
+  test("signal_corr: matches a Pearson recompute from the signal frames") {
+    val dir = "/root/testdata/sf0.001"
+    val scores = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    val langNll = CorpusStats.perplexityScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // recompute per-lang r with the operator's own unit/moment rules
+    def u4(x: Double) = math.floor(x * 10000 + 0.5).toLong
+    val expected = langNll.filter(t => scores.contains(t._1))
+      .groupBy(_._2).map { case (lang, ds) =>
+        val xs = ds.map(d => u4(scores(d._1)))
+        val ys = ds.map(d => u4(d._3))
+        val n = BigInt(ds.length)
+        def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+        def sp(a: Seq[Long], b: Seq[Long]) =
+          a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+        val num = (n * sp(xs, ys) - s(xs) * s(ys)).toDouble
+        val dx = (n * sp(xs, xs) - s(xs) * s(xs)).toDouble
+        val dy = (n * sp(ys, ys) - s(ys) * s(ys)).toDouble
+        val corr =
+          if (ds.length > 1 && dx != 0.0 && dy != 0.0)
+            Some(math.floor(num / math.sqrt(dx * dy) * 10000 + 0.5) / 10000)
+          else None
+        lang -> (ds.length.toLong, corr)
+      }
+    val out = CorpusStats.signalCorr(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out === expected)
+    // the audit must be non-degenerate on the real corpus
+    assert(out.values.exists(_._2.isDefined))
+  }
+
   test("bpe_pairs: frequency-weighted char pairs, distinct-type counts") {
     val dir = fixtureDir(docs = Seq(
       doc(1, "ab ab cab"), doc(2, "ab b"), doc(3, "aaa")))
