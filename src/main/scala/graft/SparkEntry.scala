@@ -138,6 +138,7 @@ object SparkEntry {
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
     "mmr_pool_recall" -> (Similarity.mmrPoolRecall _),
+    "rag_context" -> (Similarity.ragContext _),
     "hard_negatives" -> (Similarity.hardNegatives _),
     "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
@@ -616,6 +617,7 @@ object SparkEntry {
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,
     "mmr_pool_recall" -> graft.oracle.DuckSql.mmrPoolRecall,
+    "rag_context" -> graft.oracle.DuckSql.ragContext,
     "hard_negatives" -> graft.oracle.DuckSql.hardNegatives,
     "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )

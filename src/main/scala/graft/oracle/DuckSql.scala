@@ -2428,6 +2428,16 @@ object DuckSql {
     * tie-breaks.
     */
   val mmrRerank: String = {
+    import graft.operators.Similarity.MmrK
+    s"${mmrRerankCtes()} SELECT q_id, doc_id, simq, pick::INT AS pick " +
+      s"FROM sel$MmrK"
+  }
+
+  /** The full unrolled MMR pipeline as CTEs ending in
+    * `sel<MmrK>(q_id, doc_id, simq, pick)` — shared by mmrRerank and
+    * ragContext. Returns the complete `WITH ...` prefix.
+    */
+  private def mmrRerankCtes(): String = {
     import graft.operators.Similarity.{MmrGamma, MmrK, MmrLambda}
     val head =
       s"""WITH ${mmrIvfPoolCtes("cand")},
@@ -2462,8 +2472,21 @@ object DuckSql {
          |          SELECT q_id, doc_id, simq, pick FROM pick$k)""".stripMargin
     }
     s"""$head,
-       |${rounds.mkString(",\n")}
-       |SELECT q_id, doc_id, simq, pick::INT AS pick FROM sel$MmrK""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Mirror of Similarity.ragContext: the MMR picks joined back to
+    * their document text, assembled in pick order (string_agg with
+    * chr(10) — a literal '\n' would be backslash-n in DuckDB).
+    */
+  val ragContext: String = {
+    import graft.operators.Similarity.MmrK
+    s"""${mmrRerankCtes()},
+       |fin AS (SELECT q_id, doc_id, pick FROM sel$MmrK)
+       |SELECT f.q_id, count(*)::BIGINT AS n_ctx,
+       |  string_agg(d.text, chr(10) ORDER BY f.pick) AS context
+       |FROM fin f JOIN documents d ON d.doc_id = f.doc_id
+       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
   }
 
   /** Mirror of Analytics.cheapestSupplier: the argmin join-back — min

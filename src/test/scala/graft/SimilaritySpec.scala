@@ -330,6 +330,25 @@ class SimilaritySpec extends SparkSpecBase {
       (1, 1L, 0L, 1.0, 1.0, 1.0)))
   }
 
+  test("rag_context: assembles the MMR picks' text in pick order") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val picks = Similarity.mmrRerank(spark, dir)
+      .select($"q_id", $"doc_id", $"pick").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+    val ctx = Similarity.ragContext(spark, dir)
+      .select($"q_id", $"n_ctx", $"context").as[(Long, Long, String)]
+      .collect()
+    assert(ctx.nonEmpty && ctx.length === picks.size)
+    ctx.foreach { case (q, n, c) =>
+      val expected = picks(q).sortBy(_._3).map(p => texts(p._2))
+      assert(n === expected.length)
+      assert(c === expected.mkString("\n"))
+    }
+  }
+
   test("hard_negatives: the probe band below the serving depth") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
