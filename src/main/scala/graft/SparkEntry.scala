@@ -108,6 +108,7 @@ object SparkEntry {
     "export_manifest"   -> (Curation.exportManifest _),
     "quality_filter"    -> (Curation.qualityFilter _),
     "curate_corpus"     -> (Curation.curateCorpus _),
+    "classifier_examples" -> (Curation.classifierExamples _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
@@ -604,6 +605,7 @@ object SparkEntry {
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,
+    "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -220,6 +220,36 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** classifier_examples: the quality-classifier TRAINING SET export —
+    * the CCNet/LLaMA practice of distilling the expensive signal into a
+    * cheap model (CCNet trains fastText on Wikipedia-vs-crawl; LLaMA
+    * trains a classifier on "references-Wikipedia" pages): label = the
+    * frozen-LM head/tail tercile ([[CorpusStats.ccnetBuckets]], middle
+    * dropped as ambiguous), features = the heuristic quality
+    * sub-signals every gate already computes. A downstream fastText /
+    * logistic model trains on this frame and replaces the LM probe on
+    * the 99% of the corpus where the cheap signals suffice.
+    *
+    * Scale shape: two per-doc frames (map scan + frozen-LM probe), one
+    * doc_id equi-join, the |langs|-row threshold join rides broadcast
+    * inside ccnetBuckets. Map-shaped after the joins.
+    */
+  def classifierExamples(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = CorpusStats.ccnetBuckets(spark, dir)
+      .filter(col("bucket") =!= "middle")
+      .select(col("doc_id").as("ld"),
+        when(col("bucket") === "head", 1).otherwise(0).as("label"))
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id").as("dd"), col("lang"))
+    TextAnalysis.qualityScore(spark, dir)
+      .join(lbl, col("doc_id") === col("ld"))
+      .join(lang, col("doc_id") === col("dd"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("avg_word_len"), col("stopword_ratio"), col("punct_ratio"),
+        col("label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** shuffle_assign seed + shard count. The 60-bit key (15 md5 hex
     * chars) stays exact in any engine's signed 64-bit integer.
     */

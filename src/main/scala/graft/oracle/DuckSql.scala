@@ -1903,9 +1903,12 @@ object DuckSql {
     * hist_quantiles integer-position tercile rule over the discrete 4dp
     * ppl histogram, head ≤ t1 < middle ≤ t2 < tail.
     */
-  val ccnetBuckets: String =
-    s"""WITH ${perplexityScoreCtes("px")},
-       |h AS (SELECT lang, ppl, count(*)::BIGINT AS c FROM px
+  /** Per-language tercile thresholds `th(lang, t1, t2)` over a
+    * perplexity CTE `px` — shared by ccnetBuckets and
+    * classifierExamples.
+    */
+  private val ccnetThresholdCtes: String =
+    s"""h AS (SELECT lang, ppl, count(*)::BIGINT AS c FROM px
        |      GROUP BY lang, ppl),
        |cm AS (SELECT lang, ppl,
        |         sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
@@ -1914,13 +1917,47 @@ object DuckSql {
        |th AS (SELECT lang,
        |         min(CASE WHEN cum >= (n - 1) * 1 // 3 + 1 THEN ppl END) AS t1,
        |         min(CASE WHEN cum >= (n - 1) * 2 // 3 + 1 THEN ppl END) AS t2
-       |       FROM cm GROUP BY lang)
+       |       FROM cm GROUP BY lang)""".stripMargin
+
+  val ccnetBuckets: String =
+    s"""WITH ${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes
        |SELECT px.doc_id, px.lang, px.ppl,
        |  CASE WHEN px.ppl <= th.t1 THEN 'head'
        |       WHEN px.ppl <= th.t2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM px JOIN th ON th.lang = px.lang
        |ORDER BY px.doc_id""".stripMargin
+
+  /** Mirror of Curation.classifierExamples: the quality sub-signal
+    * features (unique qw/qm/qs CTE names — no collision with the
+    * perplexity chain) labeled by the CCNet head/tail split; middle
+    * tercile excluded.
+    */
+  val classifierExamples: String =
+    s"""WITH qw AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |qm AS (SELECT doc_id, lang, len(t) AS n_words,
+       |  list_sum(list_transform(t, x -> length(x))) AS char_sum,
+       |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
+       |  FROM qw),
+       |qs AS (SELECT doc_id, lang, n_words::INT AS n_words,
+       |  floor(char_sum::DOUBLE / n_words * 10000 + 0.5) / 10000 AS avg_word_len,
+       |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
+       |  floor(punct::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS punct_ratio
+       |  FROM qm),
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes
+       |SELECT q.doc_id, q.lang, q.n_words, q.avg_word_len,
+       |  q.stopword_ratio, q.punct_ratio,
+       |  CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS label
+       |FROM qs q
+       |JOIN px ON px.doc_id = q.doc_id
+       |JOIN th ON th.lang = px.lang
+       |WHERE px.ppl <= th.t1 OR px.ppl > th.t2
+       |ORDER BY q.doc_id""".stripMargin
 
   /** Mirror of CorpusStats.signalCorr: the quality-score CTEs joined
     * with the perplexity CTEs on doc_id (no CTE-name collision: w/m/s

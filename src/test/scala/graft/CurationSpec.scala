@@ -164,6 +164,23 @@ class CurationSpec extends SparkSpecBase {
     assert(r.getDouble(6) === 0.6836) // 700/1024 at 4dp
   }
 
+  test("classifier_examples: head/tail labels over the quality features") {
+    val dir = "/root/testdata/sf0.001"
+    val buckets = graft.operators.CorpusStats.ccnetBuckets(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val out = Curation.classifierExamples(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(6)))
+    assert(out.nonEmpty)
+    // exactly the non-middle docs, labeled head=1 / tail=0
+    assert(out.map(_._1).toSet ===
+      buckets.filter(_._2 != "middle").keySet)
+    out.foreach { case (id, l) =>
+      assert(l === (if (buckets(id) == "head") 1 else 0))
+    }
+    // both classes must be present or the export trains nothing
+    assert(out.exists(_._2 == 1) && out.exists(_._2 == 0))
+  }
+
   test("ccnet_buckets: buckets are contiguous perplexity terciles") {
     val out = graft.operators.CorpusStats
       .ccnetBuckets(spark, "/root/testdata/sf0.001")
