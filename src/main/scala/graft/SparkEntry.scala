@@ -84,6 +84,7 @@ object SparkEntry {
     "interval_join" -> (Sessions.intervalJoin _),
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
+    "cohort_ltv" -> (Sessions.cohortLtv _),
     "active_users" -> (Sessions.activeUsers _),
     "session_stats" -> (Sessions.sessionStats _),
     "event_transitions" -> (Sessions.eventTransitions _),
@@ -606,6 +607,7 @@ object SparkEntry {
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,
     "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
+    "cohort_ltv" -> graft.oracle.DuckSql.cohortLtv,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

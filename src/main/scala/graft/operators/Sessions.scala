@@ -254,6 +254,53 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** cohort_ltv: the money-weighted cohort triangle — cumulative
+    * purchase value per cohort user by weeks-since-signup (the LTV
+    * curve growth teams read next to [[cohortRetention]]'s activity
+    * triangle; same first-event-week cohort definition so the two
+    * triangles line up row for row).
+    *
+    * Scale shape: the cohort assignment is one groupBy(user) min;
+    * purchase values aggregate to the (cohort, week) GRID before the
+    * cumulative window runs — the running sum orders over grid rows
+    * (bounded by weeks², not events), and the cohort-size join is a
+    * broadcast of the ≤|weeks|-row size table. The grid is SPARSE
+    * (weeks with zero purchases don't emit rows); the cumulative skips
+    * them identically in both engines.
+    *
+    * Parity: values accumulate as exact 1e-4-unit longs; the per-user
+    * LTV divides the exact cumulative once in double (floor 4dp); the
+    * weekly subtotal re-rounds to cents.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+      .localCheckpoint() // feeds the size table AND the value join
+    val sizes = first.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val vU = floor(col("value") * 10000 + lit(0.5)).cast("long")
+    val grid = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("int").as("week_no"),
+        vU.as("vu"))
+      .groupBy(col("cohort_wk"), col("week_no"))
+      .agg(sum(col("vu")).as("wu"))
+    val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("week_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cu", sum(col("wu")).over(wCum))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_no"), col("cohort_users"),
+        (floor(col("wu").cast("double") / 100 + 0.5) / 100)
+          .as("week_value"),
+        (floor(col("cu").cast("double") / col("cohort_users") + 0.5)
+          / 10000).as("ltv_per_user"))
+      .orderBy(col("cohort_wk"), col("week_no"))
+  }
+
   /** session_stats: the one-row session-shape summary over the
     * [[sessionize]] output — session count, average events and duration
     * per session, and p50/p90 session duration. The histogram-cumulative

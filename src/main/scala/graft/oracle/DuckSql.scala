@@ -845,6 +845,32 @@ object DuckSql {
       |SELECT cohort_wk, week_no, count(*) AS n_users
       |FROM d GROUP BY cohort_wk, week_no""".stripMargin
 
+  /** Mirror of Sessions.cohortLtv: same cohort definition as
+    * cohortRetention, exact 1e-4-unit purchase sums on the sparse
+    * (cohort, week) grid, ROWS cumulative, one double divide per row.
+    */
+  val cohortLtv: String =
+    """WITH e AS (SELECT user_id,
+      |  (floor(epoch(ts))::BIGINT // 604800) AS wk, event_type, value
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |sz AS (SELECT cohort_wk, count(*)::BIGINT AS cohort_users
+      |       FROM f GROUP BY cohort_wk),
+      |g AS (SELECT f.cohort_wk, (e.wk - f.cohort_wk)::INT AS week_no,
+      |        sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT))::BIGINT AS wu
+      |      FROM e JOIN f USING (user_id)
+      |      WHERE e.event_type = 'purchase'
+      |      GROUP BY f.cohort_wk, (e.wk - f.cohort_wk)),
+      |c AS (SELECT cohort_wk, week_no, wu,
+      |        sum(wu) OVER (PARTITION BY cohort_wk ORDER BY week_no
+      |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cu
+      |      FROM g)
+      |SELECT c.cohort_wk, c.week_no, sz.cohort_users,
+      |  floor(c.wu::DOUBLE / 100 + 0.5) / 100 AS week_value,
+      |  floor(c.cu::DOUBLE / sz.cohort_users + 0.5) / 10000 AS ltv_per_user
+      |FROM c JOIN sz USING (cohort_wk)
+      |ORDER BY cohort_wk, week_no""".stripMargin
+
   /** Mirror of Sessions.eventPivot: FILTER counts per type column from
     * the shared EventTypes list (0 where Spark's coalesced pivot-null
     * lands), same (epoch_day + 4) mod 7 dow.

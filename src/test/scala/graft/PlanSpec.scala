@@ -213,6 +213,33 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("r8 additions: no cartesian anywhere; map/agg shapes stay BNL-free") {
+    import graft.operators.{CorpusStats, Curation, Similarity}
+    withNoAutoBroadcast {
+      // composition/probe queries: 1-row and centroid-table broadcasts
+      // are sanctioned (counted elsewhere); a cartesian never is
+      Seq[(String, DataFrame)](
+        "rag_context" -> Similarity.ragContext(spark, dir),
+        "classifier_examples" -> Curation.classifierExamples(spark, dir),
+        "signal_corr" -> CorpusStats.signalCorr(spark, dir),
+        "ccnet_buckets" -> CorpusStats.ccnetBuckets(spark, dir),
+        "dsir_select" -> CorpusStats.dsirSelect(spark, dir),
+        "hard_negatives" -> Similarity.hardNegatives(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+      // pure partial-agg shapes: no join node of any kind survives
+      Seq[(String, DataFrame)](
+        "pack_stats" -> Curation.packStats(spark, dir),
+        "embedding_norms" -> Similarity.embeddingNorms(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("Join"), s"$name must not join:\n$p")
+      }
+    }
+  }
+
   test("q11/q20: aggregate-derived thresholds stay keyed joins") {
     withNoAutoBroadcast {
       // q11: the grouped frame is checkpointed (the fact join lives

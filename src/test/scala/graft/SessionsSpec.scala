@@ -218,6 +218,27 @@ class SessionsSpec extends SparkSpecBase {
       Seq(1L, 1, 1L)))
   }
 
+  test("cohort_ltv: cumulative purchase value per cohort user") {
+    val wk = 604800L
+    val dir = fixtureDir(evs = Seq(
+      // cohort week 0: users 1 and 2 (2 cohort users)
+      // user 1 buys 10.50 in week 0 and 2.25 in week 2
+      ev(0, 100, 1, "purchase", 10.50),
+      ev(1, 2 * wk + 50, 1, "purchase", 2.25),
+      // user 2 signs up week 0 (click only — counted in size, buys 0)
+      ev(2, 200, 2),
+      // cohort week 1: user 3 buys 4.00 in its week 1 (week_no 0)
+      ev(3, wk + 10, 3, "purchase", 4.00)))
+    val out = rows(Sessions.cohortLtv(spark, dir))
+    assert(out === Set(
+      // cohort 0: week 0 value 10.50, ltv 10.50/2 users = 5.25
+      Seq(0L, 0, 2L, 10.50, 5.25),
+      // cohort 0: week 2 value 2.25, cumulative 12.75/2 = 6.375
+      Seq(0L, 2, 2L, 2.25, 6.375),
+      // cohort 1: one user, 4.00
+      Seq(1L, 0, 1L, 4.00, 4.0)))
+  }
+
   test("event_transitions: lead pairs, event-id tie order, row-normalized") {
     val dir = fixtureDir(evs = Seq(
       ev(0, 10, 1, "click"),
