@@ -285,11 +285,20 @@ object CorpusStats {
     val scored = perplexityScore(spark, dir)
       .select(col("doc_id"), col("lang"), col("ppl"))
       .localCheckpoint() // feeds the histogram AND the assignment join
+    bucketAgainst(scored, ccnetThresholdsOf(scored))
+  }
+
+  /** The per-language tercile thresholds (lang, t1, t2) of a scored
+    * (doc_id, lang, ppl) frame -- in production FROZEN from a
+    * calibration corpus and applied to arriving docs
+    * ([[graft.streaming.ScoreStream.bucketDocs]]).
+    */
+  private[graft] def ccnetThresholdsOf(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("lang"), col("ppl"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("ppl"))
     val wAll = Window.partitionBy(col("lang"))
-    val thr = hist
+    hist
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(col("lang"))
@@ -298,13 +307,22 @@ object CorpusStats {
           .as("t1"),
         min(when(col("cum") >= expr("(n - 1) * 2 div 3") + 1, col("ppl")))
           .as("t2"))
+  }
+
+  /** Assign head/middle/tail against a (lang, t1, t2) threshold frame --
+    * shared verbatim by the batch query and the streaming twin (what
+    * makes the batch-parity spec exact). A language absent from the
+    * frozen thresholds is unbucketable and drops (the scoreAgainstLm
+    * unknown-language rule).
+    */
+  private[graft] def bucketAgainst(scored: DataFrame,
+      thr: DataFrame): DataFrame =
     scored.join(broadcast(thr), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("ppl"),
         when(col("ppl") <= col("t1"), "head")
           .when(col("ppl") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
-  }
 
   /** signal_corr: per-language Pearson correlation between the CHEAP
     * quality signal (the 4dp heuristic composite every gate uses) and

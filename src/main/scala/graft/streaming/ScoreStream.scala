@@ -55,6 +55,30 @@ object ScoreStream {
         appendScored(batch.toDF(), store)(CorpusStats.dsirScore(_, bkt))
     }
 
+  /** Streaming CCNet bucketing — arriving docs score against the frozen
+    * LM and land in head/middle/tail against FROZEN per-language
+    * tercile thresholds (CorpusStats.ccnetThresholdsOf over the
+    * calibration corpus). This is the production posture the batch
+    * query only simulates: ccnet_buckets derives thresholds from the
+    * corpus it scores, a stream applies thresholds frozen at
+    * calibration time. Languages absent from the frozen thresholds are
+    * unbucketable and drop (the scoreDocs unknown-language rule, one
+    * level up). Same stream-static-join/append-store shape as
+    * [[scoreDocs]].
+    */
+  def bucketDocs(docs: DataFrame, lm: DataFrame, thresholds: DataFrame,
+      store: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        appendScored(batch.toDF(), store) { b =>
+          import org.apache.spark.sql.functions.col
+          CorpusStats.bucketAgainst(
+            CorpusStats.scoreAgainstLm(b, lm)
+              .select(col("doc_id"), col("lang"), col("ppl")),
+            thresholds)
+        }
+    }
+
   /** Micro-batch skeleton shared across the foreachBatch sinks —
     * see [[StreamStore.appendNew]].
     */

@@ -86,6 +86,34 @@ class ParamsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann.nprobe widens the IVF probe; unset restores the gated pool") {
+    val dir08 = "/root/testdata/sf0.001"
+    val dflt = sortedRows(Similarity.mmrPoolIvf(spark, dir08))
+    val dfltPairs = Similarity.mmrPoolIvf(spark, dir08)
+      .select(col("q_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dfltMin = Similarity.mmrPoolIvf(spark, dir08)
+      .agg(min(col("simq"))).head.getDouble(0)
+    withParam("ann.nprobe", "8") {
+      val wide = Similarity.mmrPoolIvf(spark, dir08)
+        .select(col("q_id"), col("doc_id"), col("simq")).collect()
+      assert(wide.nonEmpty)
+      // nprobe=8 probes every cell of the 8-seed index: the pool
+      // becomes exactly the brute-force pool's candidate set, and a
+      // wider probe can only improve the per-query top-k (min sim
+      // must not decrease)
+      val exact = Similarity.mmrPoolExact(spark, dir08)
+        .select(col("q_id"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+      assert(wide.map(_.getDouble(2)).min >= dfltMin - 1e-9)
+    }
+    assert(sortedRows(Similarity.mmrPoolIvf(spark, dir08)) === dflt)
+    assert(Similarity.mmrPoolIvf(spark, dir08)
+      .select(col("q_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === dfltPairs)
+  }
+
   test("malformed param values fail loud") {
     withParam("sim_topk.k", "five") {
       intercept[IllegalArgumentException] {

@@ -72,4 +72,38 @@ class ScoreStreamSpec extends SparkSpecBase {
     // the unseen-bucket doc scored through the floor, not dropped
     assert(streamed.count(_.head == 12L) === 1)
   }
+
+  test("drained bucket store equals batch ccnet assignment, frozen thresholds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // calibration corpus: LM + tercile thresholds frozen BEFORE the
+    // stream; the replayed docs must land in the batch query's buckets
+    val cal = Seq(doc(1, "a b a b"), doc(2, "a b c"), doc(3, "c a c a b"),
+      doc(4, "b c b a"), doc(5, "a a a a"), doc(6, "c c b"))
+    val lm = CorpusStats.bigramLmOf(cal.toDF()).localCheckpoint()
+    val scoredCal = CorpusStats.scoreAgainstLm(cal.toDF(), lm)
+      .select(col("doc_id"), col("lang"), col("ppl"))
+      .localCheckpoint()
+    val thr = CorpusStats.ccnetThresholdsOf(scoredCal).localCheckpoint()
+    // replay the calibration corpus in two micro-batches, with a
+    // re-delivery (1) and an unknown-language doc (9, dropped)
+    val b1 = Seq(doc(1, "a b a b"), doc(2, "a b c"), doc(3, "c a c a b"))
+    val b2 = Seq(doc(1, "a b a b"), doc(4, "b c b a"), doc(5, "a a a a"),
+      doc(6, "c c b"), Doc(9, "x y", "de", "s0", 3))
+    val stage = stageBatches(Seq(b1, b2))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bucket-store").toString + "/buckets"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = ScoreStream.bucketDocs(src, lm, thr, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val streamed = rows(spark.read.parquet(store))
+    // batch twin: assign the SAME frozen thresholds over the full corpus
+    val batch = rows(CorpusStats.bucketAgainst(scoredCal, thr))
+    assert(streamed === batch)
+    assert(streamed.map(_.head) === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }
