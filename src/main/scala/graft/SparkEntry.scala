@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "semdedup"        -> (Similarity.semDedup _),
     "cluster_stats"   -> (Dedup.clusterStats _),
@@ -608,6 +609,7 @@ object SparkEntry {
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,
     "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
     "cohort_ltv" -> graft.oracle.DuckSql.cohortLtv,
+    "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -494,6 +494,37 @@ object Dedup {
         coalesce(col("l1"), col("doc_id")).as("cluster"))
   }
 
+  /** dedup_keep_best: the KEEP-BEST dedup policy — within every
+    * near-dup cluster, keep the HIGHEST-QUALITY member instead of the
+    * min-id canonical (the production resolution rule: the canonical
+    * choice is a quality decision, not an id accident — cf. Dolma's
+    * keep-longest and CCNet's quality-ordered retention; min-id is what
+    * dedup_exact/dedup_clusters use as the engine-neutral default).
+    * Quality = the shared 4dp composite ([[TextAnalysis.qualityScoreCol]]
+    * — the same number every other gate uses), ties broken by doc_id.
+    *
+    * Scale shape: cluster labels come from the persisted pair set
+    * (dedupClusters — pointer-jumping CC, build paid once); the score
+    * is one map pass; the argmax is a window over CLUSTER-sized frames
+    * (bounded by the largest near-dup cluster, which the LSH bucket cap
+    * already bounds). Singleton docs are their own cluster and keep
+    * trivially.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("doc_id"))
+    dedupClusters(spark, dir)
+      .join(scored, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("score"),
+        (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_ngram: exact word-3-gram Jaccard join inside a blocking key
     * (source), as a sparse inverted-index join on (source, shingle):
     * pairs sharing zero shingles are never materialized, the shuffle is

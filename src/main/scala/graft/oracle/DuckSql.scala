@@ -484,6 +484,29 @@ object DuckSql {
     s"""$clusterLabelCtes
        |SELECT doc_id, cluster FROM labels""".stripMargin
 
+  /** Mirror of Dedup.dedupKeepBest: the same component labels joined
+    * with the 4dp quality composite (unique qw/qm/qs names), per-
+    * cluster argmax via row_number (score DESC, doc_id).
+    */
+  val dedupKeepBest: String =
+    s"""$clusterLabelCtes,
+       |qw AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |qm AS (SELECT doc_id, len(t) AS n_words,
+       |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
+       |  FROM qw),
+       |qs AS (SELECT doc_id,
+       |  floor((least(1.0, n_words / 100.0) * 0.4 + (stop_hits::DOUBLE / n_words) * 0.3
+       |        + (1.0 - punct::DOUBLE / n_chars) * 0.3) * 10000 + 0.5) / 10000 AS score
+       |  FROM qm)
+       |SELECT l.doc_id, l.cluster, q.score,
+       |  (row_number() OVER (PARTITION BY l.cluster
+       |                      ORDER BY q.score DESC, l.doc_id) = 1) AS keep
+       |FROM labels l JOIN qs q ON q.doc_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   /** Mirror of Dedup.clusterStats: the cluster-size histogram over the
     * same component labels.
     */

@@ -104,6 +104,29 @@ class DedupSpec extends SparkSpecBase {
     assert(out(3L) === 3L)
   }
 
+  test("dedup_keep_best: highest-quality member kept, not the min id") {
+    val d = fixtureDir(docs = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta"),
+      // near-dup twin with MORE words incl. stopwords — strictly higher
+      // quality score than doc 10, but the LARGER id
+      doc(11, "alpha beta gamma delta epsilon zeta eta theta the a"),
+      doc(12, "one two three four five six seven eight")))
+    val out = Dedup.dedupKeepBest(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m.keySet === Set(10L, 11L, 12L))
+    // 10+11 one cluster (labeled by min id), 12 a singleton
+    assert(m(10L)._2 === 10L && m(11L)._2 === 10L && m(12L)._2 === 12L)
+    // the keep decision follows QUALITY, not id: 11 beats 10
+    assert(m(11L)._3 > m(10L)._3)
+    assert(m(11L)._4 && !m(10L)._4)
+    assert(m(12L)._4) // singleton keeps trivially
+    out.groupBy(_._2).foreach { case (_, ds) =>
+      assert(ds.count(_._4) === 1, "exactly one keep per cluster")
+    }
+  }
+
   test("BitPack lane cap: a >65535-shingle document fails LOUDLY") {
     // 65 540 distinct tokens -> 65 538 distinct 3-gram shingles, past the
     // 16-bit lane width. The aggregate must raise, never emit a
