@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_ngram"   -> (Dedup.dedupNgram _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
+    "lsh_curve" -> (Dedup.lshCurve _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "semdedup"        -> (Similarity.semDedup _),
     "cluster_stats"   -> (Dedup.clusterStats _),
@@ -610,6 +611,7 @@ object SparkEntry {
     "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
     "cohort_ltv" -> graft.oracle.DuckSql.cohortLtv,
     "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
+    "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

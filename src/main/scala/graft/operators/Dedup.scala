@@ -494,6 +494,73 @@ object Dedup {
         coalesce(col("l1"), col("doc_id")).as("cluster"))
   }
 
+  /** lsh_curve parameters: the lowest Jaccard bin audited, and the
+    * banding geometry the theoretical curve is computed from (the
+    * dedup_minhash config: 12 minhashes = [[LshCurveBands]] bands of
+    * [[LshCurveRows]] rows). Single-sourced into the oracle SQL.
+    */
+  val LshCurveFloor = 0.2
+  val LshCurveBands = 4
+  val LshCurveRows = 3
+
+  /** lsh_curve: the measured-vs-theoretical LSH DETECTION CURVE — the
+    * calibration audit behind every banding decision (Leskovec/Rajaraman
+    * MMDS §3.4: a (b, r) banding detects a pair of similarity s with
+    * p = 1 − (1 − s^r)^b). [[dedupRecall]] reports ONE number at the
+    * threshold; this bins the exact pair set by true Jaccard and
+    * reports, per bin, the fraction the band collisions actually
+    * caught next to the closed-form prediction at the bin midpoint —
+    * the empirical S-curve. A bin whose measured rate falls off the
+    * curve means the minhash family is mis-seeded or the bucket cap is
+    * eating real candidates; re-banding decisions (more bands for
+    * recall, more rows for precision) read directly off this table.
+    *
+    * Scale shape: the exact side is the dedupRecall inverted-index
+    * join under the same doc-frequency cap (expensive by design — an
+    * audit); the candidate side is the band equi-join; the curve is a
+    * ≤9-row partial agg. Parity: bins are integer floor(j·10) indexes
+    * (clamped to 9), the theoretical curve is double pow at the exact
+    * midpoint (bin+0.5)/10, 4dp both sides.
+    */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRowsWithSize(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupDocFreqCap).select(col("g"))
+    val sc = sh.join(hot, Seq("g"), "left_anti")
+    val a = sc.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sc.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("g").as("gb"))
+    val exact = a.hint("merge").join(b.hint("merge"),
+        col("ga") === col("gb") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+      .filter(col("jaccard") >= LshCurveFloor)
+      .localCheckpoint()
+    val cand = bandCandidates(minhashBandedFrom(sh))
+      .withColumn("hit", lit(1L))
+    val mid = (col("bin") + 0.5) / 10.0
+    val theo = lit(1.0) -
+      pow(lit(1.0) - pow(mid, LshCurveRows), LshCurveBands)
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    exact
+      .withColumn("bin",
+        least(floor(col("jaccard") * 10).cast("int"), lit(9)))
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .select(col("bin"), col("n_pairs"), col("n_caught"),
+        r4(col("n_caught").cast("double") / col("n_pairs"))
+          .as("measured"),
+        r4(theo).as("theoretical"))
+      .orderBy(col("bin"))
+  }
+
   /** dedup_keep_best: the KEEP-BEST dedup policy — within every
     * near-dup cluster, keep the HIGHEST-QUALITY member instead of the
     * min-id canonical (the production resolution rule: the canonical

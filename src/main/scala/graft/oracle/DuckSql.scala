@@ -2348,6 +2348,48 @@ object DuckSql {
        |FROM cs""".stripMargin
   }
 
+  /** Mirror of Dedup.lshCurve: same capped exact pair set WITH jaccard
+    * values, band-candidate left join, integer bin indexes, the
+    * closed-form 1−(1−s^r)^b at the exact (bin+0.5)/10 midpoint.
+    */
+  val lshCurve: String = {
+    import graft.operators.Dedup
+    s"""$shCte,
+       |$minhashJCtes,
+       |cnd AS (SELECT DISTINCT id_a, id_b FROM j),
+       |g0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM g0 GROUP BY g)
+       |        WHERE df > ${Dedup.DedupDocFreqCap}),
+       |sc AS (SELECT doc_id, g FROM g0 ANTI JOIN hot USING (g)),
+       |ei AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*)::BIGINT AS inter
+       |       FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |exj AS (SELECT id_a, id_b,
+       |          floor(inter::DOUBLE / (sa.n + sb.n - inter)
+       |                * 10000 + 0.5) / 10000 AS jaccard
+       |        FROM ei
+       |        JOIN sz sa ON sa.doc_id = ei.id_a
+       |        JOIN sz sb ON sb.doc_id = ei.id_b),
+       |bx AS (SELECT least(floor(e.jaccard * 10)::INT, 9) AS bin,
+       |         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+       |       FROM exj e LEFT JOIN cnd c
+       |         ON c.id_a = e.id_a AND c.id_b = e.id_b
+       |       WHERE e.jaccard >= ${Dedup.LshCurveFloor}),
+       |ag AS (SELECT bin, count(*)::BIGINT AS n_pairs,
+       |              sum(hit)::BIGINT AS n_caught
+       |       FROM bx GROUP BY bin)
+       |SELECT bin, n_pairs, n_caught,
+       |  floor(n_caught::DOUBLE / n_pairs * 10000 + 0.5) / 10000
+       |    AS measured,
+       |  floor((1.0 - pow(1.0 - pow((bin + 0.5) / 10.0,
+       |                             ${Dedup.LshCurveRows}),
+       |                   ${Dedup.LshCurveBands}))
+       |        * 10000 + 0.5) / 10000 AS theoretical
+       |FROM ag ORDER BY bin""".stripMargin
+  }
+
   /** Mirror of Retrieval.clusterTerms: cells from the same 2-iteration
     * k-means chain as annIvfKmeans/semDedup, pooled per-cell term counts
     * (stopwords excluded via the shared RefVocab list), tfidf_vectors'

@@ -127,6 +127,26 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("lsh_curve: bin invariants and the closed-form theoretical column") {
+    val out = Dedup.lshCurve(spark, dir0).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    out.foreach { case (bin, n, caught, measured, theo) =>
+      assert(bin >= 2 && bin <= 9) // floor 0.2, clamp 9
+      assert(caught >= 0 && caught <= n)
+      assert(measured === r4(caught.toDouble / n))
+      val s = (bin + 0.5) / 10.0
+      assert(theo === r4(1.0 - math.pow(1.0 -
+        math.pow(s, Dedup.LshCurveRows), Dedup.LshCurveBands)))
+    }
+    // dir0's identical docs land in the top bin and MUST be caught
+    // (identical signatures collide in every band)
+    val top = out.find(_._1 == 9)
+    assert(top.exists(t => t._3 === t._2))
+  }
+
   test("BitPack lane cap: a >65535-shingle document fails LOUDLY") {
     // 65 540 distinct tokens -> 65 538 distinct 3-gram shingles, past the
     // 16-bit lane width. The aggregate must raise, never emit a
