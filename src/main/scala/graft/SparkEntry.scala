@@ -112,6 +112,7 @@ object SparkEntry {
     "quality_filter"    -> (Curation.qualityFilter _),
     "curate_corpus"     -> (Curation.curateCorpus _),
     "classifier_examples" -> (Curation.classifierExamples _),
+    "data_split" -> (Curation.dataSplit _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
@@ -612,6 +613,7 @@ object SparkEntry {
     "cohort_ltv" -> graft.oracle.DuckSql.cohortLtv,
     "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
+    "data_split" -> graft.oracle.DuckSql.dataSplit,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -220,6 +220,41 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** data_split parameters: the held-out fractions and the hash seed
+    * (independent of [[SampleSeed]] so sampling and splitting are
+    * uncorrelated decisions). Test = the remainder above
+    * train+valid. Single-sourced into the oracle SQL — including the
+    * COMPUTED train+valid double literal, so both engines compare
+    * against the identical IEEE value.
+    */
+  val SplitSeed = "gsplit1"
+  val SplitTrain = 0.9
+  val SplitValid = 0.05
+
+  /** data_split: deterministic train/valid/test assignment — the
+    * held-out-set step every training corpus needs before export, as a
+    * pure function of (doc_id, seed): u = first-8-md5-hex/2^32 (the
+    * stratified_sample primitive, its own seed), split by fixed
+    * thresholds. Per-language fractions hold in expectation by hash
+    * uniformity (exact to ~1/√n per stratum — at corpus scale the
+    * deviation is noise), and membership is reproducible across runs,
+    * engines, and cluster layouts with no RNG state and NO SHUFFLE —
+    * the map-only property that matters at 100 TB (an exact per-stratum
+    * split would pay a per-language total order for a cosmetic
+    * guarantee).
+    */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":" + SplitSeed))), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(u < SplitTrain, "train")
+          .when(u < SplitTrain + SplitValid, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** classifier_examples: the quality-classifier TRAINING SET export —
     * the CCNet/LLaMA practice of distilling the expensive signal into a
     * cheap model (CCNet trains fastText on Wikipedia-vs-crawl; LLaMA

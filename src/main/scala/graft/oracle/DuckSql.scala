@@ -2032,6 +2032,24 @@ object DuckSql {
        |          * 10000 + 0.5) / 10000 END AS corr
        |FROM mo ORDER BY lang""".stripMargin
 
+  /** Mirror of Curation.dataSplit: the same first-8-md5-hex/2^32
+    * uniform, thresholds interpolated from the SAME Scala doubles
+    * (incl. the computed train+valid sum — literal 0.95 would be a
+    * different IEEE value).
+    */
+  val dataSplit: String = {
+    import graft.operators.Curation.{SplitSeed, SplitTrain, SplitValid}
+    s"""WITH u AS (SELECT doc_id, lang,
+       |  ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SplitSeed)}'), 1, 8))::BIGINT
+       |    / 4294967296.0 AS u
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN u < $SplitTrain THEN 'train'
+       |       WHEN u < ${SplitTrain + SplitValid} THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of CorpusStats.perplexityOod: LM counts from the training
     * source only, scored docs from every other source. LEFT joins give
     * the smoothed unseen floors (coalesce counts to 0, exactly the

@@ -164,6 +164,26 @@ class CurationSpec extends SparkSpecBase {
     assert(r.getDouble(6) === 0.6836) // 700/1024 at 4dp
   }
 
+  test("data_split: deterministic full-coverage three-way assignment") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.dataSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    // one row per doc, every doc assigned exactly one split
+    assert(out.length.toLong === nDocs)
+    assert(out.map(_._1).distinct.length.toLong === nDocs)
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "valid", "test")))
+    // the 90/5/5 thresholds hold within binomial noise at n=500
+    val n = out.length.toDouble
+    val trainFrac = out.count(_._2 == "train") / n
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    assert(out.exists(_._2 == "valid") && out.exists(_._2 == "test"))
+    // reproducible: a second run assigns identically
+    val again = Curation.dataSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("classifier_examples: head/tail labels over the quality features") {
     val dir = "/root/testdata/sf0.001"
     val buckets = graft.operators.CorpusStats.ccnetBuckets(spark, dir)
