@@ -113,6 +113,7 @@ object SparkEntry {
     "curate_corpus"     -> (Curation.curateCorpus _),
     "classifier_examples" -> (Curation.classifierExamples _),
     "data_split" -> (Curation.dataSplit _),
+    "gate_eval" -> (Curation.gateEval _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
@@ -614,6 +615,7 @@ object SparkEntry {
     "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
     "data_split" -> graft.oracle.DuckSql.dataSplit,
+    "gate_eval" -> graft.oracle.DuckSql.gateEval,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

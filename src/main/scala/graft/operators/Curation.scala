@@ -220,6 +220,44 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** gate_eval: the quality GATE evaluated as a binary classifier
+    * against the frozen-LM label (the gate-calibration audit that
+    * closes the signal_corr / classifier_examples family: signal_corr
+    * asks "do the signals track the LM", classifier_examples exports
+    * training data for a better gate, and THIS measures how the
+    * currently-deployed Gopher-rule gate actually performs —
+    * precision/recall/F1 of `keep` against head-vs-tail, middle
+    * dropped as ambiguous). A falling F1 after a corpus shift is the
+    * signal to re-run quality_thresholds or retrain the classifier.
+    *
+    * One-row output; both sides are per-doc frames already priced, the
+    * confusion matrix is a single partial agg.
+    */
+  def gateEval(spark: SparkSession, dir: String): DataFrame = {
+    val keep = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val lbl = CorpusStats.ccnetBuckets(spark, dir)
+      .filter(col("bucket") =!= "middle")
+      .select(col("doc_id").as("ld"), (col("bucket") === "head").as("pos"))
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    keep.join(lbl, col("doc_id") === col("ld"))
+      .agg(
+        sum(when(col("keep") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          r4(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("prec"),
+        when(col("tp") + col("fn") > 0,
+          r4(col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("rec"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          r4(lit(2.0) * col("tp").cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn"))))
+          .as("f1"))
+  }
+
   /** data_split parameters: the held-out fractions and the hash seed
     * (independent of [[SampleSeed]] so sampling and splitting are
     * uncorrelated decisions). Test = the remainder above

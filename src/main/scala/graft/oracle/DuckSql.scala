@@ -2032,6 +2032,31 @@ object DuckSql {
        |          * 10000 + 0.5) / 10000 END AS corr
        |FROM mo ORDER BY lang""".stripMargin
 
+  /** Mirror of Curation.gateEval: the quality-keep CTEs joined with
+    * the frozen-LM head/tail label (no CTE-name overlap: qw/qm/qsig/qf
+    * vs the perplexity/threshold chains), one confusion-matrix agg,
+    * nullif-guarded 4dp ratios in mirrored order.
+    */
+  val gateEval: String =
+    s"""WITH $qualityKeepCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |lbl AS (SELECT px.doc_id,
+       |          CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS pos
+       |        FROM px JOIN th ON th.lang = px.lang
+       |        WHERE px.ppl <= th.t1 OR px.ppl > th.t2),
+       |cx AS (SELECT
+       |    sum(CASE WHEN q.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN q.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN NOT q.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN NOT q.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM qf q JOIN lbl l ON l.doc_id = q.doc_id)
+       |SELECT tp, fp, fn, tn,
+       |  floor(tp::DOUBLE / nullif(tp + fp, 0) * 10000 + 0.5) / 10000 AS prec,
+       |  floor(tp::DOUBLE / nullif(tp + fn, 0) * 10000 + 0.5) / 10000 AS rec,
+       |  floor(2.0 * tp::DOUBLE / nullif(2 * tp + fp + fn, 0) * 10000 + 0.5) / 10000 AS f1
+       |FROM cx""".stripMargin
+
   /** Mirror of Curation.dataSplit: the same first-8-md5-hex/2^32
     * uniform, thresholds interpolated from the SAME Scala doubles
     * (incl. the computed train+valid sum — literal 0.95 would be a

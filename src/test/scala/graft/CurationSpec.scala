@@ -184,6 +184,29 @@ class CurationSpec extends SparkSpecBase {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("gate_eval: confusion matrix recomputed from the two gates") {
+    val dir = "/root/testdata/sf0.001"
+    val keep = Curation.qualityFilter(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val lbl = graft.operators.CorpusStats.ccnetBuckets(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      .filter(_._2 != "middle")
+    val joint = lbl.keys.filter(keep.contains).toSeq
+    val tp = joint.count(id => keep(id) && lbl(id) == "head").toLong
+    val fp = joint.count(id => keep(id) && lbl(id) != "head").toLong
+    val fn = joint.count(id => !keep(id) && lbl(id) == "head").toLong
+    val tn = joint.count(id => !keep(id) && lbl(id) != "head").toLong
+    val out = Curation.gateEval(spark, dir).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((tp, fp, fn, tn)))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    if (tp + fp > 0) assert(out.getDouble(4) === r4(tp.toDouble / (tp + fp)))
+    if (tp + fn > 0) assert(out.getDouble(5) === r4(tp.toDouble / (tp + fn)))
+    if (2 * tp + fp + fn > 0)
+      assert(out.getDouble(6) === r4(2.0 * tp / (2 * tp + fp + fn)))
+    assert(tp + fp + fn + tn > 0) // the audit must be non-degenerate
+  }
+
   test("classifier_examples: head/tail labels over the quality features") {
     val dir = "/root/testdata/sf0.001"
     val buckets = graft.operators.CorpusStats.ccnetBuckets(spark, dir)
