@@ -40,6 +40,7 @@ object SparkEntry {
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "embedding_norms"   -> (Similarity.embeddingNorms _),
+    "embedding_drift"   -> (Similarity.embeddingDrift _),
     "sim_topk"          -> (Similarity.simTopk _),
     "knn_join"          -> (Similarity.knnJoin _),
     "neardup_embedding" -> (Similarity.nearDupEmbedding _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "lsh_curve" -> (Dedup.lshCurve _),
+    "dup_tokens" -> (Dedup.dupTokens _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "semdedup"        -> (Similarity.semDedup _),
     "cluster_stats"   -> (Dedup.clusterStats _),
@@ -616,6 +618,8 @@ object SparkEntry {
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
     "data_split" -> graft.oracle.DuckSql.dataSplit,
     "gate_eval" -> graft.oracle.DuckSql.gateEval,
+    "dup_tokens" -> graft.oracle.DuckSql.dupTokens,
+    "embedding_drift" -> graft.oracle.DuckSql.embeddingDrift,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -494,6 +494,47 @@ object Dedup {
         coalesce(col("l1"), col("doc_id")).as("cluster"))
   }
 
+  /** dup_tokens: the TOKEN-weighted duplication audit — cluster_stats
+    * counts documents, but training budgets are spent in tokens, and a
+    * handful of giant duplicated documents can dominate the corpus
+    * while barely moving the doc-count histogram (the "how much of my
+    * budget is copies" number a dedup decision actually needs). Per
+    * cluster-size bucket: clusters, docs, exact token total, token
+    * share of the corpus, and EXCESS tokens — what deduplication to
+    * one canonical copy per cluster would reclaim (tokens minus one
+    * mean cluster copy, in exact integers: tok_sum − ⌈tok_sum/size⌉
+    * summed per cluster would need a per-cluster ceil; the bucket-level
+    * equivalent sums per-cluster tok_sum − tok_sum div size exactly).
+    *
+    * Pure consumer: cluster labels from the persisted pair set, token
+    * counts one map pass, two bounded partial aggs.
+    */
+  def dupTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), size(normToks(col("text"))).cast("long")
+        .as("nt"))
+    val cl = dedupClusters(spark, dir)
+      .join(toks, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"), sum(col("nt")).as("tok_sum"))
+      // excess = tokens beyond one average-sized copy, exact floor-div
+      .withColumn("excess", col("tok_sum") - expr("tok_sum div sz"))
+      .localCheckpoint() // feeds the histogram AND the 1-row total
+    val total = cl.agg(sum(col("tok_sum")).as("corpus_tokens"))
+    cl.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("tok_sum")).as("n_tokens"),
+        sum(col("excess")).as("excess_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_tokens"),
+        (floor(col("n_tokens").cast("double") / col("corpus_tokens")
+          * 1000000 + lit(0.5)) / 1000000).as("token_share"),
+        col("excess_tokens"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** lsh_curve parameters: the lowest Jaccard bin audited, and the
     * banding geometry the theoretical curve is computed from (the
     * dedup_minhash config: 12 minhashes = [[LshCurveBands]] bands of

@@ -507,6 +507,29 @@ object DuckSql {
        |FROM labels l JOIN qs q ON q.doc_id = l.doc_id
        |ORDER BY l.doc_id""".stripMargin
 
+  /** Mirror of Dedup.dupTokens: same component labels × normToks token
+    * counts, per-cluster exact sums and floor-div excess, bucket agg
+    * with the 1-row corpus total.
+    */
+  val dupTokens: String =
+    s"""$clusterLabelCtes,
+       |dtk AS (SELECT doc_id,
+       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x <> ''))::BIGINT AS nt FROM documents),
+       |dcl AS (SELECT l.cluster, count(*)::BIGINT AS sz,
+       |         sum(t.nt)::BIGINT AS tok_sum
+       |       FROM labels l JOIN dtk t USING (doc_id) GROUP BY l.cluster),
+       |dex AS (SELECT cluster, sz, tok_sum,
+       |         (tok_sum - tok_sum // sz)::BIGINT AS excess FROM dcl),
+       |dtot AS (SELECT sum(tok_sum)::BIGINT AS corpus_tokens FROM dcl)
+       |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       |  sum(tok_sum)::BIGINT AS n_tokens,
+       |  floor(sum(tok_sum)::DOUBLE / dtot.corpus_tokens * 1000000 + 0.5)
+       |    / 1000000 AS token_share,
+       |  sum(excess)::BIGINT AS excess_tokens
+       |FROM dex, dtot GROUP BY sz, dtot.corpus_tokens
+       |ORDER BY cluster_size""".stripMargin
+
   /** Mirror of Dedup.clusterStats: the cluster-size histogram over the
     * same component labels.
     */
@@ -1565,6 +1588,36 @@ object DuckSql {
        |        / (((greatest(total_tokens, 1) - 1) // $B + 1) * $B)
        |        * 10000 + 0.5) / 10000 AS fill_ratio
        |FROM ag ORDER BY shard""".stripMargin
+  }
+
+  /** Mirror of Similarity.embeddingDrift: doc⋈vec join, the
+    * kmRecomputeCte exact long-unit component means per source and
+    * globally, 6dp norm means in DECIMAL, one rounded cosine per
+    * source.
+    */
+  val embeddingDrift: String = {
+    def meanCv(alias: String) =
+      s"""CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS $alias"""
+    s"""WITH ej AS (SELECT d.source, e.embedding
+       |            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |cmp AS (SELECT source, i, ${meanCv("cv")}
+       |        FROM ej, range(1, 65) t(i) GROUP BY source, i),
+       |sv AS (SELECT source, list(cv ORDER BY i) AS cvec
+       |       FROM cmp GROUP BY source),
+       |gc AS (SELECT i, ${meanCv("gv")}
+       |       FROM ej, range(1, 65) t(i) GROUP BY i),
+       |gl AS (SELECT list(gv ORDER BY i) AS gvec FROM gc),
+       |st AS (SELECT source, count(*)::BIGINT AS n_vecs,
+       |         floor(sum(CAST(round(sqrt(list_sum(list_transform(range(1,65),
+       |             k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE))), 6)
+       |           AS DECIMAL(18,6)))::DOUBLE / count(*) * 1000000 + 0.5)
+       |           / 1000000 AS mean_norm
+       |       FROM ej GROUP BY source)
+       |SELECT st.source, st.n_vecs, st.mean_norm,
+       |  round(list_cosine_similarity(sv.cvec::DOUBLE[], gl.gvec::DOUBLE[]), 6)
+       |    AS drift_cos
+       |FROM st JOIN sv USING (source), gl
+       |ORDER BY st.source""".stripMargin
   }
 
   /** Mirror of Similarity.embeddingNorms: 6dp norms (irrational sqrt —

@@ -127,6 +127,21 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dup_tokens: token-weighted duplication per cluster-size bucket") {
+    // one near-dup pair (8 + 10 tokens) and one singleton (8 tokens)
+    val d = fixtureDir(docs = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(11, "alpha beta gamma delta epsilon zeta eta theta the a"),
+      doc(12, "one two three four five six seven eight")))
+    val out = Dedup.dupTokens(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    // corpus = 26 tokens; the pair holds 18 (excess 18 − 18 div 2 = 9)
+    assert(out === Set(
+      (1L, 1L, 8L, 0.307692, 0L),
+      (2L, 1L, 18L, 0.692308, 9L)))
+  }
+
   test("lsh_curve: bin invariants and the closed-form theoretical column") {
     val out = Dedup.lshCurve(spark, dir0).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -316,6 +316,20 @@ class SimilaritySpec extends SparkSpecBase {
       m >= 0 && m <= Similarity.MmrPool && r >= 0.0 && r <= 1.0 })
   }
 
+  test("embedding_drift: orthogonal sources drift equally off the center") {
+    // s0 holds (1,0), s1 holds (0,1): global centroid (0.5, 0.5),
+    // both sources at cos = 0.5/0.707107 ≈ 0.707107 from it
+    val d = fixtureDir(
+      docs = Seq(doc(0, "a", "s0"), doc(1, "b", "s1")),
+      embs = Seq(Emb(0, vec(1.0), 0), Emb(1, vec(0.0, 1.0), 1)))
+    val out = Similarity.embeddingDrift(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("s0", 1L, 1.0, 0.707107),
+      ("s1", 1L, 1.0, 0.707107)))
+  }
+
   test("embedding_norms: known norms, zero vectors counted per label") {
     // label 0: norms 5.0 and 0 (a broken zero vector); label 1: norm 1.0
     val d = fixtureDir(embs = Seq(
