@@ -41,6 +41,7 @@ object SparkEntry {
     "kb_ingest"         -> (Similarity.kbIngest _),
     "embedding_norms"   -> (Similarity.embeddingNorms _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
+    "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
     "knn_join"          -> (Similarity.knnJoin _),
     "neardup_embedding" -> (Similarity.nearDupEmbedding _),
@@ -620,6 +621,7 @@ object SparkEntry {
     "gate_eval" -> graft.oracle.DuckSql.gateEval,
     "dup_tokens" -> graft.oracle.DuckSql.dupTokens,
     "embedding_drift" -> graft.oracle.DuckSql.embeddingDrift,
+    "kb_consistency" -> graft.oracle.DuckSql.kbConsistency,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -1590,6 +1590,21 @@ object DuckSql {
        |FROM ag ORDER BY shard""".stripMargin
   }
 
+  /** Mirror of Similarity.kbConsistency: two ANTI-join sides, each
+    * aggregated to one always-present row (count + id range).
+    */
+  val kbConsistency: String =
+    """WITH ue AS (SELECT doc_id FROM documents
+      |            ANTI JOIN embeddings ON doc_id = vec_id),
+      |ov AS (SELECT vec_id FROM embeddings
+      |       ANTI JOIN documents ON vec_id = doc_id)
+      |SELECT 'unembedded' AS side, count(*)::BIGINT AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id FROM ue
+      |UNION ALL
+      |SELECT 'orphan_vectors', count(*)::BIGINT,
+      |  min(vec_id), max(vec_id) FROM ov
+      |ORDER BY side""".stripMargin
+
   /** Mirror of Similarity.embeddingDrift: doc⋈vec join, the
     * kmRecomputeCte exact long-unit component means per source and
     * globally, 6dp norm means in DECIMAL, one rounded cosine per

@@ -316,6 +316,25 @@ class SimilaritySpec extends SparkSpecBase {
       m >= 0 && m <= Similarity.MmrPool && r >= 0.0 && r <= 1.0 })
   }
 
+  test("kb_consistency: unembedded docs and orphan vectors both surface") {
+    val d = fixtureDir(
+      docs = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c")),
+      embs = Seq(Emb(2, vec(1.0), 0), Emb(3, vec(1.0), 0),
+        Emb(9, vec(1.0), 0)))
+    val out = Similarity.kbConsistency(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("orphan_vectors", 1L, 9L, 9L),
+      ("unembedded", 1L, 1L, 1L)))
+    // a consistent store reads as explicit zeros, never missing rows
+    val clean = Similarity.kbConsistency(spark, fixtureDir(
+      docs = Seq(doc(5, "x")), embs = Seq(Emb(5, vec(1.0), 0))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(clean.toSeq === Seq(("orphan_vectors", 0L), ("unembedded", 0L)))
+  }
+
   test("embedding_drift: orthogonal sources drift equally off the center") {
     // s0 holds (1,0), s1 holds (0,1): global centroid (0.5, 0.5),
     // both sources at cos = 0.5/0.707107 ≈ 0.707107 from it
