@@ -52,6 +52,7 @@ object SparkEntry {
     "topic_detect"         -> (TextOps.topicDetect _),
     "safety_screen"        -> (TextOps.safetyScreen _),
     "effectiveness"        -> (TextOps.effectiveness _),
+    "template_effect"      -> (TextOps.templateEffect _),
     "training_examples"    -> (TextOps.trainingExamples _),
     "lemma_tokens"         -> (TextOps.lemmaTokens _),
     "category_info"        -> (TextOps.categoryInfo _),
@@ -622,6 +623,7 @@ object SparkEntry {
     "dup_tokens" -> graft.oracle.DuckSql.dupTokens,
     "embedding_drift" -> graft.oracle.DuckSql.embeddingDrift,
     "kb_consistency" -> graft.oracle.DuckSql.kbConsistency,
+    "template_effect" -> graft.oracle.DuckSql.templateEffect,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -211,6 +211,34 @@ object TextOps {
           .otherwise("medium").as("template_adherence"))
   }
 
+  /** template_effect: the PRODUCT question of the reference's whole
+    * effectiveness loop (prompt_selector.py:332-395 scores each
+    * response so someone can ask "which prompt templates actually
+    * work") — per template: pair count, exact-decimal mean term
+    * overlap, high-adherence count/share, appropriate-length count,
+    * mean response length. One bounded agg over the [[effectiveness]]
+    * frame (|templates| groups regardless of corpus size).
+    */
+  def templateEffect(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    effectiveness(spark, dir)
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("term_overlap").cast("decimal(18,4)")).as("ovs"),
+        sum(when(col("template_adherence") === "high", 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("length_quality") === "appropriate", 1L)
+          .otherwise(0L)).as("n_appropriate"),
+        sum(col("response_length").cast("long")).as("lsum"))
+      .select(col("template"), col("n_pairs"),
+        r4(col("ovs").cast("double") / col("n_pairs")).as("mean_overlap"),
+        col("n_high"),
+        r4(col("n_high").cast("double") / col("n_pairs")).as("high_share"),
+        col("n_appropriate"),
+        r4(col("lsum").cast("double") / col("n_pairs")).as("mean_length"))
+      .orderBy(col("template"))
+  }
+
   /** One lemma rule chain application (RefVocab.lemmaRules, first match
     * wins) — pure ends-with + substr, identical semantics in DuckDB.
     */

@@ -92,7 +92,15 @@ object DuckSql {
   }
 
   val effectiveness: String =
-    s"""$docsCte,
+    s"WITH ${effectivenessCtes("fx")} SELECT * FROM fx"
+
+  /** The effectiveness pipeline as CTEs ending in `<out>(q_id, r_id,
+    * response_length, length_quality, term_overlap, template,
+    * template_adherence)` — shared by effectiveness and templateEffect.
+    * (docsCte already opens WITH.)
+    */
+  private def effectivenessCtes(out: String): String =
+    s"""${docsCte.stripPrefix("WITH ")},
        |p AS (SELECT q.doc_id AS q_id, r.doc_id AS r_id, q.lc AS ql, r.lc AS rl
        |      FROM t q JOIN t r ON r.doc_id = q.doc_id + 1 WHERE q.doc_id % 2 = 0),
        |tok AS (SELECT q_id, r_id, ql, rl,
@@ -101,8 +109,8 @@ object DuckSql {
        |  len(list_filter(string_split(rl, ' '), x -> x <> '')) AS rn FROM p),
        |m AS (SELECT q_id, r_id, ql, rl, rn,
        |  len(list_filter(qd, x -> list_contains(rd, x))) AS inter, len(qd) AS qn,
-       |  ${templateCaseSql("ql")} AS template FROM tok)
-       |SELECT q_id, r_id, rn::INT AS response_length,
+       |  ${templateCaseSql("ql")} AS template FROM tok),
+       |$out AS (SELECT q_id, r_id, rn::INT AS response_length,
        |  CASE WHEN rn < 20 THEN 'too_short' WHEN rn > 500 THEN 'too_long'
        |       ELSE 'appropriate' END AS length_quality,
        |  floor((CASE WHEN qn > 0 THEN inter::DOUBLE / qn ELSE 0 END) * 10000 + 0.5) / 10000 AS term_overlap,
@@ -111,7 +119,26 @@ object DuckSql {
        |       WHEN template = 'Empathy and Validation'
        |            AND regexp_matches(rl, '(understand|feel|valid)') THEN 'high'
        |       ELSE 'medium' END AS template_adherence
-       |FROM m""".stripMargin
+       |FROM m)""".stripMargin
+
+  /** Mirror of TextOps.templateEffect: one bounded agg over the shared
+    * effectiveness CTEs — exact DECIMAL(18,4) overlap accumulation,
+    * 4dp floor-rounded ratios.
+    */
+  val templateEffect: String =
+    s"""WITH ${effectivenessCtes("fx")}
+       |SELECT template, count(*)::BIGINT AS n_pairs,
+       |  floor(sum(CAST(term_overlap AS DECIMAL(18,4)))::DOUBLE / count(*)
+       |        * 10000 + 0.5) / 10000 AS mean_overlap,
+       |  sum(CASE WHEN template_adherence = 'high' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_high,
+       |  floor(sum(CASE WHEN template_adherence = 'high' THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS high_share,
+       |  sum(CASE WHEN length_quality = 'appropriate' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_appropriate,
+       |  floor(sum(response_length)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS mean_length
+       |FROM fx GROUP BY template ORDER BY template""".stripMargin
 
   val trainingExamples: String =
     s"""$docsCte,

@@ -94,6 +94,25 @@ class TextOpsSpec extends SparkSpecBase {
       Seq(0L, 1L, 7, "too_short", 0.5, "Information", "medium")))
   }
 
+  test("template_effect: per-template aggregates over the pair frame") {
+    // two Q/A pairs landing in different templates: 'Information' (why)
+    // and 'Empathy and Validation' (sad)
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "why does the sun shine bright"),
+      doc(1, "the sun shines bright because fusion energy"),
+      doc(2, "i am sad and alone tonight"),
+      doc(3, "i understand you feel alone tonight and that is valid")))
+    val out = TextOps.templateEffect(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    // pair (2,3): q terms {i,am,sad,and,alone,tonight}=6, overlap
+    // {i,alone,tonight,and}=4 → 0.6667; adherence 'high' (Empathy +
+    // understand/feel/valid in the response); both responses too_short
+    assert(out.toSeq === Seq(
+      ("Empathy and Validation", 1L, 0.6667, 1L, 1.0, 0L, 10.0),
+      ("Information", 1L, 0.5, 0L, 0.0, 0L, 7.0)))
+  }
+
   test("training_examples composes template+topic into the instruction") {
     val dir = fixtureDir(docs = Seq(doc(0, "i feel sad and depressed")))
     val r = TextOps.trainingExamples(spark, dir).head()
