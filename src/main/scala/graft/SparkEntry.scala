@@ -133,6 +133,8 @@ object SparkEntry {
     "q11_important_stock" -> (Analytics.q11ImportantStock _),
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
+    "source_card" -> (CorpusStats.sourceCard _),
+    "tokenizer_fertility" -> (CorpusStats.tokenizerFertility _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
     "signal_corr" -> (CorpusStats.signalCorr _),
@@ -611,6 +613,8 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM dom WHERE l_suppkey = s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
+    "source_card" -> graft.oracle.DuckSql.sourceCard,
+    "tokenizer_fertility" -> graft.oracle.DuckSql.tokenizerFertility,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,

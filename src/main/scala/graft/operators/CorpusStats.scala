@@ -618,6 +618,83 @@ object CorpusStats {
           .cast("double") / count(lit(1))).as("pct_short"))
   }
 
+  /** source_card: the per-SOURCE datasheet — [[corpusCard]]'s row once
+    * per provenance stream (the Dolma/RedPajama release shape: every
+    * source ships its own size/diversity/health line, and acquisition
+    * decisions — keep, re-crawl, drop — are made per source, not per
+    * corpus). Same single-sourced primitives as the corpus card (token
+    * counts via the shared normalized tokenizer, the 4dp quality
+    * composite), so the per-source rows provably sum/average into the
+    * corpus-level card.
+    *
+    * Plan: one scan, one |sources|-bounded partial agg (the distinct
+    * lang count per source is Catalyst's expand-based distinct — still
+    * bounded by |sources|×|langs| intermediate rows).
+    */
+  def sourceCard(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text")),
+      col("doc_id"))
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(Dedup.normToks(col("text"))).cast("long").as("toks"),
+        TextAnalysis.qualityScoreCol.cast("decimal(18,4)").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        r4(sum(col("q")).cast("double") / count(lit(1))).as("avg_quality"),
+        r4(sum(when(col("toks") < CardShortTokens, 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("pct_short"))
+      .orderBy(col("source"))
+  }
+
+  /** tokenizer_fertility: the tokenizer-budget audit per language —
+    * whitespace words vs BPE-ish regex tokens vs characters, rolled up
+    * to fertility (subword tokens per word) and compression (chars per
+    * token). The per-language fertility spread is the standing input to
+    * tokenizer choice and context-budget planning (a language at 2×
+    * fertility costs 2× the context window per word — the
+    * multilingual-tokenizer-fairness measurement of Petrov et al. 2023,
+    * "Language Model Tokenizers Introduce Unfairness Between
+    * Languages"); token_count prices single documents, this prices the
+    * corpus mix.
+    *
+    * Plan: one scan with map-side token counting (the same three
+    * counters as token_count), one |langs|-bounded partial agg. Parity:
+    * ratios are exact-integer sums divided once in double, 4dp
+    * floor-rounded; zero denominators emit 0.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    def ratio(num: Column, den: Column) =
+      when(den > 0, r4(num.cast("double") / den)).otherwise(0.0)
+    Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("text")),
+      col("doc_id"))
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("re"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("n_chars"),
+        ratio(col("re_tokens"), col("ws_tokens")).as("fertility"),
+        ratio(col("n_chars"), col("re_tokens")).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   // ---- dsir_weights: hashed n-gram importance weights (DSIR) ----------
 
   /** DSIR feature-hash bucket count. Bounded by construction: the bucket

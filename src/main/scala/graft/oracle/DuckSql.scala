@@ -1970,6 +1970,49 @@ object DuckSql {
        |FROM s JOIN nt USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of CorpusStats.sourceCard: the corpusCard aggregate GROUPed
+    * BY source — same shared quality CTEs, normToks counts, 4dp
+    * floor-primitive means.
+    */
+  val sourceCard: String = {
+    import graft.operators.CorpusStats.CardShortTokens
+    s"""$qualityScoreCtes,
+       |nt AS (SELECT doc_id, source, n_chars,
+       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x <> ''))::BIGINT AS toks
+       |  FROM documents)
+       |SELECT nt.source, count(*)::BIGINT AS n_docs,
+       |  sum(nt.toks)::BIGINT AS n_tokens,
+       |  sum(nt.n_chars)::BIGINT AS total_chars,
+       |  count(DISTINCT s.lang)::BIGINT AS n_langs,
+       |  floor(sum(CAST(s.score AS DECIMAL(18,4)))::DOUBLE / count(*)
+       |        * 10000 + 0.5) / 10000 AS avg_quality,
+       |  floor(sum(CASE WHEN nt.toks < $CardShortTokens THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS pct_short
+       |FROM s JOIN nt USING (doc_id)
+       |GROUP BY nt.source ORDER BY nt.source""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.tokenizerFertility: the tokenCount counters
+    * summed per language, exact-integer sums, one double divide per
+    * ratio, 4dp floor rounding, 0 on zero denominators.
+    */
+  val tokenizerFertility: String =
+    """WITH t AS (SELECT lang,
+      |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS re,
+      |  length(text)::BIGINT AS ch FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(ws)::BIGINT AS ws_tokens, sum(re)::BIGINT AS re_tokens,
+      |  sum(ch)::BIGINT AS n_chars,
+      |  CASE WHEN sum(ws) > 0
+      |       THEN floor(sum(re)::DOUBLE / sum(ws) * 10000 + 0.5) / 10000
+      |       ELSE 0 END AS fertility,
+      |  CASE WHEN sum(re) > 0
+      |       THEN floor(sum(ch)::DOUBLE / sum(re) * 10000 + 0.5) / 10000
+      |       ELSE 0 END AS chars_per_token
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val qualityThresholds: String =
     s"""$qualityScoreCtes,
        |x AS (SELECT lang, score,

@@ -376,4 +376,36 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("aa", 2L, 1L, 2), // k=2 within one type
       Seq("ca", 1L, 1L, 3)))
   }
+
+  test("source_card: per-source datasheet rows reconcile with the corpus card") {
+    val docs = Seq(
+      Doc(1, "the cat sat on the mat.", "en", "s0", 23),
+      Doc(2, ("word " * 60).trim + " the end.", "de", "s1", 300),
+      Doc(3, "tiny doc.", "en", "s1", 9))
+    val dir = fixtureDir(docs = docs)
+    // quality terms must be the IDENTICAL composite the gate emits
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(CorpusStats.sourceCard(spark, dir)) === Set(
+      Seq("s0", 1L, 6L, 23L, 1L, r4(q(1L).toDouble), 1.0),
+      Seq("s1", 2L, 62L + 2L, 309L, 2L,
+        r4((q(2L) + q(3L)).toDouble / 2), 0.5)))
+    // and the per-source rows sum to the corpus card's totals
+    val card = CorpusStats.corpusCard(spark, dir).collect().head
+    val src = CorpusStats.sourceCard(spark, dir).collect()
+    assert(src.map(_.getLong(1)).sum === card.getLong(0))
+    assert(src.map(_.getLong(2)).sum === card.getLong(1))
+  }
+
+  test("tokenizer_fertility: three counters and the two ratios, per lang") {
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "ab cd, x9", "en", "s0", 9), // ws 3; re ab|cd|,|x|9 = 5; ch 9
+      Doc(2, "zz", "de", "s0", 2)))       // ws 1; re 1; ch 2
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(CorpusStats.tokenizerFertility(spark, dir)) === Set(
+      Seq("en", 1L, 3L, 5L, 9L, r4(5.0 / 3), r4(9.0 / 5)),
+      Seq("de", 1L, 1L, 1L, 2L, 1.0, 2.0)))
+  }
 }
