@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
     "decontaminate"     -> (Curation.decontaminate _),
+    "contamination_report" -> (Curation.contaminationReport _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
     "pack_stats"        -> (Curation.packStats _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "graph_stats"  -> (Graph.graphStats _),
     "dedup_recall" -> (Dedup.dedupRecall _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
+    "topic_coverage" -> (Retrieval.topicCoverage _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
     "mmr_pool_recall" -> (Similarity.mmrPoolRecall _),
     "rag_context" -> (Similarity.ragContext _),
@@ -566,6 +568,7 @@ object SparkEntry {
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
+    "contamination_report" -> graft.oracle.DuckSql.contaminationReport,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
     "pack_stats"        -> graft.oracle.DuckSql.packStats,
@@ -639,6 +642,7 @@ object SparkEntry {
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
+    "topic_coverage" -> graft.oracle.DuckSql.topicCoverage,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,
     "mmr_pool_recall" -> graft.oracle.DuckSql.mmrPoolRecall,
     "rag_context" -> graft.oracle.DuckSql.ragContext,

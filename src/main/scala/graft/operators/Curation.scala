@@ -71,6 +71,47 @@ object Curation {
       .agg(count(lit(1)).as("hits"))
   }
 
+  /** contamination_report: the EVAL-side transpose of [[decontaminate]]
+    * — per benchmark doc, how compromised is it? (The decontamination
+    * papers report both directions: training docs to drop, AND which
+    * eval items are no longer trustworthy — an eval doc most of whose
+    * n-grams appear in training measures memorization, not capability.)
+    * Per bench doc: its distinct-shingle count, how many of those
+    * shingles appear in ≥1 training doc, the distinct training docs
+    * colliding, total (train doc, shingle) collisions, and the
+    * contaminated-shingle fraction. Bench docs with zero collisions
+    * stay in the report as explicit zeros (left join).
+    *
+    * Scale shape: the same shingle equi-join as decontaminate (the
+    * bench side is fixed-size for a real eval suite — see the broadcast
+    * note there); the two count-distincts are Catalyst's expand-based
+    * multi-distinct, bounded by the collision set, grouped per bench
+    * doc.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
+    val bench = sh.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val train = sh.filter(!isBench)
+      .select(col("doc_id").as("train_id"), col("g"))
+    val hits = bench.join(train, "g")
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_collisions"),
+        count_distinct(col("train_id")).as("n_train_docs"),
+        count_distinct(col("g")).as("n_hit_shingles"))
+    bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        (floor(coalesce(col("n_hit_shingles"), lit(0L)).cast("double")
+          / col("n_shingles") * 10000 + lit(0.5)) / 10000)
+          .as("contam_frac"))
+      .orderBy(col("bench_id"))
+  }
+
   /** Uniform hash of (doc_id, seed) in [0, 1): the first 8 md5 hex chars
     * as an integer over 2^32 — exact binary rational, so the `< rate`
     * comparison is bit-identical on any engine.

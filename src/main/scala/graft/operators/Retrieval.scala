@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -334,5 +334,44 @@ object Retrieval {
       .filter(col("rank") <= ClusterTopTerms)
       .select(col("ccell"), col("term"), col("tf"), col("score"),
         col("rank"))
+  }
+
+  /** topic_coverage: the semantic-cell × provenance mix matrix over the
+    * PERSISTED IVF-flat assignments — which sources dominate which
+    * regions of embedding space (the topic-balance audit of a training
+    * mix: domain_mix balances LANGUAGES by token budget; this shows
+    * whether a semantic topic is single-sourced, the input to
+    * source-diversification decisions; cluster_terms names the cells,
+    * this attributes them). Per (cell, source): doc count, share of
+    * the cell, and lift vs the source's corpus-wide share (lift > 1 =
+    * the source over-indexes in that topic).
+    *
+    * Plan: pure index consumer — one doc_id equi-join of the cell
+    * assignments against the documents scan, one partial agg onto the
+    * ≤|cells|×|sources| grid; cell/source/corpus totals re-aggregate
+    * the GRID (bounded), never the corpus, and ride back in as
+    * broadcast joins. Parity: lift is exact-integer products divided
+    * once in double (the copurchase form), 4dp floor-rounded.
+    */
+  def topicCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.ivfFlatIndex(spark, dir).lists
+      .select(col("vec_id"), col("ccell"))
+    val g = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(cells, col("doc_id") === col("vec_id"))
+      .groupBy(col("ccell"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // feeds the grid plus three total re-aggs
+    val cellT = g.groupBy(col("ccell")).agg(sum(col("n_docs")).as("cell_n"))
+    val srcT = g.groupBy(col("source")).agg(sum(col("n_docs")).as("src_n"))
+    val tot = g.agg(sum(col("n_docs")).as("tot"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    g.join(broadcast(cellT), "ccell")
+      .join(broadcast(srcT), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("ccell"), col("source"), col("n_docs"),
+        r4(col("n_docs").cast("double") / col("cell_n")).as("cell_share"),
+        r4((col("n_docs") * col("tot")).cast("double")
+          / (col("cell_n") * col("src_n")).cast("double")).as("lift"))
+      .orderBy(col("ccell"), col("source"))
   }
 }

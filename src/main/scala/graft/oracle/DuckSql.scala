@@ -1503,6 +1503,32 @@ object DuckSql {
        |$contamCtes
        |SELECT doc_id, hits FROM flagged""".stripMargin
 
+  /** Mirror of Curation.contaminationReport: the eval-side transpose —
+    * per bench doc, shingle totals, collision counts (expand-style
+    * distincts), 4dp contaminated fraction, zero-collision rows kept.
+    */
+  val contaminationReport: String = {
+    import graft.operators.Curation.{ContamMod, ContamSlot}
+    val slot = s"((doc_id % $ContamMod) + $ContamMod) % $ContamMod"
+    s"""$shCte,
+       |cex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |b AS (SELECT doc_id AS bench_id, g FROM cex WHERE $slot = $ContamSlot),
+       |tr AS (SELECT doc_id AS train_id, g FROM cex WHERE $slot <> $ContamSlot),
+       |h AS (SELECT bench_id, count(*)::BIGINT AS n_collisions,
+       |        count(DISTINCT train_id)::BIGINT AS n_train_docs,
+       |        count(DISTINCT g)::BIGINT AS n_hit_shingles
+       |      FROM b JOIN tr USING (g) GROUP BY bench_id),
+       |p AS (SELECT bench_id, count(*)::BIGINT AS n_shingles
+       |      FROM b GROUP BY bench_id)
+       |SELECT p.bench_id, p.n_shingles,
+       |  coalesce(h.n_hit_shingles, 0)::BIGINT AS n_hit_shingles,
+       |  coalesce(h.n_train_docs, 0)::BIGINT AS n_train_docs,
+       |  coalesce(h.n_collisions, 0)::BIGINT AS n_collisions,
+       |  floor(coalesce(h.n_hit_shingles, 0)::DOUBLE / p.n_shingles
+       |        * 10000 + 0.5) / 10000 AS contam_frac
+       |FROM p LEFT JOIN h USING (bench_id) ORDER BY p.bench_id""".stripMargin
+  }
+
   /** Mirror of Curation.qualityFilter: the same signal fragments as the
     * qualityScore / repetitionScore / toxicityScreen oracles, thresholds
     * interpolated from the shared constants, reasons in fixed order.
@@ -2576,6 +2602,32 @@ object DuckSql {
     * (stopwords excluded via the shared RefVocab list), tfidf_vectors'
     * smoothed idf over CELLS.
     */
+  /** Mirror of Retrieval.topicCoverage: the same unrolled k-means chain
+    * as clusterTerms, grid aggregate + bounded total re-aggs, 4dp
+    * floor-rounded shares, lift as integer products divided once.
+    */
+  val topicCoverage: String =
+    s"""WITH v0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("v0", "va1")},
+       |${kmRecomputeCte("va1", "vc1")},
+       |${kmAssignCte("vc1", "va2")},
+       |${kmRecomputeCte("va2", "vc2")},
+       |${kmAssignCte("vc2", "vidx")},
+       |g AS (SELECT i.cid AS ccell, d.source, count(*)::BIGINT AS n_docs
+       |      FROM documents d JOIN vidx i ON d.doc_id = i.vec_id
+       |      GROUP BY 1, 2),
+       |ct AS (SELECT ccell, sum(n_docs)::BIGINT AS cell_n FROM g GROUP BY 1),
+       |st AS (SELECT source, sum(n_docs)::BIGINT AS src_n FROM g GROUP BY 1),
+       |tt AS (SELECT sum(n_docs)::BIGINT AS tot FROM g)
+       |SELECT g.ccell, g.source, g.n_docs,
+       |  floor(g.n_docs::DOUBLE / ct.cell_n * 10000 + 0.5) / 10000
+       |    AS cell_share,
+       |  floor((g.n_docs * tt.tot)::DOUBLE / (ct.cell_n * st.src_n)
+       |        * 10000 + 0.5) / 10000 AS lift
+       |FROM g JOIN ct USING (ccell) JOIN st USING (source), tt
+       |ORDER BY g.ccell, g.source""".stripMargin
+
   val clusterTerms: String = {
     import graft.operators.{RefVocab, Retrieval}
     s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec

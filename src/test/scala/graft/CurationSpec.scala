@@ -247,4 +247,18 @@ class CurationSpec extends SparkSpecBase {
         s"head tercile too small: $heads of $n")
     }
   }
+
+  test("contamination_report: per-bench-doc collision rollup with zeros") {
+    // ids 7 and 57 are bench (mod 50 == 7); 1,2,3 are training
+    val dir = fixtureDir(docs = Seq(
+      doc(7, "a b c d"),    // shingles: "a b c", "b c d"
+      doc(57, "m n o p"),   // shingles: "m n o", "n o p" — untouched
+      doc(1, "a b c x"),    // hits "a b c"
+      doc(2, "b c d y z"),  // hits "b c d"
+      doc(3, "q w e r")))   // no collision
+    val out = rows(Curation.contaminationReport(spark, dir))
+    assert(out === Set(
+      Seq(7L, 2L, 2L, 2L, 2L, 1.0),
+      Seq(57L, 2L, 0L, 0L, 0L, 0.0)))
+  }
 }

@@ -141,4 +141,29 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.filter(_.getAs[String]("term") == "alpha")
       .map(_.getAs[Long]("tf")).sum === 30L)
   }
+
+  test("topic_coverage: grid counts, cell shares, and lift reconcile") {
+    val docs = (0L until 10L).map(i => doc(i, s"alpha w$i", s"s${i % 2}"))
+    val embs = (0L until 10L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val dir = fixtureDir(docs = docs, embs = embs)
+    val out = Retrieval.topicCoverage(spark, dir).collect()
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // the grid covers the whole corpus exactly once
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 10L)
+    val tot = 10L
+    val cellN = out.groupBy(_.getAs[Int]("ccell"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val srcN = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val cn = cellN(r.getAs[Int]("ccell"))
+      val sn = srcN(r.getAs[String]("source"))
+      assert(r.getAs[Double]("cell_share") === r4(n.toDouble / cn))
+      assert(r.getAs[Double]("lift") ===
+        r4((n * tot).toDouble / (cn * sn).toDouble))
+    }
+  }
 }
