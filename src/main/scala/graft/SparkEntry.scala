@@ -118,6 +118,7 @@ object SparkEntry {
     "curate_corpus"     -> (Curation.curateCorpus _),
     "classifier_examples" -> (Curation.classifierExamples _),
     "data_split" -> (Curation.dataSplit _),
+    "sft_export" -> (Curation.sftExport _),
     "gate_eval" -> (Curation.gateEval _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
@@ -154,6 +155,8 @@ object SparkEntry {
     "mmr_pool_recall" -> (Similarity.mmrPoolRecall _),
     "rag_context" -> (Similarity.ragContext _),
     "hard_negatives" -> (Similarity.hardNegatives _),
+    "ann_filtered" -> (Similarity.annFiltered _),
+    "filtered_recall" -> (Similarity.filteredRecall _),
     "cheapest_supplier" -> (Analytics.cheapestSupplier _),
   )
 
@@ -626,6 +629,7 @@ object SparkEntry {
     "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
     "data_split" -> graft.oracle.DuckSql.dataSplit,
+    "sft_export" -> graft.oracle.DuckSql.sftExport,
     "gate_eval" -> graft.oracle.DuckSql.gateEval,
     "dup_tokens" -> graft.oracle.DuckSql.dupTokens,
     "embedding_drift" -> graft.oracle.DuckSql.embeddingDrift,
@@ -647,6 +651,8 @@ object SparkEntry {
     "mmr_pool_recall" -> graft.oracle.DuckSql.mmrPoolRecall,
     "rag_context" -> graft.oracle.DuckSql.ragContext,
     "hard_negatives" -> graft.oracle.DuckSql.hardNegatives,
+    "ann_filtered" -> graft.oracle.DuckSql.annFiltered,
+    "filtered_recall" -> graft.oracle.DuckSql.filteredRecall,
     "cheapest_supplier" -> graft.oracle.DuckSql.cheapestSupplier,
   )
 }

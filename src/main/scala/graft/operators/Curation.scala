@@ -274,6 +274,35 @@ object Curation {
     * One-row output; both sides are per-doc frames already priced, the
     * confusion matrix is a single partial agg.
     */
+  /** sft_export: the trainer-ready FINE-TUNING manifest — the
+    * reference's generate_training_examples output
+    * (rag_processor.py:177-238 formats instruction/input/output and
+    * writes a training file) composed with the two export disciplines
+    * any production SFT set needs: a deterministic held-out split
+    * ([[dataSplit]] — eval rows must never train) and the seeded
+    * global shuffle ([[shuffleAssign]] — adjacent-id interactions
+    * would otherwise train adjacently). One row per example:
+    * (split, shard, pos) + the formatted triple, ordered by the
+    * shuffled (shard, pos) a trainer would read.
+    *
+    * Scale shape: three per-doc frames equi-joined on doc_id (one
+    * co-partitioning); the only non-map structure is shuffle_assign's
+    * per-shard rank window. Every stage is the same single-sourced
+    * primitive as its standalone gated query, so the manifest provably
+    * agrees with the per-stage audits (the export_manifest posture
+    * applied to the reference's SFT surface).
+    */
+  def sftExport(spark: SparkSession, dir: String): DataFrame = {
+    val te = graft.operators.TextOps.trainingExamples(spark, dir)
+    val ds = dataSplit(spark, dir).select(col("doc_id"), col("split"))
+    val sa = shuffleAssign(spark, dir)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    te.join(ds, "doc_id").join(sa, "doc_id")
+      .select(col("doc_id"), col("split"), col("shard"), col("pos"),
+        col("instruction"), col("input"), col("output"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   def gateEval(spark: SparkSession, dir: String): DataFrame = {
     val keep = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
     val lbl = CorpusStats.ccnetBuckets(spark, dir)

@@ -2239,6 +2239,19 @@ object DuckSql {
        |FROM u ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of Curation.sftExport: the three standalone statements
+    * composed as nested subqueries (each already its own gated mirror),
+    * joined on doc_id. Declared after the vals it embeds (object val
+    * init order).
+    */
+  val sftExport: String =
+    s"""SELECT t.doc_id, ds.split, sa.shard, sa.pos,
+       |  t.instruction, t.input, t.output
+       |FROM ($trainingExamples) t
+       |JOIN ($dataSplit) ds USING (doc_id)
+       |JOIN ($shuffleAssign) sa USING (doc_id)
+       |ORDER BY sa.shard, sa.pos""".stripMargin
+
   /** Mirror of CorpusStats.perplexityOod: LM counts from the training
     * source only, scored docs from every other source. LEFT joins give
     * the smoothed unseen floors (coalesce counts to 0, exactly the
@@ -2602,6 +2615,76 @@ object DuckSql {
     * (stopwords excluded via the shared RefVocab list), tfidf_vectors'
     * smoothed idf over CELLS.
     */
+  /** Filtered-IVF-probe chain (mirror of Similarity.annFiltered):
+    * unrolled k-means, nprobe=2 routing, metadata semi-join (inner on
+    * the unique-id keep set), ranked top-FilteredK — ends in
+    * `${p}cand(q_id, vec_id, s, rank)` (rank already cut to k).
+    */
+  private def annFilteredCtes(p: String): String = {
+    import graft.operators.Similarity.{FilteredK, FilteredLang}
+    s"""${p}c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte(s"${p}c0", s"${p}a1")},
+       |${kmRecomputeCte(s"${p}a1", s"${p}c1")},
+       |${kmAssignCte(s"${p}c1", s"${p}a2")},
+       |${kmRecomputeCte(s"${p}a2", s"${p}c2")},
+       |${kmAssignCte(s"${p}c2", s"${p}idx")},
+       |${p}probes AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, ${p}c2 c WHERE q.vec_id % 100 = 0)
+       |  WHERE pr <= 2),
+       |${p}keep AS (SELECT doc_id FROM documents
+       |             WHERE lang = '${sq(FilteredLang)}'),
+       |${p}sc AS (SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+       |  FROM ${p}probes p JOIN ${p}idx x ON x.cid = p.pcid
+       |    JOIN ${p}keep k ON k.doc_id = x.vec_id
+       |    JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id),
+       |${p}cand AS (SELECT q_id, vec_id, s, rank FROM (
+       |  SELECT q_id, vec_id, s,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY s DESC, vec_id) AS rank
+       |  FROM ${p}sc) WHERE rank <= $FilteredK)""".stripMargin
+  }
+
+  /** Mirror of Similarity.annFiltered: the filtered probe chain's cut
+    * candidate set, 6dp sims.
+    */
+  val annFiltered: String =
+    s"""WITH ${annFilteredCtes("af")}
+       |SELECT q_id, vec_id AS neighbor_id, round(s, 6) AS sim,
+       |  rank::INT AS rank
+       |FROM afcand ORDER BY q_id, rank""".stripMargin
+
+  /** Mirror of Similarity.filteredRecall: exact filtered brute-force
+    * top-k (the authority, left-joined) vs the filtered probe.
+    */
+  val filteredRecall: String = {
+    import graft.operators.Similarity.{FilteredK, FilteredLang}
+    s"""WITH ${annFilteredCtes("fr")},
+       |frex AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |               e.vec_id) AS rank
+       |  FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |    AND d.lang = '${sq(FilteredLang)}',
+       |  embeddings q
+       |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= $FilteredK)
+       |SELECT ex.q_id, count(a.vec_id)::BIGINT AS n_matched,
+       |  floor(count(a.vec_id)::DOUBLE / $FilteredK * 10000 + 0.5) / 10000
+       |    AS recall
+       |FROM frex ex LEFT JOIN frcand a
+       |  ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+  }
+
   /** Mirror of Retrieval.topicCoverage: the same unrolled k-means chain
     * as clusterTerms, grid aggregate + bounded total re-aggs, 4dp
     * floor-rounded shares, lift as integer products divided once.

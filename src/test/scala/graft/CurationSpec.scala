@@ -261,4 +261,22 @@ class CurationSpec extends SparkSpecBase {
       Seq(7L, 2L, 2L, 2L, 2L, 1.0),
       Seq(57L, 2L, 0L, 0L, 0L, 0.0)))
   }
+
+  test("sft_export: the manifest agrees with its standalone stages") {
+    val dir = fixtureDir(docs = (0L until 12L).map(i =>
+      doc(i, s"i feel anxious about topic $i today")))
+    val out = Curation.sftExport(spark, dir).collect()
+    assert(out.length === 12)
+    val split = Curation.dataSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val shuf = Curation.shuffleAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("split") === split(id))
+      assert((r.getAs[Int]("shard"), r.getAs[Int]("pos")) === shuf(id))
+      assert(r.getAs[String]("instruction")
+        .startsWith("You are a therapeutic AI assistant"))
+    }
+  }
 }

@@ -407,4 +407,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.HnSkip + Similarity.HnK <= Similarity.MmrPool)
     assert(negs.forall { case (q, d, _, _) => pool.contains((q, d)) })
   }
+
+  test("ann_filtered: predicate-true neighbors only; full probe = exact") {
+    // 10 vecs; docs alternate de/en; query set = vec_id 0
+    val embs = (0L until 10L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val docs = (0L until 10L).map(i =>
+      Doc(i, s"w$i", if (i % 2 == 0) "de" else "en", "s0", 2))
+    val dir = fixtureDir(docs = docs, embs = embs)
+    try {
+      // probe every cell -> the post-filter result IS the exact answer
+      spark.conf.set("spark.graft.param.ann.nprobe", "8")
+      val out = Similarity.annFiltered(spark, dir).collect()
+      assert(out.nonEmpty)
+      // only de docs (even ids), never the query itself
+      assert(out.forall(r => r.getAs[Long]("neighbor_id") % 2 == 0))
+      assert(out.forall(r => r.getAs[Long]("neighbor_id") != 0L))
+      assert(out.filter(_.getAs[Long]("q_id") == 0L)
+        .map(_.getAs[Int]("rank")).sorted.toSeq === (1 to out.length))
+      // and the full-probe recall audit reads 1.0 everywhere
+      val rec = Similarity.filteredRecall(spark, dir).collect()
+      assert(rec.nonEmpty && rec.forall(_.getAs[Double]("recall") == 1.0))
+    } finally spark.conf.unset("spark.graft.param.ann.nprobe")
+  }
+
+  test("ann_filtered: the lang param swaps the predicate") {
+    val embs = (0L until 10L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val docs = (0L until 10L).map(i =>
+      Doc(i, s"w$i", if (i % 2 == 0) "de" else "en", "s0", 2))
+    val dir = fixtureDir(docs = docs, embs = embs)
+    try {
+      spark.conf.set("spark.graft.param.ann.filter.lang", "en")
+      // tiny fixture: 2 probed cells can hold zero en docs — probe all
+      spark.conf.set("spark.graft.param.ann.nprobe", "8")
+      val out = Similarity.annFiltered(spark, dir).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getAs[Long]("neighbor_id") % 2 == 1))
+    } finally {
+      spark.conf.unset("spark.graft.param.ann.filter.lang")
+      spark.conf.unset("spark.graft.param.ann.nprobe")
+    }
+  }
 }
