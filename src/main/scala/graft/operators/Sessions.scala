@@ -484,19 +484,43 @@ object Sessions {
     * both consumers, so it is localCheckpoint-ed once.
     */
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    val daily = dailyCounts(Tables.events(spark, dir)).localCheckpoint()
+    flagDaily(daily, dayStatsOf(daily))
+  }
+
+  /** (event_type, day, n) day-grid partial agg — the control chart's
+    * input frame. Factored so the streaming twin
+    * ([[graft.streaming.EventStream.watchEvents]]) flags the SAME
+    * day-count shape against frozen stats.
+    */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), expr("ts div 86400000000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+
+  /** Per-type (mean, sigma) from exact integer sums over the day grid
+    * (fixed operand order, −ε clamp) — the FROZEN side of the
+    * streaming control chart.
+    */
+  private[graft] def dayStatsOf(daily: DataFrame): DataFrame = {
     val mean = col("s1").cast("double") / col("d")
-    val stats = daily.groupBy(col("event_type"))
+    daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
       .select(col("event_type"), mean.as("mean"),
         sqrt(greatest(
           col("s2").cast("double") / col("d") - mean * mean,
           lit(0.0))).as("sigma"))
+  }
+
+  /** Shewhart flagging of a day-count frame against a per-type stats
+    * frame: 6dp mean, 4dp z, 3σ anomaly bit on unrounded doubles.
+    * Inner join: types the stats frame never saw are unchartable and
+    * drop (the ScoreStream unknown-language rule applied to events).
+    */
+  private[graft] def flagDaily(daily: DataFrame,
+      stats: DataFrame): DataFrame =
     daily.join(broadcast(stats), Seq("event_type"))
       .select(col("event_type"), col("day"), col("n"),
         (floor(col("mean") * 1000000 + 0.5) / 1000000).as("mean_n"),
@@ -504,7 +528,6 @@ object Sessions {
           floor((col("n") - col("mean")) / col("sigma") * 10000 + 0.5)
             / 10000).otherwise(lit(0.0)).as("z"),
         (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
-  }
 
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.

@@ -207,4 +207,37 @@ object EventStream {
           .as("session_start"),
         col("n_events"), col("first_event"), col("last_event"),
         col("total_value"))
+
+  /** Streaming Shewhart control chart — the streaming face of
+    * Sessions.eventAnomalies under the freeze-then-probe contract:
+    * per-type (mean, sigma) day statistics are FROZEN from a history
+    * corpus (Sessions.dayStatsOf — recalibrated on a policy cadence,
+    * like the LM/DSIR/tercile artifacts), and arriving events are
+    * charted against them, never against the batch they arrive in.
+    *
+    * Shape: watermarked 1-day tumbling counts per type (bounded state —
+    * the windowAgg posture on the day grid); each CLOSED window emits
+    * once into foreachBatch, is flagged by the SHARED Sessions.flagDaily
+    * primitive (6dp mean / 4dp z / 3σ bit — the batch-parity anchor),
+    * and appends to the store keyed (event_type, day); replays no-op
+    * via the store anti-join. Types absent from the frozen stats are
+    * unchartable and drop (the ScoreStream unknown-language rule).
+    */
+  def watchEvents(events: DataFrame,
+      stats: DataFrame, store: String,
+      watermark: String = "1 day")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_seconds(window.start) div 86400").as("day"), col("n"))
+      .writeStream.foreachBatch {
+        (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StreamStore.appendNew(b.toDF(), store,
+            Seq("event_type", "day"))(
+            graft.operators.Sessions.flagDaily(_, stats))
+      }
 }

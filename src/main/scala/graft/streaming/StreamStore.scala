@@ -18,19 +18,20 @@ private[streaming] object StreamStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Micro-batch skeleton: drop in-batch doc_id duplicates, anti-join
-    * the store (source re-deliveries are no-ops), transform what's
-    * left, append. The drained store holds exactly one row per distinct
-    * emitted doc_id.
+  /** Micro-batch skeleton: drop in-batch key duplicates, anti-join the
+    * store (source re-deliveries are no-ops), transform what's left,
+    * append. The drained store holds exactly one row per distinct
+    * emitted key (default key: doc_id).
     */
-  def appendNew(batch: DataFrame, store: String)(
+  def appendNew(batch: DataFrame, store: String,
+      keys: Seq[String] = Seq("doc_id"))(
       transform: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val fresh = batch.dropDuplicates("doc_id")
+    val fresh = batch.dropDuplicates(keys)
     val newDocs =
       if (exists(spark, store))
-        fresh.join(spark.read.parquet(store).select("doc_id"),
-          Seq("doc_id"), "left_anti")
+        fresh.join(spark.read.parquet(store).select(keys.head, keys.tail: _*),
+          keys, "left_anti")
       else fresh
     // localCheckpoint so the emptiness probe and the write share one
     // evaluation of the transform (incl. the store anti-join) instead of

@@ -228,4 +228,39 @@ class StreamingSpec extends SparkSpecBase {
         "total_value"))
     assert(out === Set(Seq(2L, 3, 0L, 2L, 18.0)))
   }
+
+  test("streaming control chart flags closed days against frozen stats") {
+    import graft.operators.Sessions
+    // history: click days 0/1/2 with counts 1,1,4; view day 0 count 1.
+    // the day-40 probe event advances the watermark past every window;
+    // "probe" is absent from the frozen stats -> unchartable, dropped.
+    val history = Seq(
+      ev(0, 3600, 1, "click", 1.0),
+      ev(1, 86400 + 3600, 1, "click", 1.0),
+      ev(2, 2 * 86400 + 100, 1, "click", 1.0),
+      ev(3, 2 * 86400 + 200, 2, "click", 1.0),
+      ev(4, 2 * 86400 + 300, 3, "click", 1.0),
+      ev(5, 2 * 86400 + 400, 4, "click", 1.0),
+      ev(6, 7200, 5, "view", 2.0))
+    val dir = fixtureDir(evs = history :+ ev(99, 40 * 86400, 9, "probe", 0.0))
+    val historyDf = spark.read.parquet(s"$dir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("event_type") =!= "probe")
+    val stats = Sessions.dayStatsOf(Sessions.dailyCounts(historyDf))
+      .localCheckpoint()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-chart-store").toString + "/flags"
+    val q = EventStream.watchEvents(streamEvents(dir), stats, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val got = rows(spark.read.parquet(store))
+    val want = rows(Sessions.flagDaily(
+      Sessions.dailyCounts(historyDf), stats))
+    assert(got === want)
+    assert(got.nonEmpty && got.size === 4)
+    // replay is a no-op (store anti-join on (event_type, day))
+    val q2 = EventStream.watchEvents(streamEvents(dir), stats, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(300000)
+    assert(rows(spark.read.parquet(store)) === want)
+  }
 }
