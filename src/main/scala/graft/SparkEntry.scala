@@ -119,6 +119,8 @@ object SparkEntry {
     "classifier_examples" -> (Curation.classifierExamples _),
     "data_split" -> (Curation.dataSplit _),
     "sft_export" -> (Curation.sftExport _),
+    "split_leakage" -> (Curation.splitLeakage _),
+    "cell_purity" -> (Similarity.cellPurity _),
     "gate_eval" -> (Curation.gateEval _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
@@ -630,6 +632,8 @@ object SparkEntry {
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,
     "data_split" -> graft.oracle.DuckSql.dataSplit,
     "sft_export" -> graft.oracle.DuckSql.sftExport,
+    "split_leakage" -> graft.oracle.DuckSql.splitLeakage,
+    "cell_purity" -> graft.oracle.DuckSql.cellPurity,
     "gate_eval" -> graft.oracle.DuckSql.gateEval,
     "dup_tokens" -> graft.oracle.DuckSql.dupTokens,
     "embedding_drift" -> graft.oracle.DuckSql.embeddingDrift,

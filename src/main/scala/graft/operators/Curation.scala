@@ -274,6 +274,37 @@ object Curation {
     * One-row output; both sides are per-doc frames already priced, the
     * confusion matrix is a single partial agg.
     */
+  /** split_leakage: near-duplicate LEAKAGE across the train/valid/test
+    * split — the audit Dodge et al. 2021 ("Documenting Large Webtext
+    * Corpora") and the dedup papers motivate: a held-out doc with a
+    * near-duplicate in train is memorization surface, and a random
+    * hash split (data_split) is exactly what creates such pairs unless
+    * dedup ran first. Directed grid over the PERSISTED verified pair
+    * set: per (split, other_split) — docs in `split` with ≥1 near-dup
+    * in `other_split` (n_docs), and the number of such links
+    * (n_links). The off-diagonal (test, train)/(valid, train) rows are
+    * the leak counts a release gate reads; the diagonal is residual
+    * in-split duplication.
+    *
+    * Scale shape: pure pair-set consumer (the cluster_stats posture) —
+    * symmetrize the pairs, two membership joins against the map-only
+    * split frame, one ≤9-row grid agg (the count-distinct is bounded
+    * by the pair set, not the corpus).
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val e = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("u", "v")
+    val sp = dataSplit(spark, dir).select(col("doc_id"), col("split"))
+    e.join(sp.select(col("doc_id").as("u"), col("split")), Seq("u"))
+      .join(sp.select(col("doc_id").as("v"),
+        col("split").as("other_split")), Seq("v"))
+      .groupBy(col("split"), col("other_split"))
+      .agg(count_distinct(col("u")).as("n_docs"),
+        count(lit(1)).as("n_links"))
+      .orderBy(col("split"), col("other_split"))
+  }
+
   /** sft_export: the trainer-ready FINE-TUNING manifest — the
     * reference's generate_training_examples output
     * (rag_processor.py:177-238 formats instruction/input/output and

@@ -2252,6 +2252,25 @@ object DuckSql {
        |JOIN ($shuffleAssign) sa USING (doc_id)
        |ORDER BY sa.shard, sa.pos""".stripMargin
 
+  /** Mirror of Curation.splitLeakage: the verified minhash pair set
+    * symmetrized, both ends mapped through the data_split statement
+    * (nested subquery — its own gated mirror), ≤9-row directed grid.
+    * Declared after the dataSplit val it embeds (object init order).
+    */
+  val splitLeakage: String =
+    s"""$shCte,
+       |$minhashJCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $jacThresh),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |sp AS (SELECT doc_id, split FROM ($dataSplit))
+       |SELECT su.split AS split, sv.split AS other_split,
+       |  count(DISTINCT e.u)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_links
+       |FROM e JOIN sp su ON su.doc_id = e.u
+       |       JOIN sp sv ON sv.doc_id = e.v
+       |GROUP BY 1, 2 ORDER BY split, other_split""".stripMargin
+
   /** Mirror of CorpusStats.perplexityOod: LM counts from the training
     * source only, scored docs from every other source. LEFT joins give
     * the smoothed unseen floors (coalesce counts to 0, exactly the
@@ -2615,6 +2634,38 @@ object DuckSql {
     * (stopwords excluded via the shared RefVocab list), tfidf_vectors'
     * smoothed idf over CELLS.
     */
+  /** Mirror of Similarity.cellPurity: the unrolled k-means chain's
+    * assignments joined to the labels, per-cell argmax + the
+    * token_entropy exact-integer entropy form.
+    */
+  val cellPurity: String =
+    s"""WITH u0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("u0", "ua1")},
+       |${kmRecomputeCte("ua1", "uc1")},
+       |${kmAssignCte("uc1", "ua2")},
+       |${kmRecomputeCte("ua2", "uc2")},
+       |${kmAssignCte("uc2", "uidx")},
+       |cl AS (SELECT i.cid AS ccell, e.label, count(*)::BIGINT AS c
+       |       FROM uidx i JOIN embeddings e ON e.vec_id = i.vec_id
+       |       GROUP BY 1, 2),
+       |top AS (SELECT ccell, label AS top_label, c AS top_c FROM (
+       |  SELECT ccell, label, c,
+       |    row_number() OVER (PARTITION BY ccell
+       |                       ORDER BY c DESC, label) AS rn
+       |  FROM cl) WHERE rn = 1),
+       |a AS (SELECT ccell, sum(c)::BIGINT AS n_vecs,
+       |        count(*)::BIGINT AS n_labels,
+       |        sum(c * CAST(floor(ln(c::DOUBLE) * 1000000 + 0.5) / 1000000
+       |                     AS DECIMAL(18,6))) AS clogc
+       |      FROM cl GROUP BY 1)
+       |SELECT a.ccell, a.n_vecs, a.n_labels, t.top_label,
+       |  floor(t.top_c::DOUBLE / a.n_vecs * 10000 + 0.5) / 10000
+       |    AS top_share,
+       |  floor((ln(a.n_vecs::DOUBLE) - clogc::DOUBLE / a.n_vecs)
+       |        * 1000000 + 0.5) / 1000000 AS entropy
+       |FROM a JOIN top t USING (ccell) ORDER BY a.ccell""".stripMargin
+
   /** Filtered-IVF-probe chain (mirror of Similarity.annFiltered):
     * unrolled k-means, nprobe=2 routing, metadata semi-join (inner on
     * the unique-id keep set), ranked top-FilteredK — ends in

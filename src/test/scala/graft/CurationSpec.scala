@@ -279,4 +279,28 @@ class CurationSpec extends SparkSpecBase {
         .startsWith("You are a therapeutic AI assistant"))
     }
   }
+
+  test("split_leakage: the grid reconciles with the pair set and split map") {
+    // 10 near-dup pairs (identical texts within a pair, distinct across)
+    val docs = (0L until 20L).map { i =>
+      val fam = i / 2
+      doc(i, s"the quick brown fox $fam jumps over the lazy dog $fam " +
+        s"and keeps running forever $fam")
+    }
+    val dir = fixtureDir(docs = docs)
+    val out = Curation.splitLeakage(spark, dir).collect()
+    val split = Curation.dataSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.operators.Dedup.dedupPairs(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val links = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val want = links.groupBy { case (u, v) => (split(u), split(v)) }
+      .map { case ((su, sv), ls) =>
+        (su, sv, ls.map(_._1).distinct.length.toLong, ls.length.toLong) }
+      .toSet
+    assert(out.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet === want)
+  }
 }

@@ -451,4 +451,35 @@ class SimilaritySpec extends SparkSpecBase {
       spark.conf.unset("spark.graft.param.ann.nprobe")
     }
   }
+
+  test("cell_purity: majority share and entropy recomputed from the lists") {
+    val embs = (0L until 16L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 3).toInt))
+    val dir = fixtureDir(embs = embs)
+    val out = Similarity.cellPurity(spark, dir).collect()
+    val cl = Similarity.ivfFlatIndex(spark, dir).lists
+      .select("vec_id", "ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === 16L)
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    out.foreach { r =>
+      val members = cl(r.getAs[Int]("ccell"))
+      val byLabel = members.groupBy(id => (id % 3).toInt)
+        .view.mapValues(_.size.toLong).toMap
+      val n = members.size.toLong
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("n_labels") === byLabel.size.toLong)
+      val (topL, topC) = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Int]("top_label") === topL)
+      assert(r.getAs[Double]("top_share") === r4(topC.toDouble / n))
+      val clogc = byLabel.values
+        .map(c => BigDecimal(c) * BigDecimal(rnd6(math.log(c.toDouble))))
+        .sum
+      assert(r.getAs[Double]("entropy") ===
+        rnd6(math.log(n.toDouble) - (clogc / BigDecimal(n)).toDouble))
+    }
+  }
 }
