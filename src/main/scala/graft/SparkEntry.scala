@@ -63,6 +63,7 @@ object SparkEntry {
     "topic_interactions"   -> (Interactions.topicInteractions _),
     "high_quality"         -> (Interactions.highQuality _),
     "high_quality_topic"   -> (Interactions.highQualityTopic _),
+    "effectiveness_trend"  -> (Interactions.effectivenessTrend _),
     "lang_id"         -> (TextAnalysis.langId _),
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "token_count"     -> (TextAnalysis.tokenCount _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "zipf_fit" -> (CorpusStats.zipfFit _),
     "token_entropy" -> (CorpusStats.tokenEntropy _),
     "vocab_growth" -> (CorpusStats.vocabGrowth _),
+    "length_hist" -> (CorpusStats.lengthHist _),
     "q11_important_stock" -> (Analytics.q11ImportantStock _),
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
@@ -531,6 +533,7 @@ object SparkEntry {
     "topic_interactions"   -> graft.oracle.DuckSql.topicInteractions,
     "high_quality"         -> graft.oracle.DuckSql.highQuality,
     "high_quality_topic"   -> graft.oracle.DuckSql.highQualityTopic,
+    "effectiveness_trend"  -> graft.oracle.DuckSql.effectivenessTrend,
     "lang_id"         -> graft.oracle.DuckSql.langId,
     "quality_score"   -> graft.oracle.DuckSql.qualityScore,
     "token_count"     -> graft.oracle.DuckSql.tokenCount,
@@ -593,6 +596,7 @@ object SparkEntry {
     "zipf_fit" -> graft.oracle.DuckSql.zipfFit,
     "token_entropy" -> graft.oracle.DuckSql.tokenEntropy,
     "vocab_growth" -> graft.oracle.DuckSql.vocabGrowth,
+    "length_hist" -> graft.oracle.DuckSql.lengthHist,
     "q11_important_stock" ->
       s"""WITH ns AS (SELECT s_suppkey FROM supplier
         |  JOIN nation ON s_nationkey = n_nationkey

@@ -695,6 +695,42 @@ object CorpusStats {
       .orderBy(col("lang"))
   }
 
+  /** length_hist: the document token-LENGTH histogram per language in
+    * power-of-two bins — the pre-packing audit (pack_sequences' budget
+    * and pack_stats' straddle fraction are functions of this
+    * distribution: a long-tail language straddles more; a short-tail
+    * one wastes fill). Per (lang, bin): doc count, token mass, and the
+    * doc share within the language. Same normalized tokenizer as the
+    * packer, so the histogram prices exactly what packing consumes.
+    *
+    * Plan: map-side token count + bin (bin index = binary-string
+    * length, an exact integer form — no float log2 edge at exact
+    * powers of two), one (lang × ~30 bins)-bounded partial agg;
+    * language totals re-aggregate the GRID and ride back broadcast.
+    */
+  def lengthHist(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val g = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("text")),
+      col("doc_id"))
+      .select(col("lang"),
+        size(Dedup.normToks(col("text"))).cast("long").as("toks"))
+      .select(col("lang"), col("toks"),
+        when(col("toks") === 0, lit(0L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(toks)) AS INT) - 1)"))
+          .as("bin_lo"))
+      .groupBy(col("lang"), col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .localCheckpoint() // feeds the grid and the per-language totals
+    val lt = g.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_n"))
+    g.join(broadcast(lt), "lang")
+      .select(col("lang"), col("bin_lo"), col("n_docs"), col("n_tokens"),
+        r4(col("n_docs").cast("double") / col("lang_n")).as("doc_share"))
+      .orderBy(col("lang"), col("bin_lo"))
+  }
+
   // ---- dsir_weights: hashed n-gram importance weights (DSIR) ----------
 
   /** DSIR feature-hash bucket count. Bounded by construction: the bucket

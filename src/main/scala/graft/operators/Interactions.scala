@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,48 @@ object Interactions {
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .withColumn("context", concat_ws(" ", collect_list(turn).over(w)))
       .select(col("user_id"), col("event_id"), col("context"))
+  }
+
+  /** effectiveness_trend: the reference's scoring loop tracked over
+    * TIME — the product-monitoring rollup of the per-interaction
+    * effectiveness metadata (prompt_selector.py:332-395 scores every
+    * response; the operational question is whether the scores are
+    * drifting week over week). Per week: interaction count, distinct
+    * users (dedup-then-count), exact-decimal mean term overlap, and
+    * the high-adherence + gate-pass shares (the SAME gate predicate
+    * high_quality applies, so the trend provably tracks the gate's
+    * admission rate).
+    *
+    * Plan: one scan, map-side week/metric derivation, one
+    * |weeks|-bounded partial agg (the distinct-user count is bounded
+    * by (weeks × users) intermediate rows — the active_users shuffle
+    * class). Parity: overlaps are 2dp-exact (round() safe), summed in
+    * DECIMAL, divided once in double, 4dp floor-rounded.
+    */
+  def effectivenessTrend(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val overlap = round(propsK / 100.0, 2)
+    val adherence = when(col("event_type") === "purchase", "high")
+      .when(col("event_type") === "signup", "medium")
+      .otherwise("low")
+    Tables.events(spark, dir)
+      .select(expr("ts div 604800000000000").as("week"), col("user_id"),
+        overlap.as("ov"), adherence.as("adh"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_interactions"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("ov").cast("decimal(18,2)")).as("ovs"),
+        sum(when(col("adh") === "high", 1L).otherwise(0L)).as("nh"),
+        sum(when(col("ov") >= 0.7 || col("adh") === "high", 1L)
+          .otherwise(0L)).as("np"))
+      .select(col("week"), col("n_interactions"), col("n_users"),
+        r4(col("ovs").cast("double") / col("n_interactions"))
+          .as("mean_overlap"),
+        r4(col("nh").cast("double") / col("n_interactions"))
+          .as("high_share"),
+        r4(col("np").cast("double") / col("n_interactions"))
+          .as("pass_share"))
+      .orderBy(col("week"))
   }
 
   /** high_quality: effectiveness threshold OR high template adherence,

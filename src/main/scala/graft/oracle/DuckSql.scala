@@ -1448,6 +1448,28 @@ object DuckSql {
       |  md5(md5(doc_id::VARCHAR) || '#' || frame_idx::VARCHAR) AS frame_md5
       |FROM x""".stripMargin
 
+  /** Mirror of Interactions.effectivenessTrend: weekly rollup of the
+    * 2dp-exact overlap metric, DECIMAL accumulation, 4dp floor shares;
+    * the pass predicate is the highQuality gate's.
+    */
+  val effectivenessTrend: String =
+    """WITH e AS (SELECT
+      |  (floor(epoch(ts))::BIGINT // 604800) AS week, user_id,
+      |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS ov,
+      |  CASE WHEN event_type = 'purchase' THEN 'high'
+      |       WHEN event_type = 'signup' THEN 'medium'
+      |       ELSE 'low' END AS adh
+      |  FROM events)
+      |SELECT week, count(*)::BIGINT AS n_interactions,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  floor(sum(CAST(ov AS DECIMAL(18,2)))::DOUBLE / count(*)
+      |        * 10000 + 0.5) / 10000 AS mean_overlap,
+      |  floor(sum(CASE WHEN adh = 'high' THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 10000 + 0.5) / 10000 AS high_share,
+      |  floor(sum(CASE WHEN ov >= 0.7 OR adh = 'high' THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 10000 + 0.5) / 10000 AS pass_share
+      |FROM e GROUP BY week ORDER BY week""".stripMargin
+
   val highQuality: String =
     """WITH e AS (SELECT event_id, user_id,
       |  round(CAST(json_extract_string(props, '$.k') AS INT) / 100.0, 2) AS term_overlap,
@@ -1791,6 +1813,25 @@ object DuckSql {
     * verbatim-order double expression per emitted stat. The vocab=1
     * guard keeps the normalized entropy at 0.0 instead of 0/0.
     */
+  /** Mirror of CorpusStats.lengthHist: same normToks counts, the exact
+    * binary-string-length bin form, grid-bounded share re-agg.
+    */
+  val lengthHist: String =
+    s"""$normCte,
+       |t AS (SELECT lang, len(ws)::BIGINT AS toks FROM n),
+       |b AS (SELECT lang, toks,
+       |  CASE WHEN toks = 0 THEN 0
+       |       ELSE (1::BIGINT << (length(bin(toks)) - 1)) END AS bin_lo
+       |  FROM t),
+       |g AS (SELECT lang, bin_lo, count(*)::BIGINT AS n_docs,
+       |        sum(toks)::BIGINT AS n_tokens
+       |      FROM b GROUP BY 1, 2),
+       |lt AS (SELECT lang, sum(n_docs)::BIGINT AS lang_n FROM g GROUP BY 1)
+       |SELECT g.lang, g.bin_lo, g.n_docs, g.n_tokens,
+       |  floor(g.n_docs::DOUBLE / lt.lang_n * 10000 + 0.5) / 10000
+       |    AS doc_share
+       |FROM g JOIN lt USING (lang) ORDER BY g.lang, g.bin_lo""".stripMargin
+
   val tokenEntropy: String = {
     s"""$normCte,
        |ty AS (SELECT lang, tok, count(*) AS c

@@ -408,4 +408,21 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("en", 1L, 3L, 5L, 9L, r4(5.0 / 3), r4(9.0 / 5)),
       Seq("de", 1L, 1L, 1L, 2L, 1.0, 2.0)))
   }
+
+  test("length_hist: power-of-two bins, exact at the boundaries") {
+    // 1 tok -> bin 1; 2 toks -> bin 2; 3 -> bin 2; 4 -> bin 4; 8 -> bin 8
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, words(1), "en", "s0", 2),
+      Doc(2, words(2), "en", "s0", 5),
+      Doc(3, words(3), "en", "s0", 8),
+      Doc(4, words(4), "en", "s0", 11),
+      Doc(5, words(8), "de", "s0", 23)))
+    val out = rows(CorpusStats.lengthHist(spark, dir))
+    assert(out === Set(
+      Seq("en", 1L, 1L, 1L, 0.25),
+      Seq("en", 2L, 2L, 5L, 0.5),
+      Seq("en", 4L, 1L, 4L, 0.25),
+      Seq("de", 8L, 1L, 8L, 1.0)))
+  }
 }

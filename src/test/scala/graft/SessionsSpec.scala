@@ -290,4 +290,19 @@ class SessionsSpec extends SparkSpecBase {
       Seq(10L, 1L, 1L, 599L),
       Seq(10L, 2L, 1L, 0L)))
   }
+
+  test("effectiveness_trend: weekly rollup matches hand computation") {
+    // week 0: k=80 (purchase, high, ov .8 pass), k=30 (click, low, fail)
+    // week 1: k=90 (click, low, ov .9 pass) by two users
+    val W = 604800L
+    val dir = fixtureDir(evs = Seq(
+      ev(0, 100, 1, "purchase", 1.0, k = 80),
+      ev(1, 200, 1, "click", 1.0, k = 30),
+      ev(2, W + 100, 1, "click", 1.0, k = 90),
+      ev(3, W + 200, 2, "click", 1.0, k = 90)))
+    val out = rows(graft.operators.Interactions.effectivenessTrend(spark, dir))
+    assert(out === Set(
+      Seq(0L, 2L, 1L, 0.55, 0.5, 0.5),
+      Seq(1L, 2L, 2L, 0.9, 0.0, 1.0)))
+  }
 }
