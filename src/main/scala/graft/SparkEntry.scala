@@ -81,6 +81,7 @@ object SparkEntry {
     "lsh_curve" -> (Dedup.lshCurve _),
     "dup_tokens" -> (Dedup.dupTokens _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "span_hotspots" -> (Dedup.spanHotspots _),
     "semdedup"        -> (Similarity.semDedup _),
     "cluster_stats"   -> (Dedup.clusterStats _),
     "source_overlap"  -> (Dedup.sourceOverlap _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
+    "pq_distortion"  -> (Similarity.pqDistortion _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
     "decontaminate"     -> (Curation.decontaminate _),
@@ -548,6 +550,7 @@ object SparkEntry {
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
     "dedup_substring" -> graft.oracle.DuckSql.dedupSubstring,
+    "span_hotspots" -> graft.oracle.DuckSql.spanHotspots,
     "semdedup"        -> graft.oracle.DuckSql.semDedup,
     "cluster_stats"   -> graft.oracle.DuckSql.clusterStats,
     "source_overlap"  -> graft.oracle.DuckSql.sourceOverlap,
@@ -573,6 +576,7 @@ object SparkEntry {
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
+    "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,

@@ -724,10 +724,15 @@ object Dedup {
     * k docs contributes k rows, not k² pairs (span extension replaces
     * pair enumeration).
     */
-  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pos, h): one row per full [[SubGramN]]-token window hash —
+    * the substring-dedup index frame, factored so [[spanHotspots]]
+    * ranks over the IDENTICAL window hashes [[dedupSubstring]] spans.
+    */
+  private[graft] def windowHashRows(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until SubGramN).map(i => lead(col("tok"), i).over(w))
-    val gramPos = Tables.cpuPartition(
+    Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
       .select(col("doc_id"),
@@ -737,6 +742,10 @@ object Dedup {
         leads.last.isNotNull.as("full"))
       .filter(col("full"))
       .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val gramPos = windowHashRows(spark, dir)
       .localCheckpoint() // feeds both duplicate detection and the rejoin
     val dup = gramPos.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
@@ -752,6 +761,38 @@ object Dedup {
         (col("n_grams") + lit(SubGramN - 1)).cast("int").as("span_tokens"),
         col("n_grams").cast("int").as("n_grams"))
   }
+
+  /** span_hotspots result depth. */
+  val HotSpanTopK = 50
+
+  /** span_hotspots: the corpus-wide BOILERPLATE detector — the most
+    * widely shared [[SubGramN]]-token windows, ranked by document
+    * coverage (C4's repeated-line removal / Dolma's boilerplate pass
+    * operate on exactly this signal: a verbatim run appearing across
+    * many documents is template text — headers, licenses, navigation —
+    * not content, and its hash is the removal key). Per hot window
+    * hash: distinct-doc count and total occurrences, top
+    * [[HotSpanTopK]]. dedup_substring spans PAIRS of duplicated runs;
+    * this ranks the runs themselves across the corpus — the removal
+    * worklist, joinable back to [[windowHashRows]] by hash.
+    *
+    * Plan: ONE groupBy on the window hash (distinct-doc count +
+    * occurrence count share the aggregate via Catalyst's expand-based
+    * multi-distinct — the explode is scanned once), TakeOrdered top-k —
+    * never a global sort; rank materializes over the k-bounded frame.
+    */
+  def spanHotspots(spark: SparkSession, dir: String): DataFrame =
+    windowHashRows(spark, dir)
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+      .limit(HotSpanTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))))
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        col("rank").cast("int").as("rank"))
 
   /** Hot-shingle document-frequency cap for the EXACT pair truth set of
     * [[dedupRecall]]. A shingle shared by more docs than this is

@@ -635,6 +635,30 @@ object DuckSql {
        |FROM dp GROUP BY doc_id, pos - rn HAVING count(*) >= $SubMinGrams""".stripMargin
   }
 
+  /** Mirror of Dedup.spanHotspots: the same window-hash frame as
+    * dedupSubstring, one multi-distinct aggregate, top-k by
+    * (n_docs, n_occ, h).
+    */
+  val spanHotspots: String = {
+    import graft.operators.Dedup.{HotSpanTopK, SubGramN}
+    val g1 = SubGramN - 1
+    s"""WITH n AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(ws) - ${g1 - 1}, 1)),
+       |    j -> md5(array_to_string(ws[j:j+$g1], ' ')))) AS h
+       |  FROM n),
+       |a AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |        count(*)::BIGINT AS n_occ
+       |      FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT h, n_docs, n_occ, rank::INT AS rank FROM (
+       |  SELECT h, n_docs, n_occ,
+       |    row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, h) AS rank
+       |  FROM a) WHERE rank <= $HotSpanTopK
+       |ORDER BY rank""".stripMargin
+  }
+
   val dedupNgram: String =
     s"""$shCte
        |SELECT source, id_a, id_b, jaccard FROM (
@@ -1334,6 +1358,21 @@ object DuckSql {
     s"""sv AS (SELECT vec_id, m::INT AS m,
        |  list_slice(embedding, m*8 + 1, m*8 + 8) AS sub
        |  FROM embeddings, range(0, 8) t(m))""".stripMargin
+
+  /** Mirror of Similarity.pqDistortion: the trained codebook chain's
+    * assignments, per-row fixed-order squared distance (the pqD2 form
+    * sqDist mirrors), 6dp rounds × DECIMAL accumulation, one divide.
+    */
+  val pqDistortion: String =
+    s"""WITH $rawSvCte,
+       |$pqTrainCtes,
+       |d AS (SELECT e.m,
+       |  CAST(floor((${pqD2("e.sub", "c.cvec")}) * 1000000 + 0.5) / 1000000
+       |       AS DECIMAL(18,6)) AS d2
+       |  FROM pqenc e JOIN pq2 c ON c.m = e.m AND c.cid = e.cid)
+       |SELECT m, count(*)::BIGINT AS n_vecs,
+       |  floor(sum(d2)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS mse
+       |FROM d GROUP BY m ORDER BY m""".stripMargin
 
   val annPq: String =
     s"""WITH $rawSvCte,

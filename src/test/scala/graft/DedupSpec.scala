@@ -232,4 +232,20 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(Dedup.dedupRecall(spark, d)) ===
       Set(Seq(1L, 1L, 1L, 1.0, 1.0)))
   }
+
+  test("span_hotspots: a shared 8-token run ranks as the hot window") {
+    val run = "a b c d e f g h"                   // exactly one 8-window
+    val dir = fixtureDir(docs = Seq(
+      doc(1, run), doc(2, run), doc(3, "x y z q w e r t")))
+    val out = graft.operators.Dedup.spanHotspots(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_occ") === 2L)
+    assert(r.getAs[Int]("rank") === 1)
+    // the hash is the same md5 dedup_substring's windows use
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(run.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("h") === md)
+  }
 }

@@ -482,4 +482,20 @@ class SimilaritySpec extends SparkSpecBase {
         rnd6(math.log(n.toDouble) - (clogc / BigDecimal(n)).toDouble))
     }
   }
+
+  test("pq_distortion: identical vectors reconstruct exactly (mse 0)") {
+    val embs = (0L until 20L).map(i => Emb(i, vec(1.0, 0.5, 0.25), 0))
+    val dir = fixtureDir(embs = embs)
+    val out = Similarity.pqDistortion(spark, dir).collect()
+    assert(out.length === 8)
+    assert(out.map(_.getAs[Int]("m")).sorted.toSeq === (0 to 7))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === 20L)
+      assert(r.getAs[Double]("mse") === 0.0)
+    }
+    // and a spread corpus reports a finite non-negative error
+    val out2 = Similarity.pqDistortion(spark, pqDir).collect()
+    assert(out2.length === 8)
+    assert(out2.forall(r => r.getAs[Double]("mse") >= 0.0))
+  }
 }
