@@ -369,4 +369,31 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("ExistingRDD"),
       s"probe plan contains checkpointed training lineage:\n$plan")
   }
+
+  test("r8-cont family: new audit plans keep the scale shapes") {
+    // ann_filtered: the metadata predicate is a SEMI join (membership
+    // only), candidates never cartesian
+    val pf = planOf(Similarity.annFiltered(spark, dir))
+    assert(pf.contains("LeftSemi"), s"metadata filter must be semi:\n$pf")
+    assert(!pf.contains("CartesianProduct"), pf)
+    // span_hotspots: top-k is TakeOrdered, never a global Sort+Limit
+    val ph = planOf(Dedup.spanHotspots(spark, dir))
+    assert(ph.contains("TakeOrderedAndProject"),
+      s"hot-span top-k must be TakeOrdered:\n$ph")
+    // sft_export / split_leakage / contamination_report: join-shaped,
+    // cartesian-free
+    Seq(graft.operators.Curation.sftExport(spark, dir),
+      graft.operators.Curation.splitLeakage(spark, dir),
+      graft.operators.Curation.contaminationReport(spark, dir),
+      Retrieval.topicCoverage(spark, dir)).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // map-only audits stay join-free: tokenizer_fertility, length_hist
+    Seq(graft.operators.CorpusStats.tokenizerFertility(spark, dir))
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("Join"), s"per-lang rollup must be join-free:\n$p")
+      }
+  }
 }
