@@ -154,6 +154,7 @@ object SparkEntry {
     "readability"  -> (TextAnalysis.readability _),
     "pagerank"     -> (Graph.pagerank _),
     "graph_stats"  -> (Graph.graphStats _),
+    "copurchase_clusters" -> (Graph.copurchaseClusters _),
     "dedup_recall" -> (Dedup.dedupRecall _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "topic_coverage" -> (Retrieval.topicCoverage _),
@@ -656,6 +657,7 @@ object SparkEntry {
     "readability"  -> graft.oracle.DuckSql.readability,
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
+    "copurchase_clusters" -> graft.oracle.DuckSql.copurchaseClusters,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "topic_coverage" -> graft.oracle.DuckSql.topicCoverage,

@@ -447,6 +447,21 @@ object Dedup {
     */
   def clusterPairs(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(pairs)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("lbl", "l1"), col("doc_id") === col("d1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("l1"), col("doc_id")).as("cluster"))
+  }
+
+  /** The pointer-jumping min-label loop alone: connected-component
+    * labels `(doc_id, lbl)` for every node on an `(id_a, id_b)` edge
+    * list — factored so non-document graphs (the co-purchase part
+    * graph, [[graft.operators.Graph.copurchaseClusters]]) reuse the
+    * identical O(log d) loop; callers join their own node universe.
+    */
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("u", "v").localCheckpoint()
@@ -485,13 +500,9 @@ object Dedup {
     // be emitted silently
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupClusters did not converge after $MaxClusterRounds rounds " +
+        s"ccLabels did not converge after $MaxClusterRounds rounds " +
           s"($changed labels still changing)")
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("lbl", "l1"), col("doc_id") === col("d1"), "left")
-      .select(col("doc_id"),
-        coalesce(col("l1"), col("doc_id")).as("cluster"))
+    labels
   }
 
   /** dup_tokens: the TOKEN-weighted duplication audit — cluster_stats

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Graph analytics over the co-purchase part graph (the capped basket
   * pairs of Analytics.copurchase, taken as undirected edges).
   *
@@ -152,5 +154,33 @@ object Graph {
         col("n_triangles"),
         r4(lit(6) * col("n_triangles").cast("double") / col("wedges2"))
           .as("transitivity"))
+  }
+
+  /** copurchase_clusters: PRODUCT COMMUNITIES — connected components of
+    * the support-pruned co-purchase graph (the cluster face of the
+    * recommender triple: copurchase ranks pairs, pagerank ranks nodes,
+    * this partitions the catalog into co-bought families — the
+    * substitutable/complementary product groups a merchandiser or
+    * basket-analysis pipeline consumes). One row per part; parts off
+    * the signal graph label themselves (singleton = its own family,
+    * the dedup_clusters convention).
+    *
+    * Scale shape: the IDENTICAL pointer-jumping min-label loop as
+    * dedup_clusters (Dedup.ccLabels — O(log diameter) rounds, each one
+    * equi-join + partial agg, only a convergence scalar on the driver),
+    * over the same pruned edge list pagerank iterates; the part
+    * universe joins back once at the end.
+    */
+  def copurchaseClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.Dedup.ccLabels(
+      prunedPairs(spark, dir).select(col("pa").as("id_a"),
+        col("pb").as("id_b")))
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .join(labels.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("lbl", "l1"), col("p_partkey") === col("d1"),
+        "left")
+      .select(col("p_partkey"),
+        coalesce(col("l1"), col("p_partkey")).as("cluster"))
+      .orderBy(col("p_partkey"))
   }
 }

@@ -2601,6 +2601,24 @@ object DuckSql {
        |WHERE rank <= ${Graph.PrTopK}""".stripMargin
   }
 
+  /** Mirror of Graph.copurchaseClusters: the same pruned edge set,
+    * transitive closure via a recursive CTE, min-reachable label, part
+    * universe joined back (singletons label themselves).
+    */
+  val copurchaseClusters: String =
+    s"""${graphE0Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |ce AS (SELECT pa AS u, pb AS v FROM e0
+       |       UNION ALL SELECT pb, pa FROM e0),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM ce
+       |  UNION
+       |  SELECT r.u, ce.v FROM reach r JOIN ce ON r.v = ce.u),
+       |lbl AS (SELECT u AS pk, least(u, min(v)) AS cluster
+       |        FROM reach GROUP BY u)
+       |SELECT p.p_partkey, coalesce(l.cluster, p.p_partkey) AS cluster
+       |FROM part p LEFT JOIN lbl l ON l.pk = p.p_partkey
+       |ORDER BY p.p_partkey""".stripMargin
+
   /** Mirror of Graph.graphStats: same pruned pair set, canonical-pair
     * 2-path triangle closure, integer degree moments (wedges2 =
     * Σ deg·(deg−1), the halving folded into 6·tri/wedges2).

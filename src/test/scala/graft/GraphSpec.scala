@@ -53,4 +53,22 @@ class GraphSpec extends SparkSpecBase {
     assert(rows(Graph.graphStats(spark, dir)) === Set(
       Seq(4L, 4L, 3L, 2.0, 1L, 0.6))) // 6·1/10
   }
+
+  test("copurchase_clusters: components over the pruned graph + singletons") {
+    import spark.implicits._
+    // support-2 edges: 1-2, 2-3 (one component, label 1); 4-5 support-1
+    // pruned -> 4 and 5 are singletons; part 9 never ordered
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L),
+      (102L, 2L), (102L, 3L), (103L, 2L), (103L, 3L),
+      (104L, 4L), (104L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("p_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    part.write.parquet(s"$dir/part.parquet")
+    assert(rows(Graph.copurchaseClusters(spark, dir)) === Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
+      Seq(4L, 4L), Seq(5L, 5L), Seq(9L, 9L)))
+  }
 }
