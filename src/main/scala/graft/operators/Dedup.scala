@@ -799,7 +799,7 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
-      .limit(HotSpanTopK)
+      .limit(graft.Params.int(spark, "span_hotspots.topk", HotSpanTopK))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))))
       .select(col("h"), col("n_docs"), col("n_occ"),

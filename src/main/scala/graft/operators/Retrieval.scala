@@ -268,7 +268,11 @@ object Retrieval {
     * window.
     */
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    val (w, s) = (ChunkTokens, ChunkStride)
+    // RAG chunking knobs as runtime params (the process_chunk surface's
+    // natural arguments); defaults = the oracle-pinned constants
+    val w = graft.Params.int(spark, "chunk.width", ChunkTokens)
+    val s = graft.Params.int(spark, "chunk.stride", ChunkStride)
+    require(w > 0 && s > 0, s"chunk.width/stride must be positive ($w, $s)")
     Tables.cpuPartition(
       Tables.documents(spark, dir)
         .select(col("doc_id"), Dedup.normToks(col("text")).as("ws")),

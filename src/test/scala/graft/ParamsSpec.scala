@@ -126,4 +126,47 @@ class ParamsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("mmr.k / mmr.lambda: serving knobs; unset restores gated parity") {
+    val dflt = sortedRows(Similarity.mmrRerank(spark, dir))
+    withParam("mmr.k", "2") {
+      val picks = Similarity.mmrRerank(spark, dir)
+        .groupBy("q_id").agg(max("pick").as("mx")).collect()
+      assert(picks.nonEmpty && picks.forall(_.getAs[Int]("mx") === 2))
+    }
+    withParam("mmr.lambda", "1.0") {
+      // pure-relevance MMR = the pool's top-k by simq (diversity off)
+      val out = Similarity.mmrRerank(spark, dir).collect()
+      assert(out.nonEmpty)
+    }
+    assert(sortedRows(Similarity.mmrRerank(spark, dir)) === dflt)
+  }
+
+  test("chunk.width/stride reshape the chunk grid; malformed fails loud") {
+    val docs = Seq(Doc(1, "t1 t2 t3 t4 t5 t6", "en", "s0", 17))
+    val d2 = fixtureDir(docs = docs)
+    withParam("chunk.width", "4") {
+      withParam("chunk.stride", "2") {
+        val out = Retrieval.chunkDocs(spark, d2).collect()
+          .sortBy(_.getAs[Int]("chunk_id"))
+        assert(out.length === 2)
+        assert(out(0).getAs[String]("chunk_text") === "t1 t2 t3 t4")
+        assert(out(1).getAs[String]("chunk_text") === "t3 t4 t5 t6")
+      }
+    }
+    withParam("chunk.width", "banana") {
+      intercept[IllegalArgumentException](Retrieval.chunkDocs(spark, d2))
+    }
+  }
+
+  test("span_hotspots.topk cuts the worklist") {
+    val run1 = "a b c d e f g h"
+    val run2 = "p q r s t u v w"
+    val d2 = fixtureDir(docs = Seq(
+      doc(1, run1), doc(2, run1), doc(3, run2), doc(4, run2)))
+    assert(graft.operators.Dedup.spanHotspots(spark, d2).count() === 2)
+    withParam("span_hotspots.topk", "1") {
+      assert(graft.operators.Dedup.spanHotspots(spark, d2).count() === 1)
+    }
+  }
 }
