@@ -60,4 +60,18 @@ object Params {
   def strOpt(spark: SparkSession, key: String,
       default: Option[String]): Option[String] =
     get(spark, key).map(_.trim).filter(_.nonEmpty).orElse(default)
+
+  /** Overridable-default string param: unset → `default`; set EMPTY →
+    * None (explicitly disable — the escape hatch [[strOpt]] cannot
+    * express once a non-None default exists); set non-empty → that
+    * value. Used where the gated default is a real filter the caller
+    * must be able to turn OFF (ann.filter.lang).
+    */
+  def strDisableable(spark: SparkSession, key: String,
+      default: String): Option[String] =
+    get(spark, key).map(_.trim) match {
+      case Some("") => None
+      case Some(v)  => Some(v)
+      case None     => Some(default)
+    }
 }

@@ -677,8 +677,7 @@ object CorpusStats {
         col("text")),
       col("doc_id"))
       .select(col("lang"),
-        size(filter(split(col("text"), " "), x => x =!= ""))
-          .cast("long").as("ws"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("ws"),
         size(regexp_extract_all(col("text"),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
           .cast("long").as("re"),

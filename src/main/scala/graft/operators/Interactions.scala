@@ -111,6 +111,9 @@ object Interactions {
     */
   def effectivenessTrend(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    // the SAME runtime threshold the high_quality gate reads — a tuned
+    // gate and its monitoring rollup must move together
+    val minEff = Params.double(spark, "high_quality.min_effectiveness", 0.7)
     val overlap = round(propsK / 100.0, 2)
     val adherence = when(col("event_type") === "purchase", "high")
       .when(col("event_type") === "signup", "medium")
@@ -123,7 +126,7 @@ object Interactions {
         count_distinct(col("user_id")).as("n_users"),
         sum(col("ov").cast("decimal(18,2)")).as("ovs"),
         sum(when(col("adh") === "high", 1L).otherwise(0L)).as("nh"),
-        sum(when(col("ov") >= 0.7 || col("adh") === "high", 1L)
+        sum(when(col("ov") >= minEff || col("adh") === "high", 1L)
           .otherwise(0L)).as("np"))
       .select(col("week"), col("n_interactions"), col("n_users"),
         r4(col("ovs").cast("double") / col("n_interactions"))

@@ -374,8 +374,12 @@ object Retrieval {
       .crossJoin(broadcast(tot))
       .select(col("ccell"), col("source"), col("n_docs"),
         r4(col("n_docs").cast("double") / col("cell_n")).as("cell_share"),
-        r4((col("n_docs") * col("tot")).cast("double")
-          / (col("cell_n") * col("src_n")).cast("double")).as("lift"))
+        // factors cast to double BEFORE multiplying: long×long products
+        // wrap silently in Spark (and error in the oracle) once counts
+        // pass 2^31-ish each — a real risk at the stated corpus scale
+        r4((col("n_docs").cast("double") * col("tot").cast("double"))
+          / (col("cell_n").cast("double") * col("src_n").cast("double")))
+          .as("lift"))
       .orderBy(col("ccell"), col("source"))
   }
 }

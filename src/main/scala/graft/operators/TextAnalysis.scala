@@ -18,7 +18,7 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(split(c, " "), x => x =!= "")
 
   /** Encoded argmax over (name, score) pairs: score*100 + (99-i), so

@@ -2827,7 +2827,8 @@ object DuckSql {
        |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
        |  WHERE rank <= $FilteredK)
        |SELECT ex.q_id, count(a.vec_id)::BIGINT AS n_matched,
-       |  floor(count(a.vec_id)::DOUBLE / $FilteredK * 10000 + 0.5) / 10000
+       |  count(*)::BIGINT AS n_exact,
+       |  floor(count(a.vec_id)::DOUBLE / count(*) * 10000 + 0.5) / 10000
        |    AS recall
        |FROM frex ex LEFT JOIN frcand a
        |  ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
@@ -2855,7 +2856,7 @@ object DuckSql {
        |SELECT g.ccell, g.source, g.n_docs,
        |  floor(g.n_docs::DOUBLE / ct.cell_n * 10000 + 0.5) / 10000
        |    AS cell_share,
-       |  floor((g.n_docs * tt.tot)::DOUBLE / (ct.cell_n * st.src_n)
+       |  floor((g.n_docs::DOUBLE * tt.tot) / (ct.cell_n::DOUBLE * st.src_n)
        |        * 10000 + 0.5) / 10000 AS lift
        |FROM g JOIN ct USING (ccell) JOIN st USING (source), tt
        |ORDER BY g.ccell, g.source""".stripMargin

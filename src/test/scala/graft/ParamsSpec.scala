@@ -169,4 +169,22 @@ class ParamsSpec extends SparkSpecBase {
       assert(graft.operators.Dedup.spanHotspots(spark, d2).count() === 1)
     }
   }
+
+  test("ann.filter.lang: empty string disables the predicate entirely") {
+    val embs = (0L until 10L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val docs = (0L until 10L).map(i =>
+      Doc(i, s"w$i", if (i % 2 == 0) "de" else "en", "s0", 2))
+    val d2 = fixtureDir(docs = docs, embs = embs)
+    withParam("ann.nprobe", "8") {
+      val filtered = Similarity.annFiltered(spark, d2).collect()
+      assert(filtered.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+      withParam("ann.filter.lang", "") {
+        val open = Similarity.annFiltered(spark, d2).collect()
+        // with the predicate off, odd (en) neighbors can now win slots
+        assert(open.exists(_.getAs[Long]("neighbor_id") % 2 == 1))
+      }
+    }
+  }
 }

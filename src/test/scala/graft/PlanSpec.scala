@@ -389,11 +389,15 @@ class PlanSpec extends SparkSpecBase {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), p)
     }
-    // map-only audits stay join-free: tokenizer_fertility, length_hist
+    // map-only audit stays join-free (length_hist by contrast carries
+    // its grid-total broadcast join and is covered by the cartesian
+    // sweep above)
     Seq(graft.operators.CorpusStats.tokenizerFertility(spark, dir))
       .foreach { q =>
         val p = planOf(q)
         assert(!p.contains("Join"), s"per-lang rollup must be join-free:\n$p")
       }
+    val plh = planOf(graft.operators.CorpusStats.lengthHist(spark, dir))
+    assert(!plh.contains("CartesianProduct"), plh)
   }
 }
