@@ -65,16 +65,33 @@ object Graph {
     * differently.
     */
   /** The support-pruned undirected co-purchase pair set, one canonical
-    * (pa < pb) row per edge — shared by [[pagerank]] and [[graphStats]].
+    * (pa < pb) row per edge — shared by [[pagerank]], [[graphStats]]
+    * and [[copurchaseClusters]]. PERSISTED once per corpus behind the
+    * IndexStore registry (the dedup pair-set posture, r8): the basket
+    * self-join + support agg is the dominant shared stage (measured
+    * ~2/3 of copurchase_clusters at the 10× probe), and every graph
+    * consumer re-paid it per invocation; now run 1 builds, every
+    * consumer reads the sorted edge parquet.
     */
-  private def prunedPairs(spark: SparkSession, dir: String): DataFrame = {
+  def edgesIndexPath(dir: String): String =
+    IndexStore.path("copurchase-edges-v1", dir)
+
+  def buildCopurchaseEdges(spark: SparkSession, dir: String,
+      path: String): Unit = {
     val capped = Analytics.cappedBaskets(spark, dir)
     val a = capped.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = capped.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    val edges = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= PrMinSupport)
       .select(col("pa"), col("pb"))
+    graft.sources.Sinks.writeSortedParquet(edges, path, Seq("pa", "pb"))
+  }
+
+  private def prunedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = edgesIndexPath(dir)
+    IndexStore.ensureBuilt(path)(buildCopurchaseEdges(spark, dir, path))
+    spark.read.parquet(path)
   }
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
