@@ -99,6 +99,7 @@ object SparkEntry {
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
     "event_anomalies" -> (Sessions.eventAnomalies _),
+    "approx_distinct" -> (Sessions.approxDistinct _),
     "event_pivot" -> (Sessions.eventPivot _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
@@ -568,6 +569,7 @@ object SparkEntry {
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,
     "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
+    "approx_distinct" -> graft.oracle.DuckSql.approxDistinct,
     "event_pivot" -> graft.oracle.DuckSql.eventPivot,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,

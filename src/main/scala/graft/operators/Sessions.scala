@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -528,6 +528,73 @@ object Sessions {
           floor((col("n") - col("mean")) / col("sigma") * 10000 + 0.5)
             / 10000).otherwise(lit(0.0)).as("z"),
         (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
+
+  /** HLL register count (m = 2^6). 64 registers give ~13% standard
+    * error (1.04/√64) — coarse but the POINT is the mechanism: the
+    * sketch state is 64 bytes per group regardless of cardinality.
+    * Single-sourced into the oracle SQL.
+    */
+  val HllBuckets = 64
+
+  /** approx_distinct: DETERMINISTIC HyperLogLog (Flajolet et al. 2007)
+    * distinct-user estimation per event type, next to the exact count
+    * and the realized relative error — the sketch audit. Unlike
+    * `approx_count_distinct` (whose xxHash/HLL++ internals no other
+    * engine reproduces), every step here is md5-derived and exactly
+    * mirrored in the DuckDB oracle, so the ESTIMATE ITSELF is
+    * hash-compared bit-for-bit — a cross-engine-reproducible sketch:
+    *   h = 60-bit md5(user); bucket = h mod 64; ρ = leading-zeros+1 of
+    *   the remaining 54 bits (exact integer form via binary-string
+    *   length); register = max ρ per bucket; E = α·m²/Σ2^−ρ with the
+    *   small-range linear-counting correction (E ≤ 2.5m, V > 0).
+    *
+    * Scale shape: the register table is ≤ |types|×64 rows from ONE
+    * partial-agg pass over the deduped pairs; Σ2^−ρ accumulates as
+    * exact integers scaled by 2^55 (a raw double Σ would be
+    * partition-order dependent — the decSum lesson applied to powers
+    * of two), so results reproduce under any partitioning. At 100 TB
+    * the exact-count arm is the expensive side (the audit costs the
+    * thing it audits); production keeps the sketch and drops the arm.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val m = HllBuckets // 2^6
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // feeds the sketch AND the exact arm
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long") // 60 bits, non-negative
+    val regs = du
+      .select(col("event_type"), pmod(h, lit(m.toLong)).cast("int")
+        .as("bucket"), shiftright(h, 6).as("w")) // 54-bit remainder
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, 55)
+          .otherwise(lit(55) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val two55 = lit(36028797018963968L) // 2^55
+    val agg = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        // Σ 2^(55−ρ) as exact integers (55−ρ ∈ [0,54]; ≤ m·2^55 < 2^62)
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 55 - r))").as("sp"))
+    val ex = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val s = (col("sp") + (lit(m.toLong) - col("nb")) * two55).as("s")
+    val eRaw = lit(0.709) * lit(4096.0) /
+      (col("s").cast("double") / two55.cast("double"))
+    val v = lit(m.toLong) - col("nb")
+    val est = rnd6(when(v > 0 && eRaw <= lit(2.5 * m),
+      lit(64.0) * log(lit(64.0) / v.cast("double"))).otherwise(eRaw))
+    agg.join(ex, "event_type")
+      .select(col("event_type"), col("nb"), col("sp"), col("n_exact"), s)
+      .select(col("event_type"), col("n_exact"),
+        col("nb").cast("int").as("n_buckets"), est.as("hll_est"))
+      .select(col("event_type"), col("n_exact"), col("n_buckets"),
+        col("hll_est"),
+        r4(abs(col("hll_est") - col("n_exact")) / col("n_exact"))
+          .as("rel_err"))
+      .orderBy(col("event_type"))
+  }
 
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.

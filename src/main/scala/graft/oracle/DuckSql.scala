@@ -988,6 +988,44 @@ object DuckSql {
     * exact integer sums, clamped at 0), sqrt + the 3σ compare on the
     * unrounded doubles.
     */
+  /** Mirror of Sessions.approxDistinct: the identical md5-derived HLL —
+    * 60-bit hash, mod-64 bucket, exact binary-string ρ, integer-scaled
+    * register sum, same α/correction literals, 6dp estimate.
+    */
+  val approxDistinct: String =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |hh AS (SELECT event_type,
+      |  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM du),
+      |rh AS (SELECT event_type, (h % 64)::INT AS bucket,
+      |  CASE WHEN (h // 64) = 0 THEN 55
+      |       ELSE 55 - length(bin(h // 64)) END AS rho
+      |  FROM hh),
+      |regs AS (SELECT event_type, bucket, max(rho) AS r
+      |         FROM rh GROUP BY 1, 2),
+      |a AS (SELECT event_type, count(*)::BIGINT AS nb,
+      |        sum(1::BIGINT << (55 - r))::BIGINT AS sp
+      |      FROM regs GROUP BY 1),
+      |ex AS (SELECT event_type, count(*)::BIGINT AS n_exact
+      |       FROM du GROUP BY 1),
+      |e AS (SELECT a.event_type, nb, n_exact,
+      |        sp + (64 - nb) * 36028797018963968 AS s
+      |      FROM a JOIN ex USING (event_type)),
+      |est AS (SELECT event_type, n_exact, nb,
+      |  CASE WHEN (64 - nb) > 0
+      |        AND (0.709 * 4096.0
+      |             / (s::DOUBLE / 36028797018963968::DOUBLE)) <= 160.0
+      |       THEN floor(64.0 * ln(64.0 / (64 - nb)) * 1000000 + 0.5)
+      |            / 1000000
+      |       ELSE floor((0.709 * 4096.0
+      |             / (s::DOUBLE / 36028797018963968::DOUBLE))
+      |            * 1000000 + 0.5) / 1000000 END AS hll_est
+      |  FROM e)
+      |SELECT event_type, n_exact, nb::INT AS n_buckets, hll_est,
+      |  floor(abs(hll_est - n_exact) / n_exact * 10000 + 0.5) / 10000
+      |    AS rel_err
+      |FROM est ORDER BY event_type""".stripMargin
+
   val eventAnomalies: String =
     """WITH e AS (SELECT event_type,
       |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),

@@ -305,4 +305,37 @@ class SessionsSpec extends SparkSpecBase {
       Seq(0L, 2L, 1L, 0.55, 0.5, 0.5),
       Seq(1L, 2L, 2L, 0.9, 0.0, 1.0)))
   }
+
+  test("approx_distinct: the md5-derived HLL matches a hand-run sketch") {
+    // 40 distinct users on one type; 2 on another (small-range branch)
+    val evs = (0L until 40L).map(u => ev(u, u, u, "click", 1.0)) ++
+      Seq(ev(100, 1, 1, "view", 1.0), ev(101, 2, 2, "view", 1.0),
+        ev(102, 3, 1, "view", 1.0)) // duplicate (view, 1) pair
+    val dir = fixtureDir(evs = evs)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def expected(users: Seq[Long]): Double = {
+      val regs = scala.collection.mutable.Map[Long, Int]()
+      users.distinct.foreach { u =>
+        val h = java.lang.Long.parseLong(md5hex(u.toString).take(15), 16)
+        val b = h % 64
+        val w = h >> 6
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(b) = math.max(regs.getOrElse(b, 0), rho)
+      }
+      val nb = regs.size
+      val sp = regs.values.map(r => 1L << (55 - r)).sum
+      val sTot = sp + (64L - nb) * 36028797018963968L
+      val eRaw = 0.709 * 4096.0 / (sTot.toDouble / 36028797018963968L.toDouble)
+      val v = 64 - nb
+      rnd6(if (v > 0 && eRaw <= 160.0) 64.0 * math.log(64.0 / v) else eRaw)
+    }
+    val out = graft.operators.Sessions.approxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(out("click")(1) === 40L)
+    assert(out("click")(3) === expected(0L until 40L))
+    assert(out("view")(1) === 2L) // the duplicate pair counted once
+    assert(out("view")(3) === expected(Seq(1L, 2L)))
+  }
 }
