@@ -100,6 +100,7 @@ object SparkEntry {
     "key_skew" -> (Analytics.keySkew _),
     "event_anomalies" -> (Sessions.eventAnomalies _),
     "approx_distinct" -> (Sessions.approxDistinct _),
+    "heavy_hitters" -> (Sessions.heavyHitters _),
     "event_pivot" -> (Sessions.eventPivot _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
@@ -570,6 +571,7 @@ object SparkEntry {
     "key_skew" -> graft.oracle.DuckSql.keySkew,
     "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
     "approx_distinct" -> graft.oracle.DuckSql.approxDistinct,
+    "heavy_hitters" -> graft.oracle.DuckSql.heavyHitters,
     "event_pivot" -> graft.oracle.DuckSql.eventPivot,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,

@@ -596,6 +596,58 @@ object Sessions {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min geometry: d=4 hash rows × w=256 counters (ε ≈ e/w ≈ 1%,
+    * δ ≈ e^−4) and the heavy-hitter report depth. Single-sourced into
+    * the oracle SQL.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  /** heavy_hitters: the DETERMINISTIC count-min sketch (Cormode &
+    * Muthukrishnan 2005) beside [[approxDistinct]]'s HLL — the top
+    * event-volume users with their CMS-estimated counts and the
+    * realized overestimate (CMS errors are one-sided: est ≥ truth,
+    * inflated by bucket collisions). Like the HLL, every hash is
+    * md5-derived (row d hashes `d:user`), so the sketch state and the
+    * estimates hash-compare bit-for-bit in the oracle — the
+    * cross-engine-reproducible sketch posture.
+    *
+    * Scale shape: the counter table is d×w = 1024 cells built by ONE
+    * partial agg over the per-user counts; the top-k arm is TakeOrdered
+    * on the exact counts (the audit arm — production keeps the 1024
+    * longs and answers point queries from them); estimates join the
+    * k-bounded top set against the broadcast cells.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val uc = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the counters AND the exact top-k arm
+    def bucketOf(d: Column, u: Column): Column =
+      pmod(conv(substring(md5(concat(d.cast("string"), lit(":"),
+        u.cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(CmsWidth.toLong)).cast("int")
+    val ds = explode(array((0 until CmsDepth).map(lit): _*)).as("d")
+    val cells = uc.select(col("user_id"), col("n"), ds)
+      .select(col("d"), bucketOf(col("d"), col("user_id")).as("bucket"),
+        col("n"))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("n")).as("c"))
+    val top = uc.orderBy(col("n").desc, col("user_id")).limit(CmsTopK)
+    top.select(col("user_id"), col("n"), ds)
+      .select(col("user_id"), col("n"), col("d"),
+        bucketOf(col("d"), col("user_id")).as("bucket"))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("n").as("n_events"), col("cms_est"),
+        (col("cms_est") - col("n")).as("overest"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))))
+      .select(col("user_id"), col("rank").cast("int").as("rank"),
+        col("n_events"), col("cms_est"), col("overest"))
+      .orderBy(col("rank"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

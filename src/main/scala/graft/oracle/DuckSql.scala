@@ -1026,6 +1026,33 @@ object DuckSql {
       |    AS rel_err
       |FROM est ORDER BY event_type""".stripMargin
 
+  /** Mirror of Sessions.heavyHitters: identical md5 row-hashes, 1024
+    * counter cells, min-over-rows estimate on the exact top-k arm.
+    */
+  val heavyHitters: String = {
+    import graft.operators.Sessions.{CmsDepth, CmsTopK, CmsWidth}
+    s"""WITH uc AS (SELECT user_id, count(*)::BIGINT AS n
+       |           FROM events GROUP BY user_id),
+       |dd AS (SELECT user_id, n, d::INT AS d
+       |       FROM uc, range(0, $CmsDepth) t(d)),
+       |kb AS (SELECT user_id, n, d,
+       |  (('0x' || substr(md5(d::VARCHAR || ':' || user_id::VARCHAR),
+       |            1, 15))::BIGINT % $CmsWidth)::INT AS bucket
+       |  FROM dd),
+       |cells AS (SELECT d, bucket, sum(n)::BIGINT AS c
+       |          FROM kb GROUP BY 1, 2),
+       |top AS (SELECT user_id, n FROM uc
+       |        ORDER BY n DESC, user_id LIMIT $CmsTopK),
+       |est AS (SELECT k.user_id, k.n, min(c.c)::BIGINT AS cms_est
+       |        FROM kb k JOIN top USING (user_id)
+       |             JOIN cells c ON c.d = k.d AND c.bucket = k.bucket
+       |        GROUP BY 1, 2)
+       |SELECT user_id,
+       |  row_number() OVER (ORDER BY n DESC, user_id)::INT AS rank,
+       |  n AS n_events, cms_est, (cms_est - n)::BIGINT AS overest
+       |FROM est ORDER BY rank""".stripMargin
+  }
+
   val eventAnomalies: String =
     """WITH e AS (SELECT event_type,
       |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),

@@ -338,4 +338,25 @@ class SessionsSpec extends SparkSpecBase {
     assert(out("view")(1) === 2L) // the duplicate pair counted once
     assert(out("view")(3) === expected(Seq(1L, 2L)))
   }
+
+  test("heavy_hitters: CMS estimates are one-sided and exact when clean") {
+    // user 1 dominates with 30 events; users 2..11 get 2 each
+    val evs = (0L until 30L).map(i => ev(i, i, 1, "click", 1.0)) ++
+      (2L to 11L).flatMap(u => Seq(
+        ev(100 + u * 2, u, u, "view", 1.0),
+        ev(101 + u * 2, u + 50, u, "view", 1.0)))
+    val dir = fixtureDir(evs = evs)
+    val out = graft.operators.Sessions.heavyHitters(spark, dir).collect()
+    assert(out.head.getAs[Long]("user_id") === 1L)
+    assert(out.head.getAs[Long]("n_events") === 30L)
+    assert(out.head.getAs[Int]("rank") === 1)
+    // one-sided error: every estimate >= the true count
+    assert(out.forall(r => r.getAs[Long]("overest") >= 0L))
+    assert(out.forall(r =>
+      r.getAs[Long]("cms_est") ===
+        r.getAs[Long]("n_events") + r.getAs[Long]("overest")))
+    // 11 users over 4x256 cells: collisions are unlikely but legal;
+    // the dominant user's min-row estimate is bounded by total volume
+    assert(out.head.getAs[Long]("cms_est") <= 50L)
+  }
 }
