@@ -114,6 +114,7 @@ object SparkEntry {
     "media_frames" -> (Multimodal.mediaFrames _),
     "decontaminate"     -> (Curation.decontaminate _),
     "contamination_report" -> (Curation.contaminationReport _),
+    "bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "stratified_sample" -> (Curation.stratifiedSample _),
     "pack_sequences"    -> (Curation.packSequences _),
     "pack_stats"        -> (Curation.packStats _),
@@ -586,6 +587,7 @@ object SparkEntry {
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
     "contamination_report" -> graft.oracle.DuckSql.contaminationReport,
+    "bloom_decontaminate" -> graft.oracle.DuckSql.bloomDecontaminate,
     "stratified_sample" -> graft.oracle.DuckSql.stratifiedSample,
     "pack_sequences"    -> graft.oracle.DuckSql.packSequences,
     "pack_stats"        -> graft.oracle.DuckSql.packStats,

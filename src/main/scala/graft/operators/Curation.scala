@@ -274,6 +274,67 @@ object Curation {
     * One-row output; both sides are per-doc frames already priced, the
     * confusion matrix is a single partial agg.
     */
+  /** Bloom geometry for the decontamination pre-filter: m bits, k
+    * md5-derived hashes. Single-sourced into the oracle SQL.
+    */
+  val BloomBits = 65536
+  val BloomHashes = 3
+
+  /** bloom_decontaminate: the BLOOM-FILTER pre-filter audit for the
+    * decontamination semi-join (Bloom 1970; the third deterministic
+    * sketch beside approx_distinct's HLL and heavy_hitters' CMS). At
+    * 100 TB the eval suite's distinct shingles broadcast as m BITS —
+    * kilobytes — instead of a string set, and the corpus-side join
+    * becomes a map-side bit probe; the cost is one-sided false
+    * positives that the exact join then re-checks on a tiny candidate
+    * set. This query BUILDS the filter over the bench shingles, probes
+    * every training shingle, and reports the realized false-positive
+    * rate next to the bits-set load factor — the numbers that size m
+    * and k for a real suite. All hashes md5-derived, so the filter
+    * state and every count hash-compare bit-for-bit in the oracle.
+    *
+    * Scale shape: the bit set is ≤ m rows (the declarative face of a
+    * packed bitmap) built by one pass over the bench shingles and
+    * BROADCAST; probes are map-side explode + semi join; the exact
+    * truth arm is the decontaminate join this filter would gate.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val sh = Dedup.shingleRows(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
+    val benchG = sh.filter(isBench).select(col("g")).distinct()
+      .localCheckpoint() // feeds the bit build AND the truth arm
+    def bitOf(i: Int, g: Column): Column =
+      pmod(conv(substring(md5(concat(lit(i + ":"), g)), 1, 15), 16, 10)
+        .cast("long"), lit(BloomBits.toLong))
+    val bits = (0 until BloomHashes)
+      .map(i => benchG.select(bitOf(i, col("g")).as("bit")))
+      .reduce(_ union _).distinct().localCheckpoint()
+    val trainG = sh.filter(!isBench).select(col("g")).distinct()
+      .localCheckpoint() // probed by the filter AND the truth arm
+    val pos = trainG
+      .select(col("g"), explode(array((0 until BloomHashes)
+        .map(i => bitOf(i, col("g"))): _*)).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy(col("g")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+    val truth = trainG.join(benchG, Seq("g"), "left_semi")
+    trainG.agg(count(lit(1)).as("n_train_shingles"))
+      .crossJoin(benchG.agg(count(lit(1)).as("n_bench_shingles")))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .crossJoin(pos.agg(count(lit(1)).as("n_bloom_pos")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(col("n_train_shingles"), col("n_bench_shingles"),
+        col("bits_set"),
+        rnd6(col("bits_set").cast("double") / BloomBits).as("load_factor"),
+        col("n_bloom_pos"), col("n_true"),
+        (col("n_bloom_pos") - col("n_true")).as("n_false_pos"),
+        when(col("n_train_shingles") > col("n_true"),
+          rnd6((col("n_bloom_pos") - col("n_true")).cast("double")
+            / (col("n_train_shingles") - col("n_true"))))
+          .otherwise(0.0).as("fp_rate"))
+  }
+
   /** split_leakage: near-duplicate LEAKAGE across the train/valid/test
     * split — the audit Dodge et al. 2021 ("Documenting Large Webtext
     * Corpora") and the dedup papers motivate: a held-out doc with a

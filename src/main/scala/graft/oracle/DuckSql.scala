@@ -2397,6 +2397,48 @@ object DuckSql {
        |JOIN ($shuffleAssign) sa USING (doc_id)
        |ORDER BY sa.shard, sa.pos""".stripMargin
 
+  /** Mirror of Curation.bloomDecontaminate: identical md5 bit hashes,
+    * distinct-bit filter, 3-hit positives, exact truth arm, 6dp rates.
+    */
+  val bloomDecontaminate: String = {
+    import graft.operators.Curation.{BloomBits, BloomHashes, ContamMod, ContamSlot}
+    val slot = s"((doc_id % $ContamMod) + $ContamMod) % $ContamMod"
+    s"""$shCte,
+       |cex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |bg AS (SELECT DISTINCT g FROM cex WHERE $slot = $ContamSlot),
+       |tg AS (SELECT DISTINCT g FROM cex WHERE $slot <> $ContamSlot),
+       |bits AS (SELECT DISTINCT
+       |  ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 15))::BIGINT
+       |    % $BloomBits AS bit
+       |  FROM bg, range(0, $BloomHashes) t(i)),
+       |pr AS (SELECT g,
+       |  ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 15))::BIGINT
+       |    % $BloomBits AS bit
+       |  FROM tg, range(0, $BloomHashes) t(i)),
+       |pos AS (SELECT g FROM (
+       |  SELECT pr.g, count(*) AS hits
+       |  FROM pr JOIN bits USING (bit) GROUP BY pr.g)
+       |  WHERE hits = $BloomHashes),
+       |tr AS (SELECT g FROM tg WHERE EXISTS
+       |        (SELECT 1 FROM bg WHERE bg.g = tg.g)),
+       |c AS (SELECT
+       |  (SELECT count(*) FROM tg)::BIGINT AS n_train_shingles,
+       |  (SELECT count(*) FROM bg)::BIGINT AS n_bench_shingles,
+       |  (SELECT count(*) FROM bits)::BIGINT AS bits_set,
+       |  (SELECT count(*) FROM pos)::BIGINT AS n_bloom_pos,
+       |  (SELECT count(*) FROM tr)::BIGINT AS n_true)
+       |SELECT n_train_shingles, n_bench_shingles, bits_set,
+       |  floor(bits_set::DOUBLE / $BloomBits * 1000000 + 0.5) / 1000000
+       |    AS load_factor,
+       |  n_bloom_pos, n_true,
+       |  (n_bloom_pos - n_true)::BIGINT AS n_false_pos,
+       |  CASE WHEN n_train_shingles > n_true
+       |       THEN floor((n_bloom_pos - n_true)::DOUBLE
+       |            / (n_train_shingles - n_true) * 1000000 + 0.5) / 1000000
+       |       ELSE 0.0 END AS fp_rate
+       |FROM c""".stripMargin
+  }
+
   /** Mirror of Curation.splitLeakage: the verified minhash pair set
     * symmetrized, both ends mapped through the data_split statement
     * (nested subquery — its own gated mirror), ≤9-row directed grid.

@@ -303,4 +303,25 @@ class CurationSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getString(1),
       r.getLong(2), r.getLong(3))).toSet === want)
   }
+
+  test("bloom_decontaminate: hand-built filter, one-sided positives") {
+    // bench doc 7: shingles "a b c","b c d"; train doc 1 shares "a b c"
+    val dir = fixtureDir(docs = Seq(
+      doc(7, "a b c d"), doc(1, "a b c x"), doc(2, "q w e r")))
+    val r = Curation.bloomDecontaminate(spark, dir).collect().head
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bit(i: Int, g: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$i:$g").take(15), 16) %
+        Curation.BloomBits
+    val expectBits = (for {
+      g <- Seq("a b c", "b c d"); i <- 0 until Curation.BloomHashes
+    } yield bit(i, g)).distinct.size.toLong
+    assert(r.getAs[Long]("n_bench_shingles") === 2L)
+    assert(r.getAs[Long]("bits_set") === expectBits)
+    assert(r.getAs[Long]("n_true") === 1L)
+    assert(r.getAs[Long]("n_bloom_pos") >= r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_false_pos") ===
+      r.getAs[Long]("n_bloom_pos") - r.getAs[Long]("n_true"))
+  }
 }
