@@ -556,39 +556,55 @@ object Sessions {
     * the exact-count arm is the expensive side (the audit costs the
     * thing it audits); production keeps the sketch and drops the arm.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
-    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val m = HllBuckets // 2^6
-    val du = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint() // feeds the sketch AND the exact arm
+  /** HLL register derivation over an `(event_type, user_id)` frame —
+    * `(event_type, bucket, r)`. Max-merge semantics make input
+    * duplicates no-ops, which is exactly what lets the streaming twin
+    * ([[graft.streaming.SketchStream]]) merge per-batch registers
+    * without deduplicating arrivals.
+    */
+  private[graft] def hllRegisters(pairs: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
       16, 10).cast("long") // 60 bits, non-negative
-    val regs = du
-      .select(col("event_type"), pmod(h, lit(m.toLong)).cast("int")
+    pairs
+      .select(col("event_type"), pmod(h, lit(HllBuckets.toLong)).cast("int")
         .as("bucket"), shiftright(h, 6).as("w")) // 54-bit remainder
       .select(col("event_type"), col("bucket"),
         when(col("w") === 0, 55)
           .otherwise(lit(55) - length(bin(col("w")))).cast("int").as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** Estimate from a register frame: `(event_type, n_buckets,
+    * hll_est)` — integer-scaled Σ2^−ρ, α literal, small-range
+    * correction, 6dp.
+    */
+  private[graft] def hllEstimateOf(regs: DataFrame): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val m = HllBuckets
     val two55 = lit(36028797018963968L) // 2^55
-    val agg = regs.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("nb"),
-        // Σ 2^(55−ρ) as exact integers (55−ρ ∈ [0,54]; ≤ m·2^55 < 2^62)
-        expr("sum(shiftleft(CAST(1 AS BIGINT), 55 - r))").as("sp"))
-    val ex = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
     val s = (col("sp") + (lit(m.toLong) - col("nb")) * two55).as("s")
     val eRaw = lit(0.709) * lit(4096.0) /
       (col("s").cast("double") / two55.cast("double"))
     val v = lit(m.toLong) - col("nb")
     val est = rnd6(when(v > 0 && eRaw <= lit(2.5 * m),
       lit(64.0) * log(lit(64.0) / v.cast("double"))).otherwise(eRaw))
-    agg.join(ex, "event_type")
-      .select(col("event_type"), col("nb"), col("sp"), col("n_exact"), s)
-      .select(col("event_type"), col("n_exact"),
-        col("nb").cast("int").as("n_buckets"), est.as("hll_est"))
+    regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        // Σ 2^(55−ρ) as exact integers (55−ρ ∈ [0,54]; ≤ m·2^55 < 2^62)
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 55 - r))").as("sp"))
+      .select(col("event_type"), col("nb"), col("sp"), s)
+      .select(col("event_type"), col("nb").cast("int").as("n_buckets"),
+        est.as("hll_est"))
+  }
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // feeds the sketch AND the exact arm
+    val ex = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    hllEstimateOf(hllRegisters(du)).join(ex, "event_type")
       .select(col("event_type"), col("n_exact"), col("n_buckets"),
         col("hll_est"),
         r4(abs(col("hll_est") - col("n_exact")) / col("n_exact"))

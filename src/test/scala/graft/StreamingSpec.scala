@@ -263,4 +263,31 @@ class StreamingSpec extends SparkSpecBase {
     q2.awaitTermination(300000)
     assert(rows(spark.read.parquet(store)) === want)
   }
+
+  test("streaming HLL registers max-merge to batch parity across batches") {
+    import graft.streaming.SketchStream
+    import graft.operators.Sessions
+    val all = (0L until 40L).map(u => ev(u, u, u % 25, "click", 1.0)) ++
+      (0L until 10L).map(u => ev(100 + u, u, u % 7, "view", 1.0))
+    val dir = fixtureDir(evs = all)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hll-store").toString + "/regs"
+    val q = SketchStream.maintainHll(
+      streamEvents(dir), store).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    // replay the same events: max-merge absorbs duplicates, no change
+    val q2 = SketchStream.maintainHll(
+      streamEvents(dir), store).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(300000)
+    val batchRegs = rows(Sessions.hllRegisters(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select("event_type", "user_id")))
+    assert(rows(spark.read.parquet(store)) === batchRegs)
+    // and the standing estimate equals the batch query's hll_est
+    val streamEst = SketchStream.estimate(spark, store).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    val batchEst = Sessions.approxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    assert(streamEst === batchEst)
+  }
 }
