@@ -145,6 +145,7 @@ object SparkEntry {
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
     "corpus_card" -> (CorpusStats.corpusCard _),
     "source_card" -> (CorpusStats.sourceCard _),
+    "source_divergence" -> (CorpusStats.sourceDivergence _),
     "tokenizer_fertility" -> (CorpusStats.tokenizerFertility _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
@@ -637,6 +638,7 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "corpus_card" -> graft.oracle.DuckSql.corpusCard,
     "source_card" -> graft.oracle.DuckSql.sourceCard,
+    "source_divergence" -> graft.oracle.DuckSql.sourceDivergence,
     "tokenizer_fertility" -> graft.oracle.DuckSql.tokenizerFertility,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,

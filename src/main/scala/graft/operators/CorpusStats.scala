@@ -730,6 +730,54 @@ object CorpusStats {
       .orderBy(col("lang"), col("bin_lo"))
   }
 
+  /** source_divergence: per-source KL divergence of the quality-score
+    * distribution against the corpus distribution — the SOURCE-HEALTH
+    * drift audit (a crawl stream whose quality histogram diverges from
+    * the corpus it feeds is re-negotiating its contract: template
+    * rot, spam injection, a parser break — all show here before mean
+    * quality moves, because KL sees shape, not just location; the
+    * source_card reports the mean, this reports the distribution).
+    * Scores land in 10 coarse bins; KL(source ‖ corpus) in nats, 6dp.
+    *
+    * Plan: one scan to the (source × 10)-bounded bin grid; corpus/
+    * source totals re-aggregate the GRID and ride back broadcast.
+    * Parity: each bin's log-ratio is ln of double products (factors
+    * cast before multiplying — the topic_coverage overflow lesson) in
+    * fixed order, 6dp-rounded, × integer multiplicity in DECIMAL, one
+    * double divide (the perplexityScore scaffolding). Bins the source
+    * lacks contribute 0 (lim p→0 of p·ln p); corpus bins are a
+    * superset of every source's by construction, so the ratio is
+    * always finite.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sb = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+      .select(col("source"),
+        least(floor(TextAnalysis.qualityScoreCol * 10), lit(9))
+          .cast("int").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the grid plus three total re-aggs
+    val st = sb.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val cb = sb.groupBy(col("bin")).agg(sum(col("c")).as("cc"))
+    val nc = sb.agg(sum(col("c")).as("n_corpus"))
+    val t = (col("c") * rnd6(
+      log(col("c").cast("double") * col("n_corpus").cast("double")) -
+        log(col("ns").cast("double") * col("cc").cast("double")))
+      .cast("decimal(18,6)")).as("t")
+    sb.join(broadcast(cb), "bin")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("ns"), t)
+      .groupBy(col("source"), col("ns"))
+      .agg(sum(col("t")).as("ts"))
+      .select(col("source"), col("ns").as("n_docs"),
+        rnd6(col("ts").cast("double") / col("ns")).as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   // ---- dsir_weights: hashed n-gram importance weights (DSIR) ----------
 
   /** DSIR feature-hash bucket count. Bounded by construction: the bucket

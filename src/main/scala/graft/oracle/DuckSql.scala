@@ -2184,6 +2184,28 @@ object DuckSql {
       |       ELSE 0 END AS chars_per_token
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mirror of CorpusStats.sourceDivergence: same 10-bin grid over the
+    * shared quality CTEs, double-product log ratios, 6dp × DECIMAL.
+    */
+  val sourceDivergence: String =
+    s"""$qualityScoreCtes,
+       |sb AS (SELECT d.source,
+       |  least(floor(s.score * 10), 9)::INT AS bin, count(*)::BIGINT AS c
+       |  FROM s JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT source, sum(c)::BIGINT AS ns FROM sb GROUP BY 1),
+       |cb AS (SELECT bin, sum(c)::BIGINT AS cc FROM sb GROUP BY 1),
+       |nc AS (SELECT sum(c)::BIGINT AS n_corpus FROM sb),
+       |tm AS (SELECT sb.source, st.ns,
+       |  sb.c * CAST(floor((ln(sb.c::DOUBLE * nc.n_corpus::DOUBLE)
+       |                     - ln(st.ns::DOUBLE * cb.cc::DOUBLE))
+       |              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t
+       |  FROM sb JOIN cb USING (bin) JOIN st USING (source), nc)
+       |SELECT source, ns AS n_docs,
+       |  floor(sum(t)::DOUBLE / ns * 1000000 + 0.5) / 1000000
+       |    AS kl_vs_corpus
+       |FROM tm GROUP BY source, ns ORDER BY source""".stripMargin
+
   val qualityThresholds: String =
     s"""$qualityScoreCtes,
        |x AS (SELECT lang, score,

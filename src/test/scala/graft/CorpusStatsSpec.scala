@@ -425,4 +425,25 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("en", 4L, 1L, 4L, 0.25),
       Seq("de", 8L, 1L, 8L, 1.0)))
   }
+
+  test("source_divergence: identical distributions read KL 0; skew reads > 0") {
+    // s0 and s1 have identical score distributions (same texts); s2 is
+    // all long docs -> a different bin -> strictly positive KL
+    val long_ = ("word " * 120).trim + " the end."
+    val dir = fixtureDir(docs = Seq(
+      Doc(1, "the cat sat.", "en", "s0", 12),
+      Doc(2, long_, "en", "s0", 600),
+      Doc(3, "the cat sat.", "en", "s1", 12),
+      Doc(4, long_, "en", "s1", 600),
+      Doc(5, long_, "en", "s2", 600),
+      Doc(6, long_, "en", "s2", 600)))
+    val out = CorpusStats.sourceDivergence(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set("s0", "s1", "s2"))
+    assert(out("s0") === out("s1"))
+    assert(out("s0")._2 > 0.0) // mixed source vs skewed corpus: positive
+    assert(out("s2")._2 > 0.0)
+    // KL is non-negative everywhere (Gibbs)
+    assert(out.values.forall(_._2 >= 0.0))
+  }
 }
