@@ -95,6 +95,7 @@ object SparkEntry {
     "cohort_ltv" -> (Sessions.cohortLtv _),
     "active_users" -> (Sessions.activeUsers _),
     "session_stats" -> (Sessions.sessionStats _),
+    "session_gaps" -> (Sessions.sessionGaps _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -568,6 +569,7 @@ object SparkEntry {
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "active_users" -> graft.oracle.DuckSql.activeUsers,
     "session_stats" -> graft.oracle.DuckSql.sessionStats,
+    "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

@@ -60,6 +60,50 @@ object Sessions {
         col("duration_sec"), col("total_value"))
   }
 
+  /** session_gaps: the RETURN-TIME distribution — gaps between a
+    * user's consecutive sessions (end of one to start of the next) in
+    * power-of-two-second bins, with each bin's share (the habit-loop
+    * curve behind cohort_retention's weekly grid and active_users'
+    * stickiness ratio: WHERE the return-time mass sits is what a
+    * notification/engagement team actually tunes against).
+    *
+    * Plan: the sessionize window chain to per-session (start, end),
+    * one more lag over the per-user session order, then the
+    * length_hist exact power-of-two binning onto a ≤~30-row grid;
+    * the share total re-aggregates the grid. Gaps are > GapSec by
+    * construction (that is what makes them session BOUNDARIES).
+    */
+  def sessionGaps(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("ts_sec"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > GapSec, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"))
+    val wS = Window.partitionBy(col("user_id")).orderBy(col("session_idx"))
+    val g = sess
+      .withColumn("prev_end", lag(col("end_sec"), 1).over(wS))
+      .filter(col("prev_end").isNotNull)
+      .select((col("start_sec") - col("prev_end")).as("gap_sec"))
+      .select(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(gap_sec)) AS INT) - 1)")
+        .as("bin_lo"))
+      .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_gaps"))
+      .localCheckpoint() // feeds the grid and its share total
+    g.crossJoin(broadcast(g.agg(sum(col("n_gaps")).as("total"))))
+      .select(col("bin_lo"), col("n_gaps"),
+        r4(col("n_gaps").cast("double") / col("total")).as("gap_share"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** asof_join: event-time as-of join — every event is matched with the
     * most recent at-or-before 'purchase' of the same user (the
     * slowly-changing-dimension lookup: "what was the user's last

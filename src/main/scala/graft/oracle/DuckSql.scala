@@ -803,6 +803,32 @@ object DuckSql {
        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
        |FROM x GROUP BY user_id, session_idx""".stripMargin
 
+  /** Mirror of Sessions.sessionGaps: the sessionize chain to
+    * per-session bounds, per-user session lag, exact power-of-two
+    * binning, grid-bounded share.
+    */
+  val sessionGaps: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |  floor(epoch(ts))::BIGINT AS ts_sec FROM events),
+       |l AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM e),
+       |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_sec - prev > ${graft.operators.Sessions.GapSec}
+       |                     THEN 1 ELSE 0 END AS is_new FROM l),
+       |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s),
+       |se AS (SELECT user_id, session_idx, min(ts_sec) AS start_sec,
+       |         max(ts_sec) AS end_sec
+       |       FROM x GROUP BY 1, 2),
+       |gp AS (SELECT start_sec - lag(end_sec) OVER
+       |         (PARTITION BY user_id ORDER BY session_idx) AS gap_sec
+       |       FROM se),
+       |g AS (SELECT (1::BIGINT << (length(bin(gap_sec)) - 1)) AS bin_lo,
+       |        count(*)::BIGINT AS n_gaps
+       |      FROM gp WHERE gap_sec IS NOT NULL GROUP BY 1),
+       |t AS (SELECT sum(n_gaps)::BIGINT AS total FROM g)
+       |SELECT bin_lo, n_gaps,
+       |  floor(n_gaps::DOUBLE / total * 10000 + 0.5) / 10000 AS gap_share
+       |FROM g, t ORDER BY bin_lo""".stripMargin
+
   /** Mirror of Sessions.asofJoin, as a genuinely INDEPENDENT formulation:
     * DuckDB's native ASOF LEFT JOIN (greatest d.ts <= e.ts per key)
     * against the engine's union+carry-forward window — the two agreeing

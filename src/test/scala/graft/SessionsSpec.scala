@@ -359,4 +359,26 @@ class SessionsSpec extends SparkSpecBase {
     // the dominant user's min-row estimate is bounded by total volume
     assert(out.head.getAs[Long]("cms_est") <= 50L)
   }
+
+  test("session_gaps: known gaps land in their power-of-two bins") {
+    import graft.operators.Sessions
+    val G = Sessions.GapSec // 4h = 14400
+    // user 1: sessions at [0..100], then +5h gap, then +16400s gap is..
+    // gaps: (18100-100)=18000 -> bin 16384; (second) 32768-boundary hit:
+    // next session starts exactly 32768s after the previous end
+    val evs = Seq(
+      ev(0, 0, 1, "click", 1.0),
+      ev(1, 100, 1, "click", 1.0),
+      ev(2, 18100, 1, "click", 1.0),            // gap 18000
+      ev(3, 18100 + 32768, 1, "click", 1.0),    // gap 32768 exactly
+      ev(4, 0, 2, "click", 1.0),
+      ev(5, 0 + G + 1 + 0, 2, "click", 1.0))    // gap G+1=14401 -> bin 8192
+    val dir = fixtureDir(evs = evs)
+    val out = rows(Sessions.sessionGaps(spark, dir))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(out === Set(
+      Seq(8192L, 1L, r4(1.0 / 3)),
+      Seq(16384L, 1L, r4(1.0 / 3)),
+      Seq(32768L, 1L, r4(1.0 / 3))))
+  }
 }
