@@ -102,6 +102,7 @@ object SparkEntry {
     "event_anomalies" -> (Sessions.eventAnomalies _),
     "approx_distinct" -> (Sessions.approxDistinct _),
     "heavy_hitters" -> (Sessions.heavyHitters _),
+    "tenant_usage" -> (Tenancy.tenantUsage _),
     "event_pivot" -> (Sessions.eventPivot _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "embed_text" -> (Embedder.embedTextComponents _),
@@ -576,6 +577,7 @@ object SparkEntry {
     "event_anomalies" -> graft.oracle.DuckSql.eventAnomalies,
     "approx_distinct" -> graft.oracle.DuckSql.approxDistinct,
     "heavy_hitters" -> graft.oracle.DuckSql.heavyHitters,
+    "tenant_usage" -> graft.oracle.DuckSql.tenantUsage,
     "event_pivot" -> graft.oracle.DuckSql.eventPivot,
     "rfm_segments" -> graft.oracle.DuckSql.rfmSegments,
     "multimodal_meta" -> graft.oracle.DuckSql.multimodalMeta,

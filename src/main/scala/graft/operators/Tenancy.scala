@@ -52,4 +52,43 @@ object Tenancy {
     spark.read.parquet(path)
       .filter(col("tenant_shard") === shardOf(userId) &&
         col("user_id") === userId)
+
+  /** tenant_usage: the admin/capacity rollup of the multi-tenant log —
+    * per tenant shard: tenants, events, exact total value, the busiest
+    * tenant and its share of the shard (the noisy-neighbor signal that
+    * drives re-sharding and quota decisions — the operational query a
+    * per-schema design answers with N schema scans, and the partition
+    * layout answers with one).
+    *
+    * Plan: one scan to a per-(shard, user) partial agg, then a
+    * shard-bounded rollup + argmax window over ≤|shards| groups.
+    * Parity: value sums accumulate in DECIMAL.
+    */
+  def tenantUsage(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val perUser = Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(TenantShards)).cast("int")
+        .as("tenant_shard"), col("user_id"), col("value"))
+      .groupBy(col("tenant_shard"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("v"))
+      .localCheckpoint() // feeds the rollup AND the argmax window
+    val top = perUser.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tenant_shard"))
+          .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("tenant_shard"), col("user_id").as("top_user"),
+        col("n").as("top_n"))
+    perUser.groupBy(col("tenant_shard"))
+      .agg(count(lit(1)).as("n_tenants"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("v")).cast("double"), 2).as("total_value"))
+      .join(top, "tenant_shard")
+      .select(col("tenant_shard"), col("n_tenants"), col("n_events"),
+        col("total_value"), col("top_user"),
+        r4(col("top_n").cast("double") / col("n_events"))
+          .as("top_user_share"))
+      .orderBy(col("tenant_shard"))
+  }
 }

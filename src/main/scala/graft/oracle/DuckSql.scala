@@ -1079,6 +1079,30 @@ object DuckSql {
        |FROM est ORDER BY rank""".stripMargin
   }
 
+  /** Mirror of Tenancy.tenantUsage: per-shard rollup + argmax, decimal
+    * value accumulation.
+    */
+  val tenantUsage: String = {
+    import graft.operators.Tenancy.TenantShards
+    s"""WITH pu AS (SELECT (user_id % $TenantShards)::INT AS tenant_shard,
+       |  user_id, count(*)::BIGINT AS n,
+       |  sum(CAST(value AS DECIMAL(28,6))) AS v
+       |  FROM events GROUP BY 1, 2),
+       |top AS (SELECT tenant_shard, user_id AS top_user, n AS top_n FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tenant_shard
+       |                               ORDER BY n DESC, user_id) AS rn
+       |  FROM pu) WHERE rn = 1),
+       |agg AS (SELECT tenant_shard, count(*)::BIGINT AS n_tenants,
+       |          sum(n)::BIGINT AS n_events,
+       |          round(sum(v)::DOUBLE, 2) AS total_value
+       |        FROM pu GROUP BY 1)
+       |SELECT a.tenant_shard, n_tenants, n_events, total_value, top_user,
+       |  floor(top_n::DOUBLE / n_events * 10000 + 0.5) / 10000
+       |    AS top_user_share
+       |FROM agg a JOIN top USING (tenant_shard)
+       |ORDER BY a.tenant_shard""".stripMargin
+  }
+
   val eventAnomalies: String =
     """WITH e AS (SELECT event_type,
       |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),

@@ -37,4 +37,18 @@ class TenancySpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
       plan)
   }
+
+  test("tenant_usage: per-shard rollup with the noisy-neighbor argmax") {
+    import graft.operators.Tenancy
+    // shard 1: users 1 (3 events) and 17 (1 event); shard 2: user 2 (2)
+    val evs = Seq(
+      ev(0, 0, 1, "click", 1.0), ev(1, 10, 1, "click", 2.0),
+      ev(2, 20, 1, "view", 3.0), ev(3, 30, 17, "click", 4.0),
+      ev(4, 40, 2, "click", 5.5), ev(5, 50, 2, "view", 0.5))
+    val dir = fixtureDir(evs = evs)
+    val out = rows(Tenancy.tenantUsage(spark, dir))
+    assert(out === Set(
+      Seq(1, 2L, 4L, 10.0, 1L, 0.75),
+      Seq(2, 1L, 2L, 6.0, 2L, 1.0)))
+  }
 }
