@@ -133,6 +133,7 @@ object SparkEntry {
     "bm25_topk"       -> (Retrieval.bm25Topk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
+    "ndcg_eval" -> (Retrieval.ndcgEval _),
     "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
@@ -603,6 +604,7 @@ object SparkEntry {
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
+    "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
     "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,

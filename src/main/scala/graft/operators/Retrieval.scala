@@ -202,6 +202,68 @@ object Retrieval {
       .filter(col("rank") <= HybridTopK)
   }
 
+  /** nDCG evaluation depth (= [[BmTopK]]: the graded-truth set and the
+    * deepest arm share one cutoff).
+    */
+  val NdcgK: Int = BmTopK
+
+  /** ndcg_eval: the RANKING-quality leaderboard — nDCG@[[NdcgK]] of
+    * every retrieval arm (BM25 lexical, RRF hybrid, and the dense
+    * exact arm itself) against graded relevance derived from the dense
+    * exact ranking (rel = k+1−rank of the true cosine top-k; the
+    * index_recall posture asks "did the candidates come back", this
+    * asks "in a GOOD ORDER, weighted toward the top" — the standard IR
+    * lens, Järvelin & Kekäläinen 2002). The dense arm scores 1.0 by
+    * construction (it IS the ideal ordering) — the standing sanity
+    * row; bm25/hybrid scores quantify what lexical evidence and rank
+    * fusion buy on this corpus.
+    *
+    * Scale shape: the truth frame is the k-bounded dense top-k
+    * (checkpointed once, reused as truth + arm + ideal); every arm's
+    * DCG is a k-bounded join + partial agg. Parity: discount weights
+    * rnd6(1/log2(pos+1)) as 6dp DECIMAL × integer relevance (exact
+    * accumulation), DCG/IDCG each one double divide, 6dp.
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val exact = e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
+      .join(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("qe")).as("s"))
+      .withColumn("pos", row_number().over(wV))
+      .filter(col("pos") <= NdcgK)
+      .select(col("q_id"), col("doc_id"), col("pos"))
+      .localCheckpoint() // truth grades + the dense arm + the ideal
+    val rel = exact.select(col("q_id"), col("doc_id"),
+      (lit(NdcgK + 1) - col("pos")).as("rel"))
+    def dcgOf(name: String, ranked: DataFrame): DataFrame = {
+      val w = rnd6(lit(1.0) / log2(col("pos") + 1)).cast("decimal(18,6)")
+      ranked.filter(col("pos") <= NdcgK)
+        .join(rel, Seq("q_id", "doc_id"), "left")
+        .select(col("q_id"), (coalesce(col("rel"), lit(0)) * w).as("t"))
+        .groupBy(col("q_id")).agg(sum(col("t")).as("dcgs"))
+        .select(lit(name).as("arm"), col("q_id"), col("dcgs"))
+    }
+    val arms = dcgOf("dense_exact", exact)
+      .unionByName(dcgOf("bm25", bm25Topk(spark, dir)
+        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))))
+      .unionByName(dcgOf("hybrid", hybridRetrieve(spark, dir)
+        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))))
+    val ideal = dcgOf("i", exact)
+      .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
+    arms.join(ideal, col("q_id") === col("iq"))
+      .select(col("arm"), col("q_id"),
+        rnd6(col("dcgs").cast("double")).as("dcg"),
+        rnd6(col("dcgs").cast("double") / col("ideal").cast("double"))
+          .as("ndcg"))
+      .orderBy(col("arm"), col("q_id"))
+  }
+
   /** tfidf_vectors: the top [[TfidfTopTerms]] tf-idf terms per document
     * (the sparse document vector, rows not arrays).
     *

@@ -731,6 +731,60 @@ object DuckSql {
     * and the brute-force cosine ranking — only integer ranks cross the
     * fusion boundary, and 1/(K+rank) is one exact double division.
     */
+  /** Mirror of Retrieval.ndcgEval: the same bm25/dense/hybrid chains,
+    * graded truth from the dense top-k, 6dp decimal discount weights.
+    */
+  val ndcgEval: String = {
+    import graft.operators.Retrieval.{BmTopK, HybridTopK, NdcgK, QueryMod, RrfK}
+    val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""$bm25Ctes,
+       |lex AS (SELECT q_id, doc_id, rank AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE $isVq),
+       |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+       |  FROM embeddings e, vq q WHERE NOT ($isVq)),
+       |ex AS (SELECT q_id, doc_id, rnk AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, doc_id) AS rnk
+       |        FROM vsc) WHERE rnk <= $NdcgK),
+       |rel AS (SELECT q_id, doc_id, (${NdcgK + 1} - pos) AS rel FROM ex),
+       |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |        floor((coalesce(1.0::DOUBLE / ($RrfK + l.pos), 0.0)
+       |             + coalesce(1.0::DOUBLE / ($RrfK + v.pos), 0.0))
+       |              * 1000000 + 0.5) / 1000000 AS rrf
+       |      FROM lex l FULL OUTER JOIN ex v
+       |        ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       |hyb AS (SELECT q_id, doc_id, rank AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY rrf DESC, doc_id) AS rank
+       |        FROM f) WHERE rank <= $HybridTopK),
+       |arms AS (
+       |  SELECT 'dense_exact' AS arm, q_id, doc_id, pos FROM ex
+       |  UNION ALL SELECT 'bm25', q_id, doc_id, pos FROM lex
+       |  UNION ALL SELECT 'hybrid', q_id, doc_id, pos FROM hyb),
+       |tm AS (SELECT a.arm, a.q_id,
+       |  coalesce(r.rel, 0) *
+       |    CAST(floor(1.0 / log2(a.pos + 1) * 1000000 + 0.5) / 1000000
+       |         AS DECIMAL(18,6)) AS t
+       |  FROM arms a LEFT JOIN rel r
+       |    ON r.q_id = a.q_id AND r.doc_id = a.doc_id
+       |  WHERE a.pos <= $NdcgK),
+       |d AS (SELECT arm, q_id, sum(t) AS dcgs FROM tm GROUP BY 1, 2),
+       |i AS (SELECT q_id, dcgs AS ideal FROM d WHERE arm = 'dense_exact')
+       |SELECT arm, q_id,
+       |  floor(dcgs::DOUBLE * 1000000 + 0.5) / 1000000 AS dcg,
+       |  floor(dcgs::DOUBLE / ideal::DOUBLE * 1000000 + 0.5) / 1000000
+       |    AS ndcg
+       |FROM d JOIN i USING (q_id) ORDER BY arm, q_id""".stripMargin
+  }
+
   val hybridRetrieve: String = {
     import graft.operators.Retrieval.{BmTopK, HybridTopK, QueryMod, RrfK}
     val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"

@@ -166,4 +166,27 @@ class RetrievalSpec extends SparkSpecBase {
         r4((n * tot).toDouble / (cn * sn).toDouble))
     }
   }
+
+  test("ndcg_eval: dense arm is the ideal (1.0); dcg matches hand IDCG") {
+    // >= 11 docs so every query has a full graded top-10
+    val docs = (0L until 12L).map(i => doc(i, s"alpha beta w$i topic"))
+    val embs = (0L until 12L).map(i =>
+      Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),
+        (i % 4).toInt))
+    val dir = fixtureDir(docs = docs, embs = embs)
+    val out = Retrieval.ndcgEval(spark, dir).collect()
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val idcg = rnd6((1 to 10).map(i =>
+      (BigDecimal(11 - i) *
+        BigDecimal(rnd6(1.0 / (math.log(i + 1) / math.log(2))))))
+      .sum.toDouble)
+    val dense = out.filter(_.getAs[String]("arm") == "dense_exact")
+    assert(dense.nonEmpty)
+    dense.foreach { r =>
+      assert(r.getAs[Double]("ndcg") === 1.0)
+      assert(r.getAs[Double]("dcg") === idcg)
+    }
+    assert(out.forall(r => r.getAs[Double]("ndcg") >= 0.0 &&
+      r.getAs[Double]("ndcg") <= 1.0))
+  }
 }
