@@ -177,18 +177,35 @@ object Retrieval {
   def hybridRetrieve(spark: SparkSession, dir: String): DataFrame = {
     val lex = bm25Topk(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("lrank"))
+    rrfFuse(lex, denseRanked(spark, dir))
+  }
+
+  /** The dense cosine ranking `(q_id, doc_id, vrank ≤ BmTopK)` —
+    * shared by [[hybridRetrieve]] and [[ndcgEval]] (which also grades
+    * truth from it; sharing keeps the brute-force sweep to ONE pass
+    * per plan — at the 10× probe the duplicated sweep was ~half of
+    * ndcg_eval's 39 s).
+    */
+  private def denseRanked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val wV = Window.partitionBy(col("q_id"))
       .orderBy(col("s").desc, col("doc_id"))
-    val vec = e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
+    e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
       .join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("qe")).as("s"))
       .withColumn("vrank", row_number().over(wV))
       .filter(col("vrank") <= BmTopK)
       .select(col("q_id"), col("doc_id"), col("vrank"))
+  }
+
+  /** RRF fusion of a lexical `(q_id, doc_id, lrank)` and dense
+    * `(q_id, doc_id, vrank)` ranking — the hybridRetrieve tail,
+    * factored so ndcgEval fuses its OWN checkpointed dense frame.
+    */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     // 1/(K + null rank) is null -> coalesce to 0: absent-from-ranker
     val rrf = floor((
       coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
@@ -226,19 +243,16 @@ object Retrieval {
     */
   def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
     def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
-    val e = Tables.embeddings(spark, dir)
-    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val wV = Window.partitionBy(col("q_id"))
-      .orderBy(col("s").desc, col("doc_id"))
-    val exact = e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
-      .join(broadcast(q))
-      .select(col("q_id"), col("vec_id").as("doc_id"),
-        cosineSim(col("embedding"), col("qe")).as("s"))
-      .withColumn("pos", row_number().over(wV))
-      .filter(col("pos") <= NdcgK)
-      .select(col("q_id"), col("doc_id"), col("pos"))
-      .localCheckpoint() // truth grades + the dense arm + the ideal
+    // ONE dense sweep (checkpointed): truth grades, the dense arm, the
+    // ideal, AND the hybrid fusion's vector side (NdcgK = BmTopK, so
+    // this frame IS hybridRetrieve's vec arm)
+    val exact = denseRanked(spark, dir)
+      .withColumnRenamed("vrank", "pos")
+      .localCheckpoint()
+    // ONE bm25 pipeline (checkpointed): the lexical arm AND the fusion
+    val lex = bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+      .localCheckpoint()
     val rel = exact.select(col("q_id"), col("doc_id"),
       (lit(NdcgK + 1) - col("pos")).as("rel"))
     def dcgOf(name: String, ranked: DataFrame): DataFrame = {
@@ -249,11 +263,12 @@ object Retrieval {
         .groupBy(col("q_id")).agg(sum(col("t")).as("dcgs"))
         .select(lit(name).as("arm"), col("q_id"), col("dcgs"))
     }
+    val hyb = rrfFuse(lex.withColumnRenamed("pos", "lrank"),
+      exact.withColumnRenamed("pos", "vrank"))
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     val arms = dcgOf("dense_exact", exact)
-      .unionByName(dcgOf("bm25", bm25Topk(spark, dir)
-        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))))
-      .unionByName(dcgOf("hybrid", hybridRetrieve(spark, dir)
-        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))))
+      .unionByName(dcgOf("bm25", lex))
+      .unionByName(dcgOf("hybrid", hyb))
     val ideal = dcgOf("i", exact)
       .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
     arms.join(ideal, col("q_id") === col("iq"))
