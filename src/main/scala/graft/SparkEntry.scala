@@ -96,6 +96,7 @@ object SparkEntry {
     "active_users" -> (Sessions.activeUsers _),
     "session_stats" -> (Sessions.sessionStats _),
     "session_gaps" -> (Sessions.sessionGaps _),
+    "temporal_decay" -> (Sessions.temporalDecay _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -163,6 +164,10 @@ object SparkEntry {
     "graph_stats"  -> (Graph.graphStats _),
     "copurchase_clusters" -> (Graph.copurchaseClusters _),
     "dedup_recall" -> (Dedup.dedupRecall _),
+    "containment_dup" -> (Dedup.containmentDup _),
+    "ship_latency" -> (Analytics.shipLatency _),
+    "ngram_diversity" -> (CorpusStats.ngramDiversity _),
+    "signal_auc" -> (CorpusStats.signalAuc _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "topic_coverage" -> (Retrieval.topicCoverage _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
@@ -572,6 +577,7 @@ object SparkEntry {
     "active_users" -> graft.oracle.DuckSql.activeUsers,
     "session_stats" -> graft.oracle.DuckSql.sessionStats,
     "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
+    "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,
@@ -673,6 +679,10 @@ object SparkEntry {
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
     "copurchase_clusters" -> graft.oracle.DuckSql.copurchaseClusters,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
+    "containment_dup" -> graft.oracle.DuckSql.containmentDup,
+    "ship_latency" -> graft.oracle.DuckSql.shipLatency,
+    "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
+    "signal_auc" -> graft.oracle.DuckSql.signalAuc,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "topic_coverage" -> graft.oracle.DuckSql.topicCoverage,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,

@@ -1152,4 +1152,49 @@ object Analytics {
         sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy(col("ship_mode"))
   }
+
+  /** ship_latency: order-to-ship latency distribution per order
+    * priority — exact P50/P90/P99 and mean days from o_orderdate to
+    * l_shipdate, the fulfilment-SLA rollup every ops dashboard carries
+    * (the reference's Postgres would express it as percentile_cont over
+    * a join; database.py:332's query-builder surface).
+    *
+    * Quantiles go through the value-HISTOGRAM posture (hist_quantiles,
+    * CorpusStats): delays are small bounded ints, so group to
+    * (priority, delay_days) counts first and take the rank thresholds
+    * by cumulative count — the window runs over ≤ |priorities|×|delay
+    * range| rows regardless of SF, never a total order over lineitem.
+    * Rank rule: P_p = min delay with cum ≥ (n-1)·p div 100 + 1, the
+    * ccnet_buckets convention. Mean is exact integer day-sum / n, 4dp.
+    *
+    * Scale shape: the l⋈o equi-join shuffles on orderkey (both fact-
+    * sized; AQE picks the strategy), then a tiny partial agg; the
+    * quantile window is driver-negligible and bounded.
+    */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hist = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+      .groupBy(col("priority"), col("delay_days"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("delay_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("priority"))
+    def pAt(p: Int) =
+      min(when(col("cum") >= expr(s"(n - 1) * $p div 100") + 1,
+        col("delay_days")))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("sd", sum(col("c") * col("delay_days")).over(wAll))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_lines"),
+        pAt(50).as("p50"), pAt(90).as("p90"), pAt(99).as("p99"),
+        (floor(max(col("sd")).cast("double") / max(col("n"))
+          * 10000 + 0.5) / 10000).as("avg_days"))
+      .orderBy(col("priority"))
+  }
 }

@@ -1174,4 +1174,111 @@ object CorpusStats {
       when(col("n") > 1 && dy =!= 0.0, rnd6(num * num / (dx * dy)))
         .as("r2"))
   }
+
+  /** signal_auc: per-language ranking quality of the frozen-LM
+    * perplexity signal against the rule-based Gopher gate — the exact
+    * Mann-Whitney AUC of "lower avg_nll" predicting "quality_filter
+    * keeps the doc". signal_corr answers "do the two signals move
+    * together"; this answers the operational question "if I ranked by
+    * LM score and cut, how much of the gate would I reproduce" — the
+    * number that decides whether the expensive signal can replace the
+    * cheap gate (or vice versa) on a new language before anyone
+    * commits a 100 TB filtering pass to it.
+    *
+    * Exactness: AUC is computed from the rank-sum closed form over the
+    * DISCRETE 4dp nll histogram — per-(lang, nll-unit) pos/neg counts,
+    * tied ranks as the integer 2·avg-rank = 2·cum_before + cnt + 1, so
+    * every term up to the single final division is exact integer
+    * arithmetic (ties land identically in both engines by
+    * construction). The window runs over the value histogram, never
+    * the corpus (the hist_quantiles posture). Bound: the rank-sum is
+    * ≤ 2n² — DECIMAL(38,0) holds to n = 1e18 docs per language.
+    *
+    * Scale shape: two per-doc probe frames (LM score, gate), one
+    * doc_id equi-join, one (lang, unit) partial agg, a bounded-frame
+    * window, a ≤|langs| rollup.
+    */
+  def signalAuc(spark: SparkSession, dir: String): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val keep = Curation.qualityFilterOf(Tables.documents(spark, dir))
+      .select(col("doc_id").as("kdid"), col("keep"))
+    val j = perplexityScore(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("avg_nll") * 10000 + lit(0.5)).cast("long").as("yu"))
+      .join(keep, col("doc_id") === col("kdid"))
+    val h = j.groupBy(col("lang"), col("yu"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("pv"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("nv"))
+    // rank 1 = highest nll: kept docs should then collect the HIGH
+    // ranks, so auc = P(kept doc scores better than dropped doc)
+    val w = Window.partitionBy(col("lang")).orderBy(col("yu").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = h.withColumn("cum", sum(col("pv") + col("nv")).over(w))
+      .groupBy(col("lang"))
+      .agg(sum(col("pv")).as("np"), sum(col("nv")).as("nn"),
+        sum(d(col("pv")) *
+          (lit(2) * (col("cum") - col("pv") - col("nv"))
+            + col("pv") + col("nv") + 1)).as("r2"))
+    g.select(col("lang"), col("np").as("n_pos"), col("nn").as("n_neg"),
+      when(col("np") > 0 && col("nn") > 0,
+        rnd6((col("r2") - d(col("np")) * (col("np") + 1)).cast("double")
+          / 2 / col("np").cast("double") / col("nn").cast("double")))
+        .as("auc"))
+      .orderBy(col("lang"))
+  }
+
+  /** ngram_diversity: per-source lexical diversity — unigram and bigram
+    * type/token ratios (distinct n-grams over total occurrences). The
+    * corpus-health twin of ngram_stats: a source whose bigram TTR
+    * collapses is template spam (near-identical boilerplate pages), the
+    * cheap tripwire that routes a source into the dedup/boilerplate
+    * passes (span_hotspots, dedup_*) before it pollutes a training mix.
+    *
+    * Scale shape: tokens explode once (the ngram_stats lead() posture —
+    * no per-element array lambdas), then each TTR is a TWO-LEVEL
+    * aggregate — (source, gram) partial counts, then a per-source
+    * rollup counting rows for the distinct side — never count(distinct)
+    * over the raw occurrence stream, and never a quadratic self-join.
+    * Output is ≤|sources| rows; both shuffles key on (source, gram).
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("tok"),
+        lead(col("tok"), 1).over(w).as("nxt"))
+      .localCheckpoint() // one tokenize feeds both gram arms
+    def ttrArm(gram: Column, keep: Column, pfx: String) =
+      toks.filter(keep)
+        .groupBy(col("source"), gram.as("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as(s"${pfx}_total"),
+          count(lit(1)).as(s"${pfx}_distinct"))
+    val uni = ttrArm(col("tok"), lit(true), "uni")
+    val bi = ttrArm(concat_ws(" ", col("tok"), col("nxt")),
+      col("nxt").isNotNull, "bi")
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docs.join(uni, Seq("source"), "left")
+      .join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("uni_total"), lit(0L)).as("n_tokens"),
+        coalesce(col("uni_distinct"), lit(0L)).as("n_unigrams"),
+        when(col("uni_total") > 0,
+          r4(col("uni_distinct").cast("double") / col("uni_total")))
+          .as("uni_ttr"),
+        coalesce(col("bi_total"), lit(0L)).as("n_bigram_occ"),
+        coalesce(col("bi_distinct"), lit(0L)).as("n_bigrams"),
+        when(col("bi_total") > 0,
+          r4(col("bi_distinct").cast("double") / col("bi_total")))
+          .as("bi_ttr"))
+      .orderBy(col("source"))
+  }
 }

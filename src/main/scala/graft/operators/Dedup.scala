@@ -863,4 +863,57 @@ object Dedup {
         r4(col("n_hit").cast("double") / col("n_exact")).as("recall"),
         r4(col("n_hit").cast("double") / col("n_lsh")).as("prec"))
   }
+
+  /** containment_dup asymmetry gate: the smaller shingle set must be
+    * ≥80%-covered by the larger — Broder's CONTAINMENT coefficient
+    * |A∩B|/|A|, the resemblance measure Jaccard dedup is blind to when
+    * the sizes diverge (a doc quoted whole inside a 10×-longer one has
+    * Jaccard ≤ 0.1 but containment ≈ 1).
+    */
+  val ContainmentThreshold = 0.8
+
+  /** containment_dup: truncation/inclusion near-dups — pairs where the
+    * SMALLER document's shingles are ≥[[ContainmentThreshold]] inside
+    * the larger's, but whose Jaccard stays under [[JaccardThreshold]] —
+    * i.e. exactly the asymmetric duplicates (crawl truncations, quoted
+    * inclusions, expanded re-posts) that every Jaccard-gated pass in
+    * this family deliberately does NOT emit. Standard curation keeps
+    * the container and drops the contained copy; this query is that
+    * drop list with its evidence.
+    *
+    * Scale shape: the dedup_recall inverted-index posture verbatim —
+    * doc-frequency-capped shingle equi-join (never all-pairs), true set
+    * sizes from the uncapped shingle frame, one partial-agg groupBy per
+    * pair. The Jaccard-< filter keeps the output disjoint from the
+    * pair-set artifact, so the two drop lists compose without overlap.
+    */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val sh = shingleRowsWithSize(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupDocFreqCap).select(col("g"))
+    val sc = sh.join(hot, Seq("g"), "left_anti")
+    val a = sc.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("g").as("ga"))
+    val b = sc.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("g").as("gb"))
+    a.hint("merge").join(b.hint("merge"),
+        col("ga") === col("gb") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a"))
+          .as("container_id"),
+        least(col("na"), col("nb")).as("n_contained"),
+        col("inter"),
+        r4(col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("containment"),
+        r4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold &&
+        col("jaccard") < JaccardThreshold)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
 }

@@ -708,6 +708,56 @@ object Sessions {
       .orderBy(col("rank"))
   }
 
+  /** temporal_decay knobs: half-life in whole days (weights halve per
+    * elapsed half-life) and the exponent clamp (2^-40 ≈ 9e-13 — past it
+    * a contribution is below any 4dp-visible share, so the clamp changes
+    * nothing observable while keeping the shifted weight in a long).
+    */
+  val DecayHalfLifeDays = 7L
+  val DecayMaxHalves = 40
+
+  /** temporal_decay: per-user engagement score under exponential
+    * recency decay — the standard "recent activity counts more" ranking
+    * signal (RFM's R axis made continuous). Each event contributes
+    * `value · 2^-(age/half_life)` with age in whole days against the
+    * corpus max day, so the score is reproducible from the data alone
+    * (no wall clock — Bench/Verify runs are re-runnable bit-for-bit).
+    *
+    * Parity across engines is EXACT-integer by construction: the only
+    * float inputs are 2dp values (→ integer cents), and the decay
+    * weight is a power of two applied as an integer left-shift of
+    * 2^(40 - halves), so every per-event contribution is
+    * `cents · 2^k` — an exact DECIMAL(38,0). The one double appears in
+    * the final per-user division, identically ordered in the oracle.
+    * Bound: 1e6-cent events × 2^40 × 1e7 events/user ≈ 1e25 ≪ 1e38
+    * (the q11 rule — non-ANSI decimal overflow would NULL silently).
+    *
+    * Scale shape: one partial-agg groupBy on user_id (high-cardinality,
+    * grows with SF — exactly what hash aggregation scales for); the
+    * corpus max day rides as a 1-row broadcast. No window, no join.
+    */
+  def temporalDecay(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts div 1000000000 div 86400").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val ref = e.agg(max(col("day")).as("ref_day"))
+    // integer halves, then the exact power-of-two weight as a shift
+    // (scala shiftleft() only takes a literal count — SQL form doesn't)
+    val wu = expr(s"cast(cents as decimal(38,0)) * shiftleft(" +
+      s"cast(1 as bigint), cast($DecayMaxHalves - least($DecayMaxHalves," +
+      s" (ref_day - day) div $DecayHalfLifeDays) as int))")
+    e.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("day"), wu.as("wu"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"),
+        sum(col("wu")).as("su"))
+      .select(col("user_id"), col("n_events"), col("last_day"),
+        (floor(col("su").cast("double") / (1L << DecayMaxHalves) / 100
+          * 10000 + 0.5) / 10000).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

@@ -3383,4 +3383,150 @@ object DuckSql {
        |LEFT JOIN flagged f ON f.doc_id = n.doc_id
        |JOIN nc ON nc.doc_id = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
+
+  /** Mirror of Sessions.temporalDecay: same whole-day age against the
+    * corpus max day, exact power-of-two half-life weights via integer
+    * shift, DECIMAL(38,0) accumulation, one final double division in
+    * the identical order.
+    */
+  val temporalDecay: String = {
+    val hl = graft.operators.Sessions.DecayHalfLifeDays
+    val mh = graft.operators.Sessions.DecayMaxHalves
+    s"""WITH e AS (SELECT user_id,
+       |    floor(epoch(ts))::BIGINT // 86400 AS day,
+       |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+       |r AS (SELECT max(day) AS ref_day FROM e),
+       |w AS (SELECT user_id, day,
+       |    cents::DECIMAL(38,0) * (1::BIGINT <<
+       |      ($mh - least($mh, (ref_day - day) // $hl))::INT) AS wu
+       |  FROM e, r),
+       |s AS (SELECT user_id, count(*)::BIGINT AS n_events,
+       |    max(day) AS last_day, sum(wu) AS su FROM w GROUP BY user_id)
+       |SELECT user_id, n_events, last_day,
+       |  floor(su::DOUBLE / ${1L << mh} / 100 * 10000 + 0.5) / 10000
+       |    AS decayed_value
+       |FROM s ORDER BY user_id""".stripMargin
+  }
+
+  /** Mirror of Analytics.shipLatency: same l⋈o day delays, the
+    * value-histogram quantile rule ((n-1)·p div 100 + 1 cumulative
+    * position), exact integer mean.
+    */
+  val shipLatency: String =
+    """WITH d AS (SELECT o.o_orderpriority AS priority,
+      |    date_diff('day', o.o_orderdate, l.l_shipdate)::BIGINT
+      |      AS delay_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |h AS (SELECT priority, delay_days, count(*)::BIGINT AS c
+      |      FROM d GROUP BY 1, 2),
+      |x AS (SELECT *,
+      |    sum(c) OVER (PARTITION BY priority ORDER BY delay_days
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY priority) AS n,
+      |    sum(c * delay_days) OVER (PARTITION BY priority) AS sd
+      |  FROM h)
+      |SELECT priority, max(n)::BIGINT AS n_lines,
+      |  min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN delay_days END)
+      |    AS p50,
+      |  min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN delay_days END)
+      |    AS p90,
+      |  min(CASE WHEN cum >= (n - 1) * 99 // 100 + 1 THEN delay_days END)
+      |    AS p99,
+      |  floor(max(sd)::DOUBLE / max(n) * 10000 + 0.5) / 10000 AS avg_days
+      |FROM x GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** Mirror of CorpusStats.ngramDiversity: same normToks token stream,
+    * two-level (source, gram) distinct counting, 4dp TTRs, zero-token
+    * sources NULL their ratios.
+    */
+  val ngramDiversity: String =
+    """WITH n AS (SELECT doc_id, source,
+      |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |              x -> x <> '') AS ws FROM documents),
+      |u AS (SELECT source, unnest(ws) AS g FROM n),
+      |us AS (SELECT source, count(*)::BIGINT AS uni_total,
+      |         count(DISTINCT g)::BIGINT AS uni_distinct
+      |       FROM u GROUP BY source),
+      |b AS (SELECT source, unnest(list_transform(range(1, len(ws)),
+      |         j -> ws[j] || ' ' || ws[j+1])) AS g FROM n),
+      |bs AS (SELECT source, count(*)::BIGINT AS bi_total,
+      |         count(DISTINCT g)::BIGINT AS bi_distinct
+      |       FROM b GROUP BY source),
+      |d AS (SELECT source, count(*)::BIGINT AS n_docs
+      |      FROM documents GROUP BY source)
+      |SELECT d.source, d.n_docs,
+      |  coalesce(us.uni_total, 0) AS n_tokens,
+      |  coalesce(us.uni_distinct, 0) AS n_unigrams,
+      |  CASE WHEN us.uni_total > 0 THEN
+      |    floor(us.uni_distinct::DOUBLE / us.uni_total * 10000 + 0.5)
+      |      / 10000 END AS uni_ttr,
+      |  coalesce(bs.bi_total, 0) AS n_bigram_occ,
+      |  coalesce(bs.bi_distinct, 0) AS n_bigrams,
+      |  CASE WHEN bs.bi_total > 0 THEN
+      |    floor(bs.bi_distinct::DOUBLE / bs.bi_total * 10000 + 0.5)
+      |      / 10000 END AS bi_ttr
+      |FROM d LEFT JOIN us ON us.source = d.source
+      |       LEFT JOIN bs ON bs.source = d.source
+      |ORDER BY d.source""".stripMargin
+
+  /** Mirror of CorpusStats.signalAuc: same quality-keep and frozen-LM
+    * CTEs, the identical 4dp nll histogram, tied-rank 2·avg-rank
+    * integers, one final double division in mirrored order.
+    */
+  val signalAuc: String =
+    s"""WITH $qualityKeepCtes,
+       |${perplexityScoreCtes("px")},
+       |ja AS (SELECT px.lang,
+       |    CAST(floor(px.avg_nll * 10000 + 0.5) AS BIGINT) AS yu, qf.keep
+       |  FROM px JOIN qf ON qf.doc_id = px.doc_id),
+       |ha AS (SELECT lang, yu,
+       |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS pv,
+       |    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS nv
+       |  FROM ja GROUP BY lang, yu),
+       |xa AS (SELECT *, sum(pv + nv) OVER (PARTITION BY lang
+       |    ORDER BY yu DESC ROWS UNBOUNDED PRECEDING) AS cum FROM ha),
+       |ga AS (SELECT lang, sum(pv)::HUGEINT AS np, sum(nv)::HUGEINT AS nn,
+       |    sum(pv::HUGEINT * (2 * (cum - pv - nv) + pv + nv + 1)) AS r2
+       |  FROM xa GROUP BY lang)
+       |SELECT lang, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       |  CASE WHEN np > 0 AND nn > 0 THEN
+       |    floor((r2 - np * (np + 1))::DOUBLE / 2 / np::DOUBLE / nn::DOUBLE
+       |          * 1000000 + 0.5) / 1000000 END AS auc
+       |FROM ga ORDER BY lang""".stripMargin
+
+  /** Mirror of Dedup.containmentDup: the dedup_recall inverted-index
+    * formulation — df-capped shingle join, TRUE set sizes from the
+    * uncapped shingle lists, smaller-side containment, the same
+    * ≥0.8 / <0.5 band.
+    */
+  val containmentDup: String = {
+    val cap = graft.operators.Dedup.DedupDocFreqCap
+    val ct = graft.operators.Dedup.ContainmentThreshold
+    val jt = graft.operators.Dedup.JaccardThreshold
+    s"""$shCte,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > $cap),
+       |sc AS (SELECT ex.doc_id, ex.g FROM ex
+       |       ANTI JOIN hot ON ex.g = hot.g),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        count(*)::BIGINT AS inter
+       |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb
+       |      FROM p JOIN sz sa ON sa.doc_id = id_a
+       |             JOIN sz sb ON sb.doc_id = id_b),
+       |c AS (SELECT
+       |    CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id,
+       |    CASE WHEN na <= nb THEN id_b ELSE id_a END AS container_id,
+       |    least(na, nb) AS n_contained, inter,
+       |    floor(inter::DOUBLE / least(na, nb) * 10000 + 0.5) / 10000
+       |      AS containment,
+       |    floor(inter::DOUBLE / (na + nb - inter) * 10000 + 0.5) / 10000
+       |      AS jaccard
+       |  FROM j)
+       |SELECT * FROM c
+       |WHERE containment >= $ct AND jaccard < $jt
+       |ORDER BY contained_id, container_id""".stripMargin
+  }
 }

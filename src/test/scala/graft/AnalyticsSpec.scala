@@ -300,4 +300,25 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(2L, 1L, r6(1.0 / 5), r4(1.0 * 3 / 5), 2),
       Seq(3L, 1L, r6(1.0 / 5), r4(1.0 * 3 / 5), 3)))
   }
+
+  test("ship_latency: histogram-rank percentiles and exact mean per priority") {
+    val base = Date.valueOf("1997-01-01")
+    def plus(d: Int) = Date.valueOf(base.toLocalDate.plusDays(d))
+    // URGENT: one line per delay 1..10; HIGH: delays 0 and 10
+    val ords = (1 to 10).map(k => (k.toLong, "1-URGENT", base)) ++
+      Seq((11L, "2-HIGH", base), (12L, "2-HIGH", base))
+    val lines = (1 to 10).map(k =>
+      Line(k, 1, "N", "O", 1.0, 1.0, 0.0, plus(k))) ++
+      Seq(Line(11, 1, "N", "O", 1.0, 1.0, 0.0, plus(0)),
+        Line(12, 1, "N", "O", 1.0, 1.0, 0.0, plus(10)))
+    val dir = starDir(lines = lines)
+    ords.toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // rank rule: position (n-1)*p div 100 + 1 in the cumulative counts
+    // URGENT n=10: p50 -> pos 5 -> 5; p90 -> pos 9 -> 9; p99 -> pos 9
+    // HIGH n=2: every percentile position is 1 -> the smaller delay, 0
+    assert(rows(Analytics.shipLatency(spark, dir)) === Set(
+      Seq("1-URGENT", 10L, 5, 9, 9, 5.5),
+      Seq("2-HIGH", 2L, 0, 0, 0, 5.0)))
+  }
 }

@@ -446,4 +446,28 @@ class CorpusStatsSpec extends SparkSpecBase {
     // KL is non-negative everywhere (Gibbs)
     assert(out.values.forall(_._2 >= 0.0))
   }
+
+  test("signal_auc: a perfectly separating LM signal scores exactly 1.0") {
+    // kept docs: 21 words, all-distinct bigrams seen TWICE corpus-wide
+    // (two identical copies) -> low nll; dropped docs: 5 words
+    // (too_short) of once-seen bigrams -> strictly higher nll. The LM
+    // ranking then reproduces the gate perfectly -> AUC 1.0 with
+    // n_pos = n_neg = 2.
+    val good = "the " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = fixtureDir(docs = Seq(
+      doc(1, good), doc(2, good),
+      doc(3, "u1 u2 u3 u4 u5"), doc(4, "v1 v2 v3 v4 v5")))
+    assert(rows(graft.operators.CorpusStats.signalAuc(spark, d)) === Set(
+      Seq("en", 2L, 2L, 1.0)))
+  }
+
+  test("ngram_diversity: per-source TTRs; a bigram-less source NULLs its ratio") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val d = fixtureDir(docs = Seq(
+      doc(1, "a b a b", source = "sA"),   // uni 4/2, bi: [a b, b a, a b] 3/2
+      doc(2, "x", source = "sB")))        // uni 1/1, zero bigrams
+    assert(rows(graft.operators.CorpusStats.ngramDiversity(spark, d)) === Set(
+      Seq("sA", 1L, 4L, 2L, 0.5, 3L, 2L, r4(2.0 / 3)),
+      Seq("sB", 1L, 1L, 1L, 1.0, 0L, 0L, null)))
+  }
 }

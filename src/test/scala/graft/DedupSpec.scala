@@ -248,4 +248,21 @@ class DedupSpec extends SparkSpecBase {
       .digest(run.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(r.getAs[String]("h") === md)
   }
+
+  test("containment_dup: small-in-big inclusion passes, symmetric dup is excluded") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // doc 1 (4 toks, 2 shingles) is a strict prefix of doc 2 (14 toks,
+    // 12 shingles): containment 2/2 = 1.0, jaccard 2/12 < 0.5 -> kept.
+    // docs 4=5 are identical: containment 1.0 BUT jaccard 1.0 -> the
+    // jaccard-< band excludes them (they belong to the minhash pass).
+    // doc 3 shares nothing.
+    val d = fixtureDir(docs = Seq(
+      doc(1, "w1 w2 w3 w4"),
+      doc(2, "w1 w2 w3 w4 a b c d e f g h i j"),
+      doc(3, "p q r s t"),
+      doc(4, "m1 m2 m3 m4 m5"),
+      doc(5, "m1 m2 m3 m4 m5")))
+    assert(rows(graft.operators.Dedup.containmentDup(spark, d)) === Set(
+      Seq(1L, 2L, 2L, 2L, 1.0, r4(2.0 / 12))))
+  }
 }

@@ -381,4 +381,19 @@ class SessionsSpec extends SparkSpecBase {
       Seq(16384L, 1L, r4(1.0 / 3)),
       Seq(32768L, 1L, r4(1.0 / 3))))
   }
+
+  test("temporal_decay: power-of-two half-life weights against the max day") {
+    import graft.operators.Sessions
+    def atDay(id: Long, day: Long, user: Long, v: Double) =
+      ev(id, day * 86400, user, "click", v)
+    // ref day = 14 (the corpus max). user 1: ages 0 / 7 / 14 days ->
+    // 0 / 1 / 2 half-lives -> 4.0 + 8.0/2 + 16.0/4 = 12.0
+    // user 2: age 1 day -> 1 div 7 = 0 halves -> full 5.0
+    val dir = fixtureDir(evs = Seq(
+      atDay(1, 14, 1, 4.0), atDay(2, 7, 1, 8.0), atDay(3, 0, 1, 16.0),
+      atDay(4, 13, 2, 5.0)))
+    assert(rows(Sessions.temporalDecay(spark, dir)) === Set(
+      Seq(1L, 3L, 14L, 12.0),
+      Seq(2L, 1L, 13L, 5.0)))
+  }
 }
