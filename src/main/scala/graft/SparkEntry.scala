@@ -97,6 +97,7 @@ object SparkEntry {
     "session_stats" -> (Sessions.sessionStats _),
     "session_gaps" -> (Sessions.sessionGaps _),
     "temporal_decay" -> (Sessions.temporalDecay _),
+    "user_overlap" -> (Sessions.userOverlap _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -166,6 +167,8 @@ object SparkEntry {
     "dedup_recall" -> (Dedup.dedupRecall _),
     "containment_dup" -> (Dedup.containmentDup _),
     "ship_latency" -> (Analytics.shipLatency _),
+    "revenue_concentration" -> (Analytics.revenueConcentration _),
+    "curriculum_order" -> (Curation.curriculumOrder _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
@@ -578,6 +581,7 @@ object SparkEntry {
     "session_stats" -> graft.oracle.DuckSql.sessionStats,
     "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
+    "user_overlap" -> graft.oracle.DuckSql.userOverlap,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,
@@ -681,6 +685,8 @@ object SparkEntry {
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "containment_dup" -> graft.oracle.DuckSql.containmentDup,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
+    "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
+    "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,

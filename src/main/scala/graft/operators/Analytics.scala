@@ -1153,6 +1153,59 @@ object Analytics {
       .orderBy(col("ship_mode"))
   }
 
+  /** revenue_concentration: the whale-curve audit — customer lifetime
+    * revenue bucketed into power-of-two bins, each bin's customer and
+    * revenue share, and the cumulative revenue share counting down from
+    * the richest bin (the 80/20 readout: "the top bins holding X% of
+    * customers carry Y% of revenue"). The skew diagnosis that decides
+    * whether customer-keyed joins need salting (key_skew's revenue
+    * twin) and what a per-tenant fair-share quota should be.
+    *
+    * Scale shape: one high-cardinality partial-agg groupBy (customer),
+    * then the session_gaps exact power-of-two binning collapses the
+    * distribution to ≤64 rows — the window and shares run on the bin
+    * grid, never a total order over customers.
+    *
+    * Parity: revenue accumulates as exact integer cents in
+    * DECIMAL(38,0); the per-customer total re-lands in a BIGINT for
+    * the bin (exact to 9.2e16 dollars per customer — 11 orders above
+    * the 100 TB design point); shares are 4dp-floored doubles.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cu").cast("decimal(38,0)")).as("rc"))
+      .select(col("o_custkey"), col("rc").cast("long").as("rc"))
+    val bins = perCust
+      .select(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(rc)) AS INT) - 1)")
+        .as("bin_lo"), col("rc"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rc").cast("decimal(38,0)")).as("bc"))
+      .localCheckpoint() // grid feeds totals, shares, and the cum window
+    val tot = bins.agg(sum(col("n_customers")).as("tn"),
+      sum(col("bc")).as("tc"))
+    val wTop = Window.orderBy(col("bin_lo").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cum_bc", sum(col("bc")).over(wTop)) // <=64-row window
+      .select(col("bin_lo"), col("n_customers"),
+        // bc is exact integer cents: +0.5 floor is the identity, kept
+        // so the primitive matches the money convention on both sides
+        (floor(col("bc").cast("double") + 0.5) / 100).as("revenue"),
+        r4(col("n_customers").cast("double") / col("tn"))
+          .as("cust_share"),
+        r4(col("bc").cast("double") / col("tc").cast("double"))
+          .as("rev_share"),
+        r4(col("cum_bc").cast("double") / col("tc").cast("double"))
+          .as("cum_rev_share_top"))
+      .orderBy(col("bin_lo").desc)
+  }
+
   /** ship_latency: order-to-ship latency distribution per order
     * priority — exact P50/P90/P99 and mean days from o_orderdate to
     * l_shipdate, the fulfilment-SLA rollup every ops dashboard carries

@@ -614,4 +614,37 @@ object Curation {
         when(kept, col("n_copies")).otherwise(lit(0L)).as("n_copies"))
       .orderBy(col("doc_id"))
   }
+
+  /** curriculum_order: the training curriculum manifest — quality-kept
+    * docs phased by their CCNet perplexity bucket (head → middle →
+    * tail: cleanest language first, the curriculum-learning recipe of
+    * feeding easy/clean data before noisy data), with a deterministic
+    * seeded-hash position inside each phase (the stratified_sample
+    * hash, so the within-phase order is an unbiased shuffle that is
+    * reproducible across runs and engines — never storage order).
+    *
+    * Scale shape: two per-doc probe frames (LM bucket, gate) joined on
+    * doc_id; the per-phase row_number is a 3-partition ranking of the
+    * kept set — the export_manifest posture: a global per-phase order
+    * is the DELIVERABLE of this query (a manifest written once), not a
+    * step inside a pipeline; consumers stream it in position order.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val keep = qualityFilterOf(Tables.documents(spark, dir))
+      .filter(col("keep")).select(col("doc_id").as("kdid"))
+    val phased = CorpusStats.ccnetBuckets(spark, dir)
+      .join(keep, col("doc_id") === col("kdid"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") === "head", 0)
+          .when(col("bucket") === "middle", 1).otherwise(2).as("phase"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + SampleSeed))), 1, 8), 16, 10).cast("long").as("h"))
+    phased
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("phase"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("phase").cast("int").as("phase"), col("pos"))
+      .orderBy(col("phase"), col("pos"))
+  }
 }

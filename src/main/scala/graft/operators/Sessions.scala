@@ -758,6 +758,52 @@ object Sessions {
       .orderBy(col("user_id"))
   }
 
+  /** user_overlap: the audience-overlap matrix between event types —
+    * for every type pair, how many users do both, the Jaccard of the
+    * two audiences, and the lift against independence (the co-presence
+    * analogue of copurchase, on behaviors instead of parts). Lift > 1
+    * marks behaviors that travel together (funnel candidates); Jaccard
+    * near 1 marks redundant instrumentation.
+    *
+    * Scale shape: distinct (type, user) first — a partial-agg distinct
+    * whose output is ≤ |types| rows per user — then the self-join on
+    * user_id fans out at most |types|² rows per user (types are a
+    * bounded vocabulary; users are the high-cardinality axis the join
+    * shuffles on), feeding a ≤|types|²-row partial agg. Audience sizes
+    * and the global user count ride back on broadcasts. No window.
+    *
+    * Parity: counts are exact integers; jaccard and lift divide them
+    * in double with one fixed operand order, 4dp-floored.
+    */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val ut = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // feeds sizes, the pair join, and the U count
+    val sz = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val totalU = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("tu"))
+    val a = ut.select(col("event_type").as("type_a"),
+      col("user_id").as("ua"))
+    val b = ut.select(col("event_type").as("type_b"),
+      col("user_id").as("ub"))
+    a.join(b, col("ua") === col("ub") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sz.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sz.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totalU))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        r4(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"),
+        r4(col("n_both").cast("double") * col("tu")
+          / col("n_a") / col("n_b")).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

@@ -3494,6 +3494,80 @@ object DuckSql {
        |          * 1000000 + 0.5) / 1000000 END AS auc
        |FROM ga ORDER BY lang""".stripMargin
 
+  /** Mirror of Sessions.userOverlap: distinct (type, user) audience
+    * sets, bounded self-join, exact counts, 4dp jaccard/lift in the
+    * identical operand order.
+    */
+  val userOverlap: String =
+    """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+      |tu AS (SELECT count(DISTINCT user_id)::BIGINT AS tu FROM ut),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        count(*)::BIGINT AS n_both
+      |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |        AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      |  floor(n_both::DOUBLE / (sa.n + sb.n - n_both) * 10000 + 0.5)
+      |    / 10000 AS jaccard,
+      |  floor(n_both::DOUBLE * tu / sa.n / sb.n * 10000 + 0.5)
+      |    / 10000 AS lift
+      |FROM p JOIN sz sa ON sa.event_type = type_a
+      |       JOIN sz sb ON sb.event_type = type_b, tu
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** Mirror of Analytics.revenueConcentration: exact integer cents per
+    * customer, the session_gaps power-of-two binning, bin-grid shares
+    * and the top-down cumulative, all divisions in mirrored order.
+    */
+  val revenueConcentration: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::HUGEINT AS rc
+      |  FROM orders GROUP BY o_custkey),
+      |pb AS (SELECT (1::BIGINT << (length(bin(rc::BIGINT)) - 1)) AS bin_lo,
+      |         rc FROM pc),
+      |b AS (SELECT bin_lo, count(*)::BIGINT AS n_customers,
+      |        sum(rc) AS bc FROM pb GROUP BY bin_lo),
+      |t AS (SELECT sum(n_customers)::BIGINT AS tn, sum(bc) AS tc FROM b),
+      |x AS (SELECT *, sum(bc) OVER (ORDER BY bin_lo DESC
+      |        ROWS UNBOUNDED PRECEDING) AS cum_bc FROM b)
+      |SELECT bin_lo, n_customers,
+      |  floor(bc::DOUBLE + 0.5) / 100 AS revenue,
+      |  floor(n_customers::DOUBLE / tn * 10000 + 0.5) / 10000
+      |    AS cust_share,
+      |  floor(bc::DOUBLE / tc::DOUBLE * 10000 + 0.5) / 10000
+      |    AS rev_share,
+      |  floor(cum_bc::DOUBLE / tc::DOUBLE * 10000 + 0.5) / 10000
+      |    AS cum_rev_share_top
+      |FROM x, t ORDER BY bin_lo DESC""".stripMargin
+
+  /** Mirror of Curation.curriculumOrder: the ccnetBuckets chain gated
+    * by the quality keep, head/middle/tail phases, the
+    * stratified_sample (doc_id, seed) hash as the within-phase order.
+    */
+  val curriculumOrder: String = {
+    import graft.operators.Curation.SampleSeed
+    s"""WITH $qualityKeepCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |kb AS (SELECT px.doc_id, px.lang,
+       |    CASE WHEN px.ppl <= th.t1 THEN 'head'
+       |         WHEN px.ppl <= th.t2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM px JOIN th ON th.lang = px.lang
+       |  JOIN qf ON qf.doc_id = px.doc_id WHERE qf.keep),
+       |o AS (SELECT doc_id, lang, bucket,
+       |    CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+       |      ELSE 2 END AS phase,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SampleSeed)}'),
+       |      1, 8))::BIGINT AS h
+       |  FROM kb)
+       |SELECT doc_id, lang, bucket, phase::INT AS phase,
+       |  row_number() OVER (PARTITION BY phase ORDER BY h, doc_id)::BIGINT
+       |    AS pos
+       |FROM o ORDER BY phase, pos""".stripMargin
+  }
+
   /** Mirror of Dedup.containmentDup: the dedup_recall inverted-index
     * formulation — df-capped shingle join, TRUE set sizes from the
     * uncapped shingle lists, smaller-side containment, the same

@@ -321,4 +321,19 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq("1-URGENT", 10L, 5, 9, 9, 5.5),
       Seq("2-HIGH", 2L, 0, 0, 0, 5.0)))
   }
+
+  test("revenue_concentration: power-of-two bins, top-down cumulative share") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val d = Date.valueOf("1997-01-01")
+    // cust 1: 128.00 total (two orders) -> 12800c -> bin 8192
+    // cust 2: 40.96 -> 4096c -> bin 4096; cust 3: 30.00 -> 3000c -> 2048
+    val dir = starDir(ords = Seq(
+      Ord(1, 1, 100.0, d), Ord(2, 1, 28.0, d),
+      Ord(3, 2, 40.96, d), Ord(4, 3, 30.0, d)))
+    val tc = 19896.0
+    assert(rows(Analytics.revenueConcentration(spark, dir)) === Set(
+      Seq(8192L, 1L, 128.0, r4(1.0 / 3), r4(12800 / tc), r4(12800 / tc)),
+      Seq(4096L, 1L, 40.96, r4(1.0 / 3), r4(4096 / tc), r4(16896 / tc)),
+      Seq(2048L, 1L, 30.0, r4(1.0 / 3), r4(3000 / tc), 1.0)))
+  }
 }

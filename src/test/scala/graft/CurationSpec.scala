@@ -324,4 +324,29 @@ class CurationSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_false_pos") ===
       r.getAs[Long]("n_bloom_pos") - r.getAs[Long]("n_true"))
   }
+
+  test("curriculum_order: kept docs phase by ppl bucket, hash-ordered within") {
+    // two identical clean 21-word docs (pass the gate, lowest ppl ->
+    // head) and two 5-word once-seen-bigram docs (too_short -> dropped
+    // AND high ppl). Only the kept pair survives, both in phase 0, at
+    // positions 1/2 ordered by the (doc_id, seed) md5 hash.
+    val good = "the " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      doc(1, good), doc(2, good),
+      doc(3, "u1 u2 u3 u4 u5"), doc(4, "v1 v2 v3 v4 v5")))
+    val out = graft.operators.Curation.curriculumOrder(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    assert(out.forall(_.getAs[String]("bucket") === "head"))
+    assert(out.forall(_.getAs[Int]("phase") === 0))
+    // within-phase order follows the stratified_sample hash, not doc_id
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${graft.operators.Curation.SampleSeed}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16)
+    }
+    val expected = Seq(1L, 2L).sortBy(id => (h(id), id))
+    assert(out.sortBy(_.getAs[Long]("pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq === expected)
+  }
 }

@@ -396,4 +396,19 @@ class SessionsSpec extends SparkSpecBase {
       Seq(1L, 3L, 14L, 12.0),
       Seq(2L, 1L, 13L, 5.0)))
   }
+
+  test("user_overlap: pair counts, jaccard, lift; disjoint audiences emit no row") {
+    import graft.operators.Sessions
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // click={1,2,3} view={1,2} purchase={3}; duplicate click events for
+    // user 1 must not inflate the distinct audience
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, 1, "click"), ev(2, 20, 1, "click"), ev(3, 30, 2, "click"),
+      ev(4, 40, 3, "click"), ev(5, 50, 1, "view"), ev(6, 60, 2, "view"),
+      ev(7, 70, 3, "purchase")))
+    // view∩purchase is empty -> that pair is absent, not zero
+    assert(rows(Sessions.userOverlap(spark, dir)) === Set(
+      Seq("click", "purchase", 3L, 1L, 1L, r4(1.0 / 3), 1.0),
+      Seq("click", "view", 3L, 2L, 2L, r4(2.0 / 3), 1.0)))
+  }
 }
