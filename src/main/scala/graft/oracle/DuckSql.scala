@@ -3578,11 +3578,15 @@ object DuckSql {
     val ct = graft.operators.Dedup.ContainmentThreshold
     val jt = graft.operators.Dedup.JaccardThreshold
     s"""$shCte,
-       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |cdx AS (SELECT doc_id, md5(array_to_string(ws, ' ')) AS text_hash
+       |        FROM n),
+       |cn AS (SELECT min(doc_id) AS doc_id FROM cdx GROUP BY text_hash),
+       |shc AS (SELECT sh.* FROM sh SEMI JOIN cn USING (doc_id)),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM shc),
        |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > $cap),
        |sc AS (SELECT ex.doc_id, ex.g FROM ex
        |       ANTI JOIN hot ON ex.g = hot.g),
-       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM shc),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        count(*)::BIGINT AS inter
        |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
