@@ -281,7 +281,13 @@ object CorpusStats {
     * rule shared with quality_thresholds; buckets are closed on the
     * left (ppl ≤ t1 → head) so ties land identically in both engines.
     */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  /** Unsorted twin of [[ccnetBuckets]] for compositions that reshuffle
+    * the assignment anyway (curriculum_order). */
+  private[graft] def ccnetBucketsUnsorted(spark: SparkSession,
+      dir: String): DataFrame = {
     val scored = perplexityScore(spark, dir)
       .select(col("doc_id"), col("lang"), col("ppl"))
       .localCheckpoint() // feeds the histogram AND the assignment join
@@ -322,7 +328,9 @@ object CorpusStats {
         when(col("ppl") <= col("t1"), "head")
           .when(col("ppl") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
-      .orderBy(col("doc_id"))
+    // no sort here: ccnetBuckets adds its gated orderBy; compositions
+    // (curriculum_order, the streaming twin) must not pay a global
+    // sort they immediately destroy with their own shuffle
 
   /** signal_corr: per-language Pearson correlation between the CHEAP
     * quality signal (the 4dp heuristic composite every gate uses) and
@@ -1200,12 +1208,17 @@ object CorpusStats {
     */
   def signalAuc(spark: SparkSession, dir: String): DataFrame = {
     def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
-    val keep = Curation.qualityFilterOf(Tables.documents(spark, dir))
+    // merge hint: the gate side is a SMALL SCAN under an expensive
+    // lambda projection — byte estimates would broadcast it and
+    // evaluate the whole gate single-threaded on the build side (the
+    // exploded-frame mis-broadcast rule applied to CPU, not rows)
+    val keep = Curation.qualityFilterOf(
+      Tables.cpuPartition(Tables.documents(spark, dir), col("doc_id")))
       .select(col("doc_id").as("kdid"), col("keep"))
     val j = perplexityScore(spark, dir)
       .select(col("doc_id"), col("lang"),
         floor(col("avg_nll") * 10000 + lit(0.5)).cast("long").as("yu"))
-      .join(keep, col("doc_id") === col("kdid"))
+      .join(keep.hint("merge"), col("doc_id") === col("kdid"))
     val h = j.groupBy(col("lang"), col("yu"))
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("pv"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("nv"))

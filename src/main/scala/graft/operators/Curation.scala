@@ -630,21 +630,47 @@ object Curation {
     * step inside a pipeline; consumers stream it in position order.
     */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
-    val keep = qualityFilterOf(Tables.documents(spark, dir))
+    // cpuPartition + checkpoint-before-filter: the gate is an expensive
+    // lambda projection over a small scan, and a `.filter(keep)` on the
+    // live frame is substituted into a predicate that PUSHES THROUGH
+    // the repartition down to the scan — the whole gate then runs at
+    // input-split parallelism (1-2 cores; 8-10 s at the 10x probe vs
+    // ~1 s distributed). Materializing the signal frame first pins the
+    // gate behind the repartition; the filter then reads a boolean.
+    val keep = qualityFilterOf(Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")))
+      .localCheckpoint()
       .filter(col("keep")).select(col("doc_id").as("kdid"))
-    val phased = CorpusStats.ccnetBuckets(spark, dir)
-      .join(keep, col("doc_id") === col("kdid"))
+    val phased = CorpusStats.ccnetBucketsUnsorted(spark, dir)
+      .join(keep.hint("merge"), col("doc_id") === col("kdid"))
       .select(col("doc_id"), col("lang"), col("bucket"),
         when(col("bucket") === "head", 0)
           .when(col("bucket") === "middle", 1).otherwise(2).as("phase"),
         conv(substring(md5(concat(col("doc_id").cast("string"),
           lit(":" + SampleSeed))), 1, 8), 16, 10).cast("long").as("h"))
-    phased
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("phase"))
-          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    // distributed rank, not a per-phase global row_number: 3 phases =
+    // 3 single-threaded sort tasks at any scale. Sub-bucket by the hash
+    // HIGH bits (order by h ≡ order by (hb, h)), rank inside each
+    // (phase, hb) partition, and add the cumulative sub-bucket offsets
+    // (a ≤256-row window per phase) — the value-histogram ranking
+    // posture; identical positions, parallelism phases×256.
+    val withHb = phased
+      .withColumn("hb", shiftright(col("h"), 24).cast("int"))
+      .localCheckpoint() // feeds the offset grid and the rank join
+    val wOff = Window.partitionBy(col("phase")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = withHb.groupBy(col("phase"), col("hb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(wOff) - col("c"))
+      .select(col("phase").as("op"), col("hb").as("ohb"), col("off"))
+    withHb
+      .join(broadcast(off),
+        col("phase") === col("op") && col("hb") === col("ohb"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("phase"), col("hb"))
+          .orderBy(col("h"), col("doc_id"))) + col("off")).cast("long"))
       .select(col("doc_id"), col("lang"), col("bucket"),
         col("phase").cast("int").as("phase"), col("pos"))
-      .orderBy(col("phase"), col("pos"))
   }
 }
