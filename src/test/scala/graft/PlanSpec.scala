@@ -400,4 +400,39 @@ class PlanSpec extends SparkSpecBase {
     val plh = planOf(graft.operators.CorpusStats.lengthHist(spark, dir))
     assert(!plh.contains("CartesianProduct"), plh)
   }
+
+  test("r8-cont-2 family: gate joins stay shuffled; dedup filters stay keyed") {
+    // signal_auc / curriculum_order: the lambda-heavy quality gate must
+    // NEVER ride a broadcast (it would evaluate single-threaded on the
+    // build side) — the hinted gate join plans as a sort-merge join
+    val pa = planOf(graft.operators.CorpusStats.signalAuc(spark, dir))
+    assert(pa.contains("SortMergeJoin"),
+      s"signal_auc gate join must be sort-merge:\n$pa")
+    assert(!pa.contains("CartesianProduct"), pa)
+    // curriculum_order's gate join runs eagerly behind its
+    // localCheckpoint (same hinted shape as signal_auc above — the
+    // final plan only shows the rank stage): the offset grid rides a
+    // broadcast, the rank is a Window, nothing cartesians
+    val pc = planOf(graft.operators.Curation.curriculumOrder(spark, dir))
+    assert(pc.contains("BroadcastHashJoin") && pc.contains("Window"),
+      s"curriculum rank must be offset-broadcast + window:\n$pc")
+    assert(!pc.contains("CartesianProduct"), pc)
+    // containment_dup: canonical filter is a SEMI join, the df cap an
+    // ANTI join, the pair join an equi-join — no cartesian anywhere
+    val pd = planOf(Dedup.containmentDup(spark, dir))
+    assert(pd.contains("LeftSemi"),
+      s"canonical filter must be a semi join:\n$pd")
+    assert(pd.contains("LeftAnti"), s"df cap must be an anti join:\n$pd")
+    assert(!pd.contains("CartesianProduct"), pd)
+    // user_overlap / ship_latency / temporal_decay /
+    // revenue_concentration: equi-joins + partial aggs only (the 1-row
+    // scalar broadcasts are the sanctioned crossJoin pattern)
+    Seq(graft.operators.Sessions.userOverlap(spark, dir),
+      Analytics.shipLatency(spark, dir),
+      graft.operators.Sessions.temporalDecay(spark, dir),
+      Analytics.revenueConcentration(spark, dir)).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
