@@ -98,6 +98,7 @@ object SparkEntry {
     "session_gaps" -> (Sessions.sessionGaps _),
     "temporal_decay" -> (Sessions.temporalDecay _),
     "user_overlap" -> (Sessions.userOverlap _),
+    "weekly_profile" -> (Sessions.weeklyProfile _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -166,6 +167,8 @@ object SparkEntry {
     "copurchase_clusters" -> (Graph.copurchaseClusters _),
     "dedup_recall" -> (Dedup.dedupRecall _),
     "containment_dup" -> (Dedup.containmentDup _),
+    "fuzzy_match" -> (Dedup.fuzzyMatch _),
+    "k_core" -> (Graph.kCore _),
     "ship_latency" -> (Analytics.shipLatency _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
     "curriculum_order" -> (Curation.curriculumOrder _),
@@ -582,6 +585,7 @@ object SparkEntry {
     "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
+    "weekly_profile" -> graft.oracle.DuckSql.weeklyProfile,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,
@@ -684,6 +688,8 @@ object SparkEntry {
     "copurchase_clusters" -> graft.oracle.DuckSql.copurchaseClusters,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "containment_dup" -> graft.oracle.DuckSql.containmentDup,
+    "fuzzy_match" -> graft.oracle.DuckSql.fuzzyMatch,
+    "k_core" -> graft.oracle.DuckSql.kCore,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,

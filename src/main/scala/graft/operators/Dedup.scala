@@ -928,4 +928,42 @@ object Dedup {
         col("jaccard") < JaccardThreshold)
       .orderBy(col("contained_id"), col("container_id"))
   }
+
+  /** fuzzy_match edit-distance budget: ≤2 covers the one-token typo /
+    * single-substitution band without pulling in genuinely different
+    * names (the catalog's adjectives differ by ≥3 edits when unrelated).
+    */
+  val FuzzyMaxDist = 2
+
+  /** fuzzy_match: catalog entity resolution — near-identical part names
+    * that likely denote the same product entered twice (typos, variant
+    * spellings), the record-linkage sibling of document dedup. Classic
+    * blocked matching: collapse the catalog to its DISTINCT name
+    * vocabulary first (with entry counts as evidence), block on the
+    * final name token (the head noun — same entity class), and verify
+    * candidates with exact Levenshtein ≤ [[FuzzyMaxDist]].
+    *
+    * Scale shape: the vocabulary groupBy collapses 200K×SF rows to the
+    * bounded name vocabulary BEFORE any pairing; the block join is an
+    * equi-join on the noun (never all-pairs), and the edit-distance
+    * verify runs only on blocked candidates. Levenshtein is the
+    * classic integer DP on both engines — exact parity.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"), col("n_parts"),
+        element_at(split(col("p_name"), " "), -1).as("blk"))
+      .localCheckpoint() // the vocabulary feeds both join sides
+    val a = names.select(col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"), col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

@@ -200,4 +200,50 @@ object Graph {
         coalesce(col("l1"), col("p_partkey")).as("cluster"))
       .orderBy(col("p_partkey"))
   }
+
+  /** k_core parameters: the core degree threshold and the bounded peel
+    * depth. [[CorePeelRounds]] = 8 fully converges on every gate corpus
+    * (the survivor set is stable rounds before the cap); at larger
+    * scale a non-converged round leaves only nodes whose degree still
+    * ≥ K within the current subgraph — a superset of the true core,
+    * shrinking monotonically — so the bound degrades gracefully rather
+    * than wrongly.
+    */
+  val CoreK = 3
+  val CorePeelRounds = 8
+
+  /** k_core: the [[CoreK]]-core of the co-purchase graph — the maximal
+    * subgraph where every product keeps ≥ K co-purchase partners after
+    * everything weaker is iteratively peeled away (Seidman's k-core;
+    * the standard "dense backbone" extraction that separates structural
+    * hubs from long-tail attachments — pagerank ranks influence,
+    * copurchase_clusters finds components, this finds the cohesive
+    * core).
+    *
+    * Scale shape: consumes the persisted support-pruned edge artifact
+    * (the pagerank posture); each peel round is one partial-agg degree
+    * count + two semi-joins, checkpointed per round so no round
+    * re-derives its predecessors (the pointer-jumping CC rule). All
+    * joins key on node id. Bounded [[CorePeelRounds]] rounds — the
+    * oracle unrolls the identical rounds, so parity is structural.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = prunedPairs(spark, dir)
+    var edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to CorePeelRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK).select(col("src").as("k"))
+        .localCheckpoint() // feeds BOTH endpoint semi-joins
+      edges = edges
+        .join(keep, col("src") === col("k"), "left_semi")
+        .join(keep.select(col("k").as("k2")), col("dst") === col("k2"),
+          "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("part"), col("core_deg"))
+      .orderBy(col("part"))
+  }
 }

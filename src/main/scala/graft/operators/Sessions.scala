@@ -804,6 +804,39 @@ object Sessions {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** weekly_profile: the day-of-week seasonality grid per event type —
+    * volume, share, and the peak day (ties resolve to the earliest
+    * day). The capacity-planning readout (when does each behavior
+    * spike) and the input a seasonal anomaly baseline would train on
+    * (event_anomalies scores against a FLAT mean; a type with strong
+    * weekly shape needs this profile as its baseline instead).
+    *
+    * Day-of-week derives from integer epoch-day arithmetic —
+    * (day + 3) mod 7, 0 = Monday (1970-01-01 was a Thursday) — never
+    * from a locale/zone-dependent date function, so both engines agree
+    * by construction. One partial-agg groupBy to the ≤|types|×7 grid;
+    * the share/peak window runs on the grid only.
+    */
+  def weeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(expr("ts div 1000000000 div 86400") + 3, lit(7)).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    grid
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("mx", max(col("n")).over(w))
+      .withColumn("peak_dow",
+        min(when(col("n") === col("mx"), col("dow"))).over(w))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n"),
+        r4(col("n").cast("double") / col("tot")).as("share"),
+        (col("dow") === col("peak_dow")).as("is_peak"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

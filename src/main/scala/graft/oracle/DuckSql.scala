@@ -3494,6 +3494,72 @@ object DuckSql {
        |          * 1000000 + 0.5) / 1000000 END AS auc
        |FROM ga ORDER BY lang""".stripMargin
 
+  /** Mirror of Graph.kCore: the same support-pruned undirected edge
+    * set, [[graft.operators.Graph.CorePeelRounds]] peel rounds unrolled
+    * (degree count → keep ≥ K → two endpoint semi-joins per round).
+    */
+  val kCore: String = {
+    import graft.operators.Graph
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor 3x (degree
+    // count + two semi-joins) — un-materialized, the base scan inlines
+    // 3^rounds times and the oracle dies on open file handles.
+    val rounds = (1 to Graph.CorePeelRounds).map { k =>
+      s"""kp$k AS MATERIALIZED (SELECT src
+         |  FROM (SELECT src, count(*)::BIGINT AS d
+         |        FROM ke${k - 1} GROUP BY src) WHERE d >= ${Graph.CoreK}),
+         |ke$k AS MATERIALIZED (SELECT e.src, e.dst FROM ke${k - 1} e
+         |         SEMI JOIN kp$k a ON e.src = a.src
+         |         SEMI JOIN kp$k b ON e.dst = b.src)""".stripMargin
+    }
+    s"""$graphE0Cte,
+       |ke0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+       |        UNION ALL SELECT pb, pa FROM e0),
+       |${rounds.mkString(",\n")}
+       |SELECT src AS part, count(*)::BIGINT AS core_deg
+       |FROM ke${Graph.CorePeelRounds} GROUP BY src ORDER BY part""".stripMargin
+  }
+
+  /** Mirror of Sessions.weeklyProfile: integer epoch-day dow
+    * ((day+3) mod 7, 0 = Monday), the ≤|types|×7 grid, tie-to-earliest
+    * peak.
+    */
+  val weeklyProfile: String =
+    """WITH e AS (SELECT event_type,
+      |    ((floor(epoch(ts))::BIGINT // 86400 + 3) % 7) AS dow
+      |  FROM events),
+      |g AS (SELECT event_type, dow, count(*)::BIGINT AS n
+      |      FROM e GROUP BY 1, 2),
+      |x AS (SELECT *,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot,
+      |    max(n) OVER (PARTITION BY event_type) AS mx
+      |  FROM g),
+      |y AS (SELECT *,
+      |    min(CASE WHEN n = mx THEN dow END)
+      |      OVER (PARTITION BY event_type) AS peak_dow
+      |  FROM x)
+      |SELECT event_type, dow::INT AS dow, n,
+      |  floor(n::DOUBLE / tot * 10000 + 0.5) / 10000 AS share,
+      |  (dow = peak_dow) AS is_peak
+      |FROM y ORDER BY event_type, dow""".stripMargin
+
+  /** Mirror of Dedup.fuzzyMatch: distinct name vocabulary with entry
+    * counts, final-token block, exact Levenshtein verify.
+    */
+  val fuzzyMatch: String = {
+    val d = graft.operators.Dedup.FuzzyMaxDist
+    s"""WITH nm AS (SELECT p_name, count(*)::BIGINT AS n_parts
+       |           FROM part GROUP BY p_name),
+       |v AS (SELECT p_name, n_parts,
+       |        string_split(p_name, ' ')[-1] AS blk FROM nm)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  levenshtein(a.p_name, b.p_name)::INT AS dist,
+       |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $d
+       |ORDER BY name_a, name_b""".stripMargin
+  }
+
   /** Mirror of Sessions.userOverlap: distinct (type, user) audience
     * sets, bounded self-join, exact counts, 4dp jaccard/lift in the
     * identical operand order.

@@ -265,4 +265,19 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(graft.operators.Dedup.containmentDup(spark, d)) === Set(
       Seq(1L, 2L, 2L, 2L, 1.0, r4(2.0 / 12))))
   }
+
+  test("fuzzy_match: noun-blocked vocabulary pairs under the edit budget") {
+    import spark.implicits._
+    // 'small ring' (2 entries) vs 'smell ring' is one substitution;
+    // 'red ring' shares the block but is 4 edits away; 'red bolt'
+    // blocks alone
+    val parts = Seq(
+      (1L, "small ring"), (2L, "small ring"), (3L, "smell ring"),
+      (4L, "red ring"), (5L, "red bolt"))
+      .toDF("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fz").toString
+    parts.write.parquet(s"$dir/part.parquet")
+    assert(rows(graft.operators.Dedup.fuzzyMatch(spark, dir)) === Set(
+      Seq("small ring", "smell ring", 1, 2L, 1L)))
+  }
 }

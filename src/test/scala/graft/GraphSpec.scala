@@ -71,4 +71,22 @@ class GraphSpec extends SparkSpecBase {
       Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
       Seq(4L, 4L), Seq(5L, 5L), Seq(9L, 9L)))
   }
+
+  test("k_core: cascading peel leaves the K4 clique, multi-round removal") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4}; node 5 hangs off 1, 2, and 6 (degree 3 ->
+    // survives round 1); node 6 hangs off 5 alone (degree 1 -> peeled
+    // round 1, dropping 5 to degree 2 -> peeled round 2 — the cascade).
+    // All edges support-2 (two baskets each) so pruning keeps them.
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (5L, 6L))
+    val li = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      basket(100 + 2 * i, a, b) ++ basket(101 + 2 * i, a, b)
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    assert(rows(Graph.kCore(spark, dir)) === Set(
+      Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 3L), Seq(4L, 3L)))
+  }
 }

@@ -411,4 +411,19 @@ class SessionsSpec extends SparkSpecBase {
       Seq("click", "purchase", 3L, 1L, 1L, r4(1.0 / 3), 1.0),
       Seq("click", "view", 3L, 2L, 2L, r4(2.0 / 3), 1.0)))
   }
+
+  test("weekly_profile: epoch-day dow grid, tie-to-earliest peak") {
+    import graft.operators.Sessions
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // day 0 (1970-01-01) = Thursday = dow 3; day 1 = Friday = dow 4
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, 1, "click"), ev(2, 20, 2, "click"),          // Thu x2
+      ev(3, 86400 + 10, 1, "click"),                         // Fri x1
+      ev(4, 30, 1, "view"), ev(5, 86400 + 30, 2, "view")))   // tie 1-1
+    assert(rows(Sessions.weeklyProfile(spark, dir)) === Set(
+      Seq("click", 3, 2L, r4(2.0 / 3), true),
+      Seq("click", 4, 1L, r4(1.0 / 3), false),
+      Seq("view", 3, 1L, 0.5, true),   // tie breaks to the earlier day
+      Seq("view", 4, 1L, 0.5, false)))
+  }
 }
