@@ -137,6 +137,7 @@ object SparkEntry {
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
     "ndcg_eval" -> (Retrieval.ndcgEval _),
+    "late_interaction" -> (Retrieval.lateInteraction _),
     "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
@@ -619,6 +620,7 @@ object SparkEntry {
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
+    "late_interaction" -> graft.oracle.DuckSql.lateInteraction,
     "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,

@@ -131,6 +131,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product over two `array<long>` columns — the
+  * scorer of the hash-feature sum vectors (Embedder.hashSumRows), where
+  * every component is an exact ±1-bit sum and the dot must stay a
+  * single long (a 64-term column expression would otherwise inline its
+  * packed-lane derivation per term and blow both the optimizer and the
+  * 64 KB codegen budget — measured as an OOM during planning). ANSI
+  * overflow applies inside the loop: components ≤ 65 535 keep the
+  * 64-dim sum ≤ 2.7e11, far under Long.MaxValue.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product_long"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  protected def loopEval(x: ArrayData, y: ArrayData): Double =
+    throw new IllegalStateException("unused: nullSafeEval overridden")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    VectorBinaryExpression.requireSameDim(n, y.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
+    s"""
+       |int $n = $a.numElements();
+       |graft.functions.VectorBinaryExpression.requireSameDim($n, $b.numElements());
+       |long $dot = 0L;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $dot += $a.getLong($i) * $b.getLong($i);
+       |}
+       |$result = $dot;
+       |""".stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
@@ -142,4 +199,8 @@ object VectorFunctions {
   /** Dot product between two `array<float>` columns, as double. */
   def dot(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Exact integer dot product between two `array<long>` columns. */
+  def dotLong(a: Column, b: Column): Column =
+    toCol(DotProductLong(toExpr(a), toExpr(b)))
 }

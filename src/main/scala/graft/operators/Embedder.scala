@@ -51,6 +51,35 @@ object Embedder {
       .withColumn("nrm", norm)
   }
 
+  /** Exact-integer hash-feature sums for arbitrary keyed token rows —
+    * the rounding-free twin of [[bitSums]] the late-interaction scorer
+    * builds on. Input: (keys..., w) token rows; output: keys + s0..s63
+    * (±1-bit sums as longs) + n2 (Σ s², long — the squared L2 norm).
+    * Cosines computed as `Σ sa·sb / sqrt(na2) / sqrt(nb2)` from these
+    * are bit-identical on any engine with md5: every term before the
+    * final division is an exact integer.
+    */
+  private[graft] def hashSumRows(rows: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import Dedup.BitPack
+    import graft.functions.VectorFunctions.dotLong
+    val ex = rows.select(
+      (keys.map(col) ++ BitPack.packedDigits(md5(col("w")))): _*)
+    val aggs = BitPack.sumAggs
+    val sv = array((0 until DIM).map { i =>
+      (BitPack.ones(i) * 2 - BitPack.guardedN).cast("long")
+    }: _*)
+    // ONE array column, not 64 scalar columns: every downstream use
+    // (dot, norm, renamed join sides) then references a single
+    // attribute — a 64-wide schema inlines the packed-lane derivation
+    // per expression term and blows the optimizer + the 64 KB codegen
+    // budget (measured as a planning OOM). n2 rides the codegen'd
+    // integer dot against itself.
+    ex.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select((keys.map(col) :+ sv.as("sv")): _*)
+      .withColumn("n2", dotLong(col("sv"), col("sv")))
+  }
+
   /** (doc_id, embedding array<double> unit-norm rounded to 6dp). */
   def embedText(spark: SparkSession, dir: String): DataFrame = {
     val emb = array((0 until DIM).map(i =>

@@ -459,4 +459,103 @@ object Retrieval {
           .as("lift"))
       .orderBy(col("ccell"), col("source"))
   }
+
+  /** late_interaction knobs: candidate pool depth (stage 1) and the
+    * reranked result depth. Single-sourced into the oracle SQL.
+    */
+  val LiPoolC = 20
+  val LiK = 5
+
+  /** late_interaction: ColBERT-style retrieve-then-rerank — stage 1
+    * ranks a [[LiPoolC]]-doc candidate pool per query by WHOLE-document
+    * hash-embedding cosine (the reference's find_similar_documents
+    * shape), stage 2 re-scores the pool with late interaction over
+    * CHUNK embeddings: score(q,d) = mean over q-chunks of the MAX
+    * cosine against d's chunks (MaxSim; Khattab & Zaharia, SIGIR'20).
+    * A long doc that buries one highly-relevant passage under unrelated
+    * text loses in whole-doc cosine but wins MaxSim — exactly the
+    * passage-retrieval gap a RAG context builder cares about.
+    *
+    * Exactness: both cosine stages divide EXACT INTEGERS
+    * (Embedder.hashSumRows ±1-bit sums; `dot / sqrt(n2a) / sqrt(n2b)`
+    * in one mirrored operand order) — no rounded vector components
+    * anywhere. The per-(q,d) mean over chunk maxima converts each max
+    * to 1e-6 integer units first, so the sum is order-independent.
+    *
+    * Scale shape: stage 1 is the documented brute baseline (the
+    * knn_join posture — queries ride one broadcast; the ANN indexes
+    * are the production pool source, exactly as mmr_rerank consumes
+    * them); stage 2's chunk joins are bounded by pool size × chunks
+    * per doc regardless of corpus, with the chunk-vector frame built
+    * once (semi-joined per side) and every join an equi-join on doc
+    * id. The 64 sums aggregate in one codegen'd packed-lane pass.
+    */
+  def lateInteraction(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val docToks = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.normToks(col("text"))).as("w"))
+    // checkpoint BEFORE the n2 filter: pushdown would otherwise
+    // substitute the packed-lane sum tree into the predicate (the
+    // curriculum_order filter-pushdown rule, at expression scale)
+    val docVec = Embedder.hashSumRows(docToks, Seq("doc_id"))
+      .localCheckpoint() // feeds the query and candidate sides
+      .filter(col("n2") > 0)
+    import graft.functions.VectorFunctions.dotLong
+    val q = docVec.filter(pmod(col("doc_id"), lit(QueryMod)) === 0)
+      .select(col("doc_id").as("q_id"), col("sv").as("qsv"),
+        col("n2").as("qn2"))
+    val d = docVec.filter(pmod(col("doc_id"), lit(QueryMod)) =!= 0)
+      .select(col("doc_id").as("d_id"), col("sv").as("dsv"),
+        col("n2").as("dn2"))
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("pool_sim").desc, col("d_id"))
+    val pool = d.join(broadcast(q), col("q_id") =!= col("d_id"))
+      .select(col("q_id"), col("d_id"),
+        (dotLong(col("qsv"), col("dsv")).cast("double")
+          / sqrt(col("qn2").cast("double"))
+          / sqrt(col("dn2").cast("double"))).as("pool_sim"))
+      .withColumn("pr", row_number().over(wPool))
+      .filter(col("pr") <= LiPoolC)
+      .select(col("q_id"), col("d_id"), col("pool_sim"))
+      .localCheckpoint() // feeds both chunk semi-joins and the output
+    val chunkToks = chunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(Dedup.normToks(col("chunk_text"))).as("w"))
+    val cv = Embedder.hashSumRows(chunkToks, Seq("doc_id", "chunk_id"))
+      .localCheckpoint() // one chunk-vector build feeds both sides
+      .filter(col("n2") > 0)
+    val qc = cv.select(col("doc_id").as("qdid"), col("chunk_id").as("qck"),
+        col("sv").as("qcv"), col("n2").as("qcn2"))
+      .join(pool.select(col("q_id")).distinct(),
+        col("qdid") === col("q_id"), "left_semi")
+    val dc = cv.select(col("doc_id").as("ddid"), col("chunk_id").as("dck"),
+        col("sv").as("dcv"), col("n2").as("dcn2"))
+      .join(pool.select(col("d_id")).distinct(),
+        col("ddid") === col("d_id"), "left_semi")
+    val scored = pool
+      .join(qc, col("qdid") === col("q_id"))
+      .join(dc, col("ddid") === col("d_id"))
+      .select(col("q_id"), col("d_id"), col("qck"),
+        (dotLong(col("qcv"), col("dcv")).cast("double")
+          / sqrt(col("qcn2").cast("double"))
+          / sqrt(col("dcn2").cast("double"))).as("cs"))
+      .groupBy(col("q_id"), col("d_id"), col("qck"))
+      .agg(max(col("cs")).as("mx"))
+      .groupBy(col("q_id"), col("d_id"))
+      .agg(sum(floor(col("mx") * 1000000 + 0.5).cast("long")).as("smu"),
+        count(lit(1)).as("nq"))
+      .select(col("q_id"), col("d_id"),
+        r6(col("smu").cast("double") / col("nq") / 1000000)
+          .as("li_score"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("li_score").desc, col("d_id"))
+    scored.join(pool, Seq("q_id", "d_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= LiK)
+      .select(col("q_id"), col("d_id"), col("rank").cast("int").as("rank"),
+        col("li_score"), r6(col("pool_sim")).as("pool_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

@@ -3494,6 +3494,79 @@ object DuckSql {
        |          * 1000000 + 0.5) / 1000000 END AS auc
        |FROM ga ORDER BY lang""".stripMargin
 
+  /** Shared builders for the exact-integer hash-feature sums
+    * (Embedder.hashSumRows): 64 ±1-bit sums from an md5-hex column
+    * `h`, the squared-norm term, and the pairwise integer dot.
+    */
+  private def liSumCols: String = (0 until 64).map { i =>
+    val pos = i / 4 + 1
+    val shift = 3 - i % 4
+    s"sum((((strpos('0123456789abcdef', h[$pos]) - 1) >> $shift) & 1)" +
+      s" * 2 - 1)::BIGINT AS s$i"
+  }.mkString(", ")
+  private def liN2: String =
+    (0 until 64).map(i => s"s$i*s$i").mkString(" + ")
+  private def liDot(a: String, b: String): String =
+    (0 until 64).map(i => s"$a.s$i*$b.s$i").mkString(" + ")
+
+  /** Mirror of Retrieval.lateInteraction: whole-doc integer-cosine
+    * pool, chunk-level MaxSim rerank, identical operand orders and the
+    * 1e-6-unit mean. MATERIALIZED on the multiply-referenced frames
+    * (DuckDB inlines plain CTEs per reference).
+    */
+  val lateInteraction: String = {
+    import graft.operators.Retrieval.{ChunkStride, ChunkTokens, LiK, LiPoolC, QueryMod}
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""$normCte,
+       |ldx AS (SELECT doc_id, md5(unnest(ws)) AS h FROM n),
+       |lds AS (SELECT doc_id, $liSumCols FROM ldx GROUP BY doc_id),
+       |dv AS MATERIALIZED (SELECT *, ($liN2)::BIGINT AS n2 FROM lds),
+       |pool0 AS (SELECT q.doc_id AS q_id, d.doc_id AS d_id,
+       |    (${liDot("q", "d")})::DOUBLE / sqrt(q.n2::DOUBLE)
+       |      / sqrt(d.n2::DOUBLE) AS pool_sim
+       |  FROM dv q JOIN dv d ON q.doc_id <> d.doc_id
+       |  WHERE q.doc_id % $QueryMod = 0 AND d.doc_id % $QueryMod <> 0
+       |    AND q.n2 > 0 AND d.n2 > 0),
+       |pool AS MATERIALIZED (SELECT q_id, d_id, pool_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY pool_sim DESC, d_id) AS pr FROM pool0)
+       |  WHERE pr <= $LiPoolC),
+       |lm AS (SELECT doc_id, ws, len(ws) AS nt FROM n WHERE len(ws) > 0),
+       |lck AS (SELECT doc_id, ws, nt,
+       |    unnest(range(0, greatest(0, (nt - $w + $s - 1) // $s) + 1)) AS k
+       |  FROM lm),
+       |lcw AS (SELECT doc_id, k::INT AS chunk_id,
+       |    unnest(list_slice(ws, k * $s + 1, least(k * $s + $w, nt))) AS wt
+       |  FROM lck),
+       |lch AS (SELECT doc_id, chunk_id, md5(wt) AS h FROM lcw),
+       |lcs AS (SELECT doc_id, chunk_id, $liSumCols FROM lch
+       |        GROUP BY doc_id, chunk_id),
+       |cv AS MATERIALIZED (SELECT *, ($liN2)::BIGINT AS n2 FROM lcs),
+       |ps AS (SELECT p.q_id, p.d_id, qc.chunk_id AS qck,
+       |    max((${liDot("qc", "dc")})::DOUBLE / sqrt(qc.n2::DOUBLE)
+       |        / sqrt(dc.n2::DOUBLE)) AS mx
+       |  FROM pool p
+       |  JOIN cv qc ON qc.doc_id = p.q_id AND qc.n2 > 0
+       |  JOIN cv dc ON dc.doc_id = p.d_id AND dc.n2 > 0
+       |  GROUP BY 1, 2, 3),
+       |lag AS (SELECT q_id, d_id,
+       |    sum(floor(mx * 1000000 + 0.5)::BIGINT) AS smu,
+       |    count(*)::BIGINT AS nq
+       |  FROM ps GROUP BY 1, 2),
+       |lsc AS (SELECT q_id, d_id,
+       |    floor(smu::DOUBLE / nq / 1000000 * 1000000 + 0.5) / 1000000
+       |      AS li_score
+       |  FROM lag)
+       |SELECT q_id, d_id, rank::INT AS rank, li_score,
+       |  floor(pool_sim * 1000000 + 0.5) / 1000000 AS pool_sim
+       |FROM (SELECT lsc.q_id, lsc.d_id, lsc.li_score, p.pool_sim,
+       |        row_number() OVER (PARTITION BY lsc.q_id
+       |          ORDER BY lsc.li_score DESC, lsc.d_id) AS rank
+       |      FROM lsc JOIN pool p ON p.q_id = lsc.q_id
+       |                          AND p.d_id = lsc.d_id)
+       |WHERE rank <= $LiK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Mirror of Graph.kCore: the same support-pruned undirected edge
     * set, [[graft.operators.Graph.CorePeelRounds]] peel rounds unrolled
     * (degree count → keep ≥ K → two endpoint semi-joins per round).

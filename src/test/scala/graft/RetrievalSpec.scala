@@ -189,4 +189,32 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.forall(r => r.getAs[Double]("ndcg") >= 0.0 &&
       r.getAs[Double]("ndcg") <= 1.0))
   }
+
+  test("late_interaction: the identical doc tops both stages at exactly 1.0") {
+    val qt = "alpha beta gamma delta epsilon"
+    // doc 100 is the query (QueryMod); doc 1 is its verbatim copy and
+    // must rank first with pool cosine AND MaxSim exactly 1.0 (integer
+    // dot == both squared norms); 2 and 3 share no tokens with it
+    val d = fixtureDir(docs = Seq(
+      doc(100, qt), doc(1, qt),
+      doc(2, "zig zag zoom bop bip"),
+      doc(3, "unrelated words entirely different content here")))
+    val out = Retrieval.lateInteraction(spark, d).collect()
+    assert(out.nonEmpty)
+    val top = out.filter(r =>
+      r.getAs[Long]("q_id") == 100L && r.getAs[Int]("rank") == 1).head
+    assert(top.getAs[Long]("d_id") === 1L)
+    assert(top.getAs[Double]("li_score") === 1.0)
+    assert(top.getAs[Double]("pool_sim") === 1.0)
+    assert(out.forall(r => r.getAs[Double]("li_score") <= 1.0))
+    // ranks are dense per query, ordered by li_score desc
+    val perQ = out.groupBy(_.getAs[Long]("q_id"))
+    perQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to rs.length).toSeq)
+      assert(sorted.map(-_.getAs[Double]("li_score")).toSeq ===
+        sorted.map(-_.getAs[Double]("li_score")).toSeq.sorted)
+    }
+  }
 }

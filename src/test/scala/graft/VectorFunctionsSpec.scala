@@ -123,4 +123,29 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .takeWhile(_ != null).take(8)
       .exists(t => Option(t.getMessage).exists(_.contains("dimension mismatch"))))
   }
+
+  test("dotLong: exact integer dot, codegen path, two-in-one-projection") {
+    import graft.functions.VectorFunctions.dotLong
+    import org.apache.spark.sql.functions.typedLit
+    val df = spark.range(1).select(
+      typedLit(Seq(3L, -5L, 65535L)).as("a"),
+      typedLit(Seq(2L, 7L, 65535L)).as("b"))
+    val expect = 3L * 2 - 5L * 7 + 65535L * 65535L
+    // two dotLong columns in one projection: the freshName rule
+    val r = df.select(dotLong(col("a"), col("b")).as("d1"),
+      dotLong(col("a"), col("a")).as("d2")).head
+    assert(r.getLong(0) === expect)
+    assert(r.getLong(1) === 3L * 3 + 25L + 65535L * 65535L)
+    // interpreted parity
+    val e = graft.functions.DotProductLong(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3L, -5L, 65535L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 7L, 65535L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) === expect)
+  }
 }
