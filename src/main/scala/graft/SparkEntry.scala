@@ -175,6 +175,7 @@ object SparkEntry {
     "curriculum_order" -> (Curation.curriculumOrder _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
+    "corpus_cube" -> (CorpusStats.corpusCube _),
     "cluster_terms" -> (Retrieval.clusterTerms _),
     "topic_coverage" -> (Retrieval.topicCoverage _),
     "mmr_rerank" -> (Similarity.mmrRerank _),
@@ -697,6 +698,7 @@ object SparkEntry {
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,
+    "corpus_cube" -> graft.oracle.DuckSql.corpusCube,
     "cluster_terms" -> graft.oracle.DuckSql.clusterTerms,
     "topic_coverage" -> graft.oracle.DuckSql.topicCoverage,
     "mmr_rerank" -> graft.oracle.DuckSql.mmrRerank,

@@ -1183,6 +1183,30 @@ object CorpusStats {
         .as("r2"))
   }
 
+  /** corpus_cube: the CUBE rollup of corpus volume over (lang, source)
+    * — all four grouping levels (cell, per-lang, per-source, grand
+    * total) in one pass: doc counts, exact character volume, and the
+    * 4dp mean length. domain_mix reads one axis; datasheet tooling
+    * reads the full matrix plus both margins — this is that matrix,
+    * from a single scan.
+    *
+    * Scale shape: CUBE plans as one Expand (×4) feeding a single
+    * partial-agg groupBy — the aggregate input quadruples but the
+    * shuffle carries only (lang, source, level) partial sums, the
+    * revenue_rollup rule. grouping_id disambiguates a real NULL-keyed
+    * cell from a margin row.
+    */
+  def corpusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1))
+          * 10000 + 0.5) / 10000).as("avg_chars"),
+        grouping_id(col("lang"), col("source")).cast("int").as("lvl"))
+      .orderBy(col("lvl"), col("lang"), col("source"))
+
   /** signal_auc: per-language ranking quality of the frozen-LM
     * perplexity signal against the rule-based Gopher gate — the exact
     * Mann-Whitney AUC of "lower avg_nll" predicting "quality_filter

@@ -3469,6 +3469,18 @@ object DuckSql {
       |       LEFT JOIN bs ON bs.source = d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Mirror of CorpusStats.corpusCube: GROUP BY CUBE with the same
+    * grouping-bit convention (first key = MSB) and mean arithmetic.
+    */
+  val corpusCube: String =
+    """SELECT lang, source, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS chars,
+      |  floor(sum(n_chars)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+      |    AS avg_chars,
+      |  GROUPING(lang, source)::INT AS lvl
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY lvl, lang, source""".stripMargin
+
   /** Mirror of CorpusStats.signalAuc: same quality-keep and frozen-LM
     * CTEs, the identical 4dp nll histogram, tied-rank 2·avg-rank
     * integers, one final double division in mirrored order.

@@ -14,6 +14,11 @@ case class AsofOut(event_id: Long, user_id: Long, event_type: String,
     asof_event: Option[Long], asof_value: Option[Double])
 case class AttrClick(click_id: Long, sec: Long)
 case class AttrState(clicks: Seq[AttrClick])
+case class DecayEvent(event_id: Long, ts: Long, user_id: Long,
+    value: Double)
+case class DecayState(nEvents: Long, lastDay: Long, buckets: Array[Long])
+case class DecayOut(user_id: Long, n_events: Long, last_day: Long,
+    decayed_value: Double)
 case class AttrOut(purchase_id: Long, click_id: Long, user_id: Long,
     gap_sec: Long)
 
@@ -240,4 +245,60 @@ object EventStream {
             Seq("event_type", "day"))(
             graft.operators.Sessions.flagDaily(_, stats))
       }
+
+  /** Streaming engagement decay — the stateful twin of
+    * Sessions.temporalDecay against a FROZEN reference day (the
+    * freeze-then-probe contract: batch derives ref_day from the corpus
+    * max; a stream applies the day frozen at calibration time). Each
+    * batch emits the updated per-user row, so the LAST row per user is
+    * the live score.
+    *
+    * Exactness without wide decimals in state: the weighted sum
+    * su = Σ cents·2^(40-halves) never materializes in state — instead
+    * state keeps ONE exact cent-sum per halves bucket (≤41 longs per
+    * user, bounded regardless of stream length), and each emit
+    * reconstructs su in BigDecimal and applies the batch operator's
+    * exact float steps. An event older than the [[
+    * graft.operators.Sessions.DecayMaxHalves]] horizon clamps to the
+    * floor weight (the batch least() rule); an event NEWER than the
+    * frozen ref day clamps to weight 1 — the streaming-only case a
+    * self-calibrated batch run can never see.
+    */
+  def decayScores(events: DataFrame, refDay: Long): Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[DecayEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateDecay(refDay))
+  }
+
+  private def updateDecay(refDay: Long)(user: Long,
+      it: Iterator[DecayEvent],
+      state: GroupState[DecayState]): Iterator[DecayOut] = {
+    val mh = graft.operators.Sessions.DecayMaxHalves
+    val hl = graft.operators.Sessions.DecayHalfLifeDays
+    val st = state.getOption
+      .getOrElse(DecayState(0L, Long.MinValue, new Array[Long](mh + 1)))
+    var n = st.nEvents
+    var last = st.lastDay
+    val b = st.buckets.clone()
+    it.foreach { e =>
+      val day = e.ts / 1000000000L / 86400L
+      val cents = math.floor(e.value * 100 + 0.5).toLong
+      val h = math.max(0L, math.min(mh.toLong, (refDay - day) / hl)).toInt
+      b(h) += cents
+      n += 1
+      if (day > last) last = day
+    }
+    state.update(DecayState(n, last, b))
+    var su = BigDecimal(0)
+    var h = 0
+    while (h <= mh) {
+      if (b(h) != 0L) su += BigDecimal(b(h)) * BigDecimal(2).pow(mh - h)
+      h += 1
+    }
+    val d = math.floor(su.toDouble / (1L << mh) / 100 * 10000 + 0.5) / 10000
+    Iterator.single(DecayOut(user, n, last, d))
+  }
 }

@@ -447,6 +447,18 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.values.forall(_._2 >= 0.0))
   }
 
+  test("corpus_cube: all four grouping levels with the bitmask convention") {
+    val d = fixtureDir(docs = Seq(
+      Doc(1, "x", "en", "sA", 10), Doc(2, "y", "en", "sB", 20),
+      Doc(3, "z", "de", "sA", 30)))
+    val out = rows(graft.operators.CorpusStats.corpusCube(spark, d))
+    assert(out.contains(Seq("en", "sA", 1L, 10L, 10.0, 0)))    // cell
+    assert(out.contains(Seq("en", null, 2L, 30L, 15.0, 1)))    // lang margin
+    assert(out.contains(Seq(null, "sA", 2L, 40L, 20.0, 2)))    // source margin
+    assert(out.contains(Seq(null, null, 3L, 60L, 20.0, 3)))    // grand total
+    assert(out.size === 3 + 2 + 2 + 1)
+  }
+
   test("signal_auc: a perfectly separating LM signal scores exactly 1.0") {
     // kept docs: 21 words, all-distinct bigrams seen TWICE corpus-wide
     // (two identical copies) -> low nll; dropped docs: 5 words

@@ -290,4 +290,50 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
     assert(streamEst === batchEst)
   }
+
+  test("streaming decay state drains to the batch temporal_decay rows") {
+    import graft.operators.Sessions
+    import spark.implicits._
+    def atDay(id: Long, day: Long, user: Long, v: Double) =
+      ev(id, day * 86400, user, "click", v)
+    // same corpus as the batch spec, split mid-user across two batches
+    val b1 = Seq(atDay(1, 14, 1, 4.0), atDay(2, 7, 1, 8.0))
+    val b2 = Seq(atDay(3, 0, 1, 16.0), atDay(4, 13, 2, 5.0))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-decay-stream").toString
+    Seq(b1, b2).zipWithIndex.foreach { case (evs, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-decay-tmp").toString
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$stage/b$i.parquet"))
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = EventStream.decayScores(src, refDay = 14L)
+      .writeStream.format("memory").queryName("decay_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    // latest emitted row per user (max n_events) == the batch operator
+    val drained = spark.table("decay_out").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        val last = rs.maxBy(_.getAs[Long]("n_events"))
+        Seq[Any](u, last.getAs[Long]("n_events"),
+          last.getAs[Long]("last_day"),
+          last.getAs[Double]("decayed_value"))
+      }.toSet
+    val dir = fixtureDir(evs = b1 ++ b2)
+    assert(drained === rows(Sessions.temporalDecay(spark, dir)))
+    // user 1's mid-stream row reflects only batch-1 events: 4 + 8/2 = 8
+    val mid = spark.table("decay_out").collect()
+      .filter(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2L)
+    assert(mid.length === 1 && mid.head.getAs[Double]("decayed_value") === 8.0)
+  }
 }
