@@ -138,6 +138,8 @@ object SparkEntry {
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
     "ndcg_eval" -> (Retrieval.ndcgEval _),
     "late_interaction" -> (Retrieval.lateInteraction _),
+    "arm_overlap" -> (Retrieval.armOverlap _),
+    "forget_user" -> (Tenancy.forgetUser _),
     "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
     "domain_mix"         -> (CorpusStats.domainMix _),
@@ -622,6 +624,8 @@ object SparkEntry {
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
     "late_interaction" -> graft.oracle.DuckSql.lateInteraction,
+    "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
+    "forget_user" -> graft.oracle.DuckSql.forgetUser,
     "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,

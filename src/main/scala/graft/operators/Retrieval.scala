@@ -460,6 +460,42 @@ object Retrieval {
       .orderBy(col("ccell"), col("source"))
   }
 
+  /** arm_overlap: per-query agreement between the lexical (BM25) and
+    * dense (cosine) retrieval arms — top-k set Jaccard and the mean
+    * rank displacement on the shared docs. The standing diversity
+    * gauge for hybrid fusion: arms that agree completely make RRF
+    * redundant; arms that never overlap mean one of them is retrieving
+    * noise. ndcg_eval grades each arm against graded truth; this
+    * grades them against EACH OTHER — cheap enough to run per corpus
+    * snapshot without a truth set.
+    *
+    * Scale shape: both arms are the existing k-bounded rankings (the
+    * bm25/denseRanked plans verbatim), so the overlap join holds ≤2k
+    * rows per query regardless of corpus; one full-outer equi-join +
+    * a per-query partial agg.
+    */
+  def armOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val lex = bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lrank"))
+    val vec = denseRanked(spark, dir)
+    val j = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+    val both = col("lrank").isNotNull && col("vrank").isNotNull
+    j.groupBy(col("q_id"))
+      .agg(count(col("lrank")).as("n_lex"),
+        count(col("vrank")).as("n_dense"),
+        sum(when(both, 1L).otherwise(0L)).as("n_common"),
+        sum(when(both, abs(col("lrank") - col("vrank")).cast("long")))
+          .as("gap_sum"))
+      .select(col("q_id"), col("n_lex"), col("n_dense"), col("n_common"),
+        r4(col("n_common").cast("double") /
+          (col("n_lex") + col("n_dense") - col("n_common"))).as("jaccard"),
+        when(col("n_common") > 0,
+          r4(col("gap_sum").cast("double") / col("n_common")))
+          .as("mean_rank_gap"))
+      .orderBy(col("q_id"))
+  }
+
   /** late_interaction knobs: candidate pool depth (stage 1) and the
     * reranked result depth. Single-sourced into the oracle SQL.
     */

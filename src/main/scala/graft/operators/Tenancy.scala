@@ -91,4 +91,56 @@ object Tenancy {
           .as("top_user_share"))
       .orderBy(col("tenant_shard"))
   }
+
+  /** forget_user deletion-list rule: users/customers whose id ≡ 0
+    * (mod [[ForgetMod]]) — the deterministic stand-in for an erasure
+    * request batch. Runtime override: `spark.graft.param.forget.mod`.
+    */
+  val ForgetMod = 50
+
+  /** forget_user: the right-to-be-forgotten IMPACT MANIFEST — for an
+    * erasure batch (the deletion-list rule above), how many rows each
+    * table must purge, including the cascade (a customer's orders, and
+    * every lineitem of those orders). The audit a deletion pipeline
+    * runs BEFORE rewriting 100 TB of partitions: it prices the
+    * rewrite, and its row counts are the reconciliation check after.
+    *
+    * Scale shape: events/customer/orders purge counts are single-pass
+    * conditional aggregates (the predicate is pure id arithmetic — no
+    * deletion table ships anywhere); the lineitem cascade is the one
+    * real join, a semi-join of the fact against the purged orderkeys,
+    * counted with a map-side predicate after. Each table contributes
+    * exactly one scan.
+    */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val m = graft.Params.int(spark, "forget.mod", ForgetMod)
+    require(m > 0, s"forget.mod must be positive ($m)")
+    def audit(name: String, df: DataFrame, purge: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(when(purge, 1L).otherwise(0L)).as("n_purge"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_purge"))
+    val ev = audit("events", Tables.events(spark, dir)
+      .select(col("user_id")), pmod(col("user_id"), lit(m)) === 0)
+    val cu = audit("customer", Tables.customer(spark, dir)
+      .select(col("c_custkey")), pmod(col("c_custkey"), lit(m)) === 0)
+    val or = audit("orders", Tables.orders(spark, dir)
+      .select(col("o_custkey")), pmod(col("o_custkey"), lit(m)) === 0)
+    // the cascade: lineitems of purged customers' orders
+    val purgedOrders = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(m)) === 0)
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(purgedOrders, col("l_orderkey") === col("o_orderkey"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L))
+          .as("n_purge"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"),
+        col("n_purge"))
+    ev.unionByName(cu).unionByName(or).unionByName(li)
+      .select(col("table_name"), col("n_rows"), col("n_purge"),
+        r4(col("n_purge").cast("double") / col("n_rows")).as("purge_pct"))
+      .orderBy(col("table_name"))
+  }
 }

@@ -817,6 +817,74 @@ object DuckSql {
        |      FROM f) WHERE rank <= $HybridTopK""".stripMargin
   }
 
+  /** Mirror of Retrieval.armOverlap: the bm25 and dense top-k chains
+    * (hybridRetrieve's lex/vr CTEs verbatim), full-outer overlap join,
+    * 4dp jaccard and mean rank displacement.
+    */
+  val armOverlap: String = {
+    import graft.operators.Retrieval.{BmTopK, QueryMod}
+    val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""$bm25Ctes,
+       |lex AS (SELECT q_id, doc_id, rank AS lrank
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE $isVq),
+       |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+       |  FROM embeddings e, vq q WHERE NOT ($isVq)),
+       |vr AS (SELECT q_id, doc_id, rnk AS vrank
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, doc_id) AS rnk
+       |        FROM vsc) WHERE rnk <= $BmTopK),
+       |jo AS (SELECT coalesce(l.q_id, v.q_id) AS q_id, l.lrank, v.vrank
+       |       FROM lex l FULL OUTER JOIN vr v
+       |         ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       |g AS (SELECT q_id, count(lrank)::BIGINT AS n_lex,
+       |        count(vrank)::BIGINT AS n_dense,
+       |        sum(CASE WHEN lrank IS NOT NULL AND vrank IS NOT NULL
+       |                 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+       |        sum(CASE WHEN lrank IS NOT NULL AND vrank IS NOT NULL
+       |                 THEN abs(lrank - vrank) END)::BIGINT AS gap_sum
+       |      FROM jo GROUP BY q_id)
+       |SELECT q_id, n_lex, n_dense, n_common,
+       |  floor(n_common::DOUBLE / (n_lex + n_dense - n_common)
+       |        * 10000 + 0.5) / 10000 AS jaccard,
+       |  CASE WHEN n_common > 0 THEN
+       |    floor(gap_sum::DOUBLE / n_common * 10000 + 0.5) / 10000
+       |  END AS mean_rank_gap
+       |FROM g ORDER BY q_id""".stripMargin
+  }
+
+  /** Mirror of Tenancy.forgetUser: conditional purge counts per table
+    * with the orders→lineitem cascade via the orderkey join.
+    */
+  val forgetUser: String = {
+    val m = graft.operators.Tenancy.ForgetMod
+    s"""WITH ev AS (SELECT 'events' AS table_name,
+       |    count(*)::BIGINT AS n_rows,
+       |    sum(CASE WHEN user_id % $m = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_purge FROM events),
+       |cu AS (SELECT 'customer', count(*)::BIGINT,
+       |    sum(CASE WHEN c_custkey % $m = 0 THEN 1 ELSE 0 END)::BIGINT
+       |  FROM customer),
+       |orr AS (SELECT 'orders', count(*)::BIGINT,
+       |    sum(CASE WHEN o_custkey % $m = 0 THEN 1 ELSE 0 END)::BIGINT
+       |  FROM orders),
+       |po AS (SELECT o_orderkey FROM orders WHERE o_custkey % $m = 0),
+       |li AS (SELECT 'lineitem', count(*)::BIGINT,
+       |    sum(CASE WHEN po.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |  FROM lineitem l LEFT JOIN po ON l.l_orderkey = po.o_orderkey),
+       |u AS (SELECT * FROM ev UNION ALL SELECT * FROM cu
+       |      UNION ALL SELECT * FROM orr UNION ALL SELECT * FROM li)
+       |SELECT table_name, n_rows, n_purge,
+       |  floor(n_purge::DOUBLE / n_rows * 10000 + 0.5) / 10000
+       |    AS purge_pct
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
   /** Mirror of Retrieval.tfidfVectors: smoothed idf, 6dp idf rounding,
     * 4dp tfidf rounding, top terms per doc.
     */

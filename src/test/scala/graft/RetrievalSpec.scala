@@ -190,6 +190,35 @@ class RetrievalSpec extends SparkSpecBase {
       r.getAs[Double]("ndcg") <= 1.0))
   }
 
+  test("arm_overlap: hybrid fixture overlap counts and rank gap by hand") {
+    // same fixture as the hybrid test: lex retrieves {1,2,3} (query
+    // terms), dense retrieves {4,2,1,3}; common = {1,2,3}
+    val d = fixtureDir(
+      docs = Seq(
+        doc(0, "apple banana"),
+        doc(1, "apple apple apple"),
+        doc(2, "apple cherry date"),
+        doc(3, "banana banana cherry"),
+        doc(4, "cherry date elderberry fig")),
+      embs = Seq(
+        Emb(0, vec(1.0), 0),
+        Emb(1, vec(0.0, 1.0), 0),
+        Emb(2, vec(1.0, 0.1), 0),
+        Emb(3, vec(0.0, 0.0, 1.0), 0),
+        Emb(4, vec(1.0, 0.05), 0)))
+    val lex = operators.Retrieval.bm25Topk(spark, d).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val vrank = Map(4L -> 1, 2L -> 2, 1L -> 3, 3L -> 4)
+    val common = lex.keySet.intersect(vrank.keySet)
+    val gaps = common.toSeq.map(id => math.abs(lex(id) - vrank(id)).toLong)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expJac = r4(common.size.toDouble /
+      (lex.size + vrank.size - common.size))
+    assert(rows(operators.Retrieval.armOverlap(spark, d)) === Set(
+      Seq(0L, lex.size.toLong, 4L, common.size.toLong, expJac,
+        r4(gaps.sum.toDouble / common.size))))
+  }
+
   test("late_interaction: the identical doc tops both stages at exactly 1.0") {
     val qt = "alpha beta gamma delta epsilon"
     // doc 100 is the query (QueryMod); doc 1 is its verbatim copy and

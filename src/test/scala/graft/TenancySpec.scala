@@ -51,4 +51,27 @@ class TenancySpec extends SparkSpecBase {
       Seq(1, 2L, 4L, 10.0, 1L, 0.75),
       Seq(2, 1L, 2L, 6.0, 2L, 1.0)))
   }
+
+  test("forget_user: per-table purge counts with the order->lineitem cascade") {
+    import spark.implicits._
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // ForgetMod = 50: user/custkey 50 purges, 1 stays
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, 50, "click"), ev(2, 20, 1, "view")))
+    Seq((50L, 0L, "A", 1.0), (1L, 0L, "A", 1.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 50L, 10.0), (2L, 1L, 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 1 (purged customer) carries two lines, order 2 one line
+    Seq((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    assert(rows(Tenancy.forgetUser(spark, dir)) === Set(
+      Seq("events", 2L, 1L, 0.5),
+      Seq("customer", 2L, 1L, 0.5),
+      Seq("orders", 2L, 1L, 0.5),
+      Seq("lineitem", 3L, 2L, r4(2.0 / 3))))
+  }
 }
