@@ -99,6 +99,9 @@ object SparkEntry {
     "temporal_decay" -> (Sessions.temporalDecay _),
     "user_overlap" -> (Sessions.userOverlap _),
     "weekly_profile" -> (Sessions.weeklyProfile _),
+    "dow_anomalies" -> (Sessions.dowAnomalies _),
+    "langid_f1" -> (TextAnalysis.langidF1 _),
+    "media_dedup" -> (Multimodal.mediaDedup _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -590,6 +593,9 @@ object SparkEntry {
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
     "weekly_profile" -> graft.oracle.DuckSql.weeklyProfile,
+    "dow_anomalies" -> graft.oracle.DuckSql.dowAnomalies,
+    "langid_f1" -> graft.oracle.DuckSql.langidF1,
+    "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

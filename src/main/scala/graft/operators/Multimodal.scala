@@ -119,4 +119,29 @@ object Multimodal {
         (pmod(len * 3 + head, lit(480)) + 1).cast("int").as("height"),
         lit(3).as("channels"))
   }
+
+  /** media_dedup: byte-identical asset dedup — the binary-column twin
+    * of Dedup.dedupExact. Media payloads dedup by RAW content hash (no
+    * normalization exists for opaque bytes; a re-encoded image is a
+    * DIFFERENT asset — near-dup for media means perceptual hashing,
+    * which needs the codec this environment stubs). canonical = min
+    * doc_id per (md5, byte_len); the length rides the key as the
+    * standard second factor against hash collisions at corpus scale.
+    *
+    * Scale shape: one scan, one hash, one window over the content-hash
+    * partitions (dup groups) — dedupExact's plan on the payload column.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_md5"), col("byte_len"))
+    withPayload(spark, dir)
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("canonical", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("content_md5"), col("byte_len"),
+        col("canonical"), col("n_copies"),
+        (col("doc_id") =!= col("canonical")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
 }

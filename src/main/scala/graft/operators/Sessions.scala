@@ -573,6 +573,41 @@ object Sessions {
             / 10000).otherwise(lit(0.0)).as("z"),
         (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
 
+  /** dow_anomalies: SEASONALITY-AWARE Shewhart — each (type, day)
+    * count scored against its type's same-day-of-week population
+    * instead of the flat all-days baseline. weekly_profile shows the
+    * shape; event_anomalies false-alarms on it (every Saturday of a
+    * weekend-heavy type breaches a flat 3σ); this chart compares
+    * Saturdays with Saturdays. Same exact arithmetic as the flat
+    * chart (integer S1/S2 moments, fixed operand order, −ε clamp,
+    * 6dp mean / 4dp z, anomaly bit on unrounded doubles) with dow in
+    * the grouping key, so the two stay numerically comparable.
+    *
+    * Scale shape: the (type, day) grid is one partial agg; the stats
+    * table is ≤|types|×7 rows riding a broadcast back onto the grid.
+    */
+  def dowAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(Tables.events(spark, dir))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)).cast("int"))
+      .localCheckpoint() // feeds the stats and the flagging join
+    val mean = col("s1").cast("double") / col("d")
+    val stats = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"), col("dow"), mean.as("mean"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("d") - mean * mean,
+          lit(0.0))).as("sigma"))
+    daily.join(broadcast(stats), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        (floor(col("mean") * 1000000 + 0.5) / 1000000).as("mean_n"),
+        when(col("sigma") > 0,
+          floor((col("n") - col("mean")) / col("sigma") * 10000 + 0.5)
+            / 10000).otherwise(lit(0.0)).as("z"),
+        (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** HLL register count (m = 2^6). 64 registers give ~13% standard
     * error (1.04/√64) — coarse but the POINT is the mechanism: the
     * sketch state is 64 bytes per group regardless of cardinality.

@@ -229,13 +229,15 @@ object TextAnalysis {
     * on the ≤|langs|² matrix; rates normalize within the declared
     * language via a window over matrix-sized rows.
     */
-  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document (lang, lang_pred) — the shared prediction frame of
+    * [[langConfusion]] and [[langidF1]].
+    */
+  private def langPredFrame(spark: SparkSession, dir: String): DataFrame = {
     val dtoks = array_distinct(toks(lower(col("text"))))
     val scores = RefVocab.langStopwords.map { case (_, stop) =>
       size(array_intersect(dtoks, array(stop.map(lit): _*)))
     }
     val names = array(RefVocab.langStopwords.map(l => lit(l._1)): _*)
-    val wl = Window.partitionBy(col("lang"))
     Tables.cpuPartition(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("text")),
@@ -246,11 +248,68 @@ object TextAnalysis {
           .otherwise(element_at(names,
             (lit(100) - pmod(col("best"), lit(100))).cast("int")))
           .as("lang_pred"))
+  }
+
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy(col("lang"))
+    langPredFrame(spark, dir)
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .select(col("lang"), col("lang_pred"), col("n"),
         (floor(col("n").cast("double") / sum(col("n")).over(wl)
           * 1000000 + 0.5) / 1000000).as("rate"))
+  }
+
+  /** langid_f1: the classifier scorecard over the confusion counts —
+    * per-label precision/recall/F1 (harmonic form 2·TP/(pred+true):
+    * one exact-integer division, no P·R roundtrip) plus a `__macro__`
+    * row averaging the 4dp per-label metrics (macro-precision averages
+    * the DEFINED precisions — a label never predicted has none). The
+    * confusion matrix (lang_confusion) shows WHERE the router leaks;
+    * this is the one-line go/no-go a per-language pipeline gate reads.
+    *
+    * Scale shape: one prediction pass to |labels|² confusion counts,
+    * then label-sized rollups; the macro row is a 1-row broadcast
+    * crossJoin. Labels = the TRUE label set (an unknown-pred column
+    * costs recall, not a phantom row).
+    */
+  def langidF1(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val p = langPredFrame(spark, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds true/pred/tp rollups
+    val tn = p.groupBy(col("lang")).agg(sum(col("n")).as("true_n"))
+    val pn = p.groupBy(col("lang_pred"))
+      .agg(sum(col("n")).as("pred_n"))
+      .select(col("lang_pred").as("lang"), col("pred_n"))
+    val tp = p.filter(col("lang") === col("lang_pred"))
+      .select(col("lang"), col("n").as("tp"))
+    val per = tn
+      .join(pn, Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+        col("true_n"), coalesce(col("pred_n"), lit(0L)).as("pred_n"))
+      .select(col("lang"), col("tp"), col("true_n"), col("pred_n"),
+        when(col("pred_n") > 0,
+          r4(col("tp").cast("double") / col("pred_n"))).as("precision"),
+        r4(col("tp").cast("double") / col("true_n")).as("recall"),
+        r4(lit(2) * col("tp").cast("double") /
+          (col("pred_n") + col("true_n"))).as("f1"))
+      .localCheckpoint() // feeds the macro rollup and the union
+    // 4dp values ×1e4 are exact integers — the macro means stay exact
+    val macroRow = per.agg(
+      sum(col("tp")).as("tp"), sum(col("true_n")).as("true_n"),
+      sum(col("pred_n")).as("pred_n"),
+      (floor(sum(col("precision") * 10000) / count(col("precision"))
+        + 0.5) / 10000).as("precision"),
+      (floor(sum(col("recall") * 10000) / count(col("recall")) + 0.5)
+        / 10000).as("recall"),
+      (floor(sum(col("f1") * 10000) / count(col("f1")) + 0.5) / 10000)
+        .as("f1"))
+      .select(lit("__macro__").as("lang"), col("tp"), col("true_n"),
+        col("pred_n"), col("precision"), col("recall"), col("f1"))
+    per.unionByName(macroRow).orderBy(col("lang"))
   }
 
   /** readability: Flesch-Kincaid grade level per document —

@@ -3713,6 +3713,95 @@ object DuckSql {
        |ORDER BY name_a, name_b""".stripMargin
   }
 
+  /** Mirror of Sessions.dowAnomalies: the (type, day, dow) grid, exact
+    * per-(type, dow) S1/S2 moments in the flagDaily operand order.
+    */
+  val dowAnomalies: String =
+    """WITH dg AS (SELECT event_type,
+      |    floor(epoch(ts))::BIGINT // 86400 AS day, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT *, ((day + 3) % 7)::INT AS dow FROM dg),
+      |st AS (SELECT event_type, dow, count(*)::BIGINT AS d,
+      |    sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+      |  FROM dd GROUP BY 1, 2),
+      |sm AS (SELECT event_type, dow,
+      |    s1::DOUBLE / d AS mean,
+      |    sqrt(greatest(s2::DOUBLE / d - (s1::DOUBLE / d) * (s1::DOUBLE / d),
+      |                  0.0)) AS sigma
+      |  FROM st)
+      |SELECT dd.event_type, dd.day, dd.dow, dd.n,
+      |  floor(sm.mean * 1000000 + 0.5) / 1000000 AS mean_n,
+      |  CASE WHEN sm.sigma > 0
+      |       THEN floor((dd.n - sm.mean) / sm.sigma * 10000 + 0.5) / 10000
+      |       ELSE 0.0 END AS z,
+      |  (dd.n > sm.mean + 3 * sm.sigma) AS is_anomaly
+      |FROM dd JOIN sm ON sm.event_type = dd.event_type AND sm.dow = dd.dow
+      |ORDER BY dd.event_type, dd.day""".stripMargin
+
+  /** Mirror of TextAnalysis.langidF1: confusion rollups, harmonic-form
+    * F1, the exact-unit macro averages (null precisions excluded by
+    * count(precision)).
+    */
+  val langidF1: String = {
+    import graft.operators.RefVocab
+    val scores = RefVocab.langStopwords.zipWithIndex.map {
+      case ((_, stop), i) =>
+        s"len(list_filter(dt, x -> list_contains(${listLit(stop)}, x))) * 100 + ${99 - i}"
+    }
+    val names = listLit(RefVocab.langStopwords.map(_._1))
+    s"""WITH w AS (SELECT doc_id, lang,
+       |  list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |        greatest(${scores.mkString(", ")}) AS best FROM w),
+       |pr AS (SELECT lang,
+       |  CASE WHEN best < 100 THEN '${RefVocab.unknownLang}'
+       |       ELSE list_extract($names, 100 - best % 100) END AS lang_pred
+       |  FROM b),
+       |cf AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+       |       FROM pr GROUP BY 1, 2),
+       |tn AS (SELECT lang, sum(n)::BIGINT AS true_n FROM cf GROUP BY 1),
+       |pn AS (SELECT lang_pred AS lang, sum(n)::BIGINT AS pred_n
+       |       FROM cf GROUP BY 1),
+       |tp AS (SELECT lang, n AS tp FROM cf WHERE lang = lang_pred),
+       |per AS (SELECT tn.lang, coalesce(tp.tp, 0)::BIGINT AS tp,
+       |    tn.true_n, coalesce(pn.pred_n, 0)::BIGINT AS pred_n,
+       |    CASE WHEN coalesce(pn.pred_n, 0) > 0 THEN
+       |      floor(coalesce(tp.tp, 0)::DOUBLE / pn.pred_n * 10000 + 0.5)
+       |        / 10000 END AS precision,
+       |    floor(coalesce(tp.tp, 0)::DOUBLE / tn.true_n * 10000 + 0.5)
+       |      / 10000 AS recall,
+       |    floor(2 * coalesce(tp.tp, 0)::DOUBLE
+       |          / (coalesce(pn.pred_n, 0) + tn.true_n) * 10000 + 0.5)
+       |      / 10000 AS f1
+       |  FROM tn LEFT JOIN pn ON pn.lang = tn.lang
+       |          LEFT JOIN tp ON tp.lang = tn.lang),
+       |mac AS (SELECT '__macro__' AS lang, sum(tp)::BIGINT AS tp,
+       |    sum(true_n)::BIGINT AS true_n, sum(pred_n)::BIGINT AS pred_n,
+       |    floor(sum(precision * 10000) / count(precision) + 0.5) / 10000
+       |      AS precision,
+       |    floor(sum(recall * 10000) / count(recall) + 0.5) / 10000
+       |      AS recall,
+       |    floor(sum(f1 * 10000) / count(f1) + 0.5) / 10000 AS f1
+       |  FROM per)
+       |SELECT * FROM per UNION ALL SELECT * FROM mac
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** Mirror of Multimodal.mediaDedup: raw-byte md5 + length key,
+    * min-doc canonical per group.
+    */
+  val mediaDedup: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS content_md5,
+      |             octet_length(encode(text))::BIGINT AS byte_len
+      |           FROM documents),
+      |g AS (SELECT *, min(doc_id) OVER w AS canonical,
+      |        count(*) OVER w AS n_copies
+      |      FROM b WINDOW w AS (PARTITION BY content_md5, byte_len))
+      |SELECT doc_id, content_md5, byte_len, canonical, n_copies,
+      |  (doc_id <> canonical) AS is_dup
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Mirror of Sessions.userOverlap: distinct (type, user) audience
     * sets, bounded self-join, exact counts, 4dp jaccard/lift in the
     * identical operand order.

@@ -50,4 +50,16 @@ class MultimodalSpec extends SparkSpecBase {
     assert(h === (3 * 3 + 'a'.toInt) % 480 + 1)
     assert(c === 3)
   }
+
+  test("media_dedup: byte-identical payloads group; canonical is min doc") {
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "same bytes"), doc(2, "same bytes"), doc(3, "other")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(graft.operators.Multimodal.mediaDedup(spark, dir)) === Set(
+      Seq(1L, h("same bytes"), 10L, 1L, 2L, false),
+      Seq(2L, h("same bytes"), 10L, 1L, 2L, true),
+      Seq(3L, h("other"), 5L, 3L, 1L, false)))
+  }
 }

@@ -412,6 +412,33 @@ class SessionsSpec extends SparkSpecBase {
       Seq("click", "view", 3L, 2L, 2L, r4(2.0 / 3), 1.0)))
   }
 
+  test("dow_anomalies: spike flags against its OWN day-of-week population") {
+    import graft.operators.Sessions
+    // Thursdays (dow 3): 11 days of 1 event + one day of 12 -> the
+    // spike clears mean+3sigma (needs d>=11: with the spike inside the
+    // stats, z is bounded by sqrt(d-1)); Fridays: two flat days
+    // (sigma=0 -> z defined as 0.0, never anomalous)
+    var id = 0L
+    def day(d: Long, cnt: Int, user: Long = 1) = (0 until cnt).map { k =>
+      id += 1; ev(id, d * 86400 + k, user, "click")
+    }
+    val evs = (0 to 10).flatMap(w => day(w * 7L, 1)) ++ day(77L, 12) ++
+      day(1L, 2) ++ day(8L, 2)
+    val dir = fixtureDir(evs = evs)
+    val out = graft.operators.Sessions.dowAnomalies(spark, dir).collect()
+    val spike = out.filter(r => r.getAs[Long]("day") == 77L)
+    assert(spike.length === 1 && spike.head.getAs[Boolean]("is_anomaly"))
+    assert(spike.head.getAs[Int]("dow") === 3)
+    assert(spike.head.getAs[Double]("z") > 3.0)
+    // flat Fridays: sigma 0 -> z 0.0, not anomalous
+    val fri = out.filter(_.getAs[Int]("dow") === 4)
+    assert(fri.length === 2)
+    assert(fri.forall(r => r.getAs[Double]("z") === 0.0 &&
+      !r.getAs[Boolean]("is_anomaly")))
+    // ordinary Thursdays stay unflagged
+    assert(out.count(_.getAs[Boolean]("is_anomaly")) === 1)
+  }
+
   test("weekly_profile: epoch-day dow grid, tie-to-earliest peak") {
     import graft.operators.Sessions
     def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4

@@ -161,4 +161,19 @@ class TextAnalysisSpec extends SparkSpecBase {
       Seq(1L, 6, 2, 6L, fk(6, 2, 6)),
       Seq(2L, 2, 1, 2L, fk(2, 1, 2))))
   }
+
+  test("langid_f1: per-label harmonic F1 and the exact macro row") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // en: two stopworded docs predict en, one opaque doc -> 'und'
+    // (recall 2/3); de: one stopworded doc predicts de (perfect)
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "the a cat"), doc(2, "a the dog"), doc(3, "zzz qqq"),
+      Doc(4, "der und hund", "de", "s0", 12)))
+    val out = rows(TextAnalysis.langidF1(spark, dir))
+    assert(out === Set(
+      Seq("de", 1L, 1L, 1L, 1.0, 1.0, 1.0),
+      Seq("en", 2L, 3L, 2L, 1.0, r4(2.0 / 3), r4(4.0 / 5)),
+      // macro: means of the 4dp metrics; (6667+10000)/2 rounds to 8334
+      Seq("__macro__", 3L, 4L, 3L, 1.0, 0.8334, 0.9)))
+  }
 }
