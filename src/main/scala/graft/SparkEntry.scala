@@ -142,6 +142,9 @@ object SparkEntry {
     "ndcg_eval" -> (Retrieval.ndcgEval _),
     "late_interaction" -> (Retrieval.lateInteraction _),
     "arm_overlap" -> (Retrieval.armOverlap _),
+    "sparse_knn" -> (Retrieval.sparseKnn _),
+    "label_queue" -> (Curation.labelQueue _),
+    "robust_stats" -> (Sessions.robustStats _),
     "forget_user" -> (Tenancy.forgetUser _),
     "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
@@ -631,6 +634,9 @@ object SparkEntry {
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
     "late_interaction" -> graft.oracle.DuckSql.lateInteraction,
     "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
+    "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
+    "label_queue" -> graft.oracle.DuckSql.labelQueue,
+    "robust_stats" -> graft.oracle.DuckSql.robustStats,
     "forget_user" -> graft.oracle.DuckSql.forgetUser,
     "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,

@@ -615,6 +615,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** label_queue depth per language. */
+  val LabelQueueK = 10
+
+  /** label_queue: uncertainty-sampled annotation picks — per language,
+    * the [[LabelQueueK]] docs whose cheap quality score sits CLOSEST to
+    * that language's median (quality_thresholds' p50): the classic
+    * active-learning rule that a human label is worth most exactly
+    * where the automatic signal is least decisive. Clear passes and
+    * clear failures never reach the queue; the boundary does.
+    *
+    * Scale shape: one scoring pass (map-only), the threshold frame is
+    * a ≤|langs|-row broadcast, and the per-language top-k is a rank
+    * window ordered by the raw margin (ties by doc_id — the identical
+    * doubles order identically in the oracle).
+    */
+  def labelQueue(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val scored = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreCol.as("score"))
+    val thr = CorpusStats.qualityThresholds(spark, dir)
+      .select(col("lang"), col("p50"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("margin"), col("doc_id"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("margin", abs(col("score") - col("p50")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LabelQueueK)
+      .select(col("lang"), col("doc_id"), col("score"),
+        r4(col("margin")).as("margin"), col("rank").cast("int").as("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** curriculum_order: the training curriculum manifest — quality-kept
     * docs phased by their CCNet perplexity bucket (head → middle →
     * tail: cleanest language first, the curriculum-learning recipe of

@@ -460,6 +460,64 @@ object Retrieval {
       .orderBy(col("ccell"), col("source"))
   }
 
+  /** sparse_knn result depth. */
+  val SparseK = 5
+
+  /** sparse_knn: lexical nearest neighbors by tf-idf COSINE over the
+    * pruned top-[[TfidfTopTerms]] term vectors — the sparse twin of
+    * knn_join (dense cosine), completing the similarity family
+    * (dense / minhash / simhash / sparse-lexical). BM25 ranks docs for
+    * a QUERY'S TERMS; sparse cosine ranks docs for a WHOLE DOCUMENT —
+    * the "more like this" shape (near-dup triage, related-content).
+    *
+    * Exactness: the 4dp tf-idf weights become exact 1e-4 integer units,
+    * so every dot and squared norm is exact integer arithmetic and the
+    * unit scales cancel in the final mirrored division (the
+    * late_interaction rule applied to sparse weights).
+    *
+    * Scale shape: the classic inverted-index similarity join — pairs
+    * generate ONLY through shared terms (an equi-join on term), with
+    * the query side bounded at |queries|×[[TfidfTopTerms]] rows riding
+    * a broadcast; per-pair partial agg, then a per-query top-k window.
+    * Document frequency is already bounded by the tf-idf pruning (a
+    * stop-term's weight rounds toward zero and falls out of the top
+    * terms), the same fan-out control the df-cap gives the shingle
+    * joins.
+    */
+  def sparseKnn(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val v = tfidfVectors(spark, dir)
+      .select(col("doc_id"), col("term"),
+        floor(col("tfidf") * 10000 + 0.5).cast("long").as("u"))
+      .localCheckpoint() // feeds norms and both join sides
+    val n2 = v.groupBy(col("doc_id"))
+      .agg(sum(col("u") * col("u")).as("n2"))
+    val isQ = pmod(col("doc_id"), lit(QueryMod)) === 0
+    val q = v.filter(isQ)
+      .select(col("doc_id").as("q_id"), col("term"), col("u").as("qu"))
+    val d = v.filter(!isQ)
+      .select(col("doc_id"), col("term"), col("u").as("du"))
+    val qn = n2.filter(isQ)
+      .select(col("doc_id").as("q_id"), col("n2").as("qn2"))
+    val dn = n2.filter(!isQ)
+      .select(col("doc_id").as("dnid"), col("n2").as("dn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    d.join(broadcast(q), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("qu") * col("du")).as("dotu"))
+      .join(broadcast(qn), Seq("q_id"))
+      .join(dn, col("doc_id") === col("dnid"))
+      .select(col("q_id"), col("doc_id"),
+        (col("dotu").cast("double") / sqrt(col("qn2").cast("double"))
+          / sqrt(col("dn2").cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SparseK)
+      .select(col("q_id"), col("doc_id"), col("rank").cast("int").as("rank"),
+        r6(col("cos")).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** arm_overlap: per-query agreement between the lexical (BM25) and
     * dense (cosine) retrieval arms — top-k set Jaccard and the mean
     * rank displacement on the shared docs. The standing diversity

@@ -573,6 +573,53 @@ object Sessions {
             / 10000).otherwise(lit(0.0)).as("z"),
         (col("n") > col("mean") + lit(3) * col("sigma")).as("is_anomaly"))
 
+  /** robust_stats: outlier-resistant value statistics per event type —
+    * exact mean, exact median, and the [p5, p95]-winsorized mean (the
+    * robust center a payments/metering pipeline reports when single
+    * fat-finger values would swing a plain mean). All three derive
+    * from the 2dp-cents VALUE HISTOGRAM: quantiles by cumulative
+    * position (the hist_quantiles rule), winsorizing as an exact
+    * integer clamp-sum — never a per-type total order over events.
+    *
+    * Scale shape: one partial agg to the (type, cents) grid, a
+    * grid-bounded cumulative window, a ≤|types|-row broadcast back,
+    * one clamp-sum partial agg.
+    */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the quantile grid and the clamp-sum
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    def pAt(num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"(n - 1) * $num div $den") + 1,
+        col("cents")))
+    val qs = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pAt(1, 20).as("p5"), pAt(1, 2).as("p50"), pAt(19, 20).as("p95"))
+    hist.join(broadcast(qs), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum(col("c") * col("cents")).as("sc"),
+        sum(col("c") *
+          least(greatest(col("cents"), col("p5")), col("p95"))).as("swc"),
+        max(col("p50")).as("p50c"))
+      .select(col("event_type"), col("n_events"),
+        r4(col("sc").cast("double") / col("n_events") / 100).as("mean"),
+        (floor(col("p50c").cast("double") + 0.5) / 100).as("median"),
+        r4(col("swc").cast("double") / col("n_events") / 100)
+          .as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** dow_anomalies: SEASONALITY-AWARE Shewhart — each (type, day)
     * count scored against its type's same-day-of-week population
     * instead of the flat all-days baseline. weekly_profile shows the

@@ -817,6 +817,109 @@ object DuckSql {
        |      FROM f) WHERE rank <= $HybridTopK""".stripMargin
   }
 
+  /** Mirror of Retrieval.sparseKnn: the tfidfVectors chain to pruned
+    * 1e-4-unit vectors, exact integer dot/norms, mirrored division,
+    * per-query top-k.
+    */
+  val sparseKnn: String = {
+    import graft.operators.Retrieval.{QueryMod, SparseK, TfidfTopTerms}
+    val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""$tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT term,
+       |  floor((ln((s.n_docs::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) + 1.0)
+       |        * 1000000 + 0.5) / 1000000 AS idf
+       |  FROM dft, stats s),
+       |x AS (SELECT t.doc_id, t.term, t.tf,
+       |        floor(t.tf::DOUBLE * i.idf * 10000 + 0.5) / 10000 AS tfidf
+       |      FROM tf t JOIN idf i ON i.term = t.term),
+       |v AS MATERIALIZED (SELECT doc_id, term,
+       |    floor(tfidf * 10000 + 0.5)::BIGINT AS u
+       |  FROM (SELECT doc_id, term, tfidf,
+       |          row_number() OVER (PARTITION BY doc_id
+       |                             ORDER BY tfidf DESC, term) AS rank
+       |        FROM x) WHERE rank <= $TfidfTopTerms),
+       |nn2 AS MATERIALIZED (SELECT doc_id, sum(u * u)::BIGINT AS n2
+       |       FROM v GROUP BY doc_id),
+       |pd AS (SELECT q.doc_id AS q_id, d.doc_id, sum(q.u * d.u)::BIGINT
+       |         AS dotu
+       |       FROM v q JOIN v d ON d.term = q.term
+       |       WHERE ${isQ.replace("doc_id", "q.doc_id")}
+       |         AND NOT (${isQ.replace("doc_id", "d.doc_id")})
+       |       GROUP BY 1, 2),
+       |sc AS (SELECT p.q_id, p.doc_id,
+       |    p.dotu::DOUBLE / sqrt(qn.n2::DOUBLE) / sqrt(dn.n2::DOUBLE)
+       |      AS cos
+       |  FROM pd p JOIN nn2 qn ON qn.doc_id = p.q_id
+       |            JOIN nn2 dn ON dn.doc_id = p.doc_id)
+       |SELECT q_id, doc_id, rank::INT AS rank,
+       |  floor(cos * 1000000 + 0.5) / 1000000 AS cos
+       |FROM (SELECT q_id, doc_id, cos,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY cos DESC, doc_id) AS rank
+       |      FROM sc) WHERE rank <= $SparseK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Mirror of Curation.labelQueue: the qualityThresholds p50 per lang,
+    * raw-double margin ranking, 4dp margin at output.
+    */
+  lazy val labelQueue: String = {
+    import graft.operators.Curation.LabelQueueK
+    s"""$qualityScoreCtes,
+       |qth AS (SELECT lang,
+       |    max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN score END) AS p50
+       |  FROM (SELECT lang, score,
+       |          row_number() OVER (PARTITION BY lang
+       |                             ORDER BY score, doc_id) AS rn,
+       |          count(*) OVER (PARTITION BY lang) AS n
+       |        FROM s) GROUP BY lang),
+       |mg AS (SELECT s.lang, s.doc_id, s.score,
+       |    abs(s.score - qth.p50) AS margin
+       |  FROM s JOIN qth ON qth.lang = s.lang)
+       |SELECT lang, doc_id, score,
+       |  floor(margin * 10000 + 0.5) / 10000 AS margin, rank::INT AS rank
+       |FROM (SELECT lang, doc_id, score, margin,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY margin, doc_id) AS rank
+       |      FROM mg) WHERE rank <= $LabelQueueK
+       |ORDER BY lang, rank""".stripMargin
+  }
+
+  /** Mirror of Sessions.robustStats: the 2dp-cents value histogram,
+    * positional quantiles, exact integer clamp-sum winsorizing.
+    */
+  val robustStats: String =
+    """WITH h AS (SELECT event_type,
+      |    floor(value * 100 + 0.5)::BIGINT AS cents, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT *,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |qs AS (SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN cum >= (n - 1) * 1 // 20 + 1 THEN cents END) AS p5,
+      |    min(CASE WHEN cum >= (n - 1) * 1 // 2 + 1 THEN cents END) AS p50,
+      |    min(CASE WHEN cum >= (n - 1) * 19 // 20 + 1 THEN cents END)
+      |      AS p95
+      |  FROM x GROUP BY event_type),
+      |ag AS (SELECT h.event_type, max(qs.n)::BIGINT AS n_events,
+      |    sum(h.c * h.cents) AS sc,
+      |    sum(h.c * least(greatest(h.cents, qs.p5), qs.p95)) AS swc,
+      |    max(qs.p50) AS p50c
+      |  FROM h JOIN qs ON qs.event_type = h.event_type
+      |  GROUP BY h.event_type)
+      |SELECT event_type, n_events,
+      |  floor(sc::DOUBLE / n_events / 100 * 10000 + 0.5) / 10000 AS mean,
+      |  floor(p50c::DOUBLE + 0.5) / 100 AS median,
+      |  floor(swc::DOUBLE / n_events / 100 * 10000 + 0.5) / 10000
+      |    AS winsorized_mean
+      |FROM ag ORDER BY event_type""".stripMargin
+
   /** Mirror of Retrieval.armOverlap: the bm25 and dense top-k chains
     * (hybridRetrieve's lex/vr CTEs verbatim), full-outer overlap join,
     * 4dp jaccard and mean rank displacement.

@@ -325,6 +325,28 @@ class CurationSpec extends SparkSpecBase {
       r.getAs[Long]("n_bloom_pos") - r.getAs[Long]("n_true"))
   }
 
+  test("label_queue: the median-score doc queues first with margin 0") {
+    // three docs with clearly distinct quality scores; the p50 doc has
+    // margin 0 and must head its language's queue
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "the a and of to in is you that it for on"),
+      doc(2, "word another thing entirely no stops here at all"),
+      doc(3, "the cat sat on a mat with it")))
+    val p50 = graft.operators.CorpusStats.qualityThresholds(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Double]("p50")).toMap
+    val out = graft.operators.Curation.labelQueue(spark, dir).collect()
+    assert(out.length === 3) // all docs fit under the per-lang K
+    val first = out.filter(_.getAs[Int]("rank") == 1)
+    assert(first.length === 1)
+    assert(first.head.getAs[Double]("score") === p50("en"))
+    assert(first.head.getAs[Double]("margin") === 0.0)
+    // queue order is by ascending margin
+    val sorted = out.sortBy(_.getAs[Int]("rank"))
+    val margins = sorted.map(_.getAs[Double]("margin"))
+    assert(margins === margins.sorted)
+  }
+
   test("curriculum_order: kept docs phase by ppl bucket, hash-ordered within") {
     // two identical clean 21-word docs (pass the gate, lowest ppl ->
     // head) and two 5-word once-seen-bigram docs (too_short -> dropped

@@ -190,6 +190,21 @@ class RetrievalSpec extends SparkSpecBase {
       r.getAs[Double]("ndcg") <= 1.0))
   }
 
+  test("sparse_knn: identical vector tops at 1.0; disjoint vocab is absent") {
+    val d = fixtureDir(docs = Seq(
+      doc(100, "apple banana"),
+      doc(1, "apple banana"),   // identical term vector -> cos 1.0
+      doc(2, "apple cherry"),   // shares one term -> 0 < cos < 1
+      doc(3, "kiwi mango")))    // no shared term -> never a candidate
+    val out = operators.Retrieval.sparseKnn(spark, d).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    val byId = out.map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toMap
+    assert(byId(1L)._1 === 1 && byId(1L)._2 === 1.0)
+    assert(byId(2L)._1 === 2 && byId(2L)._2 > 0.0 && byId(2L)._2 < 1.0)
+  }
+
   test("arm_overlap: hybrid fixture overlap counts and rank gap by hand") {
     // same fixture as the hybrid test: lex retrieves {1,2,3} (query
     // terms), dense retrieves {4,2,1,3}; common = {1,2,3}

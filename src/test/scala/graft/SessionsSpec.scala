@@ -412,6 +412,18 @@ class SessionsSpec extends SparkSpecBase {
       Seq("click", "view", 3L, 2L, 2L, r4(2.0 / 3), 1.0)))
   }
 
+  test("robust_stats: the fat-finger outlier moves the mean, not the winsorized") {
+    import graft.operators.Sessions
+    // nine 1.00-value events and one 100.00 outlier: p95 position is 9
+    // of 10 -> the clamp band collapses to [1.00, 1.00] and the
+    // winsorized mean ignores the outlier entirely
+    val evs = (1 to 9).map(i => ev(i, i * 10, 1, "click", 1.0)) :+
+      ev(10, 100, 1, "click", 100.0)
+    val dir = fixtureDir(evs = evs)
+    assert(rows(Sessions.robustStats(spark, dir)) === Set(
+      Seq("click", 10L, 10.9, 1.0, 1.0)))
+  }
+
   test("dow_anomalies: spike flags against its OWN day-of-week population") {
     import graft.operators.Sessions
     // Thursdays (dow 3): 11 days of 1 event + one day of 12 -> the
