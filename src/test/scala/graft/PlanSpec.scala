@@ -434,5 +434,20 @@ class PlanSpec extends SparkSpecBase {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), p)
     }
+    // r8-cont-3/4 family: every join-shaped audit stays cartesian-free;
+    // the map-only profiles stay join-free entirely
+    Seq(Retrieval.sparseKnn(spark, dir),
+      graft.operators.Curation.labelQueue(spark, dir),
+      graft.operators.Sessions.robustStats(spark, dir),
+      graft.operators.Sessions.dowAnomalies(spark, dir),
+      graft.operators.TextAnalysis.langidF1(spark, dir),
+      graft.operators.Tenancy.forgetUser(spark, dir),
+      graft.operators.Sessions.weeklyProfile(spark, dir),
+      Dedup.fuzzyMatch(spark, dir)).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    val pm = planOf(graft.operators.Multimodal.mediaDedup(spark, dir))
+    assert(!pm.contains("Join"), s"media_dedup must be join-free:\n$pm")
   }
 }
