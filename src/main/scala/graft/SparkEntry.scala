@@ -141,6 +141,7 @@ object SparkEntry {
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
     "ndcg_eval" -> (Retrieval.ndcgEval _),
     "late_interaction" -> (Retrieval.lateInteraction _),
+    "late_interaction_ann" -> (Retrieval.lateInteractionAnn _),
     "arm_overlap" -> (Retrieval.armOverlap _),
     "sparse_knn" -> (Retrieval.sparseKnn _),
     "label_queue" -> (Curation.labelQueue _),
@@ -633,6 +634,7 @@ object SparkEntry {
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
     "late_interaction" -> graft.oracle.DuckSql.lateInteraction,
+    "late_interaction_ann" -> graft.oracle.DuckSql.lateInteractionAnn,
     "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
     "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,

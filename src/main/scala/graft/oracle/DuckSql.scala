@@ -3750,6 +3750,58 @@ object DuckSql {
        |WHERE rank <= $LiK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Mirror of Retrieval.lateInteractionAnn: the IVF-probed pool CTEs
+    * (mmrPoolIvf's chain) feeding the identical chunk-MaxSim rerank.
+    * Lazy: mmrIvfPoolCtes' k-means builders initialize later in this
+    * object (the labelQueue init-order rule).
+    */
+  lazy val lateInteractionAnn: String = {
+    import graft.operators.Retrieval.{ChunkStride, ChunkTokens, LiK, LiPoolC}
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""WITH ${mmrIvfPoolCtes("cand_ivf")},
+       |pool AS MATERIALIZED (SELECT q_id, d_id, pool_sim FROM (
+       |    SELECT q_id, doc_id AS d_id, simq AS pool_sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY simq DESC, doc_id) AS pr
+       |    FROM cand_ivf) WHERE pr <= $LiPoolC),
+       |n AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |lm AS (SELECT doc_id, ws, len(ws) AS nt FROM n WHERE len(ws) > 0),
+       |lck AS (SELECT doc_id, ws, nt,
+       |    unnest(range(0, greatest(0, (nt - $w + $s - 1) // $s) + 1)) AS k
+       |  FROM lm),
+       |lcw AS (SELECT doc_id, k::INT AS chunk_id,
+       |    unnest(list_slice(ws, k * $s + 1, least(k * $s + $w, nt))) AS wt
+       |  FROM lck),
+       |lch AS (SELECT doc_id, chunk_id, md5(wt) AS h FROM lcw),
+       |lcs AS (SELECT doc_id, chunk_id, $liSumCols FROM lch
+       |        GROUP BY doc_id, chunk_id),
+       |cv AS MATERIALIZED (SELECT *, ($liN2)::BIGINT AS n2 FROM lcs),
+       |ps AS (SELECT p.q_id, p.d_id, qc.chunk_id AS qck,
+       |    max((${liDot("qc", "dc")})::DOUBLE / sqrt(qc.n2::DOUBLE)
+       |        / sqrt(dc.n2::DOUBLE)) AS mx
+       |  FROM pool p
+       |  JOIN cv qc ON qc.doc_id = p.q_id AND qc.n2 > 0
+       |  JOIN cv dc ON dc.doc_id = p.d_id AND dc.n2 > 0
+       |  GROUP BY 1, 2, 3),
+       |lag AS (SELECT q_id, d_id,
+       |    sum(floor(mx * 1000000 + 0.5)::BIGINT) AS smu,
+       |    count(*)::BIGINT AS nq
+       |  FROM ps GROUP BY 1, 2),
+       |lsc AS (SELECT q_id, d_id,
+       |    floor(smu::DOUBLE / nq / 1000000 * 1000000 + 0.5) / 1000000
+       |      AS li_score
+       |  FROM lag)
+       |SELECT q_id, d_id, rank::INT AS rank, li_score, pool_sim
+       |FROM (SELECT lsc.q_id, lsc.d_id, lsc.li_score, p.pool_sim,
+       |        row_number() OVER (PARTITION BY lsc.q_id
+       |          ORDER BY lsc.li_score DESC, lsc.d_id) AS rank
+       |      FROM lsc JOIN pool p ON p.q_id = lsc.q_id
+       |                          AND p.d_id = lsc.d_id)
+       |WHERE rank <= $LiK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Mirror of Graph.kCore: the same support-pruned undirected edge
     * set, [[graft.operators.Graph.CorePeelRounds]] peel rounds unrolled
     * (degree count → keep ≥ K → two endpoint semi-joins per round).

@@ -261,4 +261,24 @@ class RetrievalSpec extends SparkSpecBase {
         sorted.map(-_.getAs[Double]("li_score")).toSeq.sorted)
     }
   }
+
+  test("late_interaction_ann: IVF pool reranks with the same MaxSim semantics") {
+    // the real testdata carries the persisted IVF index; assert the
+    // structural contract on sf0.001 — bounded pools, dense ranks,
+    // scores in [0, 1]-ish MaxSim range, pool_sim from the probe
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Retrieval.lateInteractionAnn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val perQ = out.groupBy(_.getAs[Long]("q_id"))
+    perQ.values.foreach { rs =>
+      assert(rs.length <= operators.Retrieval.LiK)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to rs.length).toSeq)
+      assert(sorted.map(-_.getAs[Double]("li_score")).toSeq ===
+        sorted.map(-_.getAs[Double]("li_score")).toSeq.sorted)
+    }
+    assert(out.forall(r => math.abs(r.getAs[Double]("li_score")) <= 1.0 &&
+      math.abs(r.getAs[Double]("pool_sim")) <= 1.0))
+  }
 }
