@@ -142,6 +142,7 @@ object SparkEntry {
     "ndcg_eval" -> (Retrieval.ndcgEval _),
     "late_interaction" -> (Retrieval.lateInteraction _),
     "late_interaction_ann" -> (Retrieval.lateInteractionAnn _),
+    "li_pool_recall" -> (Retrieval.liPoolRecall _),
     "arm_overlap" -> (Retrieval.armOverlap _),
     "sparse_knn" -> (Retrieval.sparseKnn _),
     "label_queue" -> (Curation.labelQueue _),
@@ -635,6 +636,7 @@ object SparkEntry {
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,
     "late_interaction" -> graft.oracle.DuckSql.lateInteraction,
     "late_interaction_ann" -> graft.oracle.DuckSql.lateInteractionAnn,
+    "li_pool_recall" -> graft.oracle.DuckSql.liPoolRecall,
     "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
     "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,

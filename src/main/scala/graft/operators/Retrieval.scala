@@ -584,8 +584,7 @@ object Retrieval {
     * once (semi-joined per side) and every join an equi-join on doc
     * id. The 64 sums aggregate in one codegen'd packed-lane pass.
     */
-  def lateInteraction(spark: SparkSession, dir: String): DataFrame = {
-    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+  private def liBrutePool(spark: SparkSession, dir: String): DataFrame = {
     val docToks = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
@@ -614,7 +613,46 @@ object Retrieval {
       .filter(col("pr") <= LiPoolC)
       .select(col("q_id"), col("d_id"), col("pool_sim"))
       .localCheckpoint() // feeds both chunk semi-joins and the output
-    rerankMaxSim(spark, dir, pool)
+    pool
+  }
+
+  def lateInteraction(spark: SparkSession, dir: String): DataFrame =
+    rerankMaxSim(spark, dir, liBrutePool(spark, dir))
+
+  /** The IVF-probed stage-1 pool (the mmrPoolIvf serving posture
+    * truncated to [[LiPoolC]]) — shared by [[lateInteractionAnn]] and
+    * [[liPoolRecall]].
+    */
+  private def liAnnPool(spark: SparkSession, dir: String): DataFrame = {
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("simq").desc, col("doc_id"))
+    Similarity.mmrPoolIvf(spark, dir)
+      .withColumn("pr", row_number().over(wPool))
+      .filter(col("pr") <= LiPoolC)
+      .select(col("q_id"), col("doc_id").as("d_id"),
+        col("simq").as("pool_sim"))
+      .localCheckpoint() // feeds both chunk semi-joins and the output
+  }
+
+  /** li_pool_recall: how much of the late-interaction BRUTE pool the
+    * IVF-probed pool recovers, per query — the ann_recall /
+    * mmr_pool_recall posture applied to the late-interaction stage-1:
+    * the number that licenses running the cheap pool in production
+    * (late_interaction_ann) while the brute arm stays the oracle.
+    */
+  def liPoolRecall(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val b = liBrutePool(spark, dir).select(col("q_id"), col("d_id"))
+    val a = liAnnPool(spark, dir).select(col("q_id"), col("d_id"))
+    val hits = b.join(a, Seq("q_id", "d_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    b.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact")).as("recall"))
+      .orderBy(col("q_id"))
   }
 
   /** late_interaction_ann: the PRODUCTION pool source — stage 1 comes
@@ -625,17 +663,8 @@ object Retrieval {
     * pool is its oracle baseline, exactly as mmr_rerank/mmr_pool_recall
     * pair up.
     */
-  def lateInteractionAnn(spark: SparkSession, dir: String): DataFrame = {
-    val wPool = Window.partitionBy(col("q_id"))
-      .orderBy(col("simq").desc, col("doc_id"))
-    val pool = Similarity.mmrPoolIvf(spark, dir)
-      .withColumn("pr", row_number().over(wPool))
-      .filter(col("pr") <= LiPoolC)
-      .select(col("q_id"), col("doc_id").as("d_id"),
-        col("simq").as("pool_sim"))
-      .localCheckpoint() // feeds both chunk semi-joins and the output
-    rerankMaxSim(spark, dir, pool)
-  }
+  def lateInteractionAnn(spark: SparkSession, dir: String): DataFrame =
+    rerankMaxSim(spark, dir, liAnnPool(spark, dir))
 
   /** The late-interaction rerank tail: chunk vectors once, MaxSim over
     * a (q_id, d_id, pool_sim) candidate pool — shared by the brute and

@@ -3802,6 +3802,46 @@ object DuckSql {
        |WHERE rank <= $LiK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Mirror of Retrieval.liPoolRecall: the brute stage-1 pool vs the
+    * IVF-probed pool, per-query hit counts. Lazy (the mmrIvfPoolCtes
+    * builders initialize later in this object).
+    */
+  lazy val liPoolRecall: String = {
+    import graft.operators.Retrieval.{LiPoolC, QueryMod}
+    s"""$normCte,
+       |ldx AS (SELECT doc_id, md5(unnest(ws)) AS h FROM n),
+       |lds AS (SELECT doc_id, $liSumCols FROM ldx GROUP BY doc_id),
+       |dv AS MATERIALIZED (SELECT *, ($liN2)::BIGINT AS n2 FROM lds),
+       |pool0 AS (SELECT q.doc_id AS q_id, d.doc_id AS d_id,
+       |    (${liDot("q", "d")})::DOUBLE / sqrt(q.n2::DOUBLE)
+       |      / sqrt(d.n2::DOUBLE) AS pool_sim
+       |  FROM dv q JOIN dv d ON q.doc_id <> d.doc_id
+       |  WHERE q.doc_id % $QueryMod = 0 AND d.doc_id % $QueryMod <> 0
+       |    AND q.n2 > 0 AND d.n2 > 0),
+       |pool_b AS MATERIALIZED (SELECT q_id, d_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY pool_sim DESC, d_id) AS pr FROM pool0)
+       |  WHERE pr <= $LiPoolC),
+       |${mmrIvfPoolCtes("cand_ivf")},
+       |pool_a AS MATERIALIZED (SELECT q_id, d_id FROM (
+       |    SELECT q_id, doc_id AS d_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY simq DESC, doc_id) AS pr
+       |    FROM cand_ivf) WHERE pr <= $LiPoolC),
+       |hit AS (SELECT b.q_id, count(*)::BIGINT AS n_hit
+       |  FROM pool_b b SEMI JOIN pool_a a
+       |    ON a.q_id = b.q_id AND a.d_id = b.d_id
+       |  GROUP BY b.q_id),
+       |exc AS (SELECT q_id, count(*)::BIGINT AS n_exact FROM pool_b
+       |        GROUP BY 1)
+       |SELECT exc.q_id, exc.n_exact,
+       |  coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       |  floor(coalesce(hit.n_hit, 0)::DOUBLE / exc.n_exact
+       |        * 10000 + 0.5) / 10000 AS recall
+       |FROM exc LEFT JOIN hit ON hit.q_id = exc.q_id
+       |ORDER BY exc.q_id""".stripMargin
+  }
+
   /** Mirror of Graph.kCore: the same support-pruned undirected edge
     * set, [[graft.operators.Graph.CorePeelRounds]] peel rounds unrolled
     * (degree count → keep ≥ K → two endpoint semi-joins per round).

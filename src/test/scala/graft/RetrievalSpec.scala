@@ -281,4 +281,18 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.forall(r => math.abs(r.getAs[Double]("li_score")) <= 1.0 &&
       math.abs(r.getAs[Double]("pool_sim")) <= 1.0))
   }
+
+  test("li_pool_recall: per-query hit counts bounded by the pool depth") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Retrieval.liPoolRecall(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ex = r.getAs[Long]("n_exact")
+      val hit = r.getAs[Long]("n_hit")
+      assert(ex >= 1L && ex <= operators.Retrieval.LiPoolC)
+      assert(hit >= 0L && hit <= ex)
+      assert(r.getAs[Double]("recall") ===
+        math.floor(hit.toDouble / ex * 1e4 + 0.5) / 1e4)
+    }
+  }
 }
