@@ -179,6 +179,7 @@ object SparkEntry {
     "dedup_recall" -> (Dedup.dedupRecall _),
     "containment_dup" -> (Dedup.containmentDup _),
     "fuzzy_match" -> (Dedup.fuzzyMatch _),
+    "minhash_error" -> (Dedup.minhashError _),
     "k_core" -> (Graph.kCore _),
     "ship_latency" -> (Analytics.shipLatency _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
@@ -712,6 +713,7 @@ object SparkEntry {
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "containment_dup" -> graft.oracle.DuckSql.containmentDup,
     "fuzzy_match" -> graft.oracle.DuckSql.fuzzyMatch,
+    "minhash_error" -> graft.oracle.DuckSql.minhashError,
     "k_core" -> graft.oracle.DuckSql.kCore,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,

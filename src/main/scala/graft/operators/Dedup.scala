@@ -312,7 +312,10 @@ object Dedup {
     * incremental maintenance twin's batch baseline
     * ([[graft.streaming.DedupStream]]).
     */
-  private[graft] def minhashBandedFrom(sh: DataFrame): DataFrame = {
+  /** (doc_id, m0..m11): the per-doc minhash signature — shared by the
+    * banding (candidate generation) and the sketch-error audit.
+    */
+  private[graft] def minhashSigsOf(sh: DataFrame): DataFrame = {
     val hv = sh.select(col("doc_id"), md5(col("g")).as("h"))
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v1"),
@@ -320,7 +323,11 @@ object Dedup {
     val mins = (0 until MINHASHES).map { j =>
       min((col("v1") + lit(j.toLong) * col("v2")) % lit(MH_MOD)).as(s"m$j")
     }
-    val sigs = hv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private[graft] def minhashBandedFrom(sh: DataFrame): DataFrame = {
+    val sigs = minhashSigsOf(sh)
     val bandKeys = array((0 until MH_BANDS).map { b =>
       substring(md5(concat_ws("_",
         col(s"m${3 * b}").cast("string"),
@@ -927,6 +934,53 @@ object Dedup {
       .filter(col("containment") >= ContainmentThreshold &&
         col("jaccard") < JaccardThreshold)
       .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  /** minhash_error: the sketch-accuracy audit of the minhash signature
+    * itself — over the VERIFIED pair-set artifact, the 12-component
+    * signature's Jaccard estimate (matching components / 12) against
+    * the exact verified Jaccard: mean estimate, mean truth, mean
+    * absolute error, and signed bias. approx_distinct audits the HLL,
+    * heavy_hitters the count-min, bloom_decontaminate the Bloom filter
+    * — this closes the loop on the sketch the whole dedup family
+    * rides. Exactness: matches are small integers, jaccard is 4dp →
+    * 1e-4 units; every accumulated term (including the |est−jac|
+    * numerators over the common denominator 12·1e4) is an exact long,
+    * divided once at the end in mirrored order.
+    *
+    * Scale shape: pairs come from the persisted artifact; signatures
+    * are one partial-agg pass; two equi-joins on doc id; a 1-row
+    * rollup.
+    */
+  def minhashError(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val sigs = minhashSigsOf(shingleRowsWithSize(spark, dir))
+      .localCheckpoint() // feeds both pair sides
+    val pairs = dedupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val a = sigs.select(col("doc_id").as("id_a") +:
+      (0 until MINHASHES).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("id_b") +:
+      (0 until MINHASHES).map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = (0 until MINHASHES)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ju = floor(col("jaccard") * 10000 + 0.5).cast("long")
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(matches.as("m"), ju.as("ju"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("m")).as("sm"), sum(col("ju")).as("sj"),
+        sum(abs(col("m") * 10000L - lit(MINHASHES.toLong) * col("ju")))
+          .as("sae"))
+      .select(col("n_pairs"),
+        r4(col("sm").cast("double") / MINHASHES / col("n_pairs"))
+          .as("mean_est"),
+        r4(col("sj").cast("double") / 10000 / col("n_pairs"))
+          .as("mean_jaccard"),
+        r4(col("sae").cast("double") / MINHASHES / 10000 / col("n_pairs"))
+          .as("mean_abs_err"),
+        r4((col("sm") * 10000L - lit(MINHASHES.toLong) * col("sj"))
+          .cast("double") / MINHASHES / 10000 / col("n_pairs")).as("bias"))
   }
 
   /** fuzzy_match edit-distance budget: ≤2 covers the one-token typo /

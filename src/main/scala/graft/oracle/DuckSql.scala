@@ -4071,6 +4071,38 @@ object DuckSql {
        |FROM o ORDER BY phase, pos""".stripMargin
   }
 
+  /** Mirror of Dedup.minhashError: the minhashJCtes signature (mh) and
+    * verified pair (j) chains, exact match counts and 1e-4-unit error
+    * numerators, one mirrored final division set.
+    */
+  val minhashError: String = {
+    import graft.operators.Dedup.MINHASHES
+    val matches = (0 until MINHASHES)
+      .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")::BIGINT")
+    s"""$shCte,
+       |$minhashJCtes,
+       |pe AS (SELECT $matches AS m,
+       |         floor(j.jaccard * 10000 + 0.5)::BIGINT AS ju
+       |       FROM j JOIN mh a ON a.doc_id = j.id_a
+       |              JOIN mh b ON b.doc_id = j.id_b
+       |       WHERE j.jaccard >= ${graft.operators.Dedup.JaccardThreshold}),
+       |ag AS (SELECT count(*)::BIGINT AS n_pairs, sum(m)::BIGINT AS sm,
+       |         sum(ju)::BIGINT AS sj,
+       |         sum(abs(m * 10000 - $MINHASHES * ju))::BIGINT AS sae
+       |       FROM pe)
+       |SELECT n_pairs,
+       |  floor(sm::DOUBLE / $MINHASHES / n_pairs * 10000 + 0.5) / 10000
+       |    AS mean_est,
+       |  floor(sj::DOUBLE / 10000 / n_pairs * 10000 + 0.5) / 10000
+       |    AS mean_jaccard,
+       |  floor(sae::DOUBLE / $MINHASHES / 10000 / n_pairs * 10000 + 0.5)
+       |    / 10000 AS mean_abs_err,
+       |  floor((sm * 10000 - $MINHASHES * sj)::DOUBLE / $MINHASHES / 10000
+       |        / n_pairs * 10000 + 0.5) / 10000 AS bias
+       |FROM ag""".stripMargin
+  }
+
   /** Mirror of Dedup.containmentDup: the dedup_recall inverted-index
     * formulation — df-capped shingle join, TRUE set sizes from the
     * uncapped shingle lists, smaller-side containment, the same

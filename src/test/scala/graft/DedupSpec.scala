@@ -266,6 +266,22 @@ class DedupSpec extends SparkSpecBase {
       Seq(1L, 2L, 2L, 2L, 1.0, r4(2.0 / 12))))
   }
 
+  test("minhash_error: identical docs estimate 1.0 with zero error") {
+    // two identical docs: every signature component matches AND the
+    // verified jaccard is 1.0 -> est = truth, abs err = bias = 0
+    val d = fixtureDir(docs = Seq(
+      doc(1, "w1 w2 w3 w4 w5 w6"), doc(2, "w1 w2 w3 w4 w5 w6"),
+      doc(3, "p q r s t u v")))
+    val out = graft.operators.Dedup.minhashError(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Double]("mean_est") === 1.0)
+    assert(r.getAs[Double]("mean_jaccard") === 1.0)
+    assert(r.getAs[Double]("mean_abs_err") === 0.0)
+    assert(r.getAs[Double]("bias") === 0.0)
+  }
+
   test("fuzzy_match: noun-blocked vocabulary pairs under the edit budget") {
     import spark.implicits._
     // 'small ring' (2 entries) vs 'smell ring' is one substitution;
