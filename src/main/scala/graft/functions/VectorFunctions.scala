@@ -39,7 +39,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     * dropping the whole projection to interpreted mode.
     */
   protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String
-  protected def loopEval(a: ArrayData, b: ArrayData): Double
+  /** Interpreted-mode loop; must return a value of [[dataType]]. */
+  protected def loopEval(a: ArrayData, b: ArrayData): Any
 
   override def nullSafeEval(a: Any, b: Any): Any =
     loopEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -136,9 +137,15 @@ case class DotProduct(left: Expression, right: Expression)
   * every component is an exact ±1-bit sum and the dot must stay a
   * single long (a 64-term column expression would otherwise inline its
   * packed-lane derivation per term and blow both the optimizer and the
-  * 64 KB codegen budget — measured as an OOM during planning). ANSI
-  * overflow applies inside the loop: components ≤ 65 535 keep the
-  * 64-dim sum ≤ 2.7e11, far under Long.MaxValue.
+  * 64 KB codegen budget — measured as an OOM during planning).
+  *
+  * Overflow bound is a CALLER CONTRACT, not a runtime check: the loop
+  * accumulates raw `long` products (no Math.addExact — an exact-check
+  * per term would halve the hot-loop throughput this expression exists
+  * for). Callers feed hash-sum components bounded by the token count
+  * (≤ 65 535 in practice), keeping the 64-dim sum ≤ 2.7e11 — nine
+  * orders under Long.MaxValue; inputs outside that envelope would wrap
+  * silently, so new call sites must carry their own bound argument.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -156,12 +163,7 @@ case class DotProductLong(left: Expression, right: Expression)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  protected def loopEval(x: ArrayData, y: ArrayData): Double =
-    throw new IllegalStateException("unused: nullSafeEval overridden")
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  protected def loopEval(x: ArrayData, y: ArrayData): Any = {
     val n = x.numElements()
     VectorBinaryExpression.requireSameDim(n, y.numElements())
     var dot = 0L; var i = 0

@@ -181,25 +181,19 @@ object Retrieval {
   }
 
   /** The dense cosine ranking `(q_id, doc_id, vrank ≤ BmTopK)` —
-    * shared by [[hybridRetrieve]] and [[ndcgEval]] (which also grades
-    * truth from it; sharing keeps the brute-force sweep to ONE pass
-    * per plan — at the 10× probe the duplicated sweep was ~half of
-    * ndcg_eval's 39 s).
+    * shared by [[hybridRetrieve]], [[ndcgEval]] and [[armOverlap]].
+    * Since r9 a pure consumer of the persisted exact-truth sweep
+    * ([[Similarity.denseTruth]]): `rank_nonq` is the ranking over
+    * non-query-doc candidates only, exactly this arm's candidate
+    * universe — the brute sweep is the run-1 artifact build, not a
+    * per-audit corpus pass.
     */
-  private def denseRanked(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val wV = Window.partitionBy(col("q_id"))
-      .orderBy(col("s").desc, col("doc_id"))
-    e.filter(pmod(col("vec_id"), lit(QueryMod)) =!= 0)
-      .join(broadcast(q))
-      .select(col("q_id"), col("vec_id").as("doc_id"),
-        cosineSim(col("embedding"), col("qe")).as("s"))
-      .withColumn("vrank", row_number().over(wV))
-      .filter(col("vrank") <= BmTopK)
-      .select(col("q_id"), col("doc_id"), col("vrank"))
-  }
+  private def denseRanked(spark: SparkSession, dir: String): DataFrame =
+    Similarity.denseTruth(spark, dir)
+      .filter(pmod(col("q_id"), lit(QueryMod)) === 0 &&
+        col("rank_nonq") <= BmTopK)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank_nonq").as("vrank"))
 
   /** RRF fusion of a lexical `(q_id, doc_id, lrank)` and dense
     * `(q_id, doc_id, vrank)` ranking — the hybridRetrieve tail,
@@ -463,6 +457,24 @@ object Retrieval {
   /** sparse_knn result depth. */
   val SparseK = 5
 
+  /** sparse_knn per-term impact cap: each term keeps only its
+    * [[SparseImpactCap]] highest-weight corpus postings (u desc, doc_id
+    * asc — deterministic on the exact integer weights) in the pairing
+    * join. This is impact-ordered posting truncation (the MaxScore/JASS
+    * family's static prefix; the BmMaxQueryTerms precedent applied to
+    * the CORPUS side): a term whose posting list spans the corpus is
+    * exactly the term whose low-weight postings contribute least to any
+    * cosine, and uncapped it makes the candidate join quadratic on a
+    * degenerate vocabulary (this corpus: ~30 distinct words, so every
+    * query shared terms with nearly every doc — 13.7 s at the 10×
+    * probe). Capped, candidates are bounded at |queries| × topTerms ×
+    * cap regardless of corpus size. Oracle-mirrored: both engines rank
+    * the identical truncated index, so the gate stays exact while the
+    * plan carries the bound (a natural vocabulary rarely hits it — the
+    * DedupDocFreqCap posture).
+    */
+  val SparseImpactCap = 2000
+
   /** sparse_knn: lexical nearest neighbors by tf-idf COSINE over the
     * pruned top-[[TfidfTopTerms]] term vectors — the sparse twin of
     * knn_join (dense cosine), completing the similarity family
@@ -495,8 +507,16 @@ object Retrieval {
     val isQ = pmod(col("doc_id"), lit(QueryMod)) === 0
     val q = v.filter(isQ)
       .select(col("doc_id").as("q_id"), col("term"), col("u").as("qu"))
+    // per-term impact cap (see SparseImpactCap): the pairing join reads
+    // only each term's top postings; runtime-tunable, oracle-pinned default
+    val cap = graft.Params.int(spark, "sparse_knn.impact_cap", SparseImpactCap)
+    val wImp = Window.partitionBy(col("term"))
+      .orderBy(col("du").desc, col("doc_id"))
     val d = v.filter(!isQ)
       .select(col("doc_id"), col("term"), col("u").as("du"))
+      .withColumn("ir", row_number().over(wImp))
+      .filter(col("ir") <= cap)
+      .drop("ir")
     val qn = n2.filter(isQ)
       .select(col("doc_id").as("q_id"), col("n2").as("qn2"))
     val dn = n2.filter(!isQ)
@@ -584,7 +604,24 @@ object Retrieval {
     * once (semi-joined per side) and every join an equi-join on doc
     * id. The 64 sums aggregate in one codegen'd packed-lane pass.
     */
-  private def liBrutePool(spark: SparkSession, dir: String): DataFrame = {
+  /** Depth of the persisted late-interaction exact-truth pool — covers
+    * [[LiPoolC]] with headroom for param sweeps.
+    */
+  private val LiTruthDepth = 30
+
+  private def liTruthPath(dir: String): String =
+    IndexStore.path("li-truth-v1", dir)
+
+  /** Build the late-interaction EXACT-TRUTH pool artifact: the brute
+    * whole-document hash-embedding cosine sweep, persisted to
+    * [[LiTruthDepth]] per query with the raw double score. The
+    * denseTruth posture applied to the hash-sum vector space: the brute
+    * stage-1 is the audited baseline of [[lateInteractionAnn]] and the
+    * exact side of [[liPoolRecall]] — as a persisted artifact it is the
+    * run-1 build, and both become pure consumers.
+    */
+  private def buildLiTruth(spark: SparkSession, dir: String,
+      path: String): Unit = {
     val docToks = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
@@ -610,10 +647,21 @@ object Retrieval {
           / sqrt(col("qn2").cast("double"))
           / sqrt(col("dn2").cast("double"))).as("pool_sim"))
       .withColumn("pr", row_number().over(wPool))
+      .filter(col("pr") <= LiTruthDepth)
+    graft.sources.Sinks.writeSortedParquet(pool, path, Seq("q_id", "pr"))
+  }
+
+  /** The brute stage-1 pool, served from the persisted exact-truth
+    * artifact (built on first use per JVM, then a plain parquet read —
+    * no checkpoint needed; each consumer branch re-reads the tiny
+    * k-bounded frame).
+    */
+  private def liBrutePool(spark: SparkSession, dir: String): DataFrame = {
+    val path = liTruthPath(dir)
+    IndexStore.ensureBuilt(path)(buildLiTruth(spark, dir, path))
+    spark.read.parquet(path)
       .filter(col("pr") <= LiPoolC)
       .select(col("q_id"), col("d_id"), col("pool_sim"))
-      .localCheckpoint() // feeds both chunk semi-joins and the output
-    pool
   }
 
   def lateInteraction(spark: SparkSession, dir: String): DataFrame =
@@ -639,6 +687,16 @@ object Retrieval {
     * mmr_pool_recall posture applied to the late-interaction stage-1:
     * the number that licenses running the cheap pool in production
     * (late_interaction_ann) while the brute arm stays the oracle.
+    *
+    * CAVEAT — cross-representation recall: the brute pool ranks by the
+    * 64-dim hash-sum integer cosine over document TEXT, while the IVF
+    * pool ranks dense cosine over the separate embeddings table, so the
+    * reported number conflates representation mismatch with ANN probe
+    * loss (a deployment whose stage-1 index embeds the same text sees
+    * only the probe-loss component, which mmr_pool_recall isolates).
+    * Read it as the END-TO-END pool agreement of the two serving
+    * stacks, the number that matters for swapping one for the other —
+    * not as an IVF-recall measurement.
     */
   def liPoolRecall(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
@@ -674,12 +732,21 @@ object Retrieval {
     * (the IndexStore posture: chunk embedding is the expensive pass;
     * every late-interaction query only probes it), then a plain
     * parquet read. Dominated the 10× probe before persisting.
+    *
+    * The chunk geometry params (`spark.graft.param.chunk.{width,stride}`)
+    * are FOLDED INTO the artifact key: chunkDocs honors them, so two
+    * sessions with different knobs must never share one artifact — the
+    * first caller's geometry would otherwise freeze into the path and
+    * silently serve later callers stale chunk vectors.
     */
-  private def chunkVecPath(dir: String): String =
-    graft.operators.IndexStore.path("chunk-hashsums-v1", dir)
+  private def chunkVecPath(spark: SparkSession, dir: String): String = {
+    val w = graft.Params.int(spark, "chunk.width", ChunkTokens)
+    val s = graft.Params.int(spark, "chunk.stride", ChunkStride)
+    graft.operators.IndexStore.path(s"chunk-hashsums-w$w-s$s-v1", dir)
+  }
 
   private def chunkVectors(spark: SparkSession, dir: String): DataFrame = {
-    val path = chunkVecPath(dir)
+    val path = chunkVecPath(spark, dir)
     graft.operators.IndexStore.ensureBuilt(path) {
       val chunkToks = chunkDocs(spark, dir)
         .select(col("doc_id"), col("chunk_id"),

@@ -822,7 +822,7 @@ object DuckSql {
     * per-query top-k.
     */
   val sparseKnn: String = {
-    import graft.operators.Retrieval.{QueryMod, SparseK, TfidfTopTerms}
+    import graft.operators.Retrieval.{QueryMod, SparseImpactCap, SparseK, TfidfTopTerms}
     val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
     s"""$tokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
@@ -844,11 +844,15 @@ object DuckSql {
        |        FROM x) WHERE rank <= $TfidfTopTerms),
        |nn2 AS MATERIALIZED (SELECT doc_id, sum(u * u)::BIGINT AS n2
        |       FROM v GROUP BY doc_id),
+       |dcap AS (SELECT doc_id, term, u FROM (
+       |    SELECT doc_id, term, u,
+       |      row_number() OVER (PARTITION BY term
+       |                         ORDER BY u DESC, doc_id) AS ir
+       |    FROM v WHERE NOT ($isQ)) WHERE ir <= $SparseImpactCap),
        |pd AS (SELECT q.doc_id AS q_id, d.doc_id, sum(q.u * d.u)::BIGINT
        |         AS dotu
-       |       FROM v q JOIN v d ON d.term = q.term
+       |       FROM v q JOIN dcap d ON d.term = q.term
        |       WHERE ${isQ.replace("doc_id", "q.doc_id")}
-       |         AND NOT (${isQ.replace("doc_id", "d.doc_id")})
        |       GROUP BY 1, 2),
        |sc AS (SELECT p.q_id, p.doc_id,
        |    p.dotu::DOUBLE / sqrt(qn.n2::DOUBLE) / sqrt(dn.n2::DOUBLE)
@@ -3708,7 +3712,8 @@ object DuckSql {
        |    (${liDot("q", "d")})::DOUBLE / sqrt(q.n2::DOUBLE)
        |      / sqrt(d.n2::DOUBLE) AS pool_sim
        |  FROM dv q JOIN dv d ON q.doc_id <> d.doc_id
-       |  WHERE q.doc_id % $QueryMod = 0 AND d.doc_id % $QueryMod <> 0
+       |  WHERE ((q.doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0
+       |    AND ((d.doc_id % $QueryMod) + $QueryMod) % $QueryMod <> 0
        |    AND q.n2 > 0 AND d.n2 > 0),
        |pool AS MATERIALIZED (SELECT q_id, d_id, pool_sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
@@ -3816,7 +3821,8 @@ object DuckSql {
        |    (${liDot("q", "d")})::DOUBLE / sqrt(q.n2::DOUBLE)
        |      / sqrt(d.n2::DOUBLE) AS pool_sim
        |  FROM dv q JOIN dv d ON q.doc_id <> d.doc_id
-       |  WHERE q.doc_id % $QueryMod = 0 AND d.doc_id % $QueryMod <> 0
+       |  WHERE ((q.doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0
+       |    AND ((d.doc_id % $QueryMod) + $QueryMod) % $QueryMod <> 0
        |    AND q.n2 > 0 AND d.n2 > 0),
        |pool_b AS MATERIALIZED (SELECT q_id, d_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
