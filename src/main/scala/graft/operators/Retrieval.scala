@@ -88,7 +88,43 @@ object Retrieval {
     * restricted to query vocabulary first — the idf table is
     * |query terms| sized, never |vocabulary| sized.
     */
+  /** Depth of the persisted lexical ranking artifact ([[bm25Topk]]):
+    * covers the gated k (10) and the audit consumers with headroom; a
+    * runtime `bm25_topk.k` above it falls back to the live pipeline.
+    */
+  val LexTruthDepth = 30
+
+  private def lexTruthPath(dir: String): String =
+    IndexStore.path("lex-truth-v1", dir)
+
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    // runtime k (the reference's `limit` arg, database.py:422 posture),
+    // default = the oracle-pinned BmTopK
+    val k = graft.Params.int(spark, "bm25_topk.k", BmTopK)
+    if (k > LexTruthDepth) bm25Ranked(spark, dir, k)
+    else {
+      // The denseTruth posture applied to the LEXICAL arm: the postings
+      // build (corpus tokenize + two shuffles) plus the scoring join is
+      // the shared dominator of bm25_topk, hybrid_retrieve, ndcg_eval
+      // and arm_overlap — 15.6 s per invocation at the 10× probe. The
+      // ranking is persisted once per corpus to [[LexTruthDepth]]; every
+      // consumer is a pure parquet read + rank filter.
+      val path = lexTruthPath(dir)
+      IndexStore.ensureBuilt(path)(
+        graft.sources.Sinks.writeSortedParquet(
+          bm25Ranked(spark, dir, LexTruthDepth), path, Seq("q_id", "rank")))
+      spark.read.parquet(path).filter(col("rank") <= k)
+        .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+    }
+  }
+
+  /** The live BM25 pipeline (the artifact build; also the fallback for a
+    * runtime k beyond the persisted depth). Package-private so PlanSpec
+    * pins the BUILD's join shapes, which the gated consumer no longer
+    * carries.
+    */
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
+      depth: Int): DataFrame = {
     val toks = tokenRows(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
 
@@ -146,10 +182,7 @@ object Retrieval {
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("part")).as("score"))
       .withColumn("rank", row_number().over(w))
-      // runtime k (the reference's `limit` arg, database.py:422 posture),
-      // default = the oracle-pinned BmTopK
-      .filter(col("rank") <=
-        graft.Params.int(spark, "bm25_topk.k", BmTopK))
+      .filter(col("rank") <= depth)
       .select(col("q_id"), col("doc_id"),
         col("score").cast("double").as("score"), col("rank"))
   }
@@ -282,7 +315,24 @@ object Retrieval {
     * corpus-sized at scale — left to the planner, shuffles on term); one
     * window per doc for the top terms.
     */
+  private def tfidfPath(dir: String): String =
+    IndexStore.path("tfidf-v1", dir)
+
+  /** The persisted sparse document vectors — built once per corpus (the
+    * lex-truth posture: the tokenize + tf/df/idf chain is the cost;
+    * both this query and sparse_knn only read the vectors).
+    */
   def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
+    val path = tfidfPath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        tfidfLive(spark, dir), path, Seq("doc_id", "rank")))
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rank"))
+  }
+
+  private def tfidfLive(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokenRows(spark, dir)
     // materialized: feeds stats, df, and the scoring join (see bm25Topk)
     val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -498,10 +548,11 @@ object Retrieval {
     */
   def sparseKnn(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    // the persisted vectors feed norms and both join sides — each branch
+    // re-reads the artifact parquet (no checkpoint needed)
     val v = tfidfVectors(spark, dir)
       .select(col("doc_id"), col("term"),
         floor(col("tfidf") * 10000 + 0.5).cast("long").as("u"))
-      .localCheckpoint() // feeds norms and both join sides
     val n2 = v.groupBy(col("doc_id"))
       .agg(sum(col("u") * col("u")).as("n2"))
     val isQ = pmod(col("doc_id"), lit(QueryMod)) === 0

@@ -307,7 +307,10 @@ class PlanSpec extends SparkSpecBase {
 
   test("bm25 postings join shuffles on term, never cartesians") {
     withNoAutoBroadcast {
-      val plan = planOf(Retrieval.bm25Topk(spark, dir))
+      // the gated bm25Topk is now a pure artifact consumer; the join
+      // shapes live in the BUILD pipeline (bm25Ranked)
+      val plan = planOf(Retrieval.bm25Ranked(spark, dir,
+        Retrieval.BmTopK))
       assert(!plan.contains("CartesianProduct"), plan)
       // the only nested-loop joins are the 1-row stats broadcasts; the
       // postings joins (corpus tf ⋈ query terms / doc lens) must be
@@ -315,6 +318,11 @@ class PlanSpec extends SparkSpecBase {
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"postings join must shuffle on its key at scale, plan:\n$plan")
     }
+    // and the gated query itself must carry no corpus-side join at all —
+    // a pure read + rank filter over the persisted ranking
+    val served = planOf(Retrieval.bm25Topk(spark, dir))
+    assert(!served.contains("Join"),
+      s"served bm25_topk must be an artifact read, plan:\n$served")
   }
 
   test("asof_join is a pure union + window: no join node of any kind") {
