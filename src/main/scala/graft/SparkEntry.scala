@@ -131,6 +131,8 @@ object SparkEntry {
     "quality_filter"    -> (Curation.qualityFilter _),
     "curate_corpus"     -> (Curation.curateCorpus _),
     "classifier_examples" -> (Curation.classifierExamples _),
+    "classifier_train" -> (Curation.classifierTrain _),
+    "classifier_apply" -> (Curation.classifierApply _),
     "data_split" -> (Curation.dataSplit _),
     "sft_export" -> (Curation.sftExport _),
     "split_leakage" -> (Curation.splitLeakage _),
@@ -688,6 +690,8 @@ object SparkEntry {
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,
     "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
+    "classifier_train" -> graft.oracle.DuckSql.classifierTrain,
+    "classifier_apply" -> graft.oracle.DuckSql.classifierApply,
     "cohort_ltv" -> graft.oracle.DuckSql.cohortLtv,
     "dedup_keep_best" -> graft.oracle.DuckSql.dedupKeepBest,
     "lsh_curve" -> graft.oracle.DuckSql.lshCurve,

@@ -395,19 +395,34 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** gate_eval: the quality-gate LEADERBOARD — precision/recall/F1 of
+    * BOTH serving gates (the heuristic rule set and the trained
+    * distilled classifier) against the frozen-LM head/tail labels,
+    * evaluated on the HELD-OUT split only (the classifier trained on
+    * the train split; grading either gate on training rows would
+    * overstate it — the index_recall posture applied to gates).
+    */
   def gateEval(spark: SparkSession, dir: String): DataFrame = {
-    val keep = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val held = dataSplit(spark, dir)
+      .filter(col("split") =!= "train").select(col("doc_id"))
+    val arms = qualityFilter(spark, dir)
+      .select(lit("heuristic").as("gate"), col("doc_id"), col("keep"))
+      .unionByName(classifierApply(spark, dir)
+        .select(lit("classifier").as("gate"), col("doc_id"),
+          col("pred").as("keep")))
     val lbl = CorpusStats.ccnetBuckets(spark, dir)
       .filter(col("bucket") =!= "middle")
       .select(col("doc_id").as("ld"), (col("bucket") === "head").as("pos"))
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    keep.join(lbl, col("doc_id") === col("ld"))
+    arms.join(held, Seq("doc_id"), "left_semi")
+      .join(lbl, col("doc_id") === col("ld"))
+      .groupBy(col("gate"))
       .agg(
         sum(when(col("keep") && col("pos"), 1L).otherwise(0L)).as("tp"),
         sum(when(col("keep") && !col("pos"), 1L).otherwise(0L)).as("fp"),
         sum(when(!col("keep") && col("pos"), 1L).otherwise(0L)).as("fn"),
         sum(when(!col("keep") && !col("pos"), 1L).otherwise(0L)).as("tn"))
-      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+      .select(col("gate"), col("tp"), col("fp"), col("fn"), col("tn"),
         when(col("tp") + col("fp") > 0,
           r4(col("tp").cast("double") / (col("tp") + col("fp"))))
           .as("prec"),
@@ -418,6 +433,7 @@ object Curation {
           r4(lit(2.0) * col("tp").cast("double") /
             (lit(2) * col("tp") + col("fp") + col("fn"))))
           .as("f1"))
+      .orderBy(col("gate"))
   }
 
   /** data_split parameters: the held-out fractions and the hash seed
@@ -708,5 +724,161 @@ object Curation {
           .orderBy(col("h"), col("doc_id"))) + col("off")).cast("long"))
       .select(col("doc_id"), col("lang"), col("bucket"),
         col("phase").cast("int").as("phase"), col("pos"))
+  }
+
+  // ---- the distilled quality classifier: train → apply → gate_eval ----
+  //
+  // classifierExamples exports the CCNet-style distillation training set
+  // (frozen-LM tercile labels × heuristic sub-signals); these two
+  // operators CLOSE the loop the reference's keyword gate only sketches
+  // (prompt_selector.py:180's model-driven classify step): a logistic
+  // scorer trained on the examples' train split by fixed-round full-batch
+  // gradient descent (the pagerank unrolled-loop posture — each round is
+  // one partial-agg pass over the examples, weights are a 1-row
+  // broadcast; the oracle unrolls the identical rounds as CTEs), frozen
+  // as a persisted weights artifact, applied corpus-wide by a map-only
+  // scorer. gate_eval then grades BOTH gates — the heuristic rules and
+  // the trained classifier — against the held-out labeled docs.
+  //
+  // Parity: features are exact 1e-6-unit integers (bias, capped
+  // n_words/1000, capped avg_word_len/10, stopword_ratio, punct_ratio —
+  // all in [0,1]); weights are exact 1e-6-unit longs; z = Σ wu·xu is an
+  // exact long (≤ ~1e14); the sigmoid is the one library call (exp — the
+  // BM25-ln precedent: a 1-ulp engine disagreement must land within 1 ulp
+  // of a 0.5e-6 rounding boundary to flip the 6dp-rounded p); per-example
+  // gradients are exact 1e-12-unit integers accumulated in decimal(38,0),
+  // and each weight step re-rounds to 1e-6 units with the shared floor
+  // primitive — so training is bit-reproducible under any partitioning.
+  //
+  // Honesty note (the sparse_knn degenerate-corpus posture): on THIS
+  // synthetic corpus the heuristic sub-signals carry essentially no
+  // LM-tercile signal — signal_auc reads AUC ≈ 0.31-0.58 and signal_corr
+  // ≈ 0 per language — so the trained gate honestly converges near the
+  // base rate (weights ~0, scores ~0.51, keep-everything) and gate_eval
+  // reports exactly that. On a natural corpus these same signals
+  // separate strongly (the Gopher rules exist because they do); the
+  // machinery — exact-unit GD, frozen artifact, held-out grading — is
+  // what this engine contributes, and signal_auc is the standing check
+  // that says whether the distilled gate has anything to learn.
+
+  /** Gradient-descent rounds and learning rate of the distilled gate —
+    * fixed (the pagerank PrIters posture) and single-sourced into the
+    * unrolled oracle CTEs.
+    */
+  val ClfRounds = 6
+  val ClfLr = 5.0
+
+  /** Feature order of the weight vector (index ↔ xu column). */
+  val ClfFeatureNames: Seq[String] =
+    Seq("bias", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio")
+
+  def clfWeightsPath(dir: String): String =
+    IndexStore.path("clf-weights-v1", dir)
+
+  /** Exact 1e-6-unit feature columns xu0..xu4 over a frame carrying
+    * n_words / avg_word_len / stopword_ratio / punct_ratio (the
+    * classifier_examples schema = the quality_score sub-signals).
+    * Degenerate docs (no words) carry bias only.
+    */
+  private def clfUnits: Seq[Column] = {
+    def r6u(c: Column) = floor(c * 1000000 + lit(0.5)).cast("long")
+    val guard = col("n_words") > 0
+    Seq(
+      lit(1000000L).as("xu0"),
+      when(guard, least(col("n_words"), lit(1000)).cast("long") * 1000L)
+        .otherwise(0L).as("xu1"),
+      when(guard, r6u(least(col("avg_word_len"), lit(10.0)) / lit(10.0)))
+        .otherwise(0L).as("xu2"),
+      when(guard, r6u(col("stopword_ratio"))).otherwise(0L).as("xu3"),
+      when(guard, r6u(col("punct_ratio"))).otherwise(0L).as("xu4"))
+  }
+
+  /** z = Σ wu·xu as double (exact long sum / 1e12) — shared by the
+    * training rounds and the apply scorer.
+    */
+  private def clfZ: Column =
+    (0 to 4).map(i => col(s"wu$i") * col(s"xu$i")).reduce(_ + _)
+      .cast("double") / lit(1.0e12)
+
+  /** p rounded to 1e-6 units as an exact long. */
+  private def clfPu: Column =
+    floor(lit(1000000.0) / (lit(1.0) + exp(-clfZ)) + lit(0.5)).cast("long")
+
+  /** Train the distilled gate on the examples' TRAIN split and persist
+    * the full weight trajectory (`rounds`: one row per round × feature)
+    * plus the final 1-row weight vector (`final`) — the frozen artifact
+    * every scorer probes (the IndexStore build-once posture).
+    */
+  def buildClfWeights(spark: SparkSession, dir: String, path: String): Unit = {
+    val trainIds = dataSplit(spark, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val ex = classifierExamples(spark, dir)
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .select(clfUnits :+ (col("label").cast("long") * 1000000L).as("yu"): _*)
+      .localCheckpoint() // one pass per round reads this frame
+    var w: DataFrame = spark.range(1)
+      .select((0 to 4).map(i => lit(0L).as(s"wu$i")): _*)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to ClfRounds) {
+      val g = ex.crossJoin(broadcast(w))
+        .select((0 to 4).map(i =>
+          (col(s"xu$i") * (col("yu") - clfPu)).cast("decimal(38,0)")
+            .as(s"p$i")): _*)
+        .agg(sum(col("p0")).as("g0"),
+          (1 to 4).map(i => sum(col(s"p$i")).as(s"g$i")) :+
+            count(lit(1)).as("n"): _*)
+      w = w.crossJoin(broadcast(g))
+        .select((0 to 4).map(i =>
+          (col(s"wu$i") + floor(lit(ClfLr) * col(s"g$i").cast("double")
+            / col("n") / lit(1000000.0) + lit(0.5)).cast("long"))
+            .as(s"wu$i")): _*)
+        .localCheckpoint() // 1 row; cuts the round-over-round lineage
+      traj += w.select(lit(t).as("round"),
+        posexplode(array((0 to 4).map(i => col(s"wu$i")): _*))
+          .as(Seq("fi", "wu")))
+    }
+    val names = array(ClfFeatureNames.map(lit): _*)
+    graft.sources.Sinks.writeSortedParquet(
+      traj.reduce(_ unionByName _)
+        .select(col("round"), col("fi").cast("int").as("fi"),
+          element_at(names, col("fi").cast("int") + 1).as("feature"),
+          col("wu")),
+      s"$path/rounds", Seq("round", "fi"))
+    w.write.mode("overwrite").parquet(s"$path/final")
+  }
+
+  private def clfWeights(spark: SparkSession, dir: String): String = {
+    val path = clfWeightsPath(dir)
+    IndexStore.ensureBuilt(path)(buildClfWeights(spark, dir, path))
+    path
+  }
+
+  /** classifier_train: the training trajectory of the distilled quality
+    * gate — (round, feature, weight) for every gradient round, read from
+    * the persisted artifact (the audit view of the build: a diverging or
+    * sign-flipping trajectory is the standing sanity check before the
+    * frozen weights serve anything).
+    */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${clfWeights(spark, dir)}/rounds")
+      .select(col("round"), col("feature"),
+        (col("wu").cast("double") / 1000000).as("weight"))
+      .orderBy(col("round"), col("feature"))
+
+  /** classifier_apply: score EVERY document with the frozen trained
+    * weights — the corpus-wide cheap gate that replaces the frozen-LM
+    * probe on the 99% of the corpus where the distilled signal suffices
+    * (the CCNet serving step). Map-shaped: one quality-signal pass, a
+    * 1-row weight broadcast, no shuffle.
+    */
+  def classifierApply(spark: SparkSession, dir: String): DataFrame = {
+    val fin = spark.read.parquet(s"${clfWeights(spark, dir)}/final")
+    TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id") +: clfUnits: _*)
+      .crossJoin(broadcast(fin))
+      .select(col("doc_id"), clfPu.as("su"))
+      .select(col("doc_id"),
+        (col("su").cast("double") / 1000000).as("score"),
+        (col("su") >= 500000L).as("pred"))
   }
 }

@@ -2588,35 +2588,138 @@ object DuckSql {
        |FROM px JOIN th ON th.lang = px.lang
        |ORDER BY px.doc_id""".stripMargin
 
-  /** Mirror of Curation.classifierExamples: the quality sub-signal
-    * features (unique qw/qm/qs CTE names — no collision with the
-    * perplexity chain) labeled by the CCNet head/tail split; middle
-    * tercile excluded.
+  /** Classifier feature CTEs over ALL documents (prefix cf — unique, so
+    * the chain composes with the qualityKeep/perplexity chains inside
+    * one statement): cfs = (doc_id, lang, n_words, avg_word_len,
+    * stopword_ratio, punct_ratio) — the quality_score sub-signals.
+    * Shared by classifierExamples, classifierTrain/Apply and gateEval.
     */
-  val classifierExamples: String =
-    s"""WITH qw AS (SELECT doc_id, lang, text,
+  private lazy val clfFeatureCtes: String =
+    s"""cfw AS (SELECT doc_id, lang, text,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-       |qm AS (SELECT doc_id, lang, len(t) AS n_words,
+       |cfm AS (SELECT doc_id, lang, len(t) AS n_words,
        |  list_sum(list_transform(t, x -> length(x))) AS char_sum,
        |  len(list_filter(t, x -> list_contains(${listLit(RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
        |  length(text) AS n_chars,
        |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
-       |  FROM qw),
-       |qs AS (SELECT doc_id, lang, n_words::INT AS n_words,
+       |  FROM cfw),
+       |cfs AS (SELECT doc_id, lang, n_words::INT AS n_words,
        |  floor(char_sum::DOUBLE / n_words * 10000 + 0.5) / 10000 AS avg_word_len,
        |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
        |  floor(punct::DOUBLE / n_chars * 10000 + 0.5) / 10000 AS punct_ratio
-       |  FROM qm),
+       |  FROM cfm)""".stripMargin
+
+  /** Mirror of Curation.classifierExamples: the quality sub-signal
+    * features labeled by the CCNet head/tail split; middle tercile
+    * excluded.
+    */
+  lazy val classifierExamples: String =
+    s"""WITH $clfFeatureCtes,
        |${perplexityScoreCtes("px")},
        |$ccnetThresholdCtes
        |SELECT q.doc_id, q.lang, q.n_words, q.avg_word_len,
        |  q.stopword_ratio, q.punct_ratio,
        |  CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS label
-       |FROM qs q
+       |FROM cfs q
        |JOIN px ON px.doc_id = q.doc_id
        |JOIN th ON th.lang = px.lang
        |WHERE px.ppl <= th.t1 OR px.ppl > th.t2
        |ORDER BY q.doc_id""".stripMargin
+
+  /** Exact 1e-6-unit feature columns (mirror of Curation.clfUnits) over
+    * a relation aliased `$q` carrying the cfs columns.
+    */
+  private def clfUnitCols(q: String): String =
+    s"""1000000::BIGINT AS xu0,
+       |  CASE WHEN $q.n_words > 0
+       |       THEN least($q.n_words, 1000)::BIGINT * 1000 ELSE 0 END AS xu1,
+       |  CASE WHEN $q.n_words > 0
+       |       THEN floor(least($q.avg_word_len, 10.0) / 10.0 * 1000000 + 0.5)::BIGINT
+       |       ELSE 0 END AS xu2,
+       |  CASE WHEN $q.n_words > 0
+       |       THEN floor($q.stopword_ratio * 1000000 + 0.5)::BIGINT
+       |       ELSE 0 END AS xu3,
+       |  CASE WHEN $q.n_words > 0
+       |       THEN floor($q.punct_ratio * 1000000 + 0.5)::BIGINT
+       |       ELSE 0 END AS xu4""".stripMargin
+
+  /** The unrolled training chain (mirror of Curation.buildClfWeights):
+    * cex = the train-split examples in exact units; w0..wT = the weight
+    * vector after each gradient round (the pagerank unrolled-CTE
+    * posture). Requires cfs + px + th CTEs in scope.
+    */
+  private lazy val clfTrainCtes: String = {
+    import graft.operators.Curation.{ClfLr, ClfRounds, SplitSeed, SplitTrain}
+    val z = (0 to 4).map(i => s"w.wu$i * e.xu$i").mkString(" + ")
+    val head =
+      s"""cex AS MATERIALIZED (SELECT
+         |  ${clfUnitCols("q")},
+         |  (q.lbl * 1000000)::BIGINT AS yu
+         |  FROM (SELECT cfs.*,
+         |          CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS lbl
+         |        FROM cfs
+         |        JOIN px ON px.doc_id = cfs.doc_id
+         |        JOIN th ON th.lang = px.lang
+         |        WHERE (px.ppl <= th.t1 OR px.ppl > th.t2)
+         |          AND ('0x' || substr(md5(cfs.doc_id::VARCHAR || ':${sq(SplitSeed)}'), 1, 8))::BIGINT
+         |              / 4294967296.0 < $SplitTrain) q),
+         |w0 AS (SELECT ${(0 to 4).map(i => s"0::BIGINT AS wu$i").mkString(", ")})""".stripMargin
+    // w$t is referenced twice (next round's scorer + next round's step)
+    // and the chain is 6 deep: left plain, DuckDB's per-reference CTE
+    // inlining re-evaluates the whole prefix exponentially (the k_core
+    // lesson) — each round materializes its 1-row weight vector.
+    val rounds = (1 to ClfRounds).map { t =>
+      s"""s$t AS (SELECT e.*,
+         |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT AS pu
+         |  FROM cex e, w${t - 1} w),
+         |g$t AS (SELECT count(*)::BIGINT AS n,
+         |  ${(0 to 4).map(i => s"sum(xu$i * (yu - pu)) AS g$i").mkString(", ")}
+         |  FROM s$t),
+         |w$t AS MATERIALIZED (SELECT
+         |  ${(0 to 4).map(i =>
+             s"w.wu$i + floor($ClfLr * g.g$i::DOUBLE / g.n / 1000000 + 0.5)::BIGINT AS wu$i")
+             .mkString(",\n  ")}
+         |  FROM w${t - 1} w, g$t g)""".stripMargin
+    }
+    head + ",\n" + rounds.mkString(",\n")
+  }
+
+  /** Mirror of Curation.classifierTrain: the full unrolled training, one
+    * row per round × feature.
+    */
+  lazy val classifierTrain: String = {
+    import graft.operators.Curation.{ClfFeatureNames, ClfRounds}
+    val rows = (1 to ClfRounds).flatMap { t =>
+      ClfFeatureNames.zipWithIndex.map { case (f, i) =>
+        s"SELECT $t AS round, '${sq(f)}' AS feature, wu$i::DOUBLE / 1000000 AS weight FROM w$t"
+      }
+    }
+    s"""WITH $clfFeatureCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |$clfTrainCtes
+       |SELECT round, feature, weight FROM (
+       |${rows.mkString("\n  UNION ALL ")})
+       |ORDER BY round, feature""".stripMargin
+  }
+
+  /** Mirror of Curation.classifierApply: the same unrolled training to
+    * the final weights, then the map-only corpus-wide scorer.
+    */
+  lazy val classifierApply: String = {
+    import graft.operators.Curation.ClfRounds
+    val z = (0 to 4).map(i => s"w.wu$i * f.xu$i").mkString(" + ")
+    s"""WITH $clfFeatureCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |$clfTrainCtes,
+       |fu AS (SELECT doc_id, ${clfUnitCols("cfs")} FROM cfs),
+       |sx AS (SELECT f.doc_id,
+       |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT AS su
+       |  FROM fu f, w$ClfRounds w)
+       |SELECT doc_id, su::DOUBLE / 1000000 AS score, su >= 500000 AS pred
+       |FROM sx""".stripMargin
+  }
 
   /** Mirror of CorpusStats.signalCorr: the quality-score CTEs joined
     * with the perplexity CTEs on doc_id (no CTE-name collision: w/m/s
@@ -2647,25 +2750,48 @@ object DuckSql {
     * vs the perplexity/threshold chains), one confusion-matrix agg,
     * nullif-guarded 4dp ratios in mirrored order.
     */
-  val gateEval: String =
+  /** Mirror of Curation.gateEval: the two-arm gate leaderboard —
+    * heuristic keep (qf chain) and the trained classifier (the full
+    * unrolled training chain + scorer), both graded on held-out labeled
+    * docs.
+    */
+  lazy val gateEval: String = {
+    import graft.operators.Curation.{ClfRounds, SplitSeed, SplitTrain}
+    val z = (0 to 4).map(i => s"w.wu$i * f.xu$i").mkString(" + ")
     s"""WITH $qualityKeepCtes,
        |${perplexityScoreCtes("px")},
        |$ccnetThresholdCtes,
+       |$clfFeatureCtes,
+       |$clfTrainCtes,
        |lbl AS (SELECT px.doc_id,
        |          CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS pos
        |        FROM px JOIN th ON th.lang = px.lang
        |        WHERE px.ppl <= th.t1 OR px.ppl > th.t2),
-       |cx AS (SELECT
-       |    sum(CASE WHEN q.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
-       |    sum(CASE WHEN q.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
-       |    sum(CASE WHEN NOT q.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
-       |    sum(CASE WHEN NOT q.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
-       |  FROM qf q JOIN lbl l ON l.doc_id = q.doc_id)
-       |SELECT tp, fp, fn, tn,
+       |ho AS (SELECT doc_id FROM documents
+       |       WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SplitSeed)}'), 1, 8))::BIGINT
+       |             / 4294967296.0 >= $SplitTrain),
+       |fu AS (SELECT doc_id, ${clfUnitCols("cfs")} FROM cfs),
+       |ck AS (SELECT f.doc_id,
+       |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT
+       |    >= 500000 AS keep
+       |  FROM fu f, w$ClfRounds w),
+       |arms AS (SELECT 'heuristic' AS gate, doc_id, keep FROM qf
+       |         UNION ALL SELECT 'classifier', doc_id, keep FROM ck),
+       |cx AS (SELECT a.gate,
+       |    sum(CASE WHEN a.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN a.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN NOT a.keep AND l.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN NOT a.keep AND l.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM arms a
+       |  JOIN ho ON ho.doc_id = a.doc_id
+       |  JOIN lbl l ON l.doc_id = a.doc_id
+       |  GROUP BY a.gate)
+       |SELECT gate, tp, fp, fn, tn,
        |  floor(tp::DOUBLE / nullif(tp + fp, 0) * 10000 + 0.5) / 10000 AS prec,
        |  floor(tp::DOUBLE / nullif(tp + fn, 0) * 10000 + 0.5) / 10000 AS rec,
        |  floor(2.0 * tp::DOUBLE / nullif(2 * tp + fp + fn, 0) * 10000 + 0.5) / 10000 AS f1
-       |FROM cx""".stripMargin
+       |FROM cx ORDER BY gate""".stripMargin
+  }
 
   /** Mirror of Curation.dataSplit: the same first-8-md5-hex/2^32
     * uniform, thresholds interpolated from the SAME Scala doubles

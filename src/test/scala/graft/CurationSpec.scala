@@ -184,26 +184,31 @@ class CurationSpec extends SparkSpecBase {
     assert(again.toSeq === out.toSeq)
   }
 
-  test("gate_eval: confusion matrix recomputed from the two gates") {
+  test("gate_eval: heuristic arm's confusion matrix recomputed by hand " +
+      "over the held-out labeled set") {
     val dir = "/root/testdata/sf0.001"
     val keep = Curation.qualityFilter(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val held = Curation.dataSplit(spark, dir).collect()
+      .filter(_.getAs[String]("split") != "train")
+      .map(_.getAs[Long]("doc_id")).toSet
     val lbl = graft.operators.CorpusStats.ccnetBuckets(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
       .filter(_._2 != "middle")
-    val joint = lbl.keys.filter(keep.contains).toSeq
+    val joint = lbl.keys.filter(id => keep.contains(id) && held(id)).toSeq
     val tp = joint.count(id => keep(id) && lbl(id) == "head").toLong
     val fp = joint.count(id => keep(id) && lbl(id) != "head").toLong
     val fn = joint.count(id => !keep(id) && lbl(id) == "head").toLong
     val tn = joint.count(id => !keep(id) && lbl(id) != "head").toLong
-    val out = Curation.gateEval(spark, dir).collect().head
-    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    val out = Curation.gateEval(spark, dir).collect()
+      .find(_.getAs[String]("gate") == "heuristic").get
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4))
       === ((tp, fp, fn, tn)))
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
-    if (tp + fp > 0) assert(out.getDouble(4) === r4(tp.toDouble / (tp + fp)))
-    if (tp + fn > 0) assert(out.getDouble(5) === r4(tp.toDouble / (tp + fn)))
+    if (tp + fp > 0) assert(out.getDouble(5) === r4(tp.toDouble / (tp + fp)))
+    if (tp + fn > 0) assert(out.getDouble(6) === r4(tp.toDouble / (tp + fn)))
     if (2 * tp + fp + fn > 0)
-      assert(out.getDouble(6) === r4(2.0 * tp / (2 * tp + fp + fn)))
+      assert(out.getDouble(7) === r4(2.0 * tp / (2 * tp + fp + fn)))
     assert(tp + fp + fn + tn > 0) // the audit must be non-degenerate
   }
 
@@ -370,5 +375,66 @@ class CurationSpec extends SparkSpecBase {
     val expected = Seq(1L, 2L).sortBy(id => (h(id), id))
     assert(out.sortBy(_.getAs[Long]("pos"))
       .map(_.getAs[Long]("doc_id")).toSeq === expected)
+  }
+
+  test("classifier_train: round-1 step matches the closed-form zero-start " +
+      "gradient; trajectory is rounds x features") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Curation.classifierTrain(spark, d).collect()
+    assert(rows.length ===
+      Curation.ClfRounds * Curation.ClfFeatureNames.length)
+    // From w=0, p = sigmoid(0) = 0.5 exactly for every example, so the
+    // first step is closed-form over the train-split examples — an
+    // end-to-end pin of the unit arithmetic (features, yu, gradient,
+    // floor-rounded step) without trusting the loop itself.
+    import org.apache.spark.sql.functions._
+    val trainIds = Curation.dataSplit(spark, d)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val ex = Curation.classifierExamples(spark, d)
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .select(col("n_words"), col("avg_word_len"), col("stopword_ratio"),
+        col("punct_ratio"), col("label")).collect()
+    def units(r: org.apache.spark.sql.Row): Seq[Long] = {
+      val nw = r.getInt(0)
+      def r6u(x: Double) = math.floor(x * 1000000 + 0.5).toLong
+      if (nw <= 0) Seq(1000000L, 0L, 0L, 0L, 0L)
+      else Seq(1000000L, math.min(nw, 1000).toLong * 1000,
+        r6u(math.min(r.getDouble(1), 10.0) / 10.0),
+        r6u(r.getDouble(2)), r6u(r.getDouble(3)))
+    }
+    val n = ex.length
+    val w1 = (0 to 4).map { i =>
+      val g = ex.map(r => BigInt(units(r)(i)) *
+        (r.getInt(4).toLong * 1000000L - 500000L)).sum
+      math.floor(Curation.ClfLr * g.toDouble / n / 1e6 + 0.5) / 1e6
+    }
+    val got = rows.filter(_.getAs[Int]("round") == 1)
+      .map(r => r.getAs[String]("feature") -> r.getAs[Double]("weight"))
+      .toMap
+    Curation.ClfFeatureNames.zipWithIndex.foreach { case (f, i) =>
+      assert(got(f) === w1(i), s"round-1 weight of $f")
+    }
+  }
+
+  test("classifier_apply: score is the frozen-weight sigmoid; pred is " +
+      "the 0.5 threshold") {
+    val d = "/root/testdata/sf0.001"
+    val out = Curation.classifierApply(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Boolean]("pred") === (s >= 0.5))
+    }
+  }
+
+  test("gate_eval: two arms over the identical held-out labeled set") {
+    val d = "/root/testdata/sf0.001"
+    val out = Curation.gateEval(spark, d).collect()
+    assert(out.map(_.getAs[String]("gate")).toSeq ===
+      Seq("classifier", "heuristic"))
+    val totals = out.map(r => (1 to 4).map(r.getLong).sum)
+    assert(totals.distinct.length === 1,
+      "both gates must be graded on the same eval set")
   }
 }
