@@ -174,6 +174,7 @@ object SparkEntry {
     "dsir_weights" -> (CorpusStats.dsirWeights _),
     "dsir_select" -> (CorpusStats.dsirSelect _),
     "bpe_pairs"    -> (CorpusStats.bpePairs _),
+    "bpe_vocab"    -> (CorpusStats.bpeVocab _),
     "readability"  -> (TextAnalysis.readability _),
     "pagerank"     -> (Graph.pagerank _),
     "graph_stats"  -> (Graph.graphStats _),
@@ -710,6 +711,7 @@ object SparkEntry {
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,
     "dsir_select" -> graft.oracle.DuckSql.dsirSelect,
     "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
+    "bpe_vocab"    -> graft.oracle.DuckSql.bpeVocab,
     "readability"  -> graft.oracle.DuckSql.readability,
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,

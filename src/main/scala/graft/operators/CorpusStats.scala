@@ -991,6 +991,76 @@ object CorpusStats {
       .select(col("pair"), col("pair_count"), col("n_types"), col("rank"))
   }
 
+  /** Number of BPE merge rounds learned by [[bpeVocab]] (fixed — the
+    * pagerank PrIters posture; real tokenizers run tens of thousands of
+    * merges with identical per-round shape).
+    */
+  val BpeMerges = 8
+
+  /** bpe_vocab: the full BPE MERGE LOOP (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 §3) — [[BpeMerges]] rounds of: count adjacent symbol
+    * pairs over the word vocabulary weighted by word frequency, take
+    * the most frequent pair (ties: lexicographic), merge it greedily
+    * left-to-right in every word. Output = the learned merge table
+    * (merge, left, right, pair_count) — the artifact a tokenizer
+    * trainer exports. [[bpePairs]] is round 1's candidate table; this
+    * iterates it to a vocabulary.
+    *
+    * Scale shape: all per-round work is VOCABULARY-sized (the corpus is
+    * touched once, in the word-frequency groupBy): the pair count is a
+    * partial agg over exploded adjacent pairs, the argmax is a 1-row
+    * TakeOrdered broadcast, and the merge is one string `replace` per
+    * word — so a round costs O(|vocab|) regardless of corpus size, and
+    * rounds are the only sequential dimension (inherent to BPE).
+    *
+    * Symbols ride a delimited string — every symbol wrapped as
+    * \\u0001 sym \\u0002 — so the merge is the engine's literal
+    * leftmost-non-overlapping replace-all of the wrapped L,R pair with
+    * the wrapped LR: NON-SHARED delimiters make consecutive
+    * occurrences independent, which makes replace() exactly BPE's
+    * greedy merge on BOTH engines. Adjacent-pair counts include
+    * overlapping pairs (Sennrich's get_stats). Tokens containing the
+    * two control chars are excluded (mirrored) — they cannot occur in
+    * whitespace-tokenized text.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val S = "\u0001"
+    val E = "\u0002"
+    var v = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .filter(!col("tok").contains(S) && !col("tok").contains(E))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("tok"), "(.)", S + "$1" + E).as("seq"),
+        col("freq"))
+      .localCheckpoint()
+    var merges = List.empty[DataFrame]
+    for (t <- 1 to BpeMerges) {
+      val syms = split(trim(col("seq"), S + E), E + S)
+      val best = v
+        .select(col("freq"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), col("s"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"))
+        .select(col("freq"), element_at(col("s"), col("i")).as("l"),
+          element_at(col("s"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // feeds the output row AND the merge rewrite
+      merges :+= best.select(lit(t).as("merge"), col("l").as("left"),
+        col("r").as("right"), col("cnt").as("pair_count"))
+      v = v.crossJoin(broadcast(best))
+        .select(replace(col("seq"),
+          concat(lit(S), col("l"), lit(E), lit(S), col("r"), lit(E)),
+          concat(lit(S), col("l"), col("r"), lit(E))).as("seq"),
+          col("freq"))
+        .localCheckpoint() // round-over-round lineage cut
+    }
+    merges.reduce(_ unionByName _).orderBy(col("merge"))
+  }
+
   /** Score `docs` against a frozen LM count table. Left joins: a bigram
     * the LM never saw contributes the smoothed floor ln((c1+V)/1); an
     * unseen context word contributes ln(V). Languages absent from the LM

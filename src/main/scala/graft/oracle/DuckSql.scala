@@ -3079,6 +3079,49 @@ object DuckSql {
        |      FROM ag) WHERE rank <= $BpeTopK""".stripMargin
   }
 
+  /** Mirror of CorpusStats.bpeVocab: the same wrapped-symbol string
+    * representation (chr(1) sym chr(2) per symbol — non-shared
+    * delimiters so replace() is exactly the greedy leftmost merge), the
+    * same overlapping adjacent-pair counts, [[BpeMerges]] rounds
+    * unrolled as materialized CTEs (the pagerank posture; v$t and b$t
+    * are both multiply-referenced).
+    */
+  lazy val bpeVocab: String = {
+    import graft.operators.CorpusStats.BpeMerges
+    val head =
+      s"""$tokCte,
+         |v0 AS MATERIALIZED (
+         |  SELECT regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
+         |         freq
+         |  FROM (SELECT term AS tok, count(*)::BIGINT AS freq FROM tok
+         |        WHERE strpos(term, chr(1)) = 0 AND strpos(term, chr(2)) = 0
+         |        GROUP BY term))""".stripMargin
+    val rounds = (1 to BpeMerges).map { t =>
+      s"""y$t AS (SELECT freq,
+         |    string_split(trim(seq, chr(1) || chr(2)), chr(2) || chr(1)) AS s
+         |  FROM v${t - 1} WHERE length(seq) > 0),
+         |p$t AS (SELECT s[i::INT] AS l, s[i::INT + 1] AS r, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM y$t
+         |        WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT l, r, cnt FROM p$t
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$t AS MATERIALIZED (SELECT
+         |    replace(v.seq, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+         |            chr(1) || b.l || b.r || chr(2)) AS seq,
+         |    v.freq
+         |  FROM v${t - 1} v, b$t b)""".stripMargin
+    }
+    val out = (1 to BpeMerges).map { t =>
+      s"SELECT $t AS merge, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$t"
+    }
+    s"""$head,
+       |${rounds.mkString(",\n")}
+       |SELECT merge, left_sym AS "left", right_sym AS "right", pair_count
+       |FROM (${out.mkString("\n  UNION ALL ")})
+       |ORDER BY merge""".stripMargin
+  }
+
   /** Mirror of Graph.pagerank: same capped basket edges as the
     * copurchase oracle, the fixed PrIters rounds UNROLLED as sequential
     * CTEs (the iteration count is a constant, so unrolling is exact —

@@ -377,6 +377,23 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("ca", 1L, 1L, 3)))
   }
 
+  test("bpe_vocab: greedy leftmost merges, re-counted per round") {
+    val dir = fixtureDir(docs = Seq(doc(1, "abab abab abc"), doc(2, "aaa")))
+    // vocab: abab:2, abc:1, aaa:1
+    // r1 pairs: (a,b):2·2+1=5, (b,a):2, (b,c):1, (a,a):2 (overlapping in
+    // 'aaa') -> merge (a,b,5); abab -> [ab,ab], abc -> [ab,c]
+    // r2: (ab,ab):2, (ab,c):1, (a,a):2 -> tie 2 broken lexicographically:
+    // 'a' < 'ab' -> merge (a,a,2); aaa -> [aa,a] (GREEDY leftmost)
+    // r3: (ab,ab):2 -> merge; r4: (aa,a):1 < (ab,c):1? tie: 'aa'<'ab'
+    // -> merge (aa,a,1); r5: (ab,c):1; r6..: no pairs left -> no rows
+    val out = graft.operators.CorpusStats.bpeVocab(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.take(5).toSeq === Seq(
+      (1, "a", "b", 5L), (2, "a", "a", 2L), (3, "ab", "ab", 2L),
+      (4, "aa", "a", 1L), (5, "ab", "c", 1L)))
+    assert(out.length === 5) // merged-out corpus: later rounds emit none
+  }
+
   test("source_card: per-source datasheet rows reconcile with the corpus card") {
     val docs = Seq(
       Doc(1, "the cat sat on the mat.", "en", "s0", 23),
