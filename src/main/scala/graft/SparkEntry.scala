@@ -114,6 +114,7 @@ object SparkEntry {
     "embed_text" -> (Embedder.embedTextComponents _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_recall" -> (Similarity.annRecall _),
+    "nprobe_curve" -> (Similarity.nprobeCurve _),
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
@@ -618,6 +619,7 @@ object SparkEntry {
     "embed_text" -> graft.oracle.DuckSql.embedText,
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
     "ann_recall" -> graft.oracle.DuckSql.annRecall,
+    "nprobe_curve" -> graft.oracle.DuckSql.nprobeCurve,
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,

@@ -1779,6 +1779,56 @@ object DuckSql {
        |                           ORDER BY s DESC, neighbor_id) AS rank
        |      FROM sc) WHERE rank <= 3""".stripMargin
 
+  /** Mirror of Similarity.nprobeCurve: the trained-kmeans chain once
+    * (materialized — three arms reference it), the exact brute top-3
+    * CTE, one aggregated left-join recall arm per swept nprobe.
+    */
+  lazy val nprobeCurve: String = {
+    import graft.operators.Similarity.NprobeSweep
+    def arm(np: Int) =
+      s"""SELECT $np AS nprobe, (count(*) / 3)::BIGINT AS n_queries,
+         |  floor(count(ap.neighbor_id)::DOUBLE / count(*) * 10000 + 0.5)
+         |    / 10000 AS recall
+         |FROM ex LEFT JOIN (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY s DESC, neighbor_id) AS rank
+         |    FROM (SELECT p.q_id, x.vec_id AS neighbor_id,
+         |        list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |      FROM (SELECT q_id, pcid FROM (
+         |          SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |            row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                       c.cid) AS pr
+         |          FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+         |        WHERE pr <= $np) p
+         |      JOIN idx x ON x.cid = p.pcid
+         |      JOIN embeddings qe ON qe.vec_id = p.q_id
+         |      WHERE x.vec_id <> p.q_id)) WHERE rank <= 3) ap
+         |  ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx0")},
+       |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT nprobe, n_queries, recall FROM (
+       |${NprobeSweep.map(arm).mkString("\nUNION ALL\n")})
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** Mirror of Similarity.indexRecall: one exact brute-force CTE, four
     * left-join recall arms — each embedding the full probe oracle as a
     * subquery (annIvfKmeans / annPq / annIvfPq / lshAnn).

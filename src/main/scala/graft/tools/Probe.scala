@@ -48,8 +48,11 @@ object Probe {
       t
     }
     SparkEntry.queries.keys.filter(only).toSeq.sorted.foreach { name =>
-      val t = math.min(once(name), once(name))
-      println(f"PROBE $name%-24s min=$t%8.3f s")
+      // both runs printed: run 1 carries the per-JVM IndexStore builds
+      // (the Bench queries_max convention), min is the consumer cost
+      val t1 = once(name); val t2 = once(name)
+      println(f"PROBE $name%-24s min=${math.min(t1, t2)}%8.3f s  " +
+        f"max=${math.max(t1, t2)}%8.3f s")
     }
     spark.stop()
   }

@@ -198,6 +198,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("nprobe_curve: monotone in nprobe; nprobe=2 row equals the mean " +
+      "of ann_recall") {
+    val d = roDir
+    val out = Similarity.nprobeCurve(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Similarity.NprobeSweep.toSet)
+    // one query universe, recall non-decreasing as more cells are probed
+    assert(out.values.map(_._1).toSet.size === 1)
+    val sorted = Similarity.NprobeSweep.sorted.map(out(_)._2)
+    assert(sorted === sorted.sorted, s"recall must be monotone: $sorted")
+    // the nprobe=2 row is exactly the mean of the standalone per-query
+    // gauge (same probe, same truth)
+    val per = Similarity.annRecall(spark, d).collect()
+      .map(_.getLong(1)).toSeq
+    val expected =
+      math.floor(per.sum.toDouble / (3 * per.length) * 10000 + 0.5) / 10000
+    assert(out(2) === ((per.length.toLong, expected)))
+  }
+
   test("index_recall: four arms, each matching its standalone recall") {
     val d = pqDir
     val out = Similarity.indexRecall(spark, d).collect()
