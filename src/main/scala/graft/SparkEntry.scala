@@ -176,6 +176,7 @@ object SparkEntry {
     "dsir_select" -> (CorpusStats.dsirSelect _),
     "bpe_pairs"    -> (CorpusStats.bpePairs _),
     "bpe_vocab"    -> (CorpusStats.bpeVocab _),
+    "bpe_encode"   -> (CorpusStats.bpeEncode _),
     "readability"  -> (TextAnalysis.readability _),
     "pagerank"     -> (Graph.pagerank _),
     "graph_stats"  -> (Graph.graphStats _),
@@ -714,6 +715,7 @@ object SparkEntry {
     "dsir_select" -> graft.oracle.DuckSql.dsirSelect,
     "bpe_pairs"    -> graft.oracle.DuckSql.bpePairs,
     "bpe_vocab"    -> graft.oracle.DuckSql.bpeVocab,
+    "bpe_encode"   -> graft.oracle.DuckSql.bpeEncode,
     "readability"  -> graft.oracle.DuckSql.readability,
     "pagerank"     -> graft.oracle.DuckSql.pagerank,
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,

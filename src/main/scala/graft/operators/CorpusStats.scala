@@ -1024,7 +1024,23 @@ object CorpusStats {
     * two control chars are excluded (mirrored) — they cannot occur in
     * whitespace-tokenized text.
     */
+  def bpeMergesPath(dir: String): String =
+    IndexStore.path("bpe-merges-v1", dir)
+
+  /** The persisted learned merge table — built once per corpus (the
+    * tokenizer artifact a training pipeline ships); [[bpeVocab]] reads
+    * it, [[bpeEncode]] applies it.
+    */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeMergesPath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        bpeVocabLive(spark, dir), path, Seq("merge")))
+    spark.read.parquet(path).orderBy(col("merge"))
+  }
+
+  /** The live merge loop (the artifact build). */
+  private[graft] def bpeVocabLive(spark: SparkSession, dir: String): DataFrame = {
     val S = "\u0001"
     val E = "\u0002"
     var v = Tables.cpuPartition(
@@ -1059,6 +1075,66 @@ object CorpusStats {
         .localCheckpoint() // round-over-round lineage cut
     }
     merges.reduce(_ unionByName _).orderBy(col("merge"))
+  }
+
+  /** bpe_encode: apply the LEARNED merge table corpus-wide — the encode
+    * half of the tokenizer loop (bpe_pairs counts, bpe_vocab learns,
+    * THIS tokenizes): every word re-segments under the trained subword
+    * vocabulary (the same wrapped-symbol replaces, in merge order — a
+    * word's final symbol count is its subword token count), rolled up
+    * per language as the TRAINED-tokenizer fertility
+    * (subwords per whitespace word — the real-tokenizer twin of
+    * tokenizer_fertility's fixed heuristics; the number a tokenizer
+    * bake-off actually compares).
+    *
+    * Scale shape: encoding runs over the DISTINCT word vocabulary
+    * (bounded), not the corpus — per-doc token multiplicities join the
+    * encoded vocabulary on the word, and the per-lang rollup is a
+    * partial agg; the 8 merge applications are chained literal
+    * replaces over a 1-row broadcast of the pivoted merge table (a
+    * missing merge round — possible on tiny corpora — degrades to a
+    * no-op stage on both engines).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val S = "\u0001"
+    val E = "\u0002"
+    // the 8 merges pivoted into ONE row (l1,r1..l8,r8), null-padded
+    val m = bpeVocab(spark, dir)
+    val mcols = (1 to BpeMerges).flatMap(t => Seq(
+      max(when(col("merge") === t, col("left"))).as(s"l$t"),
+      max(when(col("merge") === t, col("right"))).as(s"r$t")))
+    val wide = m.groupBy().agg(mcols.head, mcols.tail: _*)
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.normToks(col("text"))).as("tok"))
+      .filter(!col("tok").contains(S) && !col("tok").contains(E))
+    val dt = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the vocab collapse AND the join back
+    val vocab = dt.select(col("tok")).distinct()
+      .select(col("tok"),
+        regexp_replace(col("tok"), "(.)", S + "$1" + E).as("seq"))
+      .crossJoin(broadcast(wide))
+    val seqFinal = (1 to BpeMerges).foldLeft(col("seq")) { (acc, t) =>
+      when(col(s"l$t").isNull, acc).otherwise(replace(acc,
+        concat(lit(S), col(s"l$t"), lit(E), lit(S), col(s"r$t"), lit(E)),
+        concat(lit(S), col(s"l$t"), col(s"r$t"), lit(E))))
+    }
+    val enc = vocab.select(col("tok").as("etok"),
+      size(split(trim(seqFinal, S + E), E + S)).cast("long").as("n_sub"))
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    dt.join(enc, col("tok") === col("etok"))
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        r4(col("n_subwords").cast("double") / col("n_words"))
+          .as("fertility"))
+      .orderBy(col("lang"))
   }
 
   /** Score `docs` against a frozen LM count table. Left joins: a bigram

@@ -3136,7 +3136,11 @@ object DuckSql {
     * unrolled as materialized CTEs (the pagerank posture; v$t and b$t
     * are both multiply-referenced).
     */
-  lazy val bpeVocab: String = {
+  /** The unrolled BPE merge-learning chain (v0 vocab + per-round y/p/b/v
+    * CTEs) — shared by bpeVocab (reads the b$t rows) and bpeEncode
+    * (re-applies them). Starts with the tokCte WITH head.
+    */
+  private lazy val bpeChainCtes: String = {
     import graft.operators.CorpusStats.BpeMerges
     val head =
       s"""$tokCte,
@@ -3162,14 +3166,57 @@ object DuckSql {
          |    v.freq
          |  FROM v${t - 1} v, b$t b)""".stripMargin
     }
+    head + ",\n" + rounds.mkString(",\n")
+  }
+
+  lazy val bpeVocab: String = {
+    import graft.operators.CorpusStats.BpeMerges
     val out = (1 to BpeMerges).map { t =>
       s"SELECT $t AS merge, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$t"
     }
-    s"""$head,
-       |${rounds.mkString(",\n")}
+    s"""$bpeChainCtes
        |SELECT merge, left_sym AS "left", right_sym AS "right", pair_count
        |FROM (${out.mkString("\n  UNION ALL ")})
        |ORDER BY merge""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.bpeEncode: the learned chain's b$t merges
+    * re-applied (left-join-on-true so an empty round is a no-op stage,
+    * matching the Spark null-guard) over the distinct word vocabulary,
+    * doc multiplicities joined back, per-language fertility rollup.
+    */
+  lazy val bpeEncode: String = {
+    import graft.operators.CorpusStats.BpeMerges
+    val applies = (1 to BpeMerges).map { t =>
+      s"""x$t AS (SELECT x.tok,
+         |    CASE WHEN b.l IS NULL THEN x.seq
+         |         ELSE replace(x.seq,
+         |                chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+         |                chr(1) || b.l || b.r || chr(2)) END AS seq
+         |  FROM x${t - 1} x LEFT JOIN b$t b ON true)""".stripMargin
+    }
+    s"""$bpeChainCtes,
+       |dtok AS (SELECT doc_id, term AS tok FROM tok
+       |         WHERE strpos(term, chr(1)) = 0 AND strpos(term, chr(2)) = 0),
+       |dt AS MATERIALIZED (SELECT d.doc_id, dd.lang, d.tok,
+       |    count(*)::BIGINT AS cnt
+       |  FROM dtok d JOIN documents dd ON dd.doc_id = d.doc_id
+       |  GROUP BY 1, 2, 3),
+       |x0 AS (SELECT DISTINCT tok,
+       |    regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq
+       |  FROM dt),
+       |${applies.mkString(",\n")},
+       |enc AS (SELECT tok,
+       |    len(string_split(trim(seq, chr(1) || chr(2)),
+       |        chr(2) || chr(1)))::BIGINT AS n_sub
+       |  FROM x$BpeMerges)
+       |SELECT dt.lang, count(DISTINCT dt.doc_id)::BIGINT AS n_docs,
+       |  sum(dt.cnt)::BIGINT AS n_words,
+       |  sum(dt.cnt * enc.n_sub)::BIGINT AS n_subwords,
+       |  floor(sum(dt.cnt * enc.n_sub)::DOUBLE / sum(dt.cnt) * 10000 + 0.5)
+       |    / 10000 AS fertility
+       |FROM dt JOIN enc ON enc.tok = dt.tok
+       |GROUP BY dt.lang ORDER BY dt.lang""".stripMargin
   }
 
   /** Mirror of Graph.pagerank: same capped basket edges as the

@@ -394,6 +394,20 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.length === 5) // merged-out corpus: later rounds emit none
   }
 
+  test("bpe_encode: every word of the merged-out corpus collapses to " +
+      "one subword (fertility 1.0)") {
+    // same corpus as the bpe_vocab spec: the 5 learned merges fully
+    // re-segment every word type (abab/abc/aaa each end as ONE symbol),
+    // so the per-lang rollup must read exactly fertility 1.0 — an
+    // end-to-end pin that merge APPLICATION follows merge learning
+    val dir = fixtureDir(docs = Seq(doc(1, "abab abab abc"), doc(2, "aaa")))
+    val out = graft.operators.CorpusStats.bpeEncode(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((2L, 4L, 4L, 1.0)))
+  }
+
   test("source_card: per-source datasheet rows reconcile with the corpus card") {
     val docs = Seq(
       Doc(1, "the cat sat on the mat.", "en", "s0", 23),
