@@ -871,14 +871,21 @@ object Curation {
     * (the CCNet serving step). Map-shaped: one quality-signal pass, a
     * 1-row weight broadcast, no shuffle.
     */
-  def classifierApply(spark: SparkSession, dir: String): DataFrame = {
-    val fin = spark.read.parquet(s"${clfWeights(spark, dir)}/final")
-    TextAnalysis.qualityScore(spark, dir)
+  def classifierApply(spark: SparkSession, dir: String): DataFrame =
+    classifierScoreOf(TextAnalysis.qualityScore(spark, dir),
+      spark.read.parquet(s"${clfWeights(spark, dir)}/final"))
+
+  /** Frame-shaped scorer over a quality-signals frame and a frozen
+    * 1-row weight vector — shared with the streaming trained-gate
+    * twin (graft.streaming.ScoreStream.scoreTrainedGate).
+    */
+  private[graft] def classifierScoreOf(signals: DataFrame,
+      finalWeights: DataFrame): DataFrame =
+    signals
       .select(col("doc_id") +: clfUnits: _*)
-      .crossJoin(broadcast(fin))
+      .crossJoin(broadcast(finalWeights))
       .select(col("doc_id"), clfPu.as("su"))
       .select(col("doc_id"),
         (col("su").cast("double") / 1000000).as("score"),
         (col("su") >= 500000L).as("pred"))
-  }
 }

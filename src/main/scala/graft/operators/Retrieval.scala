@@ -66,6 +66,23 @@ object Retrieval {
     */
   val BmMaxQueryTerms = 32
 
+  /** bm25 per-term impact cap (the [[SparseImpactCap]] posture applied
+    * to the lexical scoring join): each term keeps only its
+    * [[BmImpactCap]] highest-impact corpus postings — impact =
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), the per-posting score factor
+    * with idf (constant within a term) divided out — ordered desc with
+    * doc_id tie-break (static impact-ordered index pruning, Anh &
+    * Moffat). The r9 100× probe is the reason this exists: on the
+    * degenerate ~30-term synthetic vocabulary every query keeps the
+    * same hot terms, BmMaxQueryTerms cannot bound the join, and the
+    * uncapped scoring join spilled past the probe host's disk
+    * (> 75 GB) — capped, the join is ≤ |queries|·32·cap rows at ANY
+    * corpus size. df/idf still compute over the full postings;
+    * oracle-mirrored, runtime-tunable via
+    * `spark.graft.param.bm25_topk.impact_cap`.
+    */
+  val BmImpactCap = 2000
+
   val TfidfTopTerms = 5
 
   /** (doc_id, term): one row per token occurrence, compute-parallelized
@@ -174,10 +191,24 @@ object Retrieval {
             lit(BmB) * (col("dl").cast("double") / col("avgdl")))))
       * 1000000 + lit(0.5)) / 1000000).cast("decimal(18,6)")
 
+    // per-term impact cap on the scoring join's corpus side (see
+    // BmImpactCap): the idf-free score factor orders each term's
+    // postings; only the top cap enter the join
+    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
+    val impact = (col("tf").cast("double") * lit(BmK1Plus1)) /
+      (col("tf").cast("double") + lit(BmK1) *
+        (lit(1.0) - lit(BmB) +
+          lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
+    val capped = ctf
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("ir", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(impact.desc, col("doc_id"))))
+      .filter(col("ir") <= cap)
+      .drop("ir")
+
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    ctf.join(broadcast(qt), "term")
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
+    capped.join(broadcast(qt), "term")
       .select(col("q_id"), col("doc_id"), part.as("part"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("part")).as("score"))

@@ -68,7 +68,16 @@ object TextAnalysis {
   /** quality_score: length/stopword/punctuation heuristics composited into
     * a [0,1] score — the standard pre-training quality gate shape.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualitySignalsOf(Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")))
+
+  /** Frame-shaped twin of [[qualityScore]] — shared with the streaming
+    * trained-gate scorer (graft.streaming.ScoreStream), which scores
+    * arriving micro-batches instead of a corpus directory.
+    */
+  private[graft] def qualitySignalsOf(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val nWords = size(t)
     val charSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
@@ -82,9 +91,7 @@ object TextAnalysis {
     // engine round() implementations disagree; rnd4 is the same
     // floor-based primitive the oracle SQL uses on the same double
     def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
+    docs
       .select(col("doc_id"),
         nWords.cast("int").as("n_words"),
         rnd4(charSum.cast("double") / nWords).as("avg_word_len"),

@@ -707,12 +707,19 @@ object DuckSql {
        |                       ORDER BY i.idf DESC, q.term) AS qr
        |  FROM qt q JOIN idf i ON i.term = q.term)
        |  WHERE qr <= ${graft.operators.Retrieval.BmMaxQueryTerms}),
+       |cimp AS (SELECT doc_id, term, tf, dl FROM (
+       |  SELECT c.doc_id, c.term, c.tf, d.dl,
+       |    row_number() OVER (PARTITION BY c.term
+       |      ORDER BY (c.tf::DOUBLE * $BmK1Plus1) /
+       |        (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (d.dl::DOUBLE / s.avgdl))) DESC,
+       |        c.doc_id) AS ir
+       |  FROM ctf c JOIN dlen d USING (doc_id), stats s)
+       |  WHERE ir <= ${graft.operators.Retrieval.BmImpactCap}),
        |sc AS (SELECT q.q_id, c.doc_id,
        |  CAST(floor(q.idf * ((c.tf::DOUBLE * $BmK1Plus1) /
-       |    (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (d.dl::DOUBLE / s.avgdl))))
+       |    (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (c.dl::DOUBLE / s.avgdl))))
        |    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
-       |  FROM ctf c JOIN dlen d USING (doc_id)
-       |       JOIN qte q ON q.term = c.term, stats s),
+       |  FROM cimp c JOIN qte q ON q.term = c.term, stats s),
        |agg AS (SELECT q_id, doc_id, sum(part) AS score FROM sc
        |        GROUP BY q_id, doc_id)""".stripMargin
   }

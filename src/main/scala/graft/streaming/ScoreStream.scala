@@ -79,6 +79,27 @@ object ScoreStream {
         }
     }
 
+  /** Streaming trained-gate scoring — arriving docs score against the
+    * FROZEN distilled-classifier weights
+    * (graft.operators.Curation.buildClfWeights): the production serving
+    * face of classifier_apply, where the gate filters an ingest stream
+    * instead of re-scanning a corpus. Same freeze-then-probe contract
+    * and append-store semantics as [[scoreDocs]]; the weight vector is
+    * one broadcast row, so the per-batch work is a stateless map — the
+    * cheapest gate in the streaming stack (CurateStream's heuristic
+    * rules beside it need no training; this one carries the distilled
+    * LM signal).
+    */
+  def scoreTrainedGate(docs: DataFrame, finalWeights: DataFrame,
+      store: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        appendScored(batch.toDF(), store) { b =>
+          graft.operators.Curation.classifierScoreOf(
+            graft.operators.TextAnalysis.qualitySignalsOf(b), finalWeights)
+        }
+    }
+
   /** Micro-batch skeleton shared across the foreachBatch sinks —
     * see [[StreamStore.appendNew]].
     */

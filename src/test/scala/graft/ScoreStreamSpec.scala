@@ -106,4 +106,37 @@ class ScoreStreamSpec extends SparkSpecBase {
     assert(streamed === batch)
     assert(streamed.map(_.head) === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("drained trained-gate store equals batch classifier_apply with " +
+      "the same frozen weights") {
+    import org.apache.spark.sql.functions.lit
+    // weights frozen from the sf0.001 corpus artifact BEFORE the stream
+    val d = "/root/testdata/sf0.001"
+    graft.operators.Curation.classifierTrain(spark, d).count() // build
+    val fin = spark.read.parquet(
+      s"${graft.operators.Curation.clfWeightsPath(d)}/final")
+      .localCheckpoint()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    import spark.implicits._
+    def frame(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("doc_id", "text")
+    // batch 2 re-delivers batch 1's first doc: must be a no-op
+    val stage = stageBatchFrames(Seq(frame(h1),
+      frame(h2 ++ h1.take(1))))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-gate-store").toString + "/preds"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = ScoreStream.scoreTrainedGate(src, fin, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val streamed = rows(spark.read.parquet(store))
+    val batch = rows(graft.operators.Curation.classifierApply(spark, d))
+    assert(streamed === batch)
+  }
 }

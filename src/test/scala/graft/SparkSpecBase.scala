@@ -69,12 +69,20 @@ trait SparkSpecBase extends AnyFunSuite
     */
   def stageBatches(batches: Seq[Seq[Doc]]): String = {
     import spark.implicits._
+    stageBatchFrames(batches.map(_.toDF()))
+  }
+
+  /** Frame-typed twin of [[stageBatches]] for streams whose rows aren't
+    * the Doc fixture shape.
+    */
+  def stageBatchFrames(batches: Seq[org.apache.spark.sql.DataFrame])
+      : String = {
     val stage = java.nio.file.Files
       .createTempDirectory("graft-doc-stream").toString
-    batches.zipWithIndex.foreach { case (docs, i) =>
+    batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-doc-stage").toString
-      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath,
