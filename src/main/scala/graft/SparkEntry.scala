@@ -102,6 +102,8 @@ object SparkEntry {
     "dow_anomalies" -> (Sessions.dowAnomalies _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
+    "media_shard" -> (Multimodal.mediaShard _),
+    "banding_curve" -> (Dedup.bandingCurve _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -607,6 +609,8 @@ object SparkEntry {
     "dow_anomalies" -> graft.oracle.DuckSql.dowAnomalies,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
+    "media_shard" -> graft.oracle.DuckSql.mediaShard,
+    "banding_curve" -> graft.oracle.DuckSql.bandingCurve,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

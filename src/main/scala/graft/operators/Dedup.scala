@@ -885,6 +885,60 @@ object Dedup {
         r4(col("n_hit").cast("double") / col("n_lsh")).as("prec"))
   }
 
+  /** The (bands, rows-per-band) configurations swept by
+    * [[bandingCurve]] over the 12 minhash components. Single-sourced
+    * into the oracle SQL.
+    */
+  val BandingSweep: Seq[(Int, Int)] = Seq((2, 6), (4, 3), (6, 2))
+
+  /** banding_curve: the BANDING-GEOMETRY sweep — for each (b, r) with
+    * b·r = 12, the band-collision candidate count and the detection
+    * rate against the exact Jaccard-≥-threshold pair truth (the
+    * nprobe_curve posture applied to LSH banding: lsh_curve plots the
+    * S-curve of the DEPLOYED banding per similarity bin; THIS compares
+    * the deployable geometries against each other — more bands buys
+    * recall, more rows buys precision (1−(1−s^r)^b), and this table is
+    * where the trade is chosen before a re-banding).
+    *
+    * Pure consumer + one signature pass: the exact side reads the
+    * persisted pair-truth artifact; signatures are one partial-agg pass
+    * shared by all arms (localCheckpoint); each arm is a bucket-capped
+    * band equi-join (the bandCandidates primitive — never all-pairs)
+    * plus two 1-row aggregates.
+    */
+  def bandingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigsOf(shingleRows(spark, dir)).localCheckpoint()
+    val exact = exactPairs(spark, dir)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    def arm(b: Int, r: Int): DataFrame = {
+      val bandKeys = array((0 until b).map { i =>
+        substring(md5(concat_ws("_",
+          (0 until r).map(j => col(s"m${r * i + j}").cast("string")): _*)),
+          1, 16)
+      }: _*)
+      val banded = sigs.select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+      val cand = bandCandidates(banded).localCheckpoint() // count + semi
+      val caught = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(lit(b).as("n_bands"), lit(r).as("band_rows"),
+          col("n_cand"), col("n_exact"), col("n_caught"),
+          when(col("n_exact") > 0,
+            r4(col("n_caught").cast("double") / col("n_exact")))
+            .as("recall"),
+          when(col("n_cand") > 0,
+            r4(col("n_caught").cast("double") / col("n_cand")))
+            .as("band_precision"))
+    }
+    BandingSweep.map { case (b, r) => arm(b, r) }
+      .reduce(_ unionByName _)
+      .orderBy(col("n_bands"))
+  }
+
   /** containment_dup asymmetry gate: the smaller shingle set must be
     * ≥80%-covered by the larger — Broder's CONTAINMENT coefficient
     * |A∩B|/|A|, the resemblance measure Jaccard dedup is blind to when

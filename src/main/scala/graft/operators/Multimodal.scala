@@ -144,4 +144,46 @@ object Multimodal {
         (col("doc_id") =!= col("canonical")).as("is_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** media_shard export geometry: shard count (grows with the corpus;
+    * 4 here), volume byte budget, and the shuffle seed (independent of
+    * the text-export seeds). Single-sourced into the oracle SQL.
+    */
+  val MediaShardSeed = "graft-media"
+  val MediaShards = 4
+  val MediaVolBytes = 65536L
+
+  /** media_shard: the WebDataset-style EXPORT LAYOUT for binary assets —
+    * every payload draws a seeded 60-bit hash key (one fixed
+    * pseudo-random permutation, the shuffle_assign primitive), lands in
+    * `shard = hkey mod |shards|`, and gets a running BYTE OFFSET within
+    * its shard's hash order plus the offset-addressed volume index
+    * (`byte_offset div volume_bytes` — the streamed-tar convention:
+    * readers address members by offset, so a member may straddle the
+    * volume boundary exactly as pack_sequences' bins do for tokens).
+    * This is the manifest a media training job shuffles and streams by.
+    *
+    * Scale shape: one shuffle on shard, within-shard window sum — the
+    * pack_sequences plan on bytes instead of tokens; no payload bytes
+    * move (the manifest carries lengths only; the actual tar write
+    * streams per shard partition).
+    */
+  def mediaShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hkey = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":" + MediaShardSeed))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("doc_id"))
+    withPayload(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long")
+        .as("byte_len"))
+      .withColumn("hkey", hkey)
+      .withColumn("shard",
+        pmod(col("hkey"), lit(MediaShards.toLong)).cast("int"))
+      .withColumn("byte_offset",
+        sum(col("byte_len")).over(w) - col("byte_len"))
+      .select(col("doc_id"), col("byte_len"), col("shard"),
+        expr(s"(byte_offset div $MediaVolBytes)").cast("int").as("volume"),
+        col("byte_offset"))
+  }
 }

@@ -4265,6 +4265,93 @@ object DuckSql {
   /** Mirror of Multimodal.mediaDedup: raw-byte md5 + length key,
     * min-doc canonical per group.
     */
+  /** Mirror of Multimodal.mediaShard: the same 60-bit seeded hash key,
+    * pmod shard, within-shard byte running sum and offset-addressed
+    * volume index.
+    */
+  val mediaShard: String = {
+    import graft.operators.Multimodal.{MediaShardSeed, MediaShards, MediaVolBytes}
+    s"""WITH b AS (SELECT doc_id,
+       |    octet_length(encode(text))::BIGINT AS byte_len,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(MediaShardSeed)}'), 1, 15))::BIGINT AS hkey
+       |  FROM documents),
+       |s AS (SELECT *,
+       |    (((hkey % $MediaShards) + $MediaShards) % $MediaShards)::INT AS shard
+       |  FROM b),
+       |o AS (SELECT doc_id, byte_len, shard,
+       |    (sum(byte_len) OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+       |      - byte_len)::BIGINT AS byte_offset
+       |  FROM s)
+       |SELECT doc_id, byte_len, shard,
+       |  (byte_offset // $MediaVolBytes)::INT AS volume, byte_offset
+       |FROM o""".stripMargin
+  }
+
+  /** Mirror of Dedup.bandingCurve: one signature CTE, the dedupRecall
+    * exact-pair chain, one bucket-capped candidate CTE + aggregated row
+    * per swept (bands, rows) geometry.
+    */
+  lazy val bandingCurve: String = {
+    import graft.operators.Dedup
+    val mins = (0 until 12)
+      .map(j => s"min((v1 + $j*v2) % 2147483647) AS m$j").mkString(", ")
+    val arms = Dedup.BandingSweep.map { case (b, r) =>
+      val bandStrs = (0 until b).map { i =>
+        (0 until r).map(j => s"m${r * i + j}::VARCHAR")
+          .mkString(" || '_' || ")
+      }.mkString("[", ", ", "]")
+      val cte =
+        s"""bnd$b AS (SELECT doc_id, b,
+           |  substr(md5(list_extract($bandStrs, b + 1)), 1, 16) AS key
+           |  FROM mh, range(0, $b) t(b)
+           |  QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000),
+           |cnd$b AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a,
+           |    b2.doc_id AS id_b
+           |  FROM bnd$b a JOIN bnd$b b2
+           |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+           |hit$b AS (SELECT id_a, id_b FROM cnd$b
+           |  WHERE EXISTS (SELECT 1 FROM exj e
+           |                WHERE e.id_a = cnd$b.id_a AND e.id_b = cnd$b.id_b))""".stripMargin
+      val row =
+        s"""SELECT $b AS n_bands, $r AS band_rows,
+           |  (SELECT count(*) FROM cnd$b)::BIGINT AS n_cand,
+           |  (SELECT count(*) FROM exj)::BIGINT AS n_exact,
+           |  (SELECT count(*) FROM hit$b)::BIGINT AS n_caught,
+           |  floor((SELECT count(*) FROM hit$b)::DOUBLE
+           |        / nullif((SELECT count(*) FROM exj), 0) * 10000 + 0.5)
+           |    / 10000 AS recall,
+           |  floor((SELECT count(*) FROM hit$b)::DOUBLE
+           |        / nullif((SELECT count(*) FROM cnd$b), 0) * 10000 + 0.5)
+           |    / 10000 AS band_precision""".stripMargin
+      (cte, row)
+    }
+    s"""$shCte,
+       |mex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |mhv AS (SELECT doc_id,
+       |  ('0x' || substr(md5(g), 1, 8))::BIGINT AS v1,
+       |  ('0x' || substr(md5(g), 9, 8))::BIGINT AS v2 FROM mex),
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM mhv GROUP BY doc_id),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM mex GROUP BY g)
+       |        WHERE df > ${Dedup.DedupDocFreqCap}),
+       |scx AS (SELECT doc_id, g FROM mex ANTI JOIN hot USING (g)),
+       |ei AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*)::BIGINT AS inter
+       |       FROM scx a JOIN scx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |exj AS MATERIALIZED (SELECT id_a, id_b FROM ei
+       |        JOIN sz sa ON sa.doc_id = ei.id_a
+       |        JOIN sz sb ON sb.doc_id = ei.id_b
+       |        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter)
+       |                    * 10000 + 0.5) / 10000
+       |              >= ${Dedup.JaccardThreshold}),
+       |${arms.map(_._1).mkString(",\n")}
+       |SELECT n_bands, band_rows, n_cand, n_exact, n_caught, recall,
+       |       band_precision
+       |FROM (${arms.map(_._2).mkString("\nUNION ALL\n")})
+       |ORDER BY n_bands""".stripMargin
+  }
+
   val mediaDedup: String =
     """WITH b AS (SELECT doc_id, md5(text) AS content_md5,
       |             octet_length(encode(text))::BIGINT AS byte_len

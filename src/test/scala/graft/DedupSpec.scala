@@ -142,6 +142,26 @@ class DedupSpec extends SparkSpecBase {
       (2L, 1L, 18L, 0.692308, 9L)))
   }
 
+  test("banding_curve: the (4,3) arm's candidates equal the deployed " +
+      "banding's candidate set") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.operators.Dedup.bandingCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === graft.operators.Dedup.BandingSweep.toSet)
+    // one exact truth for all arms
+    assert(out.values.map(_._2).toSet.size === 1)
+    // the (4,3) geometry IS dedup_minhash's deployed banding: its
+    // candidate count must equal the live candidate generator's
+    val deployed = graft.operators.Dedup
+      .minhashCandidates(spark, d).count()
+    assert(out((4, 3))._1 === deployed)
+    // caught never exceeds candidates or exact
+    out.values.foreach { case (c, e, g) =>
+      assert(g <= c && g <= e)
+    }
+  }
+
   test("lsh_curve: bin invariants and the closed-form theoretical column") {
     val out = Dedup.lshCurve(spark, dir0).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),

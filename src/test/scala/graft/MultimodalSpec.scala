@@ -62,4 +62,32 @@ class MultimodalSpec extends SparkSpecBase {
       Seq(2L, h("same bytes"), 10L, 1L, 2L, true),
       Seq(3L, h("other"), 5L, 3L, 1L, false)))
   }
+
+  test("media_shard: per-shard byte offsets are gapless running sums in " +
+      "hash order; volume = offset div budget") {
+    import graft.operators.Multimodal
+    val dir = fixtureDir(docs = (1L to 20L).map(i =>
+      doc(i, "x" * (i.toInt * 7))))
+    val out = Multimodal.mediaShard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out.length === 20)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${Multimodal.MediaShardSeed}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    out.groupBy(_._3).foreach { case (shard, rs) =>
+      // rows ordered by (hkey, doc_id) must tile the byte range exactly
+      val ordered = rs.sortBy(r => (h(r._1), r._1))
+      var cum = 0L
+      ordered.foreach { case (id, len, s, vol, off) =>
+        assert(s === (h(id) % Multimodal.MediaShards).toInt)
+        assert(off === cum, s"doc $id in shard $shard")
+        assert(vol === (off / Multimodal.MediaVolBytes).toInt)
+        cum += len
+      }
+    }
+  }
 }
