@@ -117,6 +117,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_recall" -> (Similarity.annRecall _),
     "nprobe_curve" -> (Similarity.nprobeCurve _),
+    "semdedup_recall" -> (Similarity.semdedupRecall _),
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
@@ -625,6 +626,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> graft.oracle.DuckSql.annIvfKmeans,
     "ann_recall" -> graft.oracle.DuckSql.annRecall,
     "nprobe_curve" -> graft.oracle.DuckSql.nprobeCurve,
+    "semdedup_recall" -> graft.oracle.DuckSql.semdedupRecall,
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,

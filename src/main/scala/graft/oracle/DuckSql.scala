@@ -1836,6 +1836,37 @@ object DuckSql {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** Mirror of Similarity.semdedupRecall: the trained-cell assignments
+    * (kmeans chain), the sampled-anchor ≥-threshold pair truth, same-cell
+    * rollup.
+    */
+  lazy val semdedupRecall: String = {
+    import graft.operators.Similarity.SemDedupThreshold
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx0")},
+       |cells AS MATERIALIZED (SELECT vec_id, cid FROM idx0),
+       |pr AS MATERIALIZED (SELECT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id
+       |    AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+       |        >= $SemDedupThreshold),
+       |ct AS (SELECT count(*)::BIGINT AS n_pairs FROM pr),
+       |cg AS (SELECT count(*)::BIGINT AS n_same_cell
+       |  FROM pr JOIN cells ca ON ca.vec_id = pr.q_id
+       |          JOIN cells cb ON cb.vec_id = pr.n_id
+       |  WHERE ca.cid = cb.cid)
+       |SELECT n_pairs, n_same_cell,
+       |  CASE WHEN n_pairs > 0
+       |       THEN floor(n_same_cell::DOUBLE / n_pairs * 10000 + 0.5) / 10000
+       |  END AS recall
+       |FROM ct, cg""".stripMargin
+  }
+
   /** Mirror of Similarity.indexRecall: one exact brute-force CTE, four
     * left-join recall arms — each embedding the full probe oracle as a
     * subquery (annIvfKmeans / annPq / annIvfPq / lshAnn).

@@ -198,6 +198,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("semdedup_recall: same-cell fraction of the hand-computed " +
+      "anchor pair truth") {
+    val d = roDir
+    // anchor = vec 0 (the only %100 id): its round-6dp cos >= 0.40
+    // partners are 1 (cos 1.0) and 3 (cos ~0.994) — vec 2 is orthogonal
+    val cells = Similarity.ivfFlatIndex(spark, d).lists
+      .select("vec_id", "ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectedCaught =
+      Seq(1L, 3L).count(n => cells(n) == cells(0L)).toLong
+    val r = Similarity.semdedupRecall(spark, d).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === expectedCaught)
+    assert(r.getDouble(2) ===
+      math.floor(expectedCaught.toDouble / 2 * 10000 + 0.5) / 10000)
+  }
+
   test("nprobe_curve: monotone in nprobe; nprobe=2 row equals the mean " +
       "of ann_recall") {
     val d = roDir
