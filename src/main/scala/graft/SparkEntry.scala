@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_recall" -> (Similarity.annRecall _),
     "nprobe_curve" -> (Similarity.nprobeCurve _),
     "semdedup_recall" -> (Similarity.semdedupRecall _),
+    "hubness" -> (Similarity.hubness _),
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
@@ -627,6 +628,7 @@ object SparkEntry {
     "ann_recall" -> graft.oracle.DuckSql.annRecall,
     "nprobe_curve" -> graft.oracle.DuckSql.nprobeCurve,
     "semdedup_recall" -> graft.oracle.DuckSql.semdedupRecall,
+    "hubness" -> graft.oracle.DuckSql.hubness,
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,

@@ -1792,10 +1792,23 @@ object DuckSql {
     */
   lazy val nprobeCurve: String = {
     import graft.operators.Similarity.NprobeSweep
+    val probeCtes = NprobeSweep.map { np =>
+      s"""pb$np AS MATERIALIZED (SELECT q_id, pcid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                 c.cid) AS pr
+         |    FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+         |  WHERE pr <= $np)""".stripMargin
+    }
     def arm(np: Int) =
       s"""SELECT $np AS nprobe, (count(*) / 3)::BIGINT AS n_queries,
          |  floor(count(ap.neighbor_id)::DOUBLE / count(*) * 10000 + 0.5)
-         |    / 10000 AS recall
+         |    / 10000 AS recall,
+         |  (SELECT floor(sum(z.sc)::DOUBLE / count(*) * 100 + 0.5) / 100
+         |   FROM (SELECT p.q_id, sum(cs.csz) AS sc FROM pb$np p
+         |         JOIN csz cs ON cs.cid = p.pcid GROUP BY p.q_id) z)
+         |    AS mean_scanned
          |FROM ex LEFT JOIN (
          |  SELECT q_id, neighbor_id FROM (
          |    SELECT q_id, neighbor_id,
@@ -1803,13 +1816,7 @@ object DuckSql {
          |                         ORDER BY s DESC, neighbor_id) AS rank
          |    FROM (SELECT p.q_id, x.vec_id AS neighbor_id,
          |        list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
-         |      FROM (SELECT q_id, pcid FROM (
-         |          SELECT q.vec_id AS q_id, c.cid AS pcid,
-         |            row_number() OVER (PARTITION BY q.vec_id
-         |              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
-         |                       c.cid) AS pr
-         |          FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
-         |        WHERE pr <= $np) p
+         |      FROM pb$np p
          |      JOIN idx x ON x.cid = p.pcid
          |      JOIN embeddings qe ON qe.vec_id = p.q_id
          |      WHERE x.vec_id <> p.q_id)) WHERE rank <= 3) ap
@@ -1823,6 +1830,9 @@ object DuckSql {
        |c2 AS MATERIALIZED (SELECT * FROM c2x),
        |${kmAssignCte("c2", "idx0")},
        |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |csz AS MATERIALIZED (SELECT cid, count(*)::BIGINT AS csz
+       |  FROM idx GROUP BY cid),
+       |${probeCtes.mkString(",\n")},
        |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
        |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -1831,9 +1841,34 @@ object DuckSql {
        |    FROM embeddings e, embeddings q
        |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
        |  WHERE rank <= 3)
-       |SELECT nprobe, n_queries, recall FROM (
+       |SELECT nprobe, n_queries, recall, mean_scanned FROM (
        |${NprobeSweep.map(arm).mkString("\nUNION ALL\n")})
        |ORDER BY nprobe""".stripMargin
+  }
+
+  /** Mirror of Similarity.hubness: the brute top-[[HubDepth]] lists of
+    * the sampled anchors, neighbor in-degree, top-k with share.
+    */
+  lazy val hubness: String = {
+    import graft.operators.Similarity.{HubDepth, HubTopK}
+    s"""WITH ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= $HubDepth),
+       |deg AS MATERIALIZED (SELECT neighbor_id, count(*)::BIGINT AS n_lists
+       |  FROM ex GROUP BY neighbor_id),
+       |tot AS (SELECT sum(n_lists)::BIGINT AS t FROM deg)
+       |SELECT neighbor_id, n_lists,
+       |  floor(n_lists::DOUBLE / t * 10000 + 0.5) / 10000 AS share,
+       |  rank::INT AS rank
+       |FROM (SELECT neighbor_id, n_lists,
+       |        row_number() OVER (ORDER BY n_lists DESC, neighbor_id) AS rank
+       |      FROM deg), tot
+       |WHERE rank <= $HubTopK ORDER BY rank""".stripMargin
   }
 
   /** Mirror of Similarity.semdedupRecall: the trained-cell assignments

@@ -215,23 +215,40 @@ class SimilaritySpec extends SparkSpecBase {
       math.floor(expectedCaught.toDouble / 2 * 10000 + 0.5) / 10000)
   }
 
+  test("hubness: in-degree of the single anchor's top list, determinate " +
+      "rank order") {
+    val d = roDir
+    // one anchor (vec 0); its top-10 list is {1, 3, 2} — every neighbor
+    // appears once, so ranks follow the id tie-break and shares are 1/3
+    val out = Similarity.hubness(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 0.3333, 1), (2L, 1L, 0.3333, 2), (3L, 1L, 0.3333, 3)))
+  }
+
   test("nprobe_curve: monotone in nprobe; nprobe=2 row equals the mean " +
-      "of ann_recall") {
+      "of ann_recall; cost column is the probed-cell mass") {
     val d = roDir
     val out = Similarity.nprobeCurve(spark, d).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(out.keySet === Similarity.NprobeSweep.toSet)
     // one query universe, recall non-decreasing as more cells are probed
     assert(out.values.map(_._1).toSet.size === 1)
     val sorted = Similarity.NprobeSweep.sorted.map(out(_)._2)
     assert(sorted === sorted.sorted, s"recall must be monotone: $sorted")
+    // scanned mass is positive, non-decreasing in nprobe, and bounded
+    // by the corpus size
+    val cost = Similarity.NprobeSweep.sorted.map(out(_)._3)
+    assert(cost === cost.sorted, s"cost must be monotone: $cost")
+    assert(cost.head > 0 && cost.last <= 4.0)
     // the nprobe=2 row is exactly the mean of the standalone per-query
     // gauge (same probe, same truth)
     val per = Similarity.annRecall(spark, d).collect()
       .map(_.getLong(1)).toSeq
     val expected =
       math.floor(per.sum.toDouble / (3 * per.length) * 10000 + 0.5) / 10000
-    assert(out(2) === ((per.length.toLong, expected)))
+    assert((out(2)._1, out(2)._2) === ((per.length.toLong, expected)))
   }
 
   test("index_recall: four arms, each matching its standalone recall") {
