@@ -93,6 +93,19 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
     println(detailLine)
     println(totalLine)
+    // The full per-query total line is ~25 bytes/query and outgrew the
+    // driver's stdout TAIL buffer at ~180 queries — the captured line
+    // truncates mid-map and parses as null (BENCH_r07..r09). The LAST
+    // line is therefore a compact summary that always fits: headline
+    // total + the slowest queries only; the complete per-query record
+    // is the committed SPARK_GRAFT_BENCH_FILE artifact.
+    val slowest = results.toSeq.sortBy { case (_, (t, _)) => -t }.take(12)
+      .map { case (k, (t, _)) => s"\"" + k + "\":" + ms(t) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""value_max":${ms(totalMax)},"n_queries":${results.size},""" +
+      s""""queries":$slowest,"load_start":$loadStart,""" +
+      s""""load_end":$loadEnd,"full":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     // Truncation-proof artifact: the one-line metric JSON outgrew the
     // driver's stdout tail buffer at ~180 queries (BENCH_r08 captured 91
     // of 183 per-query numbers and parsed as null), so the full record is

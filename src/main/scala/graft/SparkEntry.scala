@@ -123,6 +123,9 @@ object SparkEntry {
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
+    "sq_distortion"  -> (Similarity.sqDistortion _),
+    "sq_recall"      -> (Similarity.sqRecall _),
+    "ann_sq"         -> (Similarity.annSq _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
     "decontaminate"     -> (Curation.decontaminate _),
@@ -151,7 +154,9 @@ object SparkEntry {
     "late_interaction_ann" -> (Retrieval.lateInteractionAnn _),
     "li_pool_recall" -> (Retrieval.liPoolRecall _),
     "arm_overlap" -> (Retrieval.armOverlap _),
-    "sparse_knn" -> (Retrieval.sparseKnn _),
+    "sparse_knn" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Retrieval.sparseKnn(s, d)),
+    "impact_recall" -> (Retrieval.impactRecall _),
     "label_queue" -> (Curation.labelQueue _),
     "robust_stats" -> (Sessions.robustStats _),
     "forget_user" -> (Tenancy.forgetUser _),
@@ -633,6 +638,9 @@ object SparkEntry {
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,
+    "sq_distortion"  -> graft.oracle.DuckSql.sqDistortion,
+    "sq_recall"      -> graft.oracle.DuckSql.sqRecall,
+    "ann_sq"         -> graft.oracle.DuckSql.annSq,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,
@@ -654,6 +662,7 @@ object SparkEntry {
     "li_pool_recall" -> graft.oracle.DuckSql.liPoolRecall,
     "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
     "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
+    "impact_recall" -> graft.oracle.DuckSql.impactRecall,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,
     "robust_stats" -> graft.oracle.DuckSql.robustStats,
     "forget_user" -> graft.oracle.DuckSql.forgetUser,

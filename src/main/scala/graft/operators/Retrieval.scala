@@ -111,8 +111,16 @@ object Retrieval {
     */
   val LexTruthDepth = 30
 
-  private def lexTruthPath(dir: String): String =
-    IndexStore.path("lex-truth-v1", dir)
+  /** The resolved `bm25_topk.impact_cap` is FOLDED INTO the artifact
+    * key (the chunkVecPath rule): the build ([[bm25Ranked]]) reads the
+    * cap, so a session that retunes it must get a fresh artifact — a
+    * cap-free key would silently serve rankings computed under the
+    * first caller's cap (r9 advisor finding).
+    */
+  private def lexTruthPath(spark: SparkSession, dir: String): String = {
+    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
+    IndexStore.path(s"lex-truth-c$cap-v1", dir)
+  }
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     // runtime k (the reference's `limit` arg, database.py:422 posture),
@@ -126,7 +134,7 @@ object Retrieval {
       // and arm_overlap — 15.6 s per invocation at the 10× probe. The
       // ranking is persisted once per corpus to [[LexTruthDepth]]; every
       // consumer is a pure parquet read + rank filter.
-      val path = lexTruthPath(dir)
+      val path = lexTruthPath(spark, dir)
       IndexStore.ensureBuilt(path)(
         graft.sources.Sinks.writeSortedParquet(
           bm25Ranked(spark, dir, LexTruthDepth), path, Seq("q_id", "rank")))
@@ -141,7 +149,16 @@ object Retrieval {
     * carries.
     */
   private[graft] def bm25Ranked(spark: SparkSession, dir: String,
-      depth: Int): DataFrame = {
+      depth: Int): DataFrame =
+    bm25Ranked(spark, dir, depth,
+      graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap))
+
+  /** The cap-explicit form: `cap = Int.MaxValue` is the UNCAPPED exact
+    * ranking (the per-term impact window is skipped entirely, not just
+    * filtered wide — the truth arm of [[impactRecall]]).
+    */
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
+      depth: Int, cap: Int): DataFrame = {
     val toks = tokenRows(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
 
@@ -194,17 +211,18 @@ object Retrieval {
     // per-term impact cap on the scoring join's corpus side (see
     // BmImpactCap): the idf-free score factor orders each term's
     // postings; only the top cap enter the join
-    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
     val impact = (col("tf").cast("double") * lit(BmK1Plus1)) /
       (col("tf").cast("double") + lit(BmK1) *
         (lit(1.0) - lit(BmB) +
           lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
-    val capped = ctf
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("ir", row_number().over(Window.partitionBy(col("term"))
-        .orderBy(impact.desc, col("doc_id"))))
-      .filter(col("ir") <= cap)
-      .drop("ir")
+    val withStats = ctf.crossJoin(broadcast(stats.select(col("avgdl"))))
+    val capped =
+      if (cap == Int.MaxValue) withStats
+      else withStats
+        .withColumn("ir", row_number().over(Window.partitionBy(col("term"))
+          .orderBy(impact.desc, col("doc_id"))))
+        .filter(col("ir") <= cap)
+        .drop("ir")
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -577,7 +595,16 @@ object Retrieval {
     * terms), the same fan-out control the df-cap gives the shingle
     * joins.
     */
-  def sparseKnn(spark: SparkSession, dir: String): DataFrame = {
+  def sparseKnn(spark: SparkSession, dir: String): DataFrame =
+    sparseKnn(spark, dir,
+      graft.Params.int(spark, "sparse_knn.impact_cap", SparseImpactCap))
+
+  /** The cap-explicit form: `cap = Int.MaxValue` is the UNCAPPED exact
+    * ranking (no per-term impact window — the truth arm of
+    * [[impactRecall]]).
+    */
+  private[graft] def sparseKnn(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     // the persisted vectors feed norms and both join sides — each branch
     // re-reads the artifact parquet (no checkpoint needed)
@@ -591,14 +618,16 @@ object Retrieval {
       .select(col("doc_id").as("q_id"), col("term"), col("u").as("qu"))
     // per-term impact cap (see SparseImpactCap): the pairing join reads
     // only each term's top postings; runtime-tunable, oracle-pinned default
-    val cap = graft.Params.int(spark, "sparse_knn.impact_cap", SparseImpactCap)
     val wImp = Window.partitionBy(col("term"))
       .orderBy(col("du").desc, col("doc_id"))
-    val d = v.filter(!isQ)
+    val dAll = v.filter(!isQ)
       .select(col("doc_id"), col("term"), col("u").as("du"))
-      .withColumn("ir", row_number().over(wImp))
-      .filter(col("ir") <= cap)
-      .drop("ir")
+    val d =
+      if (cap == Int.MaxValue) dAll
+      else dAll
+        .withColumn("ir", row_number().over(wImp))
+        .filter(col("ir") <= cap)
+        .drop("ir")
     val qn = n2.filter(isQ)
       .select(col("doc_id").as("q_id"), col("n2").as("qn2"))
     val dn = n2.filter(!isQ)
@@ -654,6 +683,41 @@ object Retrieval {
           r4(col("gap_sum").cast("double") / col("n_common")))
           .as("mean_rank_gap"))
       .orderBy(col("q_id"))
+  }
+
+  /** impact_recall: the standing loss audit of the per-term impact caps
+    * ([[BmImpactCap]], [[SparseImpactCap]]) — per arm, micro-averaged
+    * recall of the capped top-k ranking against the UNCAPPED exact
+    * ranking (the index_recall posture applied to posting truncation;
+    * r9 advisor: without this, bm25_topk/sparse_knn were the only
+    * approximations in the repo with no measured loss — the parity gate
+    * stays green only because the oracle adopts the same truncation).
+    *
+    * Scale shape: the capped arms are the gated k-bounded plans (bm25
+    * served from the persisted lex-truth artifact); the uncapped arms
+    * are the deliberate expensive exact sweep every audit carries —
+    * run per corpus snapshot, never per query. On a natural vocabulary
+    * the caps rarely bite (recall 1.0 is the expected steady state);
+    * a drop below ~0.99 is the signal to raise the cap.
+    */
+  def impactRecall(spark: SparkSession, dir: String): DataFrame = {
+    def armAgg(name: String, truth: DataFrame, capped: DataFrame) =
+      truth.select(col("q_id"), col("doc_id"))
+        .join(capped.select(col("q_id"), col("doc_id"))
+          .withColumn("hit", lit(1)), Seq("q_id", "doc_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_t"), count(col("hit")).as("n_m"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_t")).as("n_truth"),
+          sum(col("n_m")).as("n_matched"))
+        .select(lit(name).as("arm"), col("n_queries"), col("n_truth"),
+          col("n_matched"),
+          (floor(col("n_matched").cast("double") / col("n_truth")
+            * 10000 + 0.5) / 10000).as("recall"))
+    armAgg("bm25", bm25Ranked(spark, dir, BmTopK, Int.MaxValue),
+        bm25Topk(spark, dir))
+      .unionAll(armAgg("sparse", sparseKnn(spark, dir, Int.MaxValue),
+        sparseKnn(spark, dir)))
+      .orderBy(col("arm"))
   }
 
   /** late_interaction knobs: candidate pool depth (stage 1) and the

@@ -685,7 +685,7 @@ object DuckSql {
     * DECIMAL. All explicit ::DOUBLE casts — a bare `df + 0.5` would be
     * DECIMAL arithmetic in DuckDB and double in Spark.
     */
-  private val bm25Ctes: String = {
+  private def bm25CtesCap(cap: Long): String = {
     import graft.operators.Retrieval.{BmB, BmK1, BmK1Plus1, QueryMod}
     val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
     s"""$tokCte,
@@ -714,7 +714,7 @@ object DuckSql {
        |        (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (d.dl::DOUBLE / s.avgdl))) DESC,
        |        c.doc_id) AS ir
        |  FROM ctf c JOIN dlen d USING (doc_id), stats s)
-       |  WHERE ir <= ${graft.operators.Retrieval.BmImpactCap}),
+       |  WHERE ir <= $cap),
        |sc AS (SELECT q.q_id, c.doc_id,
        |  CAST(floor(q.idf * ((c.tf::DOUBLE * $BmK1Plus1) /
        |    (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (c.dl::DOUBLE / s.avgdl))))
@@ -724,15 +724,21 @@ object DuckSql {
        |        GROUP BY q_id, doc_id)""".stripMargin
   }
 
-  val bm25Topk: String = {
+  private val bm25Ctes: String =
+    bm25CtesCap(graft.operators.Retrieval.BmImpactCap)
+
+  private def bm25TopkCap(cap: Long): String = {
     import graft.operators.Retrieval.BmTopK
-    s"""$bm25Ctes
+    s"""${bm25CtesCap(cap)}
        |SELECT q_id, doc_id, score::DOUBLE AS score, rank::INT AS rank
        |FROM (SELECT q_id, doc_id, score,
        |        row_number() OVER (PARTITION BY q_id
        |                           ORDER BY score DESC, doc_id) AS rank
        |      FROM agg) WHERE rank <= $BmTopK""".stripMargin
   }
+
+  val bm25Topk: String =
+    bm25TopkCap(graft.operators.Retrieval.BmImpactCap)
 
   /** Mirror of Retrieval.hybridRetrieve: RRF over the BM25 `agg` ranking
     * and the brute-force cosine ranking — only integer ranks cross the
@@ -828,8 +834,8 @@ object DuckSql {
     * 1e-4-unit vectors, exact integer dot/norms, mirrored division,
     * per-query top-k.
     */
-  val sparseKnn: String = {
-    import graft.operators.Retrieval.{QueryMod, SparseImpactCap, SparseK, TfidfTopTerms}
+  private def sparseKnnCap(cap: Long): String = {
+    import graft.operators.Retrieval.{QueryMod, SparseK, TfidfTopTerms}
     val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
     s"""$tokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
@@ -855,7 +861,7 @@ object DuckSql {
        |    SELECT doc_id, term, u,
        |      row_number() OVER (PARTITION BY term
        |                         ORDER BY u DESC, doc_id) AS ir
-       |    FROM v WHERE NOT ($isQ)) WHERE ir <= $SparseImpactCap),
+       |    FROM v WHERE NOT ($isQ)) WHERE ir <= $cap),
        |pd AS (SELECT q.doc_id AS q_id, d.doc_id, sum(q.u * d.u)::BIGINT
        |         AS dotu
        |       FROM v q JOIN dcap d ON d.term = q.term
@@ -873,6 +879,39 @@ object DuckSql {
        |                           ORDER BY cos DESC, doc_id) AS rank
        |      FROM sc) WHERE rank <= $SparseK
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val sparseKnn: String =
+    sparseKnnCap(graft.operators.Retrieval.SparseImpactCap)
+
+  /** Mirror of Retrieval.impactRecall: the capped (gated default) and
+    * uncapped bm25/sparse rankings as embedded subqueries (the annRecall
+    * embedding shape), per-query truth left-join, exact integer
+    * micro-average per arm.
+    */
+  lazy val impactRecall: String = {
+    val unc = Int.MaxValue.toLong
+    def armAgg(name: String, u: String, c: String) =
+      s"""SELECT '$name' AS arm, count(*)::BIGINT AS n_queries,
+         |  sum(n_truth)::BIGINT AS n_truth,
+         |  sum(n_matched)::BIGINT AS n_matched,
+         |  floor(sum(n_matched)::DOUBLE / sum(n_truth) * 10000 + 0.5)
+         |    / 10000 AS recall
+         |FROM (SELECT u.q_id, count(*) AS n_truth,
+         |        count(c.doc_id) AS n_matched
+         |      FROM $u u LEFT JOIN $c c
+         |        ON c.q_id = u.q_id AND c.doc_id = u.doc_id
+         |      GROUP BY u.q_id)""".stripMargin
+    s"""WITH lexc AS (SELECT q_id, doc_id FROM (${bm25TopkCap(
+          graft.operators.Retrieval.BmImpactCap)})),
+       |lexu AS (SELECT q_id, doc_id FROM (${bm25TopkCap(unc)})),
+       |spc AS (SELECT q_id, doc_id FROM (${sparseKnnCap(
+          graft.operators.Retrieval.SparseImpactCap)})),
+       |spu AS (SELECT q_id, doc_id FROM (${sparseKnnCap(unc)}))
+       |${armAgg("bm25", "lexu", "lexc")}
+       |UNION ALL
+       |${armAgg("sparse", "spu", "spc")}
+       |ORDER BY arm""".stripMargin
   }
 
   /** Mirror of Curation.labelQueue: the qualityThresholds p50 per lang,
@@ -1724,6 +1763,103 @@ object DuckSql {
        |SELECT m, count(*)::BIGINT AS n_vecs,
        |  floor(sum(d2)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS mse
        |FROM d GROUP BY m ORDER BY m""".stripMargin
+
+  /** Shared SQ8 CTE pair: per-dimension (min, max) ranges over the
+    * corpus (comparison-based, exact) and the midpoint dequantization
+    * of every component — the exact fixed-order double expression of
+    * Similarity.sqDequant (code = least(255, floor((v-mn)/(mx-mn)*256)),
+    * dv = (mn + (code+0.5)*(mx-mn)/256)::FLOAT), with Spark's 0-based
+    * posexplode index. Degenerate (mx = mn) dims code to 0.
+    */
+  private val sqDqCtes: String =
+    """comp AS MATERIALIZED (SELECT e.vec_id, (t.i - 1)::INT AS i,
+      |    e.embedding[t.i]::FLOAT AS v
+      |  FROM embeddings e, range(1, 65) t(i)),
+      |sqst AS (SELECT i, min(v) AS mn, max(v) AS mx FROM comp GROUP BY i),
+      |sqdq AS (SELECT c.vec_id, c.i, c.v,
+      |    (s.mn::DOUBLE + ((CASE WHEN s.mx > s.mn
+      |        THEN least(255.0, floor((c.v::DOUBLE - s.mn::DOUBLE)
+      |               / (s.mx::DOUBLE - s.mn::DOUBLE) * 256))
+      |        ELSE 0.0 END) + 0.5)
+      |      * (s.mx::DOUBLE - s.mn::DOUBLE) / 256)::FLOAT AS dv
+      |  FROM comp c JOIN sqst s ON s.i = c.i)""".stripMargin
+
+  /** Mirror of Similarity.sqDistortion: the shared SQ8 dequant CTEs,
+    * 6dp-rounded per-component squared error accumulated in DECIMAL,
+    * one double divide per dimension.
+    */
+  val sqDistortion: String =
+    s"""WITH $sqDqCtes,
+       |d AS (SELECT i,
+       |  CAST(floor((v::DOUBLE - dv::DOUBLE) * (v::DOUBLE - dv::DOUBLE)
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS e2
+       |  FROM sqdq)
+       |SELECT i, count(*)::BIGINT AS n_vecs,
+       |  floor(sum(e2)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS mse
+       |FROM d GROUP BY i ORDER BY i""".stripMargin
+
+  /** Mirror of Similarity.sqRecall: dequantized corpus vectors
+    * (list-collected per vec in dimension order), asymmetric 6dp-rounded
+    * cosine vs the full-precision %100 queries, top-3 left-joined with
+    * the brute full-precision top-3 (annRecall's ex arm).
+    */
+  val sqRecall: String =
+    s"""WITH $sqDqCtes,
+       |dq AS (SELECT vec_id, list(dv ORDER BY i) AS dvec
+       |       FROM sqdq GROUP BY vec_id),
+       |approx AS (SELECT aq, an FROM (
+       |    SELECT q.vec_id AS aq, d.vec_id AS an,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(d.dvec::DOUBLE[],
+       |                   q.embedding::DOUBLE[]), 6) DESC, d.vec_id) AS rank
+       |    FROM dq d, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT ex.q_id, count(a.an) AS n_matched,
+       |  floor(count(a.an)::DOUBLE / 3 * 10000 + 0.5) / 10000 AS recall
+       |FROM ex LEFT JOIN approx a
+       |  ON a.aq = ex.q_id AND a.an = ex.neighbor_id
+       |GROUP BY ex.q_id""".stripMargin
+
+  /** Mirror of Similarity.annSq: the trained-kmeans probe chain of
+    * annIvfKmeans, candidates scored against their SQ8 midpoint
+    * reconstruction (the shared sqDq CTEs), full-precision queries.
+    */
+  val annSq: String =
+    s"""WITH $sqDqCtes,
+       |dq AS (SELECT vec_id, list(dv ORDER BY i) AS dvec
+       |       FROM sqdq GROUP BY vec_id),
+       |c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |       FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx")},
+       |probes AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |cand AS (SELECT p.q_id, x.vec_id AS neighbor_id,
+       |    list_cosine_similarity(d.dvec::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+       |  FROM probes p JOIN idx x ON x.cid = p.pcid
+       |       JOIN dq d ON d.vec_id = x.vec_id
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id)
+       |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+       |  SELECT q_id, neighbor_id, s,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 3""".stripMargin
 
   val annPq: String =
     s"""WITH $rawSvCte,

@@ -295,4 +295,37 @@ class RetrievalSpec extends SparkSpecBase {
         math.floor(hit.toDouble / ex * 1e4 + 0.5) / 1e4)
     }
   }
+
+  test("impact_recall: default caps lossless; cap=1 drops the mid doc") {
+    val d = fixtureDir(docs = Seq(
+      doc(0, "apple banana"),
+      doc(1, "apple apple apple"),
+      doc(2, "apple cherry date"),
+      doc(3, "banana banana cherry")))
+    // default caps (2000) never bite on 3 corpus docs: both arms exact
+    val out = operators.Retrieval.impactRecall(spark, d).collect()
+      .map(r => r.getAs[String]("arm") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_truth"),
+          r.getAs[Long]("n_matched"), r.getAs[Double]("recall"))).toMap
+    assert(out.keySet === Set("bm25", "sparse"))
+    out.values.foreach { case (nq, nt, nm, rec) =>
+      assert(nq === 1L && nt === nm && rec === 1.0)
+    }
+    // cap=1 keeps only each term's top posting: apple -> doc 1 (tf 3),
+    // banana -> doc 3; doc 2 vanishes from both capped arms -> 2/3
+    spark.conf.set("spark.graft.param.bm25_topk.impact_cap", "1")
+    spark.conf.set("spark.graft.param.sparse_knn.impact_cap", "1")
+    try {
+      val capped = operators.Retrieval.impactRecall(spark, d).collect()
+        .map(r => r.getAs[String]("arm") ->
+          (r.getAs[Long]("n_truth"), r.getAs[Long]("n_matched"),
+            r.getAs[Double]("recall"))).toMap
+      val exp = math.floor(2.0 / 3.0 * 1e4 + 0.5) / 1e4
+      assert(capped("bm25") === ((3L, 2L, exp)))
+      assert(capped("sparse") === ((3L, 2L, exp)))
+    } finally {
+      spark.conf.unset("spark.graft.param.bm25_topk.impact_cap")
+      spark.conf.unset("spark.graft.param.sparse_knn.impact_cap")
+    }
+  }
 }

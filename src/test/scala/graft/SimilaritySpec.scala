@@ -551,4 +551,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out2.length === 8)
     assert(out2.forall(r => r.getAs[Double]("mse") >= 0.0))
   }
+
+  test("sq_distortion: hand-computed midpoint error, degenerate dims 0") {
+    // dim 0 takes {0, 1}: both codes (0 and 255) land a midpoint
+    // 0.001953125 off the true value -> e2 rounds to 4e-6 each, so
+    // mse = 4e-6; every other dim is constant (mx = mn) -> mse 0.
+    val embs = (0L until 4L).map(i => Emb(i, vec((i % 2).toDouble), 0))
+    val d = fixtureDir(embs = embs)
+    val out = Similarity.sqDistortion(spark, d).collect()
+    assert(out.length === 64)
+    assert(out.map(_.getAs[Int]("i")).toSeq === (0 until 64))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === 4L)
+      val want = if (r.getAs[Int]("i") == 0) 4e-6 else 0.0
+      assert(r.getAs[Double]("mse") === want)
+    }
+  }
+
+  test("ann_sq: same probed candidates as ann_ivf_kmeans, twin first") {
+    val sq = Similarity.annSq(spark, roDir).collect()
+    val ivf = Similarity.annIvfKmeans(spark, roDir).collect()
+    // the probe chain is identical (full-precision queries/centroids),
+    // so the candidate SET matches; only SQ distortion can reorder
+    assert(sq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet ===
+      ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+        .toSet)
+    val top = sq.filter(_.getAs[Int]("rank") == 1).head
+    assert(top.getAs[Long]("q_id") === 0L)
+    assert(top.getAs[Long]("neighbor_id") === 1L) // the identical twin
+    assert(sq.forall(r => math.abs(r.getAs[Double]("sim")) <= 1.0))
+  }
+
+  test("sq_recall: SQ8 ranking preserves the well-separated top-3") {
+    val out = Similarity.sqRecall(spark, roDir).collect()
+    assert(out.length === 1) // vec 0 is the only %100 query
+    val r = out.head
+    assert(r.getAs[Long]("q_id") === 0L)
+    assert(r.getAs[Long]("n_matched") === 3L)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
 }
