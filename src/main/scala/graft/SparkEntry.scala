@@ -157,6 +157,11 @@ object SparkEntry {
     "sparse_knn" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Retrieval.sparseKnn(s, d)),
     "impact_recall" -> (Retrieval.impactRecall _),
+    "prf_expand" -> (Retrieval.prfExpand _),
+    "silhouette" -> (Similarity.silhouette _),
+    "bitext_mine" -> (Similarity.bitextMine _),
+    "clf_calibration" -> (Curation.clfCalibration _),
+    "k_anonymity" -> (Tenancy.kAnonymity _),
     "label_queue" -> (Curation.labelQueue _),
     "robust_stats" -> (Sessions.robustStats _),
     "forget_user" -> (Tenancy.forgetUser _),
@@ -663,6 +668,11 @@ object SparkEntry {
     "arm_overlap" -> graft.oracle.DuckSql.armOverlap,
     "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
     "impact_recall" -> graft.oracle.DuckSql.impactRecall,
+    "prf_expand" -> graft.oracle.DuckSql.prfExpand,
+    "silhouette" -> graft.oracle.DuckSql.silhouette,
+    "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
+    "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
+    "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,
     "robust_stats" -> graft.oracle.DuckSql.robustStats,
     "forget_user" -> graft.oracle.DuckSql.forgetUser,

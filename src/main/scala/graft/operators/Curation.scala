@@ -888,4 +888,51 @@ object Curation {
       .select(col("doc_id"),
         (col("su").cast("double") / 1000000).as("score"),
         (col("su") >= 500000L).as("pred"))
+
+  /** Reliability-diagram bin count of [[clfCalibration]]. */
+  val ClfCalibBins = 10
+
+  /** clf_calibration: the RELIABILITY TABLE of the trained quality gate
+    * on the held-out split — scores bucketed into [[ClfCalibBins]]
+    * equal-width bins; per bin the mean predicted score, the empirical
+    * positive rate (the frozen-LM head/tail label), and their gap (the
+    * per-bin term of Expected Calibration Error, Naeini AAAI'15 /
+    * Guo ICML'17). [[gateEval]] grades the gate's DECISIONS
+    * (precision/recall at the 0.5 cut); this grades its PROBABILITIES —
+    * the number that decides whether `score` can be used as a sampling
+    * weight / curriculum signal rather than only a keep/drop bit
+    * (an uncalibrated gate over-weights its confident regions).
+    *
+    * Plan: the frozen-weights scorer (map-shaped, 1-row broadcast)
+    * joined to the labeled examples on doc_id, held-out semi-join,
+    * ≤[[ClfCalibBins]]-row partial agg. Exact: scores ARE 1e-6 longs
+    * (su), so per-bin sums are exact integers; the two double divisions
+    * mirror the oracle.
+    */
+  def clfCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val ho = dataSplit(spark, dir).filter(col("split") =!= "train")
+      .select(col("doc_id"))
+    val lbl = classifierExamples(spark, dir)
+      .select(col("doc_id"), col("label"))
+    classifierApply(spark, dir)
+      .join(lbl, "doc_id")
+      .join(ho, Seq("doc_id"), "left_semi")
+      .select(
+        least(floor(col("score") * ClfCalibBins), lit(ClfCalibBins - 1))
+          .cast("int").as("bin"),
+        floor(col("score") * 1000000 + 0.5).cast("long").as("su"),
+        col("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("su")).as("susum"),
+        sum(col("label")).as("npos"))
+      .select(col("bin"), col("n"),
+        (floor(col("susum").cast("double") / col("n") + 0.5) / 1000000)
+          .as("mean_score"),
+        (floor(col("npos").cast("double") / col("n") * 10000 + 0.5)
+          / 10000).as("pos_rate"))
+      .withColumn("gap",
+        floor(abs(col("mean_score") - col("pos_rate")) * 10000 + 0.5)
+          / 10000)
+      .orderBy(col("bin"))
+  }
 }

@@ -694,11 +694,14 @@ object Retrieval {
     * stays green only because the oracle adopts the same truncation).
     *
     * Scale shape: the capped arms are the gated k-bounded plans (bm25
-    * served from the persisted lex-truth artifact); the uncapped arms
-    * are the deliberate expensive exact sweep every audit carries —
-    * run per corpus snapshot, never per query. On a natural vocabulary
-    * the caps rarely bite (recall 1.0 is the expected steady state);
-    * a drop below ~0.99 is the signal to raise the cap.
+    * served from the persisted lex-truth artifact); the uncapped exact
+    * rankings are BUILD-ONCE IndexStore artifacts ([[lexUncappedTruth]],
+    * [[sparseUncappedTruth]]) rebuilt only when the corpus changes — the
+    * audit itself is a pure two-consumer join (the r8 VERDICT
+    * build/probe rule applied on arrival, not retrofitted). On a
+    * natural vocabulary the caps rarely bite (recall 1.0 is the
+    * expected steady state); a drop below ~0.99 is the signal to raise
+    * the cap.
     */
   def impactRecall(spark: SparkSession, dir: String): DataFrame = {
     def armAgg(name: String, truth: DataFrame, capped: DataFrame) =
@@ -713,11 +716,151 @@ object Retrieval {
           col("n_matched"),
           (floor(col("n_matched").cast("double") / col("n_truth")
             * 10000 + 0.5) / 10000).as("recall"))
-    armAgg("bm25", bm25Ranked(spark, dir, BmTopK, Int.MaxValue),
-        bm25Topk(spark, dir))
-      .unionAll(armAgg("sparse", sparseKnn(spark, dir, Int.MaxValue),
+    armAgg("bm25", lexUncappedTruth(spark, dir), bm25Topk(spark, dir))
+      .unionAll(armAgg("sparse", sparseUncappedTruth(spark, dir),
         sparseKnn(spark, dir)))
       .orderBy(col("arm"))
+  }
+
+  /** The UNCAPPED exact lexical ranking to [[BmTopK]], served from a
+    * persisted artifact (the lex-truth path with `cap = Int.MaxValue`
+    * folded into the key — the uncapped build is just another point on
+    * the cap axis). The exact sweep runs once per corpus snapshot; the
+    * audit reads parquet.
+    */
+  private def lexUncappedTruth(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.path(s"lex-truth-c${Int.MaxValue}-v1", dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        bm25Ranked(spark, dir, LexTruthDepth, Int.MaxValue), path,
+        Seq("q_id", "rank")))
+    spark.read.parquet(path).filter(col("rank") <= BmTopK)
+  }
+
+  /** The UNCAPPED exact sparse-cosine ranking (already [[SparseK]]
+    * bounded), persisted once per corpus — [[impactRecall]]'s sparse
+    * truth arm.
+    */
+  private def sparseUncappedTruth(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = IndexStore.path("sparse-truth-v1", dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        sparseKnn(spark, dir, Int.MaxValue), path, Seq("q_id", "rank")))
+    spark.read.parquet(path)
+  }
+
+  /** prf_expand knobs: feedback depth (top seed docs per query),
+    * expansion-term budget, and the reranked result depth.
+    */
+  val PrfFbDocs = 5
+  val PrfFbTerms = 10
+  val PrfK = 10
+
+  /** Persisted corpus postings `(doc_id, term, tf, dl)` sorted by
+    * (term, doc_id) — the on-disk inverted-index layout. Built once per
+    * corpus (the lex-truth posture applied to the index itself);
+    * [[prfExpand]]'s feedback and rescore stages are pure parquet
+    * consumers.
+    */
+  private def lexPostings(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.path("lex-postings-v1", dir)
+    IndexStore.ensureBuilt(path) {
+      val toks = tokenRows(spark, dir)
+      val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
+      val ctf = toks.filter(!isQuery)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("dl",
+          sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      graft.sources.Sinks.writeSortedParquet(ctf, path,
+        Seq("term", "doc_id"))
+    }
+    spark.read.parquet(path)
+  }
+
+  /** prf_expand: pseudo-relevance-feedback query expansion (the RM3
+    * family — Lavrenko & Croft SIGIR'01 relevance models; Abdul-Jaleel
+    * et al., TREC'04): take each query's top [[PrfFbDocs]] BM25 seed
+    * docs, estimate expansion-term weights from the feedback docs'
+    * length-normalized term frequencies w(t) = Σ_d tf(t,d)/dl(d), keep
+    * the top [[PrfFbTerms]] terms, and RESCORE the corpus with the
+    * weighted BM25 of the expanded query — the recall-recovery arm a
+    * lexical stack runs when the raw query undershoots (and the
+    * retrieval op this surface lacked between bm25_topk and the dense
+    * arms).
+    *
+    * Scale shape: the seed ranking is a persisted lex-truth read; the
+    * feedback stage joins the postings ARTIFACT against a broadcast
+    * |queries|×[[PrfFbDocs]] seed list; the rescore is the bm25 scoring
+    * join with the SAME per-term impact cap ([[BmImpactCap]]), its
+    * query side bounded at |queries|×[[PrfFbTerms]] broadcast rows.
+    * Every stage is bounded by query count, never corpus size.
+    *
+    * Parity: feedback weights are exact 1e-6-unit longs; per-term score
+    * parts round to 6dp and accumulate in DECIMAL (the bm25Ranked
+    * scheme).
+    */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    val p = lexPostings(spark, dir)
+    val seed = bm25Topk(spark, dir).filter(col("rank") <= PrfFbDocs)
+      .select(col("q_id"), col("doc_id"))
+    val fb = p.join(broadcast(seed), "doc_id")
+      .select(col("q_id"), col("term"),
+        floor(col("tf").cast("double") / col("dl") * 1000000 + 0.5)
+          .cast("long").as("wu"))
+      .groupBy(col("q_id"), col("term"))
+      .agg(sum(col("wu")).as("wu"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("wu").desc, col("term"))
+    val exp = fb.withColumn("er", row_number().over(wE))
+      .filter(col("er") <= PrfFbTerms)
+      .select(col("q_id"), col("term"), col("wu"))
+      .localCheckpoint() // feeds the vocab restriction AND the join
+    val stats = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs")).as("avgdl"))
+    val evocab = exp.select(col("term")).distinct()
+    val idf = p.join(broadcast(evocab), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        (floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * 1000000 + lit(0.5))
+          / 1000000).as("idf"))
+    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
+    val pe = p.join(broadcast(evocab), "term")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+    val impact = (col("tf").cast("double") * lit(BmK1Plus1)) /
+      (col("tf").cast("double") + lit(BmK1) *
+        (lit(1.0) - lit(BmB) +
+          lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
+    val capped = pe
+      .withColumn("ir", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(impact.desc, col("doc_id"))))
+      .filter(col("ir") <= cap)
+      .drop("ir")
+    val qexp = exp.join(idf, "term")
+    val part = (floor((col("wu").cast("double") / lit(1000000.0)) *
+      col("idf") *
+      ((col("tf").cast("double") * lit(BmK1Plus1)) /
+        (col("tf").cast("double") + lit(BmK1) *
+          (lit(1.0) - lit(BmB) +
+            lit(BmB) * (col("dl").cast("double") / col("avgdl")))))
+      * 1000000 + lit(0.5)) / 1000000).cast("decimal(18,6)")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    capped.join(broadcast(qexp), "term")
+      .select(col("q_id"), col("doc_id"), part.as("part"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PrfK)
+      .select(col("q_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** late_interaction knobs: candidate pool depth (stage 1) and the

@@ -143,4 +143,48 @@ object Tenancy {
         r4(col("n_purge").cast("double") / col("n_rows")).as("purge_pct"))
       .orderBy(col("table_name"))
   }
+
+  /** k_anonymity quasi-identifier balance-bucket width and the k grid
+    * the profile reports.
+    */
+  val KAnonBalBucket = 1000.0
+  val KAnonKs = Seq(2, 3, 5, 10, 25)
+
+  /** k_anonymity: the re-identification-risk PROFILE of the customer
+    * table under its quasi-identifiers (Sweeney, IJUFKS 2002 — a row is
+    * k-anonymous iff its QI equivalence class holds ≥ k rows; training
+    * corpora exported with user attributes carry exactly this risk
+    * before release). QI = (nation, market segment, account-balance
+    * bucket). For each k on the standard grid: equivalence classes
+    * below k, rows they expose, and the anonymous share — the table a
+    * release gate reads to pick its generalization level (the
+    * [[forgetUser]] posture: audit BEFORE the 100 TB rewrite).
+    *
+    * Scale shape: one scan → QI partial agg (classes are the grouped
+    * frame, bounded by the QI domain, not the row count), then a
+    * |classes| × |grid| broadcast cross of a 5-row literal grid and a
+    * grid-bounded final agg. No joins against the fact table.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / KAnonBalBucket).as("bal_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    classes
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(KAnonKs.map(lit): _*)).as("k"))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cnt") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_below"),
+        sum(when(col("cnt") < col("k"), col("cnt")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("k"), col("n_classes"), col("n_classes_below"),
+        col("rows_at_risk"),
+        r4(lit(1.0) - col("rows_at_risk").cast("double") / col("n_rows"))
+          .as("anonymous_share"))
+      .orderBy(col("k"))
+  }
 }

@@ -914,6 +914,62 @@ object DuckSql {
        |ORDER BY arm""".stripMargin
   }
 
+  /** Mirror of Retrieval.prfExpand: the bm25 CTE chain supplies the seed
+    * ranking and postings; feedback weights are 1e-6-unit BIGINT sums of
+    * tf/dl, expansion idf over the restricted vocab, the same impact-cap
+    * window on the rescore join, 6dp DECIMAL part accumulation. Fresh
+    * CTE names (pdl/fb/expq/ev/eidf/ecap/esc/eagg) — qt/dft/idf/cimp
+    * belong to the seed chain.
+    */
+  lazy val prfExpand: String = {
+    import graft.operators.Retrieval.{BmB, BmK1, BmK1Plus1, BmImpactCap,
+      PrfFbDocs, PrfFbTerms, PrfK}
+    s"""${bm25CtesCap(BmImpactCap)},
+       |seed AS (SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS rank FROM agg)
+       |  WHERE rank <= $PrfFbDocs),
+       |pdl AS MATERIALIZED (SELECT c.doc_id, c.term, c.tf, d.dl
+       |      FROM ctf c JOIN dlen d USING (doc_id)),
+       |fb AS (SELECT s.q_id, p.term,
+       |        sum(floor(p.tf::DOUBLE / p.dl * 1000000 + 0.5)::BIGINT)
+       |          AS wu
+       |       FROM seed s JOIN pdl p ON p.doc_id = s.doc_id
+       |       GROUP BY s.q_id, p.term),
+       |expq AS (SELECT q_id, term, wu FROM (
+       |    SELECT q_id, term, wu, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY wu DESC, term) AS er FROM fb)
+       |  WHERE er <= $PrfFbTerms),
+       |ev AS (SELECT DISTINCT term FROM expq),
+       |eidf AS (SELECT e.term,
+       |  floor(ln(1.0 + (s.n_docs::DOUBLE - e.df + 0.5) / (e.df::DOUBLE + 0.5))
+       |        * 1000000 + 0.5) / 1000000 AS idf
+       |  FROM (SELECT p.term, count(*) AS df FROM pdl p
+       |        JOIN ev USING (term) GROUP BY p.term) e, stats s),
+       |ecap AS (SELECT doc_id, term, tf, dl FROM (
+       |    SELECT p.doc_id, p.term, p.tf, p.dl,
+       |      row_number() OVER (PARTITION BY p.term
+       |        ORDER BY (p.tf::DOUBLE * $BmK1Plus1) /
+       |          (p.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (p.dl::DOUBLE / s.avgdl))) DESC,
+       |          p.doc_id) AS ir
+       |    FROM pdl p JOIN ev USING (term), stats s)
+       |  WHERE ir <= $BmImpactCap),
+       |esc AS (SELECT e.q_id, c.doc_id,
+       |  CAST(floor((e.wu::DOUBLE / 1000000.0) * i.idf *
+       |    ((c.tf::DOUBLE * $BmK1Plus1) /
+       |     (c.tf::DOUBLE + $BmK1 * (1.0 - $BmB + $BmB * (c.dl::DOUBLE / s.avgdl))))
+       |    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM ecap c JOIN expq e ON e.term = c.term
+       |       JOIN eidf i ON i.term = c.term, stats s),
+       |eagg AS (SELECT q_id, doc_id, sum(part) AS score FROM esc
+       |         GROUP BY q_id, doc_id)
+       |SELECT q_id, doc_id, score::DOUBLE AS score, rank::INT AS rank
+       |FROM (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY score DESC, doc_id) AS rank
+       |      FROM eagg) WHERE rank <= $PrfK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Mirror of Curation.labelQueue: the qualityThresholds p50 per lang,
     * raw-double margin ranking, 4dp margin at output.
     */
@@ -1036,6 +1092,28 @@ object DuckSql {
        |  floor(n_purge::DOUBLE / n_rows * 10000 + 0.5) / 10000
        |    AS purge_pct
        |FROM u ORDER BY table_name""".stripMargin
+  }
+
+  /** Mirror of Tenancy.kAnonymity: QI equivalence classes over
+    * (nation, segment, balance bucket), crossed with the literal k grid,
+    * exact integer counts, one 4dp share.
+    */
+  val kAnonymity: String = {
+    import graft.operators.Tenancy.{KAnonBalBucket, KAnonKs}
+    val grid = KAnonKs.map(k => s"($k)").mkString(", ")
+    s"""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / $KAnonBalBucket)::BIGINT AS bal_bucket,
+       |    count(*)::BIGINT AS cnt
+       |  FROM customer GROUP BY 1, 2, 3),
+       |ks(k) AS (VALUES $grid)
+       |SELECT k::INT AS k, count(*)::BIGINT AS n_classes,
+       |  sum(CASE WHEN cnt < k THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_classes_below,
+       |  sum(CASE WHEN cnt < k THEN cnt ELSE 0 END)::BIGINT
+       |    AS rows_at_risk,
+       |  floor((1.0 - sum(CASE WHEN cnt < k THEN cnt ELSE 0 END)::DOUBLE
+       |         / sum(cnt)) * 10000 + 0.5) / 10000 AS anonymous_share
+       |FROM cls, ks GROUP BY k ORDER BY k""".stripMargin
   }
 
   /** Mirror of Retrieval.tfidfVectors: smoothed idf, 6dp idf rounding,
@@ -2038,6 +2116,76 @@ object DuckSql {
        |FROM ct, cg""".stripMargin
   }
 
+  /** Mirror of Similarity.silhouette: the trained-kmeans chain, per-vec
+    * own/other centroid cosines via conditional max, the same fixed-order
+    * double silhouette expression rounded to 6dp, DECIMAL accumulation,
+    * 4dp cell mean.
+    */
+  lazy val silhouette: String =
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx0")},
+       |cs AS (SELECT x.vec_id, x.cid AS own, c.cid,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS cos
+       |  FROM idx0 x, c2 c),
+       |pv AS (SELECT vec_id, own,
+       |    max(CASE WHEN cid = own THEN cos END) AS cown,
+       |    max(CASE WHEN cid <> own THEN cos END) AS cother
+       |  FROM cs GROUP BY vec_id, own),
+       |sl AS (SELECT own AS ccell,
+       |    CASE WHEN greatest(1.0 - cown, 1.0 - cother) > 0
+       |      THEN CAST(floor(((1.0 - cother) - (1.0 - cown))
+       |             / greatest(1.0 - cown, 1.0 - cother) * 1000000 + 0.5)
+       |           / 1000000 AS DECIMAL(18,6))
+       |      ELSE CAST(0.0 AS DECIMAL(18,6)) END AS sil
+       |  FROM pv)
+       |SELECT ccell, count(*)::BIGINT AS n_vecs,
+       |  floor(sum(sil)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS mean_sil
+       |FROM sl GROUP BY ccell ORDER BY ccell""".stripMargin
+
+  /** Mirror of Similarity.bitextMine: the brute anchor sweep (%50)
+    * supplies ranked neighbor lists; per-anchor 1e-6-unit top-AvgK mean,
+    * mutual top-CandK anchor pairs, the ratio margin, global top-N.
+    */
+  lazy val bitextMine: String = {
+    import graft.operators.Similarity.{BitextAvgK, BitextCandK, BitextTopN}
+    s"""WITH tr AS MATERIALIZED (SELECT q_id, neighbor_id, s, rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= $BitextCandK),
+       |avgk AS (SELECT q_id,
+       |    floor(sum(floor(s * 1000000 + 0.5)::BIGINT)::DOUBLE / $BitextAvgK + 0.5)
+       |      / 1000000 AS avgk
+       |  FROM tr WHERE rank <= $BitextAvgK GROUP BY q_id),
+       |fwd AS (SELECT q_id AS x, neighbor_id AS y, s FROM tr
+       |        WHERE neighbor_id % 50 = 0),
+       |pairs AS (SELECT f.x, f.y, f.s FROM fwd f
+       |  WHERE f.x < f.y AND EXISTS (SELECT 1 FROM fwd r
+       |          WHERE r.x = f.y AND r.y = f.x)),
+       |scored AS (SELECT p.x, p.y,
+       |    floor(p.s * 1000000 + 0.5) / 1000000 AS cos,
+       |    floor((floor(p.s * 1000000 + 0.5) / 1000000)
+       |      / ((a.avgk + b.avgk) / 2.0) * 10000 + 0.5) / 10000 AS margin
+       |  FROM pairs p JOIN avgk a ON a.q_id = p.x
+       |       JOIN avgk b ON b.q_id = p.y
+       |  WHERE (a.avgk + b.avgk) / 2.0 > 0)
+       |SELECT x, y, cos, margin, rank::INT AS rank
+       |FROM (SELECT x, y, cos, margin,
+       |        row_number() OVER (ORDER BY margin DESC, x, y) AS rank
+       |      FROM scored)
+       |WHERE rank <= $BitextTopN ORDER BY rank""".stripMargin
+  }
+
   /** Mirror of Similarity.indexRecall: one exact brute-force CTE, four
     * left-join recall arms — each embedding the full probe oracle as a
     * subquery (annIvfKmeans / annPq / annIvfPq / lshAnn).
@@ -2978,6 +3126,48 @@ object DuckSql {
        |  FROM fu f, w$ClfRounds w)
        |SELECT doc_id, su::DOUBLE / 1000000 AS score, su >= 500000 AS pred
        |FROM sx""".stripMargin
+  }
+
+  /** Mirror of Curation.clfCalibration: the unrolled training chain to
+    * the frozen weights, the corpus scorer, held-out + labeled join,
+    * equal-width bins on the identical double score, exact BIGINT su
+    * sums, the same two divisions and 4dp gap.
+    */
+  lazy val clfCalibration: String = {
+    import graft.operators.Curation.{ClfCalibBins, ClfRounds, SplitSeed,
+      SplitTrain}
+    val z = (0 to 4).map(i => s"w.wu$i * f.xu$i").mkString(" + ")
+    s"""WITH $clfFeatureCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |$clfTrainCtes,
+       |lbl AS (SELECT px.doc_id,
+       |          CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS pos
+       |        FROM px JOIN th ON th.lang = px.lang
+       |        WHERE px.ppl <= th.t1 OR px.ppl > th.t2),
+       |ho AS (SELECT doc_id FROM documents
+       |       WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SplitSeed)}'), 1, 8))::BIGINT
+       |             / 4294967296.0 >= $SplitTrain),
+       |fu AS (SELECT doc_id, ${clfUnitCols("cfs")} FROM cfs),
+       |sx AS (SELECT f.doc_id,
+       |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT AS su
+       |  FROM fu f, w$ClfRounds w),
+       |b AS (SELECT
+       |    least(floor(sx.su::DOUBLE / 1000000 * $ClfCalibBins),
+       |          ${ClfCalibBins - 1})::INT AS bin,
+       |    sx.su, l.pos
+       |  FROM sx JOIN lbl l ON l.doc_id = sx.doc_id
+       |       JOIN ho ON ho.doc_id = sx.doc_id),
+       |g AS (SELECT bin, count(*)::BIGINT AS n, sum(su)::BIGINT AS susum,
+       |        sum(pos)::BIGINT AS npos
+       |      FROM b GROUP BY bin)
+       |SELECT bin, n,
+       |  floor(susum::DOUBLE / n + 0.5) / 1000000 AS mean_score,
+       |  floor(npos::DOUBLE / n * 10000 + 0.5) / 10000 AS pos_rate,
+       |  floor(abs(floor(susum::DOUBLE / n + 0.5) / 1000000
+       |        - floor(npos::DOUBLE / n * 10000 + 0.5) / 10000)
+       |        * 10000 + 0.5) / 10000 AS gap
+       |FROM g ORDER BY bin""".stripMargin
   }
 
   /** Mirror of CorpusStats.signalCorr: the quality-score CTEs joined

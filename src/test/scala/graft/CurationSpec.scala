@@ -437,4 +437,37 @@ class CurationSpec extends SparkSpecBase {
     assert(totals.distinct.length === 1,
       "both gates must be graded on the same eval set")
   }
+
+  test("clf_calibration: bins recomputed driver-side from apply + " +
+      "examples + split") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val out = Curation.clfCalibration(spark, d).collect()
+    assert(out.nonEmpty)
+    val ho = Curation.dataSplit(spark, d)
+      .filter(col("split") =!= "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lbl = Curation.classifierExamples(spark, d)
+      .select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sc = Curation.classifierApply(spark, d)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => ho(p._1) && lbl.contains(p._1))
+    assert(sc.nonEmpty)
+    val exp = sc.groupBy(p => math.min(math.floor(p._2 * 10).toInt, 9))
+      .map { case (b, xs) =>
+        val n = xs.length
+        val susum = xs.map(p => math.floor(p._2 * 1e6 + 0.5).toLong).sum
+        val npos = xs.map(p => lbl(p._1).toLong).sum
+        val ms = math.floor(susum.toDouble / n + 0.5) / 1e6
+        val pr = math.floor(npos.toDouble / n * 1e4 + 0.5) / 1e4
+        b -> ((n.toLong, ms, pr,
+          math.floor(math.abs(ms - pr) * 1e4 + 0.5) / 1e4))
+      }
+    val got = out.map(r => r.getAs[Int]("bin") ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("mean_score"),
+        r.getAs[Double]("pos_rate"), r.getAs[Double]("gap")))).toMap
+    assert(got === exp)
+  }
 }

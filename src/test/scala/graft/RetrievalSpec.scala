@@ -328,4 +328,22 @@ class RetrievalSpec extends SparkSpecBase {
       spark.conf.unset("spark.graft.param.sparse_knn.impact_cap")
     }
   }
+
+  test("prf_expand: expansion recovers a doc sharing no original query " +
+      "term; the seed doc still ranks first") {
+    val d = fixtureDir(docs = Seq(
+      doc(0, "apple banana"),        // query (0 % 100 == 0)
+      doc(1, "apple banana cherry"), // only bm25 seed (shares q terms)
+      doc(2, "cherry cherry date"),  // NO query term; cherry ties to seed
+      doc(3, "kiwi lemon")))         // shares nothing -> unreachable
+    val out = operators.Retrieval.prfExpand(spark, d).collect()
+    assert(out.forall(_.getAs[Long]("q_id") == 0L))
+    val byDoc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    // doc 2 is retrievable ONLY through the expansion term "cherry" —
+    // the PRF recall-recovery behavior the operator exists for
+    assert(byDoc.keySet === Set(1L, 2L))
+    assert(byDoc(1L) === 1 && byDoc(2L) === 2)
+    assert(out.forall(_.getAs[Double]("score") > 0.0))
+  }
 }

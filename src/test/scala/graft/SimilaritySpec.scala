@@ -591,4 +591,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_matched") === 3L)
     assert(r.getAs[Double]("recall") === 1.0)
   }
+
+  test("silhouette: every vector counted once, means bounded in [-1, 1]") {
+    val out = Similarity.silhouette(spark, roDir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === 4L)
+    out.foreach { r =>
+      val s = r.getAs[Double]("mean_sil")
+      assert(s >= -1.0 && s <= 1.0)
+      assert(r.getAs[Int]("ccell") >= 0 && r.getAs[Int]("ccell") < 8)
+    }
+  }
+
+  test("bitext_mine: the mutual anchor twin pair mines with margin > 1") {
+    // anchors (vec_id % 50 == 0): 0 and 50, nearly identical; every
+    // other vector is orthogonal to both, so each anchor's top-8 mean
+    // is ~s(0,50)/8 and the ratio margin of the pair is ~8
+    val embs = Seq(Emb(0, vec(1.0, 0.0), 0), Emb(50, vec(0.99, 0.01), 0)) ++
+      (1 until 50).map(i => Emb(i.toLong, vec(0.0, 0.0, 1.0), 0))
+    val d = fixtureDir(embs = embs)
+    val out = Similarity.bitextMine(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("x") === 0L)
+    assert(r.getAs[Long]("y") === 50L)
+    assert(r.getAs[Int]("rank") === 1)
+    assert(r.getAs[Double]("cos") > 0.99)
+    assert(r.getAs[Double]("margin") > 1.0)
+  }
 }

@@ -74,4 +74,21 @@ class TenancySpec extends SparkSpecBase {
       Seq("orders", 2L, 1L, 0.5),
       Seq("lineitem", 3L, 2L, r4(2.0 / 3))))
   }
+
+  test("k_anonymity: hand-built equivalence classes across the k grid") {
+    import spark.implicits._
+    val dir = fixtureDir(evs = Seq(ev(1, 10, 1, "click")))
+    // class A = (nation 0, seg A, bucket 0) x3; class B = (1, B, bucket 1) x1
+    Seq((1L, 0L, "A", 100.0), (2L, 0L, "A", 200.0), (3L, 0L, "A", 300.0),
+      (4L, 1L, "B", 1500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = rows(Tenancy.kAnonymity(spark, dir))
+    assert(out === Set(
+      Seq(2, 2L, 1L, 1L, 0.75),   // only class B (size 1) below k=2
+      Seq(3, 2L, 1L, 1L, 0.75),   // class A (size 3) still >= 3
+      Seq(5, 2L, 2L, 4L, 0.0),    // both classes below 5
+      Seq(10, 2L, 2L, 4L, 0.0),
+      Seq(25, 2L, 2L, 4L, 0.0)))
+  }
 }
