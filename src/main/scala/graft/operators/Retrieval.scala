@@ -595,9 +595,21 @@ object Retrieval {
     * terms), the same fan-out control the df-cap gives the shingle
     * joins.
     */
-  def sparseKnn(spark: SparkSession, dir: String): DataFrame =
-    sparseKnn(spark, dir,
-      graft.Params.int(spark, "sparse_knn.impact_cap", SparseImpactCap))
+  def sparseKnn(spark: SparkSession, dir: String): DataFrame = {
+    // The lex-truth posture applied to the sparse ranking: the live
+    // pipeline (postings window + pairing join + norms) is the run-1
+    // artifact build, keyed by the resolved cap (the lexTruthPath rule);
+    // every later call — including impact_recall's capped arm — is a
+    // parquet read. The 10× probe priced the live arm at ~10 s per
+    // invocation on the degenerate vocabulary.
+    val cap = graft.Params.int(spark, "sparse_knn.impact_cap",
+      SparseImpactCap)
+    val path = IndexStore.path(s"sparse-ranked-c$cap-v1", dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        sparseKnn(spark, dir, cap), path, Seq("q_id", "rank")))
+    spark.read.parquet(path)
+  }
 
   /** The cap-explicit form: `cap = Int.MaxValue` is the UNCAPPED exact
     * ranking (no per-term impact window — the truth arm of
@@ -802,6 +814,23 @@ object Retrieval {
     * scheme).
     */
   def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted like every other ranking (the lex-truth posture, keyed
+    // by the resolved cap): the expansion + rescore pipeline is the
+    // run-1 build; consumers read parquet. The 10× probe priced the
+    // live pipeline at ~8.6 s per invocation (the per-term cap window
+    // processes every posting of the expansion vocabulary even though
+    // the JOIN it feeds is bounded).
+    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
+    val path = IndexStore.path(s"prf-truth-c$cap-v1", dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        prfExpandLive(spark, dir, cap), path, Seq("q_id", "rank")))
+    spark.read.parquet(path)
+  }
+
+  /** The live PRF pipeline (the artifact build). */
+  private def prfExpandLive(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     val p = lexPostings(spark, dir)
     val seed = bm25Topk(spark, dir).filter(col("rank") <= PrfFbDocs)
       .select(col("q_id"), col("doc_id"))
@@ -830,7 +859,6 @@ object Retrieval {
           (col("n_docs").cast("double") - col("df") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))) * 1000000 + lit(0.5))
           / 1000000).as("idf"))
-    val cap = graft.Params.int(spark, "bm25_topk.impact_cap", BmImpactCap)
     val pe = p.join(broadcast(evocab), "term")
       .crossJoin(broadcast(stats.select(col("avgdl"))))
     val impact = (col("tf").cast("double") * lit(BmK1Plus1)) /
