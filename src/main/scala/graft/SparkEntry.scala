@@ -162,6 +162,9 @@ object SparkEntry {
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
+    "label_prop" -> (Graph.labelProp _),
+    "mix_temperature" -> (CorpusStats.mixTemperature _),
+    "quality_psi" -> (CorpusStats.qualityPsi _),
     "label_queue" -> (Curation.labelQueue _),
     "robust_stats" -> (Sessions.robustStats _),
     "forget_user" -> (Tenancy.forgetUser _),
@@ -673,6 +676,9 @@ object SparkEntry {
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
+    "label_prop" -> graft.oracle.DuckSql.labelProp,
+    "mix_temperature" -> graft.oracle.DuckSql.mixTemperature,
+    "quality_psi" -> graft.oracle.DuckSql.qualityPsi,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,
     "robust_stats" -> graft.oracle.DuckSql.robustStats,
     "forget_user" -> graft.oracle.DuckSql.forgetUser,

@@ -143,6 +143,109 @@ object CorpusStats {
             .otherwise(lit(0L))).as("n_copies"))
   }
 
+  /** Sampling temperature of [[mixTemperature]] (mT5/multilingual-mix
+    * convention: T ∈ (0,1) flattens the natural distribution; 0.7 is
+    * the mT5 paper's operating point).
+    */
+  val MixTemperature = 0.7
+
+  /** mix_temperature: TEMPERATURE-SCALED source mixing weights
+    * (Raffel et al. T5 / Xue et al. mT5 §3.2 — w_s ∝ p_s^T): the
+    * standard alternative to [[domainMix]]'s explicit target table when
+    * no curated targets exist — upsample the tail, damp the head, with
+    * one scalar knob. Per source: docs, natural share, temperature
+    * weight, and the boost factor w/p (the number that prices how much
+    * the tail is oversampled — repeat-epoch risk shows here first).
+    *
+    * Scale shape: one source partial agg (|sources| rows), two 1-row
+    * broadcasts (total, weight denominator). Map-shaped at any corpus.
+    *
+    * Parity: shares round to 6dp; p^T = exp(T·ln p) on the ROUNDED
+    * share (exp/ln are the sanctioned library calls), re-rounded to 6dp
+    * and accumulated in DECIMAL; final weights are one mirrored double
+    * division.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("total"))
+    val up = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        rnd6(col("n_docs").cast("double") / col("total")).as("share"))
+      .select(col("source"), col("n_docs"), col("share"),
+        when(col("share") > 0,
+          rnd6(exp(lit(MixTemperature) * log(col("share")))))
+          .otherwise(lit(0.0)).cast("decimal(18,6)").as("u"))
+      .localCheckpoint() // feeds the denominator AND the final select
+    val denom = up.agg(sum(col("u")).as("du"))
+    up.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("share"),
+        rnd6(col("u").cast("double") / col("du").cast("double"))
+          .as("t_weight"))
+      .withColumn("boost",
+        floor(col("t_weight") / col("share") * 10000 + 0.5) / 10000)
+      .orderBy(col("source"))
+  }
+
+  /** quality_psi bin count and the add-1 smoothing it shares with the
+    * oracle (smoothing keeps every ln finite on empty bins).
+    */
+  val PsiBins = 10
+
+  /** quality_psi: POPULATION STABILITY INDEX of each source's
+    * quality-score distribution against the corpus-wide one —
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b), the standard
+    * distribution-drift monitor (credit-scoring practice; >0.25 is the
+    * conventional "investigate" line). The per-source drift gauge the
+    * curation stack lacked: source_divergence compares VOCABULARY,
+    * signal_corr correlates signals — this watches the quality-score
+    * DISTRIBUTION itself, the input every gate threshold was tuned on
+    * (a new crawl snapshot shifting its score mass invalidates
+    * thresholds before any gate metric moves).
+    *
+    * Scale shape: one scored scan → (source × bin) partial agg over a
+    * fixed 10-bin grid; every later frame is bounded by
+    * |sources| × [[PsiBins]]. Map-shaped at any corpus size.
+    *
+    * Parity: bins from the shared 4dp score; add-1-smoothed shares are
+    * fixed-order double expressions; per-bin terms round to 6dp and
+    * accumulate in DECIMAL.
+    */
+  def qualityPsi(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val binned = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .join(src, "doc_id")
+      .select(col("source"),
+        least(floor(col("score") * PsiBins), lit(PsiBins - 1))
+          .cast("int").as("bin"))
+    val perSrcBin = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val bins = spark.range(PsiBins).select(col("id").cast("int").as("bin"))
+    val full = perSrcBin.select(col("source")).distinct()
+      .crossJoin(broadcast(bins))
+      .join(perSrcBin, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint() // feeds the corpus rollup AND the per-source terms
+    val nSrc = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corpus = full.groupBy(col("bin")).agg(sum(col("c")).as("cc"))
+    val nTot = corpus.agg(sum(col("cc")).as("nt"))
+    val p = (col("c") + 1).cast("double") / (col("n") + PsiBins)
+    val q = (col("cc") + 1).cast("double") / (col("nt") + PsiBins)
+    full.join(nSrc, "source")
+      .join(corpus, "bin")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n"),
+        rnd6((p - q) * log(p / q)).cast("decimal(18,6)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), sum(col("term")).as("psi"))
+      .select(col("source"), col("n_docs"),
+        col("psi").cast("double").as("psi"))
+      .orderBy(col("source"))
+  }
+
   /** quality_thresholds: per-language p10/p50/p90 of the quality score —
     * the cutoffs a per-language quality gate would use.
     *

@@ -227,6 +227,56 @@ object Graph {
     * joins key on node id. Bounded [[CorePeelRounds]] rounds — the
     * oracle unrolls the identical rounds, so parity is structural.
     */
+  /** Fixed label-propagation rounds (the PrIters posture: a convergence
+    * threshold would make the round count data-dependent, which the
+    * unrolled oracle cannot mirror; 4 synchronous rounds separate the
+    * gate graph's communities).
+    */
+  val LpRounds = 4
+
+  /** label_prop: COMMUNITIES by synchronous label propagation (Raghavan
+    * et al., Phys. Rev. E 2007) over the support-pruned co-purchase
+    * graph — each round every node adopts the most frequent label among
+    * its neighbors (ties to the SMALLEST label, which makes the update
+    * deterministic and engine-mirrorable; the usual random tie-break is
+    * exactly what an oracle cannot replay). Complements the graph
+    * family: copurchase_clusters partitions by CONNECTIVITY (one giant
+    * component swallows everything it touches), label_prop partitions by
+    * DENSITY — a bridge edge joins components but does not merge
+    * communities. Parts off the signal graph are their own singleton
+    * community (the dedup_clusters convention).
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the label frame (shuffle on src) + one (dst, lbl) partial agg + a
+    * dst-bounded argmax window — the pagerank loop shape,
+    * localCheckpoint-ed per round. No driver state.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = prunedPairs(spark, dir)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to LpRounds) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("lbl"))
+      lbl = edges.join(lbl, col("node") === col("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .join(lbl, col("p_partkey") === col("node"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("lbl"), col("p_partkey")).as("community"))
+      .orderBy(col("p_partkey"))
+  }
+
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val e0 = prunedPairs(spark, dir)
     var edges = e0.select(col("pa").as("src"), col("pb").as("dst"))

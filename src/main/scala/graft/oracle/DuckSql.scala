@@ -2713,6 +2713,62 @@ object DuckSql {
        |FROM p, t ORDER BY lang""".stripMargin
   }
 
+  /** Mirror of CorpusStats.mixTemperature: 6dp shares, p^T = exp(T·ln p)
+    * on the rounded share re-rounded to 6dp DECIMAL, exact DECIMAL
+    * denominator, mirrored double divisions.
+    */
+  val mixTemperature: String = {
+    import graft.operators.CorpusStats.MixTemperature
+    val tw = "floor(u::DOUBLE / du::DOUBLE * 1000000 + 0.5) / 1000000"
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs
+       |             FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM per),
+       |sh AS (SELECT source, n_docs,
+       |        floor(n_docs::DOUBLE / total * 1000000 + 0.5) / 1000000
+       |          AS share
+       |       FROM per, tot),
+       |up AS (SELECT source, n_docs, share,
+       |        CAST(CASE WHEN share > 0
+       |          THEN floor(exp($MixTemperature * ln(share)) * 1000000 + 0.5)
+       |               / 1000000
+       |          ELSE 0.0 END AS DECIMAL(18,6)) AS u
+       |       FROM sh),
+       |de AS (SELECT sum(u) AS du FROM up)
+       |SELECT source, n_docs, share, $tw AS t_weight,
+       |  floor(($tw) / share * 10000 + 0.5) / 10000 AS boost
+       |FROM up, de ORDER BY source""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.qualityPsi: shared 4dp score CTEs, fixed
+    * 10-bin grid with zero-fill, add-1-smoothed shares, per-bin 6dp
+    * DECIMAL terms.
+    */
+  lazy val qualityPsi: String = {
+    import graft.operators.CorpusStats.PsiBins
+    val p = s"(f.c + 1)::DOUBLE / (ns.n + $PsiBins)"
+    val q = s"(cb.cc + 1)::DOUBLE / (nt.nt + $PsiBins)"
+    s"""$qualityScoreCtes,
+       |sb AS (SELECT d.source,
+       |    least(floor(s.score * $PsiBins), ${PsiBins - 1})::INT AS bin
+       |  FROM s JOIN documents d ON d.doc_id = s.doc_id),
+       |pc AS (SELECT source, bin, count(*)::BIGINT AS c
+       |       FROM sb GROUP BY 1, 2),
+       |fullg AS MATERIALIZED (SELECT g.source, b.bin, coalesce(pc.c, 0)::BIGINT AS c
+       |  FROM (SELECT DISTINCT source FROM pc) g
+       |  CROSS JOIN (SELECT i::INT AS bin FROM range(0, $PsiBins) t(i)) b
+       |  LEFT JOIN pc ON pc.source = g.source AND pc.bin = b.bin),
+       |ns AS (SELECT source, sum(c)::BIGINT AS n FROM fullg GROUP BY source),
+       |cb AS (SELECT bin, sum(c)::BIGINT AS cc FROM fullg GROUP BY bin),
+       |nt AS (SELECT sum(cc)::BIGINT AS nt FROM cb),
+       |t AS (SELECT f.source, ns.n,
+       |    CAST(floor((($p - $q) * ln(($p) / ($q))) * 1000000 + 0.5)
+       |         / 1000000 AS DECIMAL(18,6)) AS term
+       |  FROM fullg f JOIN ns ON ns.source = f.source
+       |       JOIN cb ON cb.bin = f.bin, nt)
+       |SELECT source, max(n)::BIGINT AS n_docs, sum(term)::DOUBLE AS psi
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Mirror of CorpusStats.applyMix: the domainMix sample_factor per
     * language (same 6dp floor form), realized per doc with the
     * stratified_sample hash fraction — an exact binary rational on both
@@ -4537,6 +4593,31 @@ object DuckSql {
        |${rounds.mkString(",\n")}
        |SELECT src AS part, count(*)::BIGINT AS core_deg
        |FROM ke${Graph.CorePeelRounds} GROUP BY src ORDER BY part""".stripMargin
+  }
+
+  /** Mirror of Graph.labelProp: [[graft.operators.Graph.LpRounds]]
+    * synchronous rounds unrolled (neighbor-label frequency argmax, ties
+    * to the smallest label), singleton parts self-labeled.
+    */
+  val labelProp: String = {
+    import graft.operators.Graph
+    val rounds = (1 to Graph.LpRounds).map { k =>
+      s"""lp$k AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM le e JOIN lp${k - 1} l ON l.node = e.src
+         |  GROUP BY e.dst, l.lbl) WHERE rn = 1)""".stripMargin
+    }
+    s"""$graphE0Cte,
+       |le AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+       |       UNION ALL SELECT pb, pa FROM e0),
+       |lp0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+       |       FROM le),
+       |${rounds.mkString(",\n")}
+       |SELECT p.p_partkey, coalesce(l.lbl, p.p_partkey) AS community
+       |FROM part p LEFT JOIN lp${Graph.LpRounds} l ON l.node = p.p_partkey
+       |ORDER BY p.p_partkey""".stripMargin
   }
 
   /** Mirror of Sessions.weeklyProfile: integer epoch-day dow

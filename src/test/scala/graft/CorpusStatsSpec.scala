@@ -513,4 +513,44 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("sA", 1L, 4L, 2L, 0.5, 3L, 2L, r4(2.0 / 3)),
       Seq("sB", 1L, 1L, 1L, 1.0, 0L, 0L, null)))
   }
+
+  test("mix_temperature: hand-computed p^T weights on a 9:1 split") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val T = graft.operators.CorpusStats.MixTemperature
+    val d = fixtureDir(docs =
+      (1 to 9).map(i => doc(i.toLong, s"t$i", source = "a")) :+
+        doc(10, "t10", source = "b"))
+    val (sa, sb) = (0.9, 0.1)
+    val (ua, ub) = (r6(math.exp(T * math.log(sa))),
+      r6(math.exp(T * math.log(sb))))
+    val du = ua + ub // both are exact 1e-6 multiples
+    val (ta, tb) = (r6(ua / du), r6(ub / du))
+    assert(rows(graft.operators.CorpusStats.mixTemperature(spark, d)) ===
+      Set(Seq("a", 9L, sa, ta, r4(ta / sa)),
+        Seq("b", 1L, sb, tb, r4(tb / sb))))
+  }
+
+  test("quality_psi: a single source IS the corpus -> psi exactly 0; " +
+      "a shifted source reads positive") {
+    val one = fixtureDir(docs = Seq(
+      doc(1, "alpha beta gamma"), doc(2, "delta epsilon zeta"),
+      doc(3, "one two three four five")))
+    val out1 = graft.operators.CorpusStats.qualityPsi(spark, one).collect()
+    assert(out1.length === 1)
+    assert(out1.head.getAs[Long]("n_docs") === 3L)
+    // p and q share every count and denominator -> every term ln(1)=0
+    assert(out1.head.getAs[Double]("psi") === 0.0)
+
+    // source "hi" = long stopword-rich docs, "lo" = terse fragments:
+    // different score bins, so both sources diverge from the pooled mix
+    val hi = "the and for that with this from they have " * 8
+    val two = fixtureDir(docs = Seq(
+      doc(1, hi, source = "hi"), doc(2, hi, source = "hi"),
+      doc(3, "x", source = "lo"), doc(4, "y!", source = "lo")))
+    val out2 = graft.operators.CorpusStats.qualityPsi(spark, two).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    assert(out2.keySet === Set("hi", "lo"))
+    assert(out2.values.forall(_ > 0.0))
+  }
 }

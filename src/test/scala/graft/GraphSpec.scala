@@ -72,6 +72,27 @@ class GraphSpec extends SparkSpecBase {
       Seq(4L, 4L), Seq(5L, 5L), Seq(9L, 9L)))
   }
 
+  test("label_prop: a bridge edge joins components but not communities") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3-4 (all edges
+    // support-2). CC would merge everything into one component; label
+    // propagation (hand-simulated 4 synchronous min-tie rounds) settles
+    // on {1,2,3}->1 and {4,5,6}->3. Part 9 is off-graph -> singleton.
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val li = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      basket(100 + 2 * i, a, b) ++ basket(101 + 2 * i, a, b)
+    }.toDF("l_orderkey", "l_partkey")
+    val part = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("p_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    part.write.parquet(s"$dir/part.parquet")
+    assert(rows(Graph.labelProp(spark, dir)) === Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
+      Seq(4L, 3L), Seq(5L, 3L), Seq(6L, 3L), Seq(9L, 9L)))
+  }
+
   test("k_core: cascading peel leaves the K4 clique, multi-round removal") {
     import spark.implicits._
     // K4 clique {1,2,3,4}; node 5 hangs off 1, 2, and 6 (degree 3 ->
