@@ -163,6 +163,9 @@ object SparkEntry {
     "clf_calibration" -> (Curation.clfCalibration _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
     "label_prop" -> (Graph.labelProp _),
+    "centered_shift" -> (Similarity.centeredShift _),
+    "gate_overlap" -> (Curation.gateOverlap _),
+    "dp_release" -> (Tenancy.dpRelease _),
     "mix_temperature" -> (CorpusStats.mixTemperature _),
     "quality_psi" -> (CorpusStats.qualityPsi _),
     "label_queue" -> (Curation.labelQueue _),
@@ -677,6 +680,9 @@ object SparkEntry {
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "label_prop" -> graft.oracle.DuckSql.labelProp,
+    "centered_shift" -> graft.oracle.DuckSql.centeredShift,
+    "gate_overlap" -> graft.oracle.DuckSql.gateOverlap,
+    "dp_release" -> graft.oracle.DuckSql.dpRelease,
     "mix_temperature" -> graft.oracle.DuckSql.mixTemperature,
     "quality_psi" -> graft.oracle.DuckSql.qualityPsi,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,

@@ -909,6 +909,54 @@ object Curation {
     * (su), so per-bin sums are exact integers; the two double divisions
     * mirror the oracle.
     */
+  /** gate_overlap: the pairwise AGREEMENT MATRIX of the three
+    * keep/drop deciders the curation stack runs — the heuristic rule
+    * gate ([[qualityFilter]]), the trained classifier
+    * ([[classifierApply]]'s 0.5 cut), and DSIR's importance-sampled
+    * selection ([[CorpusStats.dsirSelect]] membership). gate_eval
+    * grades each gate against the frozen-LM label; this grades them
+    * against EACH OTHER (the arm_overlap posture applied to curation):
+    * near-total agreement means the cheap heuristic suffices and the
+    * expensive arms add nothing; low agreement localizes WHERE the
+    * gates disagree before anyone swaps the production gate.
+    *
+    * Scale shape: three per-doc decision frames (map passes + frozen
+    * artifacts), one doc_id co-partitioned join chain, three 1-row
+    * aggregate arms. Jaccard guards empty unions with a null (the
+    * gateEval nullif convention).
+    */
+  def gateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val h = qualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep").as("kh"))
+    val c = classifierApply(spark, dir)
+      .select(col("doc_id"), col("pred").as("kc"))
+    val d = CorpusStats.dsirSelect(spark, dir).select(col("doc_id"))
+      .withColumn("kd", lit(true))
+    val u = h.join(c, "doc_id")
+      .join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kh"), col("kc"),
+        coalesce(col("kd"), lit(false)).as("kd"))
+      .localCheckpoint() // feeds three pairwise arms
+    def arm(name: String, a: Column, b: Column) =
+      u.agg(count(lit(1)).as("n_docs"),
+        sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+        sum(when(a === b, 1L).otherwise(0L)).as("n_agree"))
+        .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+          col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            r4(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")))).as("jaccard"),
+          r4(col("n_agree").cast("double") / col("n_docs"))
+            .as("agree_rate"))
+    arm("classifier~dsir", col("kc"), col("kd"))
+      .unionAll(arm("heuristic~classifier", col("kh"), col("kc")))
+      .unionAll(arm("heuristic~dsir", col("kh"), col("kd")))
+      .orderBy(col("pair"))
+  }
+
   def clfCalibration(spark: SparkSession, dir: String): DataFrame = {
     val ho = dataSplit(spark, dir).filter(col("split") =!= "train")
       .select(col("doc_id"))

@@ -165,6 +165,48 @@ object Tenancy {
     * |classes| × |grid| broadcast cross of a 5-row literal grid and a
     * grid-bounded final agg. No joins against the fact table.
     */
+  /** dp_release privacy budget and noise seed (deterministic: the
+    * released table must be reproducible across runs and engines, so
+    * the Laplace draw derives from a seeded hash — a production release
+    * would draw fresh randomness; the MECHANISM and its error profile
+    * are what this op exercises).
+    */
+  val DpEpsilon = 1.0
+  val DpSeed = "gdp1"
+
+  /** dp_release: DIFFERENTIALLY PRIVATE per-source document counts —
+    * the Laplace mechanism (Dwork et al., TCC'06: count sensitivity 1,
+    * noise ~ Lap(1/ε)) via the inverse CDF over a seeded uniform,
+    * releasing count + noise alongside the audit columns (true count,
+    * absolute error) a release gate inspects before publishing corpus
+    * cards. Completes the privacy family: [[kAnonymity]] audits
+    * re-identification, [[forgetUser]] prices erasure, this releases
+    * aggregates safely.
+    *
+    * Scale shape: one source partial agg; the noise is per-GROUP map
+    * arithmetic (|sources| rows). Parity: the uniform is an exact
+    * binary rational ((h + ½)/2³²), the inverse CDF is one fixed-order
+    * double expression (ln is sanctioned), 6dp-rounded.
+    */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("source"), lit(":" + DpSeed))),
+      1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val c = u - lit(0.5)
+    val noise = floor(
+      when(c >= 0, -log(lit(1.0) - lit(2.0) * c))
+        .otherwise(log(lit(1.0) + lit(2.0) * c)) / lit(DpEpsilon)
+        * 1000000 + lit(0.5)) / 1000000
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), noise.as("noise"))
+      .select(col("source"), col("n_docs"), col("noise"),
+        (col("n_docs") + floor(col("noise") + 0.5).cast("long"))
+          .as("released"))
+      .withColumn("abs_err", abs(col("released") - col("n_docs")))
+      .orderBy(col("source"))
+  }
+
   def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
     val classes = Tables.customer(spark, dir)

@@ -1094,6 +1094,30 @@ object DuckSql {
        |FROM u ORDER BY table_name""".stripMargin
   }
 
+  /** Mirror of Tenancy.dpRelease: seeded-hash uniform (h+½)/2³², the
+    * same fixed-order Laplace inverse CDF, 6dp noise, rounded release.
+    */
+  val dpRelease: String = {
+    import graft.operators.Tenancy.{DpEpsilon, DpSeed}
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs
+       |             FROM documents GROUP BY source),
+       |x AS (SELECT source, n_docs,
+       |  (('0x' || substr(md5(source || ':${sq(DpSeed)}'), 1, 8))::BIGINT::DOUBLE + 0.5)
+       |    / 4294967296.0 AS u
+       |  FROM per),
+       |l AS (SELECT source, n_docs,
+       |  floor((CASE WHEN u - 0.5 >= 0
+       |         THEN -ln(1.0 - 2.0 * (u - 0.5))
+       |         ELSE ln(1.0 + 2.0 * (u - 0.5)) END) / $DpEpsilon
+       |        * 1000000 + 0.5) / 1000000 AS noise
+       |  FROM x)
+       |SELECT source, n_docs, noise,
+       |  (n_docs + floor(noise + 0.5)::BIGINT)::BIGINT AS released,
+       |  abs((n_docs + floor(noise + 0.5)::BIGINT) - n_docs)::BIGINT
+       |    AS abs_err
+       |FROM l ORDER BY source""".stripMargin
+  }
+
   /** Mirror of Tenancy.kAnonymity: QI equivalence classes over
     * (nation, segment, balance bucket), crossed with the literal k grid,
     * exact integer counts, one 4dp share.
@@ -2186,6 +2210,55 @@ object DuckSql {
        |WHERE rank <= $BitextTopN ORDER BY rank""".stripMargin
   }
 
+  /** Mirror of Similarity.centeredShift: the brute anchor pool (%100,
+    * truth depth), the mean6f corpus-mean floats, centered members via
+    * widen-subtract-narrow, centered rerank vs raw top-3.
+    */
+  lazy val centeredShift: String = {
+    import graft.operators.Similarity.{CenterTopK, DenseTruthDepth}
+    s"""WITH pool AS MATERIALIZED (SELECT q_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= $DenseTruthDepth),
+       |mu AS (SELECT (t.i - 1)::INT AS i,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY t.i),
+       |pm AS (SELECT DISTINCT q_id AS vid FROM pool
+       |       UNION SELECT DISTINCT neighbor_id FROM pool),
+       |cv AS MATERIALIZED (SELECT e.vec_id,
+       |    list(CAST(e.embedding[t.i]::DOUBLE - m.m::DOUBLE AS FLOAT)
+       |         ORDER BY t.i) AS cvec
+       |  FROM embeddings e SEMI JOIN pm ON pm.vid = e.vec_id,
+       |       range(1, 65) t(i) JOIN mu m ON m.i = t.i - 1
+       |  GROUP BY e.vec_id),
+       |cr AS (SELECT q_id, neighbor_id, crk FROM (
+       |    SELECT p.q_id, p.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY list_cosine_similarity(a.cvec::DOUBLE[], b.cvec::DOUBLE[]) DESC,
+       |                 p.neighbor_id) AS crk
+       |    FROM pool p JOIN cv a ON a.vec_id = p.q_id
+       |         JOIN cv b ON b.vec_id = p.neighbor_id)
+       |  WHERE crk <= $CenterTopK),
+       |raw3 AS (SELECT q_id, neighbor_id, rank AS rrk FROM pool
+       |         WHERE rank <= $CenterTopK)
+       |SELECT q_id,
+       |  sum(CASE WHEN rrk IS NOT NULL AND crk IS NOT NULL THEN 1
+       |      ELSE 0 END)::BIGINT AS n_overlap,
+       |  floor(sum(CASE WHEN rrk IS NOT NULL AND crk IS NOT NULL THEN 1
+       |        ELSE 0 END)::DOUBLE / $CenterTopK * 10000 + 0.5) / 10000
+       |    AS overlap,
+       |  (max(CASE WHEN rrk = 1 AND crk = 1 THEN 1 ELSE 0 END) = 1)
+       |    AS top1_same
+       |FROM (SELECT coalesce(r.q_id, c.q_id) AS q_id, r.rrk, c.crk
+       |      FROM raw3 r FULL OUTER JOIN cr c
+       |        ON c.q_id = r.q_id AND c.neighbor_id = r.neighbor_id)
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   /** Mirror of Similarity.indexRecall: one exact brute-force CTE, four
     * left-join recall arms — each embedding the full probe oracle as a
     * subquery (annIvfKmeans / annPq / annIvfPq / lshAnn).
@@ -3182,6 +3255,49 @@ object DuckSql {
        |  FROM fu f, w$ClfRounds w)
        |SELECT doc_id, su::DOUBLE / 1000000 AS score, su >= 500000 AS pred
        |FROM sx""".stripMargin
+  }
+
+  /** Mirror of Curation.gateOverlap: the heuristic keep chain + the
+    * trained-classifier chain (gateEval's composition) + dsirSelect
+    * embedded as a subquery; three 1-row agreement arms.
+    */
+  lazy val gateOverlap: String = {
+    import graft.operators.Curation.ClfRounds
+    val z = (0 to 4).map(i => s"w.wu$i * f.xu$i").mkString(" + ")
+    def arm(name: String, a: String, b: String) =
+      s"""SELECT '$name' AS pair,
+         |  sum(CASE WHEN $a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |  sum(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |  sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         |  floor(sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END)::DOUBLE
+         |        / nullif(sum(CASE WHEN $a THEN 1 ELSE 0 END)
+         |                 + sum(CASE WHEN $b THEN 1 ELSE 0 END)
+         |                 - sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END), 0)
+         |        * 10000 + 0.5) / 10000 AS jaccard,
+         |  floor(sum(CASE WHEN $a = $b THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*) * 10000 + 0.5) / 10000 AS agree_rate
+         |FROM uni""".stripMargin
+    s"""WITH $qualityKeepCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |$clfFeatureCtes,
+       |$clfTrainCtes,
+       |fu AS (SELECT doc_id, ${clfUnitCols("cfs")} FROM cfs),
+       |ck AS (SELECT f.doc_id,
+       |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT
+       |    >= 500000 AS keep
+       |  FROM fu f, w$ClfRounds w),
+       |dsel AS (SELECT doc_id FROM ($dsirSelect)),
+       |uni AS MATERIALIZED (SELECT qf.doc_id, qf.keep AS kh,
+       |    ck.keep AS kc, (dsel.doc_id IS NOT NULL) AS kd
+       |  FROM qf JOIN ck ON ck.doc_id = qf.doc_id
+       |  LEFT JOIN dsel ON dsel.doc_id = qf.doc_id)
+       |${arm("classifier~dsir", "kc", "kd")}
+       |UNION ALL
+       |${arm("heuristic~classifier", "kh", "kc")}
+       |UNION ALL
+       |${arm("heuristic~dsir", "kh", "kd")}
+       |ORDER BY pair""".stripMargin
   }
 
   /** Mirror of Curation.clfCalibration: the unrolled training chain to

@@ -438,6 +438,35 @@ class CurationSpec extends SparkSpecBase {
       "both gates must be graded on the same eval set")
   }
 
+  test("gate_overlap: arms recomputed driver-side from the three " +
+      "decision frames") {
+    val d = "/root/testdata/sf0.001"
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val kh = Curation.qualityFilter(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val kc = Curation.classifierApply(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pred")).toMap
+    val kd = graft.operators.CorpusStats.dsirSelect(spark, d).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val ids = kh.keySet
+    def expect(a: Long => Boolean, b: Long => Boolean) = {
+      val na = ids.count(a); val nb = ids.count(b)
+      val both = ids.count(i => a(i) && b(i))
+      val agree = ids.count(i => a(i) == b(i))
+      (na.toLong, nb.toLong, both.toLong,
+        r4(both.toDouble / (na + nb - both)),
+        r4(agree.toDouble / ids.size))
+    }
+    val got = Curation.gateOverlap(spark, d).collect()
+      .map(r => r.getAs[String]("pair") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Double]("jaccard"),
+          r.getAs[Double]("agree_rate")))).toMap
+    assert(got("heuristic~classifier") === expect(kh, kc))
+    assert(got("heuristic~dsir") === expect(kh, kd))
+    assert(got("classifier~dsir") === expect(kc, kd))
+  }
+
   test("clf_calibration: bins recomputed driver-side from apply + " +
       "examples + split") {
     val d = "/root/testdata/sf0.001"

@@ -602,6 +602,20 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("centered_shift: well-separated geometry survives mean-centering") {
+    // roDir: anchor 0's raw top-3 is (1, 3, 2). After centering, 0/1/3
+    // all lie along (1,-1) in the first two dims (twin stays cos 1,
+    // neighbor 3 nearly parallel) and 2 flips negative — the centered
+    // top-3 is the same set with the same leader.
+    val out = Similarity.centeredShift(spark, roDir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("q_id") === 0L)
+    assert(r.getAs[Long]("n_overlap") === 3L)
+    assert(r.getAs[Double]("overlap") === 1.0)
+    assert(r.getAs[Boolean]("top1_same"))
+  }
+
   test("bitext_mine: the mutual anchor twin pair mines with margin > 1") {
     // anchors (vec_id % 50 == 0): 0 and 50, nearly identical; every
     // other vector is orthogonal to both, so each anchor's top-8 mean

@@ -75,6 +75,30 @@ class TenancySpec extends SparkSpecBase {
       Seq("lineitem", 3L, 2L, r4(2.0 / 3))))
   }
 
+  test("dp_release: hand-computed Laplace draw; release = count + " +
+      "rounded noise") {
+    val d = fixtureDir(docs = Seq(
+      doc(1, "a", source = "sA"), doc(2, "b", source = "sA"),
+      doc(3, "c", source = "sA"), doc(4, "d", source = "sB")))
+    def noiseOf(src: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:${Tenancy.DpSeed}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 8), 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val c = u - 0.5
+      val raw = if (c >= 0) -math.log(1.0 - 2.0 * c)
+        else math.log(1.0 + 2.0 * c)
+      math.floor(raw / Tenancy.DpEpsilon * 1e6 + 0.5) / 1e6
+    }
+    val exp = Seq(("sA", 3L), ("sB", 1L)).map { case (s, n) =>
+      val nz = noiseOf(s)
+      val rel = n + math.floor(nz + 0.5).toLong
+      Seq[Any](s, n, nz, rel, math.abs(rel - n))
+    }.toSet
+    assert(rows(Tenancy.dpRelease(spark, d)) === exp)
+  }
+
   test("k_anonymity: hand-built equivalence classes across the k grid") {
     import spark.implicits._
     val dir = fixtureDir(evs = Seq(ev(1, 10, 1, "click")))
