@@ -158,6 +158,7 @@ object SparkEntry {
       Retrieval.sparseKnn(s, d)),
     "impact_recall" -> (Retrieval.impactRecall _),
     "prf_expand" -> (Retrieval.prfExpand _),
+    "ir_metrics" -> (Retrieval.irMetrics _),
     "silhouette" -> (Similarity.silhouette _),
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
@@ -675,6 +676,7 @@ object SparkEntry {
     "sparse_knn" -> graft.oracle.DuckSql.sparseKnn,
     "impact_recall" -> graft.oracle.DuckSql.impactRecall,
     "prf_expand" -> graft.oracle.DuckSql.prfExpand,
+    "ir_metrics" -> graft.oracle.DuckSql.irMetrics,
     "silhouette" -> graft.oracle.DuckSql.silhouette,
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,

@@ -222,6 +222,16 @@ object CorpusStats {
           .cast("int").as("bin"))
     val perSrcBin = binned.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("c"))
+    qualityPsiOfCounts(spark, perSrcBin)
+  }
+
+  /** The PSI tail over a `(source, bin, c)` count frame — shared with
+    * the streaming drift maintainer (graft.streaming.DriftStream),
+    * whose standing store holds exactly these counts; parity with the
+    * batch query is by construction.
+    */
+  private[graft] def qualityPsiOfCounts(spark: SparkSession,
+      perSrcBin: DataFrame): DataFrame = {
     val bins = spark.range(PsiBins).select(col("id").cast("int").as("bin"))
     val full = perSrcBin.select(col("source")).distinct()
       .crossJoin(broadcast(bins))

@@ -355,6 +355,64 @@ object Retrieval {
       .orderBy(col("arm"), col("q_id"))
   }
 
+  /** ir_metrics: the SET/RANK retrieval leaderboard — MRR, micro
+    * recall@k and P@1 of every served arm (BM25, RRF hybrid, PRF
+    * expansion, and the dense exact arm as the 1.0 sanity row) against
+    * binary relevance = membership in the dense exact top-[[NdcgK]].
+    * [[ndcgEval]] grades graded ORDER; this grades presence and
+    * first-hit position — the triage numbers an IR dashboard leads
+    * with (Voorhees, TREC-8 MRR) — and it is the first leaderboard to
+    * grade [[prfExpand]] against the other arms. Each arm is evaluated
+    * AS SERVED (its own gated depth — hybrid serves [[HybridTopK]],
+    * the rest [[BmTopK]]).
+    *
+    * Scale shape: every arm is a persisted-ranking read (lex-truth,
+    * dense truth, prf-truth) or a k-bounded fusion; metrics are
+    * k-bounded joins + per-query partial aggs + 1-row rollups. The
+    * reciprocal ranks accumulate as 6dp DECIMAL (exact under any
+    * partitioning).
+    */
+  def irMetrics(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val exact = denseRanked(spark, dir)
+      .withColumnRenamed("vrank", "pos").localCheckpoint()
+    val rel = exact.select(col("q_id"), col("doc_id"))
+      .withColumn("is_rel", lit(1))
+    val lex = bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+      .localCheckpoint() // the lexical arm AND the fusion input
+    val hyb = rrfFuse(lex.withColumnRenamed("pos", "lrank"),
+      exact.withColumnRenamed("pos", "vrank"))
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+    val prf = prfExpand(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+    val nq = broadcast(exact.select(col("q_id")).distinct()
+      .agg(count(lit(1)).as("nq")).localCheckpoint())
+    def armOf(name: String, ranked: DataFrame): DataFrame =
+      ranked.join(rel, Seq("q_id", "doc_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(min(when(col("is_rel") === 1, col("pos"))).as("frp"),
+          sum(when(col("is_rel") === 1, 1L).otherwise(0L)).as("hits"),
+          sum(when(col("pos") === 1 && col("is_rel") === 1, 1L)
+            .otherwise(0L)).as("p1"))
+        .agg(sum(rnd6(lit(1.0) / col("frp")).cast("decimal(18,6)"))
+          .as("rrsum"),
+          sum(col("hits")).as("hits"), sum(col("p1")).as("p1s"))
+        .crossJoin(nq)
+        .select(lit(name).as("arm"), col("nq").as("n_queries"),
+          rnd6(coalesce(col("rrsum"), lit(0).cast("decimal(18,6)"))
+            .cast("double") / col("nq")).as("mrr"),
+          r4(col("hits").cast("double") / (col("nq") * NdcgK))
+            .as("recall"),
+          r4(col("p1s").cast("double") / col("nq")).as("p_at_1"))
+    armOf("bm25", lex)
+      .unionByName(armOf("dense_exact", exact))
+      .unionByName(armOf("hybrid", hyb))
+      .unionByName(armOf("prf", prf))
+      .orderBy(col("arm"))
+  }
+
   /** tfidf_vectors: the top [[TfidfTopTerms]] tf-idf terms per document
     * (the sparse document vector, rows not arrays).
     *

@@ -830,6 +830,76 @@ object DuckSql {
        |      FROM f) WHERE rank <= $HybridTopK""".stripMargin
   }
 
+  /** Mirror of Retrieval.irMetrics: the hybridRetrieve CTE chain
+    * supplies lex/vr/hybrid; prfExpand embeds as a subquery; binary
+    * relevance = vr membership; per-arm per-query first-hit aggs with
+    * 6dp DECIMAL reciprocal ranks.
+    */
+  lazy val irMetrics: String = {
+    import graft.operators.Retrieval.{BmTopK, HybridTopK, NdcgK, QueryMod,
+      RrfK}
+    val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    def armAgg(name: String, rel: String) =
+      s"""SELECT '$name' AS arm, nq.nq AS n_queries,
+         |  floor(coalesce(rrsum, 0)::DOUBLE / nq.nq * 1000000 + 0.5)
+         |    / 1000000 AS mrr,
+         |  floor(hits::DOUBLE / (nq.nq * $NdcgK) * 10000 + 0.5) / 10000
+         |    AS recall,
+         |  floor(p1s::DOUBLE / nq.nq * 10000 + 0.5) / 10000 AS p_at_1
+         |FROM (SELECT
+         |    sum(CAST(floor(1.0::DOUBLE / frp * 1000000 + 0.5) / 1000000
+         |        AS DECIMAL(18,6))) AS rrsum,
+         |    sum(hits)::BIGINT AS hits, sum(p1)::BIGINT AS p1s
+         |  FROM (SELECT a.q_id,
+         |      min(CASE WHEN r.doc_id IS NOT NULL THEN a.pos END) AS frp,
+         |      sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        AS hits,
+         |      sum(CASE WHEN a.pos = 1 AND r.doc_id IS NOT NULL
+         |          THEN 1 ELSE 0 END) AS p1
+         |    FROM $rel a LEFT JOIN relr r
+         |      ON r.q_id = a.q_id AND r.doc_id = a.doc_id
+         |    GROUP BY a.q_id)), nq""".stripMargin
+    s"""$bm25Ctes,
+       |lex AS MATERIALIZED (SELECT q_id, doc_id, rank AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings
+       |       WHERE $isVq),
+       |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+       |  FROM embeddings e, vq q WHERE NOT ($isVq)),
+       |vr AS MATERIALIZED (SELECT q_id, doc_id, rnk AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, doc_id) AS rnk
+       |        FROM vsc) WHERE rnk <= $BmTopK),
+       |relr AS MATERIALIZED (SELECT q_id, doc_id FROM vr),
+       |hf AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |        floor((coalesce(1.0::DOUBLE / ($RrfK + l.pos), 0.0)
+       |             + coalesce(1.0::DOUBLE / ($RrfK + v.pos), 0.0))
+       |              * 1000000 + 0.5) / 1000000 AS rrf
+       |      FROM lex l FULL OUTER JOIN vr v
+       |        ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       |hy AS (SELECT q_id, doc_id, rank AS pos
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY rrf DESC, doc_id) AS rank
+       |        FROM hf) WHERE rank <= $HybridTopK),
+       |pr AS (SELECT q_id, doc_id, rank AS pos FROM ($prfExpand)),
+       |nq AS (SELECT count(*)::BIGINT AS nq FROM vq)
+       |${armAgg("bm25", "lex")}
+       |UNION ALL
+       |${armAgg("dense_exact", "vr")}
+       |UNION ALL
+       |${armAgg("hybrid", "hy")}
+       |UNION ALL
+       |${armAgg("prf", "pr")}
+       |ORDER BY arm""".stripMargin
+  }
+
   /** Mirror of Retrieval.sparseKnn: the tfidfVectors chain to pruned
     * 1e-4-unit vectors, exact integer dot/norms, mirrored division,
     * per-query top-k.

@@ -329,6 +329,25 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("ir_metrics: hand-computed MRR/recall/P@1 on aligned text+vector " +
+      "geometry") {
+    // dense top for q0: 1 (twin), 3, 2 -> all three are "relevant"
+    // (NdcgK=10 > corpus). bm25 and prf retrieve only doc 1 (the one
+    // lexical match); hybrid fuses to all three with doc 1 leading.
+    val d = fixtureDir(
+      docs = Seq(doc(0, "apple banana"), doc(1, "apple banana"),
+        doc(2, "cherry date"), doc(3, "kiwi lemon")),
+      embs = Seq(Emb(0, vec(1.0, 0.0), 0), Emb(1, vec(1.0, 0.0), 0),
+        Emb(2, vec(0.0, 1.0), 0), Emb(3, vec(0.5, 0.5), 0)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val got = rows(operators.Retrieval.irMetrics(spark, d))
+    assert(got === Set(
+      Seq("bm25", 1L, 1.0, r4(1.0 / 10), 1.0),
+      Seq("dense_exact", 1L, 1.0, r4(3.0 / 10), 1.0),
+      Seq("hybrid", 1L, 1.0, r4(3.0 / 10), 1.0),
+      Seq("prf", 1L, 1.0, r4(1.0 / 10), 1.0)))
+  }
+
   test("prf_expand: expansion recovers a doc sharing no original query " +
       "term; the seed doc still ranks first") {
     val d = fixtureDir(docs = Seq(

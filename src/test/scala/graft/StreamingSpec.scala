@@ -336,4 +336,30 @@ class StreamingSpec extends SparkSpecBase {
         r.getAs[Long]("n_events") == 2L)
     assert(mid.length === 1 && mid.head.getAs[Double]("decayed_value") === 8.0)
   }
+
+  test("streaming drift bins drain to batch quality_psi parity; replay " +
+      "is a no-op") {
+    import graft.streaming.DriftStream
+    val hi = "the and for that with this from they have " * 8
+    val b1 = Seq(doc(1, hi, source = "hi"), doc(3, "x", source = "lo"))
+    val b2 = Seq(doc(2, hi, source = "hi"), doc(4, "y!", source = "lo"))
+    val stage = stageBatches(Seq(b1, b2))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-drift-store").toString + "/bins"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = DriftStream.maintainBins(src, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    // replay: the doc-keyed anti-join absorbs the duplicates
+    val q2 = DriftStream.maintainBins(src, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(300000)
+    val batchDir = fixtureDir(docs = b1 ++ b2)
+    assert(rows(DriftStream.psi(spark, store)) ===
+      rows(graft.operators.CorpusStats.qualityPsi(spark, batchDir)))
+    assert(spark.read.parquet(store).count() === 4L)
+  }
 }
