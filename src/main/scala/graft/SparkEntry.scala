@@ -100,6 +100,9 @@ object SparkEntry {
     "user_overlap" -> (Sessions.userOverlap _),
     "weekly_profile" -> (Sessions.weeklyProfile _),
     "dow_anomalies" -> (Sessions.dowAnomalies _),
+    "cusum_shift" -> (Sessions.cusumShift _),
+    "conversion_lift" -> (Sessions.conversionLift _),
+    "km_retention" -> (Sessions.kmRetention _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "media_shard" -> (Multimodal.mediaShard _),
@@ -159,6 +162,7 @@ object SparkEntry {
     "impact_recall" -> (Retrieval.impactRecall _),
     "prf_expand" -> (Retrieval.prfExpand _),
     "ir_metrics" -> (Retrieval.irMetrics _),
+    "rank_corr" -> (Retrieval.rankCorr _),
     "silhouette" -> (Similarity.silhouette _),
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
@@ -174,6 +178,7 @@ object SparkEntry {
     "forget_user" -> (Tenancy.forgetUser _),
     "chunk_docs"      -> (Retrieval.chunkDocs _),
     "ngram_stats"        -> (CorpusStats.ngramStats _),
+    "cooccur_pmi"        -> (CorpusStats.cooccurPmi _),
     "domain_mix"         -> (CorpusStats.domainMix _),
     "apply_mix"          -> (CorpusStats.applyMix _),
     "quality_thresholds" -> (CorpusStats.qualityThresholds _),
@@ -626,6 +631,9 @@ object SparkEntry {
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
     "weekly_profile" -> graft.oracle.DuckSql.weeklyProfile,
     "dow_anomalies" -> graft.oracle.DuckSql.dowAnomalies,
+    "cusum_shift" -> graft.oracle.DuckSql.cusumShift,
+    "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
+    "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "media_shard" -> graft.oracle.DuckSql.mediaShard,
@@ -677,6 +685,7 @@ object SparkEntry {
     "impact_recall" -> graft.oracle.DuckSql.impactRecall,
     "prf_expand" -> graft.oracle.DuckSql.prfExpand,
     "ir_metrics" -> graft.oracle.DuckSql.irMetrics,
+    "rank_corr" -> graft.oracle.DuckSql.rankCorr,
     "silhouette" -> graft.oracle.DuckSql.silhouette,
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
@@ -692,6 +701,7 @@ object SparkEntry {
     "forget_user" -> graft.oracle.DuckSql.forgetUser,
     "chunk_docs"      -> graft.oracle.DuckSql.chunkDocs,
     "ngram_stats"        -> graft.oracle.DuckSql.ngramStats,
+    "cooccur_pmi"        -> graft.oracle.DuckSql.cooccurPmi,
     "domain_mix"         -> graft.oracle.DuckSql.domainMix,
     "apply_mix"          -> graft.oracle.DuckSql.applyMix,
     "quality_thresholds" -> graft.oracle.DuckSql.qualityThresholds,

@@ -80,6 +80,80 @@ object CorpusStats {
       .select(col("gram"), col("n_occurrences"), col("n_docs"), col("rank"))
   }
 
+  /** cooccur_pmi window (±5 tokens, the word2vec default), minimum pair
+    * support, and leaderboard depth. Single-sourced to the oracle SQL.
+    */
+  val PmiWindow = 5
+  val PmiMinPairs = 5
+  val PmiTopK = 40
+
+  /** cooccur_pmi: the corpus's top-[[PmiTopK]] PMI collocations —
+    * unordered token pairs co-occurring within a ±[[PmiWindow]]-token
+    * window (Church & Hanks CL'90), scored by
+    * ln(p(a,b) / (p(a)·p(b))) with pair support ≥ [[PmiMinPairs]].
+    * ngram_stats surfaces frequency-dominant bigrams (boilerplate); PMI
+    * surfaces ASSOCIATION-dominant pairs — the collocation signal a
+    * phrase-mining / tokenizer-prep pass reads (and the statistic behind
+    * word2vec's SGNS factorization, Levy & Goldberg NeurIPS'14).
+    * Stopwords are excluded before windowing (the cluster_terms rule) so
+    * the window spans content terms.
+    *
+    * Scale shape: pair generation is [[PmiWindow]] lead() columns over
+    * the per-doc token order — LINEAR fan-out (W rows per token), never
+    * a per-doc self-join (a doc-level pair join is quadratic in doc
+    * length); unigram/pair totals are 1-row broadcasts; top-k is
+    * TakeOrdered. The min-support filter runs BEFORE the PMI math, so
+    * the scored frame is bounded by the support threshold.
+    *
+    * Parity: counts are exact integers; the PMI ratio computes in
+    * double with identical operand order on both engines, ln rounds to
+    * 6dp after (the exp/ln precedent).
+    */
+  def cooccurPmi(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val sw = array(RefVocab.enStopwords.map(lit): _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // filter() is a HOF: the Generate goes interpreted, so its child
+    // (the normToks projection) materializes once per row — the
+    // chunk_docs Generate rule
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(filter(Dedup.normToks(col("text")),
+          t => !array_contains(sw, t))).as(Seq("pos", "term")))
+      .localCheckpoint() // feeds the pair windows AND the unigram agg
+    val led = (1 to PmiWindow).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"t$k", lead(col("term"), k).over(w))
+    }
+    val pairs = led
+      .select(col("term"),
+        explode(array((1 to PmiWindow).map(k => col(s"t$k")): _*))
+          .as("other"))
+      .filter(col("other").isNotNull)
+      .select(least(col("term"), col("other")).as("term_a"),
+        greatest(col("term"), col("other")).as("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= PmiMinPairs)
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // feeds both join sides and the total
+    val tot = broadcast(uni.agg(sum(col("cu")).as("t")))
+    val ptot = broadcast(pairs.agg(sum(col("n_pair")).as("p")))
+    pairs
+      .join(uni.select(col("term").as("term_a"), col("cu").as("ca")),
+        "term_a")
+      .join(uni.select(col("term").as("term_b"), col("cu").as("cb")),
+        "term_b")
+      .crossJoin(tot).crossJoin(ptot)
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        r6(log(col("n_pair").cast("double") / col("p") *
+          (col("t").cast("double") / col("ca")) *
+          (col("t").cast("double") / col("cb")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(PmiTopK)
+  }
+
   /** domain_mix: per-language token inventory against [[LangTargets]] —
     * natural share, target share, and the resampling factor
     * (target_share · total / lang_tokens; >1 means the language must be

@@ -755,6 +755,49 @@ object Retrieval {
       .orderBy(col("q_id"))
   }
 
+  /** rank_corr: Spearman rank correlation between the base BM25
+    * ranking and its PRF-expanded rescore ([[prfExpand]]) per query,
+    * over their COMMON retrieved docs — "how much does expansion
+    * REORDER what both arms retrieve", the ORDER-agreement number
+    * beside [[armOverlap]]'s set agreement (two arms can retrieve the
+    * same docs in opposite order; Jaccard says 1.0, ρ says −1.0).
+    * The lex-vs-dense pair is the wrong subject here: on this corpus
+    * the two modalities' top-k sets are DISJOINT (arm_overlap measures
+    * n_common ≡ 0), so lexical-vs-lexical is where order agreement is
+    * defined. Both lists re-rank within the intersection (the standard
+    * treatment for truncated-list correlation) and
+    * ρ = 1 − 6·Σd²/(m(m²−1)) (Spearman 1904) on the tie-free re-ranks.
+    *
+    * Parity: re-ranks, d², and the m(m²−1) denominator are exact
+    * integers; one double division rounds to 6dp. m < 2 → NULL (ρ is
+    * undefined on a single pair).
+    *
+    * Scale shape: both arms are persisted-ranking reads (lex-truth,
+    * prf-truth); the inner join and the re-rank windows are bounded by
+    * |queries| × k rows.
+    */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val lex = bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lrank"))
+    val prf = prfExpand(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("vrank"))
+    val wq = Window.partitionBy(col("q_id"))
+    val co = lex.join(prf, Seq("q_id", "doc_id"))
+      .withColumn("la", row_number().over(wq.orderBy(col("lrank"))))
+      .withColumn("va", row_number().over(wq.orderBy(col("vrank"))))
+    co.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("la") - col("va")) * (col("la") - col("va")))
+          .as("sd2"))
+      .select(col("q_id"), col("n_common"),
+        when(col("n_common") >= 2,
+          r6(lit(1.0) - lit(6.0) * col("sd2") /
+            (col("n_common") * (col("n_common") * col("n_common") - 1))))
+          .as("spearman"))
+      .orderBy(col("q_id"))
+  }
+
   /** impact_recall: the standing loss audit of the per-term impact caps
     * ([[BmImpactCap]], [[SparseImpactCap]]) — per arm, micro-averaged
     * recall of the capped top-k ranking against the UNCAPPED exact

@@ -655,6 +655,167 @@ object Sessions {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM slack k and decision threshold h in 1e-4 z-units (k = 0.5σ,
+    * h = 5σ — the standard ARL-tuned pairing, Page Biometrika'54 /
+    * Montgomery SPC). Single-sourced into the oracle SQL.
+    */
+  val CusumSlackU = 5000L
+  val CusumThreshU = 50000L
+
+  /** cusum_shift: two-sided CUSUM change-point chart over the daily
+    * event-count grid (Page, Biometrika 1954) — the SUSTAINED-shift
+    * detector beside the two Shewhart charts: event_anomalies flags
+    * single 3σ days, this accumulates small persistent drifts
+    * (S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k)) that never individually breach 3σ.
+    *
+    * The recursion is served in closed form — S⁺ₜ = Pₜ − min(0,
+    * min_{j≤t} Pⱼ) with Pₜ the running sum of (zₜ − k) — so both
+    * engines compute it as two cumulative windows (sum + running min)
+    * over the day grid, no recursion anywhere.
+    *
+    * Parity: z standardizes against the same frozen per-type (mean, σ)
+    * as the Shewhart charts and rounds to 4dp; all CUSUM state then
+    * lives in EXACT 1e-4 integer units (the slack subtraction, both
+    * prefix sums, the running mins, and the h-threshold compare are
+    * pure BIGINT arithmetic — bit-identical under any partitioning).
+    *
+    * Scale shape: one partial agg to the (type, day) grid; windows run
+    * per type over grid rows (bounded by types × days, never events).
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(Tables.events(spark, dir)).localCheckpoint()
+    val zu = floor(col("z") * 10000 + 0.5).cast("long")
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagDaily(daily, dayStatsOf(daily))
+      .select(col("event_type"), col("day"), col("n"), zu.as("zu"))
+      .withColumn("pu", sum(col("zu") - CusumSlackU).over(wCum))
+      .withColumn("pd", sum(-col("zu") - CusumSlackU).over(wCum))
+      .withColumn("su", col("pu") - least(lit(0L), min(col("pu")).over(wCum)))
+      .withColumn("sd", col("pd") - least(lit(0L), min(col("pd")).over(wCum)))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("zu").cast("double") / 10000).as("z"),
+        (col("su").cast("double") / 10000).as("cusum_up"),
+        (col("sd").cast("double") / 10000).as("cusum_down"),
+        (col("su") > CusumThreshU || col("sd") > CusumThreshU)
+          .as("is_shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Two-proportion z-test critical value (two-sided α = 0.05). */
+  val LiftZCrit = 1.96
+
+  /** conversion_lift: the A/B conversion read-out — users hash into
+    * two deterministic arms (the md5-derived split of approx_distinct's
+    * hash, so assignment is reproducible across engines and runs),
+    * conversion = the user has a 'purchase' event, and the arms compare
+    * by the classic two-proportion pooled z-test (the experimentation
+    * dashboard's headline row). With a hash split both arms draw from
+    * the same population, so the expected lift is 0 — the z column is
+    * the A/A sanity check an experiment platform runs before any real
+    * assignment, and the operator is the slot a real assignment column
+    * plugs into.
+    *
+    * Parity: counts are exact integers; p̂/lift/z compute in double
+    * with IDENTICAL operand order on both engines (sqrt is
+    * IEEE-correctly-rounded, so the pooled SE is bit-identical), then
+    * round 6dp/4dp; the significance bit tests the unrounded |z| (the
+    * is_anomaly convention).
+    *
+    * Scale shape: one groupBy(user) partial agg, then a 1-row
+    * conditional rollup — map-shaped end to end.
+    */
+  def conversionLift(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("int").as("cv"))
+      .groupBy(col("user_id")).agg(max(col("cv")).as("cv"))
+      .select(pmod(h, lit(2L)).cast("int").as("arm"), col("cv"))
+    val g = per.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, col("cv").cast("long"))
+        .otherwise(0L)).as("ca"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1, col("cv").cast("long"))
+        .otherwise(0L)).as("cb"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val pool = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val zRaw = (pa - pb) / se
+    g.select(col("na").as("n_a"), col("ca").as("conv_a"),
+      r6(pa).as("p_a"), col("nb").as("n_b"), col("cb").as("conv_b"),
+      r6(pb).as("p_b"), r6(pa - pb).as("lift"),
+      when(se > 0, floor(zRaw * 10000 + 0.5) / 10000)
+        .otherwise(lit(0.0)).as("z_score"),
+      (se > 0 && abs(zRaw) > LiftZCrit).as("is_significant"))
+  }
+
+  /** km_retention: the Kaplan-Meier survival curve (JASA 1958) of user
+    * activity lifetime in weeks — "what share of users is still active
+    * t weeks after their first event", with proper right-censoring:
+    * users whose LAST event falls in the corpus's final observed week
+    * are censored (the study ended on them), not churned — the
+    * correction that makes the tail of a plain retention curve honest.
+    * cohort_retention counts activity per (cohort, week); this is the
+    * pooled actuarial curve over the same lifetimes.
+    *
+    * Estimator: at each distinct lifetime t, n_t = users with lifetime
+    * ≥ t (at-risk), d_t = churned exactly at t; S(t) = Π_{i≤t}
+    * (1 − d_i/n_i), served as exp(Σ ln·) — each ln factor rounds to
+    * 6dp and the sum accumulates in exact integer units, the
+    * exp/ln-only parity precedent (perplexity family); once a factor
+    * hits zero (d = n) every later row is exactly 0 via a cumulative
+    * flag, not a −∞ ln.
+    *
+    * Scale shape: one groupBy(user) min/max partial agg; everything
+    * after lives on the ≤|weeks| lifetime grid (two cumulative windows
+    * + a 1-row broadcast of the corpus max week).
+    */
+  def kmRetention(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
+      .localCheckpoint() // feeds the max-week scalar AND the grid
+    val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
+    val grid = span.crossJoin(maxWk)
+      .select((col("l") - col("f")).cast("int").as("t"),
+        (col("l") === col("maxwk")).cast("int").as("cens"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("leave"),
+        sum(lit(1L) - col("cens")).as("d"),
+        sum(col("cens").cast("long")).as("c"))
+      .crossJoin(broadcast(span.agg(count(lit(1)).as("n_users"))))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("leave")).over(wPrev), lit(0L)))
+      .withColumn("lnu",
+        when(col("d") < col("n_risk"),
+          floor(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk")) * 1000000 + 0.5)
+            .cast("long")).otherwise(lit(0L)))
+      .withColumn("dead",
+        max((col("d") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("lns", sum(col("lnu")).over(wCum))
+      .select(col("t"), col("n_risk"), col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(r6(exp(col("lns").cast("double") / 1000000)))
+          .as("survival"))
+      .orderBy(col("t"))
+  }
+
   /** HLL register count (m = 2^6). 64 registers give ~13% standard
     * error (1.04/√64) — coarse but the POINT is the mechanism: the
     * sketch state is 64 bytes per group regardless of cardinality.

@@ -1137,6 +1137,40 @@ object DuckSql {
        |FROM g ORDER BY q_id""".stripMargin
   }
 
+  /** Mirror of Retrieval.rankCorr: the bm25 lex CTE and prfExpand as a
+    * subquery, inner join on common docs, tie-free re-ranks within the
+    * intersection, exact integer Σd² and denominator, one 6dp double
+    * division.
+    */
+  lazy val rankCorr: String = {
+    import graft.operators.Retrieval.BmTopK
+    s"""$bm25Ctes,
+       |lex AS (SELECT q_id, doc_id, rank AS lrank
+       |  FROM (SELECT q_id, doc_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |pr AS (SELECT q_id, doc_id, rank AS vrank FROM ($prfExpand)),
+       |co AS (SELECT l.q_id, l.lrank, v.vrank
+       |       FROM lex l JOIN pr v
+       |         ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       |rr AS (SELECT q_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY lrank)
+       |           AS la,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY vrank)
+       |           AS va
+       |       FROM co),
+       |g AS (SELECT q_id, count(*)::BIGINT AS n_common,
+       |        sum((la - va) * (la - va))::BIGINT AS sd2
+       |      FROM rr GROUP BY q_id)
+       |SELECT q_id, n_common,
+       |  CASE WHEN n_common >= 2 THEN
+       |    floor((1.0::DOUBLE - 6.0::DOUBLE * sd2 /
+       |           (n_common * (n_common * n_common - 1))) * 1000000 + 0.5)
+       |      / 1000000 END AS spearman
+       |FROM g ORDER BY q_id""".stripMargin
+  }
+
   /** Mirror of Tenancy.forgetUser: conditional purge counts per table
     * with the orders→lineitem cascade via the orderkey join.
     */
@@ -1570,6 +1604,124 @@ object DuckSql {
       |       ELSE 0.0 END AS z,
       |  g.n > m.mean + 3 * m.sigma AS is_anomaly
       |FROM g JOIN m USING (event_type)""".stripMargin
+
+  /** Mirror of Sessions.cusumShift: the eventAnomalies day-grid/stats
+    * CTEs, z in exact 1e-4 BIGINT units, CUSUM closed form as two
+    * cumulative windows (prefix sum + running min) per type.
+    */
+  val cusumShift: String = {
+    import graft.operators.Sessions.{CusumSlackU, CusumThreshU}
+    s"""WITH e AS (SELECT event_type,
+       |  (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+       |g AS (SELECT event_type, day, count(*)::BIGINT AS n FROM e
+       |      GROUP BY event_type, day),
+       |s AS (SELECT event_type, count(*)::BIGINT AS d,
+       |        sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+       |      FROM g GROUP BY event_type),
+       |m AS (SELECT event_type, s1::DOUBLE / d AS mean,
+       |        sqrt(greatest(
+       |          s2::DOUBLE / d - (s1::DOUBLE / d) * (s1::DOUBLE / d),
+       |          0.0)) AS sigma
+       |      FROM s),
+       |f AS (SELECT g.event_type, g.day, g.n,
+       |        CASE WHEN m.sigma > 0
+       |             THEN floor((g.n - m.mean) / m.sigma * 10000 + 0.5)::BIGINT
+       |             ELSE 0 END AS zu
+       |      FROM g JOIN m USING (event_type)),
+       |p AS (SELECT event_type, day, n, zu,
+       |        sum(zu - $CusumSlackU) OVER w AS pu,
+       |        sum(-zu - $CusumSlackU) OVER w AS pd
+       |      FROM f
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |                   ROWS UNBOUNDED PRECEDING)),
+       |c AS (SELECT event_type, day, n, zu,
+       |        pu - least(0, min(pu) OVER w) AS su,
+       |        pd - least(0, min(pd) OVER w) AS sd
+       |      FROM p
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |                   ROWS UNBOUNDED PRECEDING))
+       |SELECT event_type, day, n, zu::DOUBLE / 10000 AS z,
+       |  su::DOUBLE / 10000 AS cusum_up,
+       |  sd::DOUBLE / 10000 AS cusum_down,
+       |  (su > $CusumThreshU OR sd > $CusumThreshU) AS is_shift
+       |FROM c ORDER BY event_type, day""".stripMargin
+  }
+
+  /** Mirror of Sessions.conversionLift: the approx_distinct md5 hash
+    * split, exact conditional counts, pooled-SE z with identical
+    * operand order (all ::DOUBLE explicit — a bare 1.0 is DECIMAL).
+    */
+  val conversionLift: String = {
+    import graft.operators.Sessions.LiftZCrit
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT
+       |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2)::INT
+       |      AS arm, cv
+       |  FROM u),
+       |g AS (SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN arm = 0 THEN cv ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+       |    sum(CASE WHEN arm = 1 THEN cv ELSE 0 END)::BIGINT AS cb
+       |  FROM a),
+       |x AS (SELECT *,
+       |    sqrt((ca + cb)::DOUBLE / (na + nb)
+       |         * (1.0::DOUBLE - (ca + cb)::DOUBLE / (na + nb))
+       |         * (1.0::DOUBLE / na + 1.0::DOUBLE / nb)) AS se
+       |  FROM g)
+       |SELECT na AS n_a, ca AS conv_a,
+       |  floor(ca::DOUBLE / na * 1000000 + 0.5) / 1000000 AS p_a,
+       |  nb AS n_b, cb AS conv_b,
+       |  floor(cb::DOUBLE / nb * 1000000 + 0.5) / 1000000 AS p_b,
+       |  floor((ca::DOUBLE / na - cb::DOUBLE / nb) * 1000000 + 0.5)
+       |    / 1000000 AS lift,
+       |  CASE WHEN se > 0
+       |       THEN floor((ca::DOUBLE / na - cb::DOUBLE / nb) / se
+       |                  * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS z_score,
+       |  (se > 0 AND abs((ca::DOUBLE / na - cb::DOUBLE / nb) / se)
+       |   > $LiftZCrit) AS is_significant
+       |FROM x""".stripMargin
+  }
+
+  /** Mirror of Sessions.kmRetention: lifetime grid with last-week
+    * censoring, at-risk via the 1-preceding cumulative, 6dp-integer ln
+    * factors summed exactly, exp once, cumulative zero flag.
+    */
+  val kmRetention: String =
+    """WITH e AS (SELECT user_id,
+      |  (floor(epoch(ts))::BIGINT // 604800) AS wk FROM events),
+      |sp AS (SELECT user_id, min(wk) AS f, max(wk) AS l
+      |       FROM e GROUP BY user_id),
+      |mx AS (SELECT max(l) AS maxwk FROM sp),
+      |nn AS (SELECT count(*)::BIGINT AS n_users FROM sp),
+      |g AS (SELECT (sp.l - sp.f)::INT AS t, count(*)::BIGINT AS leave,
+      |        sum(CASE WHEN sp.l = mx.maxwk THEN 0 ELSE 1 END)::BIGINT
+      |          AS d,
+      |        sum(CASE WHEN sp.l = mx.maxwk THEN 1 ELSE 0 END)::BIGINT
+      |          AS c
+      |      FROM sp, mx GROUP BY 1),
+      |w1 AS (SELECT g.*, nn.n_users - coalesce(
+      |          sum(leave) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+      |                           PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |       FROM g, nn),
+      |w2 AS (SELECT *,
+      |        CASE WHEN d < n_risk
+      |             THEN floor(ln(1.0::DOUBLE - d::DOUBLE / n_risk)
+      |                        * 1000000 + 0.5)::BIGINT
+      |             ELSE 0 END AS lnu,
+      |        CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dd
+      |       FROM w1),
+      |w3 AS (SELECT *, sum(lnu) OVER wc AS lns, max(dd) OVER wc AS dead
+      |       FROM w2
+      |       WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+      |SELECT t, n_risk, d AS n_churn, c AS n_censored,
+      |  CASE WHEN dead = 1 THEN 0.0
+      |       ELSE floor(exp(lns::DOUBLE / 1000000) * 1000000 + 0.5)
+      |            / 1000000 END AS survival
+      |FROM w3 ORDER BY t""".stripMargin
 
   /** Mirror of Analytics.rfmSegments: per-customer RFM frame, quartile
     * thresholds from histogram cumulatives (4·cum ≥ k·N exact-integer
@@ -2834,6 +2986,44 @@ object DuckSql {
        |FROM (SELECT gram, n_occurrences, n_docs,
        |        row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
        |      FROM c) WHERE rank <= $NgramTopK""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.cooccurPmi: stopword-filtered token list
+    * with ordinal positions (struct-unnest), the same W lead() columns
+    * per position, canonical least/greatest pairs, min-support HAVING,
+    * identical-operand-order PMI ratio, 6dp ln.
+    */
+  val cooccurPmi: String = {
+    import graft.operators.CorpusStats.{PmiMinPairs, PmiTopK, PmiWindow}
+    import graft.operators.RefVocab
+    val stops = listLit(RefVocab.enStopwords)
+    val leads = (1 to PmiWindow)
+      .map(k => s"lead(term, $k) OVER w AS t$k").mkString(", ")
+    val arr = (1 to PmiWindow).map(k => s"t$k").mkString("[", ", ", "]")
+    s"""$normCte,
+       |f AS (SELECT doc_id,
+       |        list_filter(ws, x -> NOT list_contains($stops, x)) AS fs
+       |      FROM n),
+       |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(fs) + 1),
+       |          j -> {'p': j, 't': fs[j]})) AS u FROM f),
+       |t2 AS (SELECT doc_id, u.p AS pos, u.t AS term FROM tk),
+       |ld AS (SELECT doc_id, term, $leads FROM t2
+       |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |pp AS (SELECT least(term, o) AS term_a, greatest(term, o) AS term_b
+       |       FROM (SELECT term, unnest($arr) AS o FROM ld)
+       |       WHERE o IS NOT NULL),
+       |pc AS (SELECT term_a, term_b, count(*)::BIGINT AS n_pair
+       |       FROM pp GROUP BY 1, 2 HAVING count(*) >= $PmiMinPairs),
+       |un AS (SELECT term, count(*)::BIGINT AS cu FROM t2 GROUP BY term),
+       |tt AS (SELECT sum(cu)::BIGINT AS t FROM un),
+       |pt AS (SELECT sum(n_pair)::BIGINT AS p FROM pc)
+       |SELECT term_a, term_b, n_pair,
+       |  floor(ln(n_pair::DOUBLE / pt.p * (tt.t::DOUBLE / ua.cu)
+       |           * (tt.t::DOUBLE / ub.cu)) * 1000000 + 0.5) / 1000000
+       |    AS pmi
+       |FROM pc JOIN un ua ON ua.term = pc.term_a
+       |        JOIN un ub ON ub.term = pc.term_b, tt, pt
+       |ORDER BY pmi DESC, term_a, term_b LIMIT $PmiTopK""".stripMargin
   }
 
   /** Mirror of CorpusStats.domainMix: per-language token inventory vs the

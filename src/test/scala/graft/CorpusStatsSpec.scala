@@ -553,4 +553,22 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out2.keySet === Set("hi", "lo"))
     assert(out2.values.forall(_ > 0.0))
   }
+
+  test("cooccur_pmi: windowed pairs, min-support cut, hand-computed " +
+      "ln ratio") {
+    // two copies of "alpha beta alpha beta": within the +-5 window each
+    // doc yields 4 (alpha,beta) pairs + 1 (alpha,alpha) + 1 (beta,beta);
+    // "gamma delta gamma delta" contributes 4 (gamma,delta) — every
+    // pair but (alpha,beta)=8 dies at min support 5
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "alpha beta alpha beta"),
+      doc(2, "alpha beta alpha beta"),
+      doc(3, "gamma delta gamma delta")))
+    // T = 12 tokens, P = 8 surviving pairs, c_alpha = c_beta = 4:
+    // pmi = ln(8/8 * (12/4) * (12/4)) = ln 9
+    val exp = math.floor(math.log(8.0 / 8 * (12.0 / 4) * (12.0 / 4))
+      * 1e6 + 0.5) / 1e6
+    assert(rows(graft.operators.CorpusStats.cooccurPmi(spark, dir)) ===
+      Set(Seq("alpha", "beta", 8L, exp)))
+  }
 }

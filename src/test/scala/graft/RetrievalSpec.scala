@@ -365,4 +365,33 @@ class RetrievalSpec extends SparkSpecBase {
     assert(byDoc(1L) === 1 && byDoc(2L) === 2)
     assert(out.forall(_.getAs[Double]("score") > 0.0))
   }
+
+  test("rank_corr: matches a driver-side Spearman recomputation of the " +
+      "served bm25/prf rankings") {
+    import org.apache.spark.sql.functions.col
+    val d = fixtureDir(docs = Seq(
+      doc(0, "apple banana"),          // query
+      doc(1, "apple banana cherry"),   // strong on both arms
+      doc(2, "cherry cherry date"),    // prf-only (expansion term)
+      doc(3, "banana date"),           // weaker lexical match
+      doc(4, "apple egg egg")))        // weaker lexical match
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    val lex = ranksOf(operators.Retrieval.bm25Topk(spark, d)
+      .filter(col("q_id") === 0))
+    val prf = ranksOf(operators.Retrieval.prfExpand(spark, d)
+      .filter(col("q_id") === 0))
+    val common = (lex.keySet & prf.keySet).toSeq
+    assert(common.size >= 2) // the fixture must exercise the formula
+    def rerank(m: Map[Long, Int]) = common.sortBy(m).zipWithIndex
+      .map { case (doc, i) => doc -> (i + 1) }.toMap
+    val la = rerank(lex); val va = rerank(prf)
+    val m = common.size.toLong
+    val sd2 = common.map(k => { val x = (la(k) - va(k)).toLong; x * x }).sum
+    val rho = math.floor(
+      (1.0 - 6.0 * sd2 / (m * (m * m - 1))) * 1e6 + 0.5) / 1e6
+    assert(rows(operators.Retrieval.rankCorr(spark, d)
+      .filter(col("q_id") === 0)) === Set(Seq(0L, m, rho)))
+  }
 }

@@ -465,4 +465,100 @@ class SessionsSpec extends SparkSpecBase {
       Seq("view", 3, 1L, 0.5, true),   // tie breaks to the earlier day
       Seq("view", 4, 1L, 0.5, false)))
   }
+
+  test("cusum_shift: hand-computed chart; a sustained 1-sigma drift " +
+      "crosses h where no single day breaches 3-sigma") {
+    import graft.operators.Sessions
+    // type "a": counts 1,1,1,5 over days 0..3 -> mean 2, sigma sqrt(3)
+    val a = Seq(0, 1, 2).map(d => ev(d, d * 86400L, 1, "a")) ++
+      (0 until 5).map(i => ev(10 + i, 3 * 86400L + i, 1, "a"))
+    // type "b": 11 days at 1, then 11 days at 3 -> mean 2, sigma 1,
+    // z = -1/+1 exactly; neither regime has a 3-sigma day, but the
+    // CUSUM accumulates (|z| - k) = 0.5 per day and crosses h = 5 on
+    // the 11th day of each regime
+    val b = (0 to 10).map(d => ev(100 + d, d * 86400L, 1, "b")) ++
+      (11 to 21).flatMap(d => (0 until 3).map(i =>
+        ev(200 + d * 3 + i, d * 86400L + i, 1, "b")))
+    val dir = fixtureDir(evs = a ++ b)
+    val out = rows(Sessions.cusumShift(spark, dir))
+    val expA = Set[Seq[Any]](
+      Seq("a", 0L, 1L, -0.5774, 0.0, 0.0774, false),
+      Seq("a", 1L, 1L, -0.5774, 0.0, 0.1548, false),
+      Seq("a", 2L, 1L, -0.5774, 0.0, 0.2322, false),
+      Seq("a", 3L, 5L, 1.7321, 1.2321, 0.0, false))
+    val dnHigh = Seq(4.0, 2.5, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val expB: Set[Seq[Any]] =
+      (0 to 10).map(d => Seq[Any]("b", d.toLong, 1L, -1.0, 0.0,
+        (d + 1) * 0.5, d == 10)).toSet ++
+      (11 to 21).map(d => Seq[Any]("b", d.toLong, 3L, 1.0,
+        (d - 10) * 0.5, dnHigh(d - 11), d == 21)).toSet
+    assert(out === expA ++ expB)
+  }
+
+  test("conversion_lift: arms match a driver-side md5 split; pooled-z " +
+      "row recomputed exactly") {
+    import graft.operators.Sessions
+    def armOf(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 2).toInt
+    }
+    // users 1..8; purchases for users 1,2,3 -> converted
+    val evs = (1L to 8L).map(u => ev(u, u, u, "click")) ++
+      Seq(1L, 2L, 3L).map(u => ev(100 + u, 100 + u, u, "purchase"))
+    val dir = fixtureDir(evs = evs)
+    val arms = (1L to 8L).map(u => u -> armOf(u)).toMap
+    val na = arms.count(_._2 == 0).toLong
+    val nb = 8L - na
+    val ca = Seq(1L, 2L, 3L).count(u => arms(u) == 0).toLong
+    val cb = 3L - ca
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    val z = (pa - pb) / se
+    assert(rows(Sessions.conversionLift(spark, dir)) === Set(
+      Seq(na, ca, r6(pa), nb, cb, r6(pb), r6(pa - pb),
+        math.floor(z * 1e4 + 0.5) / 1e4,
+        se > 0 && math.abs(z) > Sessions.LiftZCrit)))
+  }
+
+  test("km_retention: censoring at the last observed week; survival " +
+      "steps only on churn weeks") {
+    import graft.operators.Sessions
+    val wk = 604800L
+    val dir = fixtureDir(evs = Seq(
+      // u1: weeks 0..3 -> lifetime 3, censored (l = maxwk)
+      ev(1, 0, 1), ev(2, wk, 1), ev(3, 2 * wk, 1), ev(4, 3 * wk, 1),
+      // u2: weeks 0,1 -> lifetime 1, churned
+      ev(5, 0, 2), ev(6, wk, 2),
+      // u3: week 2 only -> lifetime 0, churned
+      ev(7, 2 * wk, 3),
+      // u4: weeks 1,3 -> lifetime 2, censored
+      ev(8, wk, 4), ev(9, 3 * wk, 4),
+      // u5: week 0 only -> lifetime 0, churned
+      ev(10, 0, 5)))
+    // S(0) = 1 - 2/5 = 0.6; S(1) = 0.6 * (1 - 1/3) = 0.4; censor-only
+    // weeks 2 and 3 hold S at 0.4
+    assert(rows(Sessions.kmRetention(spark, dir)) === Set(
+      Seq(0, 5L, 2L, 0L, 0.6),
+      Seq(1, 3L, 1L, 0L, 0.4),
+      Seq(2, 2L, 0L, 1L, 0.4),
+      Seq(3, 1L, 0L, 1L, 0.4)))
+  }
+
+  test("km_retention: the curve hits exact zero when every at-risk " +
+      "user churns") {
+    import graft.operators.Sessions
+    val wk = 604800L
+    val dir = fixtureDir(evs = Seq(
+      // u1: weeks 0..2 -> lifetime 2, churned (maxwk is 3)
+      ev(1, 0, 1), ev(2, wk, 1), ev(3, 2 * wk, 1),
+      // u2: week 3 only -> lifetime 0, censored (defines maxwk)
+      ev(4, 3 * wk, 2)))
+    assert(rows(Sessions.kmRetention(spark, dir)) === Set(
+      Seq(0, 2L, 0L, 1L, 1.0),
+      Seq(2, 1L, 1L, 0L, 0.0)))
+  }
 }
