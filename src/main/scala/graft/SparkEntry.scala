@@ -95,6 +95,7 @@ object SparkEntry {
     "cohort_ltv" -> (Sessions.cohortLtv _),
     "active_users" -> (Sessions.activeUsers _),
     "session_stats" -> (Sessions.sessionStats _),
+    "session_entropy" -> (Sessions.sessionEntropy _),
     "session_gaps" -> (Sessions.sessionGaps _),
     "temporal_decay" -> (Sessions.temporalDecay _),
     "user_overlap" -> (Sessions.userOverlap _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
     "signal_corr" -> (CorpusStats.signalCorr _),
+    "signal_mi" -> (CorpusStats.signalMi _),
     "perplexity_ood" -> (CorpusStats.perplexityOod _),
     "perplexity_backoff" -> (CorpusStats.perplexityBackoff _),
     "dsir_weights" -> (CorpusStats.dsirWeights _),
@@ -212,8 +214,10 @@ object SparkEntry {
     "fuzzy_match" -> (Dedup.fuzzyMatch _),
     "minhash_error" -> (Dedup.minhashError _),
     "k_core" -> (Graph.kCore _),
+    "assortativity" -> (Graph.assortativity _),
     "ship_latency" -> (Analytics.shipLatency _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
+    "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
@@ -626,6 +630,7 @@ object SparkEntry {
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
     "active_users" -> graft.oracle.DuckSql.activeUsers,
     "session_stats" -> graft.oracle.DuckSql.sessionStats,
+    "session_entropy" -> graft.oracle.DuckSql.sessionEntropy,
     "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
@@ -744,6 +749,7 @@ object SparkEntry {
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,
+    "signal_mi" -> graft.oracle.DuckSql.signalMi,
     "classifier_examples" -> graft.oracle.DuckSql.classifierExamples,
     "classifier_train" -> graft.oracle.DuckSql.classifierTrain,
     "classifier_apply" -> graft.oracle.DuckSql.classifierApply,
@@ -776,8 +782,10 @@ object SparkEntry {
     "fuzzy_match" -> graft.oracle.DuckSql.fuzzyMatch,
     "minhash_error" -> graft.oracle.DuckSql.minhashError,
     "k_core" -> graft.oracle.DuckSql.kCore,
+    "assortativity" -> graft.oracle.DuckSql.assortativity,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
+    "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,

@@ -1250,4 +1250,54 @@ object Analytics {
           * 10000 + 0.5) / 10000).as("avg_days"))
       .orderBy(col("priority"))
   }
+
+  /** discount_elasticity: the closed-form OLS of mean line quantity on
+    * the discount level — "does a bigger discount actually move more
+    * units", the one-slope pricing read-out beside q6_forecast's
+    * what-if revenue number. TPC-H discounts live on an 11-point grid
+    * (0.00–0.10), so the fit runs over ≤11 aggregated points, never
+    * over line items.
+    *
+    * Parity: the zipf_fit posture — x in exact discount cents, y the
+    * per-level mean quantity in 1e-6 integer units (exact cent sums,
+    * one mirrored double division), all OLS moments in DECIMAL(38,0),
+    * the final divisions re-rounded to 6dp with verbatim-mirrored
+    * operand order. Slope reports quantity per FULL discount unit
+    * (the /10000 rescale from 1e-6-qty-per-cent units); r² carries the
+    * all-equal-means dy=0 guard.
+    *
+    * Scale shape: one partial agg of the lineitem scan to the discount
+    * grid; everything after is ≤11 rows.
+    */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val lvl = Tables.lineitem(spark, dir)
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+        .as("xu"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qu"))
+      .groupBy(col("xu"))
+      .agg(count(lit(1)).as("nl"), sum(col("qu")).as("sq"))
+      .select(col("xu"),
+        floor(col("sq").cast("double") / col("nl") / 100 * 1000000
+          + lit(0.5)).cast("long").as("yu"))
+    val m = lvl.agg(count(lit(1)).as("n"),
+      sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+      sum(col("xu") * col("yu")).as("sxy"),
+      sum(col("xu") * col("xu")).as("sxx"),
+      sum(col("yu") * col("yu")).as("syy"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val num = (d(col("n")) * col("sxy") - d(col("sx")) * col("sy"))
+      .cast("double")
+    val dx = (d(col("n")) * col("sxx") - d(col("sx")) * col("sx"))
+      .cast("double")
+    val dy = (d(col("n")) * col("syy") - d(col("sy")) * col("sy"))
+      .cast("double")
+    val icNum = (d(col("sy")) * col("sxx") - d(col("sx")) * col("sxy"))
+      .cast("double")
+    m.select(col("n").as("n_levels"),
+      when(col("n") > 1, r6(num / dx / 10000)).as("slope"),
+      when(col("n") > 1, r6(icNum / dx / 1000000)).as("intercept"),
+      when(col("n") > 1 && dy =!= 0.0, r6(num * num / (dx * dy)))
+        .as("r2"))
+  }
 }

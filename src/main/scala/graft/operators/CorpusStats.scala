@@ -572,6 +572,72 @@ object CorpusStats {
       .orderBy(col("lang"))
   }
 
+  /** signal_mi bin count per signal (the PSI 10-bin convention). */
+  val MiBins = 10
+
+  /** signal_mi: mutual information between each raw quality signal and
+    * the heuristic gate decision — the nonlinear feature-importance
+    * view beside [[signalCorr]]'s linear correlation and [[signalAuc]]'s
+    * ranking power (a U-shaped signal scores ~0 correlation but high
+    * MI). Signals bin on fixed deterministic grids (ratios ×10, word
+    * length by integer, volume by ln-decade — data-independent edges,
+    * so the frame is reproducible across corpora);
+    * MI = Σ p(b,y)·ln(p(b,y)/(p(b)p(y))) in nats.
+    *
+    * Parity: counts are exact integers; each MI term computes in double
+    * with identical operand order, rounds to 6dp integer units, and
+    * sums exactly (the decSum-for-entropy posture).
+    *
+    * Scale shape: the signal and gate projections are two arms of one
+    * corpus scan joined on doc_id (merge-hinted — the signal_auc
+    * cheap-scan/expensive-projection rule); everything past the
+    * (signal, bin, keep) partial agg is ≤ |signals|×[[MiBins]]×2 rows.
+    */
+  def signalMi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+    val sig = TextAnalysis.qualitySignalsOf(docs)
+    val keep = Curation.qualityFilterOf(docs)
+      .select(col("doc_id").as("kdid"), col("keep"))
+    val b9 = (c: Column) => least(c, lit(MiBins - 1)).cast("int")
+    // localCheckpoint BEFORE the bin explode: the generator otherwise
+    // re-evaluates the collapsed signal projections once per emitted
+    // struct (the chunk_docs Generate rule — 4x the tokenize chain)
+    val binned = sig.join(keep.hint("merge"), col("doc_id") === col("kdid"))
+      .localCheckpoint()
+      .select(col("keep"), explode(array(
+        struct(lit("n_words").as("signal"),
+          b9(floor(log((col("n_words") + 1).cast("double")))).as("bin")),
+        struct(lit("avg_word_len").as("signal"),
+          b9(floor(col("avg_word_len"))).as("bin")),
+        struct(lit("stopword_ratio").as("signal"),
+          b9(floor(col("stopword_ratio") * 10)).as("bin")),
+        struct(lit("punct_ratio").as("signal"),
+          b9(floor(col("punct_ratio") * 10)).as("bin")))).as("s"))
+      .select(col("s.signal"), col("s.bin"), col("keep"))
+    val c = binned.groupBy(col("signal"), col("bin"), col("keep"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds three margins and the term join
+    val cb = c.groupBy(col("signal"), col("bin"))
+      .agg(sum(col("c")).as("cb"))
+    val cy = c.groupBy(col("signal"), col("keep"))
+      .agg(sum(col("c")).as("cy"))
+    val nt = c.groupBy(col("signal")).agg(sum(col("c")).as("nt"))
+    val tu = floor(col("c").cast("double") / col("nt") *
+      log(col("c").cast("double") / col("cb") *
+        (col("nt").cast("double") / col("cy"))) * 1000000 + 0.5)
+      .cast("long")
+    c.join(cb, Seq("signal", "bin")).join(cy, Seq("signal", "keep"))
+      .join(nt, Seq("signal"))
+      .select(col("signal"), col("nt"), tu.as("tu"))
+      .groupBy(col("signal"))
+      .agg(max(col("nt")).as("n_docs"), sum(col("tu")).as("stu"))
+      .select(col("signal"), col("n_docs"),
+        (col("stu").cast("double") / 1000000).as("mi"))
+      .orderBy(col("signal"))
+  }
+
   private[graft] def lmIndexPath(dir: String): String =
     IndexStore.path("bigram-lm-v1", dir)
 

@@ -296,4 +296,45 @@ object Graph {
       .select(col("src").as("part"), col("core_deg"))
       .orderBy(col("part"))
   }
+
+  /** assortativity: Newman degree assortativity (PRE 2002, eq. 4) of
+    * the co-purchase graph — the Pearson correlation of end-point
+    * degrees over directed edge ends. Positive = hubs link hubs
+    * (social-graph shape), negative = hubs link leaves (the
+    * hub-and-spoke shape a basket graph usually has); the one-number
+    * mixing summary beside graph_stats' transitivity. Over the
+    * symmetric directed edge list Σj = Σk and Σj² = Σk², so
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²).
+    *
+    * Parity: every moment is an exact integer accumulated in
+    * DECIMAL(38,0) (the signalCorr posture); one double division
+    * rounds to 6dp. Degree-regular graphs (denominator 0) → NULL.
+    *
+    * Scale shape: pure consumer of the persisted edge artifact — one
+    * degree partial agg, two broadcast-sized joins back onto the edge
+    * list, one 1-row rollup.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val e0 = prunedPairs(spark, dir)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joins onto BOTH edge ends
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val j = edges
+      .join(deg.select(col("src"), col("deg").as("dj")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dk")),
+        Seq("dst"))
+    val m = j.agg(count(lit(1)).as("m"),
+      sum(d(col("dj") * col("dk"))).as("sjk"),
+      sum(d(col("dj"))).as("sj"),
+      sum(d(col("dj") * col("dj"))).as("sjj"))
+    val num = (d(col("m")) * col("sjk") - col("sj") * col("sj"))
+      .cast("double")
+    val den = (d(col("m")) * col("sjj") - col("sj") * col("sj"))
+      .cast("double")
+    m.select(expr("m div 2").as("n_edges"),
+      when(den =!= 0.0, r6(num / den)).as("assortativity"))
+  }
 }

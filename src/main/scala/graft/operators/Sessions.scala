@@ -682,8 +682,15 @@ object Sessions {
     * Scale shape: one partial agg to the (type, day) grid; windows run
     * per type over grid rows (bounded by types × days, never events).
     */
-  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCounts(Tables.events(spark, dir)).localCheckpoint()
+  def cusumShift(spark: SparkSession, dir: String): DataFrame =
+    cusumOfDaily(dailyCounts(Tables.events(spark, dir)).localCheckpoint())
+
+  /** The CUSUM chart over a `(event_type, day, n)` count frame — shared
+    * with the streaming twin ([[graft.streaming.CusumStream]]), whose
+    * standing store drains to exactly this shape; parity with the batch
+    * query is by construction.
+    */
+  private[graft] def cusumOfDaily(daily: DataFrame): DataFrame = {
     val zu = floor(col("z") * 10000 + 0.5).cast("long")
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -700,6 +707,41 @@ object Sessions {
         (col("su") > CusumThreshU || col("sd") > CusumThreshU)
           .as("is_shift"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** session_entropy: per-user Shannon entropy of the event-type
+    * distribution — the behavioral-diversity score (a user whose
+    * activity is all one event type scores 0; uniform use of all types
+    * scores ln k). The per-user face of token_entropy's corpus
+    * statistic, and the segmentation feature a churn model reads next
+    * to rfm_segments.
+    *
+    * Parity: H = ln n − (Σ c·ln c)/n with each c·ln c term rounded to
+    * 6dp integer units and summed exactly (a raw double Σ would be
+    * partition-order dependent — the decSum lesson applied to entropy
+    * terms), one double expression at the end re-rounded to 6dp.
+    *
+    * Scale shape: two partial aggs ((user, type) then user) on
+    * co-partitioned keys — no windows, no joins beyond the count
+    * rollup.
+    */
+  def sessionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tl = floor(col("c").cast("double") * log(col("c").cast("double"))
+      * 1000000 + 0.5).cast("long")
+    perType
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).cast("int").as("n_types"),
+        sum(tl).as("stl"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        r6(log(col("n_events").cast("double")) -
+          (col("stl").cast("double") / 1000000) / col("n_events"))
+          .as("entropy"))
+      .orderBy(col("user_id"))
   }
 
   /** Two-proportion z-test critical value (two-sided α = 0.05). */

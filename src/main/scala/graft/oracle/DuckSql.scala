@@ -1723,6 +1723,65 @@ object DuckSql {
       |            / 1000000 END AS survival
       |FROM w3 ORDER BY t""".stripMargin
 
+  /** Mirror of Sessions.sessionEntropy: (user, type) exact counts, 6dp
+    * integer c·ln c terms summed exactly, one mirrored double tail.
+    */
+  val sessionEntropy: String =
+    """WITH pt AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+      |            FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, c,
+      |        floor(c::DOUBLE * ln(c::DOUBLE) * 1000000 + 0.5)::BIGINT
+      |          AS tl
+      |      FROM pt),
+      |g AS (SELECT user_id, sum(c)::BIGINT AS n_events,
+      |        count(*)::INT AS n_types, sum(tl)::BIGINT AS stl
+      |      FROM t GROUP BY user_id)
+      |SELECT user_id, n_events, n_types,
+      |  floor((ln(n_events::DOUBLE) - (stl::DOUBLE / 1000000) / n_events)
+      |        * 1000000 + 0.5) / 1000000 AS entropy
+      |FROM g ORDER BY user_id""".stripMargin
+
+  /** Mirror of Analytics.discountElasticity: exact-cent grid points,
+    * one mirrored mean division per level, zipf_fit's DECIMAL(38,0)
+    * OLS moments and verbatim-ordered final divisions.
+    */
+  val discountElasticity: String =
+    """WITH lv AS (SELECT
+      |    floor(l_discount * 100 + 0.5)::BIGINT AS xu,
+      |    floor(l_quantity * 100 + 0.5)::BIGINT AS qu
+      |  FROM lineitem),
+      |g AS (SELECT xu, count(*)::BIGINT AS nl, sum(qu)::BIGINT AS sq
+      |      FROM lv GROUP BY xu),
+      |p AS (SELECT xu,
+      |        floor(sq::DOUBLE / nl / 100 * 1000000 + 0.5)::BIGINT AS yu
+      |      FROM g),
+      |m AS (SELECT count(*)::BIGINT AS n,
+      |        sum(xu)::BIGINT AS sx, sum(yu)::BIGINT AS sy,
+      |        sum(xu * yu)::BIGINT AS sxy, sum(xu * xu)::BIGINT AS sxx,
+      |        sum(yu * yu)::BIGINT AS syy
+      |      FROM p),
+      |d AS (SELECT n,
+      |        (n::DECIMAL(38,0) * sxy - sx::DECIMAL(38,0) * sy)::DOUBLE
+      |          AS num,
+      |        (n::DECIMAL(38,0) * sxx - sx::DECIMAL(38,0) * sx)::DOUBLE
+      |          AS dx,
+      |        (n::DECIMAL(38,0) * syy - sy::DECIMAL(38,0) * sy)::DOUBLE
+      |          AS dy,
+      |        (sy::DECIMAL(38,0) * sxx - sx::DECIMAL(38,0) * sxy)::DOUBLE
+      |          AS icnum
+      |      FROM m)
+      |SELECT n AS n_levels,
+      |  CASE WHEN n > 1
+      |       THEN floor(num / dx / 10000 * 1000000 + 0.5) / 1000000 END
+      |    AS slope,
+      |  CASE WHEN n > 1
+      |       THEN floor(icnum / dx / 1000000 * 1000000 + 0.5) / 1000000
+      |       END AS intercept,
+      |  CASE WHEN n > 1 AND dy <> 0.0
+      |       THEN floor(num * num / (dx * dy) * 1000000 + 0.5) / 1000000
+      |       END AS r2
+      |FROM d""".stripMargin
+
   /** Mirror of Analytics.rfmSegments: per-customer RFM frame, quartile
     * thresholds from histogram cumulatives (4·cum ≥ k·N exact-integer
     * form), map-side scoring. The monetary bin width interpolates from
@@ -2687,6 +2746,65 @@ object DuckSql {
        |SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac,
        |  toxic_score, keep, reasons
        |FROM qf""".stripMargin
+
+  /** Mirror of CorpusStats.signalMi: the qualityScore signal CTE and
+    * the qualityKeepCtes gate joined on doc_id, fixed deterministic
+    * bins, exact-count margins, 6dp-integer MI terms summed exactly.
+    */
+  lazy val signalMi: String = {
+    import graft.operators.CorpusStats.MiBins
+    val b9 = (e: String) => s"least($e, ${MiBins - 1})::INT"
+    s"""WITH $qualityKeepCtes,
+       |sw AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |sm AS (SELECT doc_id, len(t) AS n_words,
+       |  list_sum(list_transform(t, x -> length(x))) AS char_sum,
+       |  len(list_filter(t, x -> list_contains(${listLit(
+        graft.operators.RefVocab.enStopwords)}, lower(x)))) AS stop_hits,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,?!'':"-]', '', 'g')) AS punct
+       |  FROM sw),
+       |sg AS (SELECT doc_id, n_words::INT AS n_words,
+       |  floor(char_sum::DOUBLE / n_words * 10000 + 0.5) / 10000
+       |    AS avg_word_len,
+       |  floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000
+       |    AS stopword_ratio,
+       |  floor(punct::DOUBLE / n_chars * 10000 + 0.5) / 10000
+       |    AS punct_ratio
+       |  FROM sm),
+       |jj AS (SELECT sg.*, qf.keep FROM sg JOIN qf USING (doc_id)),
+       |u AS (SELECT 'n_words' AS signal,
+       |        ${b9("floor(ln((n_words + 1)::DOUBLE))")} AS bin, keep
+       |      FROM jj
+       |      UNION ALL
+       |      SELECT 'avg_word_len', ${b9("floor(avg_word_len)")}, keep
+       |      FROM jj
+       |      UNION ALL
+       |      SELECT 'stopword_ratio', ${b9("floor(stopword_ratio * 10)")},
+       |        keep
+       |      FROM jj
+       |      UNION ALL
+       |      SELECT 'punct_ratio', ${b9("floor(punct_ratio * 10)")}, keep
+       |      FROM jj),
+       |c AS (SELECT signal, bin, keep, count(*)::BIGINT AS c
+       |      FROM u GROUP BY 1, 2, 3),
+       |cb AS (SELECT signal, bin, sum(c)::BIGINT AS cb FROM c
+       |       GROUP BY 1, 2),
+       |cy AS (SELECT signal, keep, sum(c)::BIGINT AS cy FROM c
+       |       GROUP BY 1, 2),
+       |nt AS (SELECT signal, sum(c)::BIGINT AS nt FROM c GROUP BY 1),
+       |tm AS (SELECT c.signal, nt.nt,
+       |         floor(c.c::DOUBLE / nt.nt
+       |               * ln(c.c::DOUBLE / cb.cb * (nt.nt::DOUBLE / cy.cy))
+       |               * 1000000 + 0.5)::BIGINT AS tu
+       |       FROM c JOIN cb ON cb.signal = c.signal AND cb.bin = c.bin
+       |              JOIN cy ON cy.signal = c.signal AND cy.keep = c.keep
+       |              JOIN nt ON nt.signal = c.signal)
+       |SELECT signal, max(nt)::BIGINT AS n_docs,
+       |  sum(tu)::BIGINT::DOUBLE / 1000000 AS mi
+       |FROM tm GROUP BY signal ORDER BY signal""".stripMargin
+  }
 
   /** Mirror of Curation.stratifiedSample: the same (doc_id, seed) hash
     * in [0,1) — first 8 md5 hex chars over 2^32, an exact binary
@@ -4151,6 +4269,29 @@ object DuckSql {
        |  floor(6 * n_triangles::DOUBLE / nullif(wedges2, 0) * 10000 + 0.5)
        |    / 10000 AS transitivity
        |FROM ne, ds, tri""".stripMargin
+
+  /** Mirror of Graph.assortativity: same symmetric directed edge list,
+    * exact DECIMAL(38,0) degree moments, one 6dp double division.
+    */
+  val assortativity: String =
+    s"""$graphE0Cte,
+       |e AS (SELECT pa AS src, pb AS dst FROM e0
+       |      UNION ALL SELECT pb, pa FROM e0),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+       |j AS (SELECT a.deg AS dj, b.deg AS dk FROM e
+       |      JOIN deg a ON a.src = e.src
+       |      JOIN deg b ON b.src = e.dst),
+       |m AS (SELECT count(*)::BIGINT AS m,
+       |        sum((dj * dk)::DECIMAL(38,0)) AS sjk,
+       |        sum(dj::DECIMAL(38,0)) AS sj,
+       |        sum((dj * dj)::DECIMAL(38,0)) AS sjj FROM j)
+       |SELECT m // 2 AS n_edges,
+       |  CASE WHEN (m::DECIMAL(38,0) * sjj - sj * sj)::DOUBLE <> 0.0 THEN
+       |    floor((m::DECIMAL(38,0) * sjk - sj * sj)::DOUBLE
+       |          / (m::DECIMAL(38,0) * sjj - sj * sj)::DOUBLE
+       |          * 1000000 + 0.5) / 1000000
+       |  END AS assortativity
+       |FROM m""".stripMargin
 
   /** Mirror of Dedup.dedupRecall: the exact global Jaccard pair set from
     * the same shingle lists (inverted-index join under the doc-frequency

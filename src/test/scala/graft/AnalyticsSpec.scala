@@ -336,4 +336,19 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(4096L, 1L, 40.96, r4(1.0 / 3), r4(4096 / tc), r4(16896 / tc)),
       Seq(2048L, 1L, 30.0, r4(1.0 / 3), r4(3000 / tc), 1.0)))
   }
+
+  test("discount_elasticity: a perfect 3-point line recovers slope, " +
+      "intercept, and r2 = 1") {
+    val d0 = Date.valueOf("1997-01-01")
+    // mean qty 15 @ 0.00, 25 @ 0.05, 35 @ 0.10 — exactly linear:
+    // +2 qty per discount cent -> slope 200 per full discount unit
+    val lines = Seq(
+      Line(1, 1, "N", "O", 10.0, 1.0, 0.00, d0),
+      Line(2, 1, "N", "O", 20.0, 1.0, 0.00, d0),
+      Line(3, 1, "N", "O", 20.0, 1.0, 0.05, d0),
+      Line(4, 1, "N", "O", 30.0, 1.0, 0.05, d0),
+      Line(5, 1, "N", "O", 35.0, 1.0, 0.10, d0))
+    assert(rows(Analytics.discountElasticity(spark, starDir(lines = lines)))
+      === Set(Seq(3L, 200.0, 15.0, 1.0)))
+  }
 }

@@ -571,4 +571,52 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(rows(graft.operators.CorpusStats.cooccurPmi(spark, dir)) ===
       Set(Seq("alpha", "beta", 8L, exp)))
   }
+
+  test("signal_mi: matches a driver-side recomputation from the raw " +
+      "signal/gate frames; all-same-label corpus scores 0 everywhere") {
+    import graft.operators.{CorpusStats, Curation}
+    // long docs: unique content words interleaved with stopwords ->
+    // non-repetitive, stopword-rich, >= 20 words -> KEPT; short docs
+    // fail too_short -> DROPPED (both labels present)
+    def long(id: Long) =
+      (0 until 15 + id.toInt).map(k => s"the u${id}x$k").mkString(" ")
+    val dir = fixtureDir(docs =
+      (0L until 6L).map(i => doc(i, long(i))) ++
+      (6L until 10L).map(i => doc(i, s"short doc number $i")))
+    val sig = TextAnalysis.qualitySignalsOf(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Double]("avg_word_len"),
+          r.getAs[Double]("stopword_ratio"), r.getAs[Double]("punct_ratio")))
+      .toMap
+    val keep = Curation.qualityFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep.values.toSet.size === 2) // both labels present
+    def b9(x: Double) = math.min(math.floor(x), 9.0).toInt
+    val binned: Seq[(String, Int, Boolean)] = sig.toSeq.flatMap {
+      case (id, (nw, awl, sr, pr)) => Seq(
+        ("n_words", b9(math.log((nw + 1).toDouble)), keep(id)),
+        ("avg_word_len", b9(awl), keep(id)),
+        ("stopword_ratio", b9(sr * 10), keep(id)),
+        ("punct_ratio", b9(pr * 10), keep(id)))
+    }
+    val expected = binned.groupBy(_._1).map { case (signal, rs) =>
+      val nt = rs.size.toLong
+      val c = rs.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong)
+      val cb = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+      val cy = rs.groupBy(_._3).view.mapValues(_.size.toLong)
+      val stu = c.map { case ((b, y), n) =>
+        math.floor(n.toDouble / nt * math.log(
+          n.toDouble / cb(b) * (nt.toDouble / cy(y))) * 1e6 + 0.5).toLong
+      }.sum
+      Seq[Any](signal, nt, stu.toDouble / 1e6)
+    }.toSet
+    assert(rows(CorpusStats.signalMi(spark, dir)) === expected)
+    // degenerate corpus: every doc keeps -> one label -> MI exactly 0
+    val uni = fixtureDir(docs = (0L until 4L).map(i => doc(i, long(i))))
+    assert(rows(CorpusStats.signalMi(spark, uni))
+      .forall(_.last === 0.0))
+  }
 }

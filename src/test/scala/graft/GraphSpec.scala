@@ -110,4 +110,32 @@ class GraphSpec extends SparkSpecBase {
     assert(rows(Graph.kCore(spark, dir)) === Set(
       Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 3L), Seq(4L, 3L)))
   }
+
+  test("assortativity: a perfect star is -1; a pendant triangle lands " +
+      "on the hand value") {
+    import spark.implicits._
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    def dirOf(pairs: Seq[(Long, Long)]): String = {
+      val li = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        basket(100 + 2 * i, a, b) ++ basket(101 + 2 * i, a, b)
+      }.toDF("l_orderkey", "l_partkey")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-graph").toString
+      li.write.parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // star S3: hub degree 3, leaves degree 1 -> r = -1 exactly
+    assert(rows(Graph.assortativity(spark,
+      dirOf(Seq((1L, 2L), (1L, 3L), (1L, 4L))))) ===
+      Set(Seq(3L, -1.0)))
+    // triangle {1,2,3} + pendant 4 on 1: M=8, Sjk=38, Sj=18, Sjj=44
+    // -> r = (8*38-324)/(8*44-324) = -20/28 = -0.714286 (6dp floor)
+    assert(rows(Graph.assortativity(spark,
+      dirOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))))) ===
+      Set(Seq(4L, math.floor(-20.0 / 28 * 1e6 + 0.5) / 1e6)))
+    // 2-regular triangle: zero denominator -> NULL
+    assert(rows(Graph.assortativity(spark,
+      dirOf(Seq((1L, 2L), (1L, 3L), (2L, 3L))))) ===
+      Set(Seq(3L, null)))
+  }
 }

@@ -561,4 +561,20 @@ class SessionsSpec extends SparkSpecBase {
       Seq(0, 2L, 0L, 1L, 1.0),
       Seq(2, 1L, 1L, 0L, 0.0)))
   }
+
+  test("session_entropy: one-type users score 0, uniform types score " +
+      "ln k (hand values)") {
+    import graft.operators.Sessions
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 1, 1, "click"), ev(2, 2, 1, "click"),
+      ev(3, 3, 1, "click"), ev(4, 4, 1, "click"),
+      ev(5, 1, 2, "click"), ev(6, 2, 2, "click"),
+      ev(7, 3, 2, "view"), ev(8, 4, 2, "view"),
+      ev(9, 1, 3, "click"), ev(10, 2, 3, "view"),
+      ev(11, 3, 3, "purchase"), ev(12, 4, 3, "purchase")))
+    assert(rows(Sessions.sessionEntropy(spark, dir)) === Set(
+      Seq(1L, 4L, 1, 0.0),
+      Seq(2L, 4L, 2, 0.693147),   // ln 2 through the 6dp term path
+      Seq(3L, 4L, 3, 1.039721)))  // ln 4 - (2 ln 2)/4
+  }
 }

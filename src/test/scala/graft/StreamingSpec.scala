@@ -362,4 +362,32 @@ class StreamingSpec extends SparkSpecBase {
       rows(graft.operators.CorpusStats.qualityPsi(spark, batchDir)))
     assert(spark.read.parquet(store).count() === 4L)
   }
+
+  test("streaming CUSUM store drains to batch cusum_shift parity; " +
+      "replay is a no-op") {
+    import graft.streaming.CusumStream
+    import graft.operators.Sessions
+    // two days of "click" split across micro-batches, plus a "view" day
+    val b1 = Seq(ev(1, 10, 1), ev(2, 86410, 1), ev(5, 20, 9, "view"))
+    val b2 = Seq(ev(3, 86420, 2), ev(4, 86430, 3))
+    import spark.implicits._
+    val stage = stageBatchFrames(Seq(b1.toDF(), b2.toDF()))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cusum-store").toString + "/days"
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = CusumStream.maintainDays(src, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    // replay: the event-keyed anti-join absorbs the duplicates
+    val q2 = CusumStream.maintainDays(src, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(300000)
+    val batchDir = fixtureDir(evs = b1 ++ b2)
+    assert(rows(CusumStream.chart(spark, store)) ===
+      rows(Sessions.cusumShift(spark, batchDir)))
+    assert(spark.read.parquet(store).count() === 5L)
+  }
 }
