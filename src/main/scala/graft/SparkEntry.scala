@@ -40,6 +40,7 @@ object SparkEntry {
     "rfm_segments"  -> (Analytics.rfmSegments _),
     "kb_ingest"         -> (Similarity.kbIngest _),
     "embedding_norms"   -> (Similarity.embeddingNorms _),
+    "dim_variance"      -> (Similarity.dimVariance _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "active_users" -> (Sessions.activeUsers _),
     "session_stats" -> (Sessions.sessionStats _),
     "session_entropy" -> (Sessions.sessionEntropy _),
+    "conversion_latency" -> (Sessions.conversionLatency _),
     "session_gaps" -> (Sessions.sessionGaps _),
     "temporal_decay" -> (Sessions.temporalDecay _),
     "user_overlap" -> (Sessions.userOverlap _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "km_retention" -> (Sessions.kmRetention _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
+    "frame_dedup" -> (Multimodal.frameDedup _),
     "media_shard" -> (Multimodal.mediaShard _),
     "banding_curve" -> (Dedup.bandingCurve _),
     "event_transitions" -> (Sessions.eventTransitions _),
@@ -164,6 +167,7 @@ object SparkEntry {
     "prf_expand" -> (Retrieval.prfExpand _),
     "ir_metrics" -> (Retrieval.irMetrics _),
     "rank_corr" -> (Retrieval.rankCorr _),
+    "fusion_sweep" -> (Retrieval.fusionSweep _),
     "silhouette" -> (Similarity.silhouette _),
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
@@ -631,6 +635,7 @@ object SparkEntry {
     "active_users" -> graft.oracle.DuckSql.activeUsers,
     "session_stats" -> graft.oracle.DuckSql.sessionStats,
     "session_entropy" -> graft.oracle.DuckSql.sessionEntropy,
+    "conversion_latency" -> graft.oracle.DuckSql.conversionLatency,
     "session_gaps" -> graft.oracle.DuckSql.sessionGaps,
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
@@ -641,6 +646,7 @@ object SparkEntry {
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
+    "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
     "media_shard" -> graft.oracle.DuckSql.mediaShard,
     "banding_curve" -> graft.oracle.DuckSql.bandingCurve,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
@@ -691,6 +697,7 @@ object SparkEntry {
     "prf_expand" -> graft.oracle.DuckSql.prfExpand,
     "ir_metrics" -> graft.oracle.DuckSql.irMetrics,
     "rank_corr" -> graft.oracle.DuckSql.rankCorr,
+    "fusion_sweep" -> graft.oracle.DuckSql.fusionSweep,
     "silhouette" -> graft.oracle.DuckSql.silhouette,
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
@@ -766,6 +773,7 @@ object SparkEntry {
     "kb_consistency" -> graft.oracle.DuckSql.kbConsistency,
     "template_effect" -> graft.oracle.DuckSql.templateEffect,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
+    "dim_variance" -> graft.oracle.DuckSql.dimVariance,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

@@ -145,6 +145,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** frame_dedup chunk width in bytes. 64 keeps the stub readable; a
+    * real pipeline uses 4-64 KiB chunks (the fixed-size baseline of
+    * the CDC family). Single-sourced into the oracle SQL.
+    */
+  val FrameChunkBytes = 64
+
+  /** frame_dedup: fixed-size binary chunk dedup across assets — every
+    * payload splits into [[FrameChunkBytes]]-byte windows (the stub
+    * for decoded keyframes), and chunks whose bytes recur in ≥ 2
+    * DISTINCT assets surface with their multiplicity. [[mediaDedup]]
+    * catches byte-identical WHOLE assets; this catches PARTIAL overlap
+    * (a video re-encoded with a new intro shares every interior chunk
+    * — the span_hotspots shape on binary payloads, and the fixed-size
+    * baseline the content-defined-chunking literature improves on).
+    *
+    * Scale shape: one explode bounded by payload size / chunk width
+    * (generator inputs are scan attributes), a (chunk, doc) partial
+    * agg, then the distinct-asset rollup — the two-level distinct rule,
+    * never count(distinct) over raw chunk rows.
+    */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = FrameChunkBytes
+    // `div`, not `/`: Column / is ALWAYS double division in Spark
+    val nChunks = expr(s"(length(payload) + ${w - 1}) div $w").cast("int")
+    val perDoc = withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"), nChunks.as("nc"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("nc") - 1)).as("k"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(payload, k * $w + 1, $w)")).as("chunk_md5"))
+      .groupBy(col("chunk_md5"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("c")).as("n_copies"),
+        min(col("doc_id")).as("canonical"))
+      .filter(col("n_assets") >= 2)
+      .orderBy(col("chunk_md5"))
+  }
+
   /** media_shard export geometry: shard count (grows with the corpus;
     * 4 here), volume byte budget, and the shuffle seed (independent of
     * the text-export seeds). Single-sourced into the oracle SQL.

@@ -281,18 +281,25 @@ object Retrieval {
     * `(q_id, doc_id, vrank)` ranking — the hybridRetrieve tail,
     * factored so ndcgEval fuses its OWN checkpointed dense frame.
     */
-  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    rrfFuseK(lex, vec, RrfK, HybridTopK)
+
+  /** The K-explicit fusion — shared by [[fusionSweep]], which sweeps
+    * the RRF constant over [[FusionKs]].
+    */
+  private def rrfFuseK(lex: DataFrame, vec: DataFrame, k: Int,
+      topK: Int): DataFrame = {
     // 1/(K + null rank) is null -> coalesce to 0: absent-from-ranker
     val rrf = floor((
-      coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)))
+      coalesce(lit(1.0) / (lit(k) + col("lrank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("vrank")), lit(0.0)))
       * 1000000 + lit(0.5)) / 1000000
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"), rrf.as("rrf"))
       .withColumn("rank", row_number().over(wF))
-      .filter(col("rank") <= HybridTopK)
+      .filter(col("rank") <= topK)
   }
 
   /** nDCG evaluation depth (= [[BmTopK]]: the graded-truth set and the
@@ -753,6 +760,88 @@ object Retrieval {
           r4(col("gap_sum").cast("double") / col("n_common")))
           .as("mean_rank_gap"))
       .orderBy(col("q_id"))
+  }
+
+  /** The fusion_sweep interpolation grid — exact binary doubles, so
+    * both engines parse identical weights.
+    */
+  val FusionAlphas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+
+  /** fusion_sweep: mean nDCG@[[NdcgK]] of SCORE-interpolation fusion
+    * α·lex + (1−α)·dense over min-max-normalized per-query scores
+    * (CombSUM with linear interpolation, Fox & Shaw TREC-2 / Vogt &
+    * Cottrell IR'99) at each α in [[FusionAlphas]] — the tuning curve
+    * for the OTHER fusion family beside [[hybridRetrieve]]'s RRF.
+    * Rank-based RRF is the wrong subject for a sweep on this corpus:
+    * with DISJOINT arm top-k sets (arm_overlap measures n_common ≡ 0)
+    * the RRF order is provably K-invariant (each doc scores 1/(K+r)
+    * from one arm only, and r<s ⟺ 1/(K+r)>1/(K+s) for every K) — the
+    * curve is flat by identity. Score interpolation moves the blend
+    * even on disjoint sets: α=0 is the pure dense ordering (the 1.0
+    * sanity row), α=1 pure lexical, and the interior traces what
+    * lexical evidence costs in dense-graded order.
+    *
+    * Parity: both arms' scores are cross-engine-exact doubles (the
+    * unrolled-dot-product / DECIMAL-BM25 invariants); min-max norms
+    * and the blend round to 6dp with verbatim operand order; truth and
+    * discounts are exactly [[ndcgEval]]'s.
+    *
+    * Scale shape: both rankings are persisted reads checkpointed once;
+    * per-α fusion is a k-bounded full-outer join + window
+    * (|queries|×k rows per grid point); per-α means are exact DECIMAL
+    * sums of 6dp ndcgs.
+    */
+  def fusionSweep(spark: SparkSession, dir: String): DataFrame = {
+    def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    def mmNorm(df: DataFrame, out: String): DataFrame = {
+      val wq = Window.partitionBy(col("q_id"))
+      df.withColumn("mn", min(col("s")).over(wq))
+        .withColumn("mx", max(col("s")).over(wq))
+        .select(col("q_id"), col("doc_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            rnd6((col("s") - col("mn")) / (col("mx") - col("mn"))))
+            .otherwise(lit(1.0)).as(out))
+    }
+    val exact = mmNorm(Similarity.denseTruth(spark, dir)
+      .filter(pmod(col("q_id"), lit(QueryMod)) === 0 &&
+        col("rank_nonq") <= NdcgK)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"), col("s"),
+        col("rank_nonq").as("pos")), "vn")
+      .localCheckpoint()
+    val lex = mmNorm(bm25Topk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("score").as("s"),
+        col("rank").as("pos")), "ln")
+      .localCheckpoint()
+    val rel = exact.select(col("q_id"), col("doc_id"),
+      (lit(NdcgK + 1) - col("pos")).as("rel"))
+    val wD = rnd6(lit(1.0) / log2(col("pos") + 1)).cast("decimal(18,6)")
+    def dcgOf(ranked: DataFrame): DataFrame =
+      ranked.filter(col("pos") <= NdcgK)
+        .join(rel, Seq("q_id", "doc_id"), "left")
+        .select(col("q_id"), (coalesce(col("rel"), lit(0)) * wD).as("t"))
+        .groupBy(col("q_id")).agg(sum(col("t")).as("dcgs"))
+    val ideal = dcgOf(exact)
+      .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
+      .localCheckpoint() // reused by every grid point
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("blend").desc, col("doc_id"))
+    val perA = FusionAlphas.map { a =>
+      val blend = rnd6(lit(a) * coalesce(col("ln"), lit(0.0)) +
+        lit(1 - a) * coalesce(col("vn"), lit(0.0)))
+      val fused = lex.drop("pos")
+        .join(exact.drop("pos"), Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"), blend.as("blend"))
+        .withColumn("pos", row_number().over(wF))
+      dcgOf(fused)
+        .join(ideal, col("q_id") === col("iq"))
+        .select(rnd6(col("dcgs").cast("double") / col("ideal")
+          .cast("double")).cast("decimal(18,6)").as("ndcg"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("ndcg")).as("sn"))
+        .select(lit(a).as("alpha"), col("n_queries"),
+          rnd6(col("sn").cast("double") / col("n_queries"))
+            .as("mean_ndcg"))
+    }
+    perA.reduce(_.unionByName(_)).orderBy(col("alpha"))
   }
 
   /** rank_corr: Spearman rank correlation between the base BM25

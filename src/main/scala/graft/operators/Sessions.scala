@@ -709,6 +709,50 @@ object Sessions {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** conversion_latency: the signup→purchase timing profile — how long
+    * converting users take, as the histogram-quantile row ([[funnel]]
+    * counts WHO converts; this says HOW FAST). Conversion uses the
+    * funnel's strict-order convention (first purchase after the first
+    * signup); latencies bin to minutes and p50/p90 read off the
+    * cumulative grid (the sessionStats rule — never a total order over
+    * users), reported as the bin's lower bound in seconds; the mean is
+    * an exact integer-second sum with one 4dp division.
+    *
+    * Scale shape: one groupBy(user) min-pair partial agg, then a
+    * minute-grid histogram (bounded by the corpus time span) with one
+    * cumulative window and a 1-row rollup.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("sec"))).as(s"t_$t")
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(firstOf("signup"), firstOf("purchase"))
+      .filter(col("t_signup").isNotNull && col("t_purchase").isNotNull &&
+        col("t_purchase") > col("t_signup"))
+      .select((col("t_purchase") - col("t_signup")).as("lat"))
+    val hist = per
+      .select(col("lat"), expr("lat div 60").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"), sum(col("lat")).as("sl"))
+      .localCheckpoint() // feeds the cumulative grid and the rollup
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"),
+        sum(col("sl")).as("tl"))))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("bin") * 60))
+          .as("p50_sec"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("bin") * 60))
+          .as("p90_sec"),
+        max(floor(col("tl").cast("double") / col("n") * 10000 + 0.5)
+          / 10000).as("mean_sec"))
+  }
+
   /** session_entropy: per-user Shannon entropy of the event-type
     * distribution — the behavioral-diversity score (a user whose
     * activity is all one event type scores 0; uniform use of all types

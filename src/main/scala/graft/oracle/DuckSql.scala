@@ -798,6 +798,106 @@ object DuckSql {
        |FROM d JOIN i USING (q_id) ORDER BY arm, q_id""".stripMargin
   }
 
+  /** Mirror of Similarity.dimVariance: ordinal unnest of the stored
+    * vectors, 1e-7 integer units, DECIMAL(38,0) moments, verbatim
+    * division order.
+    */
+  val dimVariance: String =
+    """WITH x AS (SELECT u.d AS dim,
+      |    floor(u.v::DOUBLE * 10000000 + 0.5)::BIGINT AS vu
+      |  FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |          j -> {'d': j - 1, 'v': embedding[j]})) AS u
+      |        FROM embeddings)),
+      |g AS (SELECT dim, count(*)::BIGINT AS n,
+      |        sum(vu::DECIMAL(38,0)) AS sv,
+      |        sum((vu * vu)::DECIMAL(38,0)) AS svv,
+      |        min(vu) AS mn, max(vu) AS mx
+      |      FROM x GROUP BY dim)
+      |SELECT dim,
+      |  floor(sv::DOUBLE / 10000000 / n * 1000000 + 0.5) / 1000000
+      |    AS mean,
+      |  floor((n::DECIMAL(38,0) * svv - sv * sv)::DOUBLE / n::DOUBLE / n
+      |        / 100000000000000 * 1000000 + 0.5) / 1000000 AS variance,
+      |  mn::DOUBLE / 10000000 AS min_v,
+      |  mx::DOUBLE / 10000000 AS max_v
+      |FROM g ORDER BY dim""".stripMargin
+
+  /** Mirror of Retrieval.fusionSweep: the ndcgEval lex/ex/rel CTEs
+    * with raw scores, per-query min-max norms (6dp, all-equal guard),
+    * one interpolated arm per alpha (rank cutoff NdcgK), identical
+    * 6dp DECIMAL discount weights, per-alpha exact-DECIMAL ndcg means.
+    */
+  lazy val fusionSweep: String = {
+    import graft.operators.Retrieval.{BmTopK, FusionAlphas, NdcgK, QueryMod}
+    val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    val disc =
+      s"""CAST(floor(1.0 / log2(a.pos + 1) * 1000000 + 0.5) / 1000000
+         |         AS DECIMAL(18,6))""".stripMargin
+    def mm(src: String, out: String) =
+      s"""SELECT q_id, doc_id, pos,
+         |  CASE WHEN mx > mn
+         |       THEN floor((s - mn) / (mx - mn) * 1000000 + 0.5) / 1000000
+         |       ELSE 1.0 END AS $out
+         |FROM (SELECT q_id, doc_id, pos, s,
+         |        min(s) OVER (PARTITION BY q_id) AS mn,
+         |        max(s) OVER (PARTITION BY q_id) AS mx
+         |      FROM $src)""".stripMargin
+    val perA = FusionAlphas.zipWithIndex.map { case (a, ix) =>
+      val b = 1 - a
+      s"""f$ix AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |        floor(($a::DOUBLE * coalesce(l.ln, 0.0)
+         |             + $b::DOUBLE * coalesce(v.vn, 0.0))
+         |              * 1000000 + 0.5) / 1000000 AS blend
+         |      FROM lexn l FULL OUTER JOIN exn v
+         |        ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+         |h$ix AS (SELECT q_id, doc_id,
+         |          row_number() OVER (PARTITION BY q_id
+         |                             ORDER BY blend DESC, doc_id) AS pos
+         |        FROM f$ix),
+         |t$ix AS (SELECT a.q_id, coalesce(r.rel, 0) * $disc AS t
+         |  FROM h$ix a LEFT JOIN rel r
+         |    ON r.q_id = a.q_id AND r.doc_id = a.doc_id
+         |  WHERE a.pos <= $NdcgK),
+         |d$ix AS (SELECT q_id, sum(t) AS dcgs FROM t$ix GROUP BY 1),
+         |n$ix AS (SELECT CAST(floor(d.dcgs::DOUBLE / i.ideal::DOUBLE
+         |          * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS ndcg
+         |        FROM d$ix d JOIN i ON i.q_id = d.q_id)""".stripMargin
+    }
+    val rows = FusionAlphas.zipWithIndex.map { case (a, ix) =>
+      s"""SELECT $a::DOUBLE AS alpha, count(*)::BIGINT AS n_queries,
+         |  floor(sum(ndcg)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000
+         |    AS mean_ndcg
+         |FROM n$ix""".stripMargin
+    }
+    s"""$bm25Ctes,
+       |lexr AS (SELECT q_id, doc_id, score AS s, rank AS pos
+       |  FROM (SELECT q_id, doc_id, score,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY score DESC, doc_id) AS rank
+       |        FROM agg) WHERE rank <= $BmTopK),
+       |lexn AS (${mm("lexr", "ln")}),
+       |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE $isVq),
+       |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+       |  FROM embeddings e, vq q WHERE NOT ($isVq)),
+       |ex AS (SELECT q_id, doc_id, s, rnk AS pos
+       |  FROM (SELECT q_id, doc_id, s,
+       |          row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY s DESC, doc_id) AS rnk
+       |        FROM vsc) WHERE rnk <= $NdcgK),
+       |exn AS (${mm("ex", "vn")}),
+       |rel AS (SELECT q_id, doc_id, (${NdcgK + 1} - pos) AS rel FROM ex),
+       |ti AS (SELECT a.q_id, coalesce(r.rel, 0) * $disc AS t
+       |  FROM ex a LEFT JOIN rel r
+       |    ON r.q_id = a.q_id AND r.doc_id = a.doc_id
+       |  WHERE a.pos <= $NdcgK),
+       |i AS (SELECT q_id, sum(t) AS ideal FROM ti GROUP BY 1),
+       |${perA.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY alpha""".stripMargin
+  }
+
   val hybridRetrieve: String = {
     import graft.operators.Retrieval.{BmTopK, HybridTopK, QueryMod, RrfK}
     val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
@@ -1781,6 +1881,30 @@ object DuckSql {
       |       THEN floor(num * num / (dx * dy) * 1000000 + 0.5) / 1000000
       |       END AS r2
       |FROM d""".stripMargin
+
+  /** Mirror of Sessions.conversionLatency: funnel-convention first
+    * signup/purchase pair, minute-bin histogram cumulative quantiles,
+    * exact-second mean.
+    */
+  val conversionLatency: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |  floor(epoch(ts))::BIGINT AS sec FROM events),
+      |p AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'signup' THEN sec END) AS ts,
+      |        min(CASE WHEN event_type = 'purchase' THEN sec END) AS tp
+      |      FROM e GROUP BY user_id),
+      |l AS (SELECT tp - ts AS lat FROM p
+      |      WHERE ts IS NOT NULL AND tp IS NOT NULL AND tp > ts),
+      |h AS (SELECT lat // 60 AS bin, count(*)::BIGINT AS c,
+      |        sum(lat)::BIGINT AS sl FROM l GROUP BY 1),
+      |x AS (SELECT *, sum(c) OVER (ORDER BY bin
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      |t AS (SELECT sum(c)::BIGINT AS n, sum(sl)::BIGINT AS tl FROM h)
+      |SELECT max(t.n) AS n_converted,
+      |  min(CASE WHEN cum * 100 >= t.n * 50 THEN bin * 60 END) AS p50_sec,
+      |  min(CASE WHEN cum * 100 >= t.n * 90 THEN bin * 60 END) AS p90_sec,
+      |  max(floor(t.tl::DOUBLE / t.n * 10000 + 0.5) / 10000) AS mean_sec
+      |FROM x, t""".stripMargin
 
   /** Mirror of Analytics.rfmSegments: per-customer RFM frame, quartile
     * thresholds from histogram cumulatives (4·cum ≥ k·N exact-integer
@@ -5352,6 +5476,28 @@ object DuckSql {
       |SELECT doc_id, content_md5, byte_len, canonical, n_copies,
       |  (doc_id <> canonical) AS is_dup
       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Multimodal.frameDedup: fixed-width chunk windows over
+    * the payload. The corpus text is ASCII (a standing testdata
+    * invariant the mediaDedup mirror also leans on), so VARCHAR
+    * substring is byte-exact against Spark's binary substring.
+    */
+  val frameDedup: String = {
+    import graft.operators.Multimodal.FrameChunkBytes
+    val w = FrameChunkBytes
+    s"""WITH ch AS (SELECT doc_id,
+       |    md5(substring(text, k * $w + 1, $w)) AS chunk_md5
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, (length(text) + ${w - 1}) // $w)) AS k
+       |        FROM documents)),
+       |pd AS (SELECT chunk_md5, doc_id, count(*)::BIGINT AS c
+       |       FROM ch GROUP BY 1, 2),
+       |g AS (SELECT chunk_md5, count(*)::BIGINT AS n_assets,
+       |        sum(c)::BIGINT AS n_copies, min(doc_id) AS canonical
+       |      FROM pd GROUP BY 1)
+       |SELECT chunk_md5, n_assets, n_copies, canonical
+       |FROM g WHERE n_assets >= 2 ORDER BY chunk_md5""".stripMargin
+  }
 
   /** Mirror of Sessions.userOverlap: distinct (type, user) audience
     * sets, bounded self-join, exact counts, 4dp jaccard/lift in the

@@ -90,4 +90,22 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("frame_dedup: cross-asset chunk recurrence with in-asset " +
+      "multiplicity; singleton chunks drop") {
+    val w = Multimodal.FrameChunkBytes
+    def block(ch: Char) = ch.toString * w
+    // chunk A recurs in docs 1, 2 and TWICE in doc 4; B/C/D are
+    // singletons and must not surface
+    val dir = fixtureDir(docs = Seq(
+      doc(1, block('a') + block('b')),
+      doc(2, block('a') + block('c')),
+      doc(3, block('d')),
+      doc(4, block('a') + block('a'))))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val aMd5 = md.digest(block('a').getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(Multimodal.frameDedup(spark, dir)) ===
+      Set(Seq(aMd5, 3L, 4L, 1L)))
+  }
 }

@@ -394,4 +394,29 @@ class RetrievalSpec extends SparkSpecBase {
     assert(rows(operators.Retrieval.rankCorr(spark, d)
       .filter(col("q_id") === 0)) === Set(Seq(0L, m, rho)))
   }
+
+  test("fusion_sweep: alpha=0 reproduces the dense order exactly; " +
+      "alpha=1 lands on the hand-computed lexical ndcg") {
+    val d = fixtureDir(
+      docs = Seq(doc(0, "apple banana"), doc(1, "apple banana"),
+        doc(2, "cherry date"), doc(3, "kiwi lemon")),
+      embs = Seq(Emb(0, vec(1.0, 0.0), 0), Emb(1, vec(1.0, 0.0), 0),
+        Emb(2, vec(0.0, 1.0), 0), Emb(3, vec(0.5, 0.5), 0)))
+    val out = operators.Retrieval.fusionSweep(spark, d).collect()
+      .map(r => r.getAs[Double]("alpha") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("mean_ndcg"))).toMap
+    assert(out.keySet === Set(0.0, 0.25, 0.5, 0.75, 1.0))
+    assert(out.values.forall(_._1 == 1L))
+    // dense scores are distinct (1.0, 0.7071, 0.0): the norm is order-
+    // preserving, so every dense-dominant blend is the ideal order
+    Seq(0.0, 0.25, 0.5, 0.75).foreach(a => assert(out(a)._2 === 1.0))
+    // alpha=1: only doc 1 scores lexically -> fused order (1, 2, 3) vs
+    // dense grades (10, 8, 9); 6dp DECIMAL discounts 1, 0.630930, 0.5
+    val dcg = BigDecimal(10) + BigDecimal("0.630930") * 8 +
+      BigDecimal("0.5") * 9
+    val ideal = BigDecimal(10) + BigDecimal("0.630930") * 9 +
+      BigDecimal("0.5") * 8
+    val exp = math.floor(dcg.toDouble / ideal.toDouble * 1e6 + 0.5) / 1e6
+    assert(out(1.0)._2 === exp)
+  }
 }

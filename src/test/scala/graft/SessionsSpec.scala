@@ -577,4 +577,18 @@ class SessionsSpec extends SparkSpecBase {
       Seq(2L, 4L, 2, 0.693147),   // ln 2 through the 6dp term path
       Seq(3L, 4L, 3, 1.039721)))  // ln 4 - (2 ln 2)/4
   }
+
+  test("conversion_latency: strict-order conversion, minute-bin " +
+      "quantiles, exact mean") {
+    import graft.operators.Sessions
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 100, 1, "signup"), ev(2, 250, 1, "purchase"),    // lat 150
+      ev(3, 0, 2, "signup"), ev(4, 7300, 2, "purchase"),     // lat 7300
+      ev(5, 500, 3, "purchase"), ev(6, 600, 3, "signup"),    // wrong order
+      ev(7, 10, 4, "signup")))                               // no purchase
+    // bins: 150 -> 2, 7300 -> 121; n=2: p50 at cum>=1 -> 120 s,
+    // p90 at cum>=1.8 -> 7260 s; mean (150+7300)/2
+    assert(rows(Sessions.conversionLatency(spark, dir)) === Set(
+      Seq(2L, 120L, 7260L, 3725.0)))
+  }
 }

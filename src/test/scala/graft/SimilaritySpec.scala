@@ -632,4 +632,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.getAs[Double]("cos") > 0.99)
     assert(r.getAs[Double]("margin") > 1.0)
   }
+
+  test("dim_variance: hand moments on two vectors; padded dims are " +
+      "exact zeros") {
+    val dir = fixtureDir(embs = Seq(
+      Emb(1, vec(1.0, 3.0), 0), Emb(2, vec(3.0, 3.0), 0)))
+    val out = rows(Similarity.dimVariance(spark, dir))
+    val zeros = (2 until 64).map(d =>
+      Seq[Any](d, 0.0, 0.0, 0.0, 0.0)).toSet
+    assert(out === zeros ++ Set(
+      Seq[Any](0, 2.0, 1.0, 1.0, 3.0),   // values 1, 3: mean 2, var 1
+      Seq[Any](1, 3.0, 0.0, 3.0, 3.0)))  // constant dim: var exactly 0
+  }
 }
