@@ -106,6 +106,7 @@ object SparkEntry {
     "cusum_shift" -> (Sessions.cusumShift _),
     "conversion_lift" -> (Sessions.conversionLift _),
     "km_retention" -> (Sessions.kmRetention _),
+    "ks_drift" -> (Sessions.ksDrift _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -219,7 +220,9 @@ object SparkEntry {
     "minhash_error" -> (Dedup.minhashError _),
     "k_core" -> (Graph.kCore _),
     "assortativity" -> (Graph.assortativity _),
+    "local_clustering" -> (Graph.localClustering _),
     "ship_latency" -> (Analytics.shipLatency _),
+    "pareto_front" -> (Analytics.paretoFront _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
@@ -644,6 +647,7 @@ object SparkEntry {
     "cusum_shift" -> graft.oracle.DuckSql.cusumShift,
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
+    "ks_drift" -> graft.oracle.DuckSql.ksDrift,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -791,7 +795,9 @@ object SparkEntry {
     "minhash_error" -> graft.oracle.DuckSql.minhashError,
     "k_core" -> graft.oracle.DuckSql.kCore,
     "assortativity" -> graft.oracle.DuckSql.assortativity,
+    "local_clustering" -> graft.oracle.DuckSql.localClustering,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
+    "pareto_front" -> graft.oracle.DuckSql.paretoFront,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,

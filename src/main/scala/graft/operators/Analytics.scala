@@ -1300,4 +1300,54 @@ object Analytics {
       when(col("n") > 1 && dy =!= 0.0, r6(num * num / (dx * dy)))
         .as("r2"))
   }
+
+  /** pareto_front: the SKYLINE of the part catalog — parts not
+    * dominated on (price low, size high): p survives iff no q has
+    * q.price ≤ p.price AND q.size ≥ p.size with at least one strict
+    * (Börzsönyi et al., ICDE'01). The "best value at every size class"
+    * read-out a buyer scans instead of the full catalog, and the one
+    * classic relational operator family (skyline/preference queries)
+    * the engine lacked.
+    *
+    * Scale shape: the textbook distributed skyline — stage 1 computes
+    * LOCAL skylines inside hash buckets of the key (window partitioned
+    * by bucket: a globally non-dominated point is non-dominated in its
+    * bucket, so survivors are a superset of the answer, and dominance
+    * transitivity lets dominated points drop early); stage 2 re-runs
+    * the same two linear windows globally over the few survivors. No
+    * self-join, no quadratic dominance test anywhere; the only global
+    * sort runs over the stage-1 survivor set.
+    *
+    * Dominance itself needs just two window maxima per pass: a point
+    * is dominated iff max(size) over strictly-cheaper points ≥ its
+    * size (strict-in-price dominator), or max(size) among equal-price
+    * points > its size (strict-in-size dominator). Prices compare in
+    * exact integer cents; equal (price, size) duplicates are mutually
+    * non-dominating and all survive.
+    */
+  val SkylineBuckets = 32
+
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir).select(col("p_partkey"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("pu"),
+      col("p_size").cast("long").as("size"))
+    def survivors(df: DataFrame, parts: Seq[Column]): DataFrame = {
+      val wLower = Window.partitionBy(parts: _*).orderBy(col("pu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(parts :+ col("pu"): _*)
+      df.withColumn("lpm", max(col("size")).over(wLower))
+        .withColumn("spm", max(col("size")).over(wSame))
+        .filter((col("lpm").isNull || col("lpm") < col("size")) &&
+          col("spm") === col("size"))
+        .drop("lpm", "spm")
+    }
+    val local = survivors(
+      base.withColumn("bkt", pmod(col("p_partkey"), lit(SkylineBuckets))),
+      Seq(col("bkt"))).drop("bkt").localCheckpoint()
+    survivors(local, Seq.empty)
+      .select(col("p_partkey"),
+        (col("pu").cast("double") / 100).as("price"),
+        col("size").cast("int").as("p_size"))
+      .orderBy(col("pu"), col("p_partkey"))
+  }
 }

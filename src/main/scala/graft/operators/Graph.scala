@@ -314,6 +314,53 @@ object Graph {
     * degree partial agg, two broadcast-sized joins back onto the edge
     * list, one 1-row rollup.
     */
+  /** Top-k size of the local_clustering read-out. */
+  val LccTopK = 20
+
+  /** local_clustering: PER-NODE triangle counts and the local
+    * clustering coefficient lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) —
+    * the node-level face of graph_stats' global transitivity (Watts &
+    * Strogatz 1998's C_i). A part with high degree but near-zero lcc
+    * is a hub bridging otherwise-unrelated baskets (a staple); a part
+    * whose neighborhood closes into triangles sits inside a cohesive
+    * co-bought family — the distinction a recommender uses to pick
+    * between "popular" and "bundle" placements. Top-[[LccTopK]] by
+    * triangle count.
+    *
+    * Scale shape: the same canonical-pair 2-path join + semi-join
+    * closure as graphStats (a < b < c counts each triangle once, the
+    * support threshold bounds the fan-out), then each triangle row
+    * fans out to its THREE member nodes via a 3-way union into one
+    * partial-agg groupBy — no windows, no per-node re-enumeration.
+    * Consumer of the persisted edge artifact like every graph query.
+    *
+    * Parity: counts are exact integers; the single lcc division is one
+    * 4dp-rounded double expression over integer inputs.
+    */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val deg = e0.select(col("pa").as("v")).union(e0.select(col("pb")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val ab = e0.select(col("pa").as("a"), col("pb").as("b"))
+    val bc = e0.select(col("pa").as("b"), col("pb").as("c"))
+    val tri = ab.join(bc, Seq("b"))
+      .join(e0.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"),
+        "left_semi")
+    // one generator pass: a 3-way union of projections would re-run
+    // the 2-path join three times (measured 19 s -> 7 s at the 10×
+    // probe's densified graph)
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    triPerNode.join(deg, Seq("v"))
+      .select(col("v").as("part"), col("n_triangles"), col("degree"),
+        r4(lit(2) * col("n_triangles").cast("double") /
+          (col("degree") * (col("degree") - 1))).as("lcc"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(LccTopK)
+  }
+
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     val e0 = prunedPairs(spark, dir)

@@ -1184,4 +1184,61 @@ object Sessions {
           "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
   }
+
+  /** ks_drift: per-event-type two-sample Kolmogorov–Smirnov test of
+    * the `value` distribution between the EARLY and LATE halves of the
+    * time range (split at the midpoint of [min ts, max ts] in epoch
+    * seconds) — the exact-distribution drift audit next to
+    * quality_psi's binned one: PSI quantizes into fixed buckets and
+    * can miss shape changes inside a bucket; KS compares the full
+    * empirical CDFs and carries a distribution-free p-value
+    * 2·exp(−2λ²), λ = D·√(n₁n₂/(n₁+n₂)) (Kolmogorov's one-term
+    * asymptotic, the two-sided Smirnov approximation).
+    *
+    * Parity: D is found as an exact integer — at each distinct value,
+    * |cumₐ·n_b − cum_b·nₐ| over integer cumulative counts — so the max
+    * and argmax are partition-order independent; the single division
+    * rounds to 6dp, and the p-value is one sqrt/exp expression over
+    * the already-rounded D (the 1-ulp exp caveat documented).
+    *
+    * Scale shape: one partial agg to the (type, value) grid, one
+    * cumulative window per type over that grid (bounded by distinct
+    * values, not events), one final groupBy — linear, no joins except
+    * the 1-row midpoint broadcast.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000").as("sec"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vu"))
+    val mid = broadcast(ev.agg(
+      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint())
+    val grid = ev.crossJoin(mid)
+      .groupBy(col("event_type"), col("vu"))
+      .agg(sum(when(col("sec") < col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("sec") < col("mid"), 0L).otherwise(1L)).as("cb"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wCum = wT.orderBy(col("vu"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perType = grid
+      .withColumn("na", sum(col("ca")).over(wT))
+      .withColumn("nb", sum(col("cb")).over(wT))
+      .withColumn("diff",
+        abs(sum(col("ca")).over(wCum) * col("nb") -
+          sum(col("cb")).over(wCum) * col("na")))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(col("diff")).as("dint"))
+    val d = r6(col("dint").cast("double") / col("na") / col("nb"))
+    perType
+      .withColumn("ks_d", when(col("na") > 0 && col("nb") > 0, d))
+      .withColumn("lam", col("ks_d") *
+        sqrt(col("na").cast("double") * col("nb") /
+          (col("na") + col("nb"))))
+      .select(col("event_type"), col("na").as("n_early"),
+        col("nb").as("n_late"), col("ks_d"),
+        when(col("ks_d").isNotNull, r6(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0) * col("lam") * col("lam")))))
+          .as("p_value"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -5644,4 +5644,87 @@ object DuckSql {
        |WHERE containment >= $ct AND jaccard < $jt
        |ORDER BY contained_id, container_id""".stripMargin
   }
+
+  /** Mirror of Graph.localClustering: same pruned pair set, the
+    * canonical-pair 2-path triangle closure of graphStats, each
+    * triangle fanned to its three members, integer counts, one 4dp
+    * lcc division, top-K by (triangles desc, node).
+    */
+  val localClustering: String = {
+    import graft.operators.Graph
+    s"""$graphE0Cte,
+       |deg AS (SELECT v, count(*)::BIGINT AS degree FROM (
+       |          SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+       |        GROUP BY v),
+       |tri AS (SELECT ab.a, ab.b, bc.c
+       |        FROM (SELECT pa AS a, pb AS b FROM e0) ab
+       |        JOIN (SELECT pa AS b, pb AS c FROM e0) bc USING (b)
+       |        WHERE EXISTS (SELECT 1 FROM e0
+       |                      WHERE pa = ab.a AND pb = bc.c)),
+       |tn AS (SELECT v, count(*)::BIGINT AS n_triangles FROM (
+       |         SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri) GROUP BY v)
+       |SELECT part, n_triangles, degree, lcc FROM (
+       |  SELECT tn.v AS part, tn.n_triangles, deg.degree,
+       |    floor(2 * tn.n_triangles::DOUBLE
+       |          / (deg.degree * (deg.degree - 1)) * 10000 + 0.5) / 10000
+       |      AS lcc,
+       |    row_number() OVER (ORDER BY tn.n_triangles DESC, tn.v) AS rn
+       |  FROM tn JOIN deg ON deg.v = tn.v)
+       |WHERE rn <= ${Graph.LccTopK}
+       |ORDER BY n_triangles DESC, part""".stripMargin
+  }
+
+  /** Mirror of Analytics.paretoFront: integer-cent prices, the two
+    * dominance window maxima (strictly-cheaper running max via a RANGE
+    * frame, equal-price partition max) in their single-pass form — the
+    * two-stage bucket pre-filter is plan shape, not semantics.
+    */
+  val paretoFront: String =
+    """WITH b AS (SELECT p_partkey,
+      |    floor(p_retailprice * 100 + 0.5)::BIGINT AS pu,
+      |    p_size::BIGINT AS size FROM part),
+      |w AS (SELECT p_partkey, pu, size,
+      |    max(size) OVER (ORDER BY pu
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lpm,
+      |    max(size) OVER (PARTITION BY pu) AS spm
+      |  FROM b)
+      |SELECT p_partkey, pu::DOUBLE / 100 AS price, size::INT AS p_size
+      |FROM w WHERE (lpm IS NULL OR lpm < size) AND spm = size
+      |ORDER BY pu, p_partkey""".stripMargin
+
+  /** Mirror of Sessions.ksDrift: epoch-second midpoint split, the
+    * (type, value) grid, exact-integer |cumₐ·n_b − cum_b·nₐ| maxima,
+    * 6dp D, and the identical sqrt/exp p-value expression.
+    */
+  val ksDrift: String =
+    """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS sec,
+      |    floor(value * 1000000 + 0.5)::BIGINT AS vu FROM events),
+      |m AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+      |grid AS (SELECT event_type, vu,
+      |    sum(CASE WHEN sec < mid THEN 1 ELSE 0 END)::BIGINT AS ca,
+      |    sum(CASE WHEN sec < mid THEN 0 ELSE 1 END)::BIGINT AS cb
+      |  FROM ev, m GROUP BY event_type, vu),
+      |c AS (SELECT event_type, vu, ca, cb,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY vu
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY vu
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      |  FROM grid),
+      |p AS (SELECT event_type, na::BIGINT AS na, nb::BIGINT AS nb,
+      |    max(abs(cca * nb - ccb * na))::BIGINT AS dint
+      |  FROM c GROUP BY 1, 2, 3),
+      |q AS (SELECT event_type, na, nb,
+      |    CASE WHEN na > 0 AND nb > 0 THEN
+      |      floor(dint::DOUBLE / na / nb * 1000000 + 0.5) / 1000000
+      |    END AS ks_d FROM p),
+      |l AS (SELECT event_type, na, nb, ks_d,
+      |    ks_d * sqrt(na::DOUBLE * nb / (na + nb)) AS lam FROM q)
+      |SELECT event_type, na AS n_early, nb AS n_late, ks_d,
+      |  CASE WHEN ks_d IS NOT NULL THEN
+      |    floor(least(1.0, 2.0 * exp(-2.0 * lam * lam)) * 1000000 + 0.5)
+      |      / 1000000 END AS p_value
+      |FROM l ORDER BY event_type""".stripMargin
 }

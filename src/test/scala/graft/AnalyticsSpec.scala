@@ -12,6 +12,7 @@ case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double,
 case class Line(l_orderkey: Long, l_suppkey: Long, l_returnflag: String,
     l_linestatus: String, l_quantity: Double, l_extendedprice: Double,
     l_discount: Double, l_shipdate: Date)
+case class Pt(p_partkey: Long, p_size: Int, p_retailprice: Double)
 
 /** Hand-computed results for the analytics core on crafted star-schema
   * fragments (the DuckDB oracle covers the full TPC-H-ish shapes; these
@@ -350,5 +351,23 @@ class AnalyticsSpec extends SparkSpecBase {
       Line(5, 1, "N", "O", 35.0, 1.0, 0.10, d0))
     assert(rows(Analytics.discountElasticity(spark, starDir(lines = lines)))
       === Set(Seq(3L, 200.0, 15.0, 1.0)))
+  }
+
+  test("pareto_front: strict dominance in either axis kills, equal " +
+      "(price,size) twins both survive") {
+    val dir = Files.createTempDirectory("graft-sky").toString
+    Seq(
+      Pt(1, 5, 10.0),  // dominated by 4 (cheaper, same size)
+      Pt(2, 4, 12.0),  // dominated by 3 (same price, bigger)
+      Pt(3, 7, 12.0),  // survives: biggest size
+      Pt(4, 5, 9.0),   // survives
+      Pt(5, 5, 9.0),   // exact twin of 4: mutually non-dominating
+      Pt(6, 7, 15.0),  // dominated by 3 (cheaper, same size)
+      Pt(7, 2, 8.0),   // survives: cheapest
+      Pt(8, 1, 8.0))   // dominated by 7 (same price, bigger)
+      .toDF().write.mode("overwrite").parquet(s"$dir/part.parquet")
+    assert(rows(Analytics.paretoFront(spark, dir)) === Set(
+      Seq(7L, 8.0, 2), Seq(4L, 9.0, 5), Seq(5L, 9.0, 5),
+      Seq(3L, 12.0, 7)))
   }
 }

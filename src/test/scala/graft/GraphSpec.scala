@@ -111,6 +111,33 @@ class GraphSpec extends SparkSpecBase {
       Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 3L), Seq(4L, 3L)))
   }
 
+  test("local_clustering: per-node triangle fan-out and lcc on a " +
+      "pendant triangle and a K4") {
+    import spark.implicits._
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    def dirOf(pairs: Seq[(Long, Long)]): String = {
+      val li = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        basket(100 + 2 * i, a, b) ++ basket(101 + 2 * i, a, b)
+      }.toDF("l_orderkey", "l_partkey")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-graph").toString
+      li.write.parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // triangle {1,2,3} + pendant (3,4): nodes 1,2 have deg 2 and a
+    // closed neighborhood (lcc 1); node 3 has deg 3, one of three
+    // possible neighbor pairs closed (lcc 1/3); pendant 4 never appears
+    assert(rows(Graph.localClustering(spark,
+      dirOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))))) === Set(
+      Seq(1L, 1L, 2L, 1.0), Seq(2L, 1L, 2L, 1.0),
+      Seq(3L, 1L, 3L, math.floor(1.0 / 3 * 1e4 + 0.5) / 1e4)))
+    // K4: 4 triangles total, each node in C(3,2)=3 of them, lcc 1
+    assert(rows(Graph.localClustering(spark,
+      dirOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L))))) ===
+      (1L to 4L).map(v => Seq(v, 3L, 3L, 1.0)).toSet)
+  }
+
   test("assortativity: a perfect star is -1; a pendant triangle lands " +
       "on the hand value") {
     import spark.implicits._

@@ -591,4 +591,23 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(Sessions.conversionLatency(spark, dir)) === Set(
       Seq(2L, 120L, 7260L, 3725.0)))
   }
+
+  test("ks_drift: hand CDF gap, asymptotic p, one-sided type is NULL") {
+    import graft.operators.Sessions
+    // global range [0,100] -> midpoint 50; click early {1,2,3,4} vs
+    // late {3,4,5,6}: max |F_a-F_b| = 1/2 at v=2,3,4 (dint = 8 over
+    // n_a·n_b = 16). view only ever fires early -> no late arm.
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 2.0),
+      ev(3, 20, 1, "click", 3.0), ev(4, 30, 1, "click", 4.0),
+      ev(5, 60, 2, "click", 3.0), ev(6, 70, 2, "click", 4.0),
+      ev(7, 80, 2, "click", 5.0), ev(8, 100, 2, "click", 6.0),
+      ev(9, 5, 3, "view", 1.0), ev(10, 25, 3, "view", 2.0)))
+    // lam = 0.5·sqrt(16/8); p = 2·exp(-2·lam²) = 2/e -> 0.735759 at 6dp
+    val p = math.floor(2.0 * math.exp(-2.0 *
+      (0.5 * math.sqrt(2.0)) * (0.5 * math.sqrt(2.0))) * 1e6 + 0.5) / 1e6
+    assert(rows(Sessions.ksDrift(spark, dir)) === Set(
+      Seq("click", 4L, 4L, 0.5, p),
+      Seq("view", 2L, 0L, null, null)))
+  }
 }
