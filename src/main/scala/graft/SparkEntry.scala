@@ -41,6 +41,9 @@ object SparkEntry {
     "kb_ingest"         -> (Similarity.kbIngest _),
     "embedding_norms"   -> (Similarity.embeddingNorms _),
     "dim_variance"      -> (Similarity.dimVariance _),
+    "pca_power"         -> (Similarity.pcaPower _),
+    "bq_topk"           -> (Similarity.bqTopk _),
+    "bq_recall"         -> (Similarity.bqRecall _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -778,6 +781,9 @@ object SparkEntry {
     "template_effect" -> graft.oracle.DuckSql.templateEffect,
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "dim_variance" -> graft.oracle.DuckSql.dimVariance,
+    "pca_power" -> graft.oracle.DuckSql.pcaPower,
+    "bq_topk" -> graft.oracle.DuckSql.bqTopk,
+    "bq_recall" -> graft.oracle.DuckSql.bqRecall,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

@@ -5727,4 +5727,142 @@ object DuckSql {
       |    floor(least(1.0, 2.0 * exp(-2.0 * lam * lam)) * 1000000 + 0.5)
       |      / 1000000 END AS p_value
       |FROM l ORDER BY event_type""".stripMargin
+
+  /** Shared CTE chain for the 1e-6-unit centered embedding values:
+    * `xc(vec_id, d, xu)` rounded components, `muc(d, mu)` per-dim
+    * means, `cc(vec_id, d, cu)` centered integers — the centering of
+    * Similarity.dimMeansU6, consumed by pcaPower and the bq family.
+    * Every sum casts ::BIGINT before any ::DOUBLE use (a DuckDB
+    * HUGEINT→DOUBLE cast is not a single rounding).
+    */
+  private val centeredCtes: String =
+    """xc AS (SELECT vec_id, u.d AS d,
+      |    floor(u.x::DOUBLE * 1000000 + 0.5)::BIGINT AS xu
+      |  FROM (SELECT vec_id,
+      |          unnest(list_transform(range(1, len(embedding) + 1),
+      |            j -> {'d': j - 1, 'x': embedding[j]})) AS u
+      |        FROM embeddings)),
+      |muc AS (SELECT d,
+      |    floor(sum(xu)::BIGINT::DOUBLE / count(*) + 0.5)::BIGINT AS mu
+      |  FROM xc GROUP BY d),
+      |cc AS (SELECT xc.vec_id, xc.d, xc.xu - muc.mu AS cu
+      |       FROM xc JOIN muc USING (d))""".stripMargin
+
+  /** Mirror of Similarity.pcaPower: centered scatter (full d×e join —
+    * exact sums make the mirrored upper triangle identical), one 1e-6
+    * rescale to BIGINT-safe units, PcaSquarings unrolled max-normalized
+    * matrix squarings + PcaPowerRounds power rounds, the final Rayleigh
+    * quotient on the original scatter. Every sum casts ::BIGINT before
+    * any ::DOUBLE use.
+    */
+  lazy val pcaPower: String = {
+    import graft.operators.Similarity
+    val head =
+      s"""WITH $centeredCtes,
+         |cov AS MATERIALIZED (SELECT a.d AS d, b.d AS e,
+         |    floor(sum(a.cu * b.cu)::BIGINT::DOUBLE / 1000000 + 0.5)::BIGINT
+         |      AS c6
+         |  FROM cc a JOIN cc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |tr AS (SELECT sum(c6)::BIGINT AS tr FROM cov WHERE d = e),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         |mc AS (SELECT max(abs(c6))::BIGINT AS mx FROM cov),
+         |s0 AS MATERIALIZED (SELECT d, e,
+         |    floor(c6::DOUBLE / mx::DOUBLE * 1000000 + 0.5)::BIGINT AS v
+         |  FROM cov, mc)""".stripMargin
+    val sqs = (1 to Similarity.PcaSquarings).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT a.d AS d, b.e AS e,
+         |    sum(a.v * b.v)::BIGINT AS pv
+         |  FROM s${t - 1} a JOIN s${t - 1} b ON a.e = b.d GROUP BY 1, 2),
+         |mp$t AS (SELECT max(abs(pv))::BIGINT AS mx FROM p$t),
+         |s$t AS MATERIALIZED (SELECT d, e,
+         |    floor(pv::DOUBLE / mx::DOUBLE * 1000000 + 0.5)::BIGINT AS v
+         |  FROM p$t, mp$t)""".stripMargin
+    }
+    val S = Similarity.PcaSquarings
+    val pows = (1 to Similarity.PcaPowerRounds).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT s.d, sum(s.v * v.vu)::BIGINT AS w
+         |  FROM s$S s JOIN v${k - 1} v ON v.e = s.e GROUP BY s.d),
+         |m$k AS (SELECT max(abs(w))::BIGINT AS m FROM w$k),
+         |v$k AS MATERIALIZED (SELECT d::INT AS e,
+         |    floor(w::DOUBLE / m::DOUBLE * 1000000 + 0.5)::BIGINT AS vu
+         |  FROM w$k, m$k)""".stripMargin
+    }
+    val K = Similarity.PcaPowerRounds
+    s"""$head,
+       |${sqs.mkString(",\n")},
+       |v0 AS (SELECT range::INT AS e, 125000::BIGINT AS vu
+       |       FROM range(0, 64)),
+       |${pows.mkString(",\n")},
+       |rw AS (SELECT cov.d, sum(cov.c6 * v.vu)::BIGINT AS w
+       |  FROM cov JOIN v$K v ON v.e = cov.e GROUP BY cov.d),
+       |rm AS (SELECT max(abs(w))::BIGINT AS m FROM rw),
+       |w6 AS (SELECT d,
+       |    floor(w::DOUBLE / m::DOUBLE * 1000000 + 0.5)::BIGINT AS w6
+       |  FROM rw, rm),
+       |qd AS (SELECT sum(v.vu * w6.w6)::BIGINT AS quad6
+       |       FROM v$K v JOIN w6 ON w6.d = v.e),
+       |l2 AS (SELECT sum(vu * vu)::BIGINT AS l2 FROM v$K)
+       |SELECT e AS dim,
+       |  floor(vu::DOUBLE / sqrt(l2::DOUBLE) * 1000000 + 0.5) / 1000000
+       |    AS loading,
+       |  floor(quad6::DOUBLE / l2 * m / 1000000 / 1000000 / n
+       |        * 1000000 + 0.5) / 1000000 AS eigenvalue,
+       |  floor(quad6::DOUBLE / l2 * m / 1000000 / tr
+       |        * 1000000 + 0.5) / 1000000 AS var_share
+       |FROM v$K, qd, rm, l2, tr, nn ORDER BY dim""".stripMargin
+  }
+
+  /** Binary-quantization code CTE over [[centeredCtes]]: sign bits
+    * packed into two 32-bit halves (bit 63 would overflow a BIGINT
+    * shift — the split Similarity.buildBqCodes documents).
+    */
+  private val bqCodesCte: String =
+    """bqc AS (SELECT vec_id,
+      |    sum(CASE WHEN d < 32 AND cu > 0
+      |        THEN (1::BIGINT << d) ELSE 0 END)::BIGINT AS lo,
+      |    sum(CASE WHEN d >= 32 AND cu > 0
+      |        THEN (1::BIGINT << (d - 32)) ELSE 0 END)::BIGINT AS hi
+      |  FROM cc GROUP BY vec_id)""".stripMargin
+
+  /** Mirror of Similarity.bqTopk: the packed sign-bit codes, XOR +
+    * bit_count Hamming over both halves, top-k per query with id
+    * tie-break.
+    */
+  lazy val bqTopk: String = {
+    import graft.operators.Similarity
+    s"""WITH $centeredCtes,
+       |$bqCodesCte,
+       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM bqc
+       |      WHERE vec_id % 100 = 0),
+       |h AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+       |    (bit_count(xor(b.lo, q.qlo))
+       |     + bit_count(xor(b.hi, q.qhi)))::INT AS hamming
+       |  FROM bqc b, q WHERE b.vec_id <> q.q_id)
+       |SELECT q_id, neighbor_id, hamming, rank::INT AS rank FROM (
+       |  SELECT q_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY hamming, neighbor_id) AS rank
+       |  FROM h) WHERE rank <= ${Similarity.BqK}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.bqRecall: the annRecall exact-truth shape
+    * against the Hamming arm's top-3.
+    */
+  lazy val bqRecall: String =
+    s"""WITH ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ap AS (SELECT q_id, neighbor_id FROM ($bqTopk))
+       |SELECT ex.q_id, count(ap.neighbor_id) AS n_matched,
+       |  floor(count(ap.neighbor_id)::DOUBLE / 3 * 10000 + 0.5) / 10000
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id
+       |                    AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
 }

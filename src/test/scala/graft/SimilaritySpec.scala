@@ -644,4 +644,41 @@ class SimilaritySpec extends SparkSpecBase {
       Seq[Any](0, 2.0, 1.0, 1.0, 3.0),   // values 1, 3: mean 2, var 1
       Seq[Any](1, 3.0, 0.0, 3.0, 3.0)))  // constant dim: var exactly 0
   }
+
+  test("pca_power: single-axis corpus recovers the axis, the exact " +
+      "variance, share 1; a constant axis is centered away") {
+    // all variance on dim 0 (values ±1, ±0.5); dim 1 is constant 0.5
+    // (nonzero mean, zero variance — centering must null its loading)
+    val dir = fixtureDir(embs = Seq(
+      Emb(1, vec(1.0, 0.5), 0), Emb(2, vec(-1.0, 0.5), 0),
+      Emb(3, vec(0.5, 0.5), 0), Emb(4, vec(-0.5, 0.5), 0)))
+    val out = rows(Similarity.pcaPower(spark, dir))
+    // per-vector variance along e0 = (1+1+0.25+0.25)/4 = 0.625
+    assert(out === (1 until 64).map(d =>
+      Seq[Any](d, 0.0, 0.625, 1.0)).toSet +
+      Seq[Any](0, 1.0, 0.625, 1.0))
+  }
+
+  test("bq_topk / bq_recall: hand sign-bit codes across both 32-bit " +
+      "halves, Hamming ranks, full recall on this fixture") {
+    // dims 0 and 35 carry ±1 (bit 35 exercises the hi half); means 0
+    val dir = fixtureDir(embs = Seq(
+      Emb(0, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(1, vec(-1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1.0), 0),
+      Emb(2, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1.0), 0),
+      Emb(3, vec(-1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0)))
+    // bits (cu > 0): v0 {0,35}, v1 {}, v2 {0}, v3 {35} — Hamming from
+    // v0: v2 1, v3 1, v1 2; ties break by id
+    assert(rows(Similarity.bqTopk(spark, dir)) === Set(
+      Seq[Any](0L, 2L, 1, 1), Seq[Any](0L, 3L, 1, 2),
+      Seq[Any](0L, 1L, 2, 3)))
+    // exact cosine top-3 from v0: cos(v1) = -1, cos(v2) = cos(v3) = 0
+    // -> {2, 3, 1}; the Hamming arm returns the same set
+    assert(rows(Similarity.bqRecall(spark, dir)) ===
+      Set(Seq[Any](0L, 3L, 1.0)))
+  }
 }
