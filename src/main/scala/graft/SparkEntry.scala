@@ -110,6 +110,8 @@ object SparkEntry {
     "conversion_lift" -> (Sessions.conversionLift _),
     "km_retention" -> (Sessions.kmRetention _),
     "ks_drift" -> (Sessions.ksDrift _),
+    "attribution" -> (Sessions.attribution _),
+    "ewma_chart" -> (Sessions.ewmaChart _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -224,11 +226,14 @@ object SparkEntry {
     "k_core" -> (Graph.kCore _),
     "assortativity" -> (Graph.assortativity _),
     "local_clustering" -> (Graph.localClustering _),
+    "jaccard_links" -> (Graph.jaccardLinks _),
     "ship_latency" -> (Analytics.shipLatency _),
     "pareto_front" -> (Analytics.paretoFront _),
+    "theil_sen" -> (Analytics.theilSen _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
+    "burstiness" -> (CorpusStats.burstiness _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
     "corpus_cube" -> (CorpusStats.corpusCube _),
@@ -651,6 +656,8 @@ object SparkEntry {
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
+    "attribution" -> graft.oracle.DuckSql.attribution,
+    "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -802,11 +809,14 @@ object SparkEntry {
     "k_core" -> graft.oracle.DuckSql.kCore,
     "assortativity" -> graft.oracle.DuckSql.assortativity,
     "local_clustering" -> graft.oracle.DuckSql.localClustering,
+    "jaccard_links" -> graft.oracle.DuckSql.jaccardLinks,
     "ship_latency" -> graft.oracle.DuckSql.shipLatency,
     "pareto_front" -> graft.oracle.DuckSql.paretoFront,
+    "theil_sen" -> graft.oracle.DuckSql.theilSen,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
+    "burstiness" -> graft.oracle.DuckSql.burstiness,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,
     "corpus_cube" -> graft.oracle.DuckSql.corpusCube,

@@ -1301,6 +1301,68 @@ object Analytics {
         .as("r2"))
   }
 
+  /** theil_sen: the ROBUST twin of discount_elasticity — Theil–Sen
+    * median-slope regression of mean quantity on discount over the
+    * same ≤11-point grid (Theil 1950 / Sen 1968): the slope is the
+    * median of all pairwise slopes, the intercept the median of
+    * per-point residuals under that slope. Where OLS lets one corrupted
+    * grid point swing the fit, the median estimator has a 29%
+    * breakdown point — the sanity row a pricing dashboard reads when
+    * the two disagree.
+    *
+    * Scale shape: the corpus collapses to the ≤11-row discount grid in
+    * one partial agg (discountElasticity's lvl frame); the ≤55 pairwise
+    * slopes and both medians are grid-bounded — the window's single
+    * partition holds ≤55 rows by construction.
+    *
+    * Parity: grid values are exact integers; each pairwise slope and
+    * residual is one fixed-order 6dp-rounded double expression; medians
+    * select by cumulative position (even count → 6dp mean of the two
+    * central values).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val lvl = Tables.lineitem(spark, dir)
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+        .as("xu"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qu"))
+      .groupBy(col("xu"))
+      .agg(count(lit(1)).as("nl"), sum(col("qu")).as("sq"))
+      .select(col("xu"),
+        floor(col("sq").cast("double") / col("nl") / 100 * 1000000
+          + lit(0.5)).cast("long").as("yu"))
+      .localCheckpoint() // feeds the pair join and the residual pass
+    val a = lvl.select(col("xu").as("xa"), col("yu").as("ya"))
+    val b = lvl.select(col("xu").as("xb"), col("yu").as("yb"))
+    val slopes = a.join(b, col("xa") < col("xb"))
+      .select(r6((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")) / 10000).as("s"))
+    def median(df: DataFrame, v: String): DataFrame = {
+      val w = Window.orderBy(col(v))
+      df.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("cnt"))))
+        .agg(max(when(col("cnt") % 2 === 1 &&
+            col("rn") === (col("cnt") + 1) / 2, col(v))).as("odd"),
+          max(when(col("cnt") % 2 === 0 && col("rn") === col("cnt") / 2,
+            col(v))).as("lo"),
+          max(when(col("cnt") % 2 === 0 && col("rn") === col("cnt") / 2 + 1,
+            col(v))).as("hi"),
+          max(col("cnt")).as("cnt"))
+        .select(coalesce(col("odd"), r6((col("lo") + col("hi")) / 2))
+          .as("med"), col("cnt"))
+    }
+    val slope = broadcast(median(slopes, "s")
+      .select(col("med").as("slope"), col("cnt").as("n_pairs"))
+      .localCheckpoint())
+    val resid = lvl.crossJoin(slope)
+      .select(r6(col("yu").cast("double") / 1000000 -
+        col("slope") * (col("xu").cast("double") / 100)).as("r"),
+        col("slope"), col("n_pairs"))
+    median(resid.select(col("r")), "r")
+      .crossJoin(slope)
+      .select(col("n_pairs"), col("slope"), col("med").as("intercept"))
+  }
+
   /** pareto_front: the SKYLINE of the part catalog — parts not
     * dominated on (price low, size high): p survives iff no q has
     * q.price ≤ p.price AND q.size ≥ p.size with at least one strict

@@ -1717,4 +1717,54 @@ object CorpusStats {
           .as("bi_ttr"))
       .orderBy(col("source"))
   }
+
+  /** Minimum document frequency for a burstiness row (below this the
+    * variance-to-mean ratio is all sampling noise) and the read-out
+    * size.
+    */
+  val BurstMinDf = 5
+  val BurstTopK = 20
+
+  /** burstiness: per-term VARIANCE-TO-MEAN RATIO of the per-document
+    * term frequency, zeros included (Church & Gale 1995's burstiness —
+    * a Poisson-scattered term reads VMR ≈ 1; a topical term
+    * concentrates its occurrences in few documents and reads ≫ 1).
+    * The corpus-linguistics column next to zipf_fit: Zipf says how
+    * often a term occurs, burstiness says HOW CLUMPED — the signal a
+    * stopword-list builder or dedup-shingle selector reads (bursty
+    * terms are content, flat terms are glue). Top-[[BurstTopK]] by
+    * VMR among terms with df ≥ [[BurstMinDf]].
+    *
+    * Parity: with s1 = Σtf, s2 = Σtf² over occurrences only, the
+    * zero-inclusive moments collapse to VMR = s2/s1 − s1/N — two
+    * exact-integer ratios in one fixed-order 4dp expression (no zero
+    * rows ever materialize).
+    *
+    * Scale shape: one tokenize+explode pass, a (term, doc) partial agg,
+    * a vocabulary-bounded term agg, TakeOrdered — the ngram_stats cost
+    * class.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val docs = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+    val nn = broadcast(docs.agg(count(lit(1)).as("nd")).localCheckpoint())
+    val tf = docs
+      .select(col("doc_id"), explode(Dedup.normToks(col("text")))
+        .as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .filter(col("n_docs") >= BurstMinDf)
+      .crossJoin(nn)
+      .select(col("term"), col("n_occurrences"), col("n_docs"),
+        r4(col("s2").cast("double") / col("n_occurrences") -
+          col("n_occurrences").cast("double") / col("nd")).as("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(BurstTopK)
+  }
 }

@@ -361,6 +361,68 @@ object Graph {
       .limit(LccTopK)
   }
 
+  /** Top-k size of the jaccard_links read-out, and the wedge fan-out
+    * cap: middle nodes with degree above [[LinkMidDegCap]] are excluded
+    * from candidate GENERATION (a hub generates deg² candidate pairs
+    * while contributing the weakest common-neighbor evidence — the
+    * Adamic-Adar 1/log(deg) rationale taken to its cap limit; the
+    * fan-out-cap family rule applied to the wedge join). True degrees
+    * still serve the Jaccard denominator. The cap never binds on the
+    * support-pruned gate graphs; on the 10× replica's densified hubs
+    * it bounds the wedge set (47.6 → 2.8 s measured at cap 64; gate max degrees are 13/5, far under the cap).
+    */
+  val LinkTopK = 20
+  val LinkMidDegCap = 64
+
+  /** jaccard_links: LINK PREDICTION over the co-purchase graph —
+    * non-adjacent part pairs ranked by neighborhood Jaccard
+    * |Γ(a)∩Γ(c)| / |Γ(a)∪Γ(c)| (Liben-Nowell & Kleinberg 2003's
+    * common-neighbors family): "these two parts are never bought
+    * together, but they are bought WITH the same things" — the
+    * cross-sell candidates a recommender surfaces before any
+    * co-purchase evidence exists.
+    *
+    * Scale shape: candidate pairs enumerate via the same 2-path wedge
+    * join as the triangle queries (a–b–c over the symmetric adjacency,
+    * a < c, fan-out bounded by the pruned degree), one partial-agg
+    * count of common neighbors, an anti-join against the edge set
+    * (predicting EXISTING links is vacuous), a degree join, TakeOrdered.
+    * |Γ(a)∪Γ(c)| = deg(a)+deg(c)−common — exact integers, one 4dp
+    * division.
+    */
+  def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val sym = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // gates the wedge AND serves both denominators
+    // adjacency restricted to cap-ok MIDDLE nodes (symmetry lets both
+    // wedge arms read the same src-filtered frame)
+    val symM = sym.join(
+      deg.filter(col("deg") <= LinkMidDegCap).select(col("src")),
+      Seq("src"), "left_semi")
+    val common = symM.select(col("src").as("mid"), col("dst").as("a"))
+      .join(symM.select(col("src").as("mid"), col("dst").as("c")),
+        Seq("mid"))
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("common"))
+      .join(e0.select(col("pa").as("a"), col("pb").as("c")),
+        Seq("a", "c"), "left_anti")
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("src").as("c"), col("deg").as("deg_c")),
+        Seq("c"))
+      .select(col("a"), col("c"), col("common"), col("deg_a"),
+        col("deg_c"),
+        r4(col("common").cast("double") /
+          (col("deg_a") + col("deg_c") - col("common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("c"))
+      .limit(LinkTopK)
+  }
+
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     val e0 = prunedPairs(spark, dir)

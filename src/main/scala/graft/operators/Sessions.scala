@@ -1185,6 +1185,154 @@ object Sessions {
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
   }
 
+  /** Attribution lookback window (seconds): touches more than 7 days
+    * before the conversion earn no credit.
+    */
+  val AttrLookbackSec = 604800L
+
+  /** attribution: MULTI-TOUCH marketing attribution — each purchase's
+    * value is credited to the event types that touched the user inside
+    * the 7-day lookback, under the three standard models side by side:
+    * first-touch (100% to the earliest touch), last-touch (100% to the
+    * latest touch before the purchase — the default every ads
+    * dashboard ships), and linear (equal split across touches). The
+    * "which channel earns the revenue" table; funnel says WHO
+    * converts, conversion_latency says HOW FAST, this says WHAT GETS
+    * PAID.
+    *
+    * Conversions with no in-window touch are direct sales and drop out
+    * (reported by conversion_latency's funnel side, not here).
+    *
+    * Parity: money stays in integer cents; the linear split is an
+    * exact integer division of cents·10⁴ units per touch (floor — the
+    * residue of at most cnt−1 units per conversion is discarded
+    * identically on both engines); event order inside a second breaks
+    * by event_id.
+    *
+    * Scale shape: one equi-join purchases⋈touches on user_id with the
+    * window predicate (per-user fan-out is bounded by per-user
+    * activity — the interval_join posture), two windows per conversion
+    * key, one partial-agg groupBy on event type.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"), col("value"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("csec"),
+        col("event_id").as("cid"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("sec").as("tsec"),
+        col("event_id").as("tid"), col("event_type").as("ttype"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter((col("tsec") < col("csec") ||
+        (col("tsec") === col("csec") && col("tid") < col("cid"))) &&
+        col("csec") - col("tsec") <= AttrLookbackSec)
+    val wAsc = Window.partitionBy(col("cid"))
+      .orderBy(col("tsec"), col("tid"))
+    val wDesc = Window.partitionBy(col("cid"))
+      .orderBy(col("tsec").desc, col("tid").desc)
+    pairs
+      .withColumn("rnf", row_number().over(wAsc))
+      .withColumn("rnl", row_number().over(wDesc))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .groupBy(col("ttype").as("event_type"))
+      .agg(sum(when(col("rnf") === 1, 1L).otherwise(0L))
+        .as("n_first"),
+        sum(when(col("rnf") === 1, col("cents")).otherwise(0L)).as("fu"),
+        sum(when(col("rnl") === 1, col("cents")).otherwise(0L)).as("lu"),
+        sum(expr("(cents * 10000) div cnt")).as("linu"))
+      .select(col("event_type"), col("n_first"),
+        (col("fu").cast("double") / 100).as("first_value"),
+        (col("lu").cast("double") / 100).as("last_value"),
+        (floor(col("linu").cast("double") / 100 + 0.5) / 10000)
+          .as("linear_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** EWMA chart constants: λ = 1/5 and the exact-rational weight table
+    * u_i = ⌊0.2·0.8^i·10⁶ + ½⌋ (per-lag), t_i = ⌊0.8^i·10⁶ + ½⌋ (tail
+    * mass at truncation depth i), computed once from exact BigDecimal
+    * powers and injected as LITERALS into both engines — the chart
+    * recursion z_t = λx_t + (1−λ)z_{t−1}, z_0 = x̄ unrolls to
+    * z_t = Σ_{i<k} u_i·x_{t−i} + t_k·x̄ with k = min(t, [[EwmaLags]])
+    * (0.8⁴⁰ ≈ 1.3·10⁻⁴ — truncation below the 4dp output grid).
+    */
+  val EwmaLags = 40
+  val EwmaWeights: Seq[(Int, Long, Long)] = {
+    val om = BigDecimal("0.8"); val lam = BigDecimal("0.2")
+    (0 to EwmaLags).map { i =>
+      val p = om.pow(i)
+      (i, ((lam * p) * 1000000 + BigDecimal("0.5"))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong,
+        (p * 1000000 + BigDecimal("0.5"))
+          .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
+  }
+
+  /** ewma_chart: the EWMA control chart over daily event counts — the
+    * small-persistent-shift detector between event_anomalies' Shewhart
+    * chart (single 3σ spikes) and cusum_shift's CUSUM (accumulated
+    * drift): EWMA z_t with λ = 0.2 flags when |z_t − μ| exceeds
+    * 3σ·√(λ/(2−λ)) (the steady-state control limit, Lucas & Saccucci
+    * 1990). Reported per type: days observed, days flagged, and the
+    * worst limit-ratio — the one-line health row; the per-day chart is
+    * the same frame unfiltered.
+    *
+    * Parity: the recursion unrolls to a fixed-weight dot product over
+    * the last [[EwmaLags]] observed days (weights are exact-rational
+    * literals, see [[EwmaWeights]]), accumulated as exact integers;
+    * μ/σ reuse the event_anomalies moment path verbatim; one 4dp
+    * division per day.
+    *
+    * Scale shape: one day-grid partial agg, a bounded offset join
+    * (rows × ≤41 weights on the per-type day index), one partial-agg
+    * groupBy — linear in the day grid, independent of event volume.
+    */
+  def ewmaChart(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val daily = dailyCounts(Tables.events(spark, dir))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .localCheckpoint()
+    val stats = dayStatsOf(daily.select(col("event_type"), col("day"),
+      col("n")))
+    val wts = broadcast(daily.sparkSession.createDataFrame(EwmaWeights)
+      .toDF("i", "ui", "ti"))
+    val meanu = floor(col("mean") * 1000000 + 0.5).cast("long")
+    // z_t = Σ_{i<k} u_i·x_{t-i} + t_k·μ, k = min(t, lags): the offset
+    // join pairs day t with its ≤40 predecessors BY OBSERVED INDEX —
+    // an equi-join on (type, rn−i) after the tiny weight-table fan-out
+    val src = daily.select(col("event_type").as("set"),
+      col("rn").as("sn"), col("n").as("x"))
+    val terms = daily.select(col("event_type"), col("rn"), col("day"))
+      .join(wts, col("i") < least(col("rn"), lit(EwmaLags)))
+      .join(src, col("event_type") === col("set") &&
+        col("sn") === col("rn") - col("i"))
+      .groupBy(col("event_type"), col("rn"), col("day"))
+      .agg(sum(col("ui") * col("x")).as("headu"))
+      .withColumn("k", least(col("rn"), lit(EwmaLags)))
+    val chart = terms
+      .join(broadcast(wts.select(col("i").as("k"), col("ti"))), Seq("k"))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("mu", meanu)
+      .withColumn("tailu", expr("(ti * mu) div 1000000"))
+      .select(col("event_type"), col("day"),
+        r4((col("headu") + col("tailu")).cast("double") / 1000000)
+          .as("z"),
+        col("mean"), col("sigma"))
+      .withColumn("limit", lit(3) * col("sigma") *
+        sqrt(lit(0.2) / lit(1.8)))
+      .withColumn("flag", abs(col("z") - col("mean")) > col("limit"))
+    chart.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        max(when(col("limit") > 0,
+          r4(abs(col("z") - col("mean")) / col("limit")))).as("max_ratio"))
+      .orderBy(col("event_type"))
+  }
+
   /** ks_drift: per-event-type two-sample Kolmogorov–Smirnov test of
     * the `value` distribution between the EARLY and LATE halves of the
     * time range (split at the midpoint of [min ts, max ts] in epoch

@@ -5865,4 +5865,190 @@ object DuckSql {
        |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id
        |                    AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
+  /** Mirror of Analytics.theilSen: the discountElasticity grid, all
+    * pairwise 6dp slopes, medians by cumulative position (even count →
+    * 6dp mean of the two central values), residual median intercept.
+    */
+  val theilSen: String =
+    """WITH lv AS (SELECT
+      |    floor(l_discount * 100 + 0.5)::BIGINT AS xu,
+      |    floor(l_quantity * 100 + 0.5)::BIGINT AS qu
+      |  FROM lineitem),
+      |g AS (SELECT xu, count(*)::BIGINT AS nl, sum(qu)::BIGINT AS sq
+      |      FROM lv GROUP BY xu),
+      |p AS (SELECT xu,
+      |        floor(sq::DOUBLE / nl / 100 * 1000000 + 0.5)::BIGINT AS yu
+      |      FROM g),
+      |sl AS (SELECT floor((b.yu - a.yu)::DOUBLE / (b.xu - a.xu) / 10000
+      |         * 1000000 + 0.5) / 1000000 AS s
+      |       FROM p a JOIN p b ON a.xu < b.xu),
+      |sm AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+      |         count(*) OVER () AS cnt FROM sl),
+      |m1 AS (SELECT coalesce(
+      |    max(CASE WHEN cnt % 2 = 1 AND rn = (cnt + 1) // 2 THEN s END),
+      |    floor((max(CASE WHEN cnt % 2 = 0 AND rn = cnt // 2 THEN s END)
+      |         + max(CASE WHEN cnt % 2 = 0 AND rn = cnt // 2 + 1
+      |               THEN s END)) / 2 * 1000000 + 0.5) / 1000000)
+      |      AS slope, max(cnt)::BIGINT AS n_pairs FROM sm),
+      |rs AS (SELECT floor((yu::DOUBLE / 1000000
+      |         - slope * (xu::DOUBLE / 100)) * 1000000 + 0.5) / 1000000
+      |         AS r
+      |       FROM p, m1),
+      |rm AS (SELECT r, row_number() OVER (ORDER BY r) AS rn,
+      |         count(*) OVER () AS cnt FROM rs),
+      |m2 AS (SELECT coalesce(
+      |    max(CASE WHEN cnt % 2 = 1 AND rn = (cnt + 1) // 2 THEN r END),
+      |    floor((max(CASE WHEN cnt % 2 = 0 AND rn = cnt // 2 THEN r END)
+      |         + max(CASE WHEN cnt % 2 = 0 AND rn = cnt // 2 + 1
+      |               THEN r END)) / 2 * 1000000 + 0.5) / 1000000)
+      |      AS intercept FROM rm)
+      |SELECT n_pairs, slope, intercept FROM m1, m2""".stripMargin
+
+  /** Mirror of CorpusStats.burstiness: same token list, (term, doc)
+    * partial counts, zero-inclusive VMR as s2/s1 − s1/N in one 4dp
+    * fixed-order expression, df floor, top-k.
+    */
+  val burstiness: String = {
+    import graft.operators.CorpusStats.{BurstMinDf, BurstTopK}
+    s"""$normCte,
+       |t AS (SELECT doc_id, unnest(ws) AS term FROM n),
+       |nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+       |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM t
+       |       GROUP BY term, doc_id),
+       |a AS (SELECT term, sum(tf)::BIGINT AS n_occurrences,
+       |        count(*)::BIGINT AS n_docs,
+       |        sum(tf * tf)::BIGINT AS s2
+       |      FROM tf GROUP BY term)
+       |SELECT term, n_occurrences, n_docs, vmr FROM (
+       |  SELECT term, n_occurrences, n_docs,
+       |    floor((s2::DOUBLE / n_occurrences
+       |           - n_occurrences::DOUBLE / nd) * 10000 + 0.5) / 10000
+       |      AS vmr,
+       |    row_number() OVER (ORDER BY
+       |      floor((s2::DOUBLE / n_occurrences
+       |             - n_occurrences::DOUBLE / nd) * 10000 + 0.5) / 10000
+       |      DESC, term) AS rk
+       |  FROM a, nd WHERE n_docs >= $BurstMinDf)
+       |WHERE rk <= $BurstTopK ORDER BY vmr DESC, term""".stripMargin
+  }
+
+  /** Mirror of Graph.jaccardLinks: same pruned pairs, 2-path wedge
+    * count of common neighbors, anti-join against existing edges,
+    * exact-integer union size, 4dp Jaccard, top-k.
+    */
+  val jaccardLinks: String = {
+    import graft.operators.Graph
+    s"""$graphE0Cte,
+       |e AS (SELECT pa AS src, pb AS dst FROM e0
+       |      UNION ALL SELECT pb, pa FROM e0),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+       |em AS (SELECT e.src, e.dst FROM e
+       |       JOIN deg dm ON dm.src = e.src
+       |                  AND dm.deg <= ${Graph.LinkMidDegCap}),
+       |cm AS (SELECT x.dst AS a, y.dst AS c, count(*)::BIGINT AS common
+       |       FROM em x JOIN em y ON x.src = y.src
+       |       WHERE x.dst < y.dst
+       |         AND NOT EXISTS (SELECT 1 FROM e0
+       |                         WHERE pa = x.dst AND pb = y.dst)
+       |       GROUP BY 1, 2)
+       |SELECT a, c, common, deg_a, deg_c, jaccard FROM (
+       |  SELECT cm.a, cm.c, cm.common, da.deg AS deg_a, dc.deg AS deg_c,
+       |    floor(cm.common::DOUBLE / (da.deg + dc.deg - cm.common)
+       |          * 10000 + 0.5) / 10000 AS jaccard,
+       |    row_number() OVER (ORDER BY
+       |      floor(cm.common::DOUBLE / (da.deg + dc.deg - cm.common)
+       |            * 10000 + 0.5) / 10000 DESC, cm.a, cm.c) AS rk
+       |  FROM cm JOIN deg da ON da.src = cm.a
+       |          JOIN deg dc ON dc.src = cm.c)
+       |WHERE rk <= ${Graph.LinkTopK} ORDER BY jaccard DESC, a, c""".stripMargin
+  }
+
+  /** Mirror of Sessions.attribution: strict (sec, event_id) touch
+    * order, 7-day lookback, first/last by window rank, linear split as
+    * exact integer division of cents·10⁴ per touch.
+    */
+  val attribution: String = {
+    import graft.operators.Sessions.AttrLookbackSec
+    s"""WITH ev AS (SELECT event_id, user_id, event_type,
+       |    floor(epoch(ts))::BIGINT AS sec, value FROM events),
+       |cv AS (SELECT user_id, sec AS csec, event_id AS cid,
+       |         floor(value * 100 + 0.5)::BIGINT AS cents
+       |       FROM ev WHERE event_type = 'purchase'),
+       |tc AS (SELECT user_id, sec AS tsec, event_id AS tid,
+       |         event_type AS ttype
+       |       FROM ev WHERE event_type <> 'purchase'),
+       |pr AS (SELECT cv.cid, cv.cents, tc.ttype,
+       |         row_number() OVER (PARTITION BY cv.cid
+       |           ORDER BY tc.tsec, tc.tid) AS rnf,
+       |         row_number() OVER (PARTITION BY cv.cid
+       |           ORDER BY tc.tsec DESC, tc.tid DESC) AS rnl,
+       |         count(*) OVER (PARTITION BY cv.cid) AS cnt
+       |       FROM cv JOIN tc ON tc.user_id = cv.user_id
+       |       WHERE (tc.tsec < cv.csec
+       |              OR (tc.tsec = cv.csec AND tc.tid < cv.cid))
+       |         AND cv.csec - tc.tsec <= $AttrLookbackSec)
+       |SELECT ttype AS event_type,
+       |  sum(CASE WHEN rnf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+       |  sum(CASE WHEN rnf = 1 THEN cents ELSE 0 END)::BIGINT::DOUBLE
+       |    / 100 AS first_value,
+       |  sum(CASE WHEN rnl = 1 THEN cents ELSE 0 END)::BIGINT::DOUBLE
+       |    / 100 AS last_value,
+       |  floor(sum((cents * 10000) // cnt)::BIGINT::DOUBLE / 100 + 0.5)
+       |    / 10000 AS linear_value
+       |FROM pr GROUP BY ttype ORDER BY event_type""".stripMargin
+  }
+
+  /** Mirror of Sessions.ewmaChart: the injected exact-rational weight
+    * literals, the ≤[[Sessions.EwmaLags]]-deep offset join on the
+    * per-type observed-day index, integer head+tail accumulation, the
+    * event_anomalies moment path for μ/σ, steady-state 3σ√(λ/(2−λ))
+    * limits.
+    */
+  lazy val ewmaChart: String = {
+    import graft.operators.Sessions
+    val wRows = Sessions.EwmaWeights
+      .map { case (i, u, t) => s"($i, ${u}::BIGINT, ${t}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH e AS (SELECT event_type,
+       |    (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+       |g AS (SELECT event_type, day, count(*)::BIGINT AS n FROM e
+       |      GROUP BY event_type, day),
+       |d AS (SELECT event_type, day, n,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |          AS rn FROM g),
+       |s AS (SELECT event_type, count(*)::BIGINT AS cd,
+       |        sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+       |      FROM g GROUP BY event_type),
+       |m AS (SELECT event_type, s1::DOUBLE / cd AS mean,
+       |        sqrt(greatest(
+       |          s2::DOUBLE / cd - (s1::DOUBLE / cd) * (s1::DOUBLE / cd),
+       |          0.0)) AS sigma
+       |      FROM s),
+       |w(i, ui, ti) AS (VALUES $wRows),
+       |h AS (SELECT t.event_type, t.rn, t.day,
+       |        sum(w.ui * x.n)::BIGINT AS headu,
+       |        least(t.rn, ${Sessions.EwmaLags}) AS k
+       |      FROM d t JOIN w ON w.i < least(t.rn, ${Sessions.EwmaLags})
+       |             JOIN d x ON x.event_type = t.event_type
+       |                     AND x.rn = t.rn - w.i
+       |      GROUP BY 1, 2, 3),
+       |z AS (SELECT h.event_type, h.day,
+       |        floor((h.headu + (w.ti * mu.mu) // 1000000)::DOUBLE
+       |              / 1000000 * 10000 + 0.5) / 10000 AS z,
+       |        mu.mean, mu.sigma
+       |      FROM h JOIN w ON w.i = h.k
+       |        JOIN (SELECT event_type, mean, sigma,
+       |                floor(mean * 1000000 + 0.5)::BIGINT AS mu FROM m)
+       |          mu ON mu.event_type = h.event_type),
+       |f AS (SELECT event_type, day, z, mean, sigma,
+       |        3 * sigma * sqrt(0.2 / 1.8) AS lim FROM z)
+       |SELECT event_type, count(*)::BIGINT AS n_days,
+       |  sum(CASE WHEN abs(z - mean) > lim THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_flagged,
+       |  max(CASE WHEN lim > 0 THEN
+       |    floor(abs(z - mean) / lim * 10000 + 0.5) / 10000 END)
+       |    AS max_ratio
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 }

@@ -353,6 +353,22 @@ class AnalyticsSpec extends SparkSpecBase {
       === Set(Seq(3L, 200.0, 15.0, 1.0)))
   }
 
+  test("theil_sen: the median slope shrugs off an outlier grid point " +
+      "that swings OLS") {
+    val d0 = Date.valueOf("1997-01-01")
+    // grid means 15/25/35/45 at discounts 0/5/10/15 (slope 200 exactly)
+    // plus a corrupted 10000 at discount 20: 6 of 10 pairwise slopes
+    // stay 200, so both medians sit on the clean line
+    val lines = Seq(
+      Line(1, 1, "N", "O", 15.0, 1.0, 0.00, d0),
+      Line(2, 1, "N", "O", 25.0, 1.0, 0.05, d0),
+      Line(3, 1, "N", "O", 35.0, 1.0, 0.10, d0),
+      Line(4, 1, "N", "O", 45.0, 1.0, 0.15, d0),
+      Line(5, 1, "N", "O", 10000.0, 1.0, 0.20, d0))
+    assert(rows(Analytics.theilSen(spark, starDir(lines = lines)))
+      === Set(Seq(10L, 200.0, 15.0)))
+  }
+
   test("pareto_front: strict dominance in either axis kills, equal " +
       "(price,size) twins both survive") {
     val dir = Files.createTempDirectory("graft-sky").toString

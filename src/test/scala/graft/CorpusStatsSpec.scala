@@ -619,4 +619,20 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(rows(CorpusStats.signalMi(spark, uni))
       .forall(_.last === 0.0))
   }
+
+  test("burstiness: a clumped term reads VMR > 1, a one-per-doc term " +
+      "reads exactly 0, df floor binds") {
+    import graft.operators.CorpusStats
+    // 'the' in all 6 docs once (s1=6, s2=6, N=6 -> vmr 6/6-6/6 = 0);
+    // 'hot' tf {4,1,1,1,1} over 5 docs (s1=8, s2=20 -> 20/8-8/6 =
+    // 1.1667); 'rare' df 1 < floor -> dropped
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "the hot hot hot hot rare"),
+      doc(2, "the hot"), doc(3, "the hot"), doc(4, "the hot"),
+      doc(5, "the hot"), doc(6, "the")))
+    assert(rows(CorpusStats.burstiness(spark, dir)) === Set(
+      Seq[Any]("hot", 8L, 5L,
+        math.floor((20.0 / 8 - 8.0 / 6) * 1e4 + 0.5) / 1e4),
+      Seq[Any]("the", 6L, 6L, 0.0)))
+  }
 }

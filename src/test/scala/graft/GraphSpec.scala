@@ -138,6 +138,27 @@ class GraphSpec extends SparkSpecBase {
       (1L to 4L).map(v => Seq(v, 3L, 3L, 1.0)).toSet)
   }
 
+  test("jaccard_links: common-neighbor pairs rank by neighborhood " +
+      "Jaccard, existing edges are excluded") {
+    import spark.implicits._
+    def basket(o: Long, parts: Long*) = parts.map(p => (o, p))
+    // K2,2 {1,2}x{3,4} plus pendant 5 on 1: candidates (3,4) share
+    // {1,2} with union 2 -> 1.0; (1,2) share {3,4} but deg(1)=3 ->
+    // 2/3; (3,5) and (4,5) share {1} -> 0.5; adjacent pairs never rank
+    val pairs = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (1L, 5L))
+    val li = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      basket(100 + 2 * i, a, b) ++ basket(101 + 2 * i, a, b)
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    assert(rows(Graph.jaccardLinks(spark, dir)) === Set(
+      Seq(3L, 4L, 2L, 2L, 2L, 1.0),
+      Seq(1L, 2L, 2L, 3L, 2L, math.floor(2.0 / 3 * 1e4 + 0.5) / 1e4),
+      Seq(3L, 5L, 1L, 2L, 1L, 0.5),
+      Seq(4L, 5L, 1L, 2L, 1L, 0.5)))
+  }
+
   test("assortativity: a perfect star is -1; a pendant triangle lands " +
       "on the hand value") {
     import spark.implicits._

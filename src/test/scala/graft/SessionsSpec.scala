@@ -610,4 +610,57 @@ class SessionsSpec extends SparkSpecBase {
       Seq("click", 4L, 4L, 0.5, p),
       Seq("view", 2L, 0L, null, null)))
   }
+
+  test("attribution: first/last/linear credit, lookback cutoff, " +
+      "same-second ordering by event_id") {
+    import graft.operators.Sessions
+    val dir = fixtureDir(evs = Seq(
+      // u1: view -> click -> $10 purchase (linear splits 5/5)
+      ev(1, 10, 1, "view"), ev(2, 20, 1, "click"),
+      ev(3, 30, 1, "purchase", 10.0),
+      // u2: the only touch is outside the 7-day lookback -> drops
+      ev(4, 0, 2, "click"),
+      ev(5, 700000, 2, "purchase", 7.0),
+      // u3: same-second touch with smaller event_id counts
+      ev(6, 50, 3, "view"), ev(7, 50, 3, "purchase", 3.0)))
+    assert(rows(Sessions.attribution(spark, dir)) === Set(
+      Seq("click", 0L, 0.0, 10.0, 5.0),
+      Seq("view", 2L, 13.0, 3.0, 8.0)))
+  }
+
+  test("ewma_chart: constant series never flags (null ratio); a " +
+      "4-day level shift crosses the steady-state limit") {
+    import graft.operators.Sessions
+    // 'click': 2 events/day for 4 days -> sigma 0 -> limit 0, z = mean
+    val clicks = (0 until 4).flatMap(d => Seq(
+      ev(1000 + 2 * d, d * 86400L, 10, "click"),
+      ev(1001 + 2 * d, d * 86400L + 1, 10, "click")))
+    // 'view': 36 days at 1, then 4 days at 21 -> mean 3, sigma 6,
+    // limit 18*sqrt(0.2/1.8); the tail days' EWMA crosses it
+    val views = (0 until 36).map(d =>
+      ev(2000 + d, d * 86400L, 20, "view")) ++
+      (36 until 40).flatMap(d => (0 until 21).map(j =>
+        ev(3000 + 21 * d + j, d * 86400L + j, 20, "view")))
+    val dir = fixtureDir(evs = clicks ++ views)
+    // hand-run the engine's unrolled recursion with the same exact
+    // weight table (the pagerank-spec posture)
+    val xs = Array.fill(36)(1L) ++ Array.fill(4)(21L)
+    val mu = math.floor(3.0 * 1e6 + 0.5).toLong
+    val sigma = 6.0
+    val lim = 3 * sigma * math.sqrt(0.2 / 1.8)
+    val zs = (1 to 40).map { t =>
+      val k = math.min(t, Sessions.EwmaLags)
+      val head = (0 until k).map(i =>
+        Sessions.EwmaWeights(i)._2 * xs(t - 1 - i)).sum
+      val tail = Sessions.EwmaWeights(k)._3 * mu / 1000000L
+      math.floor((head + tail).toDouble / 1e6 * 1e4 + 0.5) / 1e4
+    }
+    val flags = zs.count(z => math.abs(z - 3.0) > lim)
+    val ratio = zs.map(z =>
+      math.floor(math.abs(z - 3.0) / lim * 1e4 + 0.5) / 1e4).max
+    assert(flags > 0) // the shift must actually trip the chart
+    assert(rows(Sessions.ewmaChart(spark, dir)) === Set(
+      Seq[Any]("click", 4L, 0L, null),
+      Seq[Any]("view", 40L, flags.toLong, ratio)))
+  }
 }
