@@ -42,6 +42,7 @@ object SparkEntry {
     "embedding_norms"   -> (Similarity.embeddingNorms _),
     "dim_variance"      -> (Similarity.dimVariance _),
     "pca_power"         -> (Similarity.pcaPower _),
+    "pca_project"       -> (Similarity.pcaProject _),
     "bq_topk"           -> (Similarity.bqTopk _),
     "bq_recall"         -> (Similarity.bqRecall _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
@@ -111,6 +112,8 @@ object SparkEntry {
     "km_retention" -> (Sessions.kmRetention _),
     "ks_drift" -> (Sessions.ksDrift _),
     "attribution" -> (Sessions.attribution _),
+    "bradley_terry" -> (Sessions.bradleyTerry _),
+    "srm_check" -> (Sessions.srmCheck _),
     "ewma_chart" -> (Sessions.ewmaChart _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
@@ -233,7 +236,10 @@ object SparkEntry {
     "revenue_concentration" -> (Analytics.revenueConcentration _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
+    "bottomk_sample" -> (Curation.bottomkSample _),
+    "sample_audit" -> (Curation.sampleAudit _),
     "burstiness" -> (CorpusStats.burstiness _),
+    "chi2_terms" -> (CorpusStats.chi2Terms _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
     "corpus_cube" -> (CorpusStats.corpusCube _),
@@ -657,6 +663,8 @@ object SparkEntry {
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
     "attribution" -> graft.oracle.DuckSql.attribution,
+    "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
+    "srm_check" -> graft.oracle.DuckSql.srmCheck,
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
@@ -789,6 +797,7 @@ object SparkEntry {
     "embedding_norms" -> graft.oracle.DuckSql.embeddingNorms,
     "dim_variance" -> graft.oracle.DuckSql.dimVariance,
     "pca_power" -> graft.oracle.DuckSql.pcaPower,
+    "pca_project" -> graft.oracle.DuckSql.pcaProject,
     "bq_topk" -> graft.oracle.DuckSql.bqTopk,
     "bq_recall" -> graft.oracle.DuckSql.bqRecall,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
@@ -816,7 +825,10 @@ object SparkEntry {
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
+    "bottomk_sample" -> graft.oracle.DuckSql.bottomkSample,
+    "sample_audit" -> graft.oracle.DuckSql.sampleAudit,
     "burstiness" -> graft.oracle.DuckSql.burstiness,
+    "chi2_terms" -> graft.oracle.DuckSql.chi2Terms,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,
     "corpus_cube" -> graft.oracle.DuckSql.corpusCube,

@@ -1744,6 +1744,62 @@ object CorpusStats {
     * a vocabulary-bounded term agg, TakeOrdered — the ngram_stats cost
     * class.
     */
+  /** chi2_terms df floor and per-source read-out size. */
+  val Chi2MinDf = 5
+  val Chi2TopK = 5
+
+  /** chi2_terms: the most DISCRIMINATIVE terms per source — χ² of the
+    * term-presence × source contingency table (the classic text
+    * feature-selection statistic, Yang & Pedersen 1997), keeping
+    * positively-associated terms only (observed df inside the source
+    * above expectation). cluster_terms profiles k-means cells by
+    * tf-idf; this profiles SOURCES by a proper significance test — the
+    * "what words make this source different" card a corpus curator
+    * reads next to source_card.
+    *
+    * Parity: all four margins are exact integers; a·d − b·c stays in
+    * BIGINT (≤ N²/4), squared in DOUBLE; one fixed-order 4dp ratio.
+    *
+    * Scale shape: a distinct (term, doc) pass, a (source, term) df
+    * agg, a vocabulary-bounded margin join, per-source top-k windows
+    * on the surviving rows.
+    */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val docs = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+    val pres = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.normToks(col("text")))).as("term"))
+    val bySrc = pres.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint() // feeds the term margin and the scored rows
+    val dft = bySrc.groupBy(col("term")).agg(sum(col("a")).as("dft"))
+      .filter(col("dft") >= Chi2MinDf)
+    val ns = broadcast(docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns")).localCheckpoint())
+    val nn = broadcast(docs.agg(count(lit(1)).as("nt")).localCheckpoint())
+    val d1 = (col("a") * (col("nt") - col("ns") - col("dft") + col("a"))
+      - (col("dft") - col("a")) * (col("ns") - col("a"))).cast("double")
+    val scored = bySrc.join(dft, Seq("term")).join(ns, Seq("source"))
+      .crossJoin(nn)
+      // positive association only: observed a above the independence
+      // expectation dft·ns/N  ⟺  a·N > dft·ns (exact integers)
+      .filter(col("a") * col("nt") > col("dft") * col("ns"))
+      .select(col("source"), col("term"), col("a").as("df_in"),
+        (col("dft") - col("a")).as("df_out"),
+        r4(col("nt").cast("double") * d1 * d1 / col("dft")
+          / (col("nt") - col("dft")) / col("ns")
+          / (col("nt") - col("ns"))).as("chi2"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Chi2TopK)
+      .orderBy(col("source"), col("rank"))
+  }
+
   def burstiness(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val docs = Tables.cpuPartition(

@@ -983,4 +983,85 @@ object Curation {
           / 10000)
       .orderBy(col("bin"))
   }
+
+  /** bottom-k sample size. */
+  val SampleK = 500
+
+  /** The deterministic bottom-k membership bound: the k-th smallest
+    * (md5(doc_id), doc_id) key as a 1-row broadcast — membership is a
+    * comparison against it, so the sample is reproducible on any
+    * engine and the full corpus never total-orders (TakeOrdered finds
+    * the bound; the bound CLASSIFIES).
+    */
+  private def sampleBound(docs: DataFrame): DataFrame =
+    broadcast(docs
+      .select(md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+      .orderBy(col("h"), col("doc_id")).limit(SampleK)
+      .agg(max(struct(col("h"), col("doc_id"))).as("b"),
+        count(lit(1)).as("n_sample"))
+      .select(col("b.h").as("kh"), col("b.doc_id").as("kid"),
+        col("n_sample"))
+      .localCheckpoint())
+
+  /** bottomk_sample: the DETERMINISTIC uniform corpus sample — the
+    * [[SampleK]] documents with the smallest md5(doc_id) (a bottom-k
+    * sketch used as a sample: hash order is uniform, engine-free, and
+    * stable under corpus append — a doc enters/leaves the sample only
+    * if the k-th hash bound moves past it, unlike rand()-based
+    * sampling which reshuffles everything). The frame every expensive
+    * eyeball-or-annotate workflow starts from.
+    */
+  def bottomkSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .select(md5(col("doc_id").cast("string")).as("h"), col("doc_id"),
+        col("source"), col("lang"), col("n_chars"))
+      .crossJoin(sampleBound(docs))
+      .filter(col("h") < col("kh") ||
+        (col("h") === col("kh") && col("doc_id") <= col("kid")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** sample_audit: IS the sample representative? Two-sample
+    * Kolmogorov–Smirnov D between the bottom-k sample and the rest of
+    * the corpus on document length (the ks_drift machinery pointed at
+    * the sampler) with the asymptotic p — a uniform hash sample should
+    * read p ≈ 1; a small p means the sampler is biased and every
+    * annotation drawn from it inherits the bias.
+    */
+  def sampleAudit(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val docs = Tables.documents(spark, dir)
+    val grid = docs
+      .select(md5(col("doc_id").cast("string")).as("h"), col("doc_id"),
+        col("n_chars"))
+      .crossJoin(sampleBound(docs))
+      .select(col("n_chars"),
+        (col("h") < col("kh") ||
+          (col("h") === col("kh") && col("doc_id") <= col("kid")))
+          .as("in_sample"))
+      .groupBy(col("n_chars"))
+      .agg(sum(when(col("in_sample"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_sample"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = grid
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(grid.agg(sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb")).localCheckpoint()))
+      .agg(max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
+        .as("dint"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+    val ks = r6(col("dint").cast("double") / col("na") / col("nb"))
+    d.withColumn("ks_d", when(col("na") > 0 && col("nb") > 0, ks))
+      .withColumn("lam", col("ks_d") *
+        sqrt(col("na").cast("double") * col("nb") /
+          (col("na") + col("nb"))))
+      .select(col("na").as("n_sample"), col("nb").as("n_rest"),
+        col("ks_d"),
+        when(col("ks_d").isNotNull, r6(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0) * col("lam") * col("lam")))))
+          .as("p_value"))
+  }
 }

@@ -1185,6 +1185,107 @@ object Sessions {
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
   }
 
+  /** Fixed Bradley–Terry MM rounds (unrolled in the oracle). */
+  val BtIters = 5
+
+  /** bradley_terry: PAIRWISE-PREFERENCE strengths of the event types —
+    * each user who spends on two types casts one comparison per pair
+    * (the type with the larger exact-cents value total wins; ties
+    * abstain), and the Bradley–Terry model turns the win matrix into
+    * interval-scale strengths via Hunter (2004)'s MM iteration:
+    *   p'_i = W_i / Σ_j n_ij/(p_i + p_j), renormalized to mean 1.
+    * The same machinery that ranks LLM arenas from pairwise human
+    * preferences — here grounded on per-user engagement value, the
+    * "which surface do users consistently prefer" read-out that a raw
+    * value sum (dominated by heavy users) cannot give.
+    *
+    * Scale shape: one (user, type) partial agg, one per-user ≤C(k,2)
+    * pair pass, then all iteration on ≤k² comparison rows with 1-row
+    * broadcast normalizers — the pagerank loop shape; corpus cost is
+    * the first two aggregations.
+    *
+    * Parity: win counts are exact integers; each MM term n/(p_i+p_j)
+    * rounds once to 1e-6 units and sums exactly; update and
+    * normalization are two fixed-order rounded divisions per round.
+    */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val perUT = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cents")).as("su"))
+    val a = perUT.select(col("user_id"), col("event_type").as("ta"),
+      col("su").as("sa"))
+    val b = perUT.select(col("user_id"), col("event_type").as("tb"),
+      col("su").as("sb"))
+    val comp = a.join(b, Seq("user_id"))
+      .filter(col("ta") < col("tb") && col("sa") =!= col("sb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("wa"))
+      .localCheckpoint()
+    val sym = comp.select(col("ta").as("t"), col("tb").as("o"), col("n"),
+        col("wa").as("w"))
+      .unionByName(comp.select(col("tb").as("t"), col("ta").as("o"),
+        col("n"), (col("n") - col("wa")).as("w")))
+      .localCheckpoint()
+    val wins = sym.groupBy(col("t"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons"))
+      .localCheckpoint()
+    val k = broadcast(wins.agg(count(lit(1)).as("k")).localCheckpoint())
+    var p = wins.select(col("t"), lit(1000000L).as("pu")).localCheckpoint()
+    for (_ <- 1 to BtIters) {
+      val terms = sym
+        .join(p.select(col("t"), col("pu").as("pt")), Seq("t"))
+        .join(p.select(col("t").as("o"), col("pu").as("po")), Seq("o"))
+        .select(col("t"),
+          floor(col("n").cast("double") /
+            ((col("pt") + col("po")).cast("double") / 1000000) * 1000000
+            + lit(0.5)).cast("long").as("termu"))
+        .groupBy(col("t")).agg(sum(col("termu")).as("s"))
+      val raw = terms.join(wins.select(col("t"), col("wins")), Seq("t"))
+        .select(col("t"),
+          floor(col("wins").cast("double") /
+            (col("s").cast("double") / 1000000) * 1000000 + lit(0.5))
+            .cast("long").as("pr"))
+      val tot = broadcast(raw.agg(sum(col("pr")).as("sp"))
+        .localCheckpoint())
+      p = raw.crossJoin(tot).crossJoin(k)
+        .select(col("t"),
+          floor(col("pr").cast("double") * col("k") / col("sp") * 1000000
+            + lit(0.5)).cast("long").as("pu"))
+        .localCheckpoint()
+    }
+    wins.join(p, Seq("t"))
+      .select(col("t").as("event_type"), col("comparisons"), col("wins"),
+        (col("pu").cast("double") / 1000000).as("strength"))
+      .orderBy(col("strength").desc, col("event_type"))
+  }
+
+  /** 1-dof chi-square critical value at α = 0.05 (the SRM gate). */
+  val SrmChi2Crit = 3.8415
+
+  /** srm_check: the SAMPLE-RATIO-MISMATCH guard on the A/B split —
+    * chi-square of the md5-arm user counts against 50/50 (1 dof). The
+    * first thing an experimentation platform checks before reading
+    * conversion_lift: a biased split invalidates the z-test no matter
+    * what it says. Exact integer counts, one 4dp division.
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1,
+      15), 16, 10).cast("long"), lit(2L)).cast("int")
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (floor((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+          .cast("double") / (col("n_a") + col("n_b")) * 10000 + 0.5)
+          / 10000).as("chi2"))
+      .withColumn("srm_flag", col("chi2") > SrmChi2Crit)
+  }
+
   /** Attribution lookback window (seconds): touches more than 7 days
     * before the conversion earn no credit.
     */

@@ -5755,7 +5755,11 @@ object DuckSql {
     * quotient on the original scatter. Every sum casts ::BIGINT before
     * any ::DOUBLE use.
     */
-  lazy val pcaPower: String = {
+  /** The full unrolled PCA chain (centering → scatter → squarings →
+    * power rounds → Rayleigh), ending at CTEs vK/qd/rm/l2/tr/nn —
+    * shared by the pcaPower and pcaProject mirrors.
+    */
+  private lazy val pcaChain: String = {
     import graft.operators.Similarity
     val head =
       s"""WITH $centeredCtes,
@@ -5801,7 +5805,14 @@ object DuckSql {
        |  FROM rw, rm),
        |qd AS (SELECT sum(v.vu * w6.w6)::BIGINT AS quad6
        |       FROM v$K v JOIN w6 ON w6.d = v.e),
-       |l2 AS (SELECT sum(vu * vu)::BIGINT AS l2 FROM v$K)
+       |l2 AS (SELECT sum(vu * vu)::BIGINT AS l2 FROM v$K)""".stripMargin
+  }
+
+  private def pcaVK: String =
+    s"v${graft.operators.Similarity.PcaPowerRounds}"
+
+  lazy val pcaPower: String =
+    s"""$pcaChain
        |SELECT e AS dim,
        |  floor(vu::DOUBLE / sqrt(l2::DOUBLE) * 1000000 + 0.5) / 1000000
        |    AS loading,
@@ -5809,7 +5820,24 @@ object DuckSql {
        |        * 1000000 + 0.5) / 1000000 AS eigenvalue,
        |  floor(quad6::DOUBLE / l2 * m / 1000000 / tr
        |        * 1000000 + 0.5) / 1000000 AS var_share
-       |FROM v$K, qd, rm, l2, tr, nn ORDER BY dim""".stripMargin
+       |FROM $pcaVK, qd, rm, l2, tr, nn ORDER BY dim""".stripMargin
+
+  /** Mirror of Similarity.pcaProject: exact-integer projections of the
+    * centered vectors onto the stored eigenvector, one fixed-order
+    * normalization, identical bin floors.
+    */
+  lazy val pcaProject: String = {
+    import graft.operators.Similarity
+    s"""$pcaChain,
+       |proj AS (SELECT cc.vec_id, sum(cc.cu * v.vu)::BIGINT AS pu
+       |  FROM cc JOIN $pcaVK v ON v.e = cc.d GROUP BY cc.vec_id),
+       |bins AS (SELECT floor(pu::DOUBLE / sqrt(l2::DOUBLE) / 1000000
+       |    / CAST(${Similarity.PcaBinWidth} AS DOUBLE))::BIGINT AS bin
+       |  FROM proj, l2)
+       |SELECT bin, bin * CAST(${Similarity.PcaBinWidth} AS DOUBLE)
+       |    AS bin_lo,
+       |  count(*)::BIGINT AS n_vectors
+       |FROM bins GROUP BY bin ORDER BY bin""".stripMargin
   }
 
   /** Binary-quantization code CTE over [[centeredCtes]]: sign bits
@@ -6051,4 +6079,173 @@ object DuckSql {
        |    AS max_ratio
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+
+  /** Mirror of Sessions.bradleyTerry: exact-cents per-(user,type)
+    * sums, tie-abstaining pairwise wins, BtIters unrolled MM rounds
+    * with 1e-6-unit term rounding and mean-1 renormalization.
+    */
+  lazy val bradleyTerry: String = {
+    import graft.operators.Sessions
+    val head =
+      """WITH ut AS (SELECT user_id, event_type,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS su
+        |  FROM events GROUP BY user_id, event_type),
+        |cmp AS MATERIALIZED (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN a.su > b.su THEN 1 ELSE 0 END)::BIGINT AS wa
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type AND a.su <> b.su
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (SELECT ta AS t, tb AS o, n, wa AS w FROM cmp
+        |        UNION ALL SELECT tb, ta, n, n - wa FROM cmp),
+        |wins AS MATERIALIZED (SELECT t, sum(w)::BIGINT AS wins,
+        |           sum(n)::BIGINT AS comparisons
+        |         FROM sym GROUP BY t),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM wins),
+        |p0 AS (SELECT t, 1000000::BIGINT AS pu FROM wins)""".stripMargin
+    val iters = (1 to Sessions.BtIters).map { k =>
+      s"""tm$k AS (SELECT sym.t,
+         |    floor(sym.n::DOUBLE / ((pt.pu + po.pu)::DOUBLE / 1000000)
+         |          * 1000000 + 0.5)::BIGINT AS termu
+         |  FROM sym JOIN p${k - 1} pt ON pt.t = sym.t
+         |           JOIN p${k - 1} po ON po.t = sym.o),
+         |s$k AS (SELECT t, sum(termu)::BIGINT AS s FROM tm$k GROUP BY t),
+         |r$k AS (SELECT s$k.t,
+         |    floor(wins.wins::DOUBLE / (s$k.s::DOUBLE / 1000000)
+         |          * 1000000 + 0.5)::BIGINT AS pr
+         |  FROM s$k JOIN wins ON wins.t = s$k.t),
+         |n$k AS (SELECT sum(pr)::BIGINT AS sp FROM r$k),
+         |p$k AS MATERIALIZED (SELECT t,
+         |    floor(pr::DOUBLE * k / sp * 1000000 + 0.5)::BIGINT AS pu
+         |  FROM r$k, n$k, kk)""".stripMargin
+    }
+    val K = Sessions.BtIters
+    s"""$head,
+       |${iters.mkString(",\n")}
+       |SELECT wins.t AS event_type, wins.comparisons, wins.wins,
+       |  pu::DOUBLE / 1000000 AS strength
+       |FROM wins JOIN p$K p ON p.t = wins.t
+       |ORDER BY strength DESC, event_type""".stripMargin
+  }
+
+  /** Mirror of Sessions.srmCheck: same md5 arm split over distinct
+    * users, exact counts, one 4dp chi-square.
+    */
+  val srmCheck: String = {
+    import graft.operators.Sessions.SrmChi2Crit
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT
+       |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2)
+       |      ::INT AS arm
+       |  FROM u),
+       |g AS (SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+       |  FROM a),
+       |c AS (SELECT n_a, n_b,
+       |    floor((n_a - n_b) * (n_a - n_b)::DOUBLE / (n_a + n_b)
+       |          * 10000 + 0.5) / 10000 AS chi2
+       |  FROM g)
+       |SELECT n_a, n_b, chi2, chi2 > $SrmChi2Crit AS srm_flag
+       |FROM c""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.chi2Terms: distinct term presence, exact
+    * integer margins, the a·N > dft·ns positive-association gate, one
+    * fixed-order 4dp chi-square, per-source top-k.
+    */
+  val chi2Terms: String = {
+    import graft.operators.CorpusStats.{Chi2MinDf, Chi2TopK}
+    s"""$normCte,
+       |pres AS (SELECT DISTINCT doc_id, source, unnest(ws) AS term
+       |         FROM (SELECT n.doc_id, d.source, n.ws FROM n
+       |               JOIN documents d ON d.doc_id = n.doc_id)),
+       |bs AS (SELECT source, term, count(*)::BIGINT AS a FROM pres
+       |       GROUP BY source, term),
+       |dt AS (SELECT term, sum(a)::BIGINT AS dft FROM bs GROUP BY term
+       |       HAVING sum(a) >= $Chi2MinDf),
+       |ns AS (SELECT source, count(*)::BIGINT AS ns FROM documents
+       |       GROUP BY source),
+       |nt AS (SELECT count(*)::BIGINT AS nt FROM documents),
+       |sc AS (SELECT bs.source, bs.term, bs.a AS df_in,
+       |    dt.dft - bs.a AS df_out,
+       |    floor(nt.nt::DOUBLE
+       |      * ((bs.a * (nt.nt - ns.ns - dt.dft + bs.a)
+       |          - (dt.dft - bs.a) * (ns.ns - bs.a))::DOUBLE)
+       |      * ((bs.a * (nt.nt - ns.ns - dt.dft + bs.a)
+       |          - (dt.dft - bs.a) * (ns.ns - bs.a))::DOUBLE)
+       |      / dt.dft / (nt.nt - dt.dft) / ns.ns / (nt.nt - ns.ns)
+       |      * 10000 + 0.5) / 10000 AS chi2
+       |  FROM bs JOIN dt ON dt.term = bs.term
+       |          JOIN ns ON ns.source = bs.source, nt
+       |  WHERE bs.a * nt.nt > dt.dft * ns.ns)
+       |SELECT source, term, df_in, df_out, chi2, rank::INT AS rank
+       |FROM (SELECT source, term, df_in, df_out, chi2,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY chi2 DESC, term) AS rank
+       |      FROM sc)
+       |WHERE rank <= $Chi2TopK ORDER BY source, rank""".stripMargin
+  }
+
+  /** Shared bottom-k sample bound CTE: the k-th smallest
+    * (md5(doc_id), doc_id) key — consumed by bottomkSample and
+    * sampleAudit.
+    */
+  private val sampleBoundCte: String = {
+    import graft.operators.Curation.SampleK
+    s"""bk AS (SELECT md5(doc_id::VARCHAR) AS h, doc_id FROM documents
+       |       ORDER BY h, doc_id LIMIT $SampleK),
+       |sb AS (SELECT kh, kid, n_sample FROM (
+       |  SELECT h AS kh, doc_id AS kid,
+       |    count(*) OVER ()::BIGINT AS n_sample,
+       |    row_number() OVER (ORDER BY h DESC, doc_id DESC) AS rn
+       |  FROM bk) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Mirror of Curation.bottomkSample: membership by comparison
+    * against the persisted-equivalent bound.
+    */
+  val bottomkSample: String =
+    s"""WITH $sampleBoundCte
+       |SELECT doc_id, source, lang, n_chars FROM (
+       |  SELECT md5(doc_id::VARCHAR) AS h, doc_id, source, lang, n_chars
+       |  FROM documents), sb
+       |WHERE h < kh OR (h = kh AND doc_id <= kid)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Curation.sampleAudit: the ksDrift exact-integer D over
+    * the n_chars grid, sample vs rest, identical p expression.
+    */
+  val sampleAudit: String =
+    s"""WITH $sampleBoundCte,
+       |x AS (SELECT n_chars,
+       |    (h < kh OR (h = kh AND doc_id <= kid)) AS in_sample
+       |  FROM (SELECT md5(doc_id::VARCHAR) AS h, doc_id, n_chars
+       |        FROM documents), sb),
+       |grid AS (SELECT n_chars,
+       |    sum(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN in_sample THEN 0 ELSE 1 END)::BIGINT AS cb
+       |  FROM x GROUP BY n_chars),
+       |c AS (SELECT n_chars, ca, cb,
+       |    sum(ca) OVER (ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+       |    sum(cb) OVER (ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+       |  FROM grid),
+       |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+       |      FROM grid),
+       |p AS (SELECT max(abs(cca * nb - ccb * na))::BIGINT AS dint,
+       |        max(na)::BIGINT AS na, max(nb)::BIGINT AS nb
+       |      FROM c, t),
+       |q AS (SELECT na, nb,
+       |    CASE WHEN na > 0 AND nb > 0 THEN
+       |      floor(dint::DOUBLE / na / nb * 1000000 + 0.5) / 1000000
+       |    END AS ks_d FROM p),
+       |l AS (SELECT na, nb, ks_d,
+       |    ks_d * sqrt(na::DOUBLE * nb / (na + nb)) AS lam FROM q)
+       |SELECT na AS n_sample, nb AS n_rest, ks_d,
+       |  CASE WHEN ks_d IS NOT NULL THEN
+       |    floor(least(1.0, 2.0 * exp(-2.0 * lam * lam)) * 1000000 + 0.5)
+       |      / 1000000 END AS p_value
+       |FROM l""".stripMargin
 }

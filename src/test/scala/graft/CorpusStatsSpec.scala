@@ -635,4 +635,21 @@ class CorpusStatsSpec extends SparkSpecBase {
         math.floor((20.0 / 8 - 8.0 / 6) * 1e4 + 0.5) / 1e4),
       Seq[Any]("the", 6L, 6L, 0.0)))
   }
+
+  test("chi2_terms: a source-exclusive term scores the hand chi-square, " +
+      "an everywhere term is gated out, negative association drops") {
+    import graft.operators.CorpusStats
+    // 5 docs per source; 'foo' only in s0 (chi2 = 10), 'baz' 5+3
+    // (s0 chi2 = 2.5; s1 side is below expectation -> dropped),
+    // 'common' in all 10 (a*N = dft*ns -> gated), 'qux' only in s1
+    val docs =
+      (1L to 5L).map(i => doc(i, "foo common baz", "s0")) ++
+      (6L to 8L).map(i => doc(i, "common qux baz", "s1")) ++
+      (9L to 10L).map(i => doc(i, "common qux", "s1"))
+    val dir = fixtureDir(docs = docs)
+    assert(rows(CorpusStats.chi2Terms(spark, dir)) === Set(
+      Seq[Any]("s0", "foo", 5L, 0L, 10.0, 1),
+      Seq[Any]("s0", "baz", 5L, 3L, 2.5, 2),
+      Seq[Any]("s1", "qux", 5L, 0L, 10.0, 1)))
+  }
 }

@@ -499,4 +499,16 @@ class CurationSpec extends SparkSpecBase {
         r.getAs[Double]("pos_rate"), r.getAs[Double]("gap")))).toMap
     assert(got === exp)
   }
+
+  test("bottomk_sample / sample_audit: below-k corpus keeps every doc, " +
+      "the empty-rest audit is NULL") {
+    import graft.operators.Curation
+    val docs = (1L to 6L).map(i => doc(i, s"text number $i",
+      if (i <= 3) "s0" else "s1"))
+    val dir = fixtureDir(docs = docs)
+    // 6 docs < SampleK: the hash bound is the corpus max -> all sampled
+    assert(Curation.bottomkSample(spark, dir).count() === 6L)
+    assert(rows(Curation.sampleAudit(spark, dir)) === Set(
+      Seq[Any](6L, 0L, null, null)))
+  }
 }

@@ -628,6 +628,64 @@ class SessionsSpec extends SparkSpecBase {
       Seq("view", 2L, 13.0, 3.0, 8.0)))
   }
 
+  test("bradley_terry: tie-abstaining wins, hand-run MM rounds, " +
+      "mean-1 normalization") {
+    import graft.operators.Sessions
+    // A beats B twice, B beats C once, A-C tie abstains
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 1, 1, "A", 3.0), ev(2, 2, 1, "B", 1.0),
+      ev(3, 3, 2, "A", 3.0), ev(4, 4, 2, "B", 1.0),
+      ev(5, 5, 3, "B", 2.0), ev(6, 6, 3, "C", 1.0),
+      ev(7, 7, 4, "A", 2.0), ev(8, 8, 4, "C", 2.0)))
+    // hand-run the engine's integer MM update (pagerank posture):
+    // comparisons: (A,B,n=2,wa=2), (B,C,n=1,wa=1)
+    val sym = Seq(("A", "B", 2L, 2L), ("B", "A", 2L, 0L),
+      ("B", "C", 1L, 1L), ("C", "B", 1L, 0L))
+    val wins = sym.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._4).sum, rs.map(_._3).sum)).toMap
+    var p = Map("A" -> 1000000L, "B" -> 1000000L, "C" -> 1000000L)
+    for (_ <- 1 to Sessions.BtIters) {
+      val su = sym.groupBy(_._1).view.mapValues(_.map { case (t, o, n, _) =>
+        math.floor(n.toDouble /
+          ((p(t) + p(o)).toDouble / 1000000) * 1000000 + 0.5).toLong
+      }.sum).toMap
+      val raw = wins.map { case (t, (w, _)) =>
+        t -> math.floor(w.toDouble / (su(t).toDouble / 1000000) * 1000000
+          + 0.5).toLong
+      }
+      val sp = raw.values.sum
+      p = raw.map { case (t, pr) =>
+        t -> math.floor(pr.toDouble * 3 / sp * 1000000 + 0.5).toLong
+      }
+    }
+    val exp = Set(
+      Seq[Any]("A", 2L, 2L, p("A").toDouble / 1000000),
+      Seq[Any]("B", 3L, 1L, p("B").toDouble / 1000000),
+      Seq[Any]("C", 1L, 0L, p("C").toDouble / 1000000))
+    assert(p("A") > p("B") && p("B") > p("C")) // the order is the point
+    assert(rows(Sessions.bradleyTerry(spark, dir)) === exp)
+  }
+
+  test("srm_check: md5-arm counts and the 1-dof chi-square on a hand " +
+      "user set") {
+    import graft.operators.Sessions
+    val users = (1L to 9L)
+    val dir = fixtureDir(evs =
+      users.map(u => ev(u, u, u, "click")).toSeq)
+    def arm(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 15), 16) % 2).toInt
+    }
+    val na = users.count(arm(_) == 0).toLong
+    val nb = users.size - na
+    val chi2 = math.floor((na - nb) * (na - nb).toDouble / (na + nb)
+      * 1e4 + 0.5) / 1e4
+    assert(rows(Sessions.srmCheck(spark, dir)) === Set(
+      Seq[Any](na, nb, chi2, chi2 > Sessions.SrmChi2Crit)))
+  }
+
   test("ewma_chart: constant series never flags (null ratio); a " +
       "4-day level shift crosses the steady-state limit") {
     import graft.operators.Sessions

@@ -659,6 +659,21 @@ class SimilaritySpec extends SparkSpecBase {
       Seq[Any](0, 1.0, 0.625, 1.0))
   }
 
+  test("pca_project: single-axis corpus projects to its centered dim-0 " +
+      "values, binned by the engine's own floor") {
+    val dir = fixtureDir(embs = Seq(
+      Emb(1, vec(1.0, 0.5), 0), Emb(2, vec(-1.0, 0.5), 0),
+      Emb(3, vec(0.5, 0.5), 0), Emb(4, vec(-0.5, 0.5), 0)))
+    // PC1 = e0 (the pca_power fixture); projections are the centered
+    // dim-0 values; bins replicate the engine's double ops exactly
+    val expected = Seq(1.0, -1.0, 0.5, -0.5)
+      .map(t => math.floor(t / 0.05).toLong)
+      .groupBy(identity).map { case (b, ts) =>
+        Seq[Any](b, b * 0.05, ts.size.toLong)
+      }.toSet
+    assert(rows(Similarity.pcaProject(spark, dir)) === expected)
+  }
+
   test("bq_topk / bq_recall: hand sign-bit codes across both 32-bit " +
       "halves, Hamming ranks, full recall on this fixture") {
     // dims 0 and 35 carry ±1 (bit 35 exercises the hi half); means 0
