@@ -76,6 +76,7 @@ object SparkEntry {
     "winnow_overlap"  -> (TextAnalysis.winnowOverlap _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
+    "char_entropy" -> (TextAnalysis.charEntropy _),
     "toxicity_screen"  -> (TextAnalysis.toxicityScreen _),
     "dedup_exact"   -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "ks_drift" -> (Sessions.ksDrift _),
     "attribution" -> (Sessions.attribution _),
     "bradley_terry" -> (Sessions.bradleyTerry _),
+    "markov_stationary" -> (Sessions.markovStationary _),
     "srm_check" -> (Sessions.srmCheck _),
     "ewma_chart" -> (Sessions.ewmaChart _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
@@ -234,6 +236,9 @@ object SparkEntry {
     "pareto_front" -> (Analytics.paretoFront _),
     "theil_sen" -> (Analytics.theilSen _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
+    "gini_revenue" -> (Analytics.giniRevenue _),
+    "acf_revenue" -> (Analytics.acfRevenue _),
+    "benford_check" -> (Analytics.benfordCheck _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
     "bottomk_sample" -> (Curation.bottomkSample _),
@@ -631,6 +636,7 @@ object SparkEntry {
     "winnow_overlap"  -> graft.oracle.DuckSql.winnowOverlap,
     "pii_scrub"        -> graft.oracle.DuckSql.piiScrub,
     "repetition_score" -> graft.oracle.DuckSql.repetitionScore,
+    "char_entropy" -> graft.oracle.DuckSql.charEntropy,
     "toxicity_screen"  -> graft.oracle.DuckSql.toxicityScreen,
     "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
@@ -664,6 +670,7 @@ object SparkEntry {
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
     "attribution" -> graft.oracle.DuckSql.attribution,
     "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
+    "markov_stationary" -> graft.oracle.DuckSql.markovStationary,
     "srm_check" -> graft.oracle.DuckSql.srmCheck,
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
@@ -823,6 +830,9 @@ object SparkEntry {
     "pareto_front" -> graft.oracle.DuckSql.paretoFront,
     "theil_sen" -> graft.oracle.DuckSql.theilSen,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
+    "gini_revenue" -> graft.oracle.DuckSql.giniRevenue,
+    "acf_revenue" -> graft.oracle.DuckSql.acfRevenue,
+    "benford_check" -> graft.oracle.DuckSql.benfordCheck,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,
     "bottomk_sample" -> graft.oracle.DuckSql.bottomkSample,

@@ -1301,6 +1301,134 @@ object Analytics {
         .as("r2"))
   }
 
+  /** gini_revenue: the GINI COEFFICIENT of per-customer revenue — the
+    * classic inequality index (0 = every customer spends the same,
+    * →1 = one whale) next to revenue_concentration's top-share rows.
+    * Rank-sum form G = (2Σᵢ i·xᵢ − (n+1)·S) / (n·S) over the
+    * value-sorted customers, computed WITHOUT a total order: equal
+    * values collapse to a histogram group whose exact rank-sum is
+    * c·k + c(c+1)/2 (k = customers strictly below) — the robust_stats
+    * value-grid rule applied to ranks.
+    *
+    * Parity: revenues are exact cents; every rank-sum term is an exact
+    * integer accumulated in DECIMAL; one 6dp division at the end.
+    *
+    * Scale shape: one per-customer partial agg, one value-grid agg,
+    * one grid-bounded cumulative window, a 1-row rollup.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cu")).as("rc"))
+    val grid = perCust.groupBy(col("rc")).agg(count(lit(1)).as("c"))
+    val wBelow = Window.orderBy(col("rc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = grid
+      .withColumn("k", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .agg(sum(col("c")).as("n"),
+        sum(d38(col("rc")) * d38(col("c"))).as("s"),
+        // 2·Σ rank·x per equal-value group: x·(2ck + c(c+1))
+        sum(d38(col("rc")) * (lit(2) * d38(col("c")) * d38(col("k"))
+          + d38(col("c")) * (d38(col("c")) + 1))).as("t2"))
+    m.select(col("n").as("n_customers"),
+      (col("s").cast("double") / 100).as("total_revenue"),
+      r6((col("t2") - (d38(col("n")) + 1) * col("s")).cast("double") /
+        (d38(col("n")) * col("s")).cast("double")).as("gini"))
+  }
+
+  /** ACF lag range (the two-week autocorrelation window). */
+  val AcfMaxLag = 14
+
+  /** acf_revenue: the AUTOCORRELATION FUNCTION of daily revenue at
+    * lags 1..[[AcfMaxLag]] — the time-series diagnostic under the
+    * trend/anomaly charts: a spike at lag 7 is weekly seasonality
+    * (weekly_profile's frequency-domain cousin), slow decay is trend,
+    * flat ≈ 0 is white noise. Pairs join on CALENDAR day offset
+    * (missing days simply don't pair; n_pairs reports coverage).
+    *
+    * Parity: daily totals round once to exact integer dollars, center
+    * against the rounded mean, and every lag's numerator/denominator
+    * is an exact integer product sum; one 6dp division per lag.
+    *
+    * Scale shape: one day-grid partial agg, a ≤14-way bounded offset
+    * join on the day key, one partial agg per lag.
+    */
+  def acfRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("day"))
+      .agg(floor(sum(col("cu")).cast("double") / 100 + lit(0.5))
+        .cast("long").as("xu"))
+    val mu = broadcast(daily.agg(
+      floor(sum(col("xu")).cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("mu")).localCheckpoint())
+    val cent = daily.crossJoin(mu)
+      .select(col("day"), (col("xu") - col("mu")).as("c"))
+      .localCheckpoint() // feeds the denominator and all 14 lag joins
+    val den = broadcast(cent.agg(sum(col("c") * col("c")).as("den"))
+      .localCheckpoint())
+    val lags = broadcast(spark.range(1, AcfMaxLag + 1)
+      .select(col("id").cast("int").as("lag")))
+    cent.crossJoin(lags)
+      .join(cent.select(col("day").as("day2"), col("c").as("cl")),
+        col("day2") === col("day") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("cl")).as("num"))
+      .crossJoin(den)
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") > 0, r6(col("num").cast("double") / col("den")))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** benford_check: FIRST-DIGIT distribution of order totals against
+    * Benford's law P(d) = log₁₀(1 + 1/d) — the classic synthetic-data
+    * / fraud screen (organic multi-scale amounts follow it; generated
+    * or capped ones don't). Reports per-digit observed vs expected
+    * shares and the global χ² GOF statistic (8 dof; compare to 15.51
+    * at α=0.05). The digit comes from the integer-dollar STRING — a
+    * log10-based extraction would misclassify at exact powers of ten.
+    *
+    * Scale shape: one map pass to a 9-key partial agg.
+    */
+  def benfordCheck(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val digits = Tables.orders(spark, dir)
+      .select(expr("floor(o_totalprice * 100 + 0.5) div 100").as("du"))
+      .filter(col("du") >= 1)
+      .select(substring(col("du").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(digits.agg(sum(col("n_obs")).as("n"))
+      .localCheckpoint())
+    val exp10 = r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+    val scored = digits.crossJoin(tot)
+      .select(col("digit"), col("n_obs"),
+        r6(col("n_obs").cast("double") / col("n")).as("obs_share"),
+        exp10.as("exp_share"), col("n"))
+      .localCheckpoint()
+    // per-digit terms round to 1e-6 units and sum exactly (a raw
+    // double Σ would be partition-order dependent — the decSum lesson)
+    val chi2 = broadcast(scored
+      .select(floor(((col("n_obs") - col("exp_share") * col("n"))
+        * (col("n_obs") - col("exp_share") * col("n"))
+        / (col("exp_share") * col("n"))) * 1000000 + lit(0.5))
+        .cast("long").as("t6"))
+      .agg(r4(sum(col("t6")).cast("double") / 1000000).as("chi2"))
+      .localCheckpoint())
+    scored.crossJoin(chi2)
+      .select(col("digit"), col("n_obs"), col("obs_share"),
+        col("exp_share"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
   /** theil_sen: the ROBUST twin of discount_elasticity — Theil–Sen
     * median-slope regression of mean quantity on discount over the
     * same ≤11-point grid (Theil 1950 / Sen 1968): the slope is the

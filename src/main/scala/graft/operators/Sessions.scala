@@ -1185,6 +1185,76 @@ object Sessions {
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
   }
 
+  /** Fixed power rounds for the Markov stationary distribution
+    * (unrolled in the oracle; the ≤|types| chain mixes fast).
+    */
+  val MkIters = 16
+
+  /** markov_stationary: the STATIONARY DISTRIBUTION of the first-order
+    * event-type Markov chain — where the event_transitions matrix
+    * answers "what follows a click", πP = π answers "where does the
+    * session SETTLE": the long-run attention share each surface earns
+    * if behavior keeps its transition structure. Read next to the
+    * EMPIRICAL share: agreement says the chain is near mixing already;
+    * divergence says current traffic is transient (campaign spikes)
+    * relative to the behavioral steady state.
+    *
+    * Scale shape: the transition matrix is a ≤k² partial agg of one
+    * lead() pass (the event_transitions frame); the iteration runs on
+    * k-row frames with 1-row normalizers — the pagerank loop shape.
+    *
+    * Parity: row probabilities and every π component live in 1e-6
+    * integer units; each round is one exact integer matvec and one
+    * rounded renormalization.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    val trans = base
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"),
+        floor(col("n").cast("double") / sum(col("n")).over(wf) * 1000000
+          + lit(0.5)).cast("long").as("pu"))
+      .localCheckpoint()
+    val emp = base.groupBy(col("event_type")).agg(count(lit(1)).as("ne"))
+      .localCheckpoint()
+    val k = broadcast(emp.agg(count(lit(1)).as("k"),
+      sum(col("ne")).as("tot")).localCheckpoint())
+    var pi = emp.crossJoin(k)
+      .select(col("event_type").as("t"),
+        floor(lit(1000000.0) / col("k") + lit(0.5)).cast("long").as("vu"))
+      .localCheckpoint()
+    for (_ <- 1 to MkIters) {
+      val raw = trans
+        .join(pi.select(col("t").as("from_type"), col("vu")),
+          Seq("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("pu") * col("vu")).as("raw"))
+      val tot = broadcast(raw.agg(sum(col("raw")).as("s"))
+        .localCheckpoint())
+      pi = raw.crossJoin(tot)
+        .select(col("to_type").as("t"),
+          floor(col("raw").cast("double") / col("s") * 1000000
+            + lit(0.5)).cast("long").as("vu"))
+        .localCheckpoint()
+    }
+    emp.crossJoin(k).join(pi, col("event_type") === col("t"), "left")
+      .select(col("event_type"),
+        (coalesce(col("vu"), lit(0L)).cast("double") / 1000000)
+          .as("stationary"),
+        r6(col("ne").cast("double") / col("tot")).as("empirical_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fixed Bradley–Terry MM rounds (unrolled in the oracle). */
   val BtIters = 5
 

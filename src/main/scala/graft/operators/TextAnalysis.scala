@@ -414,4 +414,52 @@ object TextAnalysis {
         col("n_words") >= RefVocab.toxicMinWords &&
           col("toxic_score") > RefVocab.toxicThreshold)
   }
+
+  /** char_entropy histogram bin width (nats). */
+  val CharEntBin = 0.25
+
+  /** char_entropy: per-document CHARACTER-level Shannon entropy,
+    * rolled up as a per-source histogram — the compressibility screen
+    * under the word-level quality signals: natural prose sits ~3.5-4.5
+    * nats-ish of char entropy; template spam, repeated padding, and
+    * binary-ish junk fall far below (one symbol dominating → H → 0),
+    * the cheap proxy for "would gzip collapse this doc" that corpus
+    * filters (e.g. CCNet's ilter family) apply before anything
+    * token-based. token_entropy profiles the corpus VOCABULARY; this
+    * profiles each document's SYMBOL stream.
+    *
+    * Parity: H = ln n − (Σ c·ln c)/n with 6dp-rounded c·ln c terms and
+    * exact integer sums (the sessionEntropy formula applied to char
+    * counts); the bin floor applies to the 6dp-rounded H.
+    *
+    * Scale shape: one char explode (bounded by corpus bytes), a
+    * (doc, char) partial agg, a per-doc rollup, a bin-bounded
+    * histogram agg.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val perChar = Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tl = floor(col("c").cast("double") * log(col("c").cast("double"))
+      * 1000000 + 0.5).cast("long")
+    perChar
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"), sum(tl).as("stl"))
+      .select(col("source"),
+        floor(r6(log(col("n").cast("double")) -
+          (col("stl").cast("double") / 1000000) / col("n"))
+          / CharEntBin).cast("long").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("bin"),
+        (col("bin") * CharEntBin).as("bin_lo"), col("n_docs"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

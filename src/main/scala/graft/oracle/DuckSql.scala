@@ -6248,4 +6248,149 @@ object DuckSql {
        |    floor(least(1.0, 2.0 * exp(-2.0 * lam * lam)) * 1000000 + 0.5)
        |      / 1000000 END AS p_value
        |FROM l""".stripMargin
+
+  /** Mirror of Analytics.giniRevenue: exact-cents per-customer sums,
+    * value-grid rank-sums (c·k + c(c+1)/2 per equal-value group,
+    * carried ×2), DECIMAL accumulation, one 6dp division.
+    */
+  val giniRevenue: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rc
+      |  FROM orders GROUP BY o_custkey),
+      |g AS (SELECT rc, count(*)::BIGINT AS c FROM pc GROUP BY rc),
+      |w AS (SELECT rc, c,
+      |    coalesce(sum(c) OVER (ORDER BY rc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS k
+      |  FROM g),
+      |m AS (SELECT sum(c)::BIGINT AS n,
+      |    sum(rc::DECIMAL(38,0) * c::DECIMAL(38,0)) AS s,
+      |    sum(rc::DECIMAL(38,0) * (2 * c::DECIMAL(38,0) * k::DECIMAL(38,0)
+      |        + c::DECIMAL(38,0) * (c::DECIMAL(38,0) + 1))) AS t2
+      |  FROM w)
+      |SELECT n AS n_customers, s::DOUBLE / 100 AS total_revenue,
+      |  floor((t2 - (n::DECIMAL(38,0) + 1) * s)::DOUBLE
+      |        / ((n::DECIMAL(38,0)) * s)::DOUBLE * 1000000 + 0.5)
+      |    / 1000000 AS gini
+      |FROM m""".stripMargin
+
+  /** Mirror of Analytics.acfRevenue: integer-dollar daily totals,
+    * rounded-mean centering, exact product sums per calendar-day lag.
+    */
+  val acfRevenue: String = {
+    import graft.operators.Analytics.AcfMaxLag
+    s"""WITH d AS (SELECT
+       |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+       |      AS day,
+       |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cu FROM orders),
+       |g AS (SELECT day,
+       |    floor(sum(cu)::BIGINT::DOUBLE / 100 + 0.5)::BIGINT AS xu
+       |  FROM d GROUP BY day),
+       |mm AS (SELECT floor(sum(xu)::BIGINT::DOUBLE / count(*) + 0.5)
+       |         ::BIGINT AS mu FROM g),
+       |c AS (SELECT day, xu - mu AS c FROM g, mm),
+       |dn AS (SELECT sum(c * c)::BIGINT AS den FROM c),
+       |l AS (SELECT range::INT AS lag FROM range(1, ${AcfMaxLag + 1})),
+       |p AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+       |        sum(a.c * b.c)::BIGINT AS num
+       |      FROM l JOIN c a ON true JOIN c b ON b.day = a.day - l.lag
+       |      GROUP BY l.lag)
+       |SELECT lag, n_pairs,
+       |  CASE WHEN den > 0
+       |       THEN floor(num::DOUBLE / den * 1000000 + 0.5) / 1000000
+       |  END AS acf
+       |FROM p, dn ORDER BY lag""".stripMargin
+  }
+
+  /** Mirror of Analytics.benfordCheck: string first digit of integer
+    * dollars, ln-ratio expected shares, 1e-6-unit exact χ² term sums.
+    */
+  val benfordCheck: String =
+    """WITH dg AS (SELECT
+      |    substr(du::VARCHAR, 1, 1)::INT AS digit
+      |  FROM (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT // 100 AS du
+      |        FROM orders) WHERE du >= 1),
+      |g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM dg
+      |      GROUP BY digit),
+      |t AS (SELECT sum(n_obs)::BIGINT AS n FROM g),
+      |sc AS (SELECT digit, n_obs,
+      |    floor(n_obs::DOUBLE / n * 1000000 + 0.5) / 1000000 AS obs_share,
+      |    floor(ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0::DOUBLE)
+      |          * 1000000 + 0.5) / 1000000 AS exp_share,
+      |    n
+      |  FROM g, t),
+      |x AS (SELECT sum(floor((n_obs - exp_share * n)
+      |        * (n_obs - exp_share * n) / (exp_share * n) * 1000000
+      |        + 0.5)::BIGINT)::BIGINT AS t6 FROM sc),
+      |c2 AS (SELECT floor(t6::DOUBLE / 1000000 * 10000 + 0.5) / 10000
+      |         AS chi2 FROM x)
+      |SELECT digit, n_obs, obs_share, exp_share, chi2
+      |FROM sc, c2 ORDER BY digit""".stripMargin
+
+  /** Mirror of Sessions.markovStationary: the event_transitions row
+    * normalization in 1e-6 units, MkIters unrolled exact matvec +
+    * renormalize rounds, empirical shares.
+    */
+  lazy val markovStationary: String = {
+    import graft.operators.Sessions
+    val head =
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |    floor(epoch(ts))::BIGINT AS sec FROM events),
+        |tr AS MATERIALIZED (SELECT from_type, to_type,
+        |    floor(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)
+        |          * 1000000 + 0.5)::BIGINT AS pu
+        |  FROM (SELECT from_type, to_type, count(*)::BIGINT AS n FROM (
+        |      SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY sec, event_id) AS to_type
+        |      FROM b) WHERE to_type IS NOT NULL GROUP BY 1, 2)),
+        |emp AS MATERIALIZED (SELECT event_type, count(*)::BIGINT AS ne
+        |  FROM b GROUP BY event_type),
+        |kk AS (SELECT count(*)::BIGINT AS k, sum(ne)::BIGINT AS tot
+        |       FROM emp),
+        |p0 AS (SELECT event_type AS t,
+        |    floor(1000000.0::DOUBLE / k + 0.5)::BIGINT AS vu
+        |  FROM emp, kk)""".stripMargin
+    val iters = (1 to Sessions.MkIters).map { i =>
+      s"""r$i AS (SELECT tr.to_type, sum(tr.pu * p.vu)::BIGINT AS raw
+         |  FROM tr JOIN p${i - 1} p ON p.t = tr.from_type
+         |  GROUP BY tr.to_type),
+         |s$i AS (SELECT sum(raw)::BIGINT AS s FROM r$i),
+         |p$i AS MATERIALIZED (SELECT to_type AS t,
+         |    floor(raw::DOUBLE / s * 1000000 + 0.5)::BIGINT AS vu
+         |  FROM r$i, s$i)""".stripMargin
+    }
+    val K = Sessions.MkIters
+    s"""$head,
+       |${iters.mkString(",\n")}
+       |SELECT emp.event_type,
+       |  coalesce(p.vu, 0)::DOUBLE / 1000000 AS stationary,
+       |  floor(ne::DOUBLE / tot * 1000000 + 0.5) / 1000000
+       |    AS empirical_share
+       |FROM emp LEFT JOIN p$K p ON p.t = emp.event_type, kk
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.charEntropy: char split, the
+    * sessionEntropy 6dp-term entropy per doc, identical bin floors.
+    */
+  val charEntropy: String = {
+    import graft.operators.TextAnalysis.CharEntBin
+    s"""WITH ch AS (SELECT doc_id, source,
+       |    unnest(string_split(text, '')) AS ch FROM documents),
+       |pc AS (SELECT doc_id, source, ch, count(*)::BIGINT AS c
+       |       FROM ch WHERE ch <> '' GROUP BY 1, 2, 3),
+       |pd AS (SELECT doc_id, source, sum(c)::BIGINT AS n,
+       |    sum(floor(c::DOUBLE * ln(c::DOUBLE) * 1000000 + 0.5)::BIGINT)
+       |      ::BIGINT AS stl
+       |  FROM pc GROUP BY 1, 2),
+       |bins AS (SELECT source,
+       |    floor(floor((ln(n::DOUBLE) - (stl::DOUBLE / 1000000) / n)
+       |            * 1000000 + 0.5) / 1000000
+       |          / CAST($CharEntBin AS DOUBLE))::BIGINT AS bin
+       |  FROM pd)
+       |SELECT source, bin, bin * CAST($CharEntBin AS DOUBLE) AS bin_lo,
+       |  count(*)::BIGINT AS n_docs
+       |FROM bins GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+  }
 }

@@ -353,6 +353,53 @@ class AnalyticsSpec extends SparkSpecBase {
       === Set(Seq(3L, 200.0, 15.0, 1.0)))
   }
 
+  test("gini_revenue: tied values share exact group rank-sums; the " +
+      "hand Lorenz value comes out") {
+    def d(day: Int) = Date.valueOf(f"2020-01-$day%02d")
+    // per-customer revenue 100/100/200/600 -> G = 0.4 exactly
+    val dir = starDir(ords = Seq(
+      Ord(1, 1, 100.0, d(1)), Ord(2, 2, 100.0, d(2)),
+      Ord(3, 3, 120.0, d(3)), Ord(4, 3, 80.0, d(4)),
+      Ord(5, 4, 600.0, d(5))))
+    assert(rows(Analytics.giniRevenue(spark, dir)) ===
+      Set(Seq(4L, 1000.0, 0.4)))
+  }
+
+  test("acf_revenue: an alternating series reads the hand lag " +
+      "correlations; empty lags drop") {
+    def d(day: Int) = Date.valueOf(f"1995-01-$day%02d")
+    // daily dollars 10/20/10/20: c = (-5,5,-5,5), den = 100
+    val dir = starDir(ords = Seq(
+      Ord(1, 1, 10.0, d(1)), Ord(2, 1, 20.0, d(2)),
+      Ord(3, 1, 10.0, d(3)), Ord(4, 1, 20.0, d(4))))
+    assert(rows(Analytics.acfRevenue(spark, dir)) === Set(
+      Seq(1, 3L, -0.75), Seq(2, 2L, 0.5), Seq(3, 1L, -0.25)))
+  }
+
+  test("benford_check: string first digits, ln-ratio expectations, " +
+      "sub-dollar orders filtered, exact-unit chi2") {
+    def d0 = Date.valueOf("2020-01-01")
+    // digits 1,1,1,2,2,9 (0.50 filtered: integer dollars < 1)
+    val totals = Seq(1.0, 10.0, 150.0, 2.0, 25.0, 9.0, 0.5)
+    val dir = starDir(ords = totals.zipWithIndex.map { case (t, i) =>
+      Ord(i + 1L, 1, t, d0)
+    })
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = 6L
+    val obs = Map(1 -> 3L, 2 -> 2L, 9 -> 1L)
+    val expSh = obs.keys.map(dd =>
+      dd -> r6(math.log(1.0 + 1.0 / dd) / math.log(10.0))).toMap
+    val t6 = obs.map { case (dd, o) =>
+      val e = expSh(dd) * n
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+    }.sum
+    val chi2 = math.floor(t6.toDouble / 1e6 * 1e4 + 0.5) / 1e4
+    assert(rows(Analytics.benfordCheck(spark, dir)) === obs.map {
+      case (dd, o) =>
+        Seq[Any](dd, o, r6(o.toDouble / n), expSh(dd), chi2)
+    }.toSet)
+  }
+
   test("theil_sen: the median slope shrugs off an outlier grid point " +
       "that swings OLS") {
     val d0 = Date.valueOf("1997-01-01")

@@ -666,6 +666,32 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(Sessions.bradleyTerry(spark, dir)) === exp)
   }
 
+  test("markov_stationary: hand-run integer power rounds settle on " +
+      "the 2/3-1/3 chain") {
+    import graft.operators.Sessions
+    // transitions: A->A, A->B, B->A  =>  P(A->.) = (.5, .5), P(B->A)=1
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 1, 1, "A"), ev(2, 2, 1, "A"), ev(3, 3, 1, "B"),
+      ev(4, 4, 1, "A")))
+    val pu = Map(("A", "A") -> 500000L, ("A", "B") -> 500000L,
+      ("B", "A") -> 1000000L)
+    var pi = Map("A" -> 500000L, "B" -> 500000L)
+    for (_ <- 1 to Sessions.MkIters) {
+      val raw = Seq("A", "B").map(to =>
+        to -> pu.collect { case ((f, t), p) if t == to => p * pi(f) }.sum)
+        .toMap
+      val s = raw.values.sum
+      pi = raw.map { case (t, r) =>
+        t -> math.floor(r.toDouble / s * 1e6 + 0.5).toLong
+      }
+    }
+    // converged to 2/3 up to the (−1/2)^16 mixing residual
+    assert(math.abs(pi("A") - 666667L) <= 20)
+    assert(rows(Sessions.markovStationary(spark, dir)) === Set(
+      Seq[Any]("A", pi("A").toDouble / 1e6, 0.75),
+      Seq[Any]("B", pi("B").toDouble / 1e6, 0.25)))
+  }
+
   test("srm_check: md5-arm counts and the 1-dof chi-square on a hand " +
       "user set") {
     import graft.operators.Sessions

@@ -176,4 +176,25 @@ class TextAnalysisSpec extends SparkSpecBase {
       // macro: means of the 4dp metrics; (6667+10000)/2 rounds to 8334
       Seq("__macro__", 3L, 4L, 3L, 1.0, 0.8334, 0.9)))
   }
+
+  test("char_entropy: uniform and single-symbol docs land in the hand " +
+      "bins; histogram groups per source") {
+    import graft.operators.TextAnalysis
+    // 'abcd': n=4 uniform -> H = ln 4; 'aaaa': one symbol -> H = 0;
+    // 'aab': H = ln 3 - (2 ln 2)/3 via the 6dp term path
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "abcd", "s0"), doc(2, "aaaa", "s0"), doc(3, "aab", "s1")))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def bin(h: Double): Long =
+      math.floor(r6(h) / TextAnalysis.CharEntBin).toLong
+    val h1 = math.log(4.0) // terms c=1: r6(1*ln 1) = 0 each
+    // engine: stl = r6u(2 ln 2) + r6u(1 ln 1); H = ln3 - stl/1e6/3
+    val stl3 = math.floor(2.0 * math.log(2.0) * 1e6 + 0.5).toLong
+    val h3e = math.log(3.0) - (stl3.toDouble / 1e6) / 3
+    val expected = Set(
+      Seq[Any]("s0", bin(h1), bin(h1) * 0.25, 1L),
+      Seq[Any]("s0", 0L, 0.0, 1L),
+      Seq[Any]("s1", bin(h3e), bin(h3e) * 0.25, 1L))
+    assert(rows(TextAnalysis.charEntropy(spark, dir)) === expected)
+  }
 }
