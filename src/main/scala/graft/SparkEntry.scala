@@ -116,6 +116,7 @@ object SparkEntry {
     "bradley_terry" -> (Sessions.bradleyTerry _),
     "markov_stationary" -> (Sessions.markovStationary _),
     "srm_check" -> (Sessions.srmCheck _),
+    "ab_power" -> (Sessions.abPower _),
     "ewma_chart" -> (Sessions.ewmaChart _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
+    "l_diversity" -> (Tenancy.lDiversity _),
     "label_prop" -> (Graph.labelProp _),
     "centered_shift" -> (Similarity.centeredShift _),
     "gate_overlap" -> (Curation.gateOverlap _),
@@ -237,6 +239,7 @@ object SparkEntry {
     "theil_sen" -> (Analytics.theilSen _),
     "revenue_concentration" -> (Analytics.revenueConcentration _),
     "gini_revenue" -> (Analytics.giniRevenue _),
+    "lorenz_curve" -> (Analytics.lorenzCurve _),
     "acf_revenue" -> (Analytics.acfRevenue _),
     "benford_check" -> (Analytics.benfordCheck _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
@@ -244,6 +247,7 @@ object SparkEntry {
     "bottomk_sample" -> (Curation.bottomkSample _),
     "sample_audit" -> (Curation.sampleAudit _),
     "burstiness" -> (CorpusStats.burstiness _),
+    "hapax_ratio" -> (CorpusStats.hapaxRatio _),
     "chi2_terms" -> (CorpusStats.chi2Terms _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
@@ -672,6 +676,7 @@ object SparkEntry {
     "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
     "markov_stationary" -> graft.oracle.DuckSql.markovStationary,
     "srm_check" -> graft.oracle.DuckSql.srmCheck,
+    "ab_power" -> graft.oracle.DuckSql.abPower,
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
@@ -731,6 +736,7 @@ object SparkEntry {
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
+    "l_diversity" -> graft.oracle.DuckSql.lDiversity,
     "label_prop" -> graft.oracle.DuckSql.labelProp,
     "centered_shift" -> graft.oracle.DuckSql.centeredShift,
     "gate_overlap" -> graft.oracle.DuckSql.gateOverlap,
@@ -831,6 +837,7 @@ object SparkEntry {
     "theil_sen" -> graft.oracle.DuckSql.theilSen,
     "revenue_concentration" -> graft.oracle.DuckSql.revenueConcentration,
     "gini_revenue" -> graft.oracle.DuckSql.giniRevenue,
+    "lorenz_curve" -> graft.oracle.DuckSql.lorenzCurve,
     "acf_revenue" -> graft.oracle.DuckSql.acfRevenue,
     "benford_check" -> graft.oracle.DuckSql.benfordCheck,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
@@ -838,6 +845,7 @@ object SparkEntry {
     "bottomk_sample" -> graft.oracle.DuckSql.bottomkSample,
     "sample_audit" -> graft.oracle.DuckSql.sampleAudit,
     "burstiness" -> graft.oracle.DuckSql.burstiness,
+    "hapax_ratio" -> graft.oracle.DuckSql.hapaxRatio,
     "chi2_terms" -> graft.oracle.DuckSql.chi2Terms,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,

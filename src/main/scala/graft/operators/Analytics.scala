@@ -1340,6 +1340,45 @@ object Analytics {
         (d38(col("n")) * col("s")).cast("double")).as("gini"))
   }
 
+  /** lorenz_curve: the DECILE TABLE behind gini_revenue — cumulative
+    * revenue share of the poorest k/10 of customers, k = 1..10 (the
+    * Lorenz curve a revenue dashboard plots; gini is its area
+    * deficit). Boundary positions are exact integer ⌊k·n/10⌋ customer
+    * counts; a boundary inside a TIED value group takes the partial
+    * group's exact revenue (count × the tied value) — the gini
+    * rank-sum rule, so no total order and no interpolation error.
+    *
+    * Scale shape: the gini value grid + one grid-bounded cumulative
+    * window + a 10-row boundary join.
+    */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val grid = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("o_custkey")).agg(sum(col("cu")).as("rc"))
+      .groupBy(col("rc")).agg(count(lit(1)).as("c"))
+    val wBelow = Window.orderBy(col("rc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("cb", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .withColumn("rb", coalesce(sum(d38(col("rc")) * d38(col("c")))
+        .over(wBelow), lit(BigDecimal(0)).cast("decimal(38,0)")))
+      .localCheckpoint() // feeds the totals and the boundary join
+    val tot = broadcast(cum.agg(sum(col("c")).as("n"),
+      sum(d38(col("rc")) * d38(col("c"))).as("s")).localCheckpoint())
+    val decs = broadcast(spark.range(1, 11)
+      .select(col("id").cast("int").as("decile")))
+    cum.crossJoin(tot).crossJoin(decs)
+      .withColumn("m", expr("(decile * n) div 10"))
+      .filter(col("cb") < col("m") && col("m") <= col("cb") + col("c"))
+      .select(col("decile"), col("m").as("n_customers_cum"),
+        r6((col("rb") + d38(col("m") - col("cb")) * d38(col("rc")))
+          .cast("double") / col("s").cast("double")).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** ACF lag range (the two-week autocorrelation window). */
   val AcfMaxLag = 14
 

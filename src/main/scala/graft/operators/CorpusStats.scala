@@ -1744,6 +1744,38 @@ object CorpusStats {
     * a vocabulary-bounded term agg, TakeOrdered — the ngram_stats cost
     * class.
     */
+  /** hapax_ratio: per-source HAPAX LEGOMENA share — the fraction of
+    * the source's vocabulary occurring exactly once (and its token
+    * share). A classic corpus-health line: natural text runs ~40-60%
+    * hapax vocabulary (Zipf's tail); machine-generated or
+    * template-heavy sources collapse far below, OCR-noisy ones blow
+    * far above — the one-line generator fingerprint next to
+    * ngram_diversity.
+    *
+    * Scale shape: one tokenize pass, a (source, term) partial agg,
+    * a per-source rollup — the burstiness cost class.
+    */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    Tables.cpuPartition(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
+      .select(col("source"), explode(Dedup.normToks(col("text")))
+        .as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("tf")).as("tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+        r4(col("hapax").cast("double") / col("vocab")).as("hapax_share"),
+        r4(col("hapax").cast("double") / col("tokens"))
+          .as("hapax_token_share"))
+      .orderBy(col("source"))
+  }
+
   /** chi2_terms df floor and per-source read-out size. */
   val Chi2MinDf = 5
   val Chi2TopK = 5

@@ -1332,6 +1332,45 @@ object Sessions {
       .orderBy(col("strength").desc, col("event_type"))
   }
 
+  /** Normal quantiles for the power calculation: z_{0.975} (two-sided
+    * α = 0.05) and z_{0.80} (power 80%) — parsed literals on both
+    * engines.
+    */
+  val ZAlpha = 1.959964
+  val ZBeta = 0.841621
+
+  /** ab_power: the MINIMUM DETECTABLE EFFECT of the current A/B split
+    * at 80% power / α = 0.05 — MDE = (z_{α/2}+z_β)·√(p(1−p)(1/n_a+1/n_b))
+    * on the pooled conversion rate (the standard two-proportion power
+    * formula). The "is this experiment even big enough" row read
+    * BEFORE conversion_lift's verdict: a non-significant lift smaller
+    * than the MDE is an underpowered test, not a null result.
+    *
+    * Parity: exact user/conversion counts; one fixed-order sqrt
+    * expression, 6dp-rounded outputs.
+    */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("int").as("cv"))
+      .groupBy(col("user_id")).agg(max(col("cv")).as("cv"))
+      .select(pmod(h, lit(2L)).cast("int").as("arm"), col("cv"))
+    val g = per.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(col("cv").cast("long")).as("conv"))
+    val p = col("conv").cast("double") / (col("n_a") + col("n_b"))
+    val mde = lit(ZAlpha + ZBeta) *
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    g.select(col("n_a"), col("n_b"), r6(p).as("pooled_p"),
+      r6(mde).as("mde_abs"),
+      when(p > 0, r6(mde / p)).as("mde_rel"))
+  }
+
   /** 1-dof chi-square critical value at α = 0.05 (the SRM gate). */
   val SrmChi2Crit = 3.8415
 

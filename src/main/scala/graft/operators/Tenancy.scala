@@ -229,4 +229,46 @@ object Tenancy {
           .as("anonymous_share"))
       .orderBy(col("k"))
   }
+
+  /** l-diversity sweep values (Machanavajjhala et al., ICDE'06). */
+  val LDivLs: Seq[Int] = Seq(2, 3, 5)
+
+  /** l_diversity: k_anonymity's COMPANION audit — k-anonymity bounds
+    * re-identification, but a class whose members all share one
+    * SENSITIVE value leaks it anyway (the homogeneity attack);
+    * l-diversity requires ≥ l distinct sensitive values per
+    * quasi-identifier class. Here the QI drops to (nation,
+    * balance-bucket) and the market segment becomes the sensitive
+    * payload — the sweep reports, for each l, how many classes fall
+    * below and what share of rows sits in diverse classes.
+    *
+    * Scale shape: one (QI, sensitive) partial agg, one QI rollup, a
+    * 3-row sweep cross — the kAnonymity plan with one more level.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val perSens = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / KAnonBalBucket).as("bal_bucket"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = perSens
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("l"), sum(col("cnt")).as("cnt"))
+    classes
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(LDivLs.map(lit): _*)).as("l_req"))))
+      .groupBy(col("l_req"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l") < col("l_req"), 1L).otherwise(0L))
+          .as("n_classes_below"),
+        sum(when(col("l") < col("l_req"), col("cnt")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("l_req"), col("n_classes"), col("n_classes_below"),
+        col("rows_at_risk"),
+        r4(lit(1.0) - col("rows_at_risk").cast("double") / col("n_rows"))
+          .as("diverse_share"))
+      .orderBy(col("l_req"))
+  }
 }

@@ -6393,4 +6393,108 @@ object DuckSql {
        |  count(*)::BIGINT AS n_docs
        |FROM bins GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
   }
+
+  /** Mirror of Analytics.lorenzCurve: the gini value grid, exact
+    * integer decile boundaries, partial-tied-group revenue.
+    */
+  val lorenzCurve: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rc
+      |  FROM orders GROUP BY o_custkey),
+      |g AS (SELECT rc, count(*)::BIGINT AS c FROM pc GROUP BY rc),
+      |cum AS (SELECT rc, c,
+      |    coalesce(sum(c) OVER w, 0)::BIGINT AS cb,
+      |    coalesce(sum(rc::DECIMAL(38,0) * c::DECIMAL(38,0)) OVER w,
+      |             0)::DECIMAL(38,0) AS rb
+      |  FROM g
+      |  WINDOW w AS (ORDER BY rc
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |t AS (SELECT sum(c)::BIGINT AS n,
+      |        sum(rc::DECIMAL(38,0) * c::DECIMAL(38,0)) AS s FROM g),
+      |d AS (SELECT range::INT AS decile FROM range(1, 11))
+      |SELECT decile, m AS n_customers_cum,
+      |  floor((rb + (m - cb)::DECIMAL(38,0) * rc::DECIMAL(38,0))::DOUBLE
+      |        / s::DOUBLE * 1000000 + 0.5) / 1000000 AS cum_share
+      |FROM (SELECT cum.*, t.s, d.decile,
+      |        (d.decile * t.n) // 10 AS m
+      |      FROM cum, t, d)
+      |WHERE cb < m AND m <= cb + c
+      |ORDER BY decile""".stripMargin
+
+  /** Mirror of Sessions.abPower: same md5 arms, pooled rate, one
+    * fixed-order sqrt MDE expression with the (z_{α/2}+z_β) literal.
+    */
+  val abPower: String = {
+    import graft.operators.Sessions
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT
+       |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2)
+       |      ::INT AS arm, cv
+       |  FROM u),
+       |g AS (SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |    sum(cv)::BIGINT AS conv
+       |  FROM a),
+       |x AS (SELECT n_a, n_b,
+       |    conv::DOUBLE / (n_a + n_b) AS p FROM g),
+       |y AS (SELECT n_a, n_b, p,
+       |    ${Sessions.ZAlpha + Sessions.ZBeta} *
+       |      sqrt(p * (1.0::DOUBLE - p)
+       |           * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)) AS mde
+       |  FROM x)
+       |SELECT n_a, n_b,
+       |  floor(p * 1000000 + 0.5) / 1000000 AS pooled_p,
+       |  floor(mde * 1000000 + 0.5) / 1000000 AS mde_abs,
+       |  CASE WHEN p > 0
+       |       THEN floor(mde / p * 1000000 + 0.5) / 1000000 END AS mde_rel
+       |FROM y""".stripMargin
+  }
+
+  /** Mirror of Tenancy.lDiversity: the kAnonymity class grid with the
+    * segment as payload, distinct-sensitive counts, the l sweep.
+    */
+  val lDiversity: String = {
+    import graft.operators.Tenancy
+    val ls = Tenancy.LDivLs.mkString(", ")
+    s"""WITH ps AS (SELECT c_nationkey,
+       |    floor(c_acctbal / ${Tenancy.KAnonBalBucket}) AS bal_bucket,
+       |    c_mktsegment, count(*)::BIGINT AS cnt
+       |  FROM customer GROUP BY 1, 2, 3),
+       |cl AS (SELECT c_nationkey, bal_bucket, count(*)::BIGINT AS l,
+       |         sum(cnt)::BIGINT AS cnt
+       |       FROM ps GROUP BY 1, 2),
+       |sw AS (SELECT unnest([$ls])::INT AS l_req)
+       |SELECT l_req, count(*)::BIGINT AS n_classes,
+       |  sum(CASE WHEN l < l_req THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_classes_below,
+       |  sum(CASE WHEN l < l_req THEN cnt ELSE 0 END)::BIGINT
+       |    AS rows_at_risk,
+       |  floor((1.0::DOUBLE
+       |         - sum(CASE WHEN l < l_req THEN cnt ELSE 0 END)::BIGINT
+       |           ::DOUBLE / sum(cnt)::BIGINT) * 10000 + 0.5) / 10000
+       |    AS diverse_share
+       |FROM cl, sw GROUP BY l_req ORDER BY l_req""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.hapaxRatio: same token list, per-source
+    * term frequencies, exact hapax/vocab/token counts.
+    */
+  val hapaxRatio: String =
+    s"""$normCte,
+       |tf AS (SELECT d.source, t.term, count(*)::BIGINT AS tf
+       |       FROM (SELECT doc_id, unnest(ws) AS term FROM n) t
+       |       JOIN documents d ON d.doc_id = t.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS vocab,
+       |  sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       |  sum(tf)::BIGINT AS tokens,
+       |  floor(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS hapax_share,
+       |  floor(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |        / sum(tf)::BIGINT * 10000 + 0.5) / 10000
+       |    AS hapax_token_share
+       |FROM tf GROUP BY source ORDER BY source""".stripMargin
 }

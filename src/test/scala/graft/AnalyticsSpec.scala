@@ -365,6 +365,21 @@ class AnalyticsSpec extends SparkSpecBase {
       Set(Seq(4L, 1000.0, 0.4)))
   }
 
+  test("lorenz_curve: exact decile boundaries split tied groups; " +
+      "zero-boundary deciles drop on a tiny corpus") {
+    def d(day: Int) = Date.valueOf(f"2020-01-$day%02d")
+    // the gini fixture: revenues 100/100/200/600 -> n=4
+    val dir = starDir(ords = Seq(
+      Ord(1, 1, 100.0, d(1)), Ord(2, 2, 100.0, d(2)),
+      Ord(3, 3, 200.0, d(3)), Ord(4, 4, 600.0, d(4))))
+    // m_k = (k*4) div 10: deciles 1-2 have m=0 (absent); boundaries
+    // land inside the tied 100-group for m=1,2
+    assert(rows(Analytics.lorenzCurve(spark, dir)) === Set(
+      Seq(3, 1L, 0.1), Seq(4, 1L, 0.1),
+      Seq(5, 2L, 0.2), Seq(6, 2L, 0.2), Seq(7, 2L, 0.2),
+      Seq(8, 3L, 0.4), Seq(9, 3L, 0.4), Seq(10, 4L, 1.0)))
+  }
+
   test("acf_revenue: an alternating series reads the hand lag " +
       "correlations; empty lags drop") {
     def d(day: Int) = Date.valueOf(f"1995-01-$day%02d")

@@ -652,4 +652,14 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq[Any]("s0", "baz", 5L, 3L, 2.5, 2),
       Seq[Any]("s1", "qux", 5L, 0L, 10.0, 1)))
   }
+
+  test("hapax_ratio: per-source vocab, hapax and token shares") {
+    import graft.operators.CorpusStats
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "a a b", "s0"), doc(2, "x y", "s1")))
+    assert(rows(CorpusStats.hapaxRatio(spark, dir)) === Set(
+      Seq[Any]("s0", 2L, 1L, 3L, 0.5,
+        math.floor(1.0 / 3 * 1e4 + 0.5) / 1e4),
+      Seq[Any]("s1", 2L, 2L, 2L, 1.0, 1.0)))
+  }
 }

@@ -666,6 +666,29 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(Sessions.bradleyTerry(spark, dir)) === exp)
   }
 
+  test("ab_power: pooled rate and the two-proportion MDE on the hand " +
+      "arm split") {
+    import graft.operators.Sessions
+    val users = (1L to 9L)
+    val dir = fixtureDir(evs =
+      users.map(u => ev(u, u, u, "click")).toSeq ++
+        Seq(ev(100, 50, 1, "purchase"), ev(101, 51, 2, "purchase")))
+    def arm(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 15), 16) % 2).toInt
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val na = users.count(arm(_) == 0).toLong
+    val nb = users.size - na
+    val p = 2.0 / 9
+    val mde = (Sessions.ZAlpha + Sessions.ZBeta) *
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(rows(Sessions.abPower(spark, dir)) === Set(
+      Seq[Any](na, nb, r6(p), r6(mde), r6(mde / p))))
+  }
+
   test("markov_stationary: hand-run integer power rounds settle on " +
       "the 2/3-1/3 chain") {
     import graft.operators.Sessions

@@ -115,4 +115,20 @@ class TenancySpec extends SparkSpecBase {
       Seq(10, 2L, 2L, 4L, 0.0),
       Seq(25, 2L, 2L, 4L, 0.0)))
   }
+
+  test("l_diversity: a homogeneous class trips every l; the mixed " +
+      "class survives l = 3") {
+    import spark.implicits._
+    val dir = fixtureDir(evs = Seq(ev(1, 10, 1, "click")))
+    // class (0, bucket 0): segments A,A -> l=1, 2 rows;
+    // class (1, bucket 0): segments A,B,C -> l=3, 3 rows
+    Seq((1L, 0L, "A", 100.0), (2L, 0L, "A", 200.0),
+      (3L, 1L, "A", 100.0), (4L, 1L, "B", 200.0), (5L, 1L, "C", 300.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    assert(rows(Tenancy.lDiversity(spark, dir)) === Set(
+      Seq(2, 2L, 1L, 2L, 0.6),
+      Seq(3, 2L, 1L, 2L, 0.6),   // l=3 class meets l_req=3 exactly
+      Seq(5, 2L, 2L, 5L, 0.0)))
+  }
 }
