@@ -45,6 +45,7 @@ object SparkEntry {
     "pca_project"       -> (Similarity.pcaProject _),
     "bq_topk"           -> (Similarity.bqTopk _),
     "bq_recall"         -> (Similarity.bqRecall _),
+    "bq_rerank"         -> (Similarity.bqRerank _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "conversion_lift" -> (Sessions.conversionLift _),
     "km_retention" -> (Sessions.kmRetention _),
     "ks_drift" -> (Sessions.ksDrift _),
+    "mann_whitney" -> (Sessions.mannWhitney _),
     "attribution" -> (Sessions.attribution _),
     "bradley_terry" -> (Sessions.bradleyTerry _),
     "markov_stationary" -> (Sessions.markovStationary _),
@@ -672,6 +674,7 @@ object SparkEntry {
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
+    "mann_whitney" -> graft.oracle.DuckSql.mannWhitney,
     "attribution" -> graft.oracle.DuckSql.attribution,
     "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
     "markov_stationary" -> graft.oracle.DuckSql.markovStationary,
@@ -813,6 +816,7 @@ object SparkEntry {
     "pca_project" -> graft.oracle.DuckSql.pcaProject,
     "bq_topk" -> graft.oracle.DuckSql.bqTopk,
     "bq_recall" -> graft.oracle.DuckSql.bqRecall,
+    "bq_rerank" -> graft.oracle.DuckSql.bqRerank,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

@@ -1543,6 +1543,66 @@ object Sessions {
       .orderBy(col("event_type"))
   }
 
+  /** Two-sided normal critical value for the Mann–Whitney flag. */
+  val MwZCrit = 1.96
+
+  /** mann_whitney: the RANK-SUM drift test — Mann–Whitney U per event
+    * type between the early/late halves (the same split as ks_drift),
+    * with tie-corrected normal approximation. Where KS asks "did the
+    * distribution change shape ANYWHERE", U asks the sharper ordinal
+    * question "did values systematically shift up or down" — the pair
+    * a metrics review reads together (KS fires on variance changes U
+    * can't see; U beats KS on small median shifts).
+    *
+    * Parity: rank-sums come off the (type, value) grid with AVERAGE
+    * ranks for ties carried ×2 (2Σranks = Σ ca·(2k + c + 1) — exact
+    * integers, no half-rank floats); the tie-corrected σ and z are one
+    * fixed-order double expression over exact integer moments.
+    *
+    * Scale shape: ksDrift's grid + one cumulative window + one rollup.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000").as("sec"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vu"))
+    val mid = broadcast(ev.agg(
+      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint())
+    val grid = ev.crossJoin(mid)
+      .groupBy(col("event_type"), col("vu"))
+      .agg(sum(when(col("sec") < col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("sec") < col("mid"), 0L).otherwise(1L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wCum = wT.orderBy(col("vu"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = grid
+      .withColumn("k", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        // 2·Σ avg-ranks of the early arm: ca·(2k + c + 1), exact
+        sum(d38(col("ca")) * (lit(2) * d38(col("k")) + d38(col("c")) + 1))
+          .as("rs2"),
+        // tie term Σ c³−c for the variance correction
+        sum(d38(col("c")) * d38(col("c")) * d38(col("c")) - d38(col("c")))
+          .as("ties"))
+    val n = col("na") + col("nb")
+    val u2 = (col("rs2") - d38(col("na")) * (d38(col("na")) + 1))
+      .cast("double") // 2·U_early
+    val sigma = sqrt(col("na").cast("double") * col("nb") / 12 *
+      ((n + 1).cast("double") -
+        col("ties").cast("double") / (n.cast("double") * (n - 1))))
+    val z = (u2 - col("na").cast("double") * col("nb")) / (lit(2) * sigma)
+    m.select(col("event_type"), col("na").as("n_early"),
+        col("nb").as("n_late"),
+        (u2 / 2).as("u"),
+        when(col("na") > 0 && col("nb") > 0 && sigma > 0, r4(z)).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, abs(col("z")) > MwZCrit))
+      .orderBy(col("event_type"))
+  }
+
   /** ks_drift: per-event-type two-sample Kolmogorov–Smirnov test of
     * the `value` distribution between the EARLY and LATE halves of the
     * time range (split at the midpoint of [min ts, max ts] in epoch

@@ -6249,6 +6249,99 @@ object DuckSql {
        |      / 1000000 END AS p_value
        |FROM l""".stripMargin
 
+  /** Mirror of Similarity.bqRerank: the bqTopk Hamming candidates to
+    * depth max(R), exact-cosine rerank per swept depth, recall vs the
+    * brute truth (annRecall's exact side).
+    */
+  lazy val bqRerank: String = {
+    import graft.operators.Similarity
+    val maxR = Similarity.BqRerankDepths.max
+    val arms = Similarity.BqRerankDepths.map { r =>
+      s"""SELECT $r AS rerank_depth,
+         |  (count(*) / 3)::BIGINT AS n_queries,
+         |  floor(count(a.an)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+         |    AS recall
+         |FROM ex LEFT JOIN (
+         |  SELECT q_id AS aq, neighbor_id AS an FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY s DESC, neighbor_id) AS rk
+         |    FROM sc WHERE hrank <= $r)
+         |  WHERE rk <= ${Similarity.BqK}) a
+         |  ON a.aq = ex.q_id AND a.an = ex.neighbor_id""".stripMargin
+    }
+    s"""WITH $centeredCtes,
+       |$bqCodesCte,
+       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM bqc
+       |      WHERE vec_id % 100 = 0),
+       |h AS MATERIALIZED (SELECT q_id, neighbor_id, hrank FROM (
+       |  SELECT q.q_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY bit_count(xor(b.lo, q.qlo))
+       |               + bit_count(xor(b.hi, q.qhi)), b.vec_id) AS hrank
+       |  FROM bqc b, q WHERE b.vec_id <> q.q_id)
+       |  WHERE hrank <= $maxR),
+       |sc AS MATERIALIZED (SELECT h.q_id, h.neighbor_id, h.hrank,
+       |    list_cosine_similarity(ne.embedding::DOUBLE[],
+       |                           qe.embedding::DOUBLE[]) AS s
+       |  FROM h JOIN embeddings ne ON ne.vec_id = h.neighbor_id
+       |         JOIN embeddings qe ON qe.vec_id = h.q_id),
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY rerank_depth""".stripMargin
+  }
+
+  /** Mirror of Sessions.mannWhitney: the ksDrift grid, ×2 average
+    * rank-sums (ca·(2k+c+1)), exact tie moments, one fixed-order
+    * tie-corrected z.
+    */
+  val mannWhitney: String = {
+    import graft.operators.Sessions.MwZCrit
+    s"""WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS sec,
+       |    floor(value * 1000000 + 0.5)::BIGINT AS vu FROM events),
+       |md AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+       |grid AS (SELECT event_type, vu,
+       |    sum(CASE WHEN sec < mid THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN sec < mid THEN 0 ELSE 1 END)::BIGINT AS cb
+       |  FROM ev, md GROUP BY event_type, vu),
+       |g2 AS (SELECT event_type, vu, ca, cb, ca + cb AS c,
+       |    coalesce(sum(ca + cb) OVER (PARTITION BY event_type
+       |      ORDER BY vu ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0)::BIGINT AS k
+       |  FROM grid),
+       |m AS (SELECT event_type, sum(ca)::BIGINT AS na,
+       |    sum(cb)::BIGINT AS nb,
+       |    sum(ca::DECIMAL(38,0)
+       |        * (2 * k::DECIMAL(38,0) + c::DECIMAL(38,0) + 1)) AS rs2,
+       |    sum(c::DECIMAL(38,0) * c::DECIMAL(38,0) * c::DECIMAL(38,0)
+       |        - c::DECIMAL(38,0)) AS ties
+       |  FROM g2 GROUP BY event_type),
+       |x AS (SELECT event_type, na, nb,
+       |    (rs2 - na::DECIMAL(38,0) * (na::DECIMAL(38,0) + 1))::DOUBLE
+       |      AS u2,
+       |    sqrt(na::DOUBLE * nb / 12 *
+       |      ((na + nb + 1)::DOUBLE
+       |       - ties::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1))))
+       |      AS sigma
+       |  FROM m)
+       |SELECT event_type, na AS n_early, nb AS n_late,
+       |  u2 / 2 AS u,
+       |  CASE WHEN na > 0 AND nb > 0 AND sigma > 0 THEN
+       |    floor((u2 - na::DOUBLE * nb) / (2 * sigma) * 10000 + 0.5)
+       |      / 10000 END AS z,
+       |  CASE WHEN na > 0 AND nb > 0 AND sigma > 0 THEN
+       |    abs(floor((u2 - na::DOUBLE * nb) / (2 * sigma) * 10000 + 0.5)
+       |        / 10000) > $MwZCrit END AS significant
+       |FROM x ORDER BY event_type""".stripMargin
+  }
+
   /** Mirror of Analytics.giniRevenue: exact-cents per-customer sums,
     * value-grid rank-sums (c·k + c(c+1)/2 per equal-value group,
     * carried ×2), DECIMAL accumulation, one 6dp division.

@@ -770,4 +770,24 @@ class SessionsSpec extends SparkSpecBase {
       Seq[Any]("click", 4L, 0L, null),
       Seq[Any]("view", 40L, flags.toLong, ratio)))
   }
+
+  test("mann_whitney: complete separation flags, tied half-ranks stay " +
+      "exact, tie-corrected sigma") {
+    import graft.operators.Sessions
+    // mid = (0+63)/2 = 31; click early {1,2,3} late {4,5,6}: U = 0,
+    // z = -9/(2*sqrt(5.25)); view early {1,1} late {1,2}: ties -> U=1,
+    // sigma = 1 exactly, z = -1
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "click", 2.0),
+      ev(3, 2, 1, "click", 3.0),
+      ev(4, 60, 2, "click", 4.0), ev(5, 61, 2, "click", 5.0),
+      ev(6, 63, 2, "click", 6.0),
+      ev(7, 0, 3, "view", 1.0), ev(8, 1, 3, "view", 1.0),
+      ev(9, 60, 4, "view", 1.0), ev(10, 61, 4, "view", 2.0)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val zc = r4(-9.0 / (2 * math.sqrt(3.0 * 3 / 12 * 7.0)))
+    assert(rows(Sessions.mannWhitney(spark, dir)) === Set(
+      Seq[Any]("click", 3L, 3L, 0.0, zc, math.abs(zc) > Sessions.MwZCrit),
+      Seq[Any]("view", 2L, 2L, 1.0, -1.0, false)))
+  }
 }

@@ -696,4 +696,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(Similarity.bqRecall(spark, dir)) ===
       Set(Seq[Any](0L, 3L, 1.0)))
   }
+
+  test("bq_rerank: the depth sweep reranks the Hamming pool exactly " +
+      "on the code fixture") {
+    val dir = fixtureDir(embs = Seq(
+      Emb(0, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(1, vec(-1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1.0), 0),
+      Emb(2, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1.0), 0),
+      Emb(3, vec(-1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0)))
+    // 3 candidates <= every depth: the exact rerank recovers the brute
+    // top-3 at all three operating points
+    assert(rows(Similarity.bqRerank(spark, dir)) === Set(
+      Seq[Any](10, 1L, 1.0), Seq[Any](50, 1L, 1.0),
+      Seq[Any](200, 1L, 1.0)))
+  }
 }
