@@ -89,23 +89,31 @@ object Bench {
     val loadEnd = loadavg()
     val detailLine =
       s"""{"metric":"detail_max","value":${ms(totalMax)},"unit":"sec","queries_max":${obj(_._2)},"sf":"$sfDir"}"""
+    // Legacy full per-query record keeps a DISTINCT metric name: it is
+    // ~25 bytes/query and outgrew the driver's stdout TAIL buffer at
+    // ~180 queries (BENCH_r07..r09 truncated mid-map and parsed as
+    // null) — a consumer grabbing the first "total" line must get the
+    // compact summary, never this truncation-prone map.
     val totalLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
-    println(detailLine)
-    println(totalLine)
-    // The full per-query total line is ~25 bytes/query and outgrew the
-    // driver's stdout TAIL buffer at ~180 queries — the captured line
-    // truncates mid-map and parses as null (BENCH_r07..r09). The LAST
-    // line is therefore a compact summary that always fits: headline
-    // total + the slowest queries only; the complete per-query record
-    // is the committed SPARK_GRAFT_BENCH_FILE artifact.
+      s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+    // The parseable headline is the compact summary: headline total +
+    // the slowest queries only; the complete per-query record is the
+    // committed SPARK_GRAFT_BENCH_FILE artifact. It is printed FIRST
+    // and LAST so neither head- nor tail-truncation of the capture can
+    // lose it (BENCH_r09 parsed null when the lone tail copy fell off
+    // the 2000-char buffer).
     val slowest = results.toSeq.sortBy { case (_, (t, _)) => -t }.take(12)
       .map { case (k, (t, _)) => s"\"" + k + "\":" + ms(t) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+    val compactLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""value_max":${ms(totalMax)},"n_queries":${results.size},""" +
       s""""queries":$slowest,"load_start":$loadStart,""" +
-      s""""load_end":$loadEnd,"full":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+      s""""load_end":$loadEnd,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    println(compactLine)
+    println(detailLine)
+    println(totalLine)
+    println(compactLine)
     // Truncation-proof artifact: the one-line metric JSON outgrew the
     // driver's stdout tail buffer at ~180 queries (BENCH_r08 captured 91
     // of 183 per-query numbers and parsed as null), so the full record is
@@ -114,7 +122,8 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
-      try { w.println(detailLine); w.println(totalLine) } finally w.close()
+      try { w.println(detailLine); w.println(totalLine); w.println(compactLine) }
+      finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()

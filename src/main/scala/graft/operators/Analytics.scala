@@ -1439,12 +1439,21 @@ object Analytics {
   def benfordCheck(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val digits = Tables.orders(spark, dir)
+    val observed = Tables.orders(spark, dir)
       .select(expr("floor(o_totalprice * 100 + 0.5) div 100").as("du"))
       .filter(col("du") >= 1)
       .select(substring(col("du").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    // Left-join the full 1..9 grid: a digit with ZERO observations must
+    // still contribute its χ² term (observed 0 vs expected n·p — the
+    // strongest possible Benford violation) and its output row; the
+    // groupBy alone silently drops it exactly when the data is most
+    // non-Benford.
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(broadcast(observed), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val tot = broadcast(digits.agg(sum(col("n_obs")).as("n"))
       .localCheckpoint())
     val exp10 = r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))

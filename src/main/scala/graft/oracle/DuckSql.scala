@@ -324,7 +324,7 @@ object DuckSql {
        |s AS (SELECT doc_id, n_words, toxic_hits,
        |  CASE WHEN n_words >= ${RefVocab.toxicMinWords}
        |       THEN floor(least(CAST(1.0 AS DOUBLE), toxic_hits * 10.0 / n_words) * 10000 + 0.5) / 10000
-       |       ELSE 0.0 END AS toxic_score
+       |       ELSE 0.0::DOUBLE END AS toxic_score
        |  FROM h)
        |SELECT doc_id, n_words, toxic_hits, toxic_score,
        |  (n_words >= ${RefVocab.toxicMinWords}
@@ -358,7 +358,7 @@ object DuckSql {
     */
   val repetitionScore: String = {
     def dupFrac(arr: String) =
-      s"CASE WHEN len($arr) > 0 THEN floor((1.0 - len(list_distinct($arr))::DOUBLE / len($arr)) * 10000 + 0.5) / 10000 ELSE 0.0 END"
+      s"CASE WHEN len($arr) > 0 THEN floor((1.0 - len(list_distinct($arr))::DOUBLE / len($arr)) * 10000 + 0.5) / 10000 ELSE 0.0::DOUBLE END"
     """WITH w AS (SELECT doc_id,
       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
       |              l -> l <> '') AS ls,
@@ -837,7 +837,7 @@ object DuckSql {
       s"""SELECT q_id, doc_id, pos,
          |  CASE WHEN mx > mn
          |       THEN floor((s - mn) / (mx - mn) * 1000000 + 0.5) / 1000000
-         |       ELSE 1.0 END AS $out
+         |       ELSE 1.0::DOUBLE END AS $out
          |FROM (SELECT q_id, doc_id, pos, s,
          |        min(s) OVER (PARTITION BY q_id) AS mn,
          |        max(s) OVER (PARTITION BY q_id) AS mx
@@ -1701,7 +1701,7 @@ object DuckSql {
       |  floor(m.mean * 1000000 + 0.5) / 1000000 AS mean_n,
       |  CASE WHEN m.sigma > 0
       |       THEN floor((g.n - m.mean) / m.sigma * 10000 + 0.5) / 10000
-      |       ELSE 0.0 END AS z,
+      |       ELSE 0.0::DOUBLE END AS z,
       |  g.n > m.mean + 3 * m.sigma AS is_anomaly
       |FROM g JOIN m USING (event_type)""".stripMargin
 
@@ -1780,7 +1780,7 @@ object DuckSql {
        |  CASE WHEN se > 0
        |       THEN floor((ca::DOUBLE / na - cb::DOUBLE / nb) / se
        |                  * 10000 + 0.5) / 10000
-       |       ELSE 0.0 END AS z_score,
+       |       ELSE 0.0::DOUBLE END AS z_score,
        |  (se > 0 AND abs((ca::DOUBLE / na - cb::DOUBLE / nb) / se)
        |   > $LiftZCrit) AS is_significant
        |FROM x""".stripMargin
@@ -1818,7 +1818,7 @@ object DuckSql {
       |       FROM w2
       |       WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
       |SELECT t, n_risk, d AS n_churn, c AS n_censored,
-      |  CASE WHEN dead = 1 THEN 0.0
+      |  CASE WHEN dead = 1 THEN 0.0::DOUBLE
       |       ELSE floor(exp(lns::DOUBLE / 1000000) * 1000000 + 0.5)
       |            / 1000000 END AS survival
       |FROM w3 ORDER BY t""".stripMargin
@@ -2287,7 +2287,7 @@ object DuckSql {
       |    (s.mn::DOUBLE + ((CASE WHEN s.mx > s.mn
       |        THEN least(255.0, floor((c.v::DOUBLE - s.mn::DOUBLE)
       |               / (s.mx::DOUBLE - s.mn::DOUBLE) * 256))
-      |        ELSE 0.0 END) + 0.5)
+      |        ELSE 0.0::DOUBLE END) + 0.5)
       |      * (s.mx::DOUBLE - s.mn::DOUBLE) / 256)::FLOAT AS dv
       |  FROM comp c JOIN sqst s ON s.i = c.i)""".stripMargin
 
@@ -2846,13 +2846,13 @@ object DuckSql {
        |qsig AS (SELECT doc_id, n_words::INT AS n_words,
        |  CASE WHEN n_words > 0
        |       THEN floor(stop_hits::DOUBLE / n_words * 10000 + 0.5) / 10000
-       |       ELSE 0.0 END AS stopword_ratio,
+       |       ELSE 0.0::DOUBLE END AS stopword_ratio,
        |  CASE WHEN len(g2) > 0
        |       THEN floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000
-       |       ELSE 0.0 END AS dup_2gram_frac,
+       |       ELSE 0.0::DOUBLE END AS dup_2gram_frac,
        |  CASE WHEN n_words >= $toxicMinWords
        |       THEN floor(least(CAST(1.0 AS DOUBLE), toxic_hits * 10.0 / n_words) * 10000 + 0.5) / 10000
-       |       ELSE 0.0 END AS toxic_score
+       |       ELSE 0.0::DOUBLE END AS toxic_score
        |  FROM qm),
        |qf AS (SELECT doc_id, n_words, stopword_ratio, dup_2gram_frac, toxic_score,
        |  (n_words >= $QfMinWords AND dup_2gram_frac <= $QfMaxDup2gram
@@ -3175,7 +3175,7 @@ object DuckSql {
        |  CASE WHEN vocab > 1 THEN
        |    floor((ln(n_tokens::DOUBLE) - clogc::DOUBLE / n_tokens)
        |          / ln(vocab::DOUBLE) * 1000000 + 0.5) / 1000000
-       |  ELSE 0.0 END AS entropy_norm
+       |  ELSE 0.0::DOUBLE END AS entropy_norm
        |FROM p ORDER BY lang""".stripMargin
   }
 
@@ -3275,7 +3275,7 @@ object DuckSql {
   val domainMix: String = {
     val tgt = graft.operators.CorpusStats.LangTargets
       .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
-      .mkString("(CASE ", " ", " ELSE 0.0 END)::DOUBLE")
+      .mkString("(CASE ", " ", " ELSE 0.0::DOUBLE END)::DOUBLE")
     s"""$normCte,
        |p AS (SELECT lang, count(*) AS n_docs, sum(len(ws))::BIGINT AS tokens
        |      FROM n GROUP BY lang),
@@ -3306,7 +3306,7 @@ object DuckSql {
        |        CAST(CASE WHEN share > 0
        |          THEN floor(exp($MixTemperature * ln(share)) * 1000000 + 0.5)
        |               / 1000000
-       |          ELSE 0.0 END AS DECIMAL(18,6)) AS u
+       |          ELSE 0.0::DOUBLE END AS DECIMAL(18,6)) AS u
        |       FROM sh),
        |de AS (SELECT sum(u) AS du FROM up)
        |SELECT source, n_docs, share, $tw AS t_weight,
@@ -3362,7 +3362,7 @@ object DuckSql {
     import graft.operators.Curation.SampleSeed
     val tgt = graft.operators.CorpusStats.LangTargets
       .map { case (l, t) => s"WHEN lang = '${sq(l)}' THEN $t" }
-      .mkString("(CASE ", " ", " ELSE 0.0 END)::DOUBLE")
+      .mkString("(CASE ", " ", " ELSE 0.0::DOUBLE END)::DOUBLE")
     s"""mp AS (SELECT lang, sum(len(ws))::BIGINT AS tokens FROM n GROUP BY lang),
        |mt AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM mp),
        |mf AS (SELECT lang,
@@ -3985,7 +3985,7 @@ object DuckSql {
        |  CASE WHEN n_train_shingles > n_true
        |       THEN floor((n_bloom_pos - n_true)::DOUBLE
        |            / (n_train_shingles - n_true) * 1000000 + 0.5) / 1000000
-       |       ELSE 0.0 END AS fp_rate
+       |       ELSE 0.0::DOUBLE END AS fp_rate
        |FROM c""".stripMargin
   }
 
@@ -5321,7 +5321,7 @@ object DuckSql {
       |  floor(sm.mean * 1000000 + 0.5) / 1000000 AS mean_n,
       |  CASE WHEN sm.sigma > 0
       |       THEN floor((dd.n - sm.mean) / sm.sigma * 10000 + 0.5) / 10000
-      |       ELSE 0.0 END AS z,
+      |       ELSE 0.0::DOUBLE END AS z,
       |  (dd.n > sm.mean + 3 * sm.sigma) AS is_anomaly
       |FROM dd JOIN sm ON sm.event_type = dd.event_type AND sm.dow = dd.dow
       |ORDER BY dd.event_type, dd.day""".stripMargin
@@ -6403,8 +6403,12 @@ object DuckSql {
       |    substr(du::VARCHAR, 1, 1)::INT AS digit
       |  FROM (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT // 100 AS du
       |        FROM orders) WHERE du >= 1),
-      |g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM dg
-      |      GROUP BY digit),
+      |g0 AS (SELECT digit, count(*)::BIGINT AS n_obs FROM dg
+      |       GROUP BY digit),
+      |g AS (SELECT gr.digit, coalesce(g0.n_obs, 0::BIGINT) AS n_obs
+      |      FROM (SELECT digit::INT AS digit
+      |            FROM range(1, 10) t(digit)) gr
+      |      LEFT JOIN g0 USING (digit)),
       |t AS (SELECT sum(n_obs)::BIGINT AS n FROM g),
       |sc AS (SELECT digit, n_obs,
       |    floor(n_obs::DOUBLE / n * 1000000 + 0.5) / 1000000 AS obs_share,

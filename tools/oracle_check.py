@@ -44,6 +44,10 @@ def table_hash(cols, rows):
 
 
 def main(outdir, sfdir):
+    # The oracle's CASE/COALESCE type resolution is engine-version
+    # sensitive (bare DECIMAL literals); record the replica version so a
+    # hash mismatch is diagnosable from the artifact. Pinned: 1.0.0.
+    print(f"== duckdb {duckdb.__version__} ==")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
