@@ -123,6 +123,7 @@ object SparkEntry {
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
+    "cdc_dedup" -> (Multimodal.cdcDedup _),
     "media_shard" -> (Multimodal.mediaShard _),
     "banding_curve" -> (Dedup.bandingCurve _),
     "event_transitions" -> (Sessions.eventTransitions _),
@@ -684,6 +685,7 @@ object SparkEntry {
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
+    "cdc_dedup" -> graft.oracle.DuckSql.cdcDedup,
     "media_shard" -> graft.oracle.DuckSql.mediaShard,
     "banding_curve" -> graft.oracle.DuckSql.bandingCurve,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,

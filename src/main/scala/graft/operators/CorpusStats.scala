@@ -445,7 +445,35 @@ object CorpusStats {
     * take the smoothed floor (0+1)/(c1+V) via the left joins.
     */
   def perplexityScore(spark: SparkSession, dir: String): DataFrame =
-    scoreAgainstLm(Tables.documents(spark, dir), bigramLm(spark, dir))
+    lmNll(spark, dir)
+
+  /** The persisted per-doc frozen-LM score table (doc_id, lang,
+    * n_bigrams, avg_nll, ppl) — the SECOND layer of the build/probe
+    * split. The LM counts alone were not enough: eight standing audits
+    * (ccnet_buckets, signal_corr, signal_auc, gate_eval,
+    * classifier_examples, label_queue, clf_calibration, gate_overlap)
+    * each re-ran the corpus tokenize + LM equi-joins per invocation —
+    * the same recompute class the exact-truth artifacts fixed for the
+    * brute-force ANN arms. Scoring the corpus against its frozen LM is
+    * deterministic, so the scored frame is itself a frozen artifact:
+    * built once beside the LM, doc_id-range-sorted parquet; every
+    * consumer is a bounded probe join. Arriving (streaming) docs are
+    * the only thing ever scored live.
+    */
+  private[graft] def lmNllPath(dir: String): String =
+    IndexStore.path("lm-nll-v1", dir)
+
+  def buildLmNll(spark: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sinks.writeSortedParquet(
+      scoreAgainstLm(Tables.documents(spark, dir), bigramLm(spark, dir)),
+      path, Seq("doc_id"))
+
+  /** The persisted per-doc LM score (built on first use per JVM). */
+  def lmNll(spark: SparkSession, dir: String): DataFrame = {
+    val path = lmNllPath(dir)
+    IndexStore.ensureBuilt(path)(buildLmNll(spark, dir, path))
+    spark.read.parquet(path)
+  }
 
   /** Unpersisted twin: train on `docs`, score `docs` (hand-corpus specs). */
   private[graft] def perplexityScoreOf(docs: DataFrame): DataFrame =
@@ -475,9 +503,11 @@ object CorpusStats {
     * the assignment anyway (curriculum_order). */
   private[graft] def ccnetBucketsUnsorted(spark: SparkSession,
       dir: String): DataFrame = {
+    // no localCheckpoint: the scored frame is now a persisted parquet
+    // artifact ([[lmNll]]) — re-scanning it for the histogram and the
+    // assignment join is cheaper than materializing a copy
     val scored = perplexityScore(spark, dir)
       .select(col("doc_id"), col("lang"), col("ppl"))
-      .localCheckpoint() // feeds the histogram AND the assignment join
     bucketAgainst(scored, ccnetThresholdsOf(scored))
   }
 

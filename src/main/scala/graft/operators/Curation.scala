@@ -872,8 +872,31 @@ object Curation {
     * 1-row weight broadcast, no shuffle.
     */
   def classifierApply(spark: SparkSession, dir: String): DataFrame =
-    classifierScoreOf(TextAnalysis.qualityScore(spark, dir),
-      spark.read.parquet(s"${clfWeights(spark, dir)}/final"))
+    clfScores(spark, dir)
+
+  /** The persisted corpus-wide score table (doc_id, score, pred) of the
+    * frozen classifier — the lm-nll-v1 posture applied to the cheap
+    * gate: five standing audits (gate_eval, clf_calibration,
+    * gate_overlap, dsir_sample, classifier_apply itself) each re-ran
+    * the quality-signal tokenize per invocation; the scores are
+    * deterministic given corpus + frozen weights, so they are scored
+    * once beside the weights. The -v1 suffix is COUPLED to
+    * clf-weights-v1: a weight retune must bump both (the artifact is a
+    * pure function of that weight table).
+    */
+  private[graft] def clfScorePath(dir: String): String =
+    IndexStore.path("clf-score-v1", dir)
+
+  private[graft] def clfScores(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = clfScorePath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        classifierScoreOf(TextAnalysis.qualityScore(spark, dir),
+          spark.read.parquet(s"${clfWeights(spark, dir)}/final")),
+        path, Seq("doc_id")))
+    spark.read.parquet(path)
+  }
 
   /** Frame-shaped scorer over a quality-signals frame and a frozen
     * 1-row weight vector — shared with the streaming trained-gate

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -178,6 +178,89 @@ object Multimodal {
       .groupBy(col("chunk_md5"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     perDoc.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("c")).as("n_copies"),
+        min(col("doc_id")).as("canonical"))
+      .filter(col("n_assets") >= 2)
+      .orderBy(col("chunk_md5"))
+  }
+
+  /** cdc_dedup rolling-window width in bytes (the hash the boundary
+    * test reads) and the boundary modulus: a position ends a chunk when
+    * its window hash ≡ 0 (mod [[CdcModulus]]), so expected chunk length
+    * ≈ [[CdcModulus]] bytes. Single-sourced into the oracle SQL.
+    */
+  val CdcWindowBytes = 8
+  val CdcModulus = 32
+
+  /** cdc_dedup: CONTENT-DEFINED chunking dedup — the upgrade of
+    * [[frameDedup]]'s fixed-width baseline. Fixed-width chunking is
+    * byte-shift-fragile: prepend ONE byte to a payload and every
+    * 64-byte window slides, so no interior chunk of the shifted copy
+    * matches the original (the well-known boundary-shift problem the
+    * CDC literature — LBFS/Rabin, Gear/FastCDC — exists to solve).
+    * Here a chunk boundary is declared wherever the hash of the LAST
+    * [[CdcWindowBytes]] bytes satisfies h mod [[CdcModulus]] = 0:
+    * boundaries depend only on local CONTENT, so after a shift the
+    * cut points realign within one window width and every interior
+    * chunk is recovered (CdcDedupSpec plants exactly that byte-shifted
+    * duplicate and proves frame_dedup misses it while cdc_dedup finds
+    * it). Output is frameDedup's contract: chunks recurring in ≥ 2
+    * distinct assets, with multiplicity and canonical owner.
+    *
+    * The window hash is the first 8 md5 hex digits of the window bytes
+    * — portable to the oracle bit-for-bit. A production build replaces
+    * it with a Gear table lookup (one add+shift per byte) behind a
+    * native Expression; the BOUNDARY RULE and everything downstream
+    * are unchanged, which is what the parity gate pins.
+    *
+    * Plan shape: the boundary scan is a higher-order `filter` over the
+    * position array — ONE array evaluation per row (never a per-byte
+    * row explode), O(payload) md5 probes inside the lambda reading the
+    * materialized payload attribute. The (payload, ends) frame then
+    * localCheckpoints BEFORE the chunk explode so the generator and
+    * the chunk-hash projection read attributes, not a re-evaluated
+    * boundary chain (the chunk_docs Generate rule). After the explode:
+    * one md5 per chunk and frameDedup's two-level distinct rollup.
+    */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(withPayload(spark, dir))
+
+  /** Frame-shaped twin over any (doc_id, payload) frame — what the
+    * spec's planted-duplicate corpus runs through.
+    */
+  private[graft] def cdcDedupOf(payloads: DataFrame): DataFrame = {
+    val wb = CdcWindowBytes
+    val boundary = (i: Column) => {
+      val h = conv(substring(md5(col("payload").substr(i - lit(wb - 1),
+        lit(wb))), 1, 8), 16, 10).cast("long")
+      pmod(h, lit(CdcModulus.toLong)) === lit(0L)
+    }
+    val ends = array_distinct(concat(
+      when(col("n") >= wb,
+        filter(sequence(lit(wb), col("n")), boundary))
+        .otherwise(expr("array()").cast("array<int>")),
+      array(col("n"))))
+    val chunks = payloads
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("int").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("payload"), ends.as("ends"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("k", "e")))
+      .select(col("doc_id"), col("e"),
+        // previous end (0 for the first chunk): element_at is 1-based,
+        // so index k IS the previous element; k=0 guarded explicitly
+        // (Spark rejects array index 0)
+        when(col("k") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("k"))).as("pe"),
+        col("payload"))
+      .select(col("doc_id"),
+        md5(col("payload").substr(col("pe") + 1, col("e") - col("pe")))
+          .as("chunk_md5"))
+      .groupBy(col("chunk_md5"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    chunks.groupBy(col("chunk_md5"))
       .agg(count(lit(1)).as("n_assets"), sum(col("c")).as("n_copies"),
         min(col("doc_id")).as("canonical"))
       .filter(col("n_assets") >= 2)

@@ -5499,6 +5499,40 @@ object DuckSql {
        |FROM g WHERE n_assets >= 2 ORDER BY chunk_md5""".stripMargin
   }
 
+  /** Mirror of Multimodal.cdcDedupOf: content-defined chunk boundaries
+    * (first 8 md5 hex digits of each trailing window, mod CdcModulus),
+    * lag-window chunk spans, frameDedup's rollup. ASCII invariant as
+    * frameDedup.
+    */
+  val cdcDedup: String = {
+    import graft.operators.Multimodal.{CdcWindowBytes, CdcModulus}
+    val w = CdcWindowBytes
+    s"""WITH base AS (SELECT doc_id, text, length(text)::INT AS n
+       |  FROM documents WHERE length(text) >= 1),
+       |cand AS (SELECT doc_id, i::INT AS e FROM (
+       |    SELECT doc_id, text, unnest(range($w, n + 1)) AS i
+       |    FROM base WHERE n >= $w)
+       |  WHERE ('0x' || substr(md5(substring(text, i - ${w - 1}, $w)),
+       |                        1, 8))::BIGINT % $CdcModulus = 0),
+       |ends AS (SELECT DISTINCT doc_id, e FROM (
+       |    SELECT doc_id, e FROM cand
+       |    UNION ALL SELECT doc_id, n AS e FROM base)),
+       |sp AS (SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+       |      AS pe, e
+       |  FROM ends),
+       |ck AS (SELECT sp.doc_id,
+       |    md5(substring(b.text, sp.pe + 1, sp.e - sp.pe)) AS chunk_md5
+       |  FROM sp JOIN base b ON sp.doc_id = b.doc_id),
+       |pd AS (SELECT chunk_md5, doc_id, count(*)::BIGINT AS c
+       |       FROM ck GROUP BY 1, 2),
+       |g AS (SELECT chunk_md5, count(*)::BIGINT AS n_assets,
+       |        sum(c)::BIGINT AS n_copies, min(doc_id) AS canonical
+       |      FROM pd GROUP BY 1)
+       |SELECT chunk_md5, n_assets, n_copies, canonical
+       |FROM g WHERE n_assets >= 2 ORDER BY chunk_md5""".stripMargin
+  }
+
   /** Mirror of Sessions.userOverlap: distinct (type, user) audience
     * sets, bounded self-join, exact counts, 4dp jaccard/lift in the
     * identical operand order.
