@@ -169,6 +169,7 @@ object SparkEntry {
     "cell_purity" -> (Similarity.cellPurity _),
     "gate_eval" -> (Curation.gateEval _),
     "bm25_topk"       -> (Retrieval.bm25Topk _),
+    "ql_topk"         -> (Retrieval.qlTopk _),
     "tfidf_vectors"   -> (Retrieval.tfidfVectors _),
     "hybrid_retrieve" -> (Retrieval.hybridRetrieve _),
     "ndcg_eval" -> (Retrieval.ndcgEval _),
@@ -724,6 +725,7 @@ object SparkEntry {
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
     "curate_corpus"     -> graft.oracle.DuckSql.curateCorpus,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
+    "ql_topk"         -> graft.oracle.DuckSql.qlTopk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
     "hybrid_retrieve" -> graft.oracle.DuckSql.hybridRetrieve,
     "ndcg_eval" -> graft.oracle.DuckSql.ndcgEval,

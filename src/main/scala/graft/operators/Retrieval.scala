@@ -236,6 +236,133 @@ object Retrieval {
         col("score").cast("double").as("score"), col("rank"))
   }
 
+  /** Dirichlet smoothing mass of the query-likelihood arm (Zhai &
+    * Lafferty SIGIR'01 report 500-10000 works; 2000 is the standard
+    * default). A double LITERAL on both engines.
+    */
+  val QlMu = 2000.0
+  val QlTopK = 10
+  /** Query-term budget for the QL arm: the RAREST collection terms are
+    * kept (ctf asc — for QL the low-collection-frequency terms carry
+    * the largest ln(1 + tf·|C|/(μ·ctf)) contributions, the mirror
+    * image of BM25's idf-desc rule), ties on term. Out-of-vocabulary
+    * query terms drop (collection probability 0 is unscorable under
+    * Dirichlet smoothing — the standard convention).
+    */
+  val QlMaxQueryTerms = 32
+  /** Per-term postings cap for the QL scoring join — the [[BmImpactCap]]
+    * posture; the QL per-term part is monotone in tf (the length norm
+    * is a separate per-doc term), so impact order IS tf desc.
+    */
+  val QlImpactCap = 2000
+
+  private def qlTruthPath(spark: SparkSession, dir: String): String = {
+    val cap = graft.Params.int(spark, "ql_topk.impact_cap", QlImpactCap)
+    IndexStore.path(s"ql-truth-c$cap-v1", dir)
+  }
+
+  /** ql_topk: query-likelihood retrieval — the LANGUAGE-MODELING ranker
+    * beside BM25 (Ponte & Croft SIGIR'98; Dirichlet-smoothed unigram
+    * form, Zhai & Lafferty SIGIR'01):
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C| / (μ·ctf_t))
+    *              + |q|·ln(μ / (dl + μ))
+    *
+    * — the rank-EQUIVALENT decomposition of log P(q|d) (Zhai §2.2: the
+    * Σ_t ln P(t|d) form needs every query term against every doc; this
+    * form needs only MATCHING terms plus one per-doc length norm, which
+    * is what makes it a sparse join at scale). Candidates are docs
+    * sharing ≥ 1 kept query term (the inverted-index convention);
+    * |q| counts the kept distinct query terms.
+    *
+    * Plan: the bm25Ranked scaffolding with the collection LM in place
+    * of idf — postings partial-agg, ≤|q-vocab| collection-count join,
+    * broadcast query side, per-term impact cap, one top-k window. The
+    * ranking persists to [[LexTruthDepth]] under a cap-keyed artifact
+    * (the lex-truth rule); gated reads are pure probes.
+    *
+    * Parity: tf/ctf/dl/|C| exact integers; each matched term's part and
+    * the per-doc norm round to 6dp and accumulate in DECIMAL (the norm
+    * multiplied by the integer |q|), so ranking order is exact on both
+    * engines; one double cast at the output.
+    */
+  def qlTopk(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.Params.int(spark, "ql_topk.k", QlTopK)
+    if (k > LexTruthDepth) qlRanked(spark, dir, k)
+    else {
+      val path = qlTruthPath(spark, dir)
+      IndexStore.ensureBuilt(path)(
+        graft.sources.Sinks.writeSortedParquet(
+          qlRanked(spark, dir, LexTruthDepth), path, Seq("q_id", "rank")))
+      spark.read.parquet(path).filter(col("rank") <= k)
+        .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+    }
+  }
+
+  private[graft] def qlRanked(spark: SparkSession, dir: String,
+      depth: Int): DataFrame =
+    qlRanked(spark, dir, depth,
+      graft.Params.int(spark, "ql_topk.impact_cap", QlImpactCap))
+
+  private[graft] def qlRanked(spark: SparkSession, dir: String,
+      depth: Int, cap: Int): DataFrame = {
+    val toks = tokenRows(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(QueryMod)) === 0
+    // corpus postings with doc length riding along (the bm25Ranked
+    // frame); feeds the collection LM, total length, the cap window
+    val ctf = toks.filter(!isQuery)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
+    val coll = ctf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val stats = ctf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(sum(col("dl")).as("total_len"))
+    val qterms = toks.filter(isQuery)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("ctf").asc, col("term"))
+    // kept query terms (rarest-first budget); carries ctf into scoring
+    val qt = qterms.join(coll, "term")
+      .withColumn("qr", row_number().over(wQ))
+      .filter(col("qr") <= QlMaxQueryTerms)
+      .drop("qr")
+      .localCheckpoint() // feeds |q| AND the scoring join
+    val qlen = qt.groupBy(col("q_id")).agg(count(lit(1)).as("qlen"))
+    val capped =
+      if (cap == Int.MaxValue) ctf
+      else ctf
+        .withColumn("ir", row_number().over(Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("ir") <= cap)
+        .drop("ir")
+    val part = floor(log(lit(1.0) +
+      (col("tf").cast("double") * col("total_len").cast("double")) /
+        (lit(QlMu) * col("ctf").cast("double"))) * 1000000 + lit(0.5)) /
+      1000000
+    val norm6 = floor(log(lit(QlMu) /
+      (col("dl").cast("double") + lit(QlMu))) * 1000000 + lit(0.5)) /
+      1000000
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    capped.join(broadcast(qt.select(col("q_id"), col("term"), col("ctf"))),
+        "term")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        part.cast("decimal(18,6)").as("part"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("part")).as("psum"), max(col("dl")).as("dl"))
+      .join(broadcast(qlen), "q_id")
+      .select(col("q_id"), col("doc_id"),
+        (col("psum") + norm6.cast("decimal(18,6)") * col("qlen"))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= depth)
+      .select(col("q_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("rank"))
+  }
+
   /** RRF fusion constant (Cormack, Clarke & Buettcher, SIGIR'09 use 60). */
   val RrfK = 60
   val HybridTopK = 5
@@ -308,8 +435,8 @@ object Retrieval {
   val NdcgK: Int = BmTopK
 
   /** ndcg_eval: the RANKING-quality leaderboard — nDCG@[[NdcgK]] of
-    * every retrieval arm (BM25 lexical, RRF hybrid, and the dense
-    * exact arm itself) against graded relevance derived from the dense
+    * every retrieval arm (BM25 lexical, query-likelihood, RRF hybrid,
+    * and the dense exact arm itself) against graded relevance derived from the dense
     * exact ranking (rel = k+1−rank of the true cosine top-k; the
     * index_recall posture asks "did the candidates come back", this
     * asks "in a GOOD ORDER, weighted toward the top" — the standard IR
@@ -349,9 +476,12 @@ object Retrieval {
     val hyb = rrfFuse(lex.withColumnRenamed("pos", "lrank"),
       exact.withColumnRenamed("pos", "vrank"))
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+    val ql = qlTopk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     val arms = dcgOf("dense_exact", exact)
       .unionByName(dcgOf("bm25", lex))
       .unionByName(dcgOf("hybrid", hyb))
+      .unionByName(dcgOf("ql", ql))
     val ideal = dcgOf("i", exact)
       .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
     arms.join(ideal, col("q_id") === col("iq"))
@@ -363,8 +493,9 @@ object Retrieval {
   }
 
   /** ir_metrics: the SET/RANK retrieval leaderboard — MRR, micro
-    * recall@k and P@1 of every served arm (BM25, RRF hybrid, PRF
-    * expansion, and the dense exact arm as the 1.0 sanity row) against
+    * recall@k and P@1 of every served arm (BM25, query-likelihood, RRF
+    * hybrid, PRF expansion, and the dense exact arm as the 1.0 sanity
+    * row) against
     * binary relevance = membership in the dense exact top-[[NdcgK]].
     * [[ndcgEval]] grades graded ORDER; this grades presence and
     * first-hit position — the triage numbers an IR dashboard leads
@@ -413,10 +544,13 @@ object Retrieval {
           r4(col("hits").cast("double") / (col("nq") * NdcgK))
             .as("recall"),
           r4(col("p1s").cast("double") / col("nq")).as("p_at_1"))
+    val ql = qlTopk(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     armOf("bm25", lex)
       .unionByName(armOf("dense_exact", exact))
       .unionByName(armOf("hybrid", hyb))
       .unionByName(armOf("prf", prf))
+      .unionByName(armOf("ql", ql))
       .orderBy(col("arm"))
   }
 

@@ -740,6 +740,61 @@ object DuckSql {
   val bm25Topk: String =
     bm25TopkCap(graft.operators.Retrieval.BmImpactCap)
 
+  /** QL-specific CTEs of the query-likelihood mirror — consume `tok`,
+    * `ctf` and `dlen` from [[bm25CtesCap]] (the two rankers share the
+    * postings scaffolding, exactly as the Spark plans do). Emits `qlr`:
+    * the depth-unbounded (q_id, doc_id, score DECIMAL, rank) ranking.
+    */
+  private def qlCtes(cap: Long): String = {
+    import graft.operators.Retrieval.{QlMaxQueryTerms, QlMu, QueryMod}
+    val isQ = s"((doc_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
+    s"""qlcoll AS (SELECT term, sum(tf)::BIGINT AS ctf FROM ctf
+       |           GROUP BY term),
+       |qlstat AS (SELECT sum(dl)::BIGINT AS total_len FROM dlen),
+       |qlqte AS (SELECT q_id, term, ctf FROM (
+       |  SELECT q.doc_id AS q_id, q.term, c.ctf,
+       |    row_number() OVER (PARTITION BY q.doc_id
+       |                       ORDER BY c.ctf ASC, q.term) AS qr
+       |  FROM (SELECT DISTINCT doc_id, term FROM tok WHERE $isQ) q
+       |  JOIN qlcoll c ON c.term = q.term)
+       |  WHERE qr <= $QlMaxQueryTerms),
+       |qlqlen AS (SELECT q_id, count(*)::BIGINT AS qlen FROM qlqte
+       |           GROUP BY q_id),
+       |qlcimp AS (SELECT doc_id, term, tf, dl FROM (
+       |  SELECT c.doc_id, c.term, c.tf, d.dl,
+       |    row_number() OVER (PARTITION BY c.term
+       |                       ORDER BY c.tf DESC, c.doc_id) AS ir
+       |  FROM ctf c JOIN dlen d USING (doc_id))
+       |  WHERE ir <= $cap),
+       |qlsc AS (SELECT q.q_id, c.doc_id, c.dl,
+       |  CAST(floor(ln(1.0::DOUBLE + (c.tf::DOUBLE * s.total_len::DOUBLE)
+       |      / (${QlMu}::DOUBLE * q.ctf::DOUBLE)) * 1000000 + 0.5)
+       |    / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM qlcimp c JOIN qlqte q ON q.term = c.term, qlstat s),
+       |qlagg AS (SELECT q_id, doc_id, sum(part) AS psum, max(dl) AS dl
+       |          FROM qlsc GROUP BY q_id, doc_id),
+       |qlr AS (SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM (SELECT a.q_id, a.doc_id,
+       |      a.psum + CAST(floor(ln(${QlMu}::DOUBLE
+       |          / (a.dl::DOUBLE + ${QlMu}::DOUBLE)) * 1000000 + 0.5)
+       |        / 1000000 AS DECIMAL(18,6)) * l.qlen AS score
+       |    FROM qlagg a JOIN qlqlen l USING (q_id)))""".stripMargin
+  }
+
+  /** Mirror of Retrieval.qlTopk. Rides on the bm25 CTE chain for
+    * tok/ctf/dlen (the unreferenced bm25-only CTEs are never evaluated
+    * — none are MATERIALIZED here).
+    */
+  val qlTopk: String = {
+    import graft.operators.Retrieval.{QlImpactCap, QlTopK}
+    s"""${bm25CtesCap(graft.operators.Retrieval.BmImpactCap)},
+       |${qlCtes(QlImpactCap)}
+       |SELECT q_id, doc_id, score::DOUBLE AS score, rank::INT AS rank
+       |FROM qlr WHERE rank <= $QlTopK""".stripMargin
+  }
+
   /** Mirror of Retrieval.hybridRetrieve: RRF over the BM25 `agg` ranking
     * and the brute-force cosine ranking — only integer ranks cross the
     * fusion boundary, and 1/(K+rank) is one exact double division.
@@ -751,11 +806,14 @@ object DuckSql {
     import graft.operators.Retrieval.{BmTopK, HybridTopK, NdcgK, QueryMod, RrfK}
     val isVq = s"((vec_id % $QueryMod) + $QueryMod) % $QueryMod = 0"
     s"""$bm25Ctes,
+       |${qlCtes(graft.operators.Retrieval.QlImpactCap)},
        |lex AS (SELECT q_id, doc_id, rank AS pos
        |  FROM (SELECT q_id, doc_id,
        |          row_number() OVER (PARTITION BY q_id
        |                             ORDER BY score DESC, doc_id) AS rank
        |        FROM agg) WHERE rank <= $BmTopK),
+       |qla AS (SELECT q_id, doc_id, rank AS pos FROM qlr
+       |        WHERE rank <= ${graft.operators.Retrieval.QlTopK}),
        |vq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE $isVq),
        |vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
        |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
@@ -781,7 +839,8 @@ object DuckSql {
        |arms AS (
        |  SELECT 'dense_exact' AS arm, q_id, doc_id, pos FROM ex
        |  UNION ALL SELECT 'bm25', q_id, doc_id, pos FROM lex
-       |  UNION ALL SELECT 'hybrid', q_id, doc_id, pos FROM hyb),
+       |  UNION ALL SELECT 'hybrid', q_id, doc_id, pos FROM hyb
+       |  UNION ALL SELECT 'ql', q_id, doc_id, pos FROM qla),
        |tm AS (SELECT a.arm, a.q_id,
        |  coalesce(r.rel, 0) *
        |    CAST(floor(1.0 / log2(a.pos + 1) * 1000000 + 0.5) / 1000000
@@ -960,6 +1019,9 @@ object DuckSql {
          |      ON r.q_id = a.q_id AND r.doc_id = a.doc_id
          |    GROUP BY a.q_id)), nq""".stripMargin
     s"""$bm25Ctes,
+       |${qlCtes(graft.operators.Retrieval.QlImpactCap)},
+       |qla AS (SELECT q_id, doc_id, rank AS pos FROM qlr
+       |        WHERE rank <= ${graft.operators.Retrieval.QlTopK}),
        |lex AS MATERIALIZED (SELECT q_id, doc_id, rank AS pos
        |  FROM (SELECT q_id, doc_id,
        |          row_number() OVER (PARTITION BY q_id
@@ -997,6 +1059,8 @@ object DuckSql {
        |${armAgg("hybrid", "hy")}
        |UNION ALL
        |${armAgg("prf", "pr")}
+       |UNION ALL
+       |${armAgg("ql", "qla")}
        |ORDER BY arm""".stripMargin
   }
 

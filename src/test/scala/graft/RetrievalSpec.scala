@@ -49,6 +49,32 @@ class RetrievalSpec extends SparkSpecBase {
     assert(math.abs(out((0L, 2L)) - term(1, 3, 2)) < 1e-9)
   }
 
+  test("ql_topk: Dirichlet scores match the formula (hand computation)") {
+    val out = Retrieval.qlTopk(spark, dir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    // corpus: docs 1..4 (doc 0 is the query), |C| = 13 tokens,
+    // ctf(apple)=4, ctf(banana)=2; dl = 3,3,3,4; mu = 2000
+    val mu = Retrieval.QlMu; val total = 13.0
+    // exact 1e-6-unit integer arithmetic (what both engines' DECIMAL
+    // accumulation computes), one double division at the end
+    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def part(tf: Int, ctf: Int) =
+      micros(math.log(1.0 + tf * total / (mu * ctf)))
+    def norm(dl: Int) = micros(math.log(mu / (dl + mu)))
+    // both query terms are in-vocabulary: |q| = 2 for every candidate
+    def score(pm: Long, dl: Int) = (pm + norm(dl) * 2) / 1e6
+    // doc 1: apple tf=3; doc 2: apple tf=1; doc 3: banana tf=2
+    assert(out((0L, 1L))._1 === score(part(3, 4), 3))
+    assert(out((0L, 2L))._1 === score(part(1, 4), 3))
+    assert(out((0L, 3L))._1 === score(part(2, 2), 3))
+    // doc 4 shares no query term: not a candidate
+    assert(!out.keys.exists(_._2 == 4L))
+    // the rare-term doc must outrank the single common-term hit
+    assert(out((0L, 3L))._1 > out((0L, 2L))._1)
+    assert(out.values.map(_._2).toSet === Set(1, 2, 3))
+  }
+
   test("hybrid_retrieve: RRF fuses both rankers; vector-only docs surface") {
     val d = fixtureDir(
       docs = Seq(
@@ -332,8 +358,8 @@ class RetrievalSpec extends SparkSpecBase {
   test("ir_metrics: hand-computed MRR/recall/P@1 on aligned text+vector " +
       "geometry") {
     // dense top for q0: 1 (twin), 3, 2 -> all three are "relevant"
-    // (NdcgK=10 > corpus). bm25 and prf retrieve only doc 1 (the one
-    // lexical match); hybrid fuses to all three with doc 1 leading.
+    // (NdcgK=10 > corpus). bm25, ql and prf retrieve only doc 1 (the
+    // one lexical match); hybrid fuses to all three with doc 1 leading.
     val d = fixtureDir(
       docs = Seq(doc(0, "apple banana"), doc(1, "apple banana"),
         doc(2, "cherry date"), doc(3, "kiwi lemon")),
@@ -345,7 +371,8 @@ class RetrievalSpec extends SparkSpecBase {
       Seq("bm25", 1L, 1.0, r4(1.0 / 10), 1.0),
       Seq("dense_exact", 1L, 1.0, r4(3.0 / 10), 1.0),
       Seq("hybrid", 1L, 1.0, r4(3.0 / 10), 1.0),
-      Seq("prf", 1L, 1.0, r4(1.0 / 10), 1.0)))
+      Seq("prf", 1L, 1.0, r4(1.0 / 10), 1.0),
+      Seq("ql", 1L, 1.0, r4(1.0 / 10), 1.0)))
   }
 
   test("prf_expand: expansion recovers a doc sharing no original query " +
