@@ -112,6 +112,7 @@ object SparkEntry {
     "cusum_shift" -> (Sessions.cusumShift _),
     "conversion_lift" -> (Sessions.conversionLift _),
     "km_retention" -> (Sessions.kmRetention _),
+    "nelson_aalen" -> (Sessions.nelsonAalen _),
     "ks_drift" -> (Sessions.ksDrift _),
     "mann_whitney" -> (Sessions.mannWhitney _),
     "attribution" -> (Sessions.attribution _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "clf_calibration" -> (Curation.clfCalibration _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
     "l_diversity" -> (Tenancy.lDiversity _),
+    "t_closeness" -> (Tenancy.tCloseness _),
     "label_prop" -> (Graph.labelProp _),
     "centered_shift" -> (Similarity.centeredShift _),
     "gate_overlap" -> (Curation.gateOverlap _),
@@ -675,6 +677,7 @@ object SparkEntry {
     "cusum_shift" -> graft.oracle.DuckSql.cusumShift,
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
+    "nelson_aalen" -> graft.oracle.DuckSql.nelsonAalen,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
     "mann_whitney" -> graft.oracle.DuckSql.mannWhitney,
     "attribution" -> graft.oracle.DuckSql.attribution,
@@ -744,6 +747,7 @@ object SparkEntry {
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "l_diversity" -> graft.oracle.DuckSql.lDiversity,
+    "t_closeness" -> graft.oracle.DuckSql.tCloseness,
     "label_prop" -> graft.oracle.DuckSql.labelProp,
     "centered_shift" -> graft.oracle.DuckSql.centeredShift,
     "gate_overlap" -> graft.oracle.DuckSql.gateOverlap,

@@ -865,27 +865,9 @@ object Sessions {
     */
   def kmRetention(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
-    val span = ev.groupBy(col("user_id"))
-      .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
-      .localCheckpoint() // feeds the max-week scalar AND the grid
-    val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
-    val grid = span.crossJoin(maxWk)
-      .select((col("l") - col("f")).cast("int").as("t"),
-        (col("l") === col("maxwk")).cast("int").as("cens"))
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("leave"),
-        sum(lit(1L) - col("cens")).as("d"),
-        sum(col("cens").cast("long")).as("c"))
-      .crossJoin(broadcast(span.agg(count(lit(1)).as("n_users"))))
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .withColumn("n_risk",
-        col("n_users") - coalesce(sum(col("leave")).over(wPrev), lit(0L)))
+    survivalGrid(spark, dir)
       .withColumn("lnu",
         when(col("d") < col("n_risk"),
           floor(log(lit(1.0) -
@@ -899,6 +881,63 @@ object Sessions {
         when(col("dead") === 1, lit(0.0))
           .otherwise(r6(exp(col("lns").cast("double") / 1000000)))
           .as("survival"))
+      .orderBy(col("t"))
+  }
+
+  /** The shared actuarial grid of [[kmRetention]] and [[nelsonAalen]]:
+    * one row per distinct user lifetime t (weeks) with leave/churn/
+    * censor counts, the user total, and the at-risk count n_risk —
+    * everything after the one groupBy(user) partial agg lives on the
+    * ≤|weeks| grid.
+    */
+  private def survivalGrid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
+      .localCheckpoint() // feeds the max-week scalar AND the grid
+    val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    span.crossJoin(maxWk)
+      .select((col("l") - col("f")).cast("int").as("t"),
+        (col("l") === col("maxwk")).cast("int").as("cens"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("leave"),
+        sum(lit(1L) - col("cens")).as("d"),
+        sum(col("cens").cast("long")).as("c"))
+      .crossJoin(broadcast(span.agg(count(lit(1)).as("n_users"))))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("leave")).over(wPrev), lit(0L)))
+  }
+
+  /** nelson_aalen: the cumulative-hazard twin of [[kmRetention]]
+    * (Nelson 1972 / Aalen 1978) — H(t) = Σ_{i≤t} d_i/n_i over the same
+    * right-censored lifetime grid, plus the Fleming–Harrington survival
+    * S̃(t) = exp(−H(t)), the small-sample-friendlier estimator that
+    * should track (and upper-bound) the KM product-limit curve — the
+    * standing cross-check between the two (S̃ ≥ S_KM always; a gap
+    * beyond small-sample noise means a grid bug).
+    *
+    * Parity: each hazard increment d/n rounds to 6dp integer units and
+    * the cumulative sum is exact; H is that integer over 1e6 (one cast,
+    * no arithmetic), S̃ one exp rounded 6dp — the exp/ln-only rule.
+    * Scale shape: identical to kmRetention (one user partial agg, the
+    * ≤|weeks| grid, bounded windows).
+    */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalGrid(spark, dir)
+      .withColumn("hu",
+        floor(col("d").cast("double") / col("n_risk") * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("hs", sum(col("hu")).over(wCum))
+      .select(col("t"), col("n_risk"), col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        (col("hs").cast("double") / 1000000).as("cum_hazard"),
+        r6(exp(-col("hs").cast("double") / 1000000)).as("survival_fh"))
       .orderBy(col("t"))
   }
 

@@ -271,4 +271,77 @@ object Tenancy {
           .as("diverse_share"))
       .orderBy(col("l_req"))
   }
+
+  /** t-closeness thresholds in TENTHS (t = t10/10): integer so the
+    * violation test stays exact (see below). Li et al., ICDE'07 use
+    * t ≈ 0.1-0.4.
+    */
+  val TCloseT10s: Seq[Int] = Seq(1, 2, 3)
+
+  /** t_closeness: the third leg of the privacy triad (Li, Li &
+    * Venkatasubramanian, ICDE'07) — [[kAnonymity]] bounds
+    * re-identification, [[lDiversity]] defeats the homogeneity attack,
+    * but a class whose sensitive DISTRIBUTION skews far from the
+    * corpus-wide one still leaks (the skewness attack: 49 of 50 members
+    * sharing one segment passes l=2 yet reveals plenty). t-closeness
+    * requires every QI class's sensitive distribution to sit within
+    * distance t of the global one; for a categorical sensitive
+    * attribute the distance is total variation
+    * d_c = ½ Σ_s |p_c(s) − p(s)|.
+    *
+    * EXACT arithmetic throughout: with integer counts,
+    * d_c > t  ⟺  10·Σ_s |cnt_cs·N − g_s·n_c|  >  2·t10·n_c·N —
+    * every operand an integer (DECIMAL(38,0) products: ≤ ~1e24 at the
+    * 1e12-rows design point, the q11 headroom rule), so the sweep has
+    * NO floating comparison to disagree on; the only double is the 4dp
+    * compliant share. Absent (class, segment) pairs enter via the
+    * class × segment grid completion (the benford_check zero-row rule
+    * — a missing segment is maximal evidence, not missing data).
+    *
+    * Scale shape: one (QI, sensitive) partial agg; the grid is
+    * |classes| × |segments| (segments broadcast, ≤ 5 rows); per-class
+    * rollup then a 3-row sweep cross — lDiversity's plan with one
+    * more bounded join.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cs = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / KAnonBalBucket).as("bal_bucket"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds class totals, the global margin, the grid
+    val cls = cs.groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val glob = cs.groupBy(col("c_mktsegment")).agg(sum(col("cnt")).as("g"))
+    val tot = broadcast(glob.agg(sum(col("g")).as("n")))
+    val term = abs(d(coalesce(col("cnt"), lit(0L))) * d(col("n")) -
+      d(col("g")) * d(col("n_c")))
+    val perClass = cls
+      .crossJoin(broadcast(glob))
+      .join(cs, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+      .crossJoin(tot)
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_c"),
+        col("n"), term.as("term"))
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(max(col("n_c")).as("n_c"), max(col("n")).as("n"),
+        sum(col("term")).as("dnum"))
+    perClass
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(TCloseT10s.map(lit): _*)).as("t10"))))
+      .withColumn("viol",
+        d(col("dnum")) * 10 > d(col("n_c")) * d(col("n")) * 2 * col("t10"))
+      .groupBy(col("t10"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("viol"), 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("viol"), col("n_c")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("n_c")).as("n_rows"))
+      .select((col("t10").cast("double") / 10.0).as("t"),
+        col("n_classes"), col("n_violating"), col("rows_at_risk"),
+        r4(lit(1.0) - col("rows_at_risk").cast("double") / col("n_rows"))
+          .as("compliant_share"))
+      .orderBy(col("t"))
+  }
 }

@@ -1887,6 +1887,38 @@ object DuckSql {
       |            / 1000000 END AS survival
       |FROM w3 ORDER BY t""".stripMargin
 
+  /** Mirror of Sessions.nelsonAalen: kmRetention's actuarial grid, 6dp
+    * integer hazard increments summed exactly, one exp tail.
+    */
+  val nelsonAalen: String =
+    """WITH e AS (SELECT user_id,
+      |  (floor(epoch(ts))::BIGINT // 604800) AS wk FROM events),
+      |sp AS (SELECT user_id, min(wk) AS f, max(wk) AS l
+      |       FROM e GROUP BY user_id),
+      |mx AS (SELECT max(l) AS maxwk FROM sp),
+      |nn AS (SELECT count(*)::BIGINT AS n_users FROM sp),
+      |g AS (SELECT (sp.l - sp.f)::INT AS t, count(*)::BIGINT AS leave,
+      |        sum(CASE WHEN sp.l = mx.maxwk THEN 0 ELSE 1 END)::BIGINT
+      |          AS d,
+      |        sum(CASE WHEN sp.l = mx.maxwk THEN 1 ELSE 0 END)::BIGINT
+      |          AS c
+      |      FROM sp, mx GROUP BY 1),
+      |w1 AS (SELECT g.*, nn.n_users - coalesce(
+      |          sum(leave) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+      |                           PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |       FROM g, nn),
+      |w2 AS (SELECT *,
+      |        floor(d::DOUBLE / n_risk * 1000000 + 0.5)::BIGINT AS hu
+      |       FROM w1),
+      |w3 AS (SELECT *, sum(hu) OVER (ORDER BY t ROWS UNBOUNDED
+      |                               PRECEDING) AS hs
+      |       FROM w2)
+      |SELECT t, n_risk, d AS n_churn, c AS n_censored,
+      |  hs::DOUBLE / 1000000 AS cum_hazard,
+      |  floor(exp(-(hs::DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000
+      |    AS survival_fh
+      |FROM w3 ORDER BY t""".stripMargin
+
   /** Mirror of Sessions.sessionEntropy: (user, type) exact counts, 6dp
     * integer c·ln c terms summed exactly, one mirrored double tail.
     */
@@ -6672,6 +6704,48 @@ object DuckSql {
        |           ::DOUBLE / sum(cnt)::BIGINT) * 10000 + 0.5) / 10000
        |    AS diverse_share
        |FROM cl, sw GROUP BY l_req ORDER BY l_req""".stripMargin
+  }
+
+  /** Mirror of Tenancy.tCloseness: class × segment grid completion,
+    * exact DECIMAL(38,0) cross-product total-variation test
+    * (10·Σ|cnt·N − g·n_c| > 2·t10·n_c·N), one 4dp share.
+    */
+  val tCloseness: String = {
+    import graft.operators.Tenancy
+    val ts = Tenancy.TCloseT10s.mkString(", ")
+    s"""WITH ps AS (SELECT c_nationkey,
+       |    floor(c_acctbal / ${Tenancy.KAnonBalBucket}) AS bal_bucket,
+       |    c_mktsegment, count(*)::BIGINT AS cnt
+       |  FROM customer GROUP BY 1, 2, 3),
+       |cl AS (SELECT c_nationkey, bal_bucket, sum(cnt)::BIGINT AS n_c
+       |       FROM ps GROUP BY 1, 2),
+       |gm AS (SELECT c_mktsegment, sum(cnt)::BIGINT AS g
+       |       FROM ps GROUP BY 1),
+       |tt AS (SELECT sum(g)::BIGINT AS n FROM gm),
+       |pc AS (SELECT cl.c_nationkey, cl.bal_bucket,
+       |         max(cl.n_c) AS n_c, max(tt.n) AS n,
+       |         sum(abs(coalesce(ps.cnt, 0)::DECIMAL(38,0)
+       |               * tt.n::DECIMAL(38,0)
+       |             - gm.g::DECIMAL(38,0) * cl.n_c::DECIMAL(38,0)))
+       |           AS dnum
+       |       FROM cl CROSS JOIN gm
+       |       LEFT JOIN ps ON ps.c_nationkey = cl.c_nationkey
+       |         AND ps.bal_bucket = cl.bal_bucket
+       |         AND ps.c_mktsegment = gm.c_mktsegment, tt
+       |       GROUP BY 1, 2),
+       |sw AS (SELECT unnest([$ts])::INT AS t10),
+       |v AS (SELECT pc.*, sw.t10,
+       |        (dnum::DECIMAL(38,0) * 10 >
+       |         n_c::DECIMAL(38,0) * n::DECIMAL(38,0) * 2 * t10) AS viol
+       |      FROM pc, sw)
+       |SELECT t10::DOUBLE / 10.0 AS t, count(*)::BIGINT AS n_classes,
+       |  sum(CASE WHEN viol THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       |  sum(CASE WHEN viol THEN n_c ELSE 0 END)::BIGINT AS rows_at_risk,
+       |  floor((1.0::DOUBLE
+       |         - sum(CASE WHEN viol THEN n_c ELSE 0 END)::BIGINT::DOUBLE
+       |           / sum(n_c)::BIGINT) * 10000 + 0.5) / 10000
+       |    AS compliant_share
+       |FROM v GROUP BY t10 ORDER BY t""".stripMargin
   }
 
   /** Mirror of CorpusStats.hapaxRatio: same token list, per-source

@@ -548,6 +548,31 @@ class SessionsSpec extends SparkSpecBase {
       Seq(3, 1L, 0L, 1L, 0.4)))
   }
 
+  test("nelson_aalen: hand cumulative hazard on the km fixture; " +
+      "Fleming-Harrington survival upper-bounds the KM curve") {
+    import graft.operators.Sessions
+    val wk = 604800L
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 0, 1), ev(2, wk, 1), ev(3, 2 * wk, 1), ev(4, 3 * wk, 1),
+      ev(5, 0, 2), ev(6, wk, 2),
+      ev(7, 2 * wk, 3),
+      ev(8, wk, 4), ev(9, 3 * wk, 4),
+      ev(10, 0, 5)))
+    // hazard increments (6dp units): 2/5 -> 400000, 1/3 -> 333333, 0, 0
+    def s(hs: Long) = math.floor(math.exp(-hs / 1e6) * 1e6 + 0.5) / 1e6
+    assert(rows(Sessions.nelsonAalen(spark, dir)) === Set(
+      Seq(0, 5L, 2L, 0L, 0.4, s(400000)),
+      Seq(1, 3L, 1L, 0L, 0.733333, s(733333)),
+      Seq(2, 2L, 0L, 1L, 0.733333, s(733333)),
+      Seq(3, 1L, 0L, 1L, 0.733333, s(733333))))
+    // the standing cross-check: S_FH >= S_KM on every grid row
+    val km = Sessions.kmRetention(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    Sessions.nelsonAalen(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(5) >= km(r.getInt(0)) - 1e-9)
+    }
+  }
+
   test("km_retention: the curve hits exact zero when every at-risk " +
       "user churns") {
     import graft.operators.Sessions

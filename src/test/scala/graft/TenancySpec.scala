@@ -131,4 +131,22 @@ class TenancySpec extends SparkSpecBase {
       Seq(3, 2L, 1L, 2L, 0.6),   // l=3 class meets l_req=3 exactly
       Seq(5, 2L, 2L, 5L, 0.0)))
   }
+
+  test("t_closeness: hand total-variation distances across the t grid; " +
+      "the l-diverse class still violates tight t") {
+    import spark.implicits._
+    val dir = fixtureDir(evs = Seq(ev(1, 10, 1, "click")))
+    // class (0,b0): {A:2} -> d = |2*5-3*2|+|0-1*2|+|0-1*2| / (2*2*5) = 0.4
+    // class (1,b0): {A,B,C} -> (|5-9|+|5-3|+|5-3|) / (2*3*5) = 4/15 ~ 0.267
+    // NOTE: the second class passes l=3 diversity yet violates t <= 0.2 —
+    // exactly the skewness gap t-closeness exists to close
+    Seq((1L, 0L, "A", 100.0), (2L, 0L, "A", 200.0),
+      (3L, 1L, "A", 100.0), (4L, 1L, "B", 200.0), (5L, 1L, "C", 300.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    assert(rows(Tenancy.tCloseness(spark, dir)) === Set(
+      Seq(0.1, 2L, 2L, 5L, 0.0),
+      Seq(0.2, 2L, 2L, 5L, 0.0),
+      Seq(0.3, 2L, 1L, 2L, 0.6))) // 0.267 <= 0.3: the mixed class passes
+  }
 }
