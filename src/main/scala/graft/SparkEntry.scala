@@ -125,6 +125,7 @@ object SparkEntry {
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
     "cdc_dedup" -> (Multimodal.cdcDedup _),
+    "phash_dedup" -> (Multimodal.phashDedup _),
     "media_shard" -> (Multimodal.mediaShard _),
     "banding_curve" -> (Dedup.bandingCurve _),
     "event_transitions" -> (Sessions.eventTransitions _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "export_manifest"   -> (Curation.exportManifest _),
     "quality_filter"    -> (Curation.qualityFilter _),
     "curate_corpus"     -> (Curation.curateCorpus _),
+    "curation_funnel"   -> (Curation.curationFunnel _),
     "classifier_examples" -> (Curation.classifierExamples _),
     "classifier_train" -> (Curation.classifierTrain _),
     "classifier_apply" -> (Curation.classifierApply _),
@@ -196,6 +198,7 @@ object SparkEntry {
     "gate_overlap" -> (Curation.gateOverlap _),
     "dp_release" -> (Tenancy.dpRelease _),
     "mix_temperature" -> (CorpusStats.mixTemperature _),
+    "epoch_plan" -> (CorpusStats.epochPlan _),
     "quality_psi" -> (CorpusStats.qualityPsi _),
     "label_queue" -> (Curation.labelQueue _),
     "robust_stats" -> (Sessions.robustStats _),
@@ -690,6 +693,7 @@ object SparkEntry {
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
     "cdc_dedup" -> graft.oracle.DuckSql.cdcDedup,
+    "phash_dedup" -> graft.oracle.DuckSql.phashDedup,
     "media_shard" -> graft.oracle.DuckSql.mediaShard,
     "banding_curve" -> graft.oracle.DuckSql.bandingCurve,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
@@ -727,6 +731,7 @@ object SparkEntry {
     "export_manifest"   -> graft.oracle.DuckSql.exportManifest,
     "quality_filter"    -> graft.oracle.DuckSql.qualityFilter,
     "curate_corpus"     -> graft.oracle.DuckSql.curateCorpus,
+    "curation_funnel"   -> graft.oracle.DuckSql.curationFunnel,
     "bm25_topk"       -> graft.oracle.DuckSql.bm25Topk,
     "ql_topk"         -> graft.oracle.DuckSql.qlTopk,
     "tfidf_vectors"   -> graft.oracle.DuckSql.tfidfVectors,
@@ -753,6 +758,7 @@ object SparkEntry {
     "gate_overlap" -> graft.oracle.DuckSql.gateOverlap,
     "dp_release" -> graft.oracle.DuckSql.dpRelease,
     "mix_temperature" -> graft.oracle.DuckSql.mixTemperature,
+    "epoch_plan" -> graft.oracle.DuckSql.epochPlan,
     "quality_psi" -> graft.oracle.DuckSql.qualityPsi,
     "label_queue" -> graft.oracle.DuckSql.labelQueue,
     "robust_stats" -> graft.oracle.DuckSql.robustStats,

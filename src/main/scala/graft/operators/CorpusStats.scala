@@ -261,6 +261,64 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** epoch_plan token budget as a MULTIPLE of the corpus (a relative
+    * budget keeps the planner scale-free) and the repeat-value decay
+    * constant R* of the effective-data law (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": value of the E-th
+    * epoch decays exponentially; their functional form
+    * D_eff = U·R*·(1 − e^(−E/R*)). R* is corpus-specific — 4 is the
+    * conservative default knob, NOT their fitted constant).
+    */
+  val EpochBudgetFactor = 4
+  val EpochRStar = 4.0
+
+  /** epoch_plan: the DATA-CONSTRAINED training budget table — given the
+    * temperature mixture ([[mixTemperature]]) and a token budget of
+    * [[EpochBudgetFactor]]× the corpus, how many EPOCHS does each
+    * source run and how many effectively-novel tokens does it
+    * contribute once repeat value decays? The planning table next to
+    * mix_temperature/apply_mix that prices the tail-upsampling risk
+    * mix_temperature's `boost` column flags: a boosted tail source
+    * burns budget on ever-cheaper repeats (utilization is the
+    * fraction of its allocation that still buys effective data).
+    *
+    * Scale shape: one tokenize scan to a |sources| partial agg; the
+    * mixture weights are the |sources|-row mixTemperature frame; all
+    * arithmetic on bounded rows. Parity: token counts exact integers;
+    * allocation = floor(w·B + 0.5) on the 6dp weight; epochs 4dp;
+    * eff = floor(U·R*·(1−exp(−epochs/R*)) + 0.5) — one fixed-order
+    * double expression over exact inputs (exp sanctioned).
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val perSrc = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("source"), col("text")),
+      col("source"))
+      .select(col("source"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+    val wts = mixTemperature(spark, dir)
+      .select(col("source").as("wsrc"), col("t_weight"))
+    val tot = broadcast(perSrc.agg(sum(col("n_tokens")).as("total_tokens")))
+    perSrc.join(wts, col("source") === col("wsrc"))
+      .crossJoin(tot)
+      .select(col("source"), col("n_tokens"), col("t_weight"),
+        floor(col("t_weight") *
+          (col("total_tokens") * lit(EpochBudgetFactor)).cast("double")
+          + lit(0.5)).cast("long").as("alloc_tokens"))
+      .withColumn("epochs",
+        r4(col("alloc_tokens").cast("double") / col("n_tokens")))
+      .withColumn("eff_tokens",
+        floor(col("n_tokens").cast("double") * lit(EpochRStar) *
+          (lit(1.0) - exp(-col("epochs") / lit(EpochRStar))) + lit(0.5))
+          .cast("long"))
+      .withColumn("utilization",
+        when(col("alloc_tokens") > 0,
+          r4(col("eff_tokens").cast("double") / col("alloc_tokens")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("source"))
+  }
+
   /** quality_psi bin count and the add-1 smoothing it shares with the
     * oracle (smoothing keeps every ln finite on empty bins).
     */

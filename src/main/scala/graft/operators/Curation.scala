@@ -604,7 +604,14 @@ object Curation {
     * doc_id — at scale every join shuffles on the same key, so the
     * partitioning is set once and reused; the stage CASE is map-side.
     */
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateManifest(spark, dir).orderBy(col("doc_id"))
+
+  /** Unsorted manifest twin — consumed by [[curationFunnel]], which
+    * reshuffles into its stage rollup anyway (the ccnetBuckets rule).
+    */
+  private def curateManifest(spark: SparkSession, dir: String)
+      : DataFrame = {
     val qf = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
     val dx = Dedup.dedupExact(spark, dir)
       .select(col("doc_id"), col("is_dup"))
@@ -628,7 +635,60 @@ object Curation {
           .when(col("n_copies") === 0, "sampled_out")
           .otherwise("kept").as("stage"),
         when(kept, col("n_copies")).otherwise(lit(0L)).as("n_copies"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** The funnel's fixed stage order (= [[curateCorpus]]'s CASE
+    * precedence, with `kept` closing the table). Single-sourced into
+    * the oracle SQL.
+    */
+  val FunnelStages: Seq[(Int, String)] = Seq(
+    1 -> "quality", 2 -> "exact_dup", 3 -> "near_dup",
+    4 -> "contaminated", 5 -> "sampled_out", 6 -> "kept")
+
+  /** curation_funnel: the WATERFALL every data paper prints — per
+    * curation stage, the docs and token mass dropped there (first
+    * failing stage, [[curateCorpus]]'s precedence) and what remains
+    * after it. The manifest answers "what happened to THIS doc"; this
+    * answers "where does the corpus go" — the one-glance number that
+    * says whether the pipeline is deleting your data in the stage you
+    * expected (the Dolma/RefinedWeb reporting convention).
+    *
+    * Scale shape: the manifest's per-doc frames joined once to a
+    * token-count scan, one 6-key stage rollup; everything after lives
+    * on the fixed 6-row stage grid (zero-completed — an empty stage is
+    * a claim, not a gap) with bounded cumulative windows.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val tok = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("t"))
+    val ag = curateManifest(spark, dir)
+      .join(tok, Seq("doc_id"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val grid = spark.createDataFrame(FunnelStages).toDF("ord", "stage")
+    val g = grid
+      .join(ag, Seq("stage"), "left")
+      .select(col("ord"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val wCum = Window.orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val drop = (c: Column) =>
+      when(col("stage") =!= "kept", c).otherwise(lit(0L))
+    g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("td"),
+        sum(col("n_tokens")).as("tt"))))
+      .withColumn("cd", sum(drop(col("n_docs"))).over(wCum))
+      .withColumn("ct", sum(drop(col("n_tokens"))).over(wCum))
+      .select(col("ord"), col("stage"), col("n_docs"), col("n_tokens"),
+        (col("td") - col("cd")).as("docs_remaining"),
+        (col("tt") - col("ct")).as("tokens_remaining"),
+        r4((col("td") - col("cd")).cast("double") / col("td"))
+          .as("share_remaining"))
+      .orderBy(col("ord"))
   }
 
   /** label_queue depth per language. */

@@ -267,6 +267,80 @@ object Multimodal {
       .orderBy(col("chunk_md5"))
   }
 
+  /** phash_dedup Hamming radius (the dedup_simhash convention: 4
+    * 16-bit bands give GUARANTEED recall to distance 3 and LSH-grade
+    * recall beyond; pairs are verified by exact Hamming afterwards).
+    */
+  val PhashMaxHamming = 8
+
+  /** phash_dedup: PERCEPTUAL near-dup for media assets — the average
+    * hash (aHash) family: sample a fixed 8×8 = 64-cell grid from the
+    * decoded image, threshold each cell against the grid mean, compare
+    * 64-bit signatures by Hamming distance. This is the near-dup story
+    * [[mediaDedup]]'s doc defers ("near-dup for media means perceptual
+    * hashing"): a re-encode/brightness-shift changes every byte (so
+    * content-md5 misses it) but barely moves cells relative to their
+    * OWN mean — aHash is invariant to monotone global shifts by
+    * construction (CdcDedupSpec's analogue here: PhashSpec plants a
+    * +1-brightness copy).
+    *
+    * The DECODE is the stub (no codecs in this environment): cell k
+    * samples the payload byte at position ⌊k·len/64⌋+1 — the real
+    * pipeline swaps in mean-pooled grayscale cells behind the same
+    * 64-cell contract; EVERYTHING downstream (threshold, packing,
+    * banding, verify) is the production plan. The threshold is exact
+    * integer arithmetic: bit_k = (p_k·64 > Σp) — never a float mean.
+    *
+    * Signature travels as two 32-bit halves in longs (the BQ-codes
+    * convention — a 2^63 bit literal overflows the oracle's BIGINT
+    * shift). Candidates: dedup_simhash's 4×16-bit band join with the
+    * shared hot-bucket cap ([[Dedup.bandCandidates]]); pairs verified
+    * by exact popcount ≤ [[PhashMaxHamming]].
+    *
+    * Scale shape: the signature is one map pass (64 static byte
+    * probes, no explode); banding explodes ×4; the band join is
+    * bucket-capped; verify joins signatures back by id. Linear in the
+    * corpus with bounded fan-out — the simhash plan on binary assets.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    def px(k: Int): Column =
+      conv(hex(expr(s"substring(payload, ($k * n) div 64 + 1, 1)")),
+        16, 10).cast("long")
+    val pixels = (0 until 64).map(px)
+    val sumPix = pixels.reduce(_ + _)
+    def half(from: Int): Column =
+      (from until from + 32).map { k =>
+        when(pixels(k) * 64 > col("s"), lit(1L << (31 - (k - from))))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = base
+      .withColumn("s", sumPix)
+      .select(col("doc_id"), half(0).as("h1"), half(32).as("h2"))
+      .localCheckpoint() // feeds the band explode and both verify sides
+    val bandKeys = array(
+      shiftright(col("h1"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("h1").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("h2"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("h2").bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = Dedup.bandCandidates(banded)
+    val ga = sigs.select(col("doc_id").as("id_a"),
+      col("h1").as("a1"), col("h2").as("a2"))
+    val gb = sigs.select(col("doc_id").as("id_b"),
+      col("h1").as("b1"), col("h2").as("b2"))
+    cand.join(ga.hint("merge"), "id_a").join(gb.hint("merge"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
   /** media_shard export geometry: shard count (grows with the corpus;
     * 4 here), volume byte budget, and the shuffle seed (independent of
     * the text-export seeds). Single-sourced into the oracle SQL.

@@ -3410,6 +3410,58 @@ object DuckSql {
        |FROM up, de ORDER BY source""".stripMargin
   }
 
+  /** Mirror of CorpusStats.epochPlan: the mixTemperature chain plus a
+    * per-source token agg; allocation/epochs/effective-tokens in the
+    * identical fixed-order double arithmetic.
+    */
+  val epochPlan: String = {
+    import graft.operators.CorpusStats.{EpochBudgetFactor, EpochRStar,
+      MixTemperature}
+    val tw = "floor(u::DOUBLE / du::DOUBLE * 1000000 + 0.5) / 1000000"
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs
+       |             FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM per),
+       |sh AS (SELECT source, n_docs,
+       |        floor(n_docs::DOUBLE / total * 1000000 + 0.5) / 1000000
+       |          AS share
+       |       FROM per, tot),
+       |up AS (SELECT source, share,
+       |        CAST(CASE WHEN share > 0
+       |          THEN floor(exp($MixTemperature * ln(share)) * 1000000 + 0.5)
+       |               / 1000000
+       |          ELSE 0.0::DOUBLE END AS DECIMAL(18,6)) AS u
+       |       FROM sh),
+       |de AS (SELECT sum(u) AS du FROM up),
+       |wt AS (SELECT source, $tw AS t_weight FROM up, de),
+       |tk AS (SELECT source,
+       |         sum(len(list_filter(string_split(text, ' '),
+       |                             x -> x <> ''))::BIGINT)::BIGINT
+       |           AS n_tokens
+       |       FROM documents GROUP BY source),
+       |tt AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM tk),
+       |al AS (SELECT tk.source, tk.n_tokens, wt.t_weight,
+       |         floor(wt.t_weight
+       |               * (tt.total_tokens * $EpochBudgetFactor)::DOUBLE
+       |               + 0.5)::BIGINT AS alloc_tokens
+       |       FROM tk JOIN wt ON wt.source = tk.source, tt),
+       |ep AS (SELECT *,
+       |         floor(alloc_tokens::DOUBLE / n_tokens * 10000 + 0.5)
+       |           / 10000 AS epochs
+       |       FROM al),
+       |ef AS (SELECT *,
+       |         floor(n_tokens::DOUBLE * ${EpochRStar}::DOUBLE
+       |               * (1.0::DOUBLE - exp(-(epochs) / ${EpochRStar}::DOUBLE))
+       |               + 0.5)::BIGINT AS eff_tokens
+       |       FROM ep)
+       |SELECT source, n_tokens, t_weight, alloc_tokens, epochs,
+       |  eff_tokens,
+       |  CASE WHEN alloc_tokens > 0
+       |       THEN floor(eff_tokens::DOUBLE / alloc_tokens * 10000 + 0.5)
+       |            / 10000
+       |       ELSE 0.0::DOUBLE END AS utilization
+       |FROM ef ORDER BY source""".stripMargin
+  }
+
   /** Mirror of CorpusStats.qualityPsi: shared 4dp score CTEs, fixed
     * 10-bin grid with zero-fill, add-1-smoothed shares, per-bin 6dp
     * DECIMAL terms.
@@ -4992,13 +5044,16 @@ object DuckSql {
     * self-contained quality gate — with the identical fixed stage
     * precedence and kept-condition arithmetic.
     */
-  val curateCorpus: String =
+  /** The manifest CTE chain shared by curateCorpus and curationFunnel:
+    * ends with `cm(doc_id, stage, n_copies)`.
+    */
+  private val curateManifestCtes: String =
     s"""$clusterLabelCtes,
        |$mixFromNCtes,
        |$contamCtes,
        |$exactDupCtes,
-       |$qualityKeepCtes
-       |SELECT n.doc_id,
+       |$qualityKeepCtes,
+       |cm AS (SELECT n.doc_id,
        |  CASE WHEN NOT qf.keep THEN 'quality'
        |       WHEN dxc.doc_id <> dxc.canonical THEN 'exact_dup'
        |       WHEN l.cluster <> l.doc_id THEN 'near_dup'
@@ -5014,8 +5069,49 @@ object DuckSql {
        |JOIN dxc ON dxc.doc_id = n.doc_id
        |JOIN labels l ON l.doc_id = n.doc_id
        |LEFT JOIN flagged f ON f.doc_id = n.doc_id
-       |JOIN nc ON nc.doc_id = n.doc_id
-       |ORDER BY n.doc_id""".stripMargin
+       |JOIN nc ON nc.doc_id = n.doc_id)""".stripMargin
+
+  val curateCorpus: String =
+    s"""$curateManifestCtes
+       |SELECT doc_id, stage, n_copies FROM cm ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Curation.curationFunnel: the manifest chain, one token
+    * scan, the zero-completed 6-row stage grid, bounded cumulative
+    * drop windows.
+    */
+  val curationFunnel: String = {
+    val grid = graft.operators.Curation.FunnelStages
+      .map { case (o, s) => s"($o, '$s')" }.mkString(", ")
+    s"""$curateManifestCtes,
+       |ctok AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '),
+       |                    x -> x <> ''))::BIGINT AS t
+       |  FROM documents),
+       |cag AS (SELECT cm.stage, count(*)::BIGINT AS n_docs,
+       |          sum(ctok.t)::BIGINT AS n_tokens
+       |        FROM cm JOIN ctok ON ctok.doc_id = cm.doc_id
+       |        GROUP BY 1),
+       |cgr AS (SELECT v.ord, v.stage,
+       |          coalesce(cag.n_docs, 0::BIGINT) AS n_docs,
+       |          coalesce(cag.n_tokens, 0::BIGINT) AS n_tokens
+       |        FROM (VALUES $grid) v(ord, stage)
+       |        LEFT JOIN cag ON cag.stage = v.stage),
+       |ctt AS (SELECT sum(n_docs)::BIGINT AS td,
+       |          sum(n_tokens)::BIGINT AS tt FROM cgr),
+       |ccu AS (SELECT *,
+       |          sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END)
+       |            OVER wo AS cd,
+       |          sum(CASE WHEN stage <> 'kept' THEN n_tokens ELSE 0 END)
+       |            OVER wo AS ct
+       |        FROM cgr
+       |        WINDOW wo AS (ORDER BY ord ROWS UNBOUNDED PRECEDING))
+       |SELECT ord::INT AS ord, stage, n_docs, n_tokens,
+       |  (td - cd)::BIGINT AS docs_remaining,
+       |  (tt - ct)::BIGINT AS tokens_remaining,
+       |  floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
+       |    AS share_remaining
+       |FROM ccu, ctt ORDER BY ord""".stripMargin
+  }
 
   /** Mirror of Sessions.temporalDecay: same whole-day age against the
     * corpus max day, exact power-of-two half-life weights via integer
@@ -5627,6 +5723,51 @@ object DuckSql {
        |      FROM pd GROUP BY 1)
        |SELECT chunk_md5, n_assets, n_copies, canonical
        |FROM g WHERE n_assets >= 2 ORDER BY chunk_md5""".stripMargin
+  }
+
+  /** Mirror of Multimodal.phashDedup: 64 sampled-byte cells, exact
+    * integer mean threshold (p·64 > Σp), two 32-bit halves, 4×16-bit
+    * band join under the shared bucket cap, exact popcount verify.
+    */
+  val phashDedup: String = {
+    import graft.operators.Dedup.BUCKET_CAP
+    import graft.operators.Multimodal.PhashMaxHamming
+    s"""WITH pb AS (SELECT doc_id, text, length(text)::BIGINT AS n
+       |  FROM documents WHERE length(text) >= 1),
+       |ph AS (SELECT doc_id, k,
+       |    ascii(substring(text, ((k * n) // 64 + 1)::INT, 1))::BIGINT
+       |      AS p
+       |  FROM pb, range(0, 64) t(k)),
+       |pps AS (SELECT doc_id, sum(p)::BIGINT AS s FROM ph
+       |        GROUP BY doc_id),
+       |psg AS (SELECT ph.doc_id,
+       |    sum(CASE WHEN ph.p * 64 > pps.s AND ph.k < 32
+       |        THEN (1::BIGINT << (31 - ph.k)::INT) ELSE 0 END)::BIGINT
+       |      AS h1,
+       |    sum(CASE WHEN ph.p * 64 > pps.s AND ph.k >= 32
+       |        THEN (1::BIGINT << (63 - ph.k)::INT) ELSE 0 END)::BIGINT
+       |      AS h2
+       |  FROM ph JOIN pps USING (doc_id) GROUP BY ph.doc_id),
+       |pbd AS (SELECT doc_id, band,
+       |    CASE band WHEN 0 THEN h1 // 65536 WHEN 1 THEN h1 % 65536
+       |              WHEN 2 THEN h2 // 65536 ELSE h2 % 65536 END AS key
+       |  FROM psg, (VALUES (0), (1), (2), (3)) b(band)),
+       |pbc AS (SELECT pbd.doc_id, pbd.band, pbd.key FROM pbd
+       |  JOIN (SELECT band, key, count(*) AS c FROM pbd GROUP BY 1, 2) z
+       |    ON z.band = pbd.band AND z.key = pbd.key
+       |  WHERE z.c <= $BUCKET_CAP),
+       |pcp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pbc a JOIN pbc b
+       |    ON a.band = b.band AND a.key = b.key
+       |      AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  (bit_count(xor(sa.h1, sb.h1))
+       |   + bit_count(xor(sa.h2, sb.h2)))::INT AS hamming
+       |FROM pcp
+       |JOIN psg sa ON sa.doc_id = pcp.id_a
+       |JOIN psg sb ON sb.doc_id = pcp.id_b
+       |WHERE (bit_count(xor(sa.h1, sb.h1))
+       |       + bit_count(xor(sa.h2, sb.h2))) <= $PhashMaxHamming""".stripMargin
   }
 
   /** Mirror of Sessions.userOverlap: distinct (type, user) audience

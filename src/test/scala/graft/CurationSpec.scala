@@ -86,6 +86,71 @@ class CurationSpec extends SparkSpecBase {
       Seq(8L, "contaminated", 0L)))
   }
 
+  test("curation_funnel: the waterfall reconciles with the manifest and " +
+      "the token scan; absent stages keep zero rows") {
+    import org.apache.spark.sql.functions._
+    val base = "the alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey"
+    val dirc = fixtureDir(docs = Seq(
+      doc(1, base), doc(2, base), doc(3, "tiny text"),
+      doc(4, base.split(' ').init.mkString(" ") + " xylophone")))
+    val manifest = Curation.curateCorpus(spark, dirc).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toksPerDoc = graft.operators.TextAnalysis.tokenCount(spark, dirc)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byStage = manifest.groupBy(_._2)
+    val totalDocs = manifest.length.toLong
+    val out = Curation.curationFunnel(spark, dirc).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.map(_._2).toSeq ===
+      Curation.FunnelStages.map(_._2)) // full grid, funnel order
+    var remaining = totalDocs
+    out.foreach { case (_, stage, nDocs, nToks, dRem, _, share) =>
+      val expDocs = byStage.get(stage).map(_.length.toLong).getOrElse(0L)
+      val expToks = byStage.get(stage)
+        .map(_.map(p => toksPerDoc(p._1)).sum).getOrElse(0L)
+      assert(nDocs === expDocs, s"stage $stage docs")
+      assert(nToks === expToks, s"stage $stage tokens")
+      if (stage != "kept") remaining -= nDocs
+      assert(dRem === remaining, s"stage $stage remaining")
+      assert(share ===
+        math.floor(remaining.toDouble / totalDocs * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("epoch_plan: allocation, epochs and effective tokens match the " +
+      "mirrored formulas") {
+    import graft.operators.CorpusStats
+    val dirc = fixtureDir(docs = Seq(
+      doc(1, "a b c d e f g h", "s0"), doc(2, "i j k l", "s0"),
+      doc(3, "m n o p q r", "s1")))
+    // tokens: s0 = 12, s1 = 6, total 18
+    val w = CorpusStats.mixTemperature(spark, dirc).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val out = CorpusStats.epochPlan(spark, dirc).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    val budget = 18L * CorpusStats.EpochBudgetFactor
+    for ((src, u) <- Seq("s0" -> 12L, "s1" -> 6L)) {
+      val (nTok, tw, alloc, epochs, eff, util) = out(src)
+      assert(nTok === u)
+      assert(tw === w(src))
+      assert(alloc === math.floor(tw * budget.toDouble + 0.5).toLong)
+      assert(epochs ===
+        math.floor(alloc.toDouble / u * 1e4 + 0.5) / 1e4)
+      val r = CorpusStats.EpochRStar
+      assert(eff === math.floor(
+        u.toDouble * r * (1.0 - math.exp(-epochs / r)) + 0.5).toLong)
+      assert(util ===
+        math.floor(eff.toDouble / alloc * 1e4 + 0.5) / 1e4)
+      // repeats past ~R* epochs buy less than they cost
+      if (epochs > r) assert(util < 1.0)
+    }
+  }
+
   test("shuffle_assign: seeded md5 permutation, dense positions per shard") {
     val docs = (0 until 40).map(i => doc(i.toLong, s"text number $i"))
     val d = fixtureDir(docs = docs)
