@@ -392,6 +392,9 @@ object Curation {
     te.join(ds, "doc_id").join(sa, "doc_id")
       .select(col("doc_id"), col("split"), col("shard"), col("pos"),
         col("instruction"), col("input"), col("output"))
+      // checkpoint before the export sort: the range sampler otherwise
+      // re-runs the three-frame join (the curate_corpus rule)
+      .localCheckpoint()
       .orderBy(col("shard"), col("pos"))
   }
 
@@ -605,7 +608,11 @@ object Curation {
     * partitioning is set once and reused; the stage CASE is map-side.
     */
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
-    curateManifest(spark, dir).orderBy(col("doc_id"))
+    // localCheckpoint BEFORE the gated orderBy: a global sort RANGE
+    // SAMPLES its child first, so an un-materialized manifest ran the
+    // whole five-stage composite twice (measured 55.9 -> 12.0 s min at
+    // the 10x probe; the funnel, which never sorts, never paid this)
+    curateManifest(spark, dir).localCheckpoint().orderBy(col("doc_id"))
 
   /** Unsorted manifest twin — consumed by [[curationFunnel]], which
     * reshuffles into its stage rollup anyway (the ccnetBuckets rule).

@@ -634,6 +634,9 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("cluster"), col("score"),
         (col("rk") === 1).as("keep"))
+      // checkpoint before the gated sort: the range sampler otherwise
+      // re-runs the cluster join + scoring pass (the curate_corpus rule)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
