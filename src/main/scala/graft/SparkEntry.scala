@@ -45,6 +45,7 @@ object SparkEntry {
     "pca_project"       -> (Similarity.pcaProject _),
     "bq_topk"           -> (Similarity.bqTopk _),
     "bq_recall"         -> (Similarity.bqRecall _),
+    "matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "bq_rerank"         -> (Similarity.bqRerank _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "window_agg" -> (Sessions.windowAgg _),
     "asof_join"  -> (Sessions.asofJoin _),
     "scd2_build" -> (Sessions.scd2Build _),
+    "scd2_lookup" -> (Sessions.scd2Lookup _),
     "interval_join" -> (Sessions.intervalJoin _),
     "funnel" -> (Sessions.funnel _),
     "cohort_retention" -> (Sessions.cohortRetention _),
@@ -665,6 +667,7 @@ object SparkEntry {
     "window_agg" -> graft.oracle.DuckSql.windowAgg,
     "asof_join"  -> graft.oracle.DuckSql.asofJoin,
     "scd2_build" -> graft.oracle.DuckSql.scd2Build,
+    "scd2_lookup" -> graft.oracle.DuckSql.scd2Lookup,
     "interval_join" -> graft.oracle.DuckSql.intervalJoin,
     "funnel" -> graft.oracle.DuckSql.funnel,
     "cohort_retention" -> graft.oracle.DuckSql.cohortRetention,
@@ -830,6 +833,7 @@ object SparkEntry {
     "pca_project" -> graft.oracle.DuckSql.pcaProject,
     "bq_topk" -> graft.oracle.DuckSql.bqTopk,
     "bq_recall" -> graft.oracle.DuckSql.bqRecall,
+    "matryoshka_recall" -> graft.oracle.DuckSql.matryoshkaRecall,
     "bq_rerank" -> graft.oracle.DuckSql.bqRerank,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -190,6 +190,36 @@ object Sessions {
         expr("next_ts div 1000000000").as("valid_to_sec"))
   }
 
+  /** scd2_lookup: the POINT-IN-TIME dimension join — every click fact
+    * resolved against the [[scd2Build]] dimension version valid at the
+    * fact's second (valid_from ≤ t < valid_to, open tail NULL): the
+    * classic warehouse "as-of the fact" lookup that SCD2 tables exist
+    * to serve (Kimball type-2; facts before the user's first version
+    * have no dimension state and drop — the inner-join convention).
+    *
+    * Scale shape: a plain equi-join on user_id with the validity
+    * predicate as the refine — the per-key fan-out is the user's
+    * VERSION COUNT (bounded by business cadence, the standing SCD2
+    * assumption), never facts × facts; intervals partition time, so
+    * each fact matches at most one version and no dedup pass exists.
+    * A pathological hot entity routes through SkewJoin.saltedJoin
+    * unchanged.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(spark, dir)
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("fuid"),
+        expr("ts div 1000000000").as("sec"))
+    facts.join(dim,
+        col("fuid") === col("user_id") &&
+        col("sec") >= col("valid_from_sec") &&
+        (col("valid_to_sec").isNull || col("sec") < col("valid_to_sec")))
+      .select(col("event_id"), col("user_id"), col("sec"), col("version"),
+        col("dim_event"), col("dim_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** interval_join attribution window: a click is credited to a same-user
     * purchase at most this many seconds later. Single-sourced into the
     * oracle SQL via [[graft.oracle.DuckSql]].

@@ -1512,6 +1512,35 @@ object DuckSql {
       |  floor(epoch(next_ts))::BIGINT AS valid_to_sec
       |FROM v""".stripMargin
 
+  /** Mirror of Sessions.scd2Lookup: the scd2Build chain as the
+    * dimension, click facts joined on user + validity refine.
+    */
+  val scd2Lookup: String =
+    """WITH d0 AS (SELECT user_id, ts, event_id, value FROM events
+      |            WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, ts, event_id, value FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                     ORDER BY event_id DESC) AS rn
+      |        FROM d0) WHERE rn = 1),
+      |v AS (SELECT user_id, ts, event_id, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version,
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+      |      FROM d),
+      |dim AS (SELECT user_id, version::INT AS version,
+      |          event_id AS dim_event, round(value, 2) AS dim_value,
+      |          floor(epoch(ts))::BIGINT AS valid_from_sec,
+      |          floor(epoch(next_ts))::BIGINT AS valid_to_sec
+      |        FROM v),
+      |f AS (SELECT event_id, user_id AS fuid,
+      |        floor(epoch(ts))::BIGINT AS sec
+      |      FROM events WHERE event_type = 'click')
+      |SELECT f.event_id, dim.user_id, f.sec, dim.version, dim.dim_event,
+      |  dim.dim_value
+      |FROM f JOIN dim ON f.fuid = dim.user_id
+      |  AND f.sec >= dim.valid_from_sec
+      |  AND (dim.valid_to_sec IS NULL OR f.sec < dim.valid_to_sec)
+      |ORDER BY f.event_id""".stripMargin
+
   /** Mirror of Sessions.intervalJoin as the DIRECT inequality join (the
     * oracle-sized formulation; the engine side is bucket-explode +
     * refine, an equi-join on (user_id, bucket)).
@@ -6164,6 +6193,45 @@ object DuckSql {
        |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id
        |                    AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
+  /** Mirror of Similarity.matryoshkaRecall: three prefix-cosine brute
+    * rankings (list_slice), the full-dimension exact truth, per-d micro
+    * recall@3.
+    */
+  lazy val matryoshkaRecall: String = {
+    import graft.operators.Similarity.{BqK, MrlDims}
+    val ds = MrlDims.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |dd AS (SELECT unnest([$ds]) AS d),
+       |arm AS (SELECT d, q_id, neighbor_id FROM (
+       |    SELECT dd.d, q.q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY dd.d, q.q_id
+       |        ORDER BY list_cosine_similarity(
+       |            list_slice(e.embedding, 1, dd.d)::DOUBLE[],
+       |            list_slice(q.embedding, 1, dd.d)::DOUBLE[]) DESC,
+       |          e.vec_id) AS rnk
+       |    FROM embeddings e, q, dd WHERE e.vec_id <> q.q_id)
+       |  WHERE rnk <= $BqK),
+       |tr AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+       |                                        q.embedding::DOUBLE[]) DESC,
+       |          e.vec_id) AS rnk
+       |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE rnk <= $BqK),
+       |tm AS (SELECT dd.d, tr.q_id, tr.neighbor_id FROM tr, dd),
+       |mj AS (SELECT tm.d, tm.q_id, count(a.q_id)::BIGINT AS nm
+       |       FROM tm LEFT JOIN arm a ON a.d = tm.d AND a.q_id = tm.q_id
+       |         AND a.neighbor_id = tm.neighbor_id
+       |       GROUP BY 1, 2)
+       |SELECT d::INT AS d, count(*)::BIGINT AS n_queries,
+       |  sum(nm)::BIGINT AS n_matched,
+       |  floor(sum(nm)::DOUBLE / (count(*) * $BqK) * 10000 + 0.5) / 10000
+       |    AS recall
+       |FROM mj GROUP BY d ORDER BY d""".stripMargin
+  }
 
   /** Mirror of Analytics.theilSen: the discountElasticity grid, all
     * pairwise 6dp slopes, medians by cumulative position (even count →

@@ -548,6 +548,23 @@ class SessionsSpec extends SparkSpecBase {
       Seq(3, 1L, 0L, 1L, 0.4)))
   }
 
+  test("scd2_lookup: facts resolve to the version valid at their " +
+      "second; pre-history facts drop; boundaries are [from, to)") {
+    import graft.operators.Sessions
+    val dir = fixtureDir(evs = Seq(
+      ev(1, 10, 1, "purchase", 5.0),  // v1 valid [10, 30)
+      ev(2, 30, 1, "purchase", 7.0),  // v2 valid [30, null)
+      ev(3, 5, 1, "click"),           // before v1: drops
+      ev(4, 15, 1, "click"),          // inside v1
+      ev(5, 30, 1, "click"),          // exactly at v2's from -> v2
+      ev(6, 40, 1, "click"),          // open tail -> v2
+      ev(7, 99, 2, "click")))         // user with no dimension: drops
+    assert(rows(Sessions.scd2Lookup(spark, dir)) === Set(
+      Seq(4L, 1L, 15L, 1, 1L, 5.0),
+      Seq(5L, 1L, 30L, 2, 2L, 7.0),
+      Seq(6L, 1L, 40L, 2, 2L, 7.0)))
+  }
+
   test("nelson_aalen: hand cumulative hazard on the km fixture; " +
       "Fleming-Harrington survival upper-bounds the KM curve") {
     import graft.operators.Sessions

