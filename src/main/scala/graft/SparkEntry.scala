@@ -240,6 +240,7 @@ object SparkEntry {
     "dedup_recall" -> (Dedup.dedupRecall _),
     "containment_dup" -> (Dedup.containmentDup _),
     "fuzzy_match" -> (Dedup.fuzzyMatch _),
+    "fuzzy_clusters" -> (Dedup.fuzzyClusters _),
     "minhash_error" -> (Dedup.minhashError _),
     "k_core" -> (Graph.kCore _),
     "assortativity" -> (Graph.assortativity _),
@@ -849,6 +850,7 @@ object SparkEntry {
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
     "containment_dup" -> graft.oracle.DuckSql.containmentDup,
     "fuzzy_match" -> graft.oracle.DuckSql.fuzzyMatch,
+    "fuzzy_clusters" -> graft.oracle.DuckSql.fuzzyClusters,
     "minhash_error" -> graft.oracle.DuckSql.minhashError,
     "k_core" -> graft.oracle.DuckSql.kCore,
     "assortativity" -> graft.oracle.DuckSql.assortativity,

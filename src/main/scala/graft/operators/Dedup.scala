@@ -1091,4 +1091,37 @@ object Dedup {
         col("n_parts_a"), col("n_parts_b"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  /** fuzzy_clusters: [[fuzzyMatch]]'s pairs resolved into ENTITIES —
+    * the record-linkage analogue of dedup_clusters: near-identical
+    * catalog names are transitively merged (A≈B, B≈C ⇒ one entity) by
+    * the same pointer-jumping min-label loop ([[ccLabels]] is
+    * key-type-agnostic: least/min on strings), canonical = the
+    * lexicographically smallest member name; singletons label
+    * themselves. Each name carries its entity's name count and pooled
+    * entry count — the merge table a catalog cleanup applies.
+    *
+    * Scale shape: everything runs on the collapsed name VOCABULARY
+    * (the fuzzyMatch invariant), never the part fact table; the loop
+    * is O(log diameter) rounds of bounded equi-joins and the rollup is
+    * two windows over vocabulary-sized frames.
+    */
+  def fuzzyClusters(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val pairs = fuzzyMatch(spark, dir)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val labels = ccLabels(pairs)
+      .select(col("doc_id").as("nm"), col("lbl"))
+    val wc = Window.partitionBy(col("canonical"))
+    names
+      .join(labels, col("p_name") === col("nm"), "left")
+      .select(col("p_name"), col("n_parts"),
+        coalesce(col("lbl"), col("p_name")).as("canonical"))
+      .withColumn("n_names", count(lit(1)).over(wc))
+      .withColumn("n_parts_total", sum(col("n_parts")).over(wc))
+      .select(col("p_name"), col("canonical"), col("n_parts"),
+        col("n_names"), col("n_parts_total"))
+      .orderBy(col("p_name"))
+  }
 }

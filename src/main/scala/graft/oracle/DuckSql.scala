@@ -5522,6 +5522,37 @@ object DuckSql {
        |ORDER BY name_a, name_b""".stripMargin
   }
 
+  /** Mirror of Dedup.fuzzyClusters: the fuzzyMatch vocabulary + pair
+    * CTEs, recursive transitive closure over name pairs (the
+    * clusterLabelCtes posture on string keys), windowed entity rollup.
+    */
+  val fuzzyClusters: String = {
+    val d = graft.operators.Dedup.FuzzyMaxDist
+    s"""WITH RECURSIVE nm AS (SELECT p_name, count(*)::BIGINT AS n_parts
+       |           FROM part GROUP BY p_name),
+       |v AS (SELECT p_name, n_parts,
+       |        string_split(p_name, ' ')[-1] AS blk FROM nm),
+       |p AS (SELECT a.p_name AS id_a, b.p_name AS id_b
+       |      FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+       |      WHERE levenshtein(a.p_name, b.p_name) <= $d),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |lbl AS (SELECT u AS nm2, least(u, min(v)) AS canonical
+       |        FROM reach GROUP BY u),
+       |mp AS (SELECT nm.p_name, nm.n_parts,
+       |         coalesce(l.canonical, nm.p_name) AS canonical
+       |       FROM nm LEFT JOIN lbl l ON l.nm2 = nm.p_name)
+       |SELECT p_name, canonical, n_parts,
+       |  count(*) OVER (PARTITION BY canonical)::BIGINT AS n_names,
+       |  sum(n_parts) OVER (PARTITION BY canonical)::BIGINT
+       |    AS n_parts_total
+       |FROM mp ORDER BY p_name""".stripMargin
+  }
+
   /** Mirror of Sessions.dowAnomalies: the (type, day, dow) grid, exact
     * per-(type, dow) S1/S2 moments in the flagDaily operand order.
     */

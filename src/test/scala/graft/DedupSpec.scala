@@ -316,4 +316,24 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(graft.operators.Dedup.fuzzyMatch(spark, dir)) === Set(
       Seq("small ring", "smell ring", 1, 2L, 1L)))
   }
+
+  test("fuzzy_clusters: transitive chain merges into one entity with " +
+      "the lexicographic canonical; singletons label themselves") {
+    import spark.implicits._
+    // chain: 'small ring' ~1~ 'smell ring' ~2~ 'shelf ring'; the ends
+    // are 3 edits apart (> budget), so only TRANSITIVITY merges all
+    // three; 'red ring' shares the block but stays >2 edits from each
+    val parts = Seq(
+      (1L, "small ring"), (2L, "small ring"), (3L, "smell ring"),
+      (4L, "shelf ring"), (5L, "red ring"), (6L, "red bolt"))
+      .toDF("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fc").toString
+    parts.write.parquet(s"$dir/part.parquet")
+    assert(rows(graft.operators.Dedup.fuzzyClusters(spark, dir)) === Set(
+      Seq("small ring", "shelf ring", 2L, 3L, 4L),
+      Seq("smell ring", "shelf ring", 1L, 3L, 4L),
+      Seq("shelf ring", "shelf ring", 1L, 3L, 4L),
+      Seq("red ring", "red ring", 1L, 1L, 1L),
+      Seq("red bolt", "red bolt", 1L, 1L, 1L)))
+  }
 }
