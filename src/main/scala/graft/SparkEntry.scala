@@ -46,6 +46,7 @@ object SparkEntry {
     "bq_topk"           -> (Similarity.bqTopk _),
     "bq_recall"         -> (Similarity.bqRecall _),
     "matryoshka_recall" -> (Similarity.matryoshkaRecall _),
+    "mrl_rerank"        -> (Similarity.mrlRerank _),
     "bq_rerank"         -> (Similarity.bqRerank _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
@@ -835,6 +836,7 @@ object SparkEntry {
     "bq_topk" -> graft.oracle.DuckSql.bqTopk,
     "bq_recall" -> graft.oracle.DuckSql.bqRecall,
     "matryoshka_recall" -> graft.oracle.DuckSql.matryoshkaRecall,
+    "mrl_rerank" -> graft.oracle.DuckSql.mrlRerank,
     "bq_rerank" -> graft.oracle.DuckSql.bqRerank,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,

@@ -6668,6 +6668,56 @@ object DuckSql {
        |ORDER BY rerank_depth""".stripMargin
   }
 
+  /** Mirror of Similarity.mrlRerank: the bqRerank arm structure with
+    * the prefix-[[graft.operators.Similarity.MrlServeDim]] cosine pool
+    * in place of the Hamming pool.
+    */
+  lazy val mrlRerank: String = {
+    import graft.operators.Similarity
+    val maxR = Similarity.MrlPoolDepth
+    val sd = Similarity.MrlServeDim
+    val arms = Similarity.BqRerankDepths.map { r =>
+      s"""SELECT $r AS rerank_depth,
+         |  (count(*) / 3)::BIGINT AS n_queries,
+         |  floor(count(a.an)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+         |    AS recall
+         |FROM ex LEFT JOIN (
+         |  SELECT q_id AS aq, neighbor_id AS an FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY s DESC, neighbor_id) AS rk
+         |    FROM sc WHERE prank <= $r)
+         |  WHERE rk <= ${Similarity.BqK}) a
+         |  ON a.aq = ex.q_id AND a.an = ex.neighbor_id""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |h AS MATERIALIZED (SELECT q_id, neighbor_id, prank FROM (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(
+       |          list_slice(e.embedding, 1, $sd)::DOUBLE[],
+       |          list_slice(q.embedding, 1, $sd)::DOUBLE[]) DESC,
+       |        e.vec_id) AS prank
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE prank <= $maxR),
+       |sc AS MATERIALIZED (SELECT h.q_id, h.neighbor_id, h.prank,
+       |    list_cosine_similarity(ne.embedding::DOUBLE[],
+       |                           qe.embedding::DOUBLE[]) AS s
+       |  FROM h JOIN embeddings ne ON ne.vec_id = h.neighbor_id
+       |         JOIN embeddings qe ON qe.vec_id = h.q_id),
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY rerank_depth""".stripMargin
+  }
+
   /** Mirror of Sessions.mannWhitney: the ksDrift grid, ×2 average
     * rank-sums (ca·(2k+c+1)), exact tie moments, one fixed-order
     * tie-corrected z.

@@ -401,7 +401,11 @@ class AnalyticsSpec extends SparkSpecBase {
     })
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val n = 6L
-    val obs = Map(1 -> 3L, 2 -> 2L, 9 -> 1L)
+    // the full 1..9 grid: zero-observation digits keep their rows AND
+    // their chi-square terms (observed 0 vs expected n*p — dropping
+    // them understated the statistic exactly on non-Benford data)
+    val obs = (1 to 9).map(dd =>
+      dd -> Map(1 -> 3L, 2 -> 2L, 9 -> 1L).getOrElse(dd, 0L)).toMap
     val expSh = obs.keys.map(dd =>
       dd -> r6(math.log(1.0 + 1.0 / dd) / math.log(10.0))).toMap
     val t6 = obs.map { case (dd, o) =>

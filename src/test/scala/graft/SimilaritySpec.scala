@@ -760,4 +760,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(32) === 1.0)
     assert(got(8) === refRecall(8))
   }
+
+  test("mrl_rerank: the exact second stage recovers full recall from " +
+      "the prefix pool at every depth on a pool-covering fixture") {
+    // 4 corpus vectors <= every rerank depth: the prefix-8 pool holds
+    // ALL candidates, so the exact rerank must reproduce the brute
+    // top-3 at each operating point
+    val dir = fixtureDir(embs = Seq(
+      Emb(0, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(1, vec(1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0),
+      Emb(2, vec(1.0), 0),
+      Emb(3, vec(1.0), 0),
+      Emb(4, vec(0, 0.1, 0, 0, 0, 0, 0, 0, 0, 0, 1.0), 0)))
+    assert(rows(Similarity.mrlRerank(spark, dir)) === Set(
+      Seq[Any](10, 1L, 1.0), Seq[Any](50, 1L, 1.0),
+      Seq[Any](200, 1L, 1.0)))
+  }
 }
