@@ -458,4 +458,15 @@ class PlanSpec extends SparkSpecBase {
     val pm = planOf(graft.operators.Multimodal.mediaDedup(spark, dir))
     assert(!pm.contains("Join"), s"media_dedup must be join-free:\n$pm")
   }
+
+  test("scd2_lookup at scale: the validity refine rides an equi-join " +
+      "on the entity key, never a nested loop") {
+    withNoAutoBroadcast {
+      val p = planOf(graft.operators.Sessions.scd2Lookup(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"scd2 lookup must shuffle on the entity key at scale:\n$p")
+    }
+  }
 }
