@@ -124,6 +124,7 @@ object SparkEntry {
     "srm_check" -> (Sessions.srmCheck _),
     "ab_power" -> (Sessions.abPower _),
     "ewma_chart" -> (Sessions.ewmaChart _),
+    "forecast_baseline" -> (Sessions.forecastBaseline _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -694,6 +695,7 @@ object SparkEntry {
     "srm_check" -> graft.oracle.DuckSql.srmCheck,
     "ab_power" -> graft.oracle.DuckSql.abPower,
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
+    "forecast_baseline" -> graft.oracle.DuckSql.forecastBaseline,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,

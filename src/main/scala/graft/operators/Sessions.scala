@@ -190,6 +190,52 @@ object Sessions {
         expr("next_ts div 1000000000").as("valid_to_sec"))
   }
 
+  /** forecast_baseline: the SEASONAL-NAIVE backtest — predict each
+    * (event_type, day) volume by the same weekday one week earlier and
+    * score the prediction (MAE, MAPE, signed bias) per type: the
+    * no-model baseline every forecasting stack must beat before its
+    * numbers mean anything (the M-competition convention; a "model"
+    * that loses to t−7 persistence is negative value). Read beside
+    * ewma_chart/dow_anomalies: those flag surprise days, this prices
+    * how surprising a whole series is at one-week horizon.
+    *
+    * Pairs exist only where BOTH days have volume (a zero-event day
+    * has no grid row — persistence over gaps is a different contract
+    * and is stated, not silently interpolated).
+    *
+    * Scale shape: one (type, day) partial agg; the lag join is a
+    * self-equi-join on (type, day+7) over the bounded daily grid; the
+    * rollup is |types| rows. Parity: counts exact; per-day MAPE terms
+    * round to 6dp integer units and sum exactly; MAE/bias are exact
+    * integer sums with ONE final mirrored division each.
+    */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the lag self-join
+    val prev = daily.select(col("event_type").as("pt"),
+      (col("day") + 7).as("pd"), col("n").as("np"))
+    daily.join(prev, col("event_type") === col("pt") &&
+        col("day") === col("pd"))
+      .select(col("event_type"),
+        abs(col("n") - col("np")).as("ae"),
+        (col("n") - col("np")).as("e"),
+        floor(abs(col("n") - col("np")).cast("double") / col("n")
+          * 1000000 + lit(0.5)).cast("long").as("t6"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ae")).as("sae"),
+        sum(col("e")).as("se"), sum(col("t6")).as("st6"))
+      .select(col("event_type"), col("n_days"),
+        r4(col("sae").cast("double") / col("n_days")).as("mae"),
+        r4(col("st6").cast("double") / 1000000 / col("n_days"))
+          .as("mape"),
+        r4(col("se").cast("double") / col("n_days")).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   /** scd2_lookup: the POINT-IN-TIME dimension join — every click fact
     * resolved against the [[scd2Build]] dimension version valid at the
     * fact's second (valid_from ≤ t < valid_to, open tail NULL): the

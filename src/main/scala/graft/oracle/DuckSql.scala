@@ -1512,6 +1512,32 @@ object DuckSql {
       |  floor(epoch(next_ts))::BIGINT AS valid_to_sec
       |FROM v""".stripMargin
 
+  /** Mirror of Sessions.forecastBaseline: the daily grid, the t−7
+    * self-join, exact integer MAE/bias sums, 6dp-unit MAPE terms.
+    */
+  val forecastBaseline: String =
+    """WITH dg AS (SELECT event_type,
+      |    floor(epoch(ts))::BIGINT // 86400 AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (SELECT event_type AS pt, day + 7 AS pd, n AS np FROM dg),
+      |j AS (SELECT dg.event_type,
+      |    abs(dg.n - pr.np)::BIGINT AS ae,
+      |    (dg.n - pr.np)::BIGINT AS e,
+      |    floor(abs(dg.n - pr.np)::DOUBLE / dg.n * 1000000 + 0.5)::BIGINT
+      |      AS t6
+      |  FROM dg JOIN pr ON dg.event_type = pr.pt AND dg.day = pr.pd),
+      |g AS (SELECT event_type, count(*)::BIGINT AS n_days,
+      |        sum(ae)::BIGINT AS sae, sum(e)::BIGINT AS se,
+      |        sum(t6)::BIGINT AS st6
+      |      FROM j GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  floor(sae::DOUBLE / n_days * 10000 + 0.5) / 10000 AS mae,
+      |  floor(st6::DOUBLE / 1000000 / n_days * 10000 + 0.5) / 10000
+      |    AS mape,
+      |  floor(se::DOUBLE / n_days * 10000 + 0.5) / 10000 AS bias
+      |FROM g ORDER BY event_type""".stripMargin
+
   /** Mirror of Sessions.scd2Lookup: the scd2Build chain as the
     * dimension, click facts joined on user + validity refine.
     */

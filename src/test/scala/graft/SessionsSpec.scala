@@ -548,6 +548,24 @@ class SessionsSpec extends SparkSpecBase {
       Seq(3, 1L, 0L, 1L, 0.4)))
   }
 
+  test("forecast_baseline: t-7 persistence errors by hand; unpaired " +
+      "days and gap days stay out") {
+    import graft.operators.Sessions
+    val day = 86400L
+    def clicks(d: Long, k: Int, base: Long): Seq[Ev] =
+      (1 to k).map(i => ev(base + i, d * day + i, 1, "click"))
+    val dir = fixtureDir(evs =
+      clicks(0, 4, 100) ++ clicks(1, 2, 200) ++  // week-1 anchors
+        clicks(7, 6, 300) ++ clicks(8, 2, 400) ++ // paired: |6-4|, |2-2|
+        clicks(9, 5, 500) ++                      // day 2 missing: no pair
+        Seq(ev(900, 3 * day, 7, "view")))         // lone type: no pair
+    // pairs: (d7: n=6, np=4 -> ae 2, t6 = floor(2/6*1e6+.5)=333333),
+    //        (d8: n=2, np=2 -> ae 0)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(Sessions.forecastBaseline(spark, dir)) === Set(
+      Seq("click", 2L, r4(2.0 / 2), r4(333333.0 / 1e6 / 2), r4(2.0 / 2))))
+  }
+
   test("scd2_lookup: facts resolve to the version valid at their " +
       "second; pre-history facts drop; boundaries are [from, to)") {
     import graft.operators.Sessions
