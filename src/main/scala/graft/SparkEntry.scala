@@ -194,6 +194,8 @@ object SparkEntry {
     "silhouette" -> (Similarity.silhouette _),
     "bitext_mine" -> (Similarity.bitextMine _),
     "clf_calibration" -> (Curation.clfCalibration _),
+    "brier_score" -> (Curation.brierScore _),
+    "pr_curve" -> (Curation.prCurve _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
     "l_diversity" -> (Tenancy.lDiversity _),
     "t_closeness" -> (Tenancy.tCloseness _),
@@ -757,6 +759,8 @@ object SparkEntry {
     "silhouette" -> graft.oracle.DuckSql.silhouette,
     "bitext_mine" -> graft.oracle.DuckSql.bitextMine,
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
+    "brier_score" -> graft.oracle.DuckSql.brierScore,
+    "pr_curve" -> graft.oracle.DuckSql.prCurve,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "l_diversity" -> graft.oracle.DuckSql.lDiversity,
     "t_closeness" -> graft.oracle.DuckSql.tCloseness,

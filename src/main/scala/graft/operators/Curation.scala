@@ -439,6 +439,95 @@ object Curation {
       .orderBy(col("gate"))
   }
 
+  /** The held-out labeled score frame shared by [[brierScore]] and
+    * [[prCurve]]: every non-train doc with a decisive frozen-LM label
+    * (the gate_eval convention — middle tercile excluded), carrying
+    * the trained gate's score in EXACT 1e-6 units (the persisted
+    * clf-score round-trips: su = floor(score·1e6 + 0.5)).
+    */
+  private def heldScored(spark: SparkSession, dir: String): DataFrame = {
+    val held = dataSplit(spark, dir)
+      .filter(col("split") =!= "train").select(col("doc_id"))
+    val lbl = CorpusStats.ccnetBuckets(spark, dir)
+      .filter(col("bucket") =!= "middle")
+      .select(col("doc_id").as("ld"), (col("bucket") === "head").as("pos"))
+    classifierApply(spark, dir)
+      .select(col("doc_id"),
+        floor(col("score") * 1000000 + lit(0.5)).cast("long").as("su"))
+      .join(held, Seq("doc_id"), "left_semi")
+      .join(lbl, col("doc_id") === col("ld"))
+      .select(col("doc_id"), col("su"), col("pos"))
+  }
+
+  /** brier_score: the PROBABILISTIC grade of the trained quality gate —
+    * mean (score − label)² on the held-out decisive-label set (Brier
+    * 1950). gate_eval grades thresholded DECISIONS, clf_calibration
+    * grades bin-wise honesty; the Brier score is the single proper
+    * scoring rule that punishes both miscalibration and indecision at
+    * once (its calibration/refinement decomposition is exactly those
+    * two tables). EXACT: scores are 1e-6-unit integers, so each term
+    * (su − y·10⁶)² ≤ 10¹² is an exact integer and the mean is one
+    * mirrored division — no floating accumulation anywhere.
+    *
+    * Scale shape: three persisted-artifact probes equi-joined on
+    * doc_id, one 1-row agg.
+    */
+  def brierScore(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    heldScored(spark, dir)
+      .select(col("su"),
+        when(col("pos"), 1000000L).otherwise(0L).as("yu"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(d((col("su") - col("yu")) * (col("su") - col("yu"))))
+          .as("sq"))
+      .select(col("n_docs"),
+        r6(col("sq").cast("double") / 1000000000000L / col("n_docs"))
+          .as("brier"))
+  }
+
+  /** pr_curve threshold grid in 1e-6 score units (0.1 .. 0.9). */
+  val PrThresholds: Seq[Int] = (1 to 9).map(_ * 100000)
+
+  /** pr_curve: precision/recall/F1 of the trained gate swept over the
+    * score threshold — the operating-curve table behind gate_eval's
+    * single 0.5-cut row: serving picks its own cut per product
+    * (high-precision for auto-drop, high-recall for triage), and this
+    * is the table it reads the trade-off from. Thresholds compare in
+    * exact 1e-6 units (su ≥ t·10⁵ — never a double compare); the
+    * counts grid is |thresholds| × 4 integers; null metrics on an
+    * empty denominator (the gate_eval convention).
+    *
+    * Scale shape: the [[heldScored]] probe frame crossed with the
+    * 9-row broadcast grid, one partial agg per threshold.
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val grid = broadcast(spark.range(1)
+      .select(explode(array(PrThresholds.map(lit): _*)).as("tu")))
+    heldScored(spark, dir)
+      .crossJoin(grid)
+      .withColumn("pred", col("su") >= col("tu"))
+      .groupBy(col("tu"))
+      .agg(
+        sum(when(col("pred") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("pos"), 1L).otherwise(0L)).as("fn"))
+      .select((col("tu").cast("double") / 1000000).as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          r4(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("prec"),
+        when(col("tp") + col("fn") > 0,
+          r4(col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("rec"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          r4(lit(2.0) * col("tp").cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn"))))
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
+
   /** data_split parameters: the held-out fractions and the hash seed
     * (independent of [[SampleSeed]] so sampling and splitting are
     * uncorrelated decisions). Test = the remainder above

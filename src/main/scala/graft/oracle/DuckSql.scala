@@ -4119,6 +4119,74 @@ object DuckSql {
        |FROM cx ORDER BY gate""".stripMargin
   }
 
+  /** Shared held-out labeled score chain of brierScore/prCurve —
+    * ends with `hs(doc_id, su, pos)`: the trained gate's 1e-6-unit
+    * score for every non-train decisive-label doc (the gateEval
+    * frames, with the raw score kept instead of the 0.5 cut).
+    */
+  private lazy val heldScoredCtes: String = {
+    import graft.operators.Curation.{ClfRounds, SplitSeed, SplitTrain}
+    val z = (0 to 4).map(i => s"w.wu$i * f.xu$i").mkString(" + ")
+    s"""$qualityKeepCtes,
+       |${perplexityScoreCtes("px")},
+       |$ccnetThresholdCtes,
+       |$clfFeatureCtes,
+       |$clfTrainCtes,
+       |lbl AS (SELECT px.doc_id,
+       |          CASE WHEN px.ppl <= th.t1 THEN 1 ELSE 0 END AS pos
+       |        FROM px JOIN th ON th.lang = px.lang
+       |        WHERE px.ppl <= th.t1 OR px.ppl > th.t2),
+       |ho AS (SELECT doc_id FROM documents
+       |       WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':${sq(SplitSeed)}'), 1, 8))::BIGINT
+       |             / 4294967296.0 >= $SplitTrain),
+       |fu AS (SELECT doc_id, ${clfUnitCols("cfs")} FROM cfs),
+       |sc2 AS (SELECT f.doc_id,
+       |  floor(1000000.0 / (1.0 + exp(-(($z)::DOUBLE / 1000000000000))) + 0.5)::BIGINT
+       |    AS su
+       |  FROM fu f, w$ClfRounds w),
+       |hs AS (SELECT s.doc_id, s.su, l.pos FROM sc2 s
+       |       JOIN ho ON ho.doc_id = s.doc_id
+       |       JOIN lbl l ON l.doc_id = s.doc_id)""".stripMargin
+  }
+
+  /** Mirror of Curation.brierScore: exact 1e-12-unit squared-error
+    * sum over the held labeled scores, one mirrored division chain.
+    */
+  lazy val brierScore: String =
+    s"""WITH $heldScoredCtes
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  floor(sum(((su - pos * 1000000) * (su - pos * 1000000))
+       |            ::DECIMAL(38,0))::DOUBLE
+       |        / 1000000000000 / count(*) * 1000000 + 0.5) / 1000000
+       |    AS brier
+       |FROM hs""".stripMargin
+
+  /** Mirror of Curation.prCurve: integer-unit threshold grid over the
+    * held labeled scores, nullif-guarded 4dp metrics (the gateEval
+    * convention).
+    */
+  lazy val prCurve: String = {
+    val ts = graft.operators.Curation.PrThresholds.mkString(", ")
+    s"""WITH $heldScoredCtes,
+       |gr AS (SELECT unnest([$ts]) AS tu),
+       |cx AS (SELECT gr.tu,
+       |    sum(CASE WHEN hs.su >= gr.tu AND hs.pos = 1
+       |        THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN hs.su >= gr.tu AND hs.pos = 0
+       |        THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN hs.su < gr.tu AND hs.pos = 1
+       |        THEN 1 ELSE 0 END)::BIGINT AS fn
+       |  FROM hs, gr GROUP BY gr.tu)
+       |SELECT tu::DOUBLE / 1000000 AS threshold, tp, fp, fn,
+       |  floor(tp::DOUBLE / nullif(tp + fp, 0) * 10000 + 0.5) / 10000
+       |    AS prec,
+       |  floor(tp::DOUBLE / nullif(tp + fn, 0) * 10000 + 0.5) / 10000
+       |    AS rec,
+       |  floor(2.0 * tp::DOUBLE / nullif(2 * tp + fp + fn, 0) * 10000
+       |        + 0.5) / 10000 AS f1
+       |FROM cx ORDER BY threshold""".stripMargin
+  }
+
   /** Mirror of Curation.dataSplit: the same first-8-md5-hex/2^32
     * uniform, thresholds interpolated from the SAME Scala doubles
     * (incl. the computed train+valid sum — literal 0.95 would be a

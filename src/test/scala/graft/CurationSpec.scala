@@ -565,6 +565,48 @@ class CurationSpec extends SparkSpecBase {
     assert(got === exp)
   }
 
+  test("brier_score and pr_curve recomputed driver-side from apply + " +
+      "examples + split") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val ho = Curation.dataSplit(spark, d)
+      .filter(col("split") =!= "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lbl = Curation.classifierExamples(spark, d)
+      .select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val su = Curation.classifierApply(spark, d)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong))
+      .filter(p => ho(p._1) && lbl.contains(p._1))
+    assert(su.nonEmpty)
+    // Brier: exact 1e-12-unit squared errors, one division chain
+    val sq = su.map { case (id, s) =>
+      val e = s - lbl(id).toLong * 1000000L; e * e
+    }.sum
+    val expBrier =
+      math.floor(sq.toDouble / 1e12 / su.length * 1e6 + 0.5) / 1e6
+    val b = Curation.brierScore(spark, d).collect().head
+    assert(b.getLong(0) === su.length.toLong)
+    assert(b.getDouble(1) === expBrier)
+    // PR curve: exact integer threshold compare per grid row
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val got = Curation.prCurve(spark, d).collect().map(r =>
+      r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got.size === Curation.PrThresholds.size)
+    for (tu <- Curation.PrThresholds) {
+      val tp = su.count(p => p._2 >= tu && lbl(p._1) == 1).toLong
+      val fp = su.count(p => p._2 >= tu && lbl(p._1) == 0).toLong
+      val fn = su.count(p => p._2 < tu && lbl(p._1) == 1).toLong
+      val prec = if (tp + fp > 0) Some(r4(tp.toDouble / (tp + fp))) else None
+      val rec = if (tp + fn > 0) Some(r4(tp.toDouble / (tp + fn))) else None
+      val f1 = if (2 * tp + fp + fn > 0)
+        Some(r4(2.0 * tp / (2 * tp + fp + fn))) else None
+      assert(got(tu / 1e6) === ((tp, fp, fn, prec, rec, f1)), s"t=$tu")
+    }
+  }
+
   test("bottomk_sample / sample_audit: below-k corpus keeps every doc, " +
       "the empty-rest audit is NULL") {
     import graft.operators.Curation
