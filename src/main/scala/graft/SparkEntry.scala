@@ -196,6 +196,7 @@ object SparkEntry {
     "clf_calibration" -> (Curation.clfCalibration _),
     "brier_score" -> (Curation.brierScore _),
     "pr_curve" -> (Curation.prCurve _),
+    "clf_ks" -> (Curation.clfKs _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
     "l_diversity" -> (Tenancy.lDiversity _),
     "t_closeness" -> (Tenancy.tCloseness _),
@@ -761,6 +762,7 @@ object SparkEntry {
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "brier_score" -> graft.oracle.DuckSql.brierScore,
     "pr_curve" -> graft.oracle.DuckSql.prCurve,
+    "clf_ks" -> graft.oracle.DuckSql.clfKs,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "l_diversity" -> graft.oracle.DuckSql.lDiversity,
     "t_closeness" -> graft.oracle.DuckSql.tCloseness,

@@ -486,6 +486,46 @@ object Curation {
           .as("brier"))
   }
 
+  /** clf_ks: the Kolmogorov–Smirnov DISCRIMINATION statistic of the
+    * trained gate — max |F_pos(s) − F_neg(s)| over the held-out score
+    * distributions (the credit-scoring KS; the threshold-free
+    * separation twin of [[prCurve]]'s swept operating points, read
+    * beside signal_auc's rank-sum AUC). Reports the statistic AND the
+    * score where the gap peaks — the natural operating cut.
+    *
+    * EXACT: the gap maximizes |Cp·Nn − Cn·Np| over the score VALUE
+    * grid (integer cross-products, DECIMAL(38,0) at the design point —
+    * never a float CDF compare); ties resolve to the smallest score.
+    * One double division at the end. Scale shape: a (score-unit)
+    * partial agg, bounded cumulative windows over the ≤10⁶-value grid
+    * (scores are 1e-6 units — the ks_drift value-grid posture), 1-row
+    * output.
+    */
+  def clfKs(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = heldScored(spark, dir)
+      .groupBy(col("su"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val wCum = Window.orderBy(col("su"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.orderBy(col("gap").desc, col("su"))
+    g.withColumn("ccp", sum(col("cp")).over(wCum))
+      .withColumn("ccn", sum(col("cn")).over(wCum))
+      .crossJoin(broadcast(g.agg(sum(col("cp")).as("np"),
+        sum(col("cn")).as("nn")).localCheckpoint()))
+      .select(col("su"), col("np"), col("nn"),
+        abs(d(col("ccp")) * d(col("nn")) - d(col("ccn")) * d(col("np")))
+          .as("gap"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select((col("su").cast("double") / 1000000).as("threshold"),
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        r6(col("gap").cast("double") /
+          (col("np").cast("double") * col("nn"))).as("ks"))
+  }
+
   /** pr_curve threshold grid in 1e-6 score units (0.1 .. 0.9). */
   val PrThresholds: Seq[Int] = (1 to 9).map(_ * 100000)
 

@@ -4161,6 +4161,31 @@ object DuckSql {
        |    AS brier
        |FROM hs""".stripMargin
 
+  /** Mirror of Curation.clfKs: score-unit value grid, cumulative
+    * counts, exact DECIMAL cross-product gap, smallest-score tie pick.
+    */
+  lazy val clfKs: String =
+    s"""WITH $heldScoredCtes,
+       |kg AS (SELECT su,
+       |    sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+       |    sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END)::BIGINT AS cn
+       |  FROM hs GROUP BY su),
+       |kt AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn
+       |       FROM kg),
+       |kc AS (SELECT su,
+       |    sum(cp) OVER wo AS ccp, sum(cn) OVER wo AS ccn
+       |  FROM kg WINDOW wo AS (ORDER BY su ROWS UNBOUNDED PRECEDING)),
+       |kd AS (SELECT kc.su, kt.np, kt.nn,
+       |    abs(kc.ccp::DECIMAL(38,0) * kt.nn::DECIMAL(38,0)
+       |        - kc.ccn::DECIMAL(38,0) * kt.np::DECIMAL(38,0)) AS gap
+       |  FROM kc, kt)
+       |SELECT su::DOUBLE / 1000000 AS threshold, np AS n_pos,
+       |  nn AS n_neg,
+       |  floor(gap::DOUBLE / (np::DOUBLE * nn) * 1000000 + 0.5) / 1000000
+       |    AS ks
+       |FROM (SELECT *, row_number() OVER (ORDER BY gap DESC, su) AS rk
+       |      FROM kd) WHERE rk = 1""".stripMargin
+
   /** Mirror of Curation.prCurve: integer-unit threshold grid over the
     * held labeled scores, nullif-guarded 4dp metrics (the gateEval
     * convention).
