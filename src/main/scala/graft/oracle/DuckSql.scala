@@ -1922,9 +1922,10 @@ object DuckSql {
       |        sum(CASE WHEN sp.l = mx.maxwk THEN 1 ELSE 0 END)::BIGINT
       |          AS c
       |      FROM sp, mx GROUP BY 1),
-      |w1 AS (SELECT g.*, nn.n_users - coalesce(
+      |w1 AS (SELECT g.*, (nn.n_users - coalesce(
       |          sum(leave) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-      |                           PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |                           PRECEDING AND 1 PRECEDING), 0))::BIGINT
+      |          AS n_risk
       |       FROM g, nn),
       |w2 AS (SELECT *,
       |        CASE WHEN d < n_risk
@@ -1958,9 +1959,10 @@ object DuckSql {
       |        sum(CASE WHEN sp.l = mx.maxwk THEN 1 ELSE 0 END)::BIGINT
       |          AS c
       |      FROM sp, mx GROUP BY 1),
-      |w1 AS (SELECT g.*, nn.n_users - coalesce(
+      |w1 AS (SELECT g.*, (nn.n_users - coalesce(
       |          sum(leave) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-      |                           PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |                           PRECEDING AND 1 PRECEDING), 0))::BIGINT
+      |          AS n_risk
       |       FROM g, nn),
       |w2 AS (SELECT *,
       |        floor(d::DOUBLE / n_risk * 1000000 + 0.5)::BIGINT AS hu

@@ -43,18 +43,51 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(outdir, sfdir):
-    # The oracle's CASE/COALESCE type resolution is engine-version
-    # sensitive (bare DECIMAL literals); record the replica version so a
-    # hash mismatch is diagnosable from the artifact. Pinned: 1.0.0.
-    print(f"== duckdb {duckdb.__version__} ==")
+# Output-column types every oracle mirror may produce. HUGEINT (DuckDB's
+# untyped window-sum / 128-bit product result) and DECIMAL serialize
+# differently across DuckDB versions at the driver's hash boundary — the
+# km_retention/nelson_aalen r10-r11 red rows were the only two HUGEINT
+# outputs in 264 mirrors. Cast window sums ::BIGINT and decimals ::DOUBLE.
+TYPE_WHITELIST = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+def lint_types(con, oracle):
+    """DESCRIBE every mirror; fail on any non-whitelisted output type."""
+    bad = 0
+    for name in sorted(oracle):
+        try:
+            desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+        except Exception as e:
+            print(f"LINT FAIL {name}: describe error: {str(e)[:150]}")
+            bad += 1
+            continue
+        offenders = [(c, t) for c, t, *_ in desc if t not in TYPE_WHITELIST]
+        if offenders:
+            print(f"LINT FAIL {name}: non-portable output types {offenders}")
+            bad += 1
+    print(f"== type lint: {len(oracle) - bad} ok, {bad} fail ==")
+    return bad
+
+
+def make_con(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(outdir, sfdir):
+    # The oracle's CASE/COALESCE type resolution is engine-version
+    # sensitive (bare DECIMAL literals); record the replica version so a
+    # hash mismatch is diagnosable from the artifact. Pinned: 1.0.0.
+    print(f"== duckdb {duckdb.__version__} ==")
+    con = make_con(sfdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
+    fail += lint_types(con, oracle)
     for name in sorted(oracle):
         d = os.path.join(outdir, name)
         files = sorted(glob.glob(f"{d}/*.parquet"))
@@ -96,4 +129,9 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--lint":
+        # Standalone: python3 tools/oracle_check.py --lint <oracle_sql.json> <sf_dir>
+        print(f"== duckdb {duckdb.__version__} ==")
+        sys.exit(1 if lint_types(make_con(sys.argv[3]),
+                                 json.load(open(sys.argv[2]))) else 0)
     sys.exit(main(sys.argv[1], sys.argv[2]))
