@@ -148,6 +148,8 @@ object SparkEntry {
     "semdedup_recall" -> (Similarity.semdedupRecall _),
     "hubness" -> (Similarity.hubness _),
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
+    "ivf_rebalance" -> (Similarity.ivfRebalance _),
+    "rebalance_recall" -> (Similarity.rebalanceRecall _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
@@ -723,6 +725,8 @@ object SparkEntry {
     "semdedup_recall" -> graft.oracle.DuckSql.semdedupRecall,
     "hubness" -> graft.oracle.DuckSql.hubness,
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
+    "ivf_rebalance" -> graft.oracle.DuckSql.ivfRebalance,
+    "rebalance_recall" -> graft.oracle.DuckSql.rebalanceRecall,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,

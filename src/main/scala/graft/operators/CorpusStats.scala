@@ -42,6 +42,43 @@ object CorpusStats {
 
   private def rnd6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
 
+  /** The persisted per-document stats artifact (doc-stats-v1): doc_id,
+    * lang, source, n_chars, the three token budgets (normalized /
+    * whitespace / BPE-ish regex), text length, and the 4dp quality
+    * composite — ONE corpus scan + tokenize, written range-sorted by
+    * doc_id, consumed by every audit that previously re-tokenized the
+    * corpus for counts it could have read (curation_funnel, corpus_card,
+    * source_card, domain_mix, epoch_plan, length_hist,
+    * tokenizer_fertility, quality_thresholds, hist_quantiles, …). The
+    * lm-nll-v1 playbook applied to the cheap signals: all columns are
+    * deterministic per text, so values are bit-identical to inline
+    * computation (doubles round-trip parquet exactly). At 100 TB this
+    * replaces ~10 full tokenize passes per sweep with one build.
+    */
+  private[graft] def docStatsPath(dir: String): String =
+    IndexStore.path("doc-stats-v1", dir)
+
+  private[graft] def docStats(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = docStatsPath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        Tables.cpuPartition(
+          Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars"), col("text")),
+          col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            size(Dedup.normToks(col("text"))).cast("long").as("toks_norm"),
+            size(TextAnalysis.toks(col("text"))).cast("long").as("toks_ws"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+              .cast("long").as("toks_re"),
+            length(col("text")).cast("long").as("text_len"),
+            TextAnalysis.qualityScoreCol.as("quality")),
+        path, Seq("doc_id")))
+    spark.read.parquet(path)
+  }
+
   /** ngram_stats: the corpus's top-[[NgramTopK]] word bigrams with
     * occurrence and document counts.
     *
@@ -165,11 +202,8 @@ object CorpusStats {
     * the scan.
     */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("lang"), col("text")),
-      col("lang"))
-      .select(col("lang"),
-        size(Dedup.normToks(col("text"))).cast("long").as("toks"))
+    val per = docStats(spark, dir)
+      .select(col("lang"), col("toks_norm").as("toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
     val total = per.agg(sum(col("tokens")).as("total_tokens"))
@@ -291,11 +325,8 @@ object CorpusStats {
     */
   def epochPlan(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val perSrc = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("source"), col("text")),
-      col("source"))
-      .select(col("source"),
-        size(TextAnalysis.toks(col("text"))).cast("long").as("t"))
+    val perSrc = docStats(spark, dir)
+      .select(col("source"), col("toks_ws").as("t"))
       .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
     val wts = mixTemperature(spark, dir)
       .select(col("source").as("wsrc"), col("t_weight"))
@@ -405,12 +436,8 @@ object CorpusStats {
     * approx_percentile, traded here for the exact oracle gate).
     */
   def qualityThresholds(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScoreCol.as("score"))
+    val scored = docStats(spark, dir)
+      .select(col("doc_id"), col("lang"), col("quality").as("score"))
     val wOrd = Window.partitionBy(col("lang"))
       .orderBy(col("score"), col("doc_id"))
     val wAll = Window.partitionBy(col("lang"))
@@ -444,11 +471,8 @@ object CorpusStats {
     * p25/p50/p75/p90/p99.
     */
   def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")),
-      col("doc_id"))
-      .select(col("lang"), TextAnalysis.qualityScoreCol.as("score"))
+    val scored = docStats(spark, dir)
+      .select(col("lang"), col("quality").as("score"))
     val binned = scored.groupBy(col("lang"), col("score"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
@@ -629,12 +653,8 @@ object CorpusStats {
     * num/sqrt(dx·dy) at the end, operation order mirrored verbatim.
     */
   def signalCorr(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScoreCol.as("score"))
+    val q = docStats(spark, dir)
+      .select(col("doc_id"), col("lang"), col("quality").as("score"))
     val p = perplexityScore(spark, dir)
       .select(col("doc_id").as("pdid"), col("avg_nll"))
     val j = q.join(p, col("doc_id") === col("pdid"))
@@ -949,14 +969,10 @@ object CorpusStats {
     */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          col("text")),
-      col("doc_id"))
+    docStats(spark, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(Dedup.normToks(col("text"))).cast("long").as("toks"),
-        TextAnalysis.qualityScoreCol.cast("decimal(18,4)").as("q"))
+        col("toks_norm").as("toks"),
+        col("quality").cast("decimal(18,4)").as("q"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
         sum(col("n_chars")).as("total_chars"),
@@ -982,14 +998,10 @@ object CorpusStats {
     */
   def sourceCard(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          col("text")),
-      col("doc_id"))
+    docStats(spark, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(Dedup.normToks(col("text"))).cast("long").as("toks"),
-        TextAnalysis.qualityScoreCol.cast("decimal(18,4)").as("q"))
+        col("toks_norm").as("toks"),
+        col("quality").cast("decimal(18,4)").as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
@@ -1021,16 +1033,9 @@ object CorpusStats {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     def ratio(num: Column, den: Column) =
       when(den > 0, r4(num.cast("double") / den)).otherwise(0.0)
-    Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
-        col("text")),
-      col("doc_id"))
-      .select(col("lang"),
-        size(TextAnalysis.toks(col("text"))).cast("long").as("ws"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-          .cast("long").as("re"),
-        length(col("text")).cast("long").as("ch"))
+    docStats(spark, dir)
+      .select(col("lang"), col("toks_ws").as("ws"),
+        col("toks_re").as("re"), col("text_len").as("ch"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("ws_tokens"),
@@ -1058,12 +1063,8 @@ object CorpusStats {
     */
   def lengthHist(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val g = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
-        col("text")),
-      col("doc_id"))
-      .select(col("lang"),
-        size(Dedup.normToks(col("text"))).cast("long").as("toks"))
+    val g = docStats(spark, dir)
+      .select(col("lang"), col("toks_norm").as("toks"))
       .select(col("lang"), col("toks"),
         when(col("toks") === 0, lit(0L))
           .otherwise(expr(
@@ -1099,12 +1100,9 @@ object CorpusStats {
     * always finite.
     */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val sb = Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")),
-      col("doc_id"))
+    val sb = docStats(spark, dir)
       .select(col("source"),
-        least(floor(TextAnalysis.qualityScoreCol * 10), lit(9))
+        least(floor(col("quality") * 10), lit(9))
           .cast("int").as("bin"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("c"))

@@ -219,12 +219,12 @@ object Curation {
     * running sum.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val toks = size(Dedup.normToks(col("text"))).cast("long")
     val shard = pmod(col("doc_id"), lit(PackShards)).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), shard.as("shard"), toks.as("n_tokens"))
+    CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), shard.as("shard"),
+        col("toks_norm").as("n_tokens"))
       .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("offset") / lit(PackBudget)).cast("long"))
   }
@@ -687,7 +687,6 @@ object Curation {
     * provably agrees with the per-stage audits.
     */
   def exportManifest(spark: SparkSession, dir: String): DataFrame = {
-    val toks = size(Dedup.normToks(col("text"))).cast("long")
     val copies = CorpusStats.applyMix(spark, dir)
       .filter(col("n_copies") >= 1)
       .select(col("doc_id"),
@@ -700,8 +699,9 @@ object Curation {
       .orderBy(col("hkey"), col("doc_id"), col("copy_idx"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     copies
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), toks.as("n_tokens")), Seq("doc_id"))
+      .join(CorpusStats.docStats(spark, dir)
+        .select(col("doc_id"), col("toks_norm").as("n_tokens")),
+        Seq("doc_id"))
       .select(col("doc_id"), col("ci").cast("int").as("copy_idx"),
         col("n_tokens"), hkey.as("hkey"))
       .withColumn("shard",
@@ -737,16 +737,41 @@ object Curation {
     * partitioning is set once and reused; the stage CASE is map-side.
     */
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
-    // localCheckpoint BEFORE the gated orderBy: a global sort RANGE
-    // SAMPLES its child first, so an un-materialized manifest ran the
-    // whole five-stage composite twice (measured 55.9 -> 12.0 s min at
-    // the 10x probe; the funnel, which never sorts, never paid this)
-    curateManifest(spark, dir).localCheckpoint().orderBy(col("doc_id"))
+    // the artifact is written range-sorted by doc_id, so this gated
+    // tail sort reads back near-sorted runs (no composite re-execution:
+    // the RANGE-SAMPLE trap that cost 55.9 s pre-materialization
+    // samples a parquet scan now, not a five-stage plan)
+    curateManifest(spark, dir).orderBy(col("doc_id"))
 
-  /** Unsorted manifest twin — consumed by [[curationFunnel]], which
-    * reshuffles into its stage rollup anyway (the ccnetBuckets rule).
+  /** The persisted five-stage curation manifest (doc_id → first failing
+    * stage, n_copies) — the most expensive composite in the repo, built
+    * ONCE behind IndexStore and consumed by [[curateCorpus]] AND
+    * [[curationFunnel]] (each previously re-ran all five stages:
+    * ~3.8-3.9 s each idle at sf0.1, 12.0 + 17.1 s at 10×; at 100 TB
+    * that is two full curation passes per sweep for one deterministic
+    * table). Key folds the stage tunables (quality-gate thresholds,
+    * mix temperature) per the artifact-key rule; the near-dup stage
+    * reads the pair artifact, which folds its own LSH tunables.
     */
+  private[graft] def curateManifestPath(dir: String): String =
+    IndexStore.path(
+      s"curate-manifest-w${QfMinWords}g${(QfMaxDup2gram * 100).round}" +
+        s"s${(QfMinStopRatio * 100).round}" +
+        s"mt${(CorpusStats.MixTemperature * 10).round}-v1", dir)
+
   private def curateManifest(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = curateManifestPath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        curateManifestPlan(spark, dir), path, Seq("doc_id")))
+    spark.read.parquet(path)
+  }
+
+  /** The five-stage manifest PLAN — executed only inside the artifact
+    * build above.
+    */
+  private def curateManifestPlan(spark: SparkSession, dir: String)
       : DataFrame = {
     val qf = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
     val dx = Dedup.dedupExact(spark, dir)
@@ -796,11 +821,8 @@ object Curation {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val tok = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"),
-        size(TextAnalysis.toks(col("text"))).cast("long").as("t"))
+    val tok = CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), col("toks_ws").as("t"))
     val ag = curateManifest(spark, dir)
       .join(tok, Seq("doc_id"))
       .groupBy(col("stage"))
@@ -844,12 +866,8 @@ object Curation {
     */
   def labelQueue(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val scored = Tables.cpuPartition(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScoreCol.as("score"))
+    val scored = CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), col("lang"), col("quality").as("score"))
     val thr = CorpusStats.qualityThresholds(spark, dir)
       .select(col("lang"), col("p50"))
     val w = Window.partitionBy(col("lang"))

@@ -623,10 +623,8 @@ object Dedup {
     * trivially.
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("score"))
+    val scored = CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), col("quality").as("score"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("doc_id"))
     dedupClusters(spark, dir)

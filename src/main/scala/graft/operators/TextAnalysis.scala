@@ -104,15 +104,11 @@ object TextAnalysis {
     * estimate — the three standard token budgets.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
+    CorpusStats.docStats(spark, dir)
       .select(col("doc_id"),
-        size(toks(col("text"))).cast("int").as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-          .cast("int").as("re_tokens"),
-        ceil(length(col("text")) / 4.0).cast("int").as("est_bpe"))
+        col("toks_ws").cast("int").as("ws_tokens"),
+        col("toks_re").cast("int").as("re_tokens"),
+        ceil(col("text_len") / 4.0).cast("int").as("est_bpe"))
 
   /** doc_fingerprint: winnowing — word-3-gram rolling hashes, sliding
     * window (w=4) minima, distinct selected fingerprints per document

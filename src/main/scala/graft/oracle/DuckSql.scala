@@ -4986,6 +4986,135 @@ object DuckSql {
        |FROM cnt, t""".stripMargin
   }
 
+  /** Shared rebalance CTE chain (mirror of Similarity.buildIvfRebalIndex
+    * over the in-query trained chain): flag the top-N loaded cells,
+    * split each by one bisecting step (seeds = two smallest member
+    * vec_ids, one cosine assignment, ties to sub 0), cell ids 2·cid(+1).
+    * Ends with `flag(fcell)`, `asg(vec_id, embedding, ccell)` (split
+    * members), `rl(vec_id, embedding, ccell)` (all rebalanced lists).
+    */
+  private val rebalCtes: String = {
+    val n = graft.operators.Similarity.RebalanceSplitN
+    s"""c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx0")},
+       |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |flag AS MATERIALIZED (SELECT fcell FROM (
+       |  SELECT cid AS fcell,
+       |    row_number() OVER (ORDER BY count(*) DESC, cid) AS rk
+       |  FROM idx GROUP BY cid) WHERE rk <= $n),
+       |mem AS (SELECT i.vec_id, i.embedding, i.cid FROM idx i
+       |        JOIN flag f ON i.cid = f.fcell),
+       |ini AS (SELECT cid AS icell, (rn - 1)::INT AS sub, embedding AS svec
+       |        FROM (SELECT cid, vec_id, embedding,
+       |                row_number() OVER (PARTITION BY cid
+       |                                   ORDER BY vec_id) AS rn
+       |              FROM mem) WHERE rn <= 2),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, embedding, (cid * 2 + sub)::INT AS ccell FROM (
+       |    SELECT m.vec_id, m.embedding, m.cid, s.sub,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_cosine_similarity(m.embedding::DOUBLE[], s.svec::DOUBLE[]) DESC,
+       |                 s.sub) AS rn
+       |    FROM mem m JOIN ini s ON s.icell = m.cid) WHERE rn = 1),
+       |rl AS MATERIALIZED (
+       |  SELECT i.vec_id, i.embedding, (i.cid * 2)::INT AS ccell
+       |  FROM idx i LEFT JOIN flag f ON i.cid = f.fcell
+       |  WHERE f.fcell IS NULL
+       |  UNION ALL SELECT vec_id, embedding, ccell FROM asg)""".stripMargin
+  }
+
+  /** Mirror of Similarity.ivfRebalance: the rebalanced chain's per-cell
+    * balance table (ivfCellStats' share/skew arithmetic verbatim).
+    */
+  lazy val ivfRebalance: String =
+    s"""WITH $rebalCtes,
+       |fin AS (SELECT ccell, count(*)::BIGINT AS n_vectors
+       |        FROM rl GROUP BY ccell),
+       |tot AS (SELECT sum(n_vectors)::BIGINT AS total,
+       |               count(*)::BIGINT AS n_cells FROM fin)
+       |SELECT fin.ccell::INT AS cell, (fin.ccell // 2)::INT AS parent,
+       |  fin.n_vectors,
+       |  floor(fin.n_vectors::DOUBLE / tot.total * 1000000 + 0.5)
+       |    / 1000000 AS share,
+       |  floor(fin.n_vectors::DOUBLE * tot.n_cells / tot.total * 10000
+       |        + 0.5) / 10000 AS skew,
+       |  (f.fcell IS NOT NULL) AS was_split,
+       |  row_number() OVER (ORDER BY fin.n_vectors DESC, fin.ccell)::INT
+       |    AS rank
+       |FROM fin CROSS JOIN tot
+       |LEFT JOIN flag f ON (fin.ccell // 2) = f.fcell
+       |ORDER BY rank""".stripMargin
+
+  /** Mirror of Similarity.rebalanceRecall: both arms' nprobe=2 probe +
+    * rank over their own centroid/list pair, recall vs the brute-force
+    * top-3, nprobeCurve's mean_scanned cost side.
+    */
+  lazy val rebalanceRecall: String = {
+    def probeCte(name: String, cents: String) =
+      s"""pb_$name AS MATERIALIZED (SELECT q_id, pcid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                 c.cid) AS pr
+         |    FROM embeddings q, $cents c WHERE q.vec_id % 100 = 0)
+         |  WHERE pr <= 2)""".stripMargin
+    def armSql(name: String, lists: String, cellCol: String) =
+      s"""SELECT '$name' AS arm, (count(*) / 3)::BIGINT AS n_queries,
+         |  floor(count(ap.neighbor_id)::DOUBLE / count(*) * 10000 + 0.5)
+         |    / 10000 AS recall,
+         |  (SELECT floor(sum(z.sc)::DOUBLE / count(*) * 100 + 0.5) / 100
+         |   FROM (SELECT p.q_id, sum(cs.csz) AS sc FROM pb_$name p
+         |         JOIN csz_$name cs ON cs.cid = p.pcid
+         |         GROUP BY p.q_id) z) AS mean_scanned
+         |FROM ex LEFT JOIN (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY s DESC, neighbor_id) AS rank
+         |    FROM (SELECT p.q_id, x.vec_id AS neighbor_id,
+         |        list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |      FROM pb_$name p
+         |      JOIN $lists x ON x.$cellCol = p.pcid
+         |      JOIN embeddings qe ON qe.vec_id = p.q_id
+         |      WHERE x.vec_id <> p.q_id)) WHERE rank <= 3) ap
+         |  ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
+    s"""WITH $rebalCtes,
+       |subc AS (SELECT ccell AS cid, list(cv ORDER BY i) AS cvec FROM (
+       |  SELECT ccell, i,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
+       |  FROM asg, range(1, 65) t(i) GROUP BY ccell, i) GROUP BY ccell),
+       |keepc AS (SELECT (c.cid * 2)::INT AS cid, c.cvec FROM c2 c
+       |          LEFT JOIN flag f ON c.cid = f.fcell
+       |          WHERE f.fcell IS NULL),
+       |rc AS MATERIALIZED (SELECT * FROM keepc
+       |                    UNION ALL SELECT * FROM subc),
+       |csz_base AS (SELECT cid, count(*)::BIGINT AS csz
+       |             FROM idx GROUP BY cid),
+       |csz_rebalanced AS (SELECT ccell AS cid, count(*)::BIGINT AS csz
+       |                   FROM rl GROUP BY ccell),
+       |${probeCte("base", "c2")},
+       |${probeCte("rebalanced", "rc")},
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT arm, n_queries, recall, mean_scanned FROM (
+       |${armSql("base", "idx", "cid")}
+       |UNION ALL
+       |${armSql("rebalanced", "rl", "ccell")})
+       |ORDER BY arm""".stripMargin
+  }
+
   /** Exact brute-force MMR pool as CTEs ending in
     * `cand(q_id, doc_id, simq)` — mirror of Similarity.mmrPoolExact.
     */

@@ -107,6 +107,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.getInt(4)).sorted.toSeq === (1 to k))
   }
 
+  test("ivf_rebalance: splits the two hottest cells, conserves vectors") {
+    val base = Similarity.ivfCellStats(spark, pqDir).collect()
+    val hottest = base.sortBy(r => (-r.getLong(1), r.getInt(0))).take(2)
+      .map(_.getInt(0)).toSet
+    val out = Similarity.ivfRebalance(spark, pqDir).collect()
+    // conservation: every vector lands in exactly one final cell
+    assert(out.map(_.getLong(2)).sum === 20L)
+    // final ids are collision-free and map back to their parent
+    assert(out.map(_.getInt(0)).distinct.length === out.length)
+    assert(out.forall(r => r.getInt(0) / 2 === r.getInt(1)))
+    // the split rows descend from exactly the two most-loaded base cells
+    val split = out.filter(_.getBoolean(5))
+    assert(split.map(_.getInt(1)).toSet === hottest)
+    assert(split.length >= 2 && split.length <= 4)
+    val unsplit = out.filter(!_.getBoolean(5))
+    assert(unsplit.forall(_.getInt(0) % 2 === 0))
+    assert(unsplit.map(_.getInt(1)).toSet
+      === base.map(_.getInt(0)).toSet -- hottest)
+    // share/skew use ivf_cell_stats' arithmetic over the NEW cell count
+    val k2 = out.length
+    out.foreach { r =>
+      val nv = r.getLong(2).toDouble
+      assert(r.getDouble(3) === math.floor(nv / 20 * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(4) === math.floor(nv * k2 / 20 * 1e4 + 0.5) / 1e4)
+    }
+    assert(out.map(_.getInt(6)).sorted.toSeq === (1 to k2))
+  }
+
+  test("rebalance_recall: base arm matches ann_recall's micro average") {
+    val out = Similarity.rebalanceRecall(spark, pqDir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("base", "rebalanced"))
+    val Array(b, r) = out
+    assert(b.getLong(1) === r.getLong(1) && b.getLong(1) > 0)
+    // the base arm IS ann_recall aggregated — the acceptance gate must
+    // price the before side with the standing audit's own number
+    val ar = Similarity.annRecall(spark, pqDir).collect()
+    val micro = math.floor(ar.map(_.getLong(1)).sum.toDouble
+      / (3 * ar.length) * 1e4 + 0.5) / 1e4
+    assert(b.getDouble(2) === micro)
+    Seq(b, r).foreach { a =>
+      assert(a.getDouble(2) >= 0.0 && a.getDouble(2) <= 1.0)
+      assert(a.getDouble(3) > 0.0)
+    }
+    // subcells are never larger than their parent, so the nprobe=2 scan
+    // cannot grow past the base arm's on this single-query fixture
+    assert(r.getDouble(3) <= b.getDouble(3))
+  }
+
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
     val dir = pqDir
     val out = graft.operators.Similarity.annIvfPq(spark, dir)
