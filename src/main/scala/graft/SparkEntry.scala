@@ -150,6 +150,9 @@ object SparkEntry {
     "ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "ivf_rebalance" -> (Similarity.ivfRebalance _),
     "rebalance_recall" -> (Similarity.rebalanceRecall _),
+    "probe_cost_quantiles" -> (Similarity.probeCostQuantiles _),
+    "ann_miss_audit" -> (Similarity.annMissAudit _),
+    "cell_outliers" -> (Similarity.cellOutliers _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
@@ -727,6 +730,9 @@ object SparkEntry {
     "ivf_cell_stats" -> graft.oracle.DuckSql.ivfCellStats,
     "ivf_rebalance" -> graft.oracle.DuckSql.ivfRebalance,
     "rebalance_recall" -> graft.oracle.DuckSql.rebalanceRecall,
+    "probe_cost_quantiles" -> graft.oracle.DuckSql.probeCostQuantiles,
+    "ann_miss_audit" -> graft.oracle.DuckSql.annMissAudit,
+    "cell_outliers" -> graft.oracle.DuckSql.cellOutliers,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,

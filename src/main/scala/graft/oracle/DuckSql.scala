@@ -5115,6 +5115,140 @@ object DuckSql {
        |ORDER BY arm""".stripMargin
   }
 
+  /** Mirror of Similarity.probeCostQuantiles: the trained chain's probe
+    * sets per nprobe, per-query integer scan sums, integer-position
+    * rank-pick quantiles (qualityThresholds' rule), one 2dp mean.
+    */
+  lazy val probeCostQuantiles: String = {
+    import graft.operators.Similarity.NprobeSweep
+    val probeCtes = NprobeSweep.map { np =>
+      s"""pb$np AS MATERIALIZED (SELECT q_id, pcid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                 c.cid) AS pr
+         |    FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+         |  WHERE pr <= $np)""".stripMargin
+    }
+    def arm(np: Int) =
+      s"""SELECT $np AS nprobe, max(n)::BIGINT AS n_queries,
+         |  max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN scanned END)
+         |    AS p50_scanned,
+         |  max(CASE WHEN rn = (n - 1) * 19 // 20 + 1 THEN scanned END)
+         |    AS p95_scanned,
+         |  max(scanned) AS max_scanned,
+         |  floor(sum(scanned)::DOUBLE / max(n) * 100 + 0.5) / 100
+         |    AS mean_scanned
+         |FROM (SELECT scanned,
+         |        row_number() OVER (ORDER BY scanned, q_id) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM (SELECT p.q_id, sum(cs.csz)::BIGINT AS scanned
+         |            FROM pb$np p JOIN csz cs ON cs.cid = p.pcid
+         |            GROUP BY p.q_id))""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx0")},
+       |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |csz AS MATERIALIZED (SELECT cid, count(*)::BIGINT AS csz
+       |  FROM idx GROUP BY cid),
+       |${probeCtes.mkString(",\n")}
+       |SELECT nprobe, n_queries, p50_scanned, p95_scanned, max_scanned,
+       |       mean_scanned FROM (
+       |${NprobeSweep.map(arm).mkString("\nUNION ALL\n")})
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** Mirror of Similarity.annMissAudit: exact top-3 edges LEFT-joined
+    * with the probe's top-3 (hit) and the nprobe=2 probe set against
+    * the neighbor's cell (routing), one global rollup.
+    */
+  lazy val annMissAudit: String =
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx0")},
+       |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |probes AS MATERIALIZED (SELECT q_id, pcid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |                 c.cid) AS pr
+       |    FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+       |  WHERE pr <= 2),
+       |ap AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT p.q_id, x.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC,
+       |      x.vec_id) AS rank
+       |  FROM probes p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id) WHERE rank <= 3),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |j AS (SELECT ex.q_id,
+       |        (ap.neighbor_id IS NOT NULL) AS hit,
+       |        (p.pcid IS NOT NULL) AS cell_probed
+       |      FROM ex JOIN idx nc ON nc.vec_id = ex.neighbor_id
+       |      LEFT JOIN ap ON ap.q_id = ex.q_id
+       |                  AND ap.neighbor_id = ex.neighbor_id
+       |      LEFT JOIN probes p ON p.q_id = ex.q_id AND p.pcid = nc.cid)
+       |SELECT (count(*) / 3)::BIGINT AS n_queries,
+       |  count(*)::BIGINT AS n_edges,
+       |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  sum(CASE WHEN NOT hit AND NOT cell_probed THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_routing_miss,
+       |  sum(CASE WHEN NOT hit AND cell_probed THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_ranking_miss,
+       |  floor(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       |        * 10000 + 0.5) / 10000 AS hit_rate,
+       |  floor(sum(CASE WHEN NOT hit AND NOT cell_probed THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS routing_miss_rate
+       |FROM j""".stripMargin
+
+  /** Mirror of Similarity.cellOutliers: per-cell 1e-6-unit similarity
+    * to own centroid, exact-unit floor'd mean, bottom-k window.
+    */
+  lazy val cellOutliers: String = {
+    val k = graft.operators.Similarity.CellOutlierK
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx")},
+       |s AS (SELECT i.cid AS ccell, i.vec_id,
+       |        floor(list_cosine_similarity(i.embedding::DOUBLE[], c.cvec::DOUBLE[])
+       |              * 1000000 + 0.5)::BIGINT AS su
+       |      FROM idx i JOIN c2 c ON c.cid = i.cid),
+       |m AS (SELECT ccell, floor(sum(su)::DOUBLE / count(*))::BIGINT AS mu
+       |      FROM s GROUP BY ccell)
+       |SELECT ccell, vec_id, su::DOUBLE / 1000000 AS sim,
+       |  mu::DOUBLE / 1000000 AS cell_mean,
+       |  (mu - su)::DOUBLE / 1000000 AS gap, rank::INT AS rank
+       |FROM (SELECT s.*, m.mu,
+       |        row_number() OVER (PARTITION BY s.ccell
+       |                           ORDER BY s.su, s.vec_id) AS rank
+       |      FROM s JOIN m ON m.ccell = s.ccell)
+       |WHERE rank <= $k ORDER BY ccell, rank""".stripMargin
+  }
+
   /** Exact brute-force MMR pool as CTEs ending in
     * `cand(q_id, doc_id, simq)` — mirror of Similarity.mmrPoolExact.
     */

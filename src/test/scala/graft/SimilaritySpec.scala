@@ -155,6 +155,55 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.getDouble(3) <= b.getDouble(3))
   }
 
+  test("probe_cost_quantiles: monotone tail costs over the nprobe sweep") {
+    val out = Similarity.probeCostQuantiles(spark, pqDir).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L) // single %100 query on this fixture
+      // one query: every quantile IS that query's scan count
+      assert(r.getLong(2) === r.getLong(3) && r.getLong(3) === r.getLong(4))
+      assert(r.getDouble(5) === r.getLong(4).toDouble)
+      assert(r.getLong(4) > 0L)
+    }
+    // more probes can never scan less
+    val byNp = out.map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(byNp(1) <= byNp(2) && byNp(2) <= byNp(4))
+  }
+
+  test("ann_miss_audit: buckets partition the edges; ranking bucket 0") {
+    val r = Similarity.annMissAudit(spark, pqDir).head()
+    assert(r.getLong(1) === 3 * r.getLong(0))
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) === r.getLong(1))
+    // the provable claim: a probed true-top-3 neighbor cannot be
+    // outranked — every miss is a routing miss
+    assert(r.getLong(4) === 0L)
+    // hit_rate is ann_recall's micro average by construction
+    val ar = Similarity.annRecall(spark, pqDir).collect()
+    val micro = math.floor(ar.map(_.getLong(1)).sum.toDouble
+      / (3 * ar.length) * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(5) === micro)
+  }
+
+  test("cell_outliers: bottom-k per cell, rank-1 gap non-negative") {
+    val out = Similarity.cellOutliers(spark, pqDir).collect()
+    val cells = Similarity.ivfCellStats(spark, pqDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byCell = out.groupBy(_.getInt(0))
+    assert(byCell.keySet === cells.keySet)
+    byCell.foreach { case (c, rows) =>
+      assert(rows.length === math.min(2L, cells(c)).toInt)
+      assert(rows.map(_.getInt(5)).sorted.toSeq === (1 to rows.length))
+      // rank 1 is the cell minimum, which cannot exceed the floor'd mean
+      val r1 = rows.minBy(_.getInt(5))
+      assert(r1.getDouble(4) >= 0.0)
+      rows.foreach { r =>
+        assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+        assert(r.getDouble(4) === math.floor((r.getDouble(3) - r.getDouble(2))
+          * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
+
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
     val dir = pqDir
     val out = graft.operators.Similarity.annIvfPq(spark, dir)
