@@ -153,6 +153,8 @@ object SparkEntry {
     "probe_cost_quantiles" -> (Similarity.probeCostQuantiles _),
     "ann_miss_audit" -> (Similarity.annMissAudit _),
     "cell_outliers" -> (Similarity.cellOutliers _),
+    "nprobe_pick" -> (Similarity.nprobePick _),
+    "rebalance_churn" -> (Similarity.rebalanceChurn _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
@@ -733,6 +735,8 @@ object SparkEntry {
     "probe_cost_quantiles" -> graft.oracle.DuckSql.probeCostQuantiles,
     "ann_miss_audit" -> graft.oracle.DuckSql.annMissAudit,
     "cell_outliers" -> graft.oracle.DuckSql.cellOutliers,
+    "nprobe_pick" -> graft.oracle.DuckSql.nprobePick,
+    "rebalance_churn" -> graft.oracle.DuckSql.rebalanceChurn,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,

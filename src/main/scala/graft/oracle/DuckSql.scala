@@ -5051,6 +5051,21 @@ object DuckSql {
        |LEFT JOIN flag f ON (fin.ccell // 2) = f.fcell
        |ORDER BY rank""".stripMargin
 
+  /** Rebalanced centroid set over [[rebalCtes]]: mean6f subcell means
+    * (kmRecomputeCte's arithmetic keyed by ccell) unioned with the
+    * doubled-id kept centroids — ends in `rc(cid, cvec)`.
+    */
+  private val rebalRcCtes: String =
+    s"""subc AS (SELECT ccell AS cid, list(cv ORDER BY i) AS cvec FROM (
+       |  SELECT ccell, i,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
+       |  FROM asg, range(1, 65) t(i) GROUP BY ccell, i) GROUP BY ccell),
+       |keepc AS (SELECT (c.cid * 2)::INT AS cid, c.cvec FROM c2 c
+       |          LEFT JOIN flag f ON c.cid = f.fcell
+       |          WHERE f.fcell IS NULL),
+       |rc AS MATERIALIZED (SELECT * FROM keepc
+       |                    UNION ALL SELECT * FROM subc)""".stripMargin
+
   /** Mirror of Similarity.rebalanceRecall: both arms' nprobe=2 probe +
     * rank over their own centroid/list pair, recall vs the brute-force
     * top-3, nprobeCurve's mean_scanned cost side.
@@ -5085,15 +5100,7 @@ object DuckSql {
          |      WHERE x.vec_id <> p.q_id)) WHERE rank <= 3) ap
          |  ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
     s"""WITH $rebalCtes,
-       |subc AS (SELECT ccell AS cid, list(cv ORDER BY i) AS cvec FROM (
-       |  SELECT ccell, i,
-       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 10) + 0.5) / 1000000 AS FLOAT) AS cv
-       |  FROM asg, range(1, 65) t(i) GROUP BY ccell, i) GROUP BY ccell),
-       |keepc AS (SELECT (c.cid * 2)::INT AS cid, c.cvec FROM c2 c
-       |          LEFT JOIN flag f ON c.cid = f.fcell
-       |          WHERE f.fcell IS NULL),
-       |rc AS MATERIALIZED (SELECT * FROM keepc
-       |                    UNION ALL SELECT * FROM subc),
+       |$rebalRcCtes,
        |csz_base AS (SELECT cid, count(*)::BIGINT AS csz
        |             FROM idx GROUP BY cid),
        |csz_rebalanced AS (SELECT ccell AS cid, count(*)::BIGINT AS csz
@@ -5219,6 +5226,135 @@ object DuckSql {
        |  floor(sum(CASE WHEN NOT hit AND NOT cell_probed THEN 1 ELSE 0 END)::DOUBLE
        |        / count(*) * 10000 + 0.5) / 10000 AS routing_miss_rate
        |FROM j""".stripMargin
+
+  /** Mirror of Similarity.nprobePick: nprobeCurve's arms extended with
+    * the p95 rank pick, then the three-key deterministic pick (meets
+    * target, then nprobe among meeting / 1000−recall among missing,
+    * then nprobe).
+    */
+  lazy val nprobePick: String = {
+    import graft.operators.Similarity.{NprobeSweep, NprobeRecallTarget}
+    val tgt = s"CAST($NprobeRecallTarget AS DOUBLE)"
+    val probeCtes = NprobeSweep.map { np =>
+      s"""pb$np AS MATERIALIZED (SELECT q_id, pcid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                 c.cid) AS pr
+         |    FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+         |  WHERE pr <= $np)""".stripMargin
+    }
+    def arm(np: Int) =
+      s"""SELECT $np AS nprobe,
+         |  floor(count(ap.neighbor_id)::DOUBLE / count(*) * 10000 + 0.5)
+         |    / 10000 AS recall,
+         |  (SELECT floor(sum(z.sc)::DOUBLE / count(*) * 100 + 0.5) / 100
+         |   FROM (SELECT p.q_id, sum(cs.csz) AS sc FROM pb$np p
+         |         JOIN csz cs ON cs.cid = p.pcid GROUP BY p.q_id) z)
+         |    AS mean_scanned,
+         |  (SELECT max(CASE WHEN rn = (n - 1) * 19 // 20 + 1
+         |                   THEN scanned END)
+         |   FROM (SELECT scanned,
+         |           row_number() OVER (ORDER BY scanned, q_id) AS rn,
+         |           count(*) OVER () AS n
+         |         FROM (SELECT p.q_id, sum(cs.csz)::BIGINT AS scanned
+         |               FROM pb$np p JOIN csz cs ON cs.cid = p.pcid
+         |               GROUP BY p.q_id))) AS p95_scanned
+         |FROM ex LEFT JOIN (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY s DESC, neighbor_id) AS rank
+         |    FROM (SELECT p.q_id, x.vec_id AS neighbor_id,
+         |        list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |      FROM pb$np p
+         |      JOIN idx x ON x.cid = p.pcid
+         |      JOIN embeddings qe ON qe.vec_id = p.q_id
+         |      WHERE x.vec_id <> p.q_id)) WHERE rank <= 3) ap
+         |  ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2x")},
+       |c2 AS MATERIALIZED (SELECT * FROM c2x),
+       |${kmAssignCte("c2", "idx0")},
+       |idx AS MATERIALIZED (SELECT * FROM idx0),
+       |csz AS MATERIALIZED (SELECT cid, count(*)::BIGINT AS csz
+       |  FROM idx GROUP BY cid),
+       |${probeCtes.mkString(",\n")},
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT nprobe, (recall >= $tgt) AS met_target, $tgt AS target,
+       |       recall, mean_scanned, p95_scanned
+       |FROM (SELECT *, row_number() OVER (ORDER BY
+       |        CASE WHEN recall >= $tgt THEN 0 ELSE 1 END,
+       |        CASE WHEN recall >= $tgt THEN nprobe::DOUBLE
+       |             ELSE CAST(1000.0 AS DOUBLE) - recall END,
+       |        nprobe) AS rk
+       |      FROM (
+       |${NprobeSweep.map(arm).mkString("\nUNION ALL\n")}))
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** Mirror of Similarity.rebalanceChurn: both arms' top-3 over the
+    * rebalance chain, per-query exact intersection counts, 4dp-unit
+    * Jaccard sum, one rollup row.
+    */
+  lazy val rebalanceChurn: String = {
+    def top3(name: String, probes: String, lists: String,
+        cellCol: String) =
+      s"""$name AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY s DESC, neighbor_id) AS rank
+         |  FROM (SELECT p.q_id, x.vec_id AS neighbor_id,
+         |      list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |    FROM $probes p
+         |    JOIN $lists x ON x.$cellCol = p.pcid
+         |    JOIN embeddings qe ON qe.vec_id = p.q_id
+         |    WHERE x.vec_id <> p.q_id)) WHERE rank <= 3)""".stripMargin
+    def probeCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT q_id, pcid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS pcid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+         |                 c.cid) AS pr
+         |    FROM embeddings q, $cents c WHERE q.vec_id % 100 = 0)
+         |  WHERE pr <= 2)""".stripMargin
+    s"""WITH $rebalCtes,
+       |$rebalRcCtes,
+       |${probeCte("pb_b", "c2")},
+       |${probeCte("pb_r", "rc")},
+       |${top3("tb", "pb_b", "idx", "cid")},
+       |${top3("tr", "pb_r", "rl", "ccell")},
+       |nna AS (SELECT q_id, count(*)::BIGINT AS na FROM tb GROUP BY q_id),
+       |nnb AS (SELECT q_id, count(*)::BIGINT AS nb FROM tr GROUP BY q_id),
+       |iv AS (SELECT tb.q_id, count(*)::BIGINT AS ni FROM tb
+       |       JOIN tr ON tr.q_id = tb.q_id
+       |              AND tr.neighbor_id = tb.neighbor_id
+       |       GROUP BY tb.q_id),
+       |pq AS (SELECT nna.q_id, coalesce(iv.ni, 0) AS ni, nna.na, nnb.nb
+       |       FROM nna JOIN nnb ON nnb.q_id = nna.q_id
+       |       LEFT JOIN iv ON iv.q_id = nna.q_id),
+       |t AS (SELECT q_id, NOT (ni = na AND na = nb) AS changed,
+       |        floor(ni::DOUBLE / (na + nb - ni) * 10000 + 0.5)::BIGINT
+       |          AS ju
+       |      FROM pq)
+       |SELECT count(*)::BIGINT AS n_queries,
+       |  sum(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       |  floor(sum(CASE WHEN changed THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*) * 10000 + 0.5) / 10000 AS change_rate,
+       |  floor(sum(ju)::DOUBLE / count(*) + 0.5) / 10000 AS mean_jaccard
+       |FROM t""".stripMargin
+  }
 
   /** Mirror of Similarity.cellOutliers: per-cell 1e-6-unit similarity
     * to own centroid, exact-unit floor'd mean, bottom-k window.

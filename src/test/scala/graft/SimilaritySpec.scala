@@ -204,6 +204,32 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("nprobe_pick: returns the curve row of the picked operating point") {
+    val out = Similarity.nprobePick(spark, pqDir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(Seq(1, 2, 4).contains(r.getInt(0)))
+    assert(r.getDouble(2) === 0.9)
+    if (r.getBoolean(1)) assert(r.getDouble(3) >= 0.9)
+    // the pick must be a row of nprobe_curve (same recall, same mean)
+    val curve = Similarity.nprobeCurve(spark, pqDir).collect()
+      .map(c => c.getInt(0) -> (c.getDouble(2), c.getDouble(3))).toMap
+    assert(curve(r.getInt(0)) === ((r.getDouble(3), r.getDouble(4))))
+    // no cheaper arm may also meet the target
+    curve.foreach { case (np, (rec, _)) =>
+      if (r.getBoolean(1) && np < r.getInt(0)) assert(rec < 0.9)
+    }
+  }
+
+  test("rebalance_churn: unchanged top-3 means jaccard 1; rates in range") {
+    val r = Similarity.rebalanceChurn(spark, pqDir).head()
+    assert(r.getLong(0) === 1L) // single %100 query on this fixture
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) === r.getLong(1).toDouble / r.getLong(0))
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    if (r.getLong(1) === 0L) assert(r.getDouble(3) === 1.0)
+  }
+
   test("ann_ivfpq: coarse routing bounds candidates; deterministic top-3") {
     val dir = pqDir
     val out = graft.operators.Similarity.annIvfPq(spark, dir)
