@@ -155,6 +155,8 @@ object SparkEntry {
     "cell_outliers" -> (Similarity.cellOutliers _),
     "nprobe_pick" -> (Similarity.nprobePick _),
     "rebalance_churn" -> (Similarity.rebalanceChurn _),
+    "quality_by_length" -> (CorpusStats.qualityByLength _),
+    "decontam_sweep" -> (Curation.decontamSweep _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
@@ -737,6 +739,8 @@ object SparkEntry {
     "cell_outliers" -> graft.oracle.DuckSql.cellOutliers,
     "nprobe_pick" -> graft.oracle.DuckSql.nprobePick,
     "rebalance_churn" -> graft.oracle.DuckSql.rebalanceChurn,
+    "quality_by_length" -> graft.oracle.DuckSql.qualityByLength,
+    "decontam_sweep" -> graft.oracle.DuckSql.decontamSweep,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,

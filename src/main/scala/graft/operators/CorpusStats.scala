@@ -79,6 +79,41 @@ object CorpusStats {
     spark.read.parquet(path)
   }
 
+  /** quality_by_length's low-quality cut. Single-sourced to the oracle
+    * SQL.
+    */
+  val QualityLowCut = 0.5
+
+  /** quality_by_length: mean quality and low-quality share per
+    * power-of-two token-length bin — the CONFOUND audit of the quality
+    * gate (the composite has an explicit length term, so a cutoff
+    * calibrated on the pooled distribution silently becomes a length
+    * filter; this table shows exactly how much of the score is length
+    * before anyone tunes a threshold on it). length_hist's bins ×
+    * corpus_card's exact-decimal quality mean.
+    *
+    * Plan: pure doc-stats consumer — one artifact scan, a ≤~30-bin
+    * partial agg.
+    */
+  def qualityByLength(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    docStats(spark, dir)
+      .select(col("toks_norm").as("toks"),
+        col("quality").cast("decimal(18,4)").as("q"),
+        (col("quality") < QualityLowCut).as("lowq"))
+      .select(col("q"), col("lowq"),
+        when(col("toks") === 0, lit(0L)).otherwise(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(toks)) AS INT) - 1)"))
+          .as("bin_lo"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum(col("q")).cast("double") / count(lit(1)))
+          .as("mean_quality"),
+        r4(sum(when(col("lowq"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("low_share"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** ngram_stats: the corpus's top-[[NgramTopK]] word bigrams with
     * occurrence and document counts.
     *

@@ -71,6 +71,62 @@ object Curation {
       .agg(count(lit(1)).as("hits"))
   }
 
+  /** decontam_sweep's n-gram lengths: the engine's 3-gram default next
+    * to the 8- and 13-gram points the decontamination literature uses
+    * (GPT-3 reported 13-gram overlap filtering; PaLM/Llama report
+    * similar long-n-gram rules). Single-sourced to the oracle SQL.
+    */
+  val DecontamSweepNs = Seq(3, 8, 13)
+
+  /** decontam_sweep: SENSITIVITY of the decontamination rule to the
+    * n-gram length — per n in [[DecontamSweepNs]]: training docs
+    * flagged, eval docs touched, (train doc, gram) collisions, and the
+    * eval gram-set size. The table that prices the rule choice: short
+    * n flags common phrases (over-removal), long n only true verbatim
+    * leakage — a 3-vs-13 row pair that barely differs means the corpus
+    * has real copies; one that collapses means the 3-gram hits were
+    * phrase noise. The n=3 collisions reconcile with [[decontaminate]]
+    * by construction (same grams, same slot rule).
+    *
+    * Plan: per arm, tokens explode ONCE and the n-gram comes from a
+    * lead() chain over the same doc-ordered window (the shingleRows
+    * posture); candidate generation is the equi-join on the gram —
+    * never train × eval. The eval gram set is mod-bounded and the hit
+    * frame is materialized once for its three aggregates.
+    */
+  def decontamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
+    def arm(k: Int): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val gramCols = (0 until k).map(i =>
+        if (i == 0) col("w") else lead(col("w"), i).over(w))
+      val sh = Tables.cpuPartition(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"),
+          lead(col("w"), k - 1).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        .dropDuplicates("doc_id", "g")
+        .localCheckpoint() // feeds the bench AND train sides
+      val bench = sh.filter(isBench)
+      val benchG = bench.select(col("g")).distinct()
+      val hits = sh.filter(!isBench).join(benchG, "g")
+        .localCheckpoint() // feeds three aggregates
+      val a = hits.agg(count(lit(1)).as("n_collisions"),
+        count_distinct(col("doc_id")).as("n_train_docs_flagged"))
+      val b = bench.join(hits.select(col("g")).distinct(), "g")
+        .agg(count_distinct(col("doc_id")).as("n_eval_docs_touched"))
+      val c = benchG.agg(count(lit(1)).as("n_eval_grams"))
+      a.crossJoin(b).crossJoin(c)
+        .select(lit(k).as("n"), col("n_train_docs_flagged"),
+          col("n_eval_docs_touched"), col("n_collisions"),
+          col("n_eval_grams"))
+    }
+    DecontamSweepNs.map(arm).reduce(_ unionByName _).orderBy(col("n"))
+  }
+
   /** contamination_report: the EVAL-side transpose of [[decontaminate]]
     * — per benchmark doc, how compromised is it? (The decontamination
     * papers report both directions: training docs to drop, AND which

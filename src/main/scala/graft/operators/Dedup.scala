@@ -528,11 +528,8 @@ object Dedup {
     * counts one map pass, two bounded partial aggs.
     */
   def dupTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.cpuPartition(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      col("doc_id"))
-      .select(col("doc_id"), size(normToks(col("text"))).cast("long")
-        .as("nt"))
+    val toks = CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), col("toks_norm").as("nt"))
     val cl = dedupClusters(spark, dir)
       .join(toks, "doc_id")
       .groupBy(col("cluster"))

@@ -3663,6 +3663,68 @@ object DuckSql {
        |FROM s JOIN nt USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of CorpusStats.qualityByLength: the shared quality CTEs ×
+    * lengthHist's binary-length bins, exact-decimal 4dp means.
+    */
+  lazy val qualityByLength: String = {
+    val cut =
+      s"CAST(${graft.operators.CorpusStats.QualityLowCut} AS DOUBLE)"
+    s"""$qualityScoreCtes,
+       |nt AS (SELECT doc_id,
+       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x <> ''))::BIGINT AS toks
+       |  FROM documents),
+       |b AS (SELECT CAST(s.score AS DECIMAL(18,4)) AS q,
+       |        (s.score < $cut) AS lowq,
+       |        CASE WHEN nt.toks = 0 THEN 0
+       |             ELSE (1::BIGINT << (length(bin(nt.toks)) - 1)) END
+       |          AS bin_lo
+       |      FROM s JOIN nt USING (doc_id))
+       |SELECT bin_lo, count(*)::BIGINT AS n_docs,
+       |  floor(sum(q)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS mean_quality,
+       |  floor(sum(CASE WHEN lowq THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       |        * 10000 + 0.5) / 10000 AS low_share
+       |FROM b GROUP BY bin_lo ORDER BY bin_lo""".stripMargin
+  }
+
+  /** Mirror of Curation.decontamSweep: per n, the gram lists come from
+    * one list_transform over the shared normalized token list (the
+    * shCte idiom generalized to n), the hit set is the gram equi-join,
+    * and the four counters are scalar subqueries per arm.
+    */
+  lazy val decontamSweep: String = {
+    import graft.operators.Curation.{ContamMod, ContamSlot, DecontamSweepNs}
+    val slot = s"((doc_id % $ContamMod) + $ContamMod) % $ContamMod"
+    def gramExpr(k: Int) =
+      (0 until k).map(i => s"ws[j+$i]").mkString(" || ' ' || ")
+    def ctes(k: Int) =
+      s"""g$k AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(ws) - ${k - 2}),
+         |                   j -> ${gramExpr(k)}))) AS g
+         |  FROM n WHERE len(ws) >= $k),
+         |b$k AS (SELECT doc_id, g FROM g$k WHERE $slot = $ContamSlot),
+         |bg$k AS (SELECT DISTINCT g FROM b$k),
+         |h$k AS (SELECT t.doc_id, t.g FROM g$k t JOIN bg$k USING (g)
+         |        WHERE ((t.doc_id % $ContamMod) + $ContamMod)
+         |              % $ContamMod <> $ContamSlot)""".stripMargin
+    def arm(k: Int) =
+      s"""SELECT $k AS n,
+         |  (SELECT count(DISTINCT doc_id) FROM h$k)::BIGINT
+         |    AS n_train_docs_flagged,
+         |  (SELECT count(DISTINCT b.doc_id) FROM b$k b
+         |   JOIN (SELECT DISTINCT g FROM h$k) hg USING (g))::BIGINT
+         |    AS n_eval_docs_touched,
+         |  (SELECT count(*) FROM h$k)::BIGINT AS n_collisions,
+         |  (SELECT count(*) FROM bg$k)::BIGINT AS n_eval_grams""".stripMargin
+    s"""$normCte,
+       |${DecontamSweepNs.map(ctes).mkString(",\n")}
+       |SELECT n, n_train_docs_flagged, n_eval_docs_touched,
+       |       n_collisions, n_eval_grams FROM (
+       |${DecontamSweepNs.map(arm).mkString("\nUNION ALL\n")})
+       |ORDER BY n""".stripMargin
+  }
+
   /** Mirror of CorpusStats.sourceCard: the corpusCard aggregate GROUPed
     * BY source — same shared quality CTEs, normToks counts, 4dp
     * floor-primitive means.

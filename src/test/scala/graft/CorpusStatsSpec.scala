@@ -15,6 +15,29 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq("b c", 1L, 1L, 3)))
   }
 
+  test("quality_by_length: pow2 token bins, exact 4dp means and shares") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "a b c"), doc(1, "d e f"), // 3 tokens -> bin_lo 2
+      doc(2, "p q r s t")))             // 5 tokens -> bin_lo 4
+    val scores = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    def m4(xs: Seq[Double]) = {
+      val s = xs.map(x => BigDecimal(x).setScale(4)).sum
+      // the engine divides the exact decimal sum once in double
+      math.floor(s.toDouble / xs.length * 1e4 + 0.5) / 1e4
+    }
+    def ls(xs: Seq[Double]) =
+      math.floor(xs.count(_ < 0.5).toDouble / xs.length * 1e4 + 0.5) / 1e4
+    val out = CorpusStats.qualityByLength(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val b2 = Seq(scores(0L), scores(1L))
+    val b4 = Seq(scores(2L))
+    assert(out === Map(
+      2L -> ((2L, m4(b2), ls(b2))),
+      4L -> ((1L, m4(b4), ls(b4)))))
+  }
+
   test("zipf_fit: closed-form log-log regression over the ranked head") {
     // term counts a:4, b:2, c:1 -> ranks 1..3
     val dir = fixtureDir(docs = Seq(doc(1, "a a a a b b c")))

@@ -374,6 +374,29 @@ class CurationSpec extends SparkSpecBase {
       r.getLong(2), r.getLong(3))).toSet === want)
   }
 
+  test("decontam_sweep: collisions collapse as n grows; n=3 reconciles " +
+      "with decontaminate") {
+    // bench doc 7 = 14 tokens; train doc 1 = verbatim copy (collides at
+    // every n); train doc 2 shares only the 3-gram "a b c"; doc 3 clean
+    val t14 = "a b c d e f g h i j k l m n"
+    val dir = fixtureDir(docs = Seq(
+      doc(7, t14), doc(1, t14),
+      doc(2, "a b c z9 z8 z7 z6 z5"), doc(3, "q w e r t y u i")))
+    val out = Curation.decontamSweep(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // n=3: 12 eval grams; doc1 hits all 12, doc2 hits 1 -> 13 collisions
+    assert(out(3) === ((2L, 1L, 13L, 12L)))
+    // n=8: 7 eval grams; only the verbatim copy collides
+    assert(out(8) === ((1L, 1L, 7L, 7L)))
+    // n=13: 2 eval grams; only the verbatim copy collides
+    assert(out(13) === ((1L, 1L, 2L, 2L)))
+    // the n=3 arm IS decontaminate: per-doc hits sum to its collisions
+    val d = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 12L, 2L -> 1L))
+  }
+
   test("bloom_decontaminate: hand-built filter, one-sided positives") {
     // bench doc 7: shingles "a b c","b c d"; train doc 1 shares "a b c"
     val dir = fixtureDir(docs = Seq(

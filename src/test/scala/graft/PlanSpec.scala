@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Analytics, Dedup, Retrieval, Similarity}
+import graft.operators.{Analytics, Curation, Dedup, Retrieval, Similarity,
+  TextAnalysis}
 
 /** Scale-posture regression tests: these assert PLAN SHAPE, not results.
   * With the broadcast threshold disabled (the 100 TB world, where no fact
@@ -46,6 +47,25 @@ class PlanSpec extends SparkSpecBase {
         s"fact joins must shuffle at scale, plan:\n$plan")
       assert(!plan.contains("CartesianProduct"))
     }
+  }
+
+  test("doc-stats consumers scan the artifact, never documents") {
+    // token_count is the canonical consumer: one pruned artifact scan,
+    // no re-tokenize, no documents scan (the r12 recompute fix must
+    // not silently regress)
+    val plan = planOf(TextAnalysis.tokenCount(spark, dir))
+    assert(plan.contains("doc-stats-v1"), s"must read the artifact:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"must not re-scan documents:\n$plan")
+  }
+
+  test("curate_corpus plan is an artifact read plus one sort — no joins") {
+    val plan = planOf(Curation.curateCorpus(spark, dir))
+    assert(plan.contains("curate-manifest"),
+      s"must read the manifest artifact:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"the five-stage composite must live in the build only:\n$plan")
+    assert(!plan.contains("Join"), s"pure artifact read, no joins:\n$plan")
   }
 
   test("q3_revenue at scale: no broadcast at all, shuffle joins only") {
