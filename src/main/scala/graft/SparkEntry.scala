@@ -157,6 +157,7 @@ object SparkEntry {
     "rebalance_churn" -> (Similarity.rebalanceChurn _),
     "quality_by_length" -> (CorpusStats.qualityByLength _),
     "decontam_sweep" -> (Curation.decontamSweep _),
+    "mix_sensitivity" -> (CorpusStats.mixSensitivity _),
     "index_recall" -> (Similarity.indexRecall _),
     "ann_pq"         -> (Similarity.annPq _),
     "pq_distortion"  -> (Similarity.pqDistortion _),
@@ -741,6 +742,7 @@ object SparkEntry {
     "rebalance_churn" -> graft.oracle.DuckSql.rebalanceChurn,
     "quality_by_length" -> graft.oracle.DuckSql.qualityByLength,
     "decontam_sweep" -> graft.oracle.DuckSql.decontamSweep,
+    "mix_sensitivity" -> graft.oracle.DuckSql.mixSensitivity,
     "index_recall" -> graft.oracle.DuckSql.indexRecall,
     "ann_pq"         -> graft.oracle.DuckSql.annPq,
     "pq_distortion"  -> graft.oracle.DuckSql.pqDistortion,

@@ -308,7 +308,15 @@ object CorpusStats {
     * and accumulated in DECIMAL; final weights are one mirrored double
     * division.
     */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureAt(spark, dir, MixTemperature).orderBy(col("source"))
+
+  /** The temperature-weight table at an explicit τ — factored so
+    * [[mixSensitivity]] sweeps the knob over the IDENTICAL arithmetic
+    * the τ=0.7 operating point is gated with.
+    */
+  private def mixTemperatureAt(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
     val per = Tables.documents(spark, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
     val tot = per.agg(sum(col("n_docs")).as("total"))
@@ -317,7 +325,7 @@ object CorpusStats {
         rnd6(col("n_docs").cast("double") / col("total")).as("share"))
       .select(col("source"), col("n_docs"), col("share"),
         when(col("share") > 0,
-          rnd6(exp(lit(MixTemperature) * log(col("share")))))
+          rnd6(exp(lit(tau) * log(col("share")))))
           .otherwise(lit(0.0)).cast("decimal(18,6)").as("u"))
       .localCheckpoint() // feeds the denominator AND the final select
     val denom = up.agg(sum(col("u")).as("du"))
@@ -327,8 +335,31 @@ object CorpusStats {
           .as("t_weight"))
       .withColumn("boost",
         floor(col("t_weight") / col("share") * 10000 + 0.5) / 10000)
-      .orderBy(col("source"))
   }
+
+  /** The τ grid mix_sensitivity sweeps (1.0 = natural distribution, the
+    * identity row; 0.7 = the gated operating point; 0.5 = aggressive
+    * flattening). Single-sourced to the oracle SQL.
+    */
+  val MixSweepTaus = Seq(0.5, 0.7, 1.0)
+
+  /** mix_sensitivity: the temperature KNOB table — [[mixTemperature]]'s
+    * weights swept over [[MixSweepTaus]], so the mixture owner sees how
+    * hard each source's weight moves with τ before committing to one
+    * (the mT5 §3.2 tuning step; a tail source whose boost doubles
+    * between τ=0.7 and τ=0.5 is a repeat-epoch risk, cf. epoch_plan).
+    * The τ=1.0 arm is the built-in sanity row: weights = natural
+    * shares, boost ≈ 1.
+    *
+    * Plan: |taus| arms of a |sources|-row aggregate — map-shaped at any
+    * corpus.
+    */
+  def mixSensitivity(spark: SparkSession, dir: String): DataFrame =
+    MixSweepTaus.map(t => mixTemperatureAt(spark, dir, t)
+      .select(lit(t).as("tau"), col("source"), col("share"),
+        col("t_weight"), col("boost")))
+      .reduce(_ unionByName _)
+      .orderBy(col("tau"), col("source"))
 
   /** epoch_plan token budget as a MULTIPLE of the corpus (a relative
     * budget keeps the planner scale-free) and the repeat-value decay

@@ -3445,26 +3445,52 @@ object DuckSql {
     * on the rounded share re-rounded to 6dp DECIMAL, exact DECIMAL
     * denominator, mirrored double divisions.
     */
-  val mixTemperature: String = {
-    import graft.operators.CorpusStats.MixTemperature
-    val tw = "floor(u::DOUBLE / du::DOUBLE * 1000000 + 0.5) / 1000000"
-    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs
+  /** The mixTemperature CTE chain at an explicit τ, CTE names suffixed
+    * so [[mixSensitivity]] can stack one chain per arm.
+    */
+  private def mixTempCtes(tau: Double, sfx: String): String =
+    s"""per$sfx AS (SELECT source, count(*)::BIGINT AS n_docs
        |             FROM documents GROUP BY source),
-       |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM per),
-       |sh AS (SELECT source, n_docs,
+       |tot$sfx AS (SELECT sum(n_docs)::BIGINT AS total FROM per$sfx),
+       |sh$sfx AS (SELECT source, n_docs,
        |        floor(n_docs::DOUBLE / total * 1000000 + 0.5) / 1000000
        |          AS share
-       |       FROM per, tot),
-       |up AS (SELECT source, n_docs, share,
+       |       FROM per$sfx, tot$sfx),
+       |up$sfx AS (SELECT source, n_docs, share,
        |        CAST(CASE WHEN share > 0
-       |          THEN floor(exp($MixTemperature * ln(share)) * 1000000 + 0.5)
+       |          THEN floor(exp($tau * ln(share)) * 1000000 + 0.5)
        |               / 1000000
        |          ELSE 0.0::DOUBLE END AS DECIMAL(18,6)) AS u
-       |       FROM sh),
-       |de AS (SELECT sum(u) AS du FROM up)
-       |SELECT source, n_docs, share, $tw AS t_weight,
-       |  floor(($tw) / share * 10000 + 0.5) / 10000 AS boost
+       |       FROM sh$sfx),
+       |de$sfx AS (SELECT sum(u) AS du FROM up$sfx)""".stripMargin
+
+  private val twSql =
+    "floor(u::DOUBLE / du::DOUBLE * 1000000 + 0.5) / 1000000"
+
+  val mixTemperature: String = {
+    import graft.operators.CorpusStats.MixTemperature
+    s"""WITH ${mixTempCtes(MixTemperature, "")}
+       |SELECT source, n_docs, share, $twSql AS t_weight,
+       |  floor(($twSql) / share * 10000 + 0.5) / 10000 AS boost
        |FROM up, de ORDER BY source""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.mixSensitivity: one mixTemperature chain per
+    * τ arm, stacked and unioned with the τ literal.
+    */
+  lazy val mixSensitivity: String = {
+    import graft.operators.CorpusStats.MixSweepTaus
+    val arms = MixSweepTaus.zipWithIndex
+    def arm(t: Double, i: Int) =
+      s"""SELECT CAST($t AS DOUBLE) AS tau, source, share,
+         |  $twSql AS t_weight,
+         |  floor(($twSql) / share * 10000 + 0.5) / 10000 AS boost
+         |FROM up_$i, de_$i""".stripMargin
+    s"""WITH ${arms.map { case (t, i) => mixTempCtes(t, s"_$i") }
+          .mkString(",\n")}
+       |SELECT tau, source, share, t_weight, boost FROM (
+       |${arms.map { case (t, i) => arm(t, i) }.mkString("\nUNION ALL\n")})
+       |ORDER BY tau, source""".stripMargin
   }
 
   /** Mirror of CorpusStats.epochPlan: the mixTemperature chain plus a

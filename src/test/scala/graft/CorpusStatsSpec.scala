@@ -38,6 +38,33 @@ class CorpusStatsSpec extends SparkSpecBase {
       4L -> ((1L, m4(b4), ls(b4)))))
   }
 
+  test("mix_sensitivity: tau=1 is the identity arm; tau=0.7 matches " +
+      "mix_temperature") {
+    val dir = fixtureDir(docs = Seq(
+      doc(0, "a", "s0"), doc(1, "b", "s0"), doc(2, "c", "s0"),
+      doc(3, "d", "s1")))
+    val out = CorpusStats.mixSensitivity(spark, dir).collect()
+    assert(out.length === 3 * 2) // 3 taus x 2 sources
+    val byTau = out.groupBy(_.getDouble(0))
+    assert(byTau.keySet === Set(0.5, 0.7, 1.0))
+    // tau=1.0: weights = natural shares up to the 6dp exp/ln round-trip
+    byTau(1.0).foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= 2e-6)
+      assert(math.abs(r.getDouble(4) - 1.0) <= 1e-4 * 2)
+    }
+    // the 0.7 arm IS mix_temperature
+    val mt = CorpusStats.mixTemperature(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    byTau(0.7).foreach { r =>
+      assert(mt(r.getString(1)) ===
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    }
+    // flattening: the tail source's weight rises as tau falls
+    def w(t: Double) = byTau(t).find(_.getString(1) == "s1").get.getDouble(3)
+    assert(w(0.5) > w(0.7) && w(0.7) > w(1.0))
+  }
+
   test("zipf_fit: closed-form log-log regression over the ranked head") {
     // term counts a:4, b:2, c:1 -> ranks 1..3
     val dir = fixtureDir(docs = Seq(doc(1, "a a a a b b c")))
