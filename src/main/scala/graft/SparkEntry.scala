@@ -116,7 +116,10 @@ object SparkEntry {
     "conversion_lift" -> (Sessions.conversionLift _),
     "km_retention" -> (Sessions.kmRetention _),
     "nelson_aalen" -> (Sessions.nelsonAalen _),
+    "logrank_test" -> (Sessions.logrankTest _),
+    "cuped_lift" -> (Sessions.cupedLift _),
     "ks_drift" -> (Sessions.ksDrift _),
+    "fdr_bh" -> (Sessions.fdrBh _),
     "mann_whitney" -> (Sessions.mannWhitney _),
     "attribution" -> (Sessions.attribution _),
     "bradley_terry" -> (Sessions.bradleyTerry _),
@@ -275,6 +278,7 @@ object SparkEntry {
     "sample_audit" -> (Curation.sampleAudit _),
     "burstiness" -> (CorpusStats.burstiness _),
     "hapax_ratio" -> (CorpusStats.hapaxRatio _),
+    "good_turing" -> (CorpusStats.goodTuring _),
     "chi2_terms" -> (CorpusStats.chi2Terms _),
     "ngram_diversity" -> (CorpusStats.ngramDiversity _),
     "signal_auc" -> (CorpusStats.signalAuc _),
@@ -700,7 +704,10 @@ object SparkEntry {
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
     "km_retention" -> graft.oracle.DuckSql.kmRetention,
     "nelson_aalen" -> graft.oracle.DuckSql.nelsonAalen,
+    "logrank_test" -> graft.oracle.DuckSql.logrankTest,
+    "cuped_lift" -> graft.oracle.DuckSql.cupedLift,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
+    "fdr_bh" -> graft.oracle.DuckSql.fdrBh,
     "mann_whitney" -> graft.oracle.DuckSql.mannWhitney,
     "attribution" -> graft.oracle.DuckSql.attribution,
     "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
@@ -900,6 +907,7 @@ object SparkEntry {
     "sample_audit" -> graft.oracle.DuckSql.sampleAudit,
     "burstiness" -> graft.oracle.DuckSql.burstiness,
     "hapax_ratio" -> graft.oracle.DuckSql.hapaxRatio,
+    "good_turing" -> graft.oracle.DuckSql.goodTuring,
     "chi2_terms" -> graft.oracle.DuckSql.chi2Terms,
     "ngram_diversity" -> graft.oracle.DuckSql.ngramDiversity,
     "signal_auc" -> graft.oracle.DuckSql.signalAuc,

@@ -1928,6 +1928,66 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** Largest frequency class reported by [[goodTuring]] — above r≈10
+    * the n_r counts thin out and the Turing estimate is noise (the
+    * standard Gale & Sampson guidance to smooth or stop).
+    */
+  val GoodTuringMaxR = 10
+
+  /** good_turing: the BIGRAM frequency-of-frequencies table with the
+    * Turing re-estimate (Good 1953; Gale & Sampson 1995) — for each
+    * observed bigram count r ≤ [[GoodTuringMaxR]]: the class size n_r,
+    * the adjusted count r* = (r+1)·n_{r+1}/n_r, and the implied class
+    * probability mass. Bigrams, not unigrams, because that is where
+    * the estimate is USED: Katz backoff discounts exactly these counts
+    * before falling back to the unigram model — this table is the
+    * discount schedule of the [[perplexityBackoff]] bigram LM, and the
+    * unseen-mass headline p₀ = n₁/N (repeated per row) is the
+    * probability it must reserve for bigrams the corpus never showed
+    * (the unigram vocabulary is closed and tiny by comparison —
+    * hapax_ratio already covers it).
+    *
+    * Parity: every count is an exact integer; r* and the masses are
+    * single fixed-order divisions rounded 6dp. Adjacent classes join on
+    * r+1 (a gap in r means n_{r+1} = 0 and r* = 0 — the raw-table
+    * convention; smoothing is the consumer's job).
+    *
+    * Scale shape: one tokenize pass, one per-doc lead window (the
+    * ngram_stats shape), a (gram) partial agg, then a ≤|distinct tf|
+    * frequency-class frame (≪ vocabulary) self-joined once.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fof = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
+      .select(concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("g"),
+        lead(col("w"), 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .groupBy(col("g")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tf").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // feeds both join sides and the totals
+    val tots = broadcast(fof.agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1")))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    fof.filter(col("r") <= GoodTuringMaxR)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(tots)
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        r6((col("r") + 1).cast("double") *
+          coalesce(col("n_next"), lit(0L)) / col("n_r")).as("r_star"),
+        r6((col("r") + 1).cast("double") *
+          coalesce(col("n_next"), lit(0L)) / col("n_tokens"))
+          .as("class_mass"),
+        r6(col("n1").cast("double") / col("n_tokens")).as("p_unseen"))
+      .orderBy(col("r"))
+  }
+
   /** chi2_terms df floor and per-source read-out size. */
   val Chi2MinDf = 5
   val Chi2TopK = 5

@@ -88,26 +88,32 @@ object Curation {
     * phrase noise. The n=3 collisions reconcile with [[decontaminate]]
     * by construction (same grams, same slot rule).
     *
-    * Plan: per arm, tokens explode ONCE and the n-gram comes from a
-    * lead() chain over the same doc-ordered window (the shingleRows
-    * posture); candidate generation is the equi-join on the gram —
-    * never train × eval. The eval gram set is mod-bounded and the hit
-    * frame is materialized once for its three aggregates.
+    * Plan: tokens explode ONCE and ONE doc-ordered window pass
+    * computes the lead chain to max(n)−1 (the shingleRows posture);
+    * the materialized (doc_id, w0..w12) frame feeds ALL THREE arms —
+    * each arm is a prefix concat + filter on its own tail column, so
+    * the sweep pays one tokenize + one window shuffle, not three.
+    * Candidate generation is the equi-join on the gram — never
+    * train × eval. The eval gram set is mod-bounded and the hit frame
+    * is materialized once for its three aggregates.
     */
   def decontamSweep(spark: SparkSession, dir: String): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
+    val kMax = DecontamSweepNs.max
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("w").as("w0") +:
+        (1 until kMax).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
+      .localCheckpoint() // one tokenize + one window pass, three arms
     def arm(k: Int): DataFrame = {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val gramCols = (0 until k).map(i =>
-        if (i == 0) col("w") else lead(col("w"), i).over(w))
-      val sh = Tables.cpuPartition(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        col("doc_id"))
+      val sh = toks
+        .filter(col(s"w${k - 1}").isNotNull)
         .select(col("doc_id"),
-          posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
-        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"),
-          lead(col("w"), k - 1).over(w).isNotNull.as("full"))
-        .filter(col("full"))
+          concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("g"))
         .dropDuplicates("doc_id", "g")
         .localCheckpoint() // feeds the bench AND train sides
       val bench = sh.filter(isBench)

@@ -1017,6 +1017,191 @@ object Sessions {
       .orderBy(col("t"))
   }
 
+  /** Log-rank χ² critical value (α = 0.05, 1 df) — same grid point as
+    * [[SrmChi2Crit]], kept separate so the two gates tune independently.
+    */
+  val LogrankChi2Crit = 3.8415
+
+  /** logrank_test: the TWO-COHORT comparison leg of the survival shelf
+    * (Mantel 1966; Peto & Peto 1972) — km_retention/nelson_aalen draw
+    * ONE pooled curve; this asks whether two user cohorts' churn
+    * hazards differ. Cohorts come from the md5 arm split of
+    * [[conversionLift]] (a deterministic A/A, so the expected χ² is
+    * small — the slot a real assignment plugs into, and the standing
+    * sanity check that the hash split doesn't secretly correlate with
+    * lifetime). At each distinct lifetime t: observed arm-0 churn d_a
+    * vs its hypergeometric expectation d·n_a/n under H₀ (equal
+    * hazards), variance d·(n_a/n)·(n_b/n)·(n−d)/(n−1); the statistic
+    * is U²/V with U = Σ(d_a − e_a), V = Σv — χ²(1 df).
+    *
+    * Parity: the grid counts are exact integers; each e_a and v term
+    * rounds to 6dp integer units and the sums accumulate as longs
+    * (partition-order independent — the km/nelson precedent), so U and
+    * V are exact; one double division tail rounds χ² to 4dp and the
+    * significance bit tests the unrounded value (the is_anomaly
+    * convention).
+    *
+    * Scale shape: identical to [[survivalGrid]] — one groupBy(user)
+    * partial agg, everything after on the ≤|weeks| grid (one bounded
+    * cumulative window per arm, 1-row broadcasts for the totals).
+    */
+  def logrankTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val span = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
+      .select(pmod(h, lit(2L)).cast("int").as("arm"), col("f"), col("l"))
+      .localCheckpoint() // feeds the max-week scalar, arm totals, grid
+    val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
+    val tot = broadcast(span.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nu_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nu_b")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = span.crossJoin(maxWk)
+      .select((col("l") - col("f")).cast("int").as("t"), col("arm"),
+        (col("l") =!= col("maxwk")).cast("long").as("churn"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("leave_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("leave_b"),
+        sum(when(col("arm") === 0, col("churn")).otherwise(0L)).as("d_a"),
+        sum(when(col("arm") === 1, col("churn")).otherwise(0L)).as("d_b"))
+      .crossJoin(tot)
+      .withColumn("n_a", col("nu_a") -
+        coalesce(sum(col("leave_a")).over(wPrev), lit(0L)))
+      .withColumn("n_b", col("nu_b") -
+        coalesce(sum(col("leave_b")).over(wPrev), lit(0L)))
+    val d = col("d_a") + col("d_b")
+    val n = col("n_a") + col("n_b")
+    val eA = d.cast("double") * col("n_a") / n
+    val v = when(n > 1,
+      d.cast("double") * col("n_a") / n * col("n_b") / n *
+        (n - d).cast("double") / (n - lit(1)).cast("double"))
+      .otherwise(lit(0.0))
+    val g = grid.filter(d > 0)
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("d_a")).as("churn_a"), sum(col("d_b")).as("churn_b"),
+        sum(floor(eA * 1000000 + 0.5).cast("long")).as("eu"),
+        sum(floor(v * 1000000 + 0.5).cast("long")).as("vu"))
+      .crossJoin(tot)
+    val u = col("churn_a").cast("double") - col("eu").cast("double") / 1000000
+    val chi2 = u * u / (col("vu").cast("double") / 1000000)
+    g.select(col("nu_a").as("n_users_a"), col("nu_b").as("n_users_b"),
+      col("n_times"), col("churn_a"), col("churn_b"),
+      (col("eu").cast("double") / 1000000).as("expected_a"),
+      when(col("vu") > 0, floor(chi2 * 10000 + 0.5) / 10000)
+        .otherwise(lit(0.0)).as("chi2"),
+      (col("vu") > 0 && chi2 > LogrankChi2Crit).as("is_significant"))
+  }
+
+  /** cuped_lift: VARIANCE-REDUCED lift (CUPED — Deng, Xu, Kohavi &
+    * Walker, WSDM 2013) over the [[conversionLift]] arm split. The
+    * corpus time range splits at its midpoint week; each user's
+    * PRE-period event count x is the covariate, the POST-period count y
+    * the metric. θ = cov(x,y)/var(x) fits POOLED across arms (the
+    * paper's recommendation — pre-period data is assignment-blind), the
+    * adjusted metric is y − θ·(x − x̄), and the read-out is the raw vs
+    * adjusted lift plus ρ² — the variance share CUPED removes (its
+    * entire value proposition: a 30% ρ² means 30% fewer users for the
+    * same power).
+    *
+    * Parity: x/y are exact integer counts, so every moment (Σx, Σy,
+    * Σx², Σy², Σxy, per-arm Σ) is an exact long and the centered
+    * products n·Σxy − Σx·Σy stay in BIGINT (the chi2_terms rule); the
+    * double tail (θ, lifts, ρ²) computes with identical operand order
+    * and rounds 6dp.
+    *
+    * Scale shape: one groupBy(user) partial agg, one 1-row conditional
+    * rollup — map-shaped end to end, the conversionLift cost class.
+    */
+  def cupedLift(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+    val mid = broadcast(ev.agg(
+      expr("(min(wk) + max(wk) + 1) div 2").as("mid")).localCheckpoint())
+    val per = ev.crossJoin(mid)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("wk") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("wk") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      .select(pmod(h, lit(2L)).cast("int").as("arm"), col("x"), col("y"))
+    val g = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+    val varxN = (col("n") * col("sxx") - col("sx") * col("sx"))
+    val varyN = (col("n") * col("syy") - col("sy") * col("sy"))
+    val theta = covN.cast("double") / varxN.cast("double")
+    val liftRaw = col("sya").cast("double") / col("na") -
+      col("syb").cast("double") / col("nb")
+    val liftCuped = liftRaw - theta *
+      (col("sxa").cast("double") / col("na") -
+        col("sxb").cast("double") / col("nb"))
+    val rho2 = covN.cast("double") * covN.cast("double") /
+      (varxN.cast("double") * varyN.cast("double"))
+    val ok = varxN > 0 && varyN > 0 && col("na") > 0 && col("nb") > 0
+    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(ok, r6(theta)).otherwise(lit(0.0)).as("theta"),
+        when(col("na") > 0 && col("nb") > 0, r6(liftRaw))
+          .otherwise(lit(0.0)).as("lift_raw"),
+        when(ok, r6(liftCuped)).otherwise(lit(0.0)).as("lift_cuped"),
+        when(ok, r6(rho2)).otherwise(lit(0.0)).as("var_reduction"))
+  }
+
+  /** Benjamini–Hochberg false-discovery rate for [[fdrBh]]. */
+  val FdrAlpha = 0.05
+
+  /** fdr_bh: MULTIPLE-TESTING correction over the per-type [[ksDrift]]
+    * p-values (Benjamini & Hochberg 1995) — a drift dashboard fires one
+    * KS test per event type every sweep, and at α=0.05 a 20-type fleet
+    * false-alarms weekly; BH bounds the EXPECTED SHARE of false
+    * discoveries instead of the per-test rate. Rank p ascending; the
+    * cutoff is the LARGEST rank k with p_(k) ≤ k·α/m, and every rank ≤ k
+    * is a discovery (including any p above its own line — the step-up
+    * property the naive per-row test gets wrong).
+    *
+    * Parity: the consumed p-values are ks_drift's (already 6dp-rounded,
+    * bit-identical on both engines); ranks tie-break on event_type, the
+    * BH line k·α/m computes in one fixed-order double expression, and
+    * the step-up cutoff is a max over an exact integer flag — no new
+    * rounding surface.
+    *
+    * Scale shape: ks_drift's cost plus a |types|-bounded window — the
+    * correction itself is free; at 100 TB the test fleet is the corpus
+    * pass, the BH pass is a dashboard frame.
+    */
+  def fdrBh(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val p = ksDrift(spark, dir)
+      .filter(col("p_value").isNotNull)
+      .select(col("event_type"), col("p_value"))
+    val wRank = Window.orderBy(col("p_value"), col("event_type"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    p.crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("bh_line",
+        col("rank").cast("double") * FdrAlpha / col("m"))
+      .withColumn("kmax", max(when(col("p_value") <= col("bh_line"),
+        col("rank")).otherwise(lit(0))).over(wAll))
+      .select(col("event_type"), col("p_value"), col("rank"), col("m"),
+        r6(col("bh_line")).as("bh_threshold"),
+        (col("rank") <= col("kmax")).as("is_discovery"))
+      .orderBy(col("rank"))
+  }
+
   /** HLL register count (m = 2^6). 64 registers give ~13% standard
     * error (1.04/√64) — coarse but the POINT is the mechanism: the
     * sketch state is 64 bytes per group regardless of cardinality.

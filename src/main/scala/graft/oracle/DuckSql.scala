@@ -1976,6 +1976,151 @@ object DuckSql {
       |    AS survival_fh
       |FROM w3 ORDER BY t""".stripMargin
 
+  /** Mirror of Sessions.logrankTest: the survival grid split by the
+    * conversionLift md5 arm, 6dp-integer expectation/variance terms
+    * summed exactly, one χ² double tail. Window sums and all counts
+    * cast ::BIGINT (the n_risk HUGEINT lesson); the user totals come
+    * from the `tot` CTE, not the filtered grid, so an all-censored
+    * corpus still reports its arm sizes.
+    */
+  val logrankTest: String = {
+    import graft.operators.Sessions.LogrankChi2Crit
+    s"""WITH e AS (SELECT user_id,
+       |  (floor(epoch(ts))::BIGINT // 604800) AS wk FROM events),
+       |sp AS (SELECT user_id, min(wk) AS f, max(wk) AS l
+       |       FROM e GROUP BY user_id),
+       |ar AS (SELECT
+       |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+       |     % 2)::INT AS arm, f, l
+       |  FROM sp),
+       |mx AS (SELECT max(l) AS maxwk FROM ar),
+       |tot AS (SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nu_a,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nu_b
+       |  FROM ar),
+       |g AS (SELECT (ar.l - ar.f)::INT AS t,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS leave_a,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS leave_b,
+       |    sum(CASE WHEN arm = 0 AND ar.l <> mx.maxwk
+       |             THEN 1 ELSE 0 END)::BIGINT AS d_a,
+       |    sum(CASE WHEN arm = 1 AND ar.l <> mx.maxwk
+       |             THEN 1 ELSE 0 END)::BIGINT AS d_b
+       |  FROM ar, mx GROUP BY 1),
+       |w1 AS (SELECT g.*,
+       |    (tot.nu_a - coalesce(sum(leave_a) OVER wp, 0))::BIGINT AS n_a,
+       |    (tot.nu_b - coalesce(sum(leave_b) OVER wp, 0))::BIGINT AS n_b
+       |  FROM g, tot
+       |  WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+       |                AND 1 PRECEDING)),
+       |w2 AS (SELECT *,
+       |    floor((d_a + d_b)::DOUBLE * n_a / (n_a + n_b) * 1000000
+       |          + 0.5)::BIGINT AS eu,
+       |    CASE WHEN n_a + n_b > 1
+       |         THEN floor((d_a + d_b)::DOUBLE * n_a / (n_a + n_b)
+       |                    * n_b / (n_a + n_b)
+       |                    * (n_a + n_b - (d_a + d_b))::DOUBLE
+       |                    / (n_a + n_b - 1)::DOUBLE * 1000000
+       |                    + 0.5)::BIGINT
+       |         ELSE 0 END AS vu
+       |  FROM w1 WHERE d_a + d_b > 0),
+       |s AS (SELECT count(*)::BIGINT AS n_times,
+       |    sum(d_a)::BIGINT AS churn_a, sum(d_b)::BIGINT AS churn_b,
+       |    sum(eu)::BIGINT AS esum, sum(vu)::BIGINT AS vsum
+       |  FROM w2)
+       |SELECT tot.nu_a AS n_users_a, tot.nu_b AS n_users_b, s.n_times,
+       |  s.churn_a, s.churn_b, s.esum::DOUBLE / 1000000 AS expected_a,
+       |  CASE WHEN s.vsum > 0
+       |       THEN floor((s.churn_a::DOUBLE - s.esum::DOUBLE / 1000000)
+       |                  * (s.churn_a::DOUBLE - s.esum::DOUBLE / 1000000)
+       |                  / (s.vsum::DOUBLE / 1000000) * 10000 + 0.5)
+       |            / 10000
+       |       ELSE 0.0::DOUBLE END AS chi2,
+       |  (s.vsum > 0 AND
+       |   (s.churn_a::DOUBLE - s.esum::DOUBLE / 1000000)
+       |   * (s.churn_a::DOUBLE - s.esum::DOUBLE / 1000000)
+       |   / (s.vsum::DOUBLE / 1000000) > $LogrankChi2Crit)
+       |    AS is_significant
+       |FROM s, tot""".stripMargin
+  }
+
+  /** Mirror of Sessions.cupedLift: exact long moments (every sum
+    * ::BIGINT, centered products in BIGINT per the chi2_terms rule),
+    * one fixed-order double tail; the unrounded θ feeds lift_cuped.
+    */
+  val cupedLift: String =
+    """WITH e AS (SELECT user_id,
+      |  (floor(epoch(ts))::BIGINT // 604800) AS wk FROM events),
+      |md AS (SELECT (min(wk) + max(wk) + 1) // 2 AS mid FROM e),
+      |u AS (SELECT user_id,
+      |    sum(CASE WHEN wk < md.mid THEN 1 ELSE 0 END)::BIGINT AS x,
+      |    sum(CASE WHEN wk >= md.mid THEN 1 ELSE 0 END)::BIGINT AS y
+      |  FROM e, md GROUP BY user_id),
+      |a AS (SELECT
+      |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+      |     % 2)::INT AS arm, x, y
+      |  FROM u),
+      |g AS (SELECT count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+      |    sum(x * y)::BIGINT AS sxy,
+      |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+      |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sxa,
+      |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sya,
+      |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+      |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sxb,
+      |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS syb
+      |  FROM a),
+      |x AS (SELECT *,
+      |    (n * sxy - sx * sy)::BIGINT AS covn,
+      |    (n * sxx - sx * sx)::BIGINT AS varxn,
+      |    (n * syy - sy * sy)::BIGINT AS varyn
+      |  FROM g)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CASE WHEN varxn > 0 AND varyn > 0 AND na > 0 AND nb > 0
+      |       THEN floor(covn::DOUBLE / varxn::DOUBLE * 1000000 + 0.5)
+      |            / 1000000
+      |       ELSE 0.0::DOUBLE END AS theta,
+      |  CASE WHEN na > 0 AND nb > 0
+      |       THEN floor((sya::DOUBLE / na - syb::DOUBLE / nb) * 1000000
+      |                  + 0.5) / 1000000
+      |       ELSE 0.0::DOUBLE END AS lift_raw,
+      |  CASE WHEN varxn > 0 AND varyn > 0 AND na > 0 AND nb > 0
+      |       THEN floor((sya::DOUBLE / na - syb::DOUBLE / nb
+      |                   - covn::DOUBLE / varxn::DOUBLE
+      |                     * (sxa::DOUBLE / na - sxb::DOUBLE / nb))
+      |                  * 1000000 + 0.5) / 1000000
+      |       ELSE 0.0::DOUBLE END AS lift_cuped,
+      |  CASE WHEN varxn > 0 AND varyn > 0 AND na > 0 AND nb > 0
+      |       THEN floor(covn::DOUBLE * covn::DOUBLE
+      |                  / (varxn::DOUBLE * varyn::DOUBLE) * 1000000
+      |                  + 0.5) / 1000000
+      |       ELSE 0.0::DOUBLE END AS var_reduction
+      |FROM x""".stripMargin
+
+  /** Mirror of Sessions.fdrBh: the ksDrift mirror as the p-value
+    * source, ranks tie-broken on event_type, the BH step-up cutoff as
+    * a max over an exact flag; α interpolates ::DOUBLE (bare literals
+    * are DECIMAL).
+    */
+  lazy val fdrBh: String = { // lazy: composes ksDrift, declared later
+    import graft.operators.Sessions.FdrAlpha
+    s"""WITH base AS (SELECT event_type, p_value FROM ($ksDrift)
+       |              WHERE p_value IS NOT NULL),
+       |mm AS (SELECT count(*)::BIGINT AS m FROM base),
+       |r AS (SELECT b.event_type, b.p_value, mm.m,
+       |    row_number() OVER (ORDER BY b.p_value, b.event_type)::INT
+       |      AS rank
+       |  FROM base b, mm),
+       |k AS (SELECT *, rank::DOUBLE * $FdrAlpha::DOUBLE / m AS bh_line
+       |      FROM r),
+       |km AS (SELECT max(CASE WHEN p_value <= bh_line THEN rank
+       |                       ELSE 0 END)::INT AS kmax FROM k)
+       |SELECT k.event_type, k.p_value, k.rank, k.m,
+       |  floor(bh_line * 1000000 + 0.5) / 1000000 AS bh_threshold,
+       |  (k.rank <= km.kmax) AS is_discovery
+       |FROM k, km ORDER BY k.rank""".stripMargin
+  }
+
   /** Mirror of Sessions.sessionEntropy: (user, type) exact counts, 6dp
     * integer c·ln c terms summed exactly, one mirrored double tail.
     */
@@ -7664,4 +7809,35 @@ object DuckSql {
        |        / sum(tf)::BIGINT * 10000 + 0.5) / 10000
        |    AS hapax_token_share
        |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirror of CorpusStats.goodTuring: same token list, per-doc lead
+    * bigrams, exact frequency-of-frequencies, adjacent classes by r+1
+    * self-join (missing class → 0), fixed-order 6dp tails; every sum
+    * ::BIGINT.
+    */
+  val goodTuring: String = {
+    import graft.operators.CorpusStats.GoodTuringMaxR
+    s"""$normCte,
+       |t AS (SELECT doc_id, unnest(ws) AS w,
+       |        generate_subscripts(ws, 1) AS pos FROM n),
+       |b AS (SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id
+       |        ORDER BY pos) AS g FROM t),
+       |tf AS (SELECT g, count(*)::BIGINT AS tf
+       |       FROM b WHERE g IS NOT NULL GROUP BY g),
+       |fof AS (SELECT tf AS r, count(*)::BIGINT AS n_r
+       |        FROM tf GROUP BY tf),
+       |tots AS (SELECT sum(r * n_r)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1
+       |  FROM fof)
+       |SELECT f.r, f.n_r, coalesce(x.n_r, 0)::BIGINT AS n_next,
+       |  floor((f.r + 1)::DOUBLE * coalesce(x.n_r, 0) / f.n_r * 1000000
+       |        + 0.5) / 1000000 AS r_star,
+       |  floor((f.r + 1)::DOUBLE * coalesce(x.n_r, 0) / t.n_tokens
+       |        * 1000000 + 0.5) / 1000000 AS class_mass,
+       |  floor(t.n1::DOUBLE / t.n_tokens * 1000000 + 0.5) / 1000000
+       |    AS p_unseen
+       |FROM fof f LEFT JOIN fof x ON x.r = f.r + 1 CROSS JOIN tots t
+       |WHERE f.r <= $GoodTuringMaxR
+       |ORDER BY f.r""".stripMargin
+  }
 }

@@ -712,4 +712,19 @@ class CorpusStatsSpec extends SparkSpecBase {
         math.floor(1.0 / 3 * 1e4 + 0.5) / 1e4),
       Seq[Any]("s1", 2L, 2L, 2L, 1.0, 1.0)))
   }
+
+  test("good_turing: hand bigram frequency classes; a missing r+1 class " +
+      "zeroes r*, unseen mass is n1/N") {
+    import graft.operators.CorpusStats
+    // bigrams: "a b"=3, "a c"=3, "b a"=2, "c a"=1, "c x"=1, "x y"=1
+    // fof: r=1 -> 3, r=2 -> 1, r=3 -> 2; N = 11, n1 = 3
+    val dir = fixtureDir(docs = Seq(
+      doc(1, "a b a b"), doc(2, "a c a c"), doc(3, "a b a c x y")))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val p0 = r6(3.0 / 11)
+    assert(rows(CorpusStats.goodTuring(spark, dir)) === Set(
+      Seq[Any](1L, 3L, 1L, r6(2.0 * 1 / 3), r6(2.0 * 1 / 11), p0),
+      Seq[Any](2L, 1L, 2L, 6.0, r6(3.0 * 2 / 11), p0),
+      Seq[Any](3L, 2L, 0L, 0.0, 0.0, p0)))
+  }
 }

@@ -479,6 +479,25 @@ class PlanSpec extends SparkSpecBase {
     assert(!pm.contains("Join"), s"media_dedup must be join-free:\n$pm")
   }
 
+  test("r12-cont family: survival/AB stats and GT classes stay keyed; " +
+      "the only nested loops are 1-row scalar broadcasts") {
+    withNoAutoBroadcast {
+      Seq[(String, DataFrame)](
+        "logrank_test" -> graft.operators.Sessions.logrankTest(spark, dir),
+        "cuped_lift" -> graft.operators.Sessions.cupedLift(spark, dir),
+        "fdr_bh" -> graft.operators.Sessions.fdrBh(spark, dir),
+        "good_turing" -> graft.operators.CorpusStats.goodTuring(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+      // good_turing's r+1 class self-join must be keyed, not a loop
+      val pg = planOf(graft.operators.CorpusStats.goodTuring(spark, dir))
+      assert(pg.contains("SortMergeJoin") || pg.contains("ShuffledHashJoin"),
+        s"fof self-join must equi-join on the class key:\n$pg")
+    }
+  }
+
   test("scd2_lookup at scale: the validity refine rides an equi-join " +
       "on the entity key, never a nested loop") {
     withNoAutoBroadcast {

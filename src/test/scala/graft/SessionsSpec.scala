@@ -850,4 +850,105 @@ class SessionsSpec extends SparkSpecBase {
       Seq[Any]("click", 3L, 3L, 0.0, zc, math.abs(zc) > Sessions.MwZCrit),
       Seq[Any]("view", 2L, 2L, 1.0, -1.0, false)))
   }
+
+  /** The md5 arm split shared by conversion_lift/logrank/cuped. */
+  private def armOf(u: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2).toInt
+  }
+
+  test("logrank_test: hand χ² on a mixed-arm lifetime grid; censor-only " +
+      "weeks subtract at-risk but add no term") {
+    import graft.operators.Sessions
+    val wk = 604800L
+    // (user, first wk, last wk): maxwk = 3 -> l = 3 is censored.
+    // arms (md5): 1,2,5,6 -> 0; 3,4 -> 1.
+    val spans = Seq((1L, 0L, 3L), (2L, 0L, 1L), (3L, 2L, 3L),
+      (4L, 1L, 3L), (5L, 0L, 0L), (6L, 1L, 2L))
+    val dir = fixtureDir(evs = spans.zipWithIndex.flatMap {
+      case ((u, f, l), i) =>
+        Seq(ev(10 * i + 1, f * wk, u), ev(10 * i + 2, l * wk, u))
+    })
+    // in-spec estimator over the same grid
+    val maxl = spans.map(_._3).max
+    val rs = spans.map { case (u, f, l) =>
+      (armOf(u), (l - f).toInt, if (l == maxl) 0 else 1)
+    }
+    var (na, nb) = (rs.count(_._1 == 0).toLong, rs.count(_._1 == 1).toLong)
+    val (nuA, nuB) = (na, nb)
+    var (eu, vu, churnA, churnB, nTimes) = (0L, 0L, 0L, 0L, 0L)
+    for (t <- rs.map(_._2).distinct.sorted) {
+      val dA = rs.count(r => r._1 == 0 && r._2 == t && r._3 == 1)
+      val dB = rs.count(r => r._1 == 1 && r._2 == t && r._3 == 1)
+      val (d, n) = (dA + dB, na + nb)
+      if (d > 0) {
+        nTimes += 1; churnA += dA; churnB += dB
+        eu += math.floor(d.toDouble * na / n * 1e6 + 0.5).toLong
+        if (n > 1) vu += math.floor(d.toDouble * na / n * nb / n *
+          (n - d).toDouble / (n - 1).toDouble * 1e6 + 0.5).toLong
+      }
+      na -= rs.count(r => r._1 == 0 && r._2 == t)
+      nb -= rs.count(r => r._1 == 1 && r._2 == t)
+    }
+    val u = churnA.toDouble - eu.toDouble / 1e6
+    val chi2 = u * u / (vu.toDouble / 1e6)
+    assert(churnA + churnB === 3L) // the fixture has real churn
+    assert(rows(Sessions.logrankTest(spark, dir)) === Set(
+      Seq[Any](nuA, nuB, nTimes, churnA, churnB, eu.toDouble / 1e6,
+        math.floor(chi2 * 1e4 + 0.5) / 1e4,
+        vu > 0 && chi2 > Sessions.LogrankChi2Crit)))
+  }
+
+  test("cuped_lift: hand moments on a pre/post split; θ and ρ² from " +
+      "exact centered products") {
+    import graft.operators.Sessions
+    val wk = 604800L
+    // weeks 0..3 -> mid = 2; (user, weeks): arms 1,2 -> 0; 3,4 -> 1
+    val weeks = Seq(1L -> Seq(0L, 0L, 1L, 2L, 3L), 2L -> Seq(0L, 2L),
+      3L -> Seq(1L, 1L, 3L), 4L -> Seq(0L))
+    val dir = fixtureDir(evs = weeks.flatMap { case (u, ws) =>
+      ws.zipWithIndex.map { case (w, i) => ev(100 * u + i, w * wk, u) }
+    })
+    // x=(3,1,2,1), y=(2,1,1,0); n=4 sx=7 sy=4 sxx=15 syy=6 sxy=9
+    // covN=8 varxN=11 varyN=8; arm0: n=2 sxa=4 sya=3; arm1: n=2 sxb=3 syb=1
+    assert(Seq(1L, 2L).forall(armOf(_) == 0) &&
+      Seq(3L, 4L).forall(armOf(_) == 1))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val theta = 8.0 / 11
+    assert(rows(Sessions.cupedLift(spark, dir)) === Set(
+      Seq[Any](2L, 2L, r6(theta), 1.0,
+        r6(3.0 / 2 - 1.0 / 2 - theta * (4.0 / 2 - 3.0 / 2)),
+        r6(8.0 * 8 / (11.0 * 8)))))
+  }
+
+  test("fdr_bh: step-up cutoff reproduces an in-spec BH over the " +
+      "ks_drift p-values; a clean separation is a discovery") {
+    import graft.operators.Sessions
+    // type a: complete early/late separation (D=1, p tiny -> discovery);
+    // type b: identical halves (p = 1.0); type c: half shift (mild)
+    val evs =
+      (1 to 8).map(i => ev(i.toLong, i.toLong, 1, "a", i.toDouble)) ++
+      (1 to 8).map(i => ev(10 + i.toLong, 900 + i, 2, "a", 100.0 + i)) ++
+      (1 to 4).map(i => ev(20 + i.toLong, i.toLong, 3, "b", i.toDouble)) ++
+      (1 to 4).map(i => ev(30 + i.toLong, 900 + i, 4, "b", i.toDouble)) ++
+      (1 to 4).map(i => ev(40 + i.toLong, i.toLong, 5, "c", i.toDouble)) ++
+      (1 to 4).map(i => ev(50 + i.toLong, 900 + i, 6, "c", 2.0 + i))
+    val dir = fixtureDir(evs = evs)
+    val p = Sessions.ksDrift(spark, dir).collect()
+      .filter(r => !r.isNullAt(4))
+      .map(r => (r.getString(0), r.getDouble(4)))
+      .sortBy(t => (t._2, t._1)) // (p, type) tie-broken rank order
+    val m = p.length
+    val lines = p.zipWithIndex.map { case ((ty, pv), i) =>
+      (ty, pv, i + 1, (i + 1).toDouble * Sessions.FdrAlpha / m)
+    }
+    val kmax = lines.collect { case (_, pv, r, l) if pv <= l => r }
+      .foldLeft(0)(math.max)
+    assert(kmax >= 1) // type a separates cleanly
+    assert(rows(Sessions.fdrBh(spark, dir)) === lines.map {
+      case (ty, pv, r, l) => Seq[Any](ty, pv, r, m.toLong,
+        math.floor(l * 1e6 + 0.5) / 1e6, r <= kmax)
+    }.toSet)
+  }
 }
