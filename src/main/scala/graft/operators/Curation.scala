@@ -88,32 +88,37 @@ object Curation {
     * phrase noise. The n=3 collisions reconcile with [[decontaminate]]
     * by construction (same grams, same slot rule).
     *
-    * Plan: tokens explode ONCE and ONE doc-ordered window pass
-    * computes the lead chain to max(n)−1 (the shingleRows posture);
-    * the materialized (doc_id, w0..w12) frame feeds ALL THREE arms —
-    * each arm is a prefix concat + filter on its own tail column, so
-    * the sweep pays one tokenize + one window shuffle, not three.
-    * Candidate generation is the equi-join on the gram — never
-    * train × eval. The eval gram set is mod-bounded and the hit frame
-    * is materialized once for its three aggregates.
+    * Plan: tokens explode ONCE into a materialized narrow
+    * (doc_id, pos, w) frame that feeds ALL THREE arms — the regex
+    * tokenize (the expensive map stage) runs once, and because the
+    * checkpoint keeps the cpuPartition doc_id partitioning, each arm's
+    * lead() window re-sorts but never re-shuffles. (A single shared
+    * window materializing the full w0..w12 lead chain was tried and
+    * measured SLOWER — 13 string columns per token outweigh two
+    * window sorts.) Candidate generation is the equi-join on the
+    * gram — never train × eval. The eval gram set is mod-bounded and
+    * the hit frame is materialized once for its three aggregates.
     */
   def decontamSweep(spark: SparkSession, dir: String): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
-    val kMax = DecontamSweepNs.max
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
       .select(col("doc_id"),
         posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id") +: col("w").as("w0") +:
-        (1 until kMax).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
-      .localCheckpoint() // one tokenize + one window pass, three arms
+      .localCheckpoint() // one tokenize feeds all three arms
     def arm(k: Int): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val gramCols = (0 until k).map(i =>
+        if (i == 0) col("w") else lead(col("w"), i).over(w))
       val sh = toks
-        .filter(col(s"w${k - 1}").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("g"))
+        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g0"),
+          lead(col("w"), k - 1).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        // dedupe/join on a 16-hex gram fingerprint, not the raw string:
+        // a 13-gram is ~70 shuffle bytes, the hash 16 — the bandKey
+        // posture; md5 is engine-identical so the mirror hashes too
+        .select(col("doc_id"), substring(md5(col("g0")), 1, 16).as("g"))
         .dropDuplicates("doc_id", "g")
         .localCheckpoint() // feeds the bench AND train sides
       val bench = sh.filter(isBench)

@@ -3861,8 +3861,9 @@ object DuckSql {
 
   /** Mirror of Curation.decontamSweep: per n, the gram lists come from
     * one list_transform over the shared normalized token list (the
-    * shCte idiom generalized to n), the hit set is the gram equi-join,
-    * and the four counters are scalar subqueries per arm.
+    * shCte idiom generalized to n), fingerprinted to the same 16-hex
+    * md5 key the Spark side dedupes/joins on, the hit set is the gram
+    * equi-join, and the four counters are scalar subqueries per arm.
     */
   lazy val decontamSweep: String = {
     import graft.operators.Curation.{ContamMod, ContamSlot, DecontamSweepNs}
@@ -3870,10 +3871,11 @@ object DuckSql {
     def gramExpr(k: Int) =
       (0 until k).map(i => s"ws[j+$i]").mkString(" || ' ' || ")
     def ctes(k: Int) =
-      s"""g$k AS (SELECT doc_id, unnest(list_distinct(
+      s"""g$k AS (SELECT DISTINCT doc_id, substr(md5(g0), 1, 16) AS g
+         |  FROM (SELECT doc_id, unnest(
          |    list_transform(range(1, len(ws) - ${k - 2}),
-         |                   j -> ${gramExpr(k)}))) AS g
-         |  FROM n WHERE len(ws) >= $k),
+         |                   j -> ${gramExpr(k)})) AS g0
+         |    FROM n WHERE len(ws) >= $k) t$k),
          |b$k AS (SELECT doc_id, g FROM g$k WHERE $slot = $ContamSlot),
          |bg$k AS (SELECT DISTINCT g FROM b$k),
          |h$k AS (SELECT t.doc_id, t.g FROM g$k t JOIN bg$k USING (g)
