@@ -111,6 +111,7 @@ object SparkEntry {
     "temporal_decay" -> (Sessions.temporalDecay _),
     "user_overlap" -> (Sessions.userOverlap _),
     "weekly_profile" -> (Sessions.weeklyProfile _),
+    "seasonal_strength" -> (Sessions.seasonalStrength _),
     "dow_anomalies" -> (Sessions.dowAnomalies _),
     "cusum_shift" -> (Sessions.cusumShift _),
     "conversion_lift" -> (Sessions.conversionLift _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "clf_calibration" -> (Curation.clfCalibration _),
     "brier_score" -> (Curation.brierScore _),
     "pr_curve" -> (Curation.prCurve _),
+    "threshold_pick" -> (Curation.thresholdPick _),
     "clf_ks" -> (Curation.clfKs _),
     "k_anonymity" -> (Tenancy.kAnonymity _),
     "l_diversity" -> (Tenancy.lDiversity _),
@@ -256,6 +258,7 @@ object SparkEntry {
     "graph_stats"  -> (Graph.graphStats _),
     "copurchase_clusters" -> (Graph.copurchaseClusters _),
     "dedup_recall" -> (Dedup.dedupRecall _),
+    "capture_recapture" -> (Dedup.captureRecapture _),
     "containment_dup" -> (Dedup.containmentDup _),
     "fuzzy_match" -> (Dedup.fuzzyMatch _),
     "fuzzy_clusters" -> (Dedup.fuzzyClusters _),
@@ -699,6 +702,7 @@ object SparkEntry {
     "temporal_decay" -> graft.oracle.DuckSql.temporalDecay,
     "user_overlap" -> graft.oracle.DuckSql.userOverlap,
     "weekly_profile" -> graft.oracle.DuckSql.weeklyProfile,
+    "seasonal_strength" -> graft.oracle.DuckSql.seasonalStrength,
     "dow_anomalies" -> graft.oracle.DuckSql.dowAnomalies,
     "cusum_shift" -> graft.oracle.DuckSql.cusumShift,
     "conversion_lift" -> graft.oracle.DuckSql.conversionLift,
@@ -789,6 +793,7 @@ object SparkEntry {
     "clf_calibration" -> graft.oracle.DuckSql.clfCalibration,
     "brier_score" -> graft.oracle.DuckSql.brierScore,
     "pr_curve" -> graft.oracle.DuckSql.prCurve,
+    "threshold_pick" -> graft.oracle.DuckSql.thresholdPick,
     "clf_ks" -> graft.oracle.DuckSql.clfKs,
     "k_anonymity" -> graft.oracle.DuckSql.kAnonymity,
     "l_diversity" -> graft.oracle.DuckSql.lDiversity,
@@ -885,6 +890,7 @@ object SparkEntry {
     "graph_stats"  -> graft.oracle.DuckSql.graphStats,
     "copurchase_clusters" -> graft.oracle.DuckSql.copurchaseClusters,
     "dedup_recall" -> graft.oracle.DuckSql.dedupRecall,
+    "capture_recapture" -> graft.oracle.DuckSql.captureRecapture,
     "containment_dup" -> graft.oracle.DuckSql.containmentDup,
     "fuzzy_match" -> graft.oracle.DuckSql.fuzzyMatch,
     "fuzzy_clusters" -> graft.oracle.DuckSql.fuzzyClusters,

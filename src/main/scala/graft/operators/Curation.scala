@@ -635,6 +635,39 @@ object Curation {
       .orderBy(col("threshold"))
   }
 
+  /** The precision floor threshold_pick tunes to. Single-sourced to
+    * the oracle SQL.
+    */
+  val GatePrecTarget = 0.8
+
+  /** threshold_pick: the AUTO-TUNED gate operating point — the
+    * SMALLEST pr_curve threshold whose precision meets
+    * [[GatePrecTarget]] (smallest = maximum recall subject to the
+    * precision floor; fallback: the highest-precision row), with that
+    * row's full confusion line. The nprobe_pick posture applied to the
+    * quality gate: pr_curve shows the whole trade-off, gate_eval the
+    * 0.5-cut default — this PICKS, so an auto-drop pipeline sets its
+    * cut from a query instead of a human reading the curve.
+    *
+    * Parity: the consumed curve is already 4dp-rounded on both
+    * engines; the pick is a rank window over ≤9 rows with an explicit
+    * (met, key, threshold) order — no new rounding surface.
+    */
+  def thresholdPick(spark: SparkSession, dir: String): DataFrame = {
+    val meets = col("prec").isNotNull && col("prec") >= GatePrecTarget
+    val wPick = Window.orderBy(
+      when(meets, 0).otherwise(1),
+      when(meets, col("threshold"))
+        .otherwise(lit(2.0) - coalesce(col("prec"), lit(-1.0))),
+      col("threshold"))
+    prCurve(spark, dir)
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("threshold"), meets.as("met_target"),
+        lit(GatePrecTarget).as("target"), col("prec"), col("rec"),
+        col("f1"), col("tp"), col("fp"), col("fn"))
+  }
+
   /** data_split parameters: the held-out fractions and the hash seed
     * (independent of [[SampleSeed]] so sampling and splitting are
     * uncorrelated decisions). Test = the remainder above

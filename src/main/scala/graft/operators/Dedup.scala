@@ -883,6 +883,48 @@ object Dedup {
         r4(col("n_hit").cast("double") / col("n_lsh")).as("prec"))
   }
 
+  /** capture_recapture: the Chapman estimate of the TRUE near-dup
+    * pair population from two independent detection methods' catches
+    * (Chapman 1951; the mark-recapture design ecology and census
+    * coverage studies use). Sample 1 = the persisted minhash pair set,
+    * sample 2 = the simhash pass, marked pairs = their intersection:
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. dedup_recall grades minhash against
+    * exact-Jaccard truth the ENGINE computed; this asks the question
+    * no single method can answer about itself — how many pairs do BOTH
+    * methods miss — and prices each method's coverage of N̂.
+    *
+    * Standing caveat (documented, not hidden): Chapman assumes
+    * independent captures; minhash and simhash catches are positively
+    * correlated (both favor high-overlap pairs), so N̂ is a LOWER
+    * bound on the true population — still the honest floor for "how
+    * big is the problem we can't see".
+    *
+    * Parity: counts exact; Chapman/coverages are fixed-order double
+    * tails (2dp/4dp). Scale shape: one artifact read + one simhash
+    * pass + a pair-key semi join and three 1-row aggregates.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    def r2(c: Column) = floor(c * 100 + 0.5) / 100
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val mh = dedupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val sh = dedupSimhash(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds its count AND the overlap semi join
+    val both = mh.join(sh, Seq("id_a", "id_b"), "left_semi")
+    val g = mh.agg(count(lit(1)).as("n_minhash"))
+      .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+    val chap = (col("n_minhash") + 1).cast("double") *
+      (col("n_simhash") + 1) / (col("n_both") + 1) - 1
+    val union = col("n_minhash") + col("n_simhash") - col("n_both")
+    g.select(col("n_minhash"), col("n_simhash"), col("n_both"),
+      union.as("n_union"), r2(chap).as("chapman_n"),
+      r2(chap - union).as("est_missed"),
+      when(chap > 0, r4(col("n_minhash").cast("double") / chap))
+        .as("coverage_minhash"),
+      when(chap > 0, r4(col("n_simhash").cast("double") / chap))
+        .as("coverage_simhash"))
+  }
+
   /** The (bands, rows-per-band) configurations swept by
     * [[bandingCurve]] over the 12 minhash components. Single-sourced
     * into the oracle SQL.

@@ -1466,6 +1466,63 @@ object Sessions {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** seasonal_strength: how much of each type's DAILY-VOLUME variance
+    * the day-of-week profile explains — the one-way-ANOVA R² of dow on
+    * the zero-filled daily count grid (SSB/SST = 1 − SSW/SST, Fisher's
+    * decomposition). The missing number between weekly_profile (the
+    * shape) and dow_anomalies/forecast_baseline (consumers that assume
+    * a shape): a type at 0.8 needs the seasonal baseline, a type at
+    * 0.05 is noise around a flat mean and the seasonal model is
+    * overfit. Zero days COUNT: the grid is the full [min day, max day]
+    * corpus range per type (absent days are real zeros — the honest
+    * variance, not the observed-days survivor bias).
+    *
+    * Parity: counts/squares/group sums are exact longs; the 7
+    * between-group terms S_g²/c_g round to 6dp integer units and sum
+    * exactly (the km precedent), leaving two fixed-order double
+    * expressions (SSB, SST) and one 4dp ratio.
+    *
+    * Scale shape: one (type, day) partial agg; the grid is
+    * |types| × |days| (both bounded), built from a broadcast day range;
+    * everything after is grid-sized. At 100 TB the day range grows
+    * like the retention window, not the data.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts div 1000000000 div 86400").as("day"))
+    val days = broadcast(ev.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1")).localCheckpoint()
+      .select(explode(sequence(col("d0"), col("d1"))).as("day")))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), pmod(col("day") + 3, lit(7)).as("dow"),
+        coalesce(col("c"), lit(0L)).as("n"))
+      .localCheckpoint() // feeds the dow terms and the totals
+    val sw = grid.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("sg"), count(lit(1)).as("cg"))
+      .groupBy(col("event_type"))
+      .agg(sum(floor(col("sg").cast("double") * col("sg") / col("cg")
+        * 1000000 + 0.5).cast("long")).as("swu"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("nd"),
+        sum(col("n") * col("n")).as("a"))
+    val sst = col("a").cast("double") -
+      col("s").cast("double") * col("s") / col("nd")
+    val ssb = col("swu").cast("double") / 1000000 -
+      col("s").cast("double") * col("s") / col("nd")
+    tot.join(sw, Seq("event_type"))
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("s").as("n_events"),
+        r4(col("s").cast("double") / col("nd")).as("mean_daily"),
+        when(sst > 0, r4(ssb / sst)).as("dow_strength"))
+      .orderBy(col("event_type"))
+  }
+
   /** window_agg: tumbling 1-hour event-time windows per event type —
     * a single partial-agg groupBy, the shape that scales linearly.
     */

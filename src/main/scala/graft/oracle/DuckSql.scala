@@ -4449,6 +4449,28 @@ object DuckSql {
        |FROM cx ORDER BY threshold""".stripMargin
   }
 
+  /** Mirror of Curation.thresholdPick: the prCurve mirror as the swept
+    * table, the nprobe_pick rank idiom (met-first, then threshold,
+    * fallback 2−prec), target interpolated ::DOUBLE.
+    */
+  lazy val thresholdPick: String = {
+    import graft.operators.Curation.GatePrecTarget
+    s"""WITH c AS (SELECT * FROM ($prCurve)),
+       |r AS (SELECT *,
+       |    CASE WHEN prec IS NOT NULL AND prec >= $GatePrecTarget::DOUBLE
+       |         THEN 0 ELSE 1 END AS miss,
+       |    CASE WHEN prec IS NOT NULL AND prec >= $GatePrecTarget::DOUBLE
+       |         THEN threshold
+       |         ELSE 2.0::DOUBLE - coalesce(prec, -1.0::DOUBLE)
+       |         END AS k2
+       |  FROM c),
+       |p AS (SELECT *, row_number() OVER (ORDER BY miss, k2, threshold)
+       |        AS rk FROM r)
+       |SELECT threshold, (miss = 0) AS met_target,
+       |  $GatePrecTarget::DOUBLE AS target, prec, rec, f1, tp, fp, fn
+       |FROM p WHERE rk = 1""".stripMargin
+  }
+
   /** Mirror of Curation.dataSplit: the same first-8-md5-hex/2^32
     * uniform, thresholds interpolated from the SAME Scala doubles
     * (incl. the computed train+valid sum — literal 0.95 would be a
@@ -4987,6 +5009,41 @@ object DuckSql {
        |  floor(n_hit::DOUBLE / nullif(n_lsh, 0) * 10000 + 0.5) / 10000 AS prec
        |FROM cs""".stripMargin
   }
+
+  /** Mirror of Dedup.captureRecapture: the two gated dedup mirrors as
+    * the capture samples, pair-key intersection, Chapman + coverage
+    * double tails with fixed operand order.
+    */
+  lazy val captureRecapture: String =
+    s"""WITH mh AS (SELECT id_a, id_b FROM ($dedupMinhash)),
+       |sh2 AS (SELECT id_a, id_b FROM ($dedupSimhash)),
+       |ov AS (SELECT id_a, id_b FROM mh
+       |       WHERE EXISTS (SELECT 1 FROM sh2
+       |                     WHERE sh2.id_a = mh.id_a
+       |                       AND sh2.id_b = mh.id_b)),
+       |g AS (SELECT (SELECT count(*) FROM mh)::BIGINT AS n_minhash,
+       |             (SELECT count(*) FROM sh2)::BIGINT AS n_simhash,
+       |             (SELECT count(*) FROM ov)::BIGINT AS n_both)
+       |SELECT n_minhash, n_simhash, n_both,
+       |  (n_minhash + n_simhash - n_both)::BIGINT AS n_union,
+       |  floor(((n_minhash + 1)::DOUBLE * (n_simhash + 1) / (n_both + 1)
+       |         - 1) * 100 + 0.5) / 100 AS chapman_n,
+       |  floor(((n_minhash + 1)::DOUBLE * (n_simhash + 1) / (n_both + 1)
+       |         - 1 - (n_minhash + n_simhash - n_both)) * 100 + 0.5)
+       |    / 100 AS est_missed,
+       |  CASE WHEN (n_minhash + 1)::DOUBLE * (n_simhash + 1)
+       |            / (n_both + 1) - 1 > 0
+       |       THEN floor(n_minhash::DOUBLE
+       |                  / ((n_minhash + 1)::DOUBLE * (n_simhash + 1)
+       |                     / (n_both + 1) - 1) * 10000 + 0.5) / 10000
+       |       END AS coverage_minhash,
+       |  CASE WHEN (n_minhash + 1)::DOUBLE * (n_simhash + 1)
+       |            / (n_both + 1) - 1 > 0
+       |       THEN floor(n_simhash::DOUBLE
+       |                  / ((n_minhash + 1)::DOUBLE * (n_simhash + 1)
+       |                     / (n_both + 1) - 1) * 10000 + 0.5) / 10000
+       |       END AS coverage_simhash
+       |FROM g""".stripMargin
 
   /** Mirror of Dedup.lshCurve: same capped exact pair set WITH jaccard
     * values, band-candidate left join, integer bin indexes, the
@@ -6236,6 +6293,45 @@ object DuckSql {
        |FROM part p LEFT JOIN lp${Graph.LpRounds} l ON l.node = p.p_partkey
        |ORDER BY p.p_partkey""".stripMargin
   }
+
+  /** Mirror of Sessions.seasonalStrength: the zero-filled
+    * type × [min day, max day] grid via range(), exact long moments,
+    * 6dp-integer between-group terms summed exactly, fixed-order
+    * SSB/SST tail; every sum ::BIGINT.
+    */
+  val seasonalStrength: String =
+    """WITH ev AS (SELECT event_type,
+      |    (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+      |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM sp),
+      |ty AS (SELECT DISTINCT event_type FROM ev),
+      |cnt AS (SELECT event_type, day, count(*)::BIGINT AS c
+      |        FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT ty.event_type, ((days.day + 3) % 7) AS dow,
+      |    coalesce(cnt.c, 0)::BIGINT AS n
+      |  FROM ty CROSS JOIN days
+      |  LEFT JOIN cnt ON cnt.event_type = ty.event_type
+      |              AND cnt.day = days.day),
+      |sw AS (SELECT event_type,
+      |    sum(floor(sg::DOUBLE * sg / cg * 1000000 + 0.5)::BIGINT)::BIGINT
+      |      AS swu
+      |  FROM (SELECT event_type, dow, sum(n)::BIGINT AS sg,
+      |          count(*)::BIGINT AS cg
+      |        FROM grid GROUP BY 1, 2) pd
+      |  GROUP BY event_type),
+      |tt AS (SELECT event_type, sum(n)::BIGINT AS s,
+      |    count(*)::BIGINT AS nd, sum(n * n)::BIGINT AS a
+      |  FROM grid GROUP BY event_type)
+      |SELECT t.event_type, t.nd AS n_days, t.s AS n_events,
+      |  floor(t.s::DOUBLE / t.nd * 10000 + 0.5) / 10000 AS mean_daily,
+      |  CASE WHEN (t.a::DOUBLE - t.s::DOUBLE * t.s / t.nd) > 0
+      |       THEN floor((sw.swu::DOUBLE / 1000000
+      |                   - t.s::DOUBLE * t.s / t.nd)
+      |                  / (t.a::DOUBLE - t.s::DOUBLE * t.s / t.nd)
+      |                  * 10000 + 0.5) / 10000
+      |       END AS dow_strength
+      |FROM tt t JOIN sw ON sw.event_type = t.event_type
+      |ORDER BY t.event_type""".stripMargin
 
   /** Mirror of Sessions.weeklyProfile: integer epoch-day dow
     * ((day+3) mod 7, 0 = Monday), the ≤|types|×7 grid, tie-to-earliest

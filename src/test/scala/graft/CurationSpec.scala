@@ -630,6 +630,25 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("threshold_pick: reproduces the in-spec pick over the pr_curve " +
+      "rows (smallest threshold meeting the precision floor)") {
+    val d = "/root/testdata/sf0.001"
+    val curve = Curation.prCurve(spark, d).collect().map(r =>
+      (r.getDouble(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(curve.nonEmpty)
+    val meets = curve.filter(_._3.exists(_ >= Curation.GatePrecTarget))
+    val pick = if (meets.nonEmpty) meets.minBy(_._1)
+      else curve.minBy(c => (2.0 - c._3.getOrElse(-1.0), c._1))
+    val got = Curation.thresholdPick(spark, d).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(0) === pick._1)
+    assert(got.head.getBoolean(1) === meets.nonEmpty)
+    assert(got.head.getDouble(2) === Curation.GatePrecTarget)
+    assert(Option(got.head.get(3)).map(_.asInstanceOf[Double]) === pick._3)
+    assert(got.head.getLong(6) === pick._2) // tp of the picked row
+  }
+
   test("bottomk_sample / sample_audit: below-k corpus keeps every doc, " +
       "the empty-rest audit is NULL") {
     import graft.operators.Curation

@@ -253,6 +253,40 @@ class DedupSpec extends SparkSpecBase {
       Set(Seq(1L, 1L, 1L, 1.0, 1.0)))
   }
 
+  test("capture_recapture: an identical pair caught by both methods " +
+      "reads Chapman N=1 with full coverage") {
+    val d = fixtureDir(docs = Seq(
+      doc(0, "alpha beta gamma delta epsilon zeta"),
+      doc(1, "alpha beta gamma delta epsilon zeta"),
+      doc(2, "one two three four five six seven")))
+    // n1 = n2 = m = 1 -> chapman = 2*2/2 - 1 = 1, est_missed 0
+    assert(rows(Dedup.captureRecapture(spark, d)) ===
+      Set(Seq(1L, 1L, 1L, 1L, 1.0, 0.0, 1.0, 1.0)))
+  }
+
+  test("capture_recapture: Chapman recomputed driver-side from the two " +
+      "catch sets at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val mh = Dedup.dedupPairs(spark, d).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.dedupSimhash(spark, d).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (n1, n2, m) = (mh.size, sh.size, (mh & sh).size)
+    val chap = (n1 + 1).toDouble * (n2 + 1) / (m + 1) - 1
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val got = Dedup.captureRecapture(spark, d).collect().head
+    assert(got.getLong(0) === n1.toLong && got.getLong(1) === n2.toLong)
+    assert(got.getLong(2) === m.toLong)
+    assert(got.getLong(3) === (n1 + n2 - m).toLong)
+    assert(got.getDouble(4) === r2(chap))
+    assert(got.getDouble(5) === r2(chap - (n1 + n2 - m)))
+    if (chap > 0) {
+      assert(got.getDouble(6) === r4(n1 / chap))
+      assert(got.getDouble(7) === r4(n2 / chap))
+    }
+  }
+
   test("span_hotspots: a shared 8-token run ranks as the hot window") {
     val run = "a b c d e f g h"                   // exactly one 8-window
     val dir = fixtureDir(docs = Seq(

@@ -851,6 +851,29 @@ class SessionsSpec extends SparkSpecBase {
       Seq[Any]("view", 2L, 2L, 1.0, -1.0, false)))
   }
 
+  test("seasonal_strength: zero-filled grid; a perfect weekly shape " +
+      "reads 1, a flat type reads null, sparse types see their zeros") {
+    import graft.operators.Sessions
+    val day = 86400L
+    var id = 0L
+    def evs(t: String, d: Long, k: Int): Seq[Ev] =
+      (1 to k).map { i => id += 1; ev(id, d * day + i, d + 1, t) }
+    // days 0..13: "w" counts 3 on d%7==0 else 1 (SSW = 0 -> strength 1);
+    // "f" counts 2 every day (SST = 0 -> null); "h" 4 events on day 0
+    // only (the 13 zero days are real variance)
+    val es = (0L to 13L).flatMap(d =>
+        evs("w", d, if (d % 7 == 0) 3 else 1)) ++
+      (0L to 13L).flatMap(d => evs("f", d, 2)) ++ evs("h", 0, 4)
+    val dir = fixtureDir(evs = es)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // h: swu = floor(16/2*1e6+.5) = 8e6; ssb = 8 - 16/14; sst = 16 - 16/14
+    val hs = r4((8.0 - 16.0 / 14) / (16.0 - 16.0 / 14))
+    assert(rows(Sessions.seasonalStrength(spark, dir)) === Set(
+      Seq[Any]("f", 14L, 28L, 2.0, null),
+      Seq[Any]("w", 14L, 18L, r4(18.0 / 14), 1.0),
+      Seq[Any]("h", 14L, 4L, r4(4.0 / 14), hs)))
+  }
+
   /** The md5 arm split shared by conversion_lift/logrank/cuped. */
   private def armOf(u: Long): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
