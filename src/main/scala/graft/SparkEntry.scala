@@ -122,6 +122,7 @@ object SparkEntry {
     "ks_drift" -> (Sessions.ksDrift _),
     "fdr_bh" -> (Sessions.fdrBh _),
     "mann_whitney" -> (Sessions.mannWhitney _),
+    "bootstrap_ci" -> (Sessions.bootstrapCi _),
     "attribution" -> (Sessions.attribution _),
     "bradley_terry" -> (Sessions.bradleyTerry _),
     "markov_stationary" -> (Sessions.markovStationary _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "zipf_fit" -> (CorpusStats.zipfFit _),
     "token_entropy" -> (CorpusStats.tokenEntropy _),
     "vocab_growth" -> (CorpusStats.vocabGrowth _),
+    "heaps_law" -> (CorpusStats.heapsLaw _),
     "length_hist" -> (CorpusStats.lengthHist _),
     "q11_important_stock" -> (Analytics.q11ImportantStock _),
     "q20_excess_stock" -> (Analytics.q20ExcessStock _),
@@ -274,6 +276,7 @@ object SparkEntry {
     "gini_revenue" -> (Analytics.giniRevenue _),
     "lorenz_curve" -> (Analytics.lorenzCurve _),
     "acf_revenue" -> (Analytics.acfRevenue _),
+    "changepoint" -> (Analytics.changepoint _),
     "benford_check" -> (Analytics.benfordCheck _),
     "discount_elasticity" -> (Analytics.discountElasticity _),
     "curriculum_order" -> (Curation.curriculumOrder _),
@@ -713,6 +716,7 @@ object SparkEntry {
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
     "fdr_bh" -> graft.oracle.DuckSql.fdrBh,
     "mann_whitney" -> graft.oracle.DuckSql.mannWhitney,
+    "bootstrap_ci" -> graft.oracle.DuckSql.bootstrapCi,
     "attribution" -> graft.oracle.DuckSql.attribution,
     "bradley_terry" -> graft.oracle.DuckSql.bradleyTerry,
     "markov_stationary" -> graft.oracle.DuckSql.markovStationary,
@@ -818,6 +822,7 @@ object SparkEntry {
     "zipf_fit" -> graft.oracle.DuckSql.zipfFit,
     "token_entropy" -> graft.oracle.DuckSql.tokenEntropy,
     "vocab_growth" -> graft.oracle.DuckSql.vocabGrowth,
+    "heaps_law" -> graft.oracle.DuckSql.heapsLaw,
     "length_hist" -> graft.oracle.DuckSql.lengthHist,
     "q11_important_stock" ->
       s"""WITH ns AS (SELECT s_suppkey FROM supplier
@@ -906,6 +911,7 @@ object SparkEntry {
     "gini_revenue" -> graft.oracle.DuckSql.giniRevenue,
     "lorenz_curve" -> graft.oracle.DuckSql.lorenzCurve,
     "acf_revenue" -> graft.oracle.DuckSql.acfRevenue,
+    "changepoint" -> graft.oracle.DuckSql.changepoint,
     "benford_check" -> graft.oracle.DuckSql.benfordCheck,
     "discount_elasticity" -> graft.oracle.DuckSql.discountElasticity,
     "curriculum_order" -> graft.oracle.DuckSql.curriculumOrder,

@@ -1588,4 +1588,65 @@ object Analytics {
         col("size").cast("int").as("p_size"))
       .orderBy(col("pu"), col("p_partkey"))
   }
+
+  /** changepoint: the single best STRUCTURAL BREAK in the daily-revenue
+    * series — the binary-segmentation first split (Scott & Knott 1974;
+    * the CUSUM family's localizer): the day t* maximizing the variance
+    * explained by splitting [1,n] into [1,t], (t,n]. Where cusum_shift
+    * DETECTS drift and ewma_chart pages on it, this names the day the
+    * level moved and prices how much of the series' variance the break
+    * explains — the first question after either alarm fires.
+    *
+    * The A-cancellation makes it prefix-sum-pure: gain(t) = S_t²/t +
+    * (S_n−S_t)²/(n−t) − S_n²/n (the Σx² term cancels between SSE and
+    * SST), so one ordered cumsum over the day grid prices every
+    * candidate. Terms round to 1e-6-dollar² integer units (the
+    * seasonalStrength between-group rule) — argmax compares exact
+    * longs, ties break to the earliest day. SST uses the same per-day
+    * unit-rounding, keeping every moment in range at the 100× probe
+    * (daily cents² would overflow BIGINT there; unit-scaled terms sum
+    * to ~1e15).
+    *
+    * Scale shape: one partial agg to the |days|-bounded daily grid
+    * (whole dollars, the acfRevenue posture), one unpartitioned-window
+    * cumsum over that grid (deliberate: |days| rows), a 1-row tail. At
+    * 100 TB the grid grows like the calendar, not the data.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("day"))
+      .agg(floor(sum(col("cu")).cast("double") / 100 + lit(0.5))
+        .cast("long").as("xu"))
+    // per-day SST contribution in 1e6-dollar² units — exact long at 100×
+    val au = floor(col("xu").cast("double") * col("xu") / 1000000
+      + lit(0.5)).cast("long")
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"), col("xu"), au.as("au"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("s", sum(col("xu")).over(wCum))
+      .localCheckpoint() // |days| rows: feeds the totals and the scan
+    val tot = broadcast(cum.agg(max(col("t")).as("n"),
+      max(col("s")).as("sn"), sum(col("au")).as("a")).localCheckpoint())
+    def term(s: Column, k: Column): Column =
+      floor(s.cast("double") * s / k / 1000000 + lit(0.5)).cast("long")
+    val cand = cum.crossJoin(tot).filter(col("t") < col("n"))
+      .withColumn("termn", term(col("sn"), col("n")))
+      .withColumn("gain",
+        term(col("s"), col("t")) +
+          term(col("sn") - col("s"), col("n") - col("t")) - col("termn"))
+    cand.orderBy(col("gain").desc, col("day")).limit(1)
+      .select(
+        date_add(lit("1970-01-01"), col("day")).as("split_day"),
+        col("t").as("n_before"), (col("n") - col("t")).as("n_after"),
+        r4(col("s").cast("double") / col("t")).as("mean_before"),
+        r4((col("sn") - col("s")).cast("double") / (col("n") - col("t")))
+          .as("mean_after"),
+        when(col("a") - col("termn") > 0,
+          r4(col("gain").cast("double") / (col("a") - col("termn"))))
+          .as("gain_share"))
+  }
 }

@@ -1661,6 +1661,57 @@ object CorpusStats {
       .orderBy(col("fraction"))
   }
 
+  /** heaps_law: the least-squares FIT of the curve vocab_growth plots —
+    * ln V = ln k + β·ln N over the [[VocabBuckets]] nested (N_f, V_f)
+    * points (Heaps 1978; β ≈ 0.4–0.6 for natural text). vocab_growth
+    * shows the shape; this turns it into the two comparable numbers a
+    * corpus card wants (k, β) plus the r² that says whether the power
+    * law even holds — a low r² means the growth curve has a knee
+    * (template flood entering at some crawl slice) and β alone would
+    * lie. The zipfFit estimator verbatim on different points: 6dp
+    * integer ln units, exact decimal moments, fixed-order double tail;
+    * k = exp(intercept) rounds to 4dp (the ppl posture).
+    *
+    * Empty buckets (N_f or V_f = 0 — possible at tiny sf) carry no
+    * information about the power law and are dropped before the logs.
+    *
+    * Scale shape: the same ONE corpus pass as vocab_growth (the
+    * explode reduces straight to the (bucket, type) partial agg), then
+    * a ≤[[VocabBuckets]]-row regression. Flat at any corpus size.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val pts = vocabGrowth(spark, dir)
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+    val xu = floor(log(col("n_tokens").cast("double")) * 1000000 + 0.5)
+      .cast("long")
+    val yu = floor(log(col("vocab").cast("double")) * 1000000 + 0.5)
+      .cast("long")
+    val m = pts.select(xu.as("xu"), yu.as("yu"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"),
+        sum(col("yu") * col("yu")).as("syy"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val num = (d(col("n")) * col("sxy") - d(col("sx")) * col("sy"))
+      .cast("double")
+    val dx = (d(col("n")) * col("sxx") - d(col("sx")) * col("sx"))
+      .cast("double")
+    val dy = (d(col("n")) * col("syy") - d(col("sy")) * col("sy"))
+      .cast("double")
+    val icNum = (d(col("sy")) * col("sxx") - d(col("sx")) * col("sxy"))
+      .cast("double")
+    // distinct cumulative N make dx>0 at n>1; an all-flat V (dy=0)
+    // degenerates r² alone — the zipfFit guard split, same reasons
+    m.select(col("n").as("n_points"),
+      when(col("n") > 1, rnd6(num / dx)).as("beta"),
+      when(col("n") > 1, rnd6(icNum / dx / 1000000)).as("ln_k"),
+      when(col("n") > 1,
+        floor(exp(icNum / dx / 1000000) * 10000 + 0.5) / 10000).as("k"),
+      when(col("n") > 1 && dy =!= 0.0, rnd6(num * num / (dx * dy)))
+        .as("r2"))
+  }
+
   /** zipf_fit regression window: the head of the rank-frequency curve.
     * 500 terms keeps every moment sum in BIGINT range at any corpus
     * size (xu ≤ ln(500)·1e6, yu ≤ ln(count)·1e6 — even a 1e18-token

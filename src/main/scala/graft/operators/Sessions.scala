@@ -2016,4 +2016,100 @@ object Sessions {
           .as("p_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Bootstrap replica count. 200 keeps the replica frame trivially
+    * small while the 2.5%/97.5% ranks (5, 195) sit 4 replicas deep in
+    * each tail — stable enough for a CI that pages someone.
+    */
+  val BootB = 200
+
+  /** Seed namespace for the bootstrap hash draws (kept distinct from
+    * SampleSeed/ShuffleSeed so adding replicas never perturbs the
+    * sampling/sharding hashes, per the r9 seed-isolation rule).
+    */
+  val BootSeed = "boot1"
+
+  /** Poisson(1) CDF thresholds c_0..c_8: replica weight w(u) = #{k :
+    * u >= c_k} caps at 9 (P(W>9) ~ 1e-7 — at 2^-32 hash resolution the
+    * cap changes ~1 in 4e6 draws, identically on both engines). The
+    * literals are single-sourced into the oracle SQL via toString, so
+    * every comparison is against the bit-identical double.
+    */
+  val PoisCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726562, 0.9994058151824182,
+    0.999916758850712, 0.9999897508033254, 0.9999988747974021)
+
+  /** bootstrap_ci: percentile-bootstrap confidence interval for MEAN
+    * EVENTS PER USER — the uncertainty line under the engine's many
+    * point estimates (active_users' mean, ab_power's inputs), computed
+    * the one way that scales: the POISSON BOOTSTRAP (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    * Classic resampling draws n users with replacement per replica —
+    * a global shuffle per replica, undistributable at 100 TB. Poisson
+    * bootstrap replaces the multinomial with independent w ~ Poisson(1)
+    * per (user, replica): one map-side explode ×B over the per-user
+    * frame, partial-agg to B rows. No replica ever sees the user list.
+    *
+    * Determinism: w is a pure function of (user_id, replica, seed) —
+    * u = first-8-md5-hex / 2^32 (the hashU posture) stepped through
+    * [[PoisCdf]]. Replica means round to 6dp integer units, so the
+    * percentile ranks and the se moments are exact-integer; the only
+    * double tail is the fixed-order se expression (sqrt is IEEE
+    * correctly-rounded, parity-safe).
+    *
+    * Ranks: lo = ceil(0.025·b_eff), hi = ceil(0.975·b_eff) over
+    * replicas with Σw > 0 (b_eff; an empty replica has no mean — it is
+    * dropped, not zero-filled), in exact integer arithmetic.
+    *
+    * Scale shape: per-user count is one partial agg; the ×B explode is
+    * map-only and combines map-side to B·partitions partials; every
+    * frame after is B rows. At 100 TB the shuffle carries B rows per
+    * partition, not users.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .localCheckpoint() // feeds the point estimate and the replicas
+    val est = broadcast(perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("x")).as("sx")).localCheckpoint())
+    val reps = broadcast(spark.range(0, BootB)
+      .select(col("id").cast("int").as("b")))
+    val u = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":"), col("b").cast("string"), lit(":" + BootSeed))),
+      1, 8), 16, 10).cast("long") / lit(4294967296.0)
+    val w = PoisCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perRep = perUser.crossJoin(reps)
+      // u materializes once per (user, replica): the 9 threshold
+      // comparisons read the column, not 9 re-hashes
+      .select(col("b"), col("x"), u.as("u"))
+      .select(col("b"), w.as("w"), col("x"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .filter(col("sw") > 0)
+      .select(floor(col("swx").cast("double") / col("sw") * 1000000
+        + 0.5).cast("long").as("mu6"))
+    // <= B rows from here — the unpartitioned windows are deliberate
+    val ranked = perRep.withColumn("r",
+        row_number().over(Window.orderBy(col("mu6"))))
+      .withColumn("beff", max(col("r")).over(Window.partitionBy(lit(0))))
+      .withColumn("rlo", expr("(beff * 25 + 999) div 1000"))
+      .withColumn("rhi", expr("(beff * 975 + 999) div 1000"))
+    val g = ranked.groupBy(col("beff"))
+      .agg(sum(col("mu6")).as("smu"),
+        sum(col("mu6") * col("mu6")).as("smu2"),
+        min(when(col("r") === col("rlo"), col("mu6"))).as("lo6"),
+        min(when(col("r") === col("rhi"), col("mu6"))).as("hi6"))
+    val seVar = (col("smu2").cast("double") -
+      col("smu").cast("double") * col("smu") / col("beff")) /
+      (col("beff") - 1)
+    g.crossJoin(est).select(
+      col("n_users"), col("beff").as("b_eff"),
+      r6(col("sx").cast("double") / col("n_users")).as("mean_events"),
+      (col("lo6").cast("double") / 1000000).as("ci_lo"),
+      (col("hi6").cast("double") / 1000000).as("ci_hi"),
+      when(col("beff") > 1, r6(sqrt(seVar) / 1000000)).as("boot_se"))
+  }
 }

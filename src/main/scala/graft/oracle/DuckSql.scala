@@ -7938,4 +7938,120 @@ object DuckSql {
        |WHERE f.r <= $GoodTuringMaxR
        |ORDER BY f.r""".stripMargin
   }
+
+  /** Mirror of Sessions.bootstrapCi: the same md5-uniform Poisson(1)
+    * draws (thresholds single-sourced from [[graft.operators.Sessions
+    * .PoisCdf]] via toString — bit-identical literals), exact long
+    * replica moments, 6dp-integer replica means, integer ceil ranks,
+    * verbatim-order se tail; every sum ::BIGINT.
+    */
+  val bootstrapCi: String = {
+    import graft.operators.Sessions.{BootB, BootSeed, PoisCdf}
+    val w = PoisCdf.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pu AS (SELECT user_id, count(*)::BIGINT AS x
+       |            FROM events GROUP BY user_id),
+       |est AS (SELECT count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sx
+       |        FROM pu),
+       |reps AS (SELECT unnest(range(0, $BootB))::INT AS b),
+       |d0 AS (SELECT b, x,
+       |    ('0x' || substr(md5(user_id::VARCHAR || ':' || b::VARCHAR
+       |                        || ':${sq(BootSeed)}'), 1, 8))::BIGINT
+       |      / 4294967296.0 AS u
+       |  FROM pu CROSS JOIN reps),
+       |d AS (SELECT b, x, ($w)::BIGINT AS w FROM d0),
+       |pr AS (SELECT b, sum(w)::BIGINT AS sw,
+       |         sum(w * x)::BIGINT AS swx FROM d GROUP BY b),
+       |mu AS (SELECT floor(swx::DOUBLE / sw * 1000000 + 0.5)::BIGINT
+       |         AS mu6 FROM pr WHERE sw > 0),
+       |rk AS (SELECT mu6, row_number() OVER (ORDER BY mu6) AS r FROM mu),
+       |rk2 AS (SELECT *, max(r) OVER ()::BIGINT AS beff FROM rk),
+       |rk3 AS (SELECT *, (beff * 25 + 999) // 1000 AS rlo,
+       |          (beff * 975 + 999) // 1000 AS rhi FROM rk2),
+       |g AS (SELECT beff, sum(mu6)::BIGINT AS smu,
+       |        sum(mu6 * mu6)::BIGINT AS smu2,
+       |        min(CASE WHEN r = rlo THEN mu6 END)::BIGINT AS lo6,
+       |        min(CASE WHEN r = rhi THEN mu6 END)::BIGINT AS hi6
+       |      FROM rk3 GROUP BY beff)
+       |SELECT est.n_users, g.beff AS b_eff,
+       |  floor(est.sx::DOUBLE / est.n_users * 1000000 + 0.5) / 1000000
+       |    AS mean_events,
+       |  g.lo6::DOUBLE / 1000000 AS ci_lo,
+       |  g.hi6::DOUBLE / 1000000 AS ci_hi,
+       |  CASE WHEN g.beff > 1 THEN
+       |    floor(sqrt((g.smu2::DOUBLE - g.smu::DOUBLE * g.smu / g.beff)
+       |               / (g.beff - 1)) / 1000000 * 1000000 + 0.5)
+       |      / 1000000 END AS boot_se
+       |FROM g CROSS JOIN est""".stripMargin
+  }
+
+  /** Mirror of Analytics.changepoint: the acfRevenue whole-dollar daily
+    * grid, ordered-cumsum prefix sums, 1e-6-dollar² integer gain terms
+    * (verbatim term order), max-gain/earliest-day pick, 4dp tails.
+    */
+  val changepoint: String =
+    """WITH d AS (SELECT
+      |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+      |      AS day,
+      |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cu FROM orders),
+      |g AS (SELECT day,
+      |    floor(sum(cu)::BIGINT::DOUBLE / 100 + 0.5)::BIGINT AS xu
+      |  FROM d GROUP BY day),
+      |cum AS (SELECT day, xu,
+      |    floor(xu::DOUBLE * xu / 1000000 + 0.5)::BIGINT AS au,
+      |    row_number() OVER (ORDER BY day) AS t,
+      |    (sum(xu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND CURRENT ROW))::BIGINT AS s
+      |  FROM g),
+      |tot AS (SELECT max(t)::BIGINT AS n, max(s)::BIGINT AS sn,
+      |          sum(au)::BIGINT AS a FROM cum),
+      |cand AS (SELECT cum.day, cum.t, cum.s, tot.n, tot.sn, tot.a,
+      |    floor(tot.sn::DOUBLE * tot.sn / tot.n / 1000000 + 0.5)::BIGINT
+      |      AS termn,
+      |    (floor(cum.s::DOUBLE * cum.s / cum.t / 1000000 + 0.5)::BIGINT
+      |     + floor((tot.sn - cum.s)::DOUBLE * (tot.sn - cum.s)
+      |             / (tot.n - cum.t) / 1000000 + 0.5)::BIGINT
+      |     - floor(tot.sn::DOUBLE * tot.sn / tot.n / 1000000 + 0.5)
+      |       ::BIGINT) AS gain
+      |  FROM cum CROSS JOIN tot WHERE cum.t < tot.n)
+      |SELECT (DATE '1970-01-01' + day::INT) AS split_day,
+      |  t::BIGINT AS n_before, (n - t)::BIGINT AS n_after,
+      |  floor(s::DOUBLE / t * 10000 + 0.5) / 10000 AS mean_before,
+      |  floor((sn - s)::DOUBLE / (n - t) * 10000 + 0.5) / 10000
+      |    AS mean_after,
+      |  CASE WHEN a - termn > 0 THEN
+      |    floor(gain::DOUBLE / (a - termn) * 10000 + 0.5) / 10000
+      |  END AS gain_share
+      |FROM cand ORDER BY gain DESC, day LIMIT 1""".stripMargin
+
+  /** Mirror of CorpusStats.heapsLaw: the vocabGrowth curve as a
+    * derived table, zipfFit's 6dp-ln-unit OLS verbatim on the nonzero
+    * points, exp(intercept) at 4dp (the ppl posture).
+    */
+  val heapsLaw: String =
+    s"""WITH vg AS (SELECT * FROM ($vocabGrowth)),
+       |u AS (SELECT
+       |  CAST(floor(ln(n_tokens::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+       |    AS xu,
+       |  CAST(floor(ln(vocab::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS yu
+       |  FROM vg WHERE n_tokens > 0 AND vocab > 0),
+       |m AS (SELECT count(*) AS n,
+       |  sum(xu)::HUGEINT AS sx, sum(yu)::HUGEINT AS sy,
+       |  sum(xu*yu)::HUGEINT AS sxy, sum(xu*xu)::HUGEINT AS sxx,
+       |  sum(yu*yu)::HUGEINT AS syy FROM u)
+       |SELECT n::BIGINT AS n_points,
+       |  CASE WHEN n > 1 THEN
+       |    floor((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |          * 1000000 + 0.5) / 1000000 END AS beta,
+       |  CASE WHEN n > 1 THEN
+       |    floor((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |          / 1000000 * 1000000 + 0.5) / 1000000 END AS ln_k,
+       |  CASE WHEN n > 1 THEN
+       |    floor(exp((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+       |              / 1000000) * 10000 + 0.5) / 10000 END AS k,
+       |  CASE WHEN n > 1 AND (n*syy - sy*sy)::DOUBLE <> 0.0 THEN
+       |    floor((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+       |          / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       |          * 1000000 + 0.5) / 1000000 END AS r2
+       |FROM m""".stripMargin
 }

@@ -452,4 +452,17 @@ class AnalyticsSpec extends SparkSpecBase {
       Seq(7L, 8.0, 2), Seq(4L, 9.0, 5), Seq(5L, 9.0, 5),
       Seq(3L, 12.0, 7)))
   }
+
+  test("changepoint: a clean two-level step splits at the step and " +
+      "explains all unit-rounded variance") {
+    def d(day: Int) = Date.valueOf(f"1995-01-$day%02d")
+    // daily dollars 10k,10k,10k,40k,40k,40k — hand gains (1e6-$² units):
+    // t=1: 100+3920-3750=270; t=2: 200+4225-3750=675;
+    // t=3: 300+4800-3750=1350 (max); t=4: 675; t=5: 270.
+    // SST = (3·100 + 3·1600) - 3750 = 1350 -> gain_share = 1.0
+    val dir = starDir(ords = (1 to 6).map(i =>
+      Ord(i.toLong, 1, if (i <= 3) 10000.0 else 40000.0, d(i))))
+    assert(rows(Analytics.changepoint(spark, dir)) === Set(
+      Seq[Any](d(3), 3, 3, 10000.0, 40000.0, 1.0)))
+  }
 }

@@ -727,4 +727,24 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq[Any](2L, 1L, 2L, 6.0, r6(3.0 * 2 / 11), p0),
       Seq[Any](3L, 2L, 0L, 0.0, 0.0, p0)))
   }
+
+  test("heaps_law: globally-unique tokens make V = N exactly — the fit " +
+      "reads beta 1, k 1, r2 1 on however many deciles are hit") {
+    // every doc contributes 3 tokens never seen elsewhere, so every
+    // nested prefix has vocab == tokens regardless of which hash
+    // deciles the docs land in
+    val dir = fixtureDir(docs = (1L to 12L).map(i =>
+      doc(i, s"w${i}a w${i}b w${i}c")))
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${graft.operators.Curation.SampleSeed}".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+      math.floor(u * 10).toInt
+    }
+    val nb = (1L to 12L).map(bucket).distinct.size.toLong
+    assert(nb >= 2) // the fixture must actually produce a fit
+    assert(rows(CorpusStats.heapsLaw(spark, dir)) === Set(
+      Seq[Any](nb, 1.0, 0.0, 1.0, 1.0)))
+  }
 }

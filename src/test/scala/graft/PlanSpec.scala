@@ -498,6 +498,23 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("r12 batch-8 family: the bootstrap replica grid and the scalar " +
+      "totals ride broadcasts, never a cartesian") {
+    withNoAutoBroadcast {
+      Seq[(String, DataFrame)](
+        // the ×B replica explode and the 1-row est frame are both
+        // hinted broadcasts — the sanctioned crossJoin pattern
+        "bootstrap_ci" -> graft.operators.Sessions.bootstrapCi(spark, dir),
+        // the 1-row totals frame drives every candidate's gain
+        "changepoint" -> Analytics.changepoint(spark, dir),
+        "heaps_law" -> graft.operators.CorpusStats.heapsLaw(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+    }
+  }
+
   test("scd2_lookup at scale: the validity refine rides an equi-join " +
       "on the entity key, never a nested loop") {
     withNoAutoBroadcast {

@@ -974,4 +974,40 @@ class SessionsSpec extends SparkSpecBase {
         math.floor(l * 1e6 + 0.5) / 1e6, r <= kmax)
     }.toSet)
   }
+
+  test("bootstrap_ci: the in-spec Poisson-draw estimator reproduces the " +
+      "replica percentiles and se exactly") {
+    import graft.operators.Sessions
+    // users 1..4 with 1..4 events each: mean 2.5; empty replicas
+    // (P = e^-4 per replica) are dropped, not zero-filled
+    val xs = Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4)
+    var id = 0L
+    val dir = fixtureDir(evs = xs.toSeq.flatMap { case (u, k) =>
+      (1 to k).map { _ => id += 1; ev(id, id, u) }
+    })
+    def u01(user: Long, b: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$user:$b:${Sessions.BootSeed}".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    def w(user: Long, b: Int): Long =
+      Sessions.PoisCdf.count(u01(user, b) >= _).toLong
+    val mus = (0 until Sessions.BootB).flatMap { b =>
+      val sw = xs.keys.toSeq.map(w(_, b)).sum
+      val swx = xs.map { case (u, x) => w(u, b) * x }.sum
+      if (sw > 0) Some(math.floor(swx.toDouble / sw * 1e6 + 0.5).toLong)
+      else None
+    }.sorted
+    val beff = mus.size
+    val lo6 = mus((beff * 25 + 999) / 1000 - 1)
+    val hi6 = mus((beff * 975 + 999) / 1000 - 1)
+    val smu = mus.sum
+    val smu2 = mus.map(m => m * m).sum
+    val se = math.floor(math.sqrt(
+      (smu2.toDouble - smu.toDouble * smu / beff) / (beff - 1))
+      / 1e6 * 1e6 + 0.5) / 1e6
+    assert(rows(Sessions.bootstrapCi(spark, dir)) === Set(
+      Seq[Any](4L, beff, 2.5, lo6.toDouble / 1e6, hi6.toDouble / 1e6, se)))
+  }
 }
