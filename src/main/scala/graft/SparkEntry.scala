@@ -130,6 +130,7 @@ object SparkEntry {
     "ab_power" -> (Sessions.abPower _),
     "ewma_chart" -> (Sessions.ewmaChart _),
     "forecast_baseline" -> (Sessions.forecastBaseline _),
+    "ses_backtest" -> (Sessions.sesBacktest _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -244,6 +245,8 @@ object SparkEntry {
     "source_card" -> (CorpusStats.sourceCard _),
     "source_divergence" -> (CorpusStats.sourceDivergence _),
     "tokenizer_fertility" -> (CorpusStats.tokenizerFertility _),
+    "oov_rate" -> (CorpusStats.oovRate _),
+    "hill_tail" -> (CorpusStats.hillTail _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
     "signal_corr" -> (CorpusStats.signalCorr _),
@@ -724,6 +727,7 @@ object SparkEntry {
     "ab_power" -> graft.oracle.DuckSql.abPower,
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "forecast_baseline" -> graft.oracle.DuckSql.forecastBaseline,
+    "ses_backtest" -> graft.oracle.DuckSql.sesBacktest,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -855,6 +859,8 @@ object SparkEntry {
     "source_card" -> graft.oracle.DuckSql.sourceCard,
     "source_divergence" -> graft.oracle.DuckSql.sourceDivergence,
     "tokenizer_fertility" -> graft.oracle.DuckSql.tokenizerFertility,
+    "oov_rate" -> graft.oracle.DuckSql.oovRate,
+    "hill_tail" -> graft.oracle.DuckSql.hillTail,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,
     "signal_corr" -> graft.oracle.DuckSql.signalCorr,

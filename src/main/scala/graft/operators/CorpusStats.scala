@@ -2118,4 +2118,105 @@ object CorpusStats {
       .orderBy(col("vmr").desc, col("term"))
       .limit(BurstTopK)
   }
+
+  /** Closed vocabulary size for the OOV audit: the top-1000 corpus
+    * tokens by frequency. Bounded, so the vocab side of the membership
+    * join is always broadcastable. Single-sourced into the oracle.
+    */
+  val OovVocabK = 1000
+
+  /** oov_rate: per-source OUT-OF-VOCABULARY rate against the corpus's
+    * own top-[[OovVocabK]] closed vocabulary — token mass and distinct
+    * types separately (a source can be 2% OOV by mass but 40% by type:
+    * a long tail of IDs/typos the fertility audit then prices in
+    * subwords). The pre-BPE coverage number tokenizer_fertility
+    * complements: fertility says how EXPENSIVE unseen text is to
+    * encode, this says how much text is unseen at all — the classic
+    * domain-shift early warning per source.
+    *
+    * Scale shape: one token explode reducing to the (source, type)
+    * partial agg; the vocabulary is a bounded top-K (deterministic
+    * (freq desc, token) order) that rides a broadcast into the
+    * membership join. Source rollups are |sources|-bounded.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val st = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("source"), col("text")),
+      col("source"))
+      .select(col("source"), explode(Dedup.normToks(col("text")))
+        .as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the global vocab AND the source rollup
+    val vocab = broadcast(st.groupBy(col("tok"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(1).as("in_v")).localCheckpoint())
+    st.join(vocab, Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("c")).otherwise(0L))
+          .as("n_oov"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        r6(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"),
+        col("n_types"), col("n_oov_types"),
+        r6(col("n_oov_types").cast("double") / col("n_types"))
+          .as("type_oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Hill-estimator order statistics: the top-200 token frequencies.
+    * Bounded like [[ZipfTopK]]; single-sourced into the oracle.
+    */
+  val HillK = 200
+
+  /** hill_tail: the Hill (1975) MLE of the token-frequency tail index —
+    * α̂ = k / Σ_{i≤k} ln(c_i / c_{k+1}) over the top-k order statistics.
+    * The maximum-likelihood counterweight to [[zipfFit]]'s OLS: log-log
+    * regression on rank-frequency points is notoriously biased (the
+    * points are neither independent nor homoscedastic — Clauset,
+    * Shalizi & Newman 2009), so a corpus card that quotes a Zipf slope
+    * should quote the Hill α beside it; when the two disagree
+    * materially, the head (OLS, template-dominated) and the tail (Hill)
+    * are telling different stories and neither number alone is the law.
+    *
+    * Parity: per-term ln ratios round to 6dp integer units and sum
+    * exactly (the zipfFit rule); one fixed-order double tail for α and
+    * its asymptotic se = α/√k. Ties at the threshold resolve by the
+    * deterministic (freq desc, token) order on both engines.
+    *
+    * Scale shape: vocabulary partial agg → bounded top-(k+1) head →
+    * a ≤k-row tail. Flat at any corpus size.
+    */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok"))
+      .limit(HillK + 1)
+    // <= k+1 rows from here — the unpartitioned windows are deliberate
+    val ranked = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .withColumn("nt", max(col("r")).over(Window.partitionBy(lit(0))))
+      .withColumn("xmin", min(col("cnt")).over(Window.partitionBy(lit(0))))
+    val m = ranked.filter(col("r") < col("nt"))
+      .select(col("nt"), col("xmin"),
+        floor(log(col("cnt").cast("double") / col("xmin")) * 1000000
+          + 0.5).cast("long").as("t6"))
+      .groupBy(col("nt"), col("xmin"))
+      .agg(count(lit(1)).as("k"), sum(col("t6")).as("st6"))
+    val a = col("k").cast("double") /
+      (col("st6").cast("double") / 1000000)
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    m.select(col("k").as("k_used"), col("xmin"),
+      when(col("st6") > 0, r6(a)).as("alpha"),
+      when(col("st6") > 0, r6(a / sqrt(col("k").cast("double"))))
+        .as("alpha_se"))
+  }
 }

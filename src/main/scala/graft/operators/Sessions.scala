@@ -2017,6 +2017,96 @@ object Sessions {
       .orderBy(col("event_type"))
   }
 
+  /** SES smoothing constant and truncation window. α=0.3 discounts a
+    * 28-day-old observation to (1-α)^27 ≈ 6e-5 of the newest — the
+    * truncated window is the exact SES anchored at y_{t-W}, not an
+    * approximation (the anchor term carries the remaining mass).
+    */
+  val SesAlpha = 0.3
+  val SesWindow = 28
+
+  /** Lag weights 1..[[SesWindow]]: α(1-α)^(ℓ-1), with the anchor mass
+    * (1-α)^W folded into the last lag. Computed once here and embedded
+    * as the SAME double literals in the Spark plan and the oracle SQL
+    * (toString round-trip) — the engines never re-derive a power.
+    */
+  val SesWeights: Seq[Double] = {
+    val a = SesAlpha
+    val base = (1 to SesWindow).map(l => a * math.pow(1 - a, l - 1))
+    base.updated(SesWindow - 1,
+      base.last + math.pow(1 - a, SesWindow))
+  }
+
+  /** ses_backtest: one-step-ahead simple-exponential-smoothing backtest
+    * per event type on the ZERO-FILLED daily grid, scored against the
+    * seasonal-naive t-7 arm on the SAME days — the "does smoothing beat
+    * last-week" decision row that completes the forecasting shelf:
+    * seasonal_strength licenses the seasonal baseline, forecast_baseline
+    * prices it, changepoint explains its failures, this says whether a
+    * level-tracking model beats it (skill > 0) or the series is
+    * seasonality-dominated (skill < 0, keep the naive arm).
+    *
+    * The recursion is unrolled exactly: SES anchored at y_{t-W} is a
+    * fixed W-term weighted sum ([[SesWeights]]), so one 28-lag
+    * grid-to-grid equi-join prices every forecast — no sequential state,
+    * no (1-α)^-t explosion. Per-term products round to 6dp integer
+    * units and sum exactly (the km precedent); both error columns are
+    * exact longs; two fixed-order double ratios per type at the end.
+    *
+    * Scale shape: one (type, day) partial agg; the grid is
+    * |types|×|days| (seasonalStrength posture), the lag join is
+    * grid × 28 on (type, day) equi-keys with the 28-row weight table
+    * broadcast. At 100 TB the grid grows like the calendar.
+    */
+  def sesBacktest(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+    val span = broadcast(ev.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1")).localCheckpoint())
+    val days = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("d0"),
+        coalesce(col("c"), lit(0L)).as("n"))
+      .localCheckpoint() // target side and 28 lag probes
+    val lagW = SesWeights.zipWithIndex
+      .foldLeft(lit(0.0)) { case (acc, (w, i)) =>
+        when(col("id") === (i + 1), lit(w)).otherwise(acc) }
+    val lags = broadcast(spark.range(1, SesWindow + 1)
+      .select(col("id").cast("int").as("lag"), lagW.as("w")))
+    val probes = grid.filter(col("day") >= col("d0") + SesWindow)
+      .select(col("event_type"), col("day"), col("n").as("yt"))
+      .crossJoin(lags)
+      .join(grid.select(col("event_type").as("lt"), col("day").as("ld"),
+        col("n").as("yl")),
+        col("lt") === col("event_type") &&
+          col("ld") === col("day") - col("lag"))
+    val perDay = probes
+      .groupBy(col("event_type"), col("day"), col("yt"))
+      .agg(sum(floor(col("w") * col("yl") * 1000000 + 0.5).cast("long"))
+        .as("yhat6"),
+        sum(when(col("lag") === 7, col("yl"))).as("y7"))
+    perDay
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("yhat6") - col("yt") * 1000000)).as("ses6"),
+        sum(abs(col("y7") - col("yt")) * 1000000).as("nv6"))
+      .select(col("event_type"), col("n_scored"),
+        r4(col("ses6").cast("double") / 1000000 / col("n_scored"))
+          .as("mae_ses"),
+        r4(col("nv6").cast("double") / 1000000 / col("n_scored"))
+          .as("mae_naive7"),
+        when(col("nv6") > 0, r4(lit(1.0) -
+          col("ses6").cast("double") / col("nv6"))).as("skill"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bootstrap replica count. 200 keeps the replica frame trivially
     * small while the 2.5%/97.5% ranks (5, 195) sit 4 replicas deep in
     * each tail — stable enough for a CI that pages someone.

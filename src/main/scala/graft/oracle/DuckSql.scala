@@ -7939,6 +7939,115 @@ object DuckSql {
        |ORDER BY f.r""".stripMargin
   }
 
+  /** Mirror of CorpusStats.oovRate: normToks with source, global
+    * top-K vocabulary on the deterministic (freq desc, token) order,
+    * LEFT-JOIN membership, per-source exact rollups, 6dp rates.
+    */
+  val oovRate: String = {
+    import graft.operators.CorpusStats.OovVocabK
+    s"""WITH n AS (SELECT source,
+       |  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |              x -> x <> '') AS ws FROM documents),
+       |sc AS (SELECT source, tok, count(*)::BIGINT AS c
+       |       FROM (SELECT source, unnest(ws) AS tok FROM n)
+       |       GROUP BY source, tok),
+       |v AS (SELECT tok FROM (SELECT tok, sum(c)::BIGINT AS cnt
+       |                       FROM sc GROUP BY tok)
+       |      ORDER BY cnt DESC, tok LIMIT $OovVocabK),
+       |g AS (SELECT sc.source, sum(sc.c)::BIGINT AS n_tokens,
+       |        sum(CASE WHEN v.tok IS NULL THEN sc.c ELSE 0 END)::BIGINT
+       |          AS n_oov,
+       |        count(*)::BIGINT AS n_types,
+       |        sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |          AS n_oov_types
+       |      FROM sc LEFT JOIN v ON v.tok = sc.tok
+       |      GROUP BY sc.source)
+       |SELECT source, n_tokens, n_oov,
+       |  floor(n_oov::DOUBLE / n_tokens * 1000000 + 0.5) / 1000000
+       |    AS oov_rate,
+       |  n_types, n_oov_types,
+       |  floor(n_oov_types::DOUBLE / n_types * 1000000 + 0.5) / 1000000
+       |    AS type_oov_rate
+       |FROM g ORDER BY source""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.hillTail: bounded top-(k+1) head on the
+    * (freq desc, token) order, 6dp-integer ln ratios vs the head min,
+    * verbatim-order α and se tails; every sum ::BIGINT.
+    */
+  val hillTail: String = {
+    import graft.operators.CorpusStats.HillK
+    s"""$normCte,
+       |c AS (SELECT tok, count(*)::BIGINT AS cnt
+       |      FROM (SELECT unnest(ws) AS tok FROM n) GROUP BY tok),
+       |top AS (SELECT tok, cnt FROM c
+       |        ORDER BY cnt DESC, tok LIMIT ${HillK + 1}),
+       |r1 AS (SELECT tok, cnt,
+       |         row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM top),
+       |r2 AS (SELECT *, max(r) OVER ()::BIGINT AS nt,
+       |         min(cnt) OVER ()::BIGINT AS xmin FROM r1),
+       |m AS (SELECT nt, xmin, count(*)::BIGINT AS k,
+       |        sum(floor(ln(cnt::DOUBLE / xmin) * 1000000 + 0.5)::BIGINT)
+       |          ::BIGINT AS st6
+       |      FROM r2 WHERE r < nt GROUP BY nt, xmin)
+       |SELECT k AS k_used, xmin,
+       |  CASE WHEN st6 > 0 THEN
+       |    floor(k::DOUBLE / (st6::DOUBLE / 1000000) * 1000000 + 0.5)
+       |      / 1000000 END AS alpha,
+       |  CASE WHEN st6 > 0 THEN
+       |    floor(k::DOUBLE / (st6::DOUBLE / 1000000) / sqrt(k::DOUBLE)
+       |          * 1000000 + 0.5) / 1000000 END AS alpha_se
+       |FROM m""".stripMargin
+  }
+
+  /** Mirror of Sessions.sesBacktest: the zero-filled type×day grid,
+    * the [[graft.operators.Sessions.SesWeights]] literals as a VALUES
+    * table (toString round-trip — never re-derived), 6dp-integer
+    * per-term products, exact long error sums, 4dp fixed-order tails.
+    */
+  val sesBacktest: String = {
+    import graft.operators.Sessions.{SesWeights, SesWindow}
+    val vals = SesWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH ev AS (SELECT event_type,
+       |    (floor(epoch(ts))::BIGINT // 86400) AS day FROM events),
+       |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       |days AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM sp),
+       |ty AS (SELECT DISTINCT event_type FROM ev),
+       |cnt AS (SELECT event_type, day, count(*)::BIGINT AS c
+       |        FROM ev GROUP BY 1, 2),
+       |grid AS (SELECT ty.event_type, days.day, days.d0,
+       |    coalesce(cnt.c, 0)::BIGINT AS n
+       |  FROM ty CROSS JOIN days
+       |  LEFT JOIN cnt ON cnt.event_type = ty.event_type
+       |              AND cnt.day = days.day),
+       |lw AS (SELECT * FROM (VALUES $vals) t(lag, w)),
+       |pr AS (SELECT g.event_type, g.day, g.n AS yt, l.lag, l.w,
+       |         g2.n AS yl
+       |       FROM grid g CROSS JOIN lw l
+       |       JOIN grid g2 ON g2.event_type = g.event_type
+       |                   AND g2.day = g.day - l.lag
+       |       WHERE g.day >= g.d0 + $SesWindow),
+       |pd AS (SELECT event_type, day, yt,
+       |        sum(floor(w * yl * 1000000 + 0.5)::BIGINT)::BIGINT
+       |          AS yhat6,
+       |        sum(CASE WHEN lag = 7 THEN yl END)::BIGINT AS y7
+       |       FROM pr GROUP BY 1, 2, 3),
+       |g2 AS (SELECT event_type, count(*)::BIGINT AS ns,
+       |         sum(abs(yhat6 - yt * 1000000))::BIGINT AS ses6,
+       |         sum(abs(y7 - yt) * 1000000)::BIGINT AS nv6
+       |       FROM pd GROUP BY event_type)
+       |SELECT event_type, ns AS n_scored,
+       |  floor(ses6::DOUBLE / 1000000 / ns * 10000 + 0.5) / 10000
+       |    AS mae_ses,
+       |  floor(nv6::DOUBLE / 1000000 / ns * 10000 + 0.5) / 10000
+       |    AS mae_naive7,
+       |  CASE WHEN nv6 > 0 THEN
+       |    floor((1.0 - ses6::DOUBLE / nv6) * 10000 + 0.5) / 10000
+       |  END AS skill
+       |FROM g2 ORDER BY event_type""".stripMargin
+  }
+
   /** Mirror of Sessions.bootstrapCi: the same md5-uniform Poisson(1)
     * draws (thresholds single-sourced from [[graft.operators.Sessions
     * .PoisCdf]] via toString — bit-identical literals), exact long

@@ -747,4 +747,35 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(rows(CorpusStats.heapsLaw(spark, dir)) === Set(
       Seq[Any](nb, 1.0, 0.0, 1.0, 1.0)))
   }
+
+  test("oov_rate: the 1001st type falls out of the closed vocabulary — " +
+      "frequency outranks lexicographic order, mass and types split") {
+    // 1030 singleton types t0001..t1030 + "zzz"×50: vocab(1000) =
+    // zzz + t0001..t0999; OOV = t1000..t1030 (31 singletons, all in B)
+    def toks(lo: Int, hi: Int) =
+      (lo to hi).map(i => f"t$i%04d").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      doc(1, toks(1, 515), "A"),
+      doc(2, toks(516, 1030) + " " + Seq.fill(50)("zzz").mkString(" "),
+        "B")))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(CorpusStats.oovRate(spark, dir)) === Set(
+      Seq[Any]("A", 515L, 0L, 0.0, 515L, 0L, 0.0),
+      Seq[Any]("B", 565L, 31L, r6(31.0 / 565), 516L, 31L,
+        r6(31.0 / 516))))
+  }
+
+  test("hill_tail: a six-type corpus uses all head terms above the " +
+      "min; alpha matches the hand ln-ratio sum") {
+    // counts 16,8,4,2,2,1 -> xmin = 1, k = 5 terms
+    val text = Seq.fill(16)("a") ++ Seq.fill(8)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(2)("d") ++ Seq.fill(2)("e") ++ Seq("f")
+    val dir = fixtureDir(docs = Seq(doc(1, text.mkString(" "))))
+    val st6 = Seq(16.0, 8.0, 4.0, 2.0, 2.0)
+      .map(c => math.floor(math.log(c / 1.0) * 1e6 + 0.5).toLong).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val a = 5.0 / (st6.toDouble / 1e6)
+    assert(rows(CorpusStats.hillTail(spark, dir)) === Set(
+      Seq[Any](5L, 1L, r6(a), r6(a / math.sqrt(5.0)))))
+  }
 }

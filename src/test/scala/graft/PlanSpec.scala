@@ -515,6 +515,24 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("r12 batch-9 family: the SES lag join and the OOV membership " +
+      "stay keyed; only bounded grids ride broadcasts") {
+    withNoAutoBroadcast {
+      val ps = planOf(graft.operators.Sessions.sesBacktest(spark, dir))
+      assert(!ps.contains("CartesianProduct"), ps)
+      // the 28-lag probe joins the grid on (type, day) equi-keys
+      assert(ps.contains("SortMergeJoin") || ps.contains("ShuffledHashJoin"),
+        s"ses lag probe must equi-join the grid:\n$ps")
+      Seq[(String, DataFrame)](
+        "oov_rate" -> graft.operators.CorpusStats.oovRate(spark, dir),
+        "hill_tail" -> graft.operators.CorpusStats.hillTail(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+    }
+  }
+
   test("scd2_lookup at scale: the validity refine rides an equi-join " +
       "on the entity key, never a nested loop") {
     withNoAutoBroadcast {

@@ -975,6 +975,42 @@ class SessionsSpec extends SparkSpecBase {
     }.toSet)
   }
 
+  test("ses_backtest: in-spec unrolled SES on a periodic and an " +
+      "alternating series; a perfect naive arm nulls the skill") {
+    import graft.operators.Sessions
+    val day = 86400L
+    var id = 0L
+    def evs(t: String, d: Long, k: Int): Seq[Ev] =
+      (1 to k).map { i => id += 1; ev(id, d * day + i, d + 1, t) }
+    // "w": period-7 series (5 on d%7==0 else 1) -> naive7 is PERFECT
+    // (nv6 = 0, skill null); "r": period-2 alternation 1/3 -> naive7
+    // (odd lag) always lands on the opposite phase
+    val counts: Map[String, Long => Int] = Map(
+      "w" -> (d => if (d % 7 == 0) 5 else 1),
+      "r" -> (d => if (d % 2 == 0) 1 else 3))
+    val es = (0L to 35L).flatMap(d =>
+      counts.toSeq.flatMap { case (t, f) => evs(t, d, f(d)) })
+    val dir = fixtureDir(evs = es)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // in-spec replica of the unrolled estimator over the same grid
+    val expected = counts.map { case (t, f) =>
+      val scored = (28L to 35L).map { d =>
+        val yhat6 = Sessions.SesWeights.zipWithIndex.map { case (w, i) =>
+          math.floor(w * f(d - i - 1) * 1e6 + 0.5).toLong }.sum
+        val y = f(d).toLong
+        (math.abs(yhat6 - y * 1000000), math.abs(f(d - 7) - y) * 1000000)
+      }
+      val n = scored.size.toLong
+      val ses6 = scored.map(_._1).sum
+      val nv6 = scored.map(_._2).sum
+      Seq[Any](t, n, r4(ses6.toDouble / 1e6 / n), r4(nv6.toDouble / 1e6 / n),
+        if (nv6 > 0) r4(1.0 - ses6.toDouble / nv6) else null)
+    }.toSet
+    assert(rows(Sessions.sesBacktest(spark, dir)) === expected)
+    // the periodic arm really exercised the null-skill edge
+    assert(expected.exists(r => r(4) == null))
+  }
+
   test("bootstrap_ci: the in-spec Poisson-draw estimator reproduces the " +
       "replica percentiles and se exactly") {
     import graft.operators.Sessions
