@@ -83,6 +83,7 @@ object SparkEntry {
     "toxicity_screen"  -> (TextAnalysis.toxicityScreen _),
     "dedup_exact"   -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "jaccard_hist" -> (Dedup.jaccardHist _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "ewma_chart" -> (Sessions.ewmaChart _),
     "forecast_baseline" -> (Sessions.forecastBaseline _),
     "ses_backtest" -> (Sessions.sesBacktest _),
+    "markov_order" -> (Sessions.markovOrder _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -246,6 +248,7 @@ object SparkEntry {
     "source_divergence" -> (CorpusStats.sourceDivergence _),
     "tokenizer_fertility" -> (CorpusStats.tokenizerFertility _),
     "oov_rate" -> (CorpusStats.oovRate _),
+    "vocab_coverage" -> (CorpusStats.vocabCoverage _),
     "hill_tail" -> (CorpusStats.hillTail _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
@@ -684,6 +687,7 @@ object SparkEntry {
     "toxicity_screen"  -> graft.oracle.DuckSql.toxicityScreen,
     "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
+    "jaccard_hist" -> graft.oracle.DuckSql.jaccardHist,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
@@ -728,6 +732,7 @@ object SparkEntry {
     "ewma_chart" -> graft.oracle.DuckSql.ewmaChart,
     "forecast_baseline" -> graft.oracle.DuckSql.forecastBaseline,
     "ses_backtest" -> graft.oracle.DuckSql.sesBacktest,
+    "markov_order" -> graft.oracle.DuckSql.markovOrder,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -860,6 +865,7 @@ object SparkEntry {
     "source_divergence" -> graft.oracle.DuckSql.sourceDivergence,
     "tokenizer_fertility" -> graft.oracle.DuckSql.tokenizerFertility,
     "oov_rate" -> graft.oracle.DuckSql.oovRate,
+    "vocab_coverage" -> graft.oracle.DuckSql.vocabCoverage,
     "hill_tail" -> graft.oracle.DuckSql.hillTail,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,

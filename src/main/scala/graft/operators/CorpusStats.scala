@@ -2168,6 +2168,59 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** vocab_coverage cut points: candidate closed-vocabulary sizes.
+    * Bounded (the ranked head the audit scans is max(K)); the set
+    * brackets [[OovVocabK]] so the oov_rate choice sits on the curve.
+    */
+  val CoverageKs = Seq(100, 1000, 10000)
+
+  /** vocab_coverage: token-mass coverage of the top-K closed
+    * vocabulary at K ∈ [[CoverageKs]] — the decision curve UNDER
+    * [[oovRate]]'s K=1000: each row says what fraction of the corpus's
+    * token mass (and of its distinct types) a K-entry vocabulary
+    * captures, so the OOV rate oov_rate reports can be read as a point
+    * on a curve instead of an article of faith. The Zipf head in
+    * budget form: coverage(100) ≈ coverage(10000) means a
+    * template-flooded corpus; a steep curve means real lexical mass in
+    * the tail and a bigger vocabulary buys accuracy.
+    *
+    * Scale shape: vocabulary partial agg → bounded max(K) ranked head
+    * (deterministic (freq desc, token) order) → a |Ks|-row rollup
+    * against the exact corpus totals. Flat at any corpus size.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val counts = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals AND the ranked head
+    val tot = broadcast(counts.agg(sum(col("cnt")).as("nn"),
+      count(lit(1)).as("v")).localCheckpoint())
+    val head = counts.orderBy(col("cnt").desc, col("tok"))
+      .limit(CoverageKs.max)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+    val kCol = CoverageKs.tail.foldLeft(
+      lit(CoverageKs.head)) { case (acc, k) =>
+        when(col("id") === CoverageKs.indexOf(k), lit(k)).otherwise(acc) }
+    val cuts = broadcast(spark.range(CoverageKs.size)
+      .select(kCol.as("k")))
+    head.crossJoin(cuts)
+      .groupBy(col("k"))
+      .agg(sum(when(col("r") <= col("k"), col("cnt")).otherwise(0L))
+        .as("mass"),
+        sum(when(col("r") <= col("k"), 1L).otherwise(0L))
+          .as("vocab_used"))
+      .crossJoin(tot)
+      .select(col("k"), col("vocab_used"),
+        r6(col("mass").cast("double") / col("nn")).as("mass_coverage"),
+        r6(col("vocab_used").cast("double") / col("v"))
+          .as("type_coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Hill-estimator order statistics: the top-200 token frequencies.
     * Bounded like [[ZipfTopK]]; single-sourced into the oracle.
     */

@@ -307,6 +307,50 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** jaccard_hist: the exact-Jaccard DISTRIBUTION of the unthresholded
+    * LSH candidate pairs in 0.1 bins, with the survival curve cum_ge —
+    * the row that prices [[JaccardThreshold]] itself. banding_curve
+    * says which Jaccard the BANDS catch; this says what the catch
+    * actually contains: read cum_ge at each candidate cutoff to see
+    * how many pairs a stricter/looser threshold keeps, and read the
+    * sub-0.5 mass as the verify stage's discard bill (pure LSH noise
+    * the 4×3 banding let through). The zero bins keep their rows (the
+    * benford posture) so a shifted corpus is visible as mass moving,
+    * not rows vanishing.
+    *
+    * Scale shape: ONE candidate-verify pass (the dedup-family pricing:
+    * output-linear in collisions), reduced to a ≤10-row grid; the
+    * rollup is grid-sized.
+    */
+  def jaccardHist(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val sh = shingleRowsWithSize(spark, dir)
+    val binned = verifyJaccard(bandCandidates(minhashBandedFrom(sh)), sh)
+      .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
+        .as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // <=10 rows; totals + grid both read it, or
+      // the candidate-verify pass runs once per consumer
+    val grid = broadcast(spark.range(10)
+      .select(col("id").cast("int").as("b")))
+    val tot = broadcast(binned.agg(
+      coalesce(sum(col("n")), lit(0L)).as("t")).localCheckpoint())
+    val wGe = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 10 rows from here — the unpartitioned window is deliberate
+    grid.join(binned, Seq("b"), "left")
+      .select(col("b"), coalesce(col("n"), lit(0L)).as("n_pairs"))
+      .withColumn("ge", sum(col("n_pairs")).over(wGe))
+      .crossJoin(tot)
+      .select((col("b").cast("double") / 10).as("bin_lo"),
+        col("n_pairs"),
+        when(col("t") > 0, r4(col("n_pairs").cast("double") / col("t")))
+          .as("share"),
+        when(col("t") > 0, r4(col("ge").cast("double") / col("t")))
+          .as("cum_ge"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** (doc_id, band, key) LSH band rows from a shingle-rows frame — the
     * signature+banding stage of dedupMinhash, shared with the streaming
     * incremental maintenance twin's batch baseline

@@ -2107,6 +2107,64 @@ object Sessions {
       .orderBy(col("event_type"))
   }
 
+  /** markov_order: the likelihood-ratio test that LICENSES (or revokes)
+    * the first-order assumption [[markovStationary]] and
+    * [[eventTransitions]] ride — order-1 vs order-2 on the per-user
+    * event stream: G² = 2·Σ_abc n_abc · ln( n_abc·n_b / (n_ab·n_bc) )
+    * (Anderson & Goodman 1957). A large G² per df says yesterday's
+    * surface still shapes tomorrow's beyond the current one — the
+    * stationary-distribution story is then a two-step chain's shadow,
+    * not the law. All four count frames derive from ONE trigram pass
+    * (n_ab = first-pair margin, n_bc = last-pair margin, n_b = middle
+    * margin — margins of the SAME sample, the MLE-nesting requirement).
+    *
+    * Parity: counts are exact longs; each cell's term rounds to 6dp
+    * integer units with a verbatim-order ratio (the chi2_terms rule);
+    * df is the nominal full-support k(k−1)² with k = observed trigram
+    * middle types (sparse cells inflate it — read G²/df as a gauge,
+    * not a calibrated p-value; the Scaladoc'd caveat).
+    *
+    * Scale shape: one lead-chain pass reducing to the ≤k³ trigram
+    * partial agg; every margin and join after is k-bounded. Flat.
+    */
+  def markovOrder(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n3"))
+      .localCheckpoint() // all three margins re-read it
+    val nab = tri.groupBy(col("a"), col("b")).agg(sum(col("n3")).as("n2f"))
+    val nbc = tri.groupBy(col("b"), col("c")).agg(sum(col("n3")).as("n2s"))
+    val nb = tri.groupBy(col("b")).agg(sum(col("n3")).as("n1"))
+    val terms = tri
+      .join(nab, Seq("a", "b")).join(nbc, Seq("b", "c"))
+      .join(nb, Seq("b"))
+      .select(col("n3"),
+        floor(col("n3").cast("double") *
+          log(col("n3").cast("double") * col("n1") /
+            (col("n2f").cast("double") * col("n2s"))) * 1000000 + 0.5)
+          .cast("long").as("t6"))
+    val kf = broadcast(tri.agg(
+      countDistinct(col("b")).as("k")).localCheckpoint())
+    val dfn = col("k") * (col("k") - 1) * (col("k") - 1)
+    terms.agg(sum(col("n3")).as("n_trigrams"),
+      count(lit(1)).as("n_cells"), sum(col("t6")).as("st6"))
+      .crossJoin(kf)
+      .select(col("n_trigrams"), col("n_cells"),
+        col("k").as("k_types"), dfn.as("df_nominal"),
+        r4(lit(2.0) * col("st6").cast("double") / 1000000).as("g2"),
+        when(col("k") > 1, r4(lit(2.0) * col("st6").cast("double")
+          / 1000000 / dfn)).as("g2_per_df"))
+  }
+
   /** Bootstrap replica count. 200 keeps the replica frame trivially
     * small while the 2.5%/97.5% ranks (5, 195) sit 4 replicas deep in
     * each tail — stable enough for a CI that pages someone.

@@ -7939,6 +7939,95 @@ object DuckSql {
        |ORDER BY f.r""".stripMargin
   }
 
+  /** Mirror of CorpusStats.vocabCoverage: bounded max(K) ranked head
+    * on the (freq desc, token) order, per-cut conditional rollups vs
+    * exact corpus totals, 6dp coverage shares.
+    */
+  val vocabCoverage: String = {
+    import graft.operators.CorpusStats.CoverageKs
+    s"""$normCte,
+       |c AS (SELECT tok, count(*)::BIGINT AS cnt
+       |      FROM (SELECT unnest(ws) AS tok FROM n) GROUP BY tok),
+       |tt AS (SELECT sum(cnt)::BIGINT AS nn, count(*)::BIGINT AS v
+       |       FROM c),
+       |hd AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+       |         AS r
+       |       FROM (SELECT tok, cnt FROM c
+       |             ORDER BY cnt DESC, tok LIMIT ${CoverageKs.max})),
+       |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k),
+       |g AS (SELECT k,
+       |        sum(CASE WHEN r <= k THEN cnt ELSE 0 END)::BIGINT AS mass,
+       |        sum(CASE WHEN r <= k THEN 1 ELSE 0 END)::BIGINT
+       |          AS vocab_used
+       |      FROM hd CROSS JOIN ks GROUP BY k)
+       |SELECT k::INT AS k, vocab_used,
+       |  floor(mass::DOUBLE / nn * 1000000 + 0.5) / 1000000
+       |    AS mass_coverage,
+       |  floor(vocab_used::DOUBLE / v * 1000000 + 0.5) / 1000000
+       |    AS type_coverage
+       |FROM g CROSS JOIN tt ORDER BY k""".stripMargin
+  }
+
+  /** Mirror of Sessions.markovOrder: the eventTransitions ordering
+    * window with two leads, one trigram partial agg feeding all three
+    * margins, 6dp-integer G² cell terms in verbatim ratio order.
+    */
+  val markovOrder: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  floor(epoch(ts))::BIGINT AS sec FROM events),
+      |t0 AS (SELECT event_type AS a,
+      |  lead(event_type, 1) OVER w AS b,
+      |  lead(event_type, 2) OVER w AS c
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |tri AS (SELECT a, b, c, count(*)::BIGINT AS n3 FROM t0
+      |        WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+      |nab AS (SELECT a, b, sum(n3)::BIGINT AS n2f FROM tri GROUP BY 1, 2),
+      |nbc AS (SELECT b, c, sum(n3)::BIGINT AS n2s FROM tri GROUP BY 1, 2),
+      |nb AS (SELECT b, sum(n3)::BIGINT AS n1 FROM tri GROUP BY 1),
+      |kk AS (SELECT count(DISTINCT b)::BIGINT AS k FROM tri),
+      |tm AS (SELECT tri.n3,
+      |    floor(tri.n3::DOUBLE
+      |          * ln(tri.n3::DOUBLE * nb.n1
+      |               / (nab.n2f::DOUBLE * nbc.n2s))
+      |          * 1000000 + 0.5)::BIGINT AS t6
+      |  FROM tri JOIN nab ON nab.a = tri.a AND nab.b = tri.b
+      |           JOIN nbc ON nbc.b = tri.b AND nbc.c = tri.c
+      |           JOIN nb ON nb.b = tri.b),
+      |ag AS (SELECT sum(n3)::BIGINT AS n_trigrams,
+      |         count(*)::BIGINT AS n_cells, sum(t6)::BIGINT AS st6
+      |       FROM tm)
+      |SELECT n_trigrams, n_cells, k AS k_types,
+      |  (k * (k - 1) * (k - 1))::BIGINT AS df_nominal,
+      |  floor(2.0 * st6::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS g2,
+      |  CASE WHEN k > 1 THEN
+      |    floor(2.0 * st6::DOUBLE / 1000000 / (k * (k - 1) * (k - 1))
+      |          * 10000 + 0.5) / 10000 END AS g2_per_df
+      |FROM ag CROSS JOIN kk""".stripMargin
+
+  /** Mirror of Dedup.jaccardHist: the UNTHRESHOLDED minhashJCtes
+    * verified candidates, 0.1 bins capped at 9, zero-filled grid,
+    * survival cumsum from the top bin, 4dp shares.
+    */
+  val jaccardHist: String =
+    s"""$shCte,
+       |$minhashJCtes,
+       |bn AS (SELECT least(floor(jaccard * 10)::INT, 9) AS b,
+       |         count(*)::BIGINT AS n FROM j GROUP BY 1),
+       |tt AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM bn),
+       |g AS (SELECT gr.b, coalesce(bn.n, 0)::BIGINT AS n_pairs
+       |      FROM (SELECT unnest(range(0, 10))::INT AS b) gr
+       |      LEFT JOIN bn ON bn.b = gr.b),
+       |cg AS (SELECT b, n_pairs,
+       |         (sum(n_pairs) OVER (ORDER BY b DESC ROWS BETWEEN
+       |            UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ge
+       |       FROM g)
+       |SELECT b::DOUBLE / 10 AS bin_lo, n_pairs,
+       |  CASE WHEN t > 0 THEN
+       |    floor(n_pairs::DOUBLE / t * 10000 + 0.5) / 10000 END AS share,
+       |  CASE WHEN t > 0 THEN
+       |    floor(ge::DOUBLE / t * 10000 + 0.5) / 10000 END AS cum_ge
+       |FROM cg CROSS JOIN tt ORDER BY bin_lo""".stripMargin
+
   /** Mirror of CorpusStats.oovRate: normToks with source, global
     * top-K vocabulary on the deterministic (freq desc, token) order,
     * LEFT-JOIN membership, per-source exact rollups, 6dp rates.

@@ -765,6 +765,20 @@ class CorpusStatsSpec extends SparkSpecBase {
         r6(31.0 / 516))))
   }
 
+  test("vocab_coverage: frequency outranks the alphabet at the K=100 " +
+      "cut; exhausted cuts saturate at full coverage") {
+    // "zzz"×10 + 150 singletons: vocab 151, mass 160. K=100 takes zzz
+    // + t001..t099 -> mass 109; K>=151 saturates both shares at 1.0
+    val toks = (1 to 150).map(i => f"t$i%03d").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      doc(1, Seq.fill(10)("zzz").mkString(" ")), doc(2, toks)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(CorpusStats.vocabCoverage(spark, dir)) === Set(
+      Seq[Any](100, 100L, r6(109.0 / 160), r6(100.0 / 151)),
+      Seq[Any](1000, 151L, 1.0, 1.0),
+      Seq[Any](10000, 151L, 1.0, 1.0)))
+  }
+
   test("hill_tail: a six-type corpus uses all head terms above the " +
       "min; alpha matches the hand ln-ratio sum") {
     // counts 16,8,4,2,2,1 -> xmin = 1, k = 5 terms

@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccard_hist: the identical triple fills bin 0.9, the near-dup " +
+      "lands in its 5/7 bin iff banding caught it, zero bins keep rows") {
+    val out = Dedup.jaccardHist(spark, dir0).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out.size === 10) // the full zero-filled grid
+    // pairs among 0,1,2 are jaccard 1.0 -> bin 0.9, always caught
+    assert(out(0.9)._1 === 3L)
+    // doc3 vs each of 0,1,2 is exactly 5/7 (~0.714) -> bin 0.7; caught
+    // only when a band collides — reconcile against the deployed
+    // thresholded pipeline (jaccard >= 0.5 keeps the same pairs)
+    val caught = Dedup.dedupMinhash(spark, dir0).count() - 3
+    assert(out(0.7)._1 === caught)
+    (Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.8)).foreach { b =>
+      assert(out(b)._1 === 0L, s"bin $b must be empty")
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val tot = 3L + caught
+    assert(out(0.9)._2 === Some(r4(3.0 / tot)))
+    assert(out(0.0)._3 === Some(1.0)) // the survival curve closes at 0
+  }
+
   test("dedup_simhash: identical docs at hamming 0, unrelated not paired") {
     val out = Dedup.dedupSimhash(spark, dir0)
       .select("id_a", "id_b", "hamming").collect()

@@ -533,6 +533,24 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("r12 batch-10 family: margins join the trigram frame on keys; " +
+      "hist and coverage ride bounded grids only") {
+    withNoAutoBroadcast {
+      val pm = planOf(graft.operators.Sessions.markovOrder(spark, dir))
+      assert(!pm.contains("CartesianProduct"), pm)
+      assert(pm.contains("SortMergeJoin") || pm.contains("ShuffledHashJoin"),
+        s"margin joins must stay keyed:\n$pm")
+      Seq[(String, DataFrame)](
+        "vocab_coverage" ->
+          graft.operators.CorpusStats.vocabCoverage(spark, dir),
+        "jaccard_hist" -> Dedup.jaccardHist(spark, dir)
+      ).foreach { case (name, df) =>
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
+    }
+  }
+
   test("scd2_lookup at scale: the validity refine rides an equi-join " +
       "on the entity key, never a nested loop") {
     withNoAutoBroadcast {

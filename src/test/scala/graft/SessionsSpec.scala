@@ -1011,6 +1011,41 @@ class SessionsSpec extends SparkSpecBase {
     assert(expected.exists(r => r(4) == null))
   }
 
+  test("markov_order: a deterministic alternation reads G2 = 0; a " +
+      "history-dependent stream reads the in-spec LR exactly") {
+    import graft.operators.Sessions
+    // u1 alternates a/b (order-1 is the whole story: every cell ratio
+    // is 1); u2's continuation of b depends on what PRECEDED it
+    val seqs = Seq(
+      1L -> Seq("a", "b", "a", "b", "a", "b", "a"),
+      2L -> Seq("a", "a", "b", "b", "a", "b", "b", "a"))
+    var id = 0L
+    val es = seqs.flatMap { case (u, ts) =>
+      ts.map { t => id += 1; ev(id, id, u, t) }
+    }
+    val dir = fixtureDir(evs = es)
+    // in-spec replica: trigram counts + nested margins from them
+    val tris = seqs.flatMap(_._2.sliding(3).filter(_.size == 3)
+      .map(s => (s(0), s(1), s(2))))
+    val n3 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def mrg[K](f: ((String, String, String)) => K): Map[K, Long] =
+      n3.groupBy { case (k, _) => f(k) }.view.mapValues(_.values.sum).toMap
+    val n2f = mrg { case (a, b, _) => (a, b) }
+    val n2s = mrg { case (_, b, c) => (b, c) }
+    val n1 = mrg { case (_, b, _) => b }
+    val st6 = n3.map { case ((a, b, c), n) =>
+      math.floor(n.toDouble * math.log(
+        n.toDouble * n1(b) / (n2f((a, b)).toDouble * n2s((b, c))))
+        * 1e6 + 0.5).toLong }.sum
+    val k = n3.keys.map(_._2).toSet.size.toLong
+    val dfn = k * (k - 1) * (k - 1)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(Sessions.markovOrder(spark, dir)) === Set(
+      Seq[Any](tris.size.toLong, n3.size.toLong, k, dfn,
+        r4(2.0 * st6 / 1e6), r4(2.0 * st6 / 1e6 / dfn))))
+    assert(st6 > 0) // u2 made order-2 genuinely informative
+  }
+
   test("bootstrap_ci: the in-spec Poisson-draw estimator reproduces the " +
       "replica percentiles and se exactly") {
     import graft.operators.Sessions
