@@ -133,6 +133,7 @@ object SparkEntry {
     "forecast_baseline" -> (Sessions.forecastBaseline _),
     "ses_backtest" -> (Sessions.sesBacktest _),
     "markov_order" -> (Sessions.markovOrder _),
+    "overdispersion" -> (Sessions.overdispersion _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -249,6 +250,8 @@ object SparkEntry {
     "tokenizer_fertility" -> (CorpusStats.tokenizerFertility _),
     "oov_rate" -> (CorpusStats.oovRate _),
     "vocab_coverage" -> (CorpusStats.vocabCoverage _),
+    "coverage_pick" -> (CorpusStats.coveragePick _),
+    "source_lang_assoc" -> (CorpusStats.sourceLangAssoc _),
     "hill_tail" -> (CorpusStats.hillTail _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
@@ -733,6 +736,7 @@ object SparkEntry {
     "forecast_baseline" -> graft.oracle.DuckSql.forecastBaseline,
     "ses_backtest" -> graft.oracle.DuckSql.sesBacktest,
     "markov_order" -> graft.oracle.DuckSql.markovOrder,
+    "overdispersion" -> graft.oracle.DuckSql.overdispersion,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -866,6 +870,8 @@ object SparkEntry {
     "tokenizer_fertility" -> graft.oracle.DuckSql.tokenizerFertility,
     "oov_rate" -> graft.oracle.DuckSql.oovRate,
     "vocab_coverage" -> graft.oracle.DuckSql.vocabCoverage,
+    "coverage_pick" -> graft.oracle.DuckSql.coveragePick,
+    "source_lang_assoc" -> graft.oracle.DuckSql.sourceLangAssoc,
     "hill_tail" -> graft.oracle.DuckSql.hillTail,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,

@@ -2221,6 +2221,80 @@ object CorpusStats {
       .orderBy(col("k"))
   }
 
+  /** coverage_pick mass target: the closed vocabulary should cover 95%
+    * of token mass — the conventional "OOV under 5%" bar.
+    */
+  val CoverageTarget = 0.95
+
+  /** coverage_pick: the AUTO-TUNED vocabulary size — smallest
+    * [[CoverageKs]] arm whose mass coverage meets [[CoverageTarget]]
+    * (fallback: the best-covering arm), with its full coverage line.
+    * The nprobe_pick / threshold_pick posture applied to
+    * [[vocabCoverage]]: the curve exists so something DECIDES on it,
+    * and the decision is a deterministic three-key sort, not a human
+    * squinting at three rows.
+    *
+    * Scale shape: vocab_coverage's bounded frame (|Ks| rows) + a
+    * 1-row pick. Flat.
+    */
+  def coveragePick(spark: SparkSession, dir: String): DataFrame = {
+    val arms = vocabCoverage(spark, dir)
+      .withColumn("met", col("mass_coverage") >= CoverageTarget)
+    // met arms: smallest k wins; no met arm: coverage grows with k,
+    // so -k ascending = best-covering arm first
+    arms.orderBy(col("met").desc,
+        when(col("met"), col("k")).otherwise(-col("k")))
+      .limit(1)
+      .select(col("k").as("k_pick"), col("vocab_used"),
+        col("mass_coverage"), col("type_coverage"), col("met"))
+  }
+
+  /** source_lang_assoc: the source × lang contingency audit — Pearson
+    * χ² on the zero-filled observed grid and Cramér's V, the one
+    * number that says whether "source" and "lang" are measuring the
+    * same partition of the corpus (V → 1: each source is monolingual,
+    * lang-stratified ops double-stratify; V → 0: every source mixes
+    * languages the same way and a per-source mix is redundant).
+    * domain_mix and lang_confusion read the two margins; this reads
+    * their association.
+    *
+    * Parity: cell terms (o−e)²/e round to 6dp integer units on the
+    * FULL sources × langs grid (zero cells keep their terms — the
+    * benford rule); e > 0 for every grid cell by construction (both
+    * margins observed). One fixed-order sqrt tail for V.
+    *
+    * Scale shape: one (source, lang) partial agg; the grid is
+    * |sources|×|langs|-bounded. Flat.
+    */
+  def sourceLangAssoc(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val obs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"))
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // margins and the grid both read it
+    val rs = obs.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+    val cs = obs.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
+    val tot = broadcast(obs.agg(sum(col("o")).as("nn"),
+      countDistinct(col("source")).as("r"),
+      countDistinct(col("lang")).as("c")).localCheckpoint())
+    val e = col("ns").cast("double") * col("nl") / col("nn")
+    val grid = rs.crossJoin(cs)
+      .join(obs, Seq("source", "lang"), "left")
+      .crossJoin(tot)
+      .select(coalesce(col("o"), lit(0L)).as("o"), e.as("e"),
+        col("nn"), col("r"), col("c"))
+    val t6 = floor((col("o") - col("e")) * (col("o") - col("e"))
+      / col("e") * 1000000 + 0.5).cast("long")
+    val chi = col("st6").cast("double") / 1000000
+    val minrc = least(col("r"), col("c")) - 1
+    grid.groupBy(col("nn"), col("r"), col("c"))
+      .agg(sum(t6).as("st6"))
+      .select(col("nn").as("n_docs"), col("r").as("n_sources"),
+        col("c").as("n_langs"), r4(chi).as("chi2"),
+        when(minrc > 0,
+          r4(sqrt(chi / (col("nn") * minrc)))).as("cramers_v"))
+  }
+
   /** Hill-estimator order statistics: the top-200 token frequencies.
     * Bounded like [[ZipfTopK]]; single-sourced into the oracle.
     */

@@ -2165,6 +2165,41 @@ object Sessions {
           / 1000000 / dfn)).as("g2_per_df"))
   }
 
+  /** overdispersion: the per-user event-count dispersion index and the
+    * method-of-moments negative-binomial fit — the assumption audit
+    * UNDER the AB shelf: ab_power sizes on a variance, bootstrap_ci
+    * brackets a mean, srm_check trusts a Poisson-ish split; all three
+    * silently assume the count distribution's var/mean is near 1. This
+    * row measures it: D = s²/x̄ (Fisher 1950's index), and when D > 1
+    * the NB size r̂ = x̄²/(s²−x̄) says HOW heavy the user-activity tail
+    * is (small r̂ = a few whales dominate — exactly when normal-theory
+    * power formulas mislead and the bootstrap row is the one to trust).
+    *
+    * Parity: count moments are exact longs (Σx, Σx² — bounded: a
+    * 10¹²-event user base needs Σx² < 2^63 ⇒ per-user counts < ~3e6 at
+    * a trillion users, the realistic envelope); one fixed-order double
+    * tail per stat, each rounded once.
+    *
+    * Scale shape: one per-user partial agg, a 1-row tail. Linear scan,
+    * constant output.
+    */
+  def overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val m = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val vr = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx") / col("n")) / (col("n") - 1)
+    m.select(col("n").as("n_users"),
+      when(col("n") > 0, r6(mean)).as("mean_events"),
+      when(col("n") > 1, r6(vr)).as("var_events"),
+      when(col("n") > 1 && mean > 0, r6(vr / mean)).as("dispersion"),
+      when(col("n") > 1 && vr > mean, r6(mean * mean / (vr - mean)))
+        .as("nb_size"))
+  }
+
   /** Bootstrap replica count. 200 keeps the replica frame trivially
     * small while the 2.5%/97.5% ranks (5, 195) sit 4 replicas deep in
     * each tail — stable enough for a CI that pages someone.

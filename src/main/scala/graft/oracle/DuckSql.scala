@@ -8028,6 +8028,73 @@ object DuckSql {
        |    floor(ge::DOUBLE / t * 10000 + 0.5) / 10000 END AS cum_ge
        |FROM cg CROSS JOIN tt ORDER BY bin_lo""".stripMargin
 
+  /** Mirror of Sessions.overdispersion: exact long count moments, one
+    * verbatim-order double tail per stat.
+    */
+  val overdispersion: String =
+    """WITH pu AS (SELECT user_id, count(*)::BIGINT AS x
+      |            FROM events GROUP BY user_id),
+      |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |        sum(x * x)::BIGINT AS sxx FROM pu)
+      |SELECT n AS n_users,
+      |  CASE WHEN n > 0 THEN
+      |    floor(sx::DOUBLE / n * 1000000 + 0.5) / 1000000
+      |  END AS mean_events,
+      |  CASE WHEN n > 1 THEN
+      |    floor((sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1)
+      |          * 1000000 + 0.5) / 1000000 END AS var_events,
+      |  CASE WHEN n > 1 AND sx::DOUBLE / n > 0 THEN
+      |    floor((sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1)
+      |          / (sx::DOUBLE / n) * 1000000 + 0.5) / 1000000
+      |  END AS dispersion,
+      |  CASE WHEN n > 1 AND (sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1)
+      |         > sx::DOUBLE / n THEN
+      |    floor(sx::DOUBLE / n * (sx::DOUBLE / n)
+      |          / ((sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1)
+      |             - sx::DOUBLE / n) * 1000000 + 0.5) / 1000000
+      |  END AS nb_size
+      |FROM m""".stripMargin
+
+  /** Mirror of CorpusStats.coveragePick: the vocabCoverage mirror as a
+    * derived table, same met-first / smallest-k / best-fallback sort.
+    */
+  val coveragePick: String = {
+    import graft.operators.CorpusStats.CoverageTarget
+    s"""WITH vc AS (SELECT * FROM ($vocabCoverage)),
+       |a AS (SELECT *, mass_coverage >= $CoverageTarget AS met FROM vc)
+       |SELECT k AS k_pick, vocab_used, mass_coverage, type_coverage, met
+       |FROM a ORDER BY met DESC,
+       |  CASE WHEN met THEN k ELSE -k END LIMIT 1""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.sourceLangAssoc: zero-filled margin-cross
+    * grid, 6dp-integer χ² cell terms, verbatim-order Cramér's V tail.
+    */
+  val sourceLangAssoc: String =
+    """WITH obs AS (SELECT source, lang, count(*)::BIGINT AS o
+      |             FROM documents GROUP BY 1, 2),
+      |rs AS (SELECT source, sum(o)::BIGINT AS ns FROM obs GROUP BY 1),
+      |cs AS (SELECT lang, sum(o)::BIGINT AS nl FROM obs GROUP BY 1),
+      |tt AS (SELECT sum(o)::BIGINT AS nn,
+      |         count(DISTINCT source)::BIGINT AS r,
+      |         count(DISTINCT lang)::BIGINT AS c FROM obs),
+      |g AS (SELECT coalesce(obs.o, 0)::BIGINT AS o,
+      |        rs.ns::DOUBLE * cs.nl / tt.nn AS e, tt.nn, tt.r, tt.c
+      |      FROM rs CROSS JOIN cs
+      |      LEFT JOIN obs ON obs.source = rs.source
+      |                   AND obs.lang = cs.lang
+      |      CROSS JOIN tt),
+      |ag AS (SELECT nn, r, c,
+      |         sum(floor((o - e) * (o - e) / e * 1000000 + 0.5)::BIGINT)
+      |           ::BIGINT AS st6
+      |       FROM g GROUP BY 1, 2, 3)
+      |SELECT nn AS n_docs, r AS n_sources, c AS n_langs,
+      |  floor(st6::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS chi2,
+      |  CASE WHEN least(r, c) - 1 > 0 THEN
+      |    floor(sqrt(st6::DOUBLE / 1000000 / (nn * (least(r, c) - 1)))
+      |          * 10000 + 0.5) / 10000 END AS cramers_v
+      |FROM ag""".stripMargin
+
   /** Mirror of CorpusStats.oovRate: normToks with source, global
     * top-K vocabulary on the deterministic (freq desc, token) order,
     * LEFT-JOIN membership, per-source exact rollups, 6dp rates.

@@ -779,6 +779,28 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq[Any](10000, 151L, 1.0, 1.0)))
   }
 
+  test("coverage_pick: the smallest arm past the 0.95 mass target wins " +
+      "over the saturated larger ones") {
+    val toks = (1 to 150).map(i => f"t$i%03d").mkString(" ")
+    val dir = fixtureDir(docs = Seq(
+      doc(1, Seq.fill(10)("zzz").mkString(" ")), doc(2, toks)))
+    // arms: k=100 covers 109/160 (< .95), k=1000 and 10000 saturate at
+    // 1.0 — met picks the smallest met k
+    assert(rows(CorpusStats.coveragePick(spark, dir)) === Set(
+      Seq[Any](1000, 151L, 1.0, 1.0, true)))
+  }
+
+  test("source_lang_assoc: a symmetric 2x2 tilt reads the hand chi2 " +
+      "and V = 0.5") {
+    // A: 3 en + 1 fr; B: 1 en + 3 fr -> every e = 2, chi2 = 4*(1/2)
+    val dir = fixtureDir(docs =
+      (1 to 3).map(i => Doc(i, s"a$i", "en", "A", 2)) ++
+        Seq(Doc(4, "a4", "fr", "A", 2), Doc(5, "a5", "en", "B", 2)) ++
+        (6 to 8).map(i => Doc(i, s"a$i", "fr", "B", 2)))
+    assert(rows(CorpusStats.sourceLangAssoc(spark, dir)) === Set(
+      Seq[Any](8L, 2L, 2L, 2.0, 0.5)))
+  }
+
   test("hill_tail: a six-type corpus uses all head terms above the " +
       "min; alpha matches the hand ln-ratio sum") {
     // counts 16,8,4,2,2,1 -> xmin = 1, k = 5 terms

@@ -1011,6 +1011,20 @@ class SessionsSpec extends SparkSpecBase {
     assert(expected.exists(r => r(4) == null))
   }
 
+  test("overdispersion: a whale user blows the dispersion index past 1 " +
+      "and the NB size reads the hand moments") {
+    import graft.operators.Sessions
+    // counts 1,1,1,9: mean 3, var (84-36)/3 = 16, D = 16/3, r = 9/13
+    val xs = Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 9)
+    var id = 0L
+    val dir = fixtureDir(evs = xs.toSeq.flatMap { case (u, k) =>
+      (1 to k).map { _ => id += 1; ev(id, id, u) }
+    })
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(Sessions.overdispersion(spark, dir)) === Set(
+      Seq[Any](4L, 3.0, 16.0, r6(16.0 / 3), r6(9.0 / 13))))
+  }
+
   test("markov_order: a deterministic alternation reads G2 = 0; a " +
       "history-dependent stream reads the in-spec LR exactly") {
     import graft.operators.Sessions
