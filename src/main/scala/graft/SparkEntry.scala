@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_exact"   -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "jaccard_hist" -> (Dedup.jaccardHist _),
+    "cluster_size_hist" -> (Dedup.clusterSizeHist _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram"   -> (Dedup.dedupNgram _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "ses_backtest" -> (Sessions.sesBacktest _),
     "markov_order" -> (Sessions.markovOrder _),
     "overdispersion" -> (Sessions.overdispersion _),
+    "session_length_hist" -> (Sessions.sessionLengthHist _),
     "langid_f1" -> (TextAnalysis.langidF1 _),
     "media_dedup" -> (Multimodal.mediaDedup _),
     "frame_dedup" -> (Multimodal.frameDedup _),
@@ -252,6 +254,7 @@ object SparkEntry {
     "vocab_coverage" -> (CorpusStats.vocabCoverage _),
     "coverage_pick" -> (CorpusStats.coveragePick _),
     "source_lang_assoc" -> (CorpusStats.sourceLangAssoc _),
+    "token_gini" -> (CorpusStats.tokenGini _),
     "hill_tail" -> (CorpusStats.hillTail _),
     "perplexity_score" -> (CorpusStats.perplexityScore _),
     "ccnet_buckets" -> (CorpusStats.ccnetBuckets _),
@@ -691,6 +694,7 @@ object SparkEntry {
     "dedup_exact"   -> graft.oracle.DuckSql.dedupExact,
     "dedup_minhash" -> graft.oracle.DuckSql.dedupMinhash,
     "jaccard_hist" -> graft.oracle.DuckSql.jaccardHist,
+    "cluster_size_hist" -> graft.oracle.DuckSql.clusterSizeHist,
     "dedup_simhash" -> graft.oracle.DuckSql.dedupSimhash,
     "dedup_ngram"   -> graft.oracle.DuckSql.dedupNgram,
     "dedup_clusters" -> graft.oracle.DuckSql.dedupClusters,
@@ -737,6 +741,7 @@ object SparkEntry {
     "ses_backtest" -> graft.oracle.DuckSql.sesBacktest,
     "markov_order" -> graft.oracle.DuckSql.markovOrder,
     "overdispersion" -> graft.oracle.DuckSql.overdispersion,
+    "session_length_hist" -> graft.oracle.DuckSql.sessionLengthHist,
     "langid_f1" -> graft.oracle.DuckSql.langidF1,
     "media_dedup" -> graft.oracle.DuckSql.mediaDedup,
     "frame_dedup" -> graft.oracle.DuckSql.frameDedup,
@@ -872,6 +877,7 @@ object SparkEntry {
     "vocab_coverage" -> graft.oracle.DuckSql.vocabCoverage,
     "coverage_pick" -> graft.oracle.DuckSql.coveragePick,
     "source_lang_assoc" -> graft.oracle.DuckSql.sourceLangAssoc,
+    "token_gini" -> graft.oracle.DuckSql.tokenGini,
     "hill_tail" -> graft.oracle.DuckSql.hillTail,
     "perplexity_score" -> graft.oracle.DuckSql.perplexityScore,
     "ccnet_buckets" -> graft.oracle.DuckSql.ccnetBuckets,

@@ -2295,6 +2295,48 @@ object CorpusStats {
           r4(sqrt(chi / (col("nn") * minrc)))).as("cramers_v"))
   }
 
+  /** token_gini: the Gini coefficient of the token-frequency
+    * distribution — corpus lexical concentration as ONE number beside
+    * the curve family ([[zipfFit]] slope, [[hillTail]] α,
+    * [[vocabCoverage]]'s arms): a crawl drifting toward templates
+    * shows up as Gini creeping toward 1 before any single audit row
+    * moves. The giniRevenue grouped-rank identity on the
+    * frequency-of-frequencies frame: types with equal count form one
+    * rank block, so the Lorenz sum needs only the ≤|distinct counts|
+    * grid — never a vocabulary-sized sort window.
+    *
+    * Parity: exact decimal(38) rank-block arithmetic (the giniRevenue
+    * rule verbatim), one fixed-order double at the end.
+    *
+    * Scale shape: vocabulary partial agg → frequency-class partial agg
+    * (bounded like goodTuring's) → one ordered window over the class
+    * grid. Flat.
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val counts = Tables.cpuPartition(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+      .select(explode(Dedup.normToks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val grid = counts.groupBy(col("cnt")).agg(count(lit(1)).as("c"))
+    val wBelow = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // <= |distinct counts| rows — the unpartitioned window is deliberate
+    val m = grid
+      .withColumn("k", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .agg(sum(col("c")).as("n"),
+        sum(d38(col("cnt")) * d38(col("c"))).as("s"),
+        sum(d38(col("cnt")) * (lit(2) * d38(col("c")) * d38(col("k"))
+          + d38(col("c")) * (d38(col("c")) + 1))).as("t2"))
+    m.select(col("n").as("n_types"),
+      col("s").cast("long").as("n_tokens"),
+      when(col("n") > 0 && col("s") > 0,
+        r6((col("t2") - (d38(col("n")) + 1) * col("s")).cast("double") /
+          (d38(col("n")) * col("s")).cast("double"))).as("gini"))
+  }
+
   /** Hill-estimator order statistics: the top-200 token frequencies.
     * Bounded like [[ZipfTopK]]; single-sourced into the oracle.
     */

@@ -307,6 +307,38 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** cluster_size_hist: power-of-two histogram of near-dup cluster
+    * sizes over [[dedupClusters]]' labels — the TAIL cluster_stats'
+    * aggregates hide: bin 1 is the unique mass, bin 2 the pairwise
+    * dups, and any population in bin 64+ is a template flood that
+    * deserves a source-level fix, not per-doc dedup. dup_tokens prices
+    * the removable mass; this says how it's CONCENTRATED (a thousand
+    * pairs and one 1000-doc cluster remove the same mass with very
+    * different root causes).
+    *
+    * Scale shape: a pair-artifact consumer (CC labels over the
+    * persisted pair set) + two bounded partial aggs (cluster sizes →
+    * ≤log2 bins). Flat past the label pass.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val g = dedupClusters(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .select(col("sz"), expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(sz)) AS INT) - 1)")
+        .as("bin_lo"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .localCheckpoint() // grid rows feed the share against the total
+    val tot = broadcast(g.agg(sum(col("n_clusters")).as("t"))
+      .localCheckpoint())
+    g.crossJoin(tot)
+      .select(col("bin_lo"), col("n_clusters"), col("n_docs"),
+        r4(col("n_clusters").cast("double") / col("t"))
+          .as("cluster_share"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** jaccard_hist: the exact-Jaccard DISTRIBUTION of the unthresholded
     * LSH candidate pairs in 0.1 bins, with the survival curve cum_ge —
     * the row that prices [[JaccardThreshold]] itself. banding_curve

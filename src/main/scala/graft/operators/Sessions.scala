@@ -2165,6 +2165,36 @@ object Sessions {
           / 1000000 / dfn)).as("g2_per_df"))
   }
 
+  /** session_length_hist: power-of-two histogram of session depth —
+    * the TAIL under session_stats' means: a bin-16+ population is the
+    * power users every engagement mean hides, and its share moving is
+    * the re-engagement signal cohort dashboards miss. The lengthHist
+    * binning idiom (binary string length = exact floor-log2) applied
+    * to [[sessionize]]'s own output, so the histogram can never
+    * disagree with the gated sessionization.
+    *
+    * Scale shape: sessionize's one user-shuffle, then a ≤log2(max
+    * depth) bin partial agg. Flat past the sessionize pass.
+    */
+  def sessionLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val g = sessionize(spark, dir)
+      .select(col("n_events").cast("long").as("ne"))
+      .select(col("ne"), expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(ne)) AS INT) - 1)")
+        .as("bin_lo"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+      .localCheckpoint() // grid rows feed the share against the total
+    val tot = broadcast(g.agg(sum(col("n_sessions")).as("t"))
+      .localCheckpoint())
+    g.crossJoin(tot)
+      .select(col("bin_lo"), col("n_sessions"), col("n_events"),
+        r4(col("n_sessions").cast("double") / col("t"))
+          .as("session_share"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** overdispersion: the per-user event-count dispersion index and the
     * method-of-moments negative-binomial fit — the assumption audit
     * UNDER the AB shelf: ab_power sizes on a variance, bootstrap_ci

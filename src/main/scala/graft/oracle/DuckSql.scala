@@ -8028,6 +8028,67 @@ object DuckSql {
        |    floor(ge::DOUBLE / t * 10000 + 0.5) / 10000 END AS cum_ge
        |FROM cg CROSS JOIN tt ORDER BY bin_lo""".stripMargin
 
+  /** Mirror of CorpusStats.tokenGini: the giniRevenue grouped-rank
+    * identity on the token frequency-of-frequencies grid, exact
+    * DECIMAL(38) blocks, one verbatim double tail.
+    */
+  val tokenGini: String =
+    s"""$normCte,
+       |tc AS (SELECT tok, count(*)::BIGINT AS cnt
+       |       FROM (SELECT unnest(ws) AS tok FROM n) GROUP BY tok),
+       |g AS (SELECT cnt, count(*)::BIGINT AS c FROM tc GROUP BY cnt),
+       |w AS (SELECT cnt, c,
+       |    coalesce(sum(c) OVER (ORDER BY cnt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS k
+       |  FROM g),
+       |m AS (SELECT sum(c)::BIGINT AS n,
+       |    sum(cnt::DECIMAL(38,0) * c::DECIMAL(38,0)) AS s,
+       |    sum(cnt::DECIMAL(38,0) * (2 * c::DECIMAL(38,0) * k::DECIMAL(38,0)
+       |        + c::DECIMAL(38,0) * (c::DECIMAL(38,0) + 1))) AS t2
+       |  FROM w)
+       |SELECT n AS n_types, s::BIGINT AS n_tokens,
+       |  CASE WHEN n > 0 AND s > 0 THEN
+       |    floor((t2 - (n::DECIMAL(38,0) + 1) * s)::DOUBLE
+       |          / ((n::DECIMAL(38,0)) * s)::DOUBLE * 1000000 + 0.5)
+       |      / 1000000 END AS gini
+       |FROM m""".stripMargin
+
+  /** Mirror of Sessions.sessionLengthHist: the sessionize mirror as a
+    * derived table, exact power-of-two binning, grid-bounded share.
+    */
+  val sessionLengthHist: String =
+    s"""WITH sz AS (SELECT * FROM ($sessionize)),
+       |b AS (SELECT n_events::BIGINT AS ne,
+       |        (1::BIGINT << (length(bin(n_events::BIGINT)) - 1))
+       |          AS bin_lo
+       |      FROM sz),
+       |g AS (SELECT bin_lo, count(*)::BIGINT AS n_sessions,
+       |        sum(ne)::BIGINT AS n_events FROM b GROUP BY bin_lo),
+       |tt AS (SELECT sum(n_sessions)::BIGINT AS t FROM g)
+       |SELECT bin_lo, n_sessions, n_events,
+       |  floor(n_sessions::DOUBLE / t * 10000 + 0.5) / 10000
+       |    AS session_share
+       |FROM g CROSS JOIN tt ORDER BY bin_lo""".stripMargin
+
+  /** Mirror of Dedup.clusterSizeHist: the dedupClusters labels as a
+    * derived table, cluster-size partial agg, exact power-of-two
+    * binning, grid-bounded share.
+    */
+  val clusterSizeHist: String =
+    s"""WITH cl AS (SELECT * FROM ($dedupClusters)),
+       |cs2 AS (SELECT cluster, count(*)::BIGINT AS sz
+       |        FROM cl GROUP BY cluster),
+       |b AS (SELECT sz,
+       |        (1::BIGINT << (length(bin(sz)) - 1)) AS bin_lo FROM cs2),
+       |g AS (SELECT bin_lo, count(*)::BIGINT AS n_clusters,
+       |        sum(sz)::BIGINT AS n_docs FROM b GROUP BY bin_lo),
+       |tt AS (SELECT sum(n_clusters)::BIGINT AS t FROM g)
+       |SELECT bin_lo, n_clusters, n_docs,
+       |  floor(n_clusters::DOUBLE / t * 10000 + 0.5) / 10000
+       |    AS cluster_share
+       |FROM g CROSS JOIN tt ORDER BY bin_lo""".stripMargin
+
   /** Mirror of Sessions.overdispersion: exact long count moments, one
     * verbatim-order double tail per stat.
     */

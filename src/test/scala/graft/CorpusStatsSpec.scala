@@ -801,6 +801,16 @@ class CorpusStatsSpec extends SparkSpecBase {
       Seq[Any](8L, 2L, 2L, 2.0, 0.5)))
   }
 
+  test("token_gini: the grouped-rank identity reads the hand Lorenz " +
+      "sum on a 3-type corpus") {
+    // counts 4,1,1: s = 6, classes (1,c=2,k=0),(4,c=1,k=2) ->
+    // t2 = 1*(0+6) + 4*(4+2) = 30; gini = (30 - 4*6)/(3*6) = 1/3
+    val dir = fixtureDir(docs = Seq(doc(1, "a a a a b c")))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(CorpusStats.tokenGini(spark, dir)) === Set(
+      Seq[Any](3L, 6L, r6(1.0 / 3))))
+  }
+
   test("hill_tail: a six-type corpus uses all head terms above the " +
       "min; alpha matches the hand ln-ratio sum") {
     // counts 16,8,4,2,2,1 -> xmin = 1, k = 5 terms

@@ -59,6 +59,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out(0.0)._3 === Some(1.0)) // the survival curve closes at 0
   }
 
+  test("cluster_size_hist: the in-spec union-find over the operator's " +
+      "own pairs reproduces the binned size distribution") {
+    val pairs = Dedup.dedupMinhash(spark, dir0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = (0L to 4L).groupBy(find).values.map(_.size.toLong).toSeq
+    def binLo(n: Long) = java.lang.Long.highestOneBit(n)
+    val byBin = sizes.groupBy(binLo).view
+      .mapValues(s => (s.size.toLong, s.sum)).toMap
+    val t = sizes.size.toLong
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = byBin.map { case (b, (nc, nd)) =>
+      Seq[Any](b, nc, nd, r4(nc.toDouble / t))
+    }.toSet
+    assert(rows(Dedup.clusterSizeHist(spark, dir0)) === expected)
+  }
+
   test("dedup_simhash: identical docs at hamming 0, unrelated not paired") {
     val out = Dedup.dedupSimhash(spark, dir0)
       .select("id_a", "id_b", "hamming").collect()

@@ -1011,6 +1011,21 @@ class SessionsSpec extends SparkSpecBase {
     assert(expected.exists(r => r(4) == null))
   }
 
+  test("session_length_hist: depths 5, 1, 2 land in bins 4, 1, 2 with " +
+      "equal session shares") {
+    import graft.operators.Sessions
+    // user 1: a 5-event session then (gap > 4h) a 1-event session;
+    // user 2: one 2-event session
+    val es = (1L to 5L).map(i => ev(i, i, 1)) ++
+      Seq(ev(6, 100000, 1)) ++ Seq(ev(7, 1, 2), ev(8, 2, 2))
+    val dir = fixtureDir(evs = es)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows(Sessions.sessionLengthHist(spark, dir)) === Set(
+      Seq[Any](1L, 1L, 1L, r4(1.0 / 3)),
+      Seq[Any](2L, 1L, 2L, r4(1.0 / 3)),
+      Seq[Any](4L, 1L, 5L, r4(1.0 / 3))))
+  }
+
   test("overdispersion: a whale user blows the dispersion index past 1 " +
       "and the NB size reads the hand moments") {
     import graft.operators.Sessions
