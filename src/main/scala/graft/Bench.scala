@@ -2,19 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Host loadavg (1/5/15-min) sampled as the FIRST act of main, before
+    // any sbt-side class loading of Spark or SparkSession init: the JVM +
+    // 32-core Spark startup itself spikes the 1-min loadavg, so the old
+    // post-init load_start read 8-15 on an idle host and the adjudication
+    // rule ("trust load_start < 2") over-discarded honest cold-start
+    // sweeps (r11/r12). These t0 fields are the pre-contamination truth.
+    def loadavg3(): (String, String, String) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+        (f(0), f(1), f(2))
+      } catch { case _: Throwable => ("-1", "-1", "-1") }
+    val (load1T0, load5T0, load15T0) = loadavg3()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config(graft.sources.Tables.NanosFlag, "true")
-      // small scan splits: the test corpora are single parquet files, and
-      // pure-map queries otherwise run at input-split parallelism (1 core)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config(graft.sources.Tables.NanosFlag, "true")
+        // small scan splits: the test corpora are single parquet files, and
+        // pure-map queries otherwise run at input-split parallelism (1 core)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     // A failed query reports -1, not its elapsed time, and is excluded
     // from the total — a broken query must be visible, not averaged away.
     // Each query is timed as the min of N runs (default 2): the first run
@@ -23,11 +39,18 @@ object Bench {
     // Default 3 runs: with 2, one contended sample leaves min == the
     // contended time and two rounds needed judge re-runs to adjudicate.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // Host 1-minute loadavg at bench start and end: a poisoned sample
-    // (external load) becomes machine-detectable from the artifact alone.
-    def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "-1" }
+    // Recycle the SparkSession every N queries (0 disables): even with the
+    // per-run unpersist + per-query System.gc, a 296-query sweep accretes
+    // driver-side state the cleaner never fully drains (codegen cache,
+    // broadcast torrents, block-manager metadata), inflating late queries
+    // +15% vs isolation (the r12 "in-sweep backlog"). A fresh session +
+    // context resets all of it; the ~3-5 s restart runs OUTSIDE every
+    // timed window, and on-disk IndexStore artifacts (per-JVM `built` set)
+    // survive, so no index rebuilds are re-paid.
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE", "48").toInt
+    var sinceRecycle = 0
+    def loadavg(): String = loadavg3()._1
     val loadStart = loadavg()
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries (dev loop).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -35,6 +58,14 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.map { case (name, fn) =>
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       // noop sink, not count(): under count() the optimizer column-prunes
       // pure projections down to the bare scan, so every map-shaped query
       // (clean_text, classify, token_count, ...) was timing NOTHING. The
@@ -95,7 +126,7 @@ object Bench {
     // null) — a consumer grabbing the first "total" line must get the
     // compact summary, never this truncation-prone map.
     val totalLine =
-      s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":${obj(_._1)},"load_start":$loadStart,"load_end":$loadEnd,"load1_t0":$load1T0,"load5_t0":$load5T0,"load15_t0":$load15T0,"sf":"$sfDir"}"""
     // The parseable headline is the compact summary: headline total +
     // the slowest queries only; the complete per-query record is the
     // committed SPARK_GRAFT_BENCH_FILE artifact. It is printed FIRST
@@ -109,7 +140,8 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""value_max":${ms(totalMax)},"n_queries":${results.size},""" +
       s""""queries":$slowest,"load_start":$loadStart,""" +
-      s""""load_end":$loadEnd,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s""""load_end":$loadEnd,"load1_t0":$load1T0,"load5_t0":$load5T0,""" +
+      s""""load15_t0":$load15T0,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     println(compactLine)
     println(detailLine)
     println(totalLine)

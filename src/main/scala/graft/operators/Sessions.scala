@@ -2310,9 +2310,15 @@ object Sessions {
       .withColumn("beff", max(col("r")).over(Window.partitionBy(lit(0))))
       .withColumn("rlo", expr("(beff * 25 + 999) div 1000"))
       .withColumn("rhi", expr("(beff * 975 + 999) div 1000"))
+    // Replica moments accumulate in DECIMAL(38,0): smu2 = Σ mu6² passes
+    // 2^63 once mean events/user exceeds ~214 (mu6 = mean·1e6, squared,
+    // summed over up to BootB replicas) — far tighter than the documented
+    // per-user envelopes elsewhere. Long sums would wrap silently under
+    // Spark's non-ANSI mode while the oracle's ::BIGINT cast errors, so
+    // the engines would diverge exactly when the answer went wrong.
     val g = ranked.groupBy(col("beff"))
-      .agg(sum(col("mu6")).as("smu"),
-        sum(col("mu6") * col("mu6")).as("smu2"),
+      .agg(sum(col("mu6").cast("decimal(38,0)")).as("smu"),
+        sum(col("mu6").cast("decimal(38,0)") * col("mu6")).as("smu2"),
         min(when(col("r") === col("rlo"), col("mu6"))).as("lo6"),
         min(when(col("r") === col("rhi"), col("mu6"))).as("hi6"))
     val seVar = (col("smu2").cast("double") -

@@ -144,6 +144,75 @@ object Tenancy {
       .orderBy(col("table_name"))
   }
 
+  /** The erasure request batch under [[forgetUser]]'s deletion-list
+    * rule: every distinct user in the log with id ≡ 0 (mod m). At
+    * production scale this frame arrives from a deletion-request queue;
+    * here it derives from the same rule the manifest prices, so the
+    * manifest and the execution reconcile by construction.
+    */
+  def erasureBatch(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.Params.int(spark, "forget.mod", ForgetMod)
+    require(m > 0, s"forget.mod must be positive ($m)")
+    Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(m)) === 0)
+      .select(col("user_id")).distinct()
+  }
+
+  /** applyErasure: EXECUTE an erasure manifest against the tenant
+    * layout — the write path [[forgetUser]] only prices. GDPR deletion
+    * becomes an operation, not a query: rewrite exactly the shard
+    * partitions that contain erased users, leave every other partition
+    * file byte-identical (never read, never listed for rewrite).
+    *
+    * Mechanics: the deletion list's shards are derived driver-side
+    * (id mod [[TenantShards]] — pure arithmetic, no scan), the read is
+    * directory-pruned to those shards, erased users leave via a
+    * broadcast anti-join, and the write uses DYNAMIC partition
+    * overwrite so only the rewritten `tenant_shard=` directories are
+    * replaced. A shard whose every row was erased writes nothing under
+    * dynamic overwrite, so its stale directory is deleted explicitly.
+    * The rewritten shards re-sort by (user_id, event_id) — the layout's
+    * row-group-prune contract survives erasure.
+    *
+    * The localCheckpoint cuts the plan's lineage from `path` (Spark
+    * refuses to overwrite a path it is reading) and bounds the staged
+    * data to the AFFECTED shards only; a production job stages to a
+    * sibling temp dir + atomic rename per partition instead.
+    */
+  def applyErasure(spark: SparkSession, path: String,
+      userIds: Seq[Long]): Unit = {
+    if (userIds.isEmpty) return
+    val shards = userIds.map(shardOf).distinct.sorted
+    import spark.implicits._
+    val del = broadcast(userIds.toDF("del_uid"))
+    val remaining = spark.read.parquet(path)
+      .filter(col("tenant_shard").isin(shards: _*))
+      .join(del, col("user_id") === col("del_uid"), "left_anti")
+      .repartition(col("tenant_shard"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .localCheckpoint()
+    val keptShards = remaining.select(col("tenant_shard")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      remaining.write.mode("overwrite")
+        .partitionBy("tenant_shard")
+        .option("compression", "zstd")
+        .parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    shards.filterNot(keptShards).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"tenant_shard=$s"), true)
+    }
+  }
+
   /** k_anonymity quasi-identifier balance-bucket width and the k grid
     * the profile reports.
     */

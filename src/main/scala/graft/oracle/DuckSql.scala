@@ -8219,8 +8219,11 @@ object DuckSql {
 
   /** Mirror of Sessions.sesBacktest: the zero-filled type×day grid,
     * the [[graft.operators.Sessions.SesWeights]] literals as a VALUES
-    * table (toString round-trip — never re-derived), 6dp-integer
-    * per-term products, exact long error sums, 4dp fixed-order tails.
+    * table (toString round-trip — never re-derived, and cast ::DOUBLE:
+    * DuckDB types bare VALUES literals DECIMAL(18,17), which would
+    * compute w·yl·1e6 in exact decimal while Spark computes it in IEEE
+    * doubles), 6dp-integer per-term products, exact long error sums,
+    * 4dp fixed-order tails.
     */
   val sesBacktest: String = {
     import graft.operators.Sessions.{SesWeights, SesWindow}
@@ -8238,7 +8241,7 @@ object DuckSql {
        |  FROM ty CROSS JOIN days
        |  LEFT JOIN cnt ON cnt.event_type = ty.event_type
        |              AND cnt.day = days.day),
-       |lw AS (SELECT * FROM (VALUES $vals) t(lag, w)),
+       |lw AS (SELECT lag, w::DOUBLE AS w FROM (VALUES $vals) t(lag, w)),
        |pr AS (SELECT g.event_type, g.day, g.n AS yt, l.lag, l.w,
        |         g2.n AS yl
        |       FROM grid g CROSS JOIN lw l
@@ -8267,9 +8270,12 @@ object DuckSql {
 
   /** Mirror of Sessions.bootstrapCi: the same md5-uniform Poisson(1)
     * draws (thresholds single-sourced from [[graft.operators.Sessions
-    * .PoisCdf]] via toString — bit-identical literals), exact long
-    * replica moments, 6dp-integer replica means, integer ceil ranks,
-    * verbatim-order se tail; every sum ::BIGINT.
+    * .PoisCdf]] via toString — bit-identical literals), 6dp-integer
+    * replica means, integer ceil ranks, verbatim-order se tail. The
+    * replica moments accumulate in DECIMAL(38,0) (Σ mu6² passes 2^63
+    * at mean events/user ≈ 214 — Spark long would wrap silently while
+    * this cast errors); both engines hold the exact integer so the
+    * one ::DOUBLE conversion at the output is bit-identical.
     */
   val bootstrapCi: String = {
     import graft.operators.Sessions.{BootB, BootSeed, PoisCdf}
@@ -8294,8 +8300,8 @@ object DuckSql {
        |rk2 AS (SELECT *, max(r) OVER ()::BIGINT AS beff FROM rk),
        |rk3 AS (SELECT *, (beff * 25 + 999) // 1000 AS rlo,
        |          (beff * 975 + 999) // 1000 AS rhi FROM rk2),
-       |g AS (SELECT beff, sum(mu6)::BIGINT AS smu,
-       |        sum(mu6 * mu6)::BIGINT AS smu2,
+       |g AS (SELECT beff, sum(mu6::DECIMAL(38,0)) AS smu,
+       |        sum((mu6::HUGEINT * mu6)::DECIMAL(38,0)) AS smu2,
        |        min(CASE WHEN r = rlo THEN mu6 END)::BIGINT AS lo6,
        |        min(CASE WHEN r = rhi THEN mu6 END)::BIGINT AS hi6
        |      FROM rk3 GROUP BY beff)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Interactions, Retrieval, Similarity}
+import graft.sources.Tables
 
 /** Runtime-parameter surface: the reference's per-call arguments
   * (topic_filter / min_effectiveness / limit, database.py:344; query id
@@ -76,6 +77,41 @@ class ParamsSpec extends SparkSpecBase {
       assert(other.filter(col("vec_id") === 7).count() === 0)
       assert(sortedRows(other) !== dflt)
     }
+    assert(sortedRows(Similarity.simTopk(spark, dir)) === dflt)
+  }
+
+  test("sim_topk.vector: a literal query vector serves the reference's " +
+      "RPC shape, bit-identical to the vec_id path for the same floats") {
+    val dflt = sortedRows(Similarity.simTopk(spark, dir))
+    // the stored floats of vec_id 7, round-tripped through toString
+    // (Float.toString is shortest-repr: the CSV parse is bit-exact)
+    val stored = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 7).select("embedding")
+      .head.getSeq[Float](0)
+    val csv = stored.map(_.toString).mkString(",")
+    val viaId = withParam("sim_topk.query_id", "7") {
+      Similarity.simTopk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    withParam("sim_topk.vector", csv) {
+      withParam("sim_topk.k", "6") {
+        val viaVec = Similarity.simTopk(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        // a literal vector has no self row to exclude: the stored
+        // vector's own id leads at sim 1.0, then the vec_id path's
+        // ranking follows bit-identically
+        assert(viaVec.head === ((7L, 1.0)), viaVec.head)
+        assert(viaVec.tail === viaId, s"$viaVec vs $viaId")
+      }
+    }
+    // dim-checked loud, component-checked loud
+    withParam("sim_topk.vector", "1.5,2.5") {
+      intercept[IllegalArgumentException] { Similarity.simTopk(spark, dir) }
+    }
+    withParam("sim_topk.vector", Seq.fill(64)("x").mkString(",")) {
+      intercept[IllegalArgumentException] { Similarity.simTopk(spark, dir) }
+    }
+    // unset: the gated default is served again
     assert(sortedRows(Similarity.simTopk(spark, dir)) === dflt)
   }
 

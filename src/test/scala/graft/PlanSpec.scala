@@ -561,4 +561,26 @@ class PlanSpec extends SparkSpecBase {
         s"scd2 lookup must shuffle on the entity key at scale:\n$p")
     }
   }
+
+  test("gini/lorenz value-grid cumulative: every Window is PARTITIONED " +
+      "(the r12 single-partition grid window must not regress)") {
+    // The grid of distinct per-customer cent totals ≈ |customers| at
+    // scale; an unpartitioned cumulative over it moves 15M+ rows to one
+    // partition. The two-level rewrite must leave only bucket-partitioned
+    // windows in the plan — assert structurally, not via the WARN log.
+    def unpartitionedWindows(
+        p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w.toString
+      }
+    Seq[(String, DataFrame)](
+      "gini_revenue" -> Analytics.giniRevenue(spark, dir),
+      "lorenz_curve" -> Analytics.lorenzCurve(spark, dir)
+    ).foreach { case (name, df) =>
+      val bad = unpartitionedWindows(physical(df))
+      assert(bad.isEmpty,
+        s"$name has unpartitioned Window(s):\n${bad.mkString("\n")}")
+    }
+  }
 }

@@ -450,6 +450,55 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cellOf(2000L) === cellOf(2L))
   }
 
+  test("ivf append after a rebalance swap: inserts route into the split " +
+      "subcells, the sibling stays untouched, the probe sees them") {
+    import spark.implicits._
+    // fresh mutable corpus (pqDir's shape, but this test appends)
+    val d = fixtureDir(embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    })
+    val rebalPath = Similarity.ivfRebalIndexPath(d)
+    val rebal = Similarity.ivfRebalance(spark, d).collect()
+    // a split parent with BOTH subcells alive
+    val subcells = rebal.filter(_.getBoolean(5)).map(_.getInt(0))
+      .groupBy(_ / 2).values.filter(_.length == 2).head.sorted
+    val Array(target, sibling) = subcells
+    val countOf = rebal.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // append a vector ON the target subcell's centroid: under the
+    // swapped-in quantizer it must land in that SUBCELL — the base
+    // quantizer only knows the parent and could not make this choice
+    val cvec = spark.read.parquet(s"$rebalPath/coarse")
+      .filter($"cid" === target).head.getAs[Seq[Float]]("cvec").toList
+    Similarity.appendToIvfFlat(spark, rebalPath,
+      Seq((3000L, cvec)).toDF("vec_id", "embedding"))
+    // and a twin of query 0, for probe visibility
+    val q0 = graft.sources.Tables.embeddings(spark, d)
+      .filter($"vec_id" === 0L).head.getAs[Seq[Float]]("embedding").toList
+    Similarity.appendToIvfFlat(spark, rebalPath,
+      Seq((3001L, q0)).toDF("vec_id", "embedding"))
+    val after = Similarity.ivfRebalIndex(spark, d)
+    val cellCounts = after.lists.groupBy($"ccell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cellOf = after.lists
+      .filter($"vec_id" >= 3000L).select($"vec_id", $"ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(3000L) === target,
+      s"insert must route into the split subcell $target, got $cellOf")
+    // subcell balance: the target grew by exactly its inserts, the
+    // sibling subcell's list files were never touched
+    val targetInserts = cellOf.values.count(_ == target)
+    assert(cellCounts(target) === countOf(target) + targetInserts)
+    assert(cellCounts(sibling) === countOf(sibling))
+    // the probe over the swapped index sees the appended twin
+    // immediately (vec 10 is also identical to q0 and wins the
+    // cosine tie by smaller id, so the twin lands at rank 2)
+    val probed = Similarity.annIvfKmeansProbe(spark, d, after)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed.contains((0L, 3001L, 2)), probed.toString)
+  }
+
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
     def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
     // query 0 on the x axis; 1 and 2 are near-duplicates of each other

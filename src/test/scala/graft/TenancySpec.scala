@@ -75,6 +75,63 @@ class TenancySpec extends SparkSpecBase {
       Seq("lineitem", 3L, 2L, r4(2.0 / 3))))
   }
 
+  test("applyErasure: erased tenant reads 0 rows, untouched partitions " +
+      "byte-identical, manifest reconciles, emptied shard dir deleted") {
+    // users 0..9 -> shards 0..9; user 0 matches the ForgetMod=50 rule
+    import spark.implicits._
+    val dir = fixtureDir(evs = (0 until 100).map(i =>
+      ev(i, i * 100L, user = i % 10, typ = s"t${i % 3}",
+        value = i.toDouble)))
+    // minimal star tables so the manifest's other rows price cleanly
+    Seq((1L, 0L, "A", 1.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 10.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1.0)).toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val path = Files.createTempDirectory("graft-erase").toString + "/log"
+    Tenancy.writeTenantLayout(spark, dir, path)
+    def fileStats(shard: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$path/tenant_shard=$shard")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val before = (0 until 10).map(s => s -> fileStats(s)).toMap
+    val rowsBefore = spark.read.parquet(path).count()
+    // the manifest prices the erasure; the batch derives from the same rule
+    val manifest = Tenancy.forgetUser(spark, dir)
+      .filter(col("table_name") === "events").head
+    val nPurge = manifest.getLong(2)
+    assert(nPurge === 10L) // user 0's events
+    val batch = Tenancy.erasureBatch(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch === Seq(0L))
+    Tenancy.applyErasure(spark, path, batch)
+    // the erased tenant reads zero rows; the manifest reconciles exactly
+    assert(Tenancy.tenantView(spark, path, userId = 0L).count() === 0L)
+    val rowsAfter = spark.read.parquet(path).count()
+    assert(rowsBefore - rowsAfter === nPurge)
+    // untouched shards: the same parquet files, byte- and mtime-identical
+    (1 until 10).foreach { s =>
+      assert(fileStats(s) === before(s), s"shard $s was touched")
+    }
+    assert(fileStats(0) !== before(0), "erased shard must be rewritten")
+    // surviving users are row-identical to the pre-erasure view
+    val survivor = Tenancy.tenantView(spark, path, userId = 7L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") === 7L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(rows(survivor) === rows(expected))
+    // erasing EVERY user of a shard deletes its directory outright
+    // (dynamic overwrite writes nothing for an emptied partition)
+    Tenancy.applyErasure(spark, path, Seq(3L))
+    assert(!new java.io.File(s"$path/tenant_shard=3").exists())
+    assert(Tenancy.tenantView(spark, path, userId = 7L).count() === 10L)
+  }
+
   test("dp_release: hand-computed Laplace draw; release = count + " +
       "rounded noise") {
     val d = fixtureDir(docs = Seq(
