@@ -1110,4 +1110,46 @@ class SessionsSpec extends SparkSpecBase {
     assert(rows(Sessions.bootstrapCi(spark, dir)) === Set(
       Seq[Any](4L, beff, 2.5, lo6.toDouble / 1e6, hi6.toDouble / 1e6, se)))
   }
+
+  test("bootstrap_ci: replica moments survive mean events/user > 214 " +
+      "(the r12-advised BIGINT overflow envelope)") {
+    import graft.operators.Sessions
+    // mean 250 events/user: mu6 ~ 2.5e8, so sum(mu6^2) over 200 replicas
+    // ~ 1.25e19 > 2^63 — the old long accumulator wrapped silently here
+    // (negative variance -> NaN boot_se); the DECIMAL(38,0) moments and
+    // a BigInt in-spec replica must agree exactly.
+    val xs = Map(1L -> 240, 2L -> 250, 3L -> 260)
+    var id = 0L
+    val dir = fixtureDir(evs = xs.toSeq.flatMap { case (u, k) =>
+      (1 to k).map { _ => id += 1; ev(id, id, u) }
+    })
+    def u01(user: Long, b: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$user:$b:${Sessions.BootSeed}".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    def w(user: Long, b: Int): Long =
+      Sessions.PoisCdf.count(u01(user, b) >= _).toLong
+    val mus = (0 until Sessions.BootB).flatMap { b =>
+      val sw = xs.keys.toSeq.map(w(_, b)).sum
+      val swx = xs.map { case (u, x) => w(u, b) * x }.sum
+      if (sw > 0) Some(math.floor(swx.toDouble / sw * 1e6 + 0.5).toLong)
+      else None
+    }.sorted
+    val beff = mus.size
+    val lo6 = mus((beff * 25 + 999) / 1000 - 1)
+    val hi6 = mus((beff * 975 + 999) / 1000 - 1)
+    val smu = mus.map(BigInt(_)).sum
+    val smu2 = mus.map(m => BigInt(m) * BigInt(m)).sum
+    assert(smu2 > BigInt(Long.MaxValue),
+      "fixture must actually cross the long envelope")
+    val se = math.floor(math.sqrt(
+      (smu2.toDouble - smu.toDouble * smu.toDouble / beff) / (beff - 1))
+      / 1e6 * 1e6 + 0.5) / 1e6
+    val mean = math.floor(750.0 / 3 * 1e6 + 0.5) / 1e6
+    assert(se > 0 && !se.isNaN)
+    assert(rows(Sessions.bootstrapCi(spark, dir)) === Set(
+      Seq[Any](3L, beff, mean, lo6.toDouble / 1e6, hi6.toDouble / 1e6, se)))
+  }
 }
