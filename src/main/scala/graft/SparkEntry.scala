@@ -175,6 +175,9 @@ object SparkEntry {
     "sq_distortion"  -> (Similarity.sqDistortion _),
     "sq_recall"      -> (Similarity.sqRecall _),
     "ann_sq"         -> (Similarity.annSq _),
+    "sq_refit"            -> (Similarity.sqRefit _),
+    "sq_refit_distortion" -> (Similarity.sqRefitDistortion _),
+    "sq_refit_recall"     -> (Similarity.sqRefitRecall _),
     "ann_ivfpq"      -> (Similarity.annIvfPq _),
     "media_frames" -> (Multimodal.mediaFrames _),
     "decontaminate"     -> (Curation.decontaminate _),
@@ -782,6 +785,9 @@ object SparkEntry {
     "sq_distortion"  -> graft.oracle.DuckSql.sqDistortion,
     "sq_recall"      -> graft.oracle.DuckSql.sqRecall,
     "ann_sq"         -> graft.oracle.DuckSql.annSq,
+    "sq_refit"            -> graft.oracle.DuckSql.sqRefit,
+    "sq_refit_distortion" -> graft.oracle.DuckSql.sqRefitDistortion,
+    "sq_refit_recall"     -> graft.oracle.DuckSql.sqRefitRecall,
     "ann_ivfpq"      -> graft.oracle.DuckSql.annIvfPq,
     "media_frames" -> graft.oracle.DuckSql.mediaFrames,
     "decontaminate"     -> graft.oracle.DuckSql.decontaminate,

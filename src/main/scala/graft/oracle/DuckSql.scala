@@ -2666,6 +2666,150 @@ object DuckSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
        |  FROM cand) WHERE rank <= 3""".stripMargin
 
+  /** Shared refit-bounds CTEs (assumes `comp` from [[sqDqCtes]] is in
+    * scope): the 1e-7-integer value grid per dimension, dim-partitioned
+    * cumulative rank blocks, the clip-rank boundary pick (mirrors
+    * Similarity.sqRefitBounds — ⌈n/SqClipDen⌉ each side, single-sourced
+    * constants), and the clamped midpoint dequantization `rdq` (the
+    * same fixed-order double chain as sqdq plus greatest(0, ·)).
+    */
+  private val sqRefitCtes: String = {
+    import graft.operators.Similarity.SqClipDen
+    s"""vg AS (SELECT i, CAST(floor(v::DOUBLE * 10000000 + 0.5) AS BIGINT)
+       |    AS vu, count(*)::BIGINT AS c FROM comp GROUP BY 1, 2),
+       |cum AS (SELECT i, vu, c,
+       |    coalesce(sum(c) OVER (PARTITION BY i ORDER BY vu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cb,
+       |    (sum(c) OVER (PARTITION BY i))::BIGINT AS n
+       |  FROM vg),
+       |bdd AS (SELECT i, n, vlo, vhi,
+       |    vlo::DOUBLE / 10000000 AS lo, vhi::DOUBLE / 10000000 AS hi
+       |  FROM (SELECT i, n,
+       |      min(CASE WHEN cb < rlo AND rlo <= cb + c THEN vu END)::BIGINT
+       |        AS vlo,
+       |      min(CASE WHEN cb < rhi AND rhi <= cb + c THEN vu END)::BIGINT
+       |        AS vhi
+       |    FROM (SELECT *, (n + ${SqClipDen - 1}) // $SqClipDen AS rlo,
+       |            n + 1 - ((n + ${SqClipDen - 1}) // $SqClipDen) AS rhi
+       |          FROM cum)
+       |    GROUP BY i, n)),
+       |rdq AS (SELECT c.vec_id, c.i, c.v,
+       |    (b.lo + ((CASE WHEN b.hi > b.lo THEN least(255.0,
+       |        greatest(0.0,
+       |          floor((c.v::DOUBLE - b.lo) / (b.hi - b.lo) * 256)))
+       |      ELSE 0.0::DOUBLE END) + 0.5) * (b.hi - b.lo) / 256)::FLOAT
+       |      AS dv
+       |  FROM comp c JOIN bdd b ON b.i = c.i)""".stripMargin
+  }
+
+  /** Mirror of Similarity.sqRefit: the refit receipt — old float
+    * min/max (::DOUBLE, exact), quantile bounds from the shared refit
+    * CTEs, integer clip counts on the same vu units, 4dp share.
+    */
+  val sqRefit: String =
+    s"""WITH $sqDqCtes,
+       |$sqRefitCtes,
+       |cl AS (SELECT c.i, b.n, b.lo, b.hi,
+       |    sum(CASE WHEN
+       |          CAST(floor(c.v::DOUBLE * 10000000 + 0.5) AS BIGINT) < b.vlo
+       |          OR
+       |          CAST(floor(c.v::DOUBLE * 10000000 + 0.5) AS BIGINT) > b.vhi
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+       |  FROM comp c JOIN bdd b ON b.i = c.i GROUP BY 1, 2, 3, 4)
+       |SELECT cl.i, cl.n AS n_vecs, s.mn::DOUBLE AS mn, s.mx::DOUBLE AS mx,
+       |  cl.lo, cl.hi, cl.n_clipped,
+       |  floor(cl.n_clipped::DOUBLE / cl.n * 10000 + 0.5) / 10000
+       |    AS clip_share
+       |FROM cl JOIN sqst s USING (i) ORDER BY i""".stripMargin
+
+  /** Mirror of Similarity.sqRefitDistortion: sqDistortion's 6dp DECIMAL
+    * error aggregation over BOTH dequant arms (sqdq = old range, rdq =
+    * refit range) and both cuts (all components / the unclipped
+    * in-range mass), one row per (arm, dim) from a 64-row arm unpivot.
+    */
+  val sqRefitDistortion: String =
+    s"""WITH $sqDqCtes,
+       |$sqRefitCtes,
+       |j AS (SELECT s.i,
+       |    CAST(floor((s.v::DOUBLE - s.dv::DOUBLE)
+       |         * (s.v::DOUBLE - s.dv::DOUBLE) * 1000000 + 0.5) / 1000000
+       |      AS DECIMAL(18,6)) AS eb,
+       |    CAST(floor((r.v::DOUBLE - r.dv::DOUBLE)
+       |         * (r.v::DOUBLE - r.dv::DOUBLE) * 1000000 + 0.5) / 1000000
+       |      AS DECIMAL(18,6)) AS er,
+       |    CAST(floor(s.v::DOUBLE * 10000000 + 0.5) AS BIGINT)
+       |      BETWEEN b.vlo AND b.vhi AS inr
+       |  FROM sqdq s
+       |  JOIN rdq r ON r.vec_id = s.vec_id AND r.i = s.i
+       |  JOIN bdd b ON b.i = s.i),
+       |g AS (SELECT i, count(*)::BIGINT AS n_vecs,
+       |    sum(eb) AS seb, sum(er) AS ser,
+       |    sum(CASE WHEN inr THEN 1 ELSE 0 END)::BIGINT AS n_inrange,
+       |    sum(CASE WHEN inr THEN eb END) AS sebi,
+       |    sum(CASE WHEN inr THEN er END) AS seri
+       |  FROM j GROUP BY i)
+       |SELECT 'base' AS arm, i, n_vecs,
+       |  floor(seb::DOUBLE / n_vecs * 1000000 + 0.5) / 1000000 AS mse,
+       |  n_inrange,
+       |  floor(sebi::DOUBLE / n_inrange * 1000000 + 0.5) / 1000000
+       |    AS mse_inrange
+       |FROM g
+       |UNION ALL
+       |SELECT 'refit', i, n_vecs,
+       |  floor(ser::DOUBLE / n_vecs * 1000000 + 0.5) / 1000000,
+       |  n_inrange,
+       |  floor(seri::DOUBLE / n_inrange * 1000000 + 0.5) / 1000000
+       |FROM g ORDER BY arm, i""".stripMargin
+
+  /** Mirror of Similarity.sqRefitRecall: sqRecall's brute exact arm and
+    * 6dp-rounded asymmetric approx ranking, run for both dequant arms
+    * and aggregated to one micro row per arm.
+    */
+  val sqRefitRecall: String =
+    s"""WITH $sqDqCtes,
+       |$sqRefitCtes,
+       |dqb AS (SELECT vec_id, list(dv ORDER BY i) AS dvec
+       |        FROM sqdq GROUP BY vec_id),
+       |dqr AS (SELECT vec_id, list(dv ORDER BY i) AS dvec
+       |        FROM rdq GROUP BY vec_id),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+       |                   q.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ab AS (SELECT aq, an FROM (
+       |    SELECT q.vec_id AS aq, d.vec_id AS an,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(d.dvec::DOUBLE[],
+       |                   q.embedding::DOUBLE[]), 6) DESC, d.vec_id) AS rank
+       |    FROM dqb d, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ar AS (SELECT aq, an FROM (
+       |    SELECT q.vec_id AS aq, d.vec_id AS an,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(d.dvec::DOUBLE[],
+       |                   q.embedding::DOUBLE[]), 6) DESC, d.vec_id) AS rank
+       |    FROM dqr d, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT 'base' AS arm, count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+       |  count(ab.an)::BIGINT AS n_matched,
+       |  floor(count(ab.an)::DOUBLE / (count(DISTINCT ex.q_id) * 3)
+       |        * 10000 + 0.5) / 10000 AS recall
+       |FROM ex LEFT JOIN ab ON ab.aq = ex.q_id AND ab.an = ex.neighbor_id
+       |UNION ALL
+       |SELECT 'refit', count(DISTINCT ex.q_id)::BIGINT,
+       |  count(ar.an)::BIGINT,
+       |  floor(count(ar.an)::DOUBLE / (count(DISTINCT ex.q_id) * 3)
+       |        * 10000 + 0.5) / 10000
+       |FROM ex LEFT JOIN ar ON ar.aq = ex.q_id AND ar.an = ex.neighbor_id
+       |ORDER BY arm""".stripMargin
+
   val annPq: String =
     s"""WITH $rawSvCte,
        |$pqTrainCtes,

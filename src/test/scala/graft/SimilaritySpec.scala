@@ -499,6 +499,102 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed.contains((0L, 3001L, 2)), probed.toString)
   }
 
+  /** 200-vector corpus with one heavy-tailed dimension: dim0 = i/100
+    * for i < 199 plus a single 1000.0 outlier stretching the SQ range
+    * 500×; dim1 = 1 keeps cosines well-defined. n = 200 puts the clip
+    * ranks at 2 and 199, so the refit bounds and clip counts are
+    * hand-computable.
+    */
+  private lazy val sqDir = fixtureDir(embs = (0 until 200).map { i =>
+    val x = if (i == 199) 1000.0 else i / 100.0
+    Emb(i.toLong, vec(x, 1.0), 0)
+  })
+
+  private def vu7(f: Float): Long =
+    math.floor(f.toDouble * 1e7 + 0.5).toLong
+
+  test("sq_refit: quantile bounds at ranks 2/199, outlier + zero clipped") {
+    val out = Similarity.sqRefit(spark, sqDir).collect()
+    assert(out.length === 64)
+    val d0 = out.find(_.getInt(0) === 0).get
+    // ascending dim0: 0.00, 0.01, …, 1.98 (ranks 1..199), 1000
+    // (rank 200) -> rank2 = 0.01f, rank199 = 1.98f; clipped =
+    // {0.00 below, 1000 above}
+    assert(d0.getLong(1) === 200L)
+    assert((d0.getDouble(2), d0.getDouble(3)) === ((0.0, 1000.0)))
+    assert(d0.getDouble(4) === vu7(0.01f) / 1e7)
+    assert(d0.getDouble(5) === vu7(1.98f) / 1e7)
+    assert(d0.getLong(6) === 2L)
+    assert(d0.getDouble(7) === 0.01)
+    // constant dims: degenerate bounds, nothing clipped
+    val d5 = out.find(_.getInt(0) === 5).get
+    assert((d5.getDouble(4), d5.getDouble(5), d5.getLong(6)) ===
+      ((0.0, 0.0, 0L)))
+  }
+
+  test("sq_refit_distortion: honest overall MSE (saturated tail counted) " +
+      "beside the in-range cut where the recovered levels show") {
+    val xs = (0 until 200).map(i =>
+      (if (i == 199) 1000.0 else i / 100.0).toFloat)
+    def e2s(lo: Double, hi: Double, clamp: Boolean): Seq[Double] =
+      xs.map { f =>
+        val v = f.toDouble
+        val code = if (hi > lo) {
+          val c = math.floor((v - lo) / (hi - lo) * 256)
+          if (clamp) math.min(255.0, math.max(0.0, c))
+          else math.min(255.0, c)
+        } else 0.0
+        val dv = (lo + (code + 0.5) * (hi - lo) / 256).toFloat
+        val err = v - dv.toDouble
+        math.floor(err * err * 1e6 + 0.5) / 1e6
+      }
+    def m(es: Seq[Double]): Double =
+      math.floor(es.sum / es.length * 1e6 + 0.5) / 1e6
+    val lo = vu7(0.01f) / 1e7
+    val hi = vu7(1.98f) / 1e7
+    val inr = xs.map(f => vu7(f) >= vu7(0.01f) && vu7(f) <= vu7(1.98f))
+    val eb = e2s(0.0, 1000.0, clamp = false)
+    val er = e2s(lo, hi, clamp = true)
+    def sel(es: Seq[Double]) = es.zip(inr).collect { case (e, true) => e }
+    val out = Similarity.sqRefitDistortion(spark, sqDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size === 128)
+    // overall MSE: honest — the clipped far outlier saturates at hi and
+    // its ~998^2 error makes refit WORSE on this cut (the replica agrees
+    // bit-exactly on both arms)
+    assert(out(("base", 0))._1 === m(eb))
+    assert(out(("refit", 0))._1 === m(er))
+    assert(out(("refit", 0))._1 > out(("base", 0))._1)
+    // in-range cut: same 198 unclipped components in both arms, and the
+    // 254 recovered levels collapse the error by orders of magnitude
+    assert(out(("base", 0))._2 === 198L && out(("refit", 0))._2 === 198L)
+    assert(out(("base", 0))._3 === m(sel(eb)))
+    assert(out(("refit", 0))._3 === m(sel(er)))
+    assert(out(("refit", 0))._3 < out(("base", 0))._3 / 100)
+    // constant dims: zero error under both ranges
+    assert(out(("base", 7))._1 === 0.0 && out(("refit", 7))._1 === 0.0)
+  }
+
+  test("sq_refit_recall: one micro row per arm over the %100 queries; " +
+      "refit resolves the ties the stretched range collapsed") {
+    val out = Similarity.sqRefitRecall(spark, sqDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set("base", "refit"))
+    val (bq, bm, br) = out("base")
+    val (rq, rm, rr) = out("refit")
+    assert(bq === 2L && rq === 2L) // queries 0 and 100
+    Seq((bm, br), (rm, rr)).foreach { case (m, r) =>
+      assert(m >= 0L && m <= 6L)
+      assert(r === math.floor(m.toDouble / 6 * 1e4 + 0.5) / 1e4)
+    }
+    // base codes every in-range value to level 0 (the 1000-wide range
+    // has 3.9-wide cells): all 199 candidates dequantize identically
+    // and rank by id alone; the refit range resolves them
+    assert(rm > bm, s"refit $rm must beat base $bm on this geometry")
+  }
+
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
     def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
     // query 0 on the x axis; 1 and 2 are near-duplicates of each other
