@@ -136,12 +136,16 @@ object Bench {
     val slowest = results.toSeq.sortBy { case (_, (t, _)) => -t }.take(12)
       .map { case (k, (t, _)) => s"\"" + k + "\":" + ms(t) }
       .mkString("{", ",", "}")
+    // the actual artifact path, not a hard-coded name: a sweep redirected
+    // via SPARK_GRAFT_BENCH_FILE must self-describe (r13: a control sweep
+    // claimed "full":"BENCH_LOCAL.json" while writing elsewhere)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     val compactLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""value_max":${ms(totalMax)},"n_queries":${results.size},""" +
       s""""queries":$slowest,"load_start":$loadStart,""" +
       s""""load_end":$loadEnd,"load1_t0":$load1T0,"load5_t0":$load5T0,""" +
-      s""""load15_t0":$load15T0,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s""""load15_t0":$load15T0,"full":"$out","sf":"$sfDir"}"""
     println(compactLine)
     println(detailLine)
     println(totalLine)
@@ -151,7 +155,6 @@ object Bench {
     // of 183 per-query numbers and parsed as null), so the full record is
     // ALSO written to a committed file — one JSON object per line, same
     // two objects as stdout. Skipped (not failed) on a read-only tree.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
       try { w.println(detailLine); w.println(totalLine); w.println(compactLine) }
