@@ -175,6 +175,8 @@ object SparkEntry {
     "sq_distortion"  -> (Similarity.sqDistortion _),
     "sq_recall"      -> (Similarity.sqRecall _),
     "ann_sq"         -> (Similarity.annSq _),
+    "pq_refresh"          -> (Similarity.pqRefresh _),
+    "pq_refresh_recall"   -> (Similarity.pqRefreshRecall _),
     "sq_refit"            -> (Similarity.sqRefit _),
     "sq_refit_distortion" -> (Similarity.sqRefitDistortion _),
     "sq_refit_recall"     -> (Similarity.sqRefitRecall _),
@@ -785,6 +787,8 @@ object SparkEntry {
     "sq_distortion"  -> graft.oracle.DuckSql.sqDistortion,
     "sq_recall"      -> graft.oracle.DuckSql.sqRecall,
     "ann_sq"         -> graft.oracle.DuckSql.annSq,
+    "pq_refresh"          -> graft.oracle.DuckSql.pqRefresh,
+    "pq_refresh_recall"   -> graft.oracle.DuckSql.pqRefreshRecall,
     "sq_refit"            -> graft.oracle.DuckSql.sqRefit,
     "sq_refit_distortion" -> graft.oracle.DuckSql.sqRefitDistortion,
     "sq_refit_recall"     -> graft.oracle.DuckSql.sqRefitRecall,

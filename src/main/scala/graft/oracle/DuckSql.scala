@@ -2569,6 +2569,116 @@ object DuckSql {
        |  floor(sum(d2)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS mse
        |FROM d GROUP BY m ORDER BY m""".stripMargin
 
+  /** Shared PQ-refresh CTEs (assume `sv`/`pqenc`/`pq2` in scope from
+    * [[rawSvCte]] + [[pqTrainCtes]]): per-subspace MSE of the standing
+    * codes, the worst-subspace flag (mse DESC, m — both engines rank
+    * the identical rounded doubles), one scoped Lloyd step (centroid
+    * update from the standing assignment via the shared recompute CTE,
+    * then re-encode — the assign CTE's join on m restricts to the
+    * flagged subspace because cbnew only holds its codewords), and the
+    * spliced (codes2, cb2) pair. Mirrors Similarity.pqRefreshedIndex.
+    */
+  private val pqRefreshCtes: String =
+    s"""mb AS (SELECT e.m, count(*)::BIGINT AS n_vecs,
+       |    floor(sum(CAST(floor((${pqD2("e.sub", "c.cvec")})
+       |          * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))::DOUBLE
+       |          / count(*) * 1000000 + 0.5) / 1000000 AS mse_before
+       |  FROM pqenc e JOIN pq2 c ON c.m = e.m AND c.cid = e.cid
+       |  GROUP BY e.m),
+       |flag AS (SELECT m AS fm FROM mb ORDER BY mse_before DESC, m
+       |         LIMIT 1),
+       |asgf AS (SELECT vec_id, m, sub, cid FROM pqenc
+       |         WHERE m = (SELECT fm FROM flag)),
+       |${pqRecomputeCte("asgf", "cbnew")},
+       |${pqAssignCte("cbnew", "encf")},
+       |codes2 AS (SELECT vec_id, m, sub, cid FROM pqenc
+       |           WHERE m <> (SELECT fm FROM flag)
+       |           UNION ALL SELECT vec_id, m, sub, cid FROM encf),
+       |cb2 AS (SELECT m, cid, cvec FROM pq2
+       |        WHERE m <> (SELECT fm FROM flag)
+       |        UNION ALL SELECT m, cid, cvec FROM cbnew)""".stripMargin
+
+  /** Mirror of Similarity.pqRefresh: the receipt row per subspace —
+    * before/after MSE, the flag, integer code churn.
+    */
+  val pqRefresh: String =
+    s"""WITH $rawSvCte,
+       |$pqTrainCtes,
+       |$pqRefreshCtes,
+       |ma AS (SELECT e.m,
+       |    floor(sum(CAST(floor((${pqD2("e.sub", "c.cvec")})
+       |          * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))::DOUBLE
+       |          / count(*) * 1000000 + 0.5) / 1000000 AS mse_after
+       |  FROM codes2 e JOIN cb2 c ON c.m = e.m AND c.cid = e.cid
+       |  GROUP BY e.m),
+       |ch AS (SELECT o.m,
+       |    sum(CASE WHEN n.cid <> o.cid THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_changed
+       |  FROM pqenc o JOIN codes2 n ON n.vec_id = o.vec_id AND n.m = o.m
+       |  GROUP BY o.m)
+       |SELECT mb.m, mb.n_vecs, mb.mse_before,
+       |  (mb.m = (SELECT fm FROM flag)) AS refreshed,
+       |  ma.mse_after, ch.n_changed,
+       |  floor(ch.n_changed::DOUBLE / mb.n_vecs * 10000 + 0.5) / 10000
+       |    AS churn
+       |FROM mb JOIN ma ON ma.m = mb.m JOIN ch ON ch.m = mb.m
+       |ORDER BY mb.m""".stripMargin
+
+  /** Mirror of Similarity.pqRefreshRecall: the annPq ADC scoring chain
+    * for both codebook arms, top-3 per query, micro recall per arm vs
+    * the brute exact top-3.
+    */
+  val pqRefreshRecall: String =
+    s"""WITH $rawSvCte,
+       |$pqTrainCtes,
+       |$pqRefreshCtes,
+       |adcb AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+       |  CAST(floor((${pqIp("list_slice(q.embedding, c.m*8 + 1, c.m*8 + 8)", "c.cvec")})
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM embeddings q, pq2 c WHERE q.vec_id % 100 = 0),
+       |adcr AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+       |  CAST(floor((${pqIp("list_slice(q.embedding, c.m*8 + 1, c.m*8 + 8)", "c.cvec")})
+       |       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS part
+       |  FROM embeddings q, cb2 c WHERE q.vec_id % 100 = 0),
+       |ab AS (SELECT aq, an FROM (
+       |    SELECT q_id AS aq, neighbor_id AS an,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY s DESC, neighbor_id) AS rank
+       |    FROM (SELECT a.q_id, k.vec_id AS neighbor_id,
+       |            sum(a.part) AS s
+       |          FROM codes k JOIN adcb a ON a.m = k.m AND a.cid = k.cid
+       |          WHERE k.vec_id <> a.q_id GROUP BY a.q_id, k.vec_id))
+       |  WHERE rank <= 3),
+       |ar AS (SELECT aq, an FROM (
+       |    SELECT q_id AS aq, neighbor_id AS an,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY s DESC, neighbor_id) AS rank
+       |    FROM (SELECT a.q_id, k.vec_id AS neighbor_id,
+       |            sum(a.part) AS s
+       |          FROM codes2 k JOIN adcr a ON a.m = k.m AND a.cid = k.cid
+       |          WHERE k.vec_id <> a.q_id GROUP BY a.q_id, k.vec_id))
+       |  WHERE rank <= 3),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+       |                   q.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT 'base' AS arm, count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+       |  count(ab.an)::BIGINT AS n_matched,
+       |  floor(count(ab.an)::DOUBLE / (count(DISTINCT ex.q_id) * 3)
+       |        * 10000 + 0.5) / 10000 AS recall
+       |FROM ex LEFT JOIN ab ON ab.aq = ex.q_id AND ab.an = ex.neighbor_id
+       |UNION ALL
+       |SELECT 'refreshed', count(DISTINCT ex.q_id)::BIGINT,
+       |  count(ar.an)::BIGINT,
+       |  floor(count(ar.an)::DOUBLE / (count(DISTINCT ex.q_id) * 3)
+       |        * 10000 + 0.5) / 10000
+       |FROM ex LEFT JOIN ar ON ar.aq = ex.q_id AND ar.an = ex.neighbor_id
+       |ORDER BY arm""".stripMargin
+
   /** Shared SQ8 CTE pair: per-dimension (min, max) ranges over the
     * corpus (comparison-based, exact) and the midpoint dequantization
     * of every component — the exact fixed-order double expression of

@@ -595,6 +595,53 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rm > bm, s"refit $rm must beat base $bm on this geometry")
   }
 
+  test("pq_refresh: one Lloyd step on exactly the audit's worst " +
+      "subspace; untouched subspaces are bit-identical, receipt proves it") {
+    val audit = Similarity.pqDistortion(spark, pqDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val worst = audit.toSeq.sortBy { case (m, mse) => (-mse, m) }.head._1
+    val out = Similarity.pqRefresh(spark, pqDir).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getLong(1) === 20L) // every subspace codes every vector
+      // mse_before IS the standing audit's number
+      assert(r.getDouble(2) === audit(r.getInt(0)))
+    }
+    val flagged = out.filter(_.getBoolean(3))
+    assert(flagged.map(_.getInt(0)).toSeq === Seq(worst))
+    // blast radius: untouched rows identical before/after, zero churn
+    out.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(r.getDouble(4) === r.getDouble(2), s"m=${r.getInt(0)}")
+      assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0)
+    }
+    // the Lloyd step never worsens the flagged subspace (6dp-rounding
+    // slack: centroids and error terms round before comparison)
+    val f = flagged.head
+    assert(f.getDouble(4) <= f.getDouble(2) + 1e-6,
+      s"after=${f.getDouble(4)} before=${f.getDouble(2)}")
+    assert(f.getDouble(6) ===
+      math.floor(f.getLong(5).toDouble / 20 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("pq_refresh_recall: base arm equals index_recall's pq micro; " +
+      "one row per arm") {
+    val out = Similarity.pqRefreshRecall(spark, pqDir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("base", "refreshed"))
+    val pqArm = Similarity.indexRecall(spark, pqDir)
+      .filter(org.apache.spark.sql.functions.col("index_name") === "pq")
+      .collect()
+    val micro = math.floor(pqArm.map(_.getLong(2)).sum.toDouble
+      / (3 * pqArm.length) * 1e4 + 0.5) / 1e4
+    val Array(b, r) = out
+    assert(b.getLong(1) === pqArm.length.toLong)
+    assert(b.getDouble(3) === micro)
+    Seq(b, r).foreach { a =>
+      assert(a.getLong(2) >= 0L && a.getLong(2) <= 3 * a.getLong(1))
+      assert(a.getDouble(3) === math.floor(a.getLong(2).toDouble
+        / (3 * a.getLong(1)) * 1e4 + 0.5) / 1e4)
+    }
+  }
+
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
     def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
     // query 0 on the x axis; 1 and 2 are near-duplicates of each other
