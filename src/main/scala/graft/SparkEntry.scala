@@ -48,6 +48,9 @@ object SparkEntry {
     "matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "mrl_rerank"        -> (Similarity.mrlRerank _),
     "bq_rerank"         -> (Similarity.bqRerank _),
+    "bq_bit_balance"        -> (Similarity.bqBitBalance _),
+    "bq_rethreshold"        -> (Similarity.bqRethreshold _),
+    "bq_rethreshold_recall" -> (Similarity.bqRethresholdRecall _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -143,6 +146,9 @@ object SparkEntry {
     "phash_dedup" -> (Multimodal.phashDedup _),
     "media_shard" -> (Multimodal.mediaShard _),
     "banding_curve" -> (Dedup.bandingCurve _),
+    "banding_pick" -> (Dedup.bandingPick _),
+    "band_store_stats" -> (Dedup.bandStoreStats _),
+    "dedup_delta" -> (Dedup.dedupDelta _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -754,6 +760,9 @@ object SparkEntry {
     "phash_dedup" -> graft.oracle.DuckSql.phashDedup,
     "media_shard" -> graft.oracle.DuckSql.mediaShard,
     "banding_curve" -> graft.oracle.DuckSql.bandingCurve,
+    "banding_pick" -> graft.oracle.DuckSql.bandingPick,
+    "band_store_stats" -> graft.oracle.DuckSql.bandStoreStats,
+    "dedup_delta" -> graft.oracle.DuckSql.dedupDelta,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,
@@ -917,6 +926,9 @@ object SparkEntry {
     "matryoshka_recall" -> graft.oracle.DuckSql.matryoshkaRecall,
     "mrl_rerank" -> graft.oracle.DuckSql.mrlRerank,
     "bq_rerank" -> graft.oracle.DuckSql.bqRerank,
+    "bq_bit_balance" -> graft.oracle.DuckSql.bqBitBalance,
+    "bq_rethreshold" -> graft.oracle.DuckSql.bqRethreshold,
+    "bq_rethreshold_recall" -> graft.oracle.DuckSql.bqRethresholdRecall,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

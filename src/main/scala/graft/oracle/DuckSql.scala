@@ -6762,7 +6762,32 @@ object DuckSql {
     * exact-pair chain, one bucket-capped candidate CTE + aggregated row
     * per swept (bands, rows) geometry.
     */
-  lazy val bandingCurve: String = {
+  lazy val bandingCurve: String =
+    s"$bandingArmsSql\nORDER BY n_bands"
+
+  /** Mirror of Dedup.bandingPick: the arms body under the same
+    * meets-then-cost rank window (coalesced recall on both engines so a
+    * degenerate zero-truth corpus ranks identically).
+    */
+  lazy val bandingPick: String = {
+    val t = graft.operators.Dedup.BandingRecallTarget
+    s"""SELECT n_bands, band_rows, met_target, $t::DOUBLE AS target,
+       |  recall, band_precision, n_cand
+       |FROM (
+       |  SELECT *, coalesce(recall, 0) >= $t AS met_target,
+       |    row_number() OVER (ORDER BY
+       |      CASE WHEN coalesce(recall, 0) >= $t THEN 0 ELSE 1 END,
+       |      CASE WHEN coalesce(recall, 0) >= $t THEN n_cand::DOUBLE
+       |           ELSE -coalesce(recall, 0) END,
+       |      n_cand, n_bands) AS rk
+       |  FROM ($bandingArmsSql))
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** The shared (bands, rows)-arm query body — bandingCurve orders it,
+    * bandingPick ranks it.
+    */
+  private lazy val bandingArmsSql: String = {
     import graft.operators.Dedup
     val mins = (0 until 12)
       .map(j => s"min((v1 + $j*v2) % 2147483647) AS m$j").mkString(", ")
@@ -6819,8 +6844,68 @@ object DuckSql {
        |${arms.map(_._1).mkString(",\n")}
        |SELECT n_bands, band_rows, n_cand, n_exact, n_caught, recall,
        |       band_precision
-       |FROM (${arms.map(_._2).mkString("\nUNION ALL\n")})
-       |ORDER BY n_bands""".stripMargin
+       |FROM (${arms.map(_._2).mkString("\nUNION ALL\n")})""".stripMargin
+  }
+
+  /** The Dedup.isDelta split expression over a doc-id SQL expression —
+    * first-8-md5-hex/2^32 under [[graft.operators.Dedup.DeltaSeed]],
+    * the stratified_sample primitive (exact binary rational).
+    */
+  private def isDeltaSql(idExpr: String): String = {
+    import graft.operators.Dedup
+    s"(('0x' || substr(md5($idExpr::VARCHAR || ':${Dedup.DeltaSeed}')," +
+      s" 1, 8))::BIGINT / 4294967296.0 < ${Dedup.DeltaRate})"
+  }
+
+  /** Mirror of Dedup.dedupDelta: the batch minhash pair chain restricted
+    * to pairs with at least one delta member — equal to the engine's
+    * incremental store-join formulation because the combined-count
+    * bucket cap it applies at arrival time IS the batch cap (the
+    * identity the engine's Scaladoc and DedupSpec pin).
+    */
+  lazy val dedupDelta: String =
+    s"""$shCte,
+       |$minhashJCtes
+       |SELECT id_a, id_b, jaccard,
+       |  CASE WHEN ${isDeltaSql("id_a")} AND ${isDeltaSql("id_b")}
+       |       THEN 'delta_delta' ELSE 'delta_base' END AS pair_kind
+       |FROM j
+       |WHERE jaccard >= $jacThresh
+       |  AND (${isDeltaSql("id_a")} OR ${isDeltaSql("id_b")})
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirror of Dedup.bandStoreStats: band rows over the base (non-delta)
+    * corpus — the persisted store's contents re-derived inline — bucket
+    * sizes, then per-band capacity aggregates.
+    */
+  lazy val bandStoreStats: String = {
+    import graft.operators.Dedup
+    val mins = (0 until 12)
+      .map(j => s"min((v1 + $j*v2) % 2147483647) AS m$j").mkString(", ")
+    val bandStrs = (0 until 4).map { b =>
+      s"m${3 * b}::VARCHAR || '_' || m${3 * b + 1}::VARCHAR || '_' || m${3 * b + 2}::VARCHAR"
+    }.mkString("[", ", ", "]")
+    s"""$shCte,
+       |exd AS (SELECT doc_id, unnest(s) AS g FROM sh
+       |        WHERE NOT ${isDeltaSql("doc_id")}),
+       |hvd AS (SELECT doc_id,
+       |  ('0x' || substr(md5(g), 1, 8))::BIGINT AS v1,
+       |  ('0x' || substr(md5(g), 9, 8))::BIGINT AS v2 FROM exd),
+       |mhd AS (SELECT doc_id, $mins FROM hvd GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b,
+       |  substr(md5(list_extract($bandStrs, b + 1)), 1, 16) AS key
+       |  FROM mhd, range(0, 4) t(b)),
+       |bk AS (SELECT b::INT AS band, key, count(*)::BIGINT AS n
+       |       FROM bnd GROUP BY 1, 2)
+       |SELECT band, count(*)::BIGINT AS n_buckets,
+       |  sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS max_bucket,
+       |  floor(sum(n)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS mean_bucket,
+       |  sum(CASE WHEN n > ${Dedup.BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_over_cap,
+       |  floor(sum(CASE WHEN n > ${Dedup.BUCKET_CAP} THEN n ELSE 0 END)::DOUBLE
+       |        / sum(n) * 10000 + 0.5) / 10000 AS over_cap_row_share
+       |FROM bk GROUP BY band ORDER BY band""".stripMargin
   }
 
   val mediaDedup: String =
@@ -7329,6 +7414,126 @@ object DuckSql {
        |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id
        |                    AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
+  /** Shared BQ re-threshold CTE chain over [[centeredCtes]] — balance
+    * flags (integer-exact bound rule), per-dim lower median on the 1e-6
+    * grid, ending in thr(d, mu, new_thr, flagged).
+    */
+  private lazy val bqThrCtes: String = {
+    import graft.operators.Similarity
+    s"""bal AS (SELECT d, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN cu > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ones
+       |  FROM cc GROUP BY d),
+       |flg AS (SELECT d,
+       |    abs(10000 * n_ones - 5000 * n)
+       |      > ${Similarity.BqBalanceBound10k} * n AS flagged
+       |  FROM bal),
+       |mdr AS (SELECT d, xu,
+       |    row_number() OVER (PARTITION BY d ORDER BY xu, vec_id) AS r,
+       |    count(*) OVER (PARTITION BY d) AS n FROM xc),
+       |med AS (SELECT d, xu AS med FROM mdr WHERE r = (n + 1) // 2),
+       |thr AS (SELECT muc.d, muc.mu,
+       |    CASE WHEN flg.flagged THEN med.med ELSE muc.mu END AS new_thr,
+       |    flg.flagged
+       |  FROM muc JOIN flg USING (d) JOIN med USING (d))""".stripMargin
+  }
+
+  /** Mirror of Similarity.bqBitBalance: ones count per dim over the
+    * sign-bit rule (cu > 0 ⇔ xu > mu), integer-exact flag bound.
+    */
+  lazy val bqBitBalance: String = {
+    import graft.operators.Similarity
+    s"""WITH $centeredCtes,
+       |bal AS (SELECT d, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN cu > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ones
+       |  FROM cc GROUP BY d)
+       |SELECT d::INT AS d, n AS n_vecs, n_ones,
+       |  floor(n_ones::DOUBLE / n * 10000 + 0.5) / 10000 AS ones_share,
+       |  abs(10000 * n_ones - 5000 * n)
+       |    > ${Similarity.BqBalanceBound10k} * n AS flagged
+       |FROM bal ORDER BY d""".stripMargin
+  }
+
+  /** Mirror of Similarity.bqRethreshold: the threshold table joined
+    * back onto the component grid, before/after ones and integer flip
+    * counts per dim.
+    */
+  lazy val bqRethreshold: String =
+    s"""WITH $centeredCtes,
+       |$bqThrCtes,
+       |agg AS (SELECT xc.d, thr.mu, thr.new_thr, thr.flagged,
+       |    count(*)::BIGINT AS n_vecs,
+       |    sum(CASE WHEN xu > thr.mu THEN 1 ELSE 0 END)::BIGINT
+       |      AS ones_before,
+       |    sum(CASE WHEN xu > thr.new_thr THEN 1 ELSE 0 END)::BIGINT
+       |      AS ones_after,
+       |    sum(CASE WHEN (xu > thr.mu) <> (xu > thr.new_thr)
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_flips
+       |  FROM xc JOIN thr USING (d) GROUP BY 1, 2, 3, 4)
+       |SELECT d::INT AS d, flagged, mu AS old_thr, new_thr, n_vecs,
+       |  ones_before, ones_after,
+       |  floor(ones_before::DOUBLE / n_vecs * 10000 + 0.5) / 10000
+       |    AS share_before,
+       |  floor(ones_after::DOUBLE / n_vecs * 10000 + 0.5) / 10000
+       |    AS share_after,
+       |  n_flips
+       |FROM agg ORDER BY d""".stripMargin
+
+  /** Mirror of Similarity.bqRethresholdRecall: both arms' packed codes
+    * from one component pass, per-arm Hamming top-3, dense-truth micro
+    * recall rows.
+    */
+  lazy val bqRethresholdRecall: String = {
+    import graft.operators.Similarity
+    s"""WITH $centeredCtes,
+       |$bqThrCtes,
+       |pc AS (SELECT xc.vec_id,
+       |    sum(CASE WHEN d < 32 AND xu > thr.mu
+       |        THEN (1::BIGINT << d) ELSE 0 END)::BIGINT AS blo,
+       |    sum(CASE WHEN d >= 32 AND xu > thr.mu
+       |        THEN (1::BIGINT << (d - 32)) ELSE 0 END)::BIGINT AS bhi,
+       |    sum(CASE WHEN d < 32 AND xu > thr.new_thr
+       |        THEN (1::BIGINT << d) ELSE 0 END)::BIGINT AS rlo,
+       |    sum(CASE WHEN d >= 32 AND xu > thr.new_thr
+       |        THEN (1::BIGINT << (d - 32)) ELSE 0 END)::BIGINT AS rhi
+       |  FROM xc JOIN thr USING (d) GROUP BY xc.vec_id),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= ${Similarity.BqK}),
+       |harm(arm) AS (SELECT * FROM (VALUES ('base'), ('refit'))),
+       |hm AS (SELECT harm.arm, q.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    (bit_count(xor(CASE WHEN harm.arm = 'base' THEN b.blo
+       |                        ELSE b.rlo END,
+       |                   CASE WHEN harm.arm = 'base' THEN q.blo
+       |                        ELSE q.rlo END))
+       |     + bit_count(xor(CASE WHEN harm.arm = 'base' THEN b.bhi
+       |                          ELSE b.rhi END,
+       |                     CASE WHEN harm.arm = 'base' THEN q.bhi
+       |                          ELSE q.rhi END)))::INT AS hamming
+       |  FROM pc b, pc q, harm
+       |  WHERE q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+       |tk AS (SELECT arm, q_id, neighbor_id FROM (
+       |    SELECT arm, q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY arm, q_id ORDER BY hamming, neighbor_id) AS rk
+       |    FROM hm) WHERE rk <= ${Similarity.BqK}),
+       |mt AS (SELECT tk.arm, count(*)::BIGINT AS n_matched
+       |       FROM tk JOIN ex ON tk.q_id = ex.q_id
+       |                      AND tk.neighbor_id = ex.neighbor_id
+       |       GROUP BY tk.arm),
+       |nq AS (SELECT count(DISTINCT q_id)::BIGINT AS n_queries FROM ex)
+       |SELECT harm.arm, nq.n_queries,
+       |  coalesce(mt.n_matched, 0)::BIGINT AS n_matched,
+       |  floor(coalesce(mt.n_matched, 0)::DOUBLE
+       |        / (nq.n_queries * ${Similarity.BqK}) * 10000 + 0.5)
+       |    / 10000 AS recall
+       |FROM harm CROSS JOIN nq LEFT JOIN mt ON mt.arm = harm.arm
+       |ORDER BY harm.arm""".stripMargin
+  }
 
   /** Mirror of Similarity.matryoshkaRecall: three prefix-cosine brute
     * rankings (list_slice), the full-dimension exact truth, per-d micro

@@ -418,4 +418,75 @@ class DedupSpec extends SparkSpecBase {
       Seq("red ring", "red ring", 1L, 1L, 1L),
       Seq("red bolt", "red bolt", 1L, 1L, 1L)))
   }
+
+  /** The engine's deterministic arrival split, recomputed driver-side
+    * (first 8 md5 hex of "id:graft-delta" over 2^32).
+    */
+  private def isDeltaId(id: Long): Boolean = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:${Dedup.DeltaSeed}".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h, 16) / 4294967296.0 < Dedup.DeltaRate
+  }
+
+  test("dedup_delta: arrival pairs are exactly the batch pairs with a " +
+      "delta member; pair_kind splits shard-internal from shard-vs-store") {
+    // the shared corpus must exercise both kinds: 1,2,4 fall in the
+    // arriving shard under the split hash, 0,3 stay behind the store
+    assert(Seq(1L, 2L, 4L).forall(isDeltaId))
+    assert(!isDeltaId(0L) && !isDeltaId(3L))
+    val batch = Dedup.dedupMinhash(spark, dir0)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = batch
+      .filter(p => isDeltaId(p._1) || isDeltaId(p._2))
+      .map(p => Seq[Any](p._1, p._2, p._3,
+        if (isDeltaId(p._1) && isDeltaId(p._2)) "delta_delta"
+        else "delta_base"))
+      .toSet
+    // both kinds present, and the base-base (0,3) pair excluded
+    assert(expected.exists(_.last == "delta_delta"))
+    assert(expected.exists(_.last == "delta_base"))
+    assert(batch.exists(p => p._1 == 0L && p._2 == 3L))
+    assert(rows(Dedup.dedupDelta(spark, dir0)) === expected)
+  }
+
+  test("band_store_stats: per-band bucket aggregates match a driver-side " +
+      "rollup of the base-corpus band rows") {
+    import org.apache.spark.sql.functions.col
+    val bandRows = Dedup.minhashBandedFrom(Dedup.shingleRowsOf(
+        graft.sources.Tables.documents(spark, dir0)
+          .filter(!Dedup.isDelta(col("doc_id")))))
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = bandRows.groupBy(_._1).map { case (b, rs) =>
+      val sizes = rs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      Seq[Any](b, sizes.size.toLong, sizes.sum, sizes.max,
+        r4(sizes.sum.toDouble / sizes.size), 0L, 0.0)
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(rows(Dedup.bandStoreStats(spark, dir0)) === expected)
+  }
+
+  test("banding_pick: the cheapest arm meeting the recall target wins; " +
+      "fallback is the highest-recall arm") {
+    val arms = Dedup.bandingCurve(spark, dir0).collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2),
+        Option(r.get(5)).map(_.asInstanceOf[Double]).getOrElse(0.0),
+        Option(r.get(5)), Option(r.get(6)))
+    }
+    val meeting = arms.filter(_._4 >= Dedup.BandingRecallTarget)
+    val want =
+      if (meeting.nonEmpty) meeting.minBy(a => (a._3, a._1))
+      else arms.minBy(a => (-a._4, a._3, a._1))
+    val out = Dedup.bandingPick(spark, dir0).collect()
+    assert(out.length === 1)
+    val p = out.head
+    assert((p.getInt(0), p.getInt(1)) === ((want._1, want._2)))
+    assert(p.getBoolean(2) === meeting.nonEmpty)
+    assert(p.getDouble(3) === Dedup.BandingRecallTarget)
+    assert(Option(p.get(4)) === want._5)
+    assert(Option(p.get(5)) === want._6)
+    assert(p.getLong(6) === want._3)
+  }
 }

@@ -642,6 +642,65 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  /** 200-vector corpus for the BQ re-threshold loop: dim0 climbs
+    * i/1000 with one 100.0 outlier dragging the MEAN far above the
+    * MEDIAN (mean-threshold bits: only the outlier codes 1 — the dim
+    * carries nothing; median-threshold bits split the corpus in half);
+    * dim1 = 1 keeps cosines well-defined.
+    */
+  private lazy val bqrDir = fixtureDir(embs = (0 until 200).map { i =>
+    val x = if (i == 199) 100.0 else i / 1000.0
+    Emb(i.toLong, vec(x, 1.0), 0)
+  })
+
+  test("bq_bit_balance: the outlier-skewed dim reads ones=1 and flags") {
+    val out = Similarity.bqBitBalance(spark, bqrDir).collect()
+    assert(out.length === 64)
+    val d0 = out.find(_.getInt(0) === 0).get
+    // mean u6 = (Σ i·1000 + 1e8)/200 = 598505; only the outlier exceeds
+    assert(d0.getLong(1) === 200L)
+    assert(d0.getLong(2) === 1L)
+    assert(d0.getDouble(3) === 0.005)
+    assert(d0.getBoolean(4))
+  }
+
+  test("bq_rethreshold: flagged dim moves to the median and rebalances; " +
+      "every other dim reads identical before/after with zero flips") {
+    val out = Similarity.bqRethreshold(spark, bqrDir).collect()
+    assert(out.length === 64)
+    val d0 = out.find(_.getInt(0) === 0).get
+    assert(d0.getBoolean(1))
+    assert(d0.getLong(2) === 598505L) // the stretched mean
+    assert(d0.getLong(3) === 99000L) // the rank-100 median (i = 99)
+    assert(d0.getLong(5) === 1L) // ones_before: the outlier alone
+    assert(d0.getLong(6) === 100L) // ones_after: i in 100..198 + outlier
+    assert(d0.getDouble(7) === 0.005 && d0.getDouble(8) === 0.5)
+    assert(d0.getLong(9) === 99L) // flips: exactly i in 100..198
+    out.filter(_.getInt(0) != 0).foreach { r =>
+      assert(r.getLong(9) === 0L, s"dim ${r.getInt(0)} must not flip")
+      assert(r.getLong(5) === r.getLong(6))
+    }
+  }
+
+  test("bq_rethreshold_recall: base arm equals bq_recall's micro; the " +
+      "median threshold recovers the collapsed dim's information") {
+    val out = Similarity.bqRethresholdRecall(spark, bqrDir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("base", "refit"))
+    val perQ = Similarity.bqRecall(spark, bqrDir).collect()
+    val Array(b, r) = out
+    assert(b.getLong(1) === perQ.length.toLong && b.getLong(1) === 2L)
+    assert(b.getLong(2) === perQ.map(_.getLong(1)).sum)
+    Seq(b, r).foreach { a =>
+      assert(a.getDouble(3) === math.floor(a.getLong(2).toDouble
+        / (3 * a.getLong(1)) * 1e4 + 0.5) / 1e4)
+    }
+    // base codes are hamming-0 ties everywhere (rank by id): q100's
+    // neighbors come back {0,1,2}; the refit bit splits the corpus at
+    // the median and q100's half ranks first
+    assert(r.getLong(2) > b.getLong(2),
+      s"refit ${r.getLong(2)} must beat base ${b.getLong(2)}")
+  }
+
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
     def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
     // query 0 on the x axis; 1 and 2 are near-duplicates of each other
