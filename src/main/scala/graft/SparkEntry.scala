@@ -125,6 +125,7 @@ object SparkEntry {
     "logrank_test" -> (Sessions.logrankTest _),
     "cuped_lift" -> (Sessions.cupedLift _),
     "ks_drift" -> (Sessions.ksDrift _),
+    "drift_gate" -> (Sessions.driftGate _),
     "fdr_bh" -> (Sessions.fdrBh _),
     "mann_whitney" -> (Sessions.mannWhitney _),
     "bootstrap_ci" -> (Sessions.bootstrapCi _),
@@ -739,6 +740,7 @@ object SparkEntry {
     "logrank_test" -> graft.oracle.DuckSql.logrankTest,
     "cuped_lift" -> graft.oracle.DuckSql.cupedLift,
     "ks_drift" -> graft.oracle.DuckSql.ksDrift,
+    "drift_gate" -> graft.oracle.DuckSql.driftGate,
     "fdr_bh" -> graft.oracle.DuckSql.fdrBh,
     "mann_whitney" -> graft.oracle.DuckSql.mannWhitney,
     "bootstrap_ci" -> graft.oracle.DuckSql.bootstrapCi,

@@ -2017,6 +2017,59 @@ object Sessions {
       .orderBy(col("event_type"))
   }
 
+  /** drift_gate thresholds — the conventional lines, single-sourced to
+    * the oracle: KS two-sided p < 0.05; PSI > 0.25 (credit-scoring
+    * "investigate"); per-source centroid cosine < 0.9 against the
+    * corpus centroid; CUSUM h = [[CusumThreshU]] z-units (the chart's
+    * own decision line, re-read here as max excursion).
+    */
+  val DriftKsAlpha = 0.05
+  val DriftPsiBound = 0.25
+  val DriftCentroidFloor = 0.9
+
+  /** drift_gate: the unified DRIFT DECISION table — one row per
+    * (monitor, key) across the four standing drift audits, each
+    * reduced to (stat, threshold, rule, triggered): ks_value
+    * (ksDrift's exact-CDF p-value per event type), cusum_count
+    * (max CUSUM excursion per type vs the chart's h), psi_quality
+    * (qualityPsi per source), embedding_centroid (embeddingDrift's
+    * per-source centroid cosine). The audits each tell one story;
+    * this is the page-the-pipeline read that consumes all of them —
+    * the same audit→decision closure nprobe_pick/threshold_pick/
+    * banding_pick give their families, applied to monitoring.
+    *
+    * Plan: pure four-audit consumer — each input is its own bounded
+    * plan (grids/windows bounded by types × days, sources × bins);
+    * the gate adds |types|+|sources|-sized projections and a union.
+    */
+  def driftGate(spark: SparkSession, dir: String): DataFrame = {
+    val ks = ksDrift(spark, dir).select(
+      lit("ks_value").as("monitor"), col("event_type").as("key"),
+      col("p_value").as("stat"), lit(DriftKsAlpha).as("threshold"),
+      lit("lt").as("rule"),
+      coalesce(col("p_value") < DriftKsAlpha, lit(false)).as("triggered"))
+    val cs = cusumShift(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(greatest(col("cusum_up"), col("cusum_down"))).as("stat"),
+        max(when(col("is_shift"), 1L).otherwise(0L)).as("trg"))
+      .select(lit("cusum_count").as("monitor"),
+        col("event_type").as("key"), col("stat"),
+        lit(CusumThreshU / 10000.0).as("threshold"),
+        lit("gt").as("rule"), (col("trg") === 1L).as("triggered"))
+    val psi = CorpusStats.qualityPsi(spark, dir).select(
+      lit("psi_quality").as("monitor"), col("source").as("key"),
+      col("psi").as("stat"), lit(DriftPsiBound).as("threshold"),
+      lit("gt").as("rule"),
+      (col("psi") > DriftPsiBound).as("triggered"))
+    val em = Similarity.embeddingDrift(spark, dir).select(
+      lit("embedding_centroid").as("monitor"), col("source").as("key"),
+      col("drift_cos").as("stat"),
+      lit(DriftCentroidFloor).as("threshold"), lit("lt").as("rule"),
+      (col("drift_cos") < DriftCentroidFloor).as("triggered"))
+    ks.unionByName(cs).unionByName(psi).unionByName(em)
+      .orderBy(col("monitor"), col("key"))
+  }
+
   /** SES smoothing constant and truncation window. α=0.3 discounts a
     * 28-day-old observation to (1-α)^27 ≈ 6e-5 of the newest — the
     * truncated window is the exact SES anchored at y_{t-W}, not an

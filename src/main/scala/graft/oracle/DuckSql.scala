@@ -7249,6 +7249,36 @@ object DuckSql {
       |      / 1000000 END AS p_value
       |FROM l ORDER BY event_type""".stripMargin
 
+  /** Mirror of Sessions.driftGate: the four audit mirrors reduced to
+    * the common (monitor, key, stat, threshold, rule, triggered) shape
+    * and unioned — single-sourced thresholds.
+    */
+  lazy val driftGate: String = {
+    import graft.operators.Sessions
+    s"""SELECT * FROM (
+       |SELECT 'ks_value' AS monitor, event_type AS key, p_value AS stat,
+       |  ${Sessions.DriftKsAlpha}::DOUBLE AS threshold, 'lt' AS rule,
+       |  coalesce(p_value < ${Sessions.DriftKsAlpha}, false) AS triggered
+       |FROM ($ksDrift)
+       |UNION ALL
+       |SELECT 'cusum_count', event_type,
+       |  max(greatest(cusum_up, cusum_down)),
+       |  ${Sessions.CusumThreshU / 10000.0}::DOUBLE, 'gt',
+       |  max(CASE WHEN is_shift THEN 1 ELSE 0 END) = 1
+       |FROM ($cusumShift) GROUP BY event_type
+       |UNION ALL
+       |SELECT 'psi_quality', source, psi,
+       |  ${Sessions.DriftPsiBound}::DOUBLE, 'gt',
+       |  psi > ${Sessions.DriftPsiBound}
+       |FROM ($qualityPsi)
+       |UNION ALL
+       |SELECT 'embedding_centroid', source, drift_cos,
+       |  ${Sessions.DriftCentroidFloor}::DOUBLE, 'lt',
+       |  drift_cos < ${Sessions.DriftCentroidFloor}
+       |FROM ($embeddingDrift))
+       |ORDER BY monitor, key""".stripMargin
+  }
+
   /** Shared CTE chain for the 1e-6-unit centered embedding values:
     * `xc(vec_id, d, xu)` rounded components, `muc(d, mu)` per-dim
     * means, `cc(vec_id, d, cu)` centered integers — the centering of

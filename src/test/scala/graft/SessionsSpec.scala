@@ -671,6 +671,49 @@ class SessionsSpec extends SparkSpecBase {
       Seq("view", 2L, 0L, null, null)))
   }
 
+  test("drift_gate: every audit row lands once, reduced to its " +
+      "(stat, threshold, rule, triggered) decision shape") {
+    import graft.operators.{CorpusStats, Sessions, Similarity}
+    val dir = fixtureDir(
+      docs = Seq(
+        doc(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        doc(1, "one two three four five six seven eight nine ten"),
+        doc(2, "red green blue yellow purple orange pink black white", "s1"),
+        doc(3, "alpha beta gamma delta epsilon zeta eta theta", "s1")),
+      embs = Seq(Emb(0, vec(1.0), 0), Emb(1, vec(0.9, 0.1), 0),
+        Emb(2, vec(0.0, 1.0), 1), Emb(3, vec(0.1, 0.9), 1)),
+      evs = Seq(
+        ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 2.0),
+        ev(3, 20, 1, "click", 3.0), ev(4, 30, 1, "click", 4.0),
+        ev(5, 60, 2, "click", 3.0), ev(6, 70, 2, "click", 4.0),
+        ev(7, 80, 2, "click", 5.0), ev(8, 100, 2, "click", 6.0),
+        ev(9, 5, 3, "view", 1.0), ev(10, 25, 3, "view", 2.0)))
+    val ks = Sessions.ksDrift(spark, dir).collect().map { x =>
+      Seq[Any]("ks_value", x.getString(0), x.get(4), 0.05, "lt",
+        Option(x.get(4)).exists(_.asInstanceOf[Double] < 0.05))
+    }
+    val cs = Sessions.cusumShift(spark, dir).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        Seq[Any]("cusum_count", t,
+          rs.map(x => math.max(x.getDouble(4), x.getDouble(5))).max,
+          5.0, "gt", rs.exists(_.getBoolean(6)))
+      }
+    val psi = CorpusStats.qualityPsi(spark, dir).collect().map { x =>
+      Seq[Any]("psi_quality", x.getString(0), x.getDouble(2), 0.25,
+        "gt", x.getDouble(2) > 0.25)
+    }
+    val em = Similarity.embeddingDrift(spark, dir).collect().map { x =>
+      Seq[Any]("embedding_centroid", x.getString(0), x.getDouble(3),
+        0.9, "lt", x.getDouble(3) < 0.9)
+    }
+    val expected = (ks ++ cs ++ psi ++ em).toSet
+    assert(expected.exists(_.head == "ks_value"))
+    assert(expected.exists(_.head == "cusum_count"))
+    assert(expected.exists(_.head == "psi_quality"))
+    assert(expected.exists(_.head == "embedding_centroid"))
+    assert(rows(Sessions.driftGate(spark, dir)) === expected)
+  }
+
   test("attribution: first/last/linear credit, lookback cutoff, " +
       "same-second ordering by event_id") {
     import graft.operators.Sessions
