@@ -150,6 +150,7 @@ object SparkEntry {
     "banding_pick" -> (Dedup.bandingPick _),
     "band_store_stats" -> (Dedup.bandStoreStats _),
     "dedup_delta" -> (Dedup.dedupDelta _),
+    "arrival_report" -> (Curation.arrivalReport _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -765,6 +766,7 @@ object SparkEntry {
     "banding_pick" -> graft.oracle.DuckSql.bandingPick,
     "band_store_stats" -> graft.oracle.DuckSql.bandStoreStats,
     "dedup_delta" -> graft.oracle.DuckSql.dedupDelta,
+    "arrival_report" -> graft.oracle.DuckSql.arrivalReport,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

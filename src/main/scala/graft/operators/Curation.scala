@@ -949,6 +949,66 @@ object Curation {
       .orderBy(col("ord"))
   }
 
+  /** arrival_report: the ARRIVING SHARD's admission manifest — the
+    * incremental twin of [[curateCorpus]]: per shard doc (the
+    * [[Dedup.DeltaRate]] split behind [[Dedup.dedupDelta]]), the first
+    * failing stage under the curation precedence. The shard-CI gate a
+    * 100 TB ingest runs per arrival, built ENTIRELY from
+    * arrival-shaped plans:
+    *
+    *  - `quality`: the Gopher gate, map-only over the shard;
+    *  - `exact_dup`: semi-join against the persisted
+    *    [[Dedup.hashStore]] (store wins regardless of id — the
+    *    first-come-first-kept ingest rule, deliberately NOT the batch
+    *    manifest's global-min canonical) OR a smaller-id shard twin;
+    *  - `near_dup`: [[Dedup.dedupDelta]]'s verified pairs, dropping
+    *    the shard side against the store and the larger id within the
+    *    shard;
+    *  - `contaminated`: the eval n-gram flag;
+    *  - `kept` otherwise. (No mix stage — sampling is corpus-level
+    *    planning, not arrival admission.)
+    *
+    * Plan: shard-linear scans + the delta-linear dedupDelta pass +
+    * broadcast hash-store semi-join; the corpus is never re-curated.
+    */
+  def arrivalReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.exactHashOf(docs.filter(Dedup.isDelta(col("doc_id"))))
+      .localCheckpoint() // feeds the store probe and the twin window
+    val touched = sh.select(col("text_hash")).distinct()
+    val inStore = Dedup.hashStore(spark, dir)
+      .join(broadcast(touched), Seq("text_hash"), "left_semi")
+      .select(col("text_hash"), lit(true).as("in_store"))
+    val wH = Window.partitionBy(col("text_hash"))
+    val ex = sh.join(broadcast(inStore), Seq("text_hash"), "left")
+      .withColumn("min_sh", min(col("doc_id")).over(wH))
+      .select(col("doc_id"),
+        (coalesce(col("in_store"), lit(false)) ||
+          col("doc_id") > col("min_sh")).as("exact_dup"))
+    val qf = qualityFilter(spark, dir)
+      .filter(Dedup.isDelta(col("doc_id")))
+      .select(col("doc_id"), col("keep"))
+    val drops = Dedup.dedupDelta(spark, dir)
+      .select(when(col("pair_kind") === "delta_base",
+        when(Dedup.isDelta(col("id_a")), col("id_a"))
+          .otherwise(col("id_b")))
+        .otherwise(col("id_b")).as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("near_dup"))
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    qf.join(ex, Seq("doc_id"))
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("keep"), "quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .otherwise("kept").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
   /** label_queue depth per language. */
   val LabelQueueK = 10
 

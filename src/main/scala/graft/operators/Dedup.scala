@@ -498,6 +498,27 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  def hashStorePath(dir: String): String =
+    IndexStore.path("hash-store-v1", dir)
+
+  /** The exact-dedup twin of the band store: one (text_hash, canonical)
+    * row per distinct base-corpus normalized hash, sorted on the hash —
+    * an arriving shard's exact-dup check is a semi-join against it
+    * instead of a corpus re-hash.
+    */
+  def buildHashStore(spark: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sinks.writeSortedParquet(
+      exactHashOf(Tables.documents(spark, dir)
+          .filter(!isDelta(col("doc_id"))))
+        .groupBy(col("text_hash")).agg(min(col("doc_id")).as("canonical")),
+      path, Seq("text_hash"))
+
+  def hashStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = hashStorePath(dir)
+    IndexStore.ensureBuilt(path)(buildHashStore(spark, dir, path))
+    spark.read.parquet(path)
+  }
+
   /** band_store_stats: the CAPACITY audit of the persisted band store —
     * per band: bucket count, row count, max and mean bucket size, and
     * the buckets/rows over [[BUCKET_CAP]] (the mass every capped band

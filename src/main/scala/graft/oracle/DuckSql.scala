@@ -6874,6 +6874,45 @@ object DuckSql {
        |  AND (${isDeltaSql("id_a")} OR ${isDeltaSql("id_b")})
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirror of Curation.arrivalReport: the four stage signals from the
+    * existing single-sourced chains (dedupExact's hashes, dedupDelta's
+    * verified pairs, qualityFilter, decontaminate), reduced under the
+    * arrival precedence. The exact-dup rule is arrival-time (store
+    * wins regardless of id; then smaller shard id), NOT the batch
+    * global-min canonical.
+    */
+  lazy val arrivalReport: String =
+    s"""WITH dxh AS (SELECT doc_id, text_hash FROM ($dedupExact)),
+       |sharddx AS (SELECT doc_id, text_hash FROM dxh
+       |            WHERE ${isDeltaSql("doc_id")}),
+       |exd AS (SELECT s.doc_id,
+       |    (EXISTS (SELECT 1 FROM dxh b
+       |             WHERE b.text_hash = s.text_hash
+       |               AND NOT ${isDeltaSql("b.doc_id")})
+       |     OR EXISTS (SELECT 1 FROM sharddx s2
+       |             WHERE s2.text_hash = s.text_hash
+       |               AND s2.doc_id < s.doc_id)) AS exact_dup
+       |  FROM sharddx s),
+       |dd AS (SELECT * FROM ($dedupDelta)),
+       |drops AS (SELECT DISTINCT CASE
+       |    WHEN pair_kind = 'delta_base' THEN
+       |      CASE WHEN ${isDeltaSql("id_a")} THEN id_a ELSE id_b END
+       |    ELSE id_b END AS doc_id
+       |  FROM dd),
+       |qf AS (SELECT doc_id, keep FROM ($qualityFilter)
+       |       WHERE ${isDeltaSql("doc_id")}),
+       |cont AS (SELECT doc_id FROM ($decontaminate))
+       |SELECT q.doc_id,
+       |  CASE WHEN NOT q.keep THEN 'quality'
+       |       WHEN e.exact_dup THEN 'exact_dup'
+       |       WHEN drops.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS stage
+       |FROM qf q JOIN exd e USING (doc_id)
+       |LEFT JOIN drops USING (doc_id)
+       |LEFT JOIN cont USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirror of Dedup.bandStoreStats: band rows over the base (non-delta)
     * corpus — the persisted store's contents re-derived inline — bucket
     * sizes, then per-band capacity aggregates.

@@ -660,4 +660,62 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(Curation.sampleAudit(spark, dir)) === Set(
       Seq[Any](6L, 0L, null, null)))
   }
+
+  test("arrival_report: every admission stage fires once on the crafted " +
+      "shard, and the manifest equals the rules over the stage signals") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // delta split under the md5 hash: ids 1, 2, 4, 17, 42 arrive; the
+    // rest (0, 3, 5, 7) are behind the stores; id 7 is the benchmark
+    // slot (7 mod 50)
+    val s0 = "the quick brown fox jumps over a lazy dog while red sun " +
+      "sets behind green hills and birds sing softly tonight"
+    val s3 = "a silver river winds slowly through the quiet valley " +
+      "where old stone bridges carry weary travelers toward distant " +
+      "mountain villages tonight"
+    val s5 = "every morning the baker pulls warm crusty loaves from his " +
+      "ancient oven filling narrow streets with wonderful smells"
+    val s7 = "researchers measured the annual rainfall across coastal " +
+      "plains using calibrated gauges mounted on tall weather towers"
+    val s17 = "several farmers in the region studied rainfall across " +
+      "coastal plains before planting drought resistant grains each " +
+      "spring with careful attention daily"
+    val s42 = "children gathered near the old harbor watching small " +
+      "fishing boats return at dusk with heavy nets full of " +
+      "shimmering silver fish"
+    val dir = fixtureDir(docs = Seq(
+      doc(0, s0), doc(3, s3), doc(5, s5), doc(7, s7), // base + bench
+      doc(1, s0), // delta: exact copy of the stored doc 0
+      doc(2, s3 + " again"), // delta: near-dup of stored doc 3
+      doc(4, "short text here"), // delta: fails the Gopher gate
+      doc(17, s17), // delta: shares 'rainfall across coastal plains'
+      doc(42, s42))) // delta: clean
+    // expected from the stage signals, under the arrival precedence
+    val keep = Curation.qualityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val hashes = Dedup.dedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val delta = Set(1L, 2L, 4L, 17L, 42L)
+    def exactDup(s: Long) = hashes.exists { case (id, h) =>
+      h == hashes(s) && (!delta(id) || id < s) }
+    val dropIds = Dedup.dedupDelta(spark, dir).collect().map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (r.getString(3) == "delta_base") (if (delta(a)) a else b) else b
+    }.toSet
+    val cont = Curation.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val expected = delta.map { s =>
+      Seq[Any](s,
+        if (!keep(s)) "quality"
+        else if (exactDup(s)) "exact_dup"
+        else if (dropIds(s)) "near_dup"
+        else if (cont(s)) "contaminated"
+        else "kept")
+    }
+    assert(rows(Curation.arrivalReport(spark, dir)) === expected)
+    // and on this fixture the signals resolve to one doc per stage
+    assert(expected === Set[Seq[Any]](
+      Seq(1L, "exact_dup"), Seq(2L, "near_dup"), Seq(4L, "quality"),
+      Seq(17L, "contaminated"), Seq(42L, "kept")))
+  }
 }
