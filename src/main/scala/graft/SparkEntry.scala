@@ -151,6 +151,7 @@ object SparkEntry {
     "band_store_stats" -> (Dedup.bandStoreStats _),
     "dedup_delta" -> (Dedup.dedupDelta _),
     "arrival_report" -> (Curation.arrivalReport _),
+    "store_coverage" -> (Curation.storeCoverage _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -767,6 +768,7 @@ object SparkEntry {
     "band_store_stats" -> graft.oracle.DuckSql.bandStoreStats,
     "dedup_delta" -> graft.oracle.DuckSql.dedupDelta,
     "arrival_report" -> graft.oracle.DuckSql.arrivalReport,
+    "store_coverage" -> graft.oracle.DuckSql.storeCoverage,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

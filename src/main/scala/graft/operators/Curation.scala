@@ -961,15 +961,17 @@ object Curation {
     *    [[Dedup.hashStore]] (store wins regardless of id — the
     *    first-come-first-kept ingest rule, deliberately NOT the batch
     *    manifest's global-min canonical) OR a smaller-id shard twin;
-    *  - `near_dup`: [[Dedup.dedupDelta]]'s verified pairs, dropping
-    *    the shard side against the store and the larger id within the
+    *  - `near_dup`: the PERSISTED arrival pairs ([[Dedup.deltaPairs]]
+    *    — the ingest runs dedup_delta once per shard and writes its
+    *    output; the report reads pairs, not the pass), dropping the
+    *    shard side against the store and the larger id within the
     *    shard;
     *  - `contaminated`: the eval n-gram flag;
     *  - `kept` otherwise. (No mix stage — sampling is corpus-level
     *    planning, not arrival admission.)
     *
-    * Plan: shard-linear scans + the delta-linear dedupDelta pass +
-    * broadcast hash-store semi-join; the corpus is never re-curated.
+    * Plan: shard-linear scans + three artifact reads + broadcast
+    * hash-store semi-join; the corpus is never re-curated.
     */
   def arrivalReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -988,7 +990,7 @@ object Curation {
     val qf = qualityFilter(spark, dir)
       .filter(Dedup.isDelta(col("doc_id")))
       .select(col("doc_id"), col("keep"))
-    val drops = Dedup.dedupDelta(spark, dir)
+    val drops = Dedup.deltaPairs(spark, dir)
       .select(when(col("pair_kind") === "delta_base",
         when(Dedup.isDelta(col("id_a")), col("id_a"))
           .otherwise(col("id_b")))
@@ -1007,6 +1009,51 @@ object Curation {
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("kept").as("stage"))
       .orderBy(col("doc_id"))
+  }
+
+  /** store_coverage: the ARTIFACT RECONCILIATION audit — for each
+    * persisted store with a pure membership contract, the measured
+    * key population against the contract: band store (every ≥3-token
+    * base doc), hash store (every distinct base hash), BQ codes and
+    * IVF lists (every vector). Missing keys mean a stale or partial
+    * build serving probes; extra keys mean erasure/compaction debt.
+    * The ORACLE side emits the contract itself (present = expected,
+    * zero drift), so the driver's hash compare IS the reconciliation:
+    * a corrupt artifact fails the gate, not just this row.
+    *
+    * Plan: four artifact reads + rule-sized expected frames, anti-join
+    * counts per row — bounded by key counts, no payloads shuffled.
+    */
+  def storeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(!Dedup.isDelta(col("doc_id")))
+    val emb = Tables.embeddings(spark, dir)
+    def row(name: String, present: DataFrame, expected: DataFrame)
+        : DataFrame = {
+      val p = present.toDF("k").distinct().localCheckpoint()
+      val e = expected.toDF("k").distinct().localCheckpoint()
+      p.agg(count(lit(1)).as("n_present"))
+        .crossJoin(e.agg(count(lit(1)).as("n_expected")))
+        .crossJoin(e.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+        .crossJoin(p.join(e, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_extra")))
+        .select(lit(name).as("artifact"), col("n_present"),
+          col("n_expected"), col("n_missing"), col("n_extra"))
+    }
+    row("band_store",
+        Dedup.bandStore(spark, dir).select(col("doc_id")),
+        Dedup.shingleRowsOf(base).select(col("doc_id")))
+      .unionByName(row("bq_codes",
+        Similarity.bqCodes(spark, dir).select(col("vec_id")),
+        emb.select(col("vec_id"))))
+      .unionByName(row("hash_store",
+        Dedup.hashStore(spark, dir).select(col("text_hash")),
+        Dedup.exactHashOf(base).select(col("text_hash"))))
+      .unionByName(row("ivf_lists",
+        Similarity.ivfFlatIndex(spark, dir).lists.select(col("vec_id")),
+        emb.select(col("vec_id"))))
+      .orderBy(col("artifact"))
   }
 
   /** label_queue depth per language. */

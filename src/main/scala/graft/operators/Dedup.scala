@@ -569,6 +569,22 @@ object Dedup {
     * counts + merge-hinted (band, key) equi-join + participant-pruned
     * verify. The corpus is never re-shingled.
     */
+  def deltaPairsPath(dir: String): String =
+    IndexStore.path("delta-pairs-v1", dir)
+
+  /** The arrival pass's OUTPUT as an artifact: a real ingest runs
+    * [[dedupDelta]] once per shard and persists the verified pairs;
+    * downstream consumers (the admission report) read the pairs, not
+    * the pass. Built on first use per JVM like every store.
+    */
+  def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = deltaPairsPath(dir)
+    IndexStore.ensureBuilt(path)(
+      graft.sources.Sinks.writeSortedParquet(
+        dedupDelta(spark, dir), path, Seq("id_a", "id_b")))
+    spark.read.parquet(path)
+  }
+
   def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val deltaBands = minhashBandedFrom(

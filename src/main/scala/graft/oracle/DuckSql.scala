@@ -6913,6 +6913,27 @@ object DuckSql {
        |LEFT JOIN cont USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirror of Curation.storeCoverage: the CONTRACT side — each
+    * artifact's expected key population with zero drift. The engine
+    * measures the artifacts; hash equality against this contract IS
+    * the reconciliation (a stale or partial store fails the gate).
+    */
+  lazy val storeCoverage: String =
+    s"""$shCte,
+       |bs AS (SELECT count(*)::BIGINT AS n FROM sh
+       |       WHERE NOT ${isDeltaSql("doc_id")}),
+       |hs AS (SELECT count(DISTINCT md5(array_to_string(ws, ' ')))::BIGINT
+       |         AS n
+       |       FROM n WHERE NOT ${isDeltaSql("doc_id")}),
+       |em AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT 'band_store' AS artifact, n AS n_present, n AS n_expected,
+       |    0::BIGINT AS n_missing, 0::BIGINT AS n_extra FROM bs
+       |  UNION ALL SELECT 'bq_codes', n, n, 0, 0 FROM em
+       |  UNION ALL SELECT 'hash_store', n, n, 0, 0 FROM hs
+       |  UNION ALL SELECT 'ivf_lists', n, n, 0, 0 FROM em)
+       |ORDER BY artifact""".stripMargin
+
   /** Mirror of Dedup.bandStoreStats: band rows over the base (non-delta)
     * corpus — the persisted store's contents re-derived inline — bucket
     * sizes, then per-band capacity aggregates.

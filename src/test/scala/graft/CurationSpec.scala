@@ -661,6 +661,24 @@ class CurationSpec extends SparkSpecBase {
       Seq[Any](6L, 0L, null, null)))
   }
 
+  test("store_coverage: every contract store reconciles; duplicate base " +
+      "texts collapse in the hash store, short docs stay out of the band " +
+      "store") {
+    // base ids 0, 3, 5 (1 is the delta split): 0 and 3 share text (one
+    // hash), 5 is too short to shingle (2 words)
+    val dir = fixtureDir(
+      docs = Seq(doc(0, "alpha beta gamma delta"),
+        doc(3, "alpha beta gamma delta"), doc(5, "just two"),
+        doc(1, "epsilon zeta eta theta iota")),
+      embs = Seq(Emb(0, vec(1.0), 0), Emb(1, vec(0.5, 0.5), 0),
+        Emb(2, vec(0.0, 1.0), 1)))
+    assert(rows(Curation.storeCoverage(spark, dir)) === Set(
+      Seq[Any]("band_store", 2L, 2L, 0L, 0L), // docs 0, 3 (5 too short)
+      Seq[Any]("hash_store", 2L, 2L, 0L, 0L), // {0,3} collapse + {5}
+      Seq[Any]("bq_codes", 3L, 3L, 0L, 0L),
+      Seq[Any]("ivf_lists", 3L, 3L, 0L, 0L)))
+  }
+
   test("arrival_report: every admission stage fires once on the crafted " +
       "shard, and the manifest equals the rules over the stage signals") {
     import graft.operators.Dedup
