@@ -51,6 +51,8 @@ object SparkEntry {
     "bq_bit_balance"        -> (Similarity.bqBitBalance _),
     "bq_rethreshold"        -> (Similarity.bqRethreshold _),
     "bq_rethreshold_recall" -> (Similarity.bqRethresholdRecall _),
+    "ann_graph"    -> (Similarity.annGraph _),
+    "graph_recall" -> (Similarity.graphRecall _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -935,6 +937,8 @@ object SparkEntry {
     "bq_bit_balance" -> graft.oracle.DuckSql.bqBitBalance,
     "bq_rethreshold" -> graft.oracle.DuckSql.bqRethreshold,
     "bq_rethreshold_recall" -> graft.oracle.DuckSql.bqRethresholdRecall,
+    "ann_graph" -> graft.oracle.DuckSql.annGraph,
+    "graph_recall" -> graft.oracle.DuckSql.graphRecall,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

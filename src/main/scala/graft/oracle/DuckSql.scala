@@ -2432,23 +2432,33 @@ object DuckSql {
   /** Mirror of Similarity.annIvfKmeans: 2 unrolled Lloyd iterations from
     * the deterministic init, then probe + rank inside trained clusters.
     */
-  val annIvfKmeans: String = {
-    def assignCte(cents: String, out: String) = kmAssignCte(cents, out)
-    def recomputeCte(assigned: String, out: String) =
-      kmRecomputeCte(assigned, out)
-    s"""WITH c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
+  val annIvfKmeans: String = ivfProbeSql(2)
+
+  /** The trained-kmeans chain's CTE prefix (c0 → … → c2 centroids,
+    * `idx` assignment) — shared by the probe mirrors and the graph
+    * family.
+    */
+  private def kmChainCtes: String =
+    s"""c0 AS (SELECT vec_id::INT AS cid, embedding AS cvec
        |            FROM embeddings WHERE vec_id < 8),
-       |${assignCte("c0", "a1")},
-       |${recomputeCte("a1", "c1")},
-       |${assignCte("c1", "a2")},
-       |${recomputeCte("a2", "c2")},
-       |${assignCte("c2", "idx")},
+       |${kmAssignCte("c0", "a1")},
+       |${kmRecomputeCte("a1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmRecomputeCte("a2", "c2")},
+       |${kmAssignCte("c2", "idx")}""".stripMargin
+
+  /** The full trained-IVF probe at a given nprobe (the annIvfKmeans
+    * body, parameterized for graphRecall's nprobe-1 baseline arm).
+    */
+  private def ivfProbeSql(nprobe: Int): String =
+    s"""WITH $kmChainCtes,
        |probes AS (SELECT q_id, pcid FROM (
        |  SELECT q.vec_id AS q_id, c.cid AS pcid,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
        |               c.cid) AS pr
-       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr <= 2),
+       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0)
+       |  WHERE pr <= $nprobe),
        |cand AS (SELECT p.q_id, x.vec_id AS neighbor_id,
        |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
        |  FROM probes p JOIN idx x ON x.cid = p.pcid
@@ -2458,7 +2468,106 @@ object DuckSql {
        |  SELECT q_id, neighbor_id, s,
        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rank
        |  FROM cand) WHERE rank <= 3""".stripMargin
+
+  /** Mirror of Similarity.annGraph: the kmeans chain, the symmetrized
+    * per-vector nprobe-2 top-K graph, the nprobe-1 entry pool, and
+    * [[graft.operators.Similarity.GraphRounds]] unrolled best-first
+    * rounds (dedup by max over identical scores, rank windows with id
+    * tie-break), top-3 of everything visited.
+    */
+  lazy val annGraph: String = {
+    import graft.operators.Similarity
+    val (k, ent, beam, rounds) = (Similarity.GraphK,
+      Similarity.GraphEntries, Similarity.GraphBeam,
+      Similarity.GraphRounds)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT f.q_id, gg.dst AS vec_id
+         |  FROM f${r - 1} f JOIN g gg ON gg.src = f.vec_id),
+         |sc$r AS (SELECT n.q_id, n.vec_id,
+         |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |  FROM nb$r n JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |       JOIN embeddings qe ON qe.vec_id = n.q_id
+         |  WHERE n.vec_id <> n.q_id),
+         |vis$r AS (SELECT q_id, vec_id, max(s) AS s FROM (
+         |    SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r)
+         |  GROUP BY q_id, vec_id),
+         |f$r AS (SELECT q_id, vec_id, s FROM (
+         |    SELECT q_id, vec_id, s, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY s DESC, vec_id) AS rk FROM vis$r)
+         |  WHERE rk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmChainCtes,
+       |gp AS (SELECT gv, pcid FROM (
+       |  SELECT v.vec_id AS gv, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings v, c2 c) WHERE pr <= 2),
+       |ge AS (SELECT gv AS src, nv AS dst FROM (
+       |  SELECT p.gv, x.vec_id AS nv,
+       |    row_number() OVER (PARTITION BY p.gv
+       |      ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], ve.embedding::DOUBLE[]) DESC,
+       |               x.vec_id) AS rk
+       |  FROM gp p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings ve ON ve.vec_id = p.gv
+       |  WHERE x.vec_id <> p.gv) WHERE rk <= $k),
+       |g AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge)),
+       |p1 AS (SELECT q_id, pcid FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS pcid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+       |               c.cid) AS pr
+       |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr = 1),
+       |vis0 AS (SELECT q_id, vec_id, s FROM (
+       |  SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC,
+       |               x.vec_id) AS rk
+       |  FROM p1 p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE x.vec_id <> p.q_id) WHERE rk <= $ent),
+       |f0 AS (SELECT * FROM vis0),
+       |$roundCtes
+       |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, s,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rank
+       |  FROM vis$rounds) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Mirror of Similarity.graphRecall: dense truth vs the graph walk
+    * and its own nprobe-1 entry baseline, one micro row per arm.
+    */
+  lazy val graphRecall: String =
+    s"""WITH ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ga AS (SELECT q_id, neighbor_id FROM ($annGraph)),
+       |pa AS (SELECT q_id, neighbor_id FROM (${ivfProbeSql(1)})),
+       |m1 AS (SELECT count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+       |         count(a.neighbor_id)::BIGINT AS n_matched
+       |       FROM ex LEFT JOIN ga a ON a.q_id = ex.q_id
+       |                             AND a.neighbor_id = ex.neighbor_id),
+       |m2 AS (SELECT count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+       |         count(a.neighbor_id)::BIGINT AS n_matched
+       |       FROM ex LEFT JOIN pa a ON a.q_id = ex.q_id
+       |                             AND a.neighbor_id = ex.neighbor_id)
+       |SELECT * FROM (
+       |  SELECT 'graph' AS arm, n_queries, n_matched,
+       |    floor(n_matched::DOUBLE / (n_queries * 3) * 10000 + 0.5) / 10000
+       |      AS recall FROM m1
+       |  UNION ALL
+       |  SELECT 'ivf_probe1', n_queries, n_matched,
+       |    floor(n_matched::DOUBLE / (n_queries * 3) * 10000 + 0.5) / 10000
+       |      FROM m2)
+       |ORDER BY arm""".stripMargin
 
   /** Mirror of Similarity.lshAnn (moved from SparkEntry's inline map so
     * indexRecall can embed it): 64 deterministic md5-sign hyperplanes,

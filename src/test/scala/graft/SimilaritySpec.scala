@@ -701,6 +701,47 @@ class SimilaritySpec extends SparkSpecBase {
       s"refit ${r.getLong(2)} must beat base ${b.getLong(2)}")
   }
 
+  test("ann_graph: on well-separated clusters the walk returns the exact " +
+      "top-3; graph_recall's graph arm is never below its entry baseline") {
+    // 8 tight clusters on orthogonal axes; seeds are ids 0-7 (= the
+    // kmeans init), members perturb the axis slightly; queries are ids
+    // 0 and 100 (both in cluster 0's region)
+    def member(axis: Int, j: Int): Seq[Float] =
+      Seq.tabulate(64)(d =>
+        if (d == axis) 1.0f
+        else if (d == 8 + (j % 40)) 0.01f * (j % 5 + 1) else 0.0f)
+    val embs =
+      (0 until 8).map(c => Emb(c.toLong, member(c, 0), c)) ++
+      (for (c <- 0 until 8; j <- 1 to 10)
+        yield Emb((7 + c * 10 + j).toLong, member(c, c * 10 + j), c)) ++
+      Seq(Emb(100L, member(0, 3), 0))
+    val dir = fixtureDir(embs = embs)
+    // in-spec exact top-3 per query (cosine over doubles, id tie-break)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      dot / (n(a) * n(b))
+    }
+    val byId = embs.map(e => e.vec_id -> e.embedding).toMap
+    def exactTop3(q: Long): Seq[Long] =
+      embs.filter(_.vec_id != q)
+        .map(e => (e.vec_id, cos(byId(q), e.embedding)))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    val out = Similarity.annGraph(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    assert(out.keySet === Set(0L, 100L))
+    assert(out(0L) === exactTop3(0L))
+    assert(out(100L) === exactTop3(100L))
+    val rec = Similarity.graphRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(rec.keySet === Set("graph", "ivf_probe1"))
+    assert(rec("graph")._1 === 2L)
+    assert(rec("graph")._2 === 1.0) // clean geometry: the walk is exact
+    assert(rec("graph")._2 >= rec("ivf_probe1")._2)
+  }
+
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
     def v(xs: (Int, Float)*) = Seq.tabulate(64)(i => xs.toMap.getOrElse(i, 0f))
     // query 0 on the x axis; 1 and 2 are near-duplicates of each other
