@@ -53,6 +53,8 @@ object SparkEntry {
     "bq_rethreshold_recall" -> (Similarity.bqRethresholdRecall _),
     "ann_graph"    -> (Similarity.annGraph _),
     "graph_recall" -> (Similarity.graphRecall _),
+    "beam_curve"   -> (Similarity.beamCurve _),
+    "graph_degree" -> (Similarity.graphDegree _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -939,6 +941,8 @@ object SparkEntry {
     "bq_rethreshold_recall" -> graft.oracle.DuckSql.bqRethresholdRecall,
     "ann_graph" -> graft.oracle.DuckSql.annGraph,
     "graph_recall" -> graft.oracle.DuckSql.graphRecall,
+    "beam_curve" -> graft.oracle.DuckSql.beamCurve,
+    "graph_degree" -> graft.oracle.DuckSql.graphDegree,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

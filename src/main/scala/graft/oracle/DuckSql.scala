@@ -2477,26 +2477,72 @@ object DuckSql {
     */
   lazy val annGraph: String = {
     import graft.operators.Similarity
-    val (k, ent, beam, rounds) = (Similarity.GraphK,
-      Similarity.GraphEntries, Similarity.GraphBeam,
-      Similarity.GraphRounds)
-    val roundCtes = (1 to rounds).map { r =>
-      s"""nb$r AS (SELECT DISTINCT f.q_id, gg.dst AS vec_id
-         |  FROM f${r - 1} f JOIN g gg ON gg.src = f.vec_id),
-         |sc$r AS (SELECT n.q_id, n.vec_id,
-         |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
-         |  FROM nb$r n JOIN embeddings ne ON ne.vec_id = n.vec_id
-         |       JOIN embeddings qe ON qe.vec_id = n.q_id
-         |  WHERE n.vec_id <> n.q_id),
-         |vis$r AS (SELECT q_id, vec_id, max(s) AS s FROM (
-         |    SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r)
-         |  GROUP BY q_id, vec_id),
-         |f$r AS (SELECT q_id, vec_id, s FROM (
-         |    SELECT q_id, vec_id, s, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY s DESC, vec_id) AS rk FROM vis$r)
-         |  WHERE rk <= $beam)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $kmChainCtes,
+    s"""WITH $graphWalkCtes
+       |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, s,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rank
+       |  FROM vis${Similarity.GraphRounds}) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.beamCurve: per-rounds arms over the shared
+    * walk chain's vis1..visR frames — top-3 vs the exact truth plus the
+    * mean visited-set size.
+    */
+  lazy val beamCurve: String = {
+    import graft.operators.Similarity
+    val arms = (1 to Similarity.GraphRounds).map { r =>
+      (s"""t$r AS (SELECT q_id, vec_id FROM (
+          |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY s DESC, vec_id) AS rk FROM vis$r) WHERE rk <= 3),
+          |m$r AS (SELECT count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+          |    count(a.vec_id)::BIGINT AS n_matched
+          |  FROM ex LEFT JOIN t$r a ON a.q_id = ex.q_id
+          |                         AND a.vec_id = ex.neighbor_id),
+          |cv$r AS (SELECT sum(nv)::BIGINT AS tv, count(*)::BIGINT AS nq
+          |  FROM (SELECT q_id, count(*)::BIGINT AS nv FROM vis$r
+          |        GROUP BY q_id))""".stripMargin,
+        s"""SELECT $r AS rounds, n_queries, n_matched,
+           |  floor(n_matched::DOUBLE / (n_queries * 3) * 10000 + 0.5)
+           |    / 10000 AS recall,
+           |  floor(tv::DOUBLE / nq * 100 + 0.5) / 100 AS mean_visited
+           |FROM m$r, cv$r""".stripMargin)
+    }
+    s"""WITH $graphWalkCtes,
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |${arms.map(_._1).mkString(",\n")}
+       |SELECT * FROM (${arms.map(_._2).mkString("\nUNION ALL\n")})
+       |ORDER BY rounds""".stripMargin
+  }
+
+  /** Mirror of Similarity.graphDegree: the graph-build chain's
+    * symmetrized edges, per-node degree, exact power-of-two bins.
+    */
+  lazy val graphDegree: String =
+    s"""WITH $graphEdgeCtes,
+       |dg AS (SELECT src, count(*)::BIGINT AS deg FROM g GROUP BY src),
+       |hb AS (SELECT (1::BIGINT << (length(bin(deg)) - 1)) AS bin_lo
+       |       FROM dg),
+       |gr AS (SELECT bin_lo, count(*)::BIGINT AS n_nodes FROM hb
+       |       GROUP BY bin_lo),
+       |tt AS (SELECT sum(n_nodes)::BIGINT AS t FROM gr)
+       |SELECT bin_lo, n_nodes,
+       |  floor(n_nodes::DOUBLE / t * 10000 + 0.5) / 10000 AS node_share
+       |FROM gr, tt ORDER BY bin_lo""".stripMargin
+
+  /** The kmeans chain + graph-build CTEs, ending at the symmetrized
+    * edge set `g` — shared by the walk chain and graphDegree.
+    */
+  private lazy val graphEdgeCtes: String = {
+    import graft.operators.Similarity
+    s"""$kmChainCtes,
        |gp AS (SELECT gv, pcid FROM (
        |  SELECT v.vec_id AS gv, c.cid AS pcid,
        |    row_number() OVER (PARTITION BY v.vec_id
@@ -2510,16 +2556,43 @@ object DuckSql {
        |               x.vec_id) AS rk
        |  FROM gp p JOIN idx x ON x.cid = p.pcid
        |       JOIN embeddings ve ON ve.vec_id = p.gv
-       |  WHERE x.vec_id <> p.gv) WHERE rk <= $k),
-       |g AS (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge)),
+       |  WHERE x.vec_id <> p.gv) WHERE rk <= ${Similarity.GraphK}),
+       |g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge))""".stripMargin
+  }
+
+  /** The full walk chain: graph edges + entry pool + unrolled rounds,
+    * ending at vis0..visR and f0..fR — shared by annGraph and
+    * beamCurve.
+    */
+  private lazy val graphWalkCtes: String = {
+    import graft.operators.Similarity
+    val (ent, beam, rounds) = (Similarity.GraphEntries,
+      Similarity.GraphBeam, Similarity.GraphRounds)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT f.q_id, gg.dst AS vec_id
+         |  FROM f${r - 1} f JOIN g gg ON gg.src = f.vec_id),
+         |sc$r AS (SELECT n.q_id, n.vec_id,
+         |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
+         |  FROM nb$r n JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |       JOIN embeddings qe ON qe.vec_id = n.q_id
+         |  WHERE n.vec_id <> n.q_id),
+         |vis$r AS MATERIALIZED (SELECT q_id, vec_id, max(s) AS s FROM (
+         |    SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r)
+         |  GROUP BY q_id, vec_id),
+         |f$r AS (SELECT q_id, vec_id, s FROM (
+         |    SELECT q_id, vec_id, s, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY s DESC, vec_id) AS rk FROM vis$r)
+         |  WHERE rk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgeCtes,
        |p1 AS (SELECT q_id, pcid FROM (
        |  SELECT q.vec_id AS q_id, c.cid AS pcid,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
        |               c.cid) AS pr
        |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr = 1),
-       |vis0 AS (SELECT q_id, vec_id, s FROM (
+       |vis0 AS MATERIALIZED (SELECT q_id, vec_id, s FROM (
        |  SELECT p.q_id, x.vec_id,
        |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s,
        |    row_number() OVER (PARTITION BY p.q_id
@@ -2529,12 +2602,7 @@ object DuckSql {
        |       JOIN embeddings qe ON qe.vec_id = p.q_id
        |  WHERE x.vec_id <> p.q_id) WHERE rk <= $ent),
        |f0 AS (SELECT * FROM vis0),
-       |$roundCtes
-       |SELECT q_id, neighbor_id, round(s, 6) AS sim, rank::INT AS rank FROM (
-       |  SELECT q_id, vec_id AS neighbor_id, s,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rank
-       |  FROM vis$rounds) WHERE rank <= 3
-       |ORDER BY q_id, rank""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   /** Mirror of Similarity.graphRecall: dense truth vs the graph walk

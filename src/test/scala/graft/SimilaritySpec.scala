@@ -701,21 +701,28 @@ class SimilaritySpec extends SparkSpecBase {
       s"refit ${r.getLong(2)} must beat base ${b.getLong(2)}")
   }
 
+  /** 8 tight clusters on orthogonal axes; seeds are ids 0-7 (= the
+    * kmeans init), members perturb the axis slightly; queries are ids
+    * 0 and 100 (both in cluster 0's region).
+    */
+  private def graphMember(axis: Int, j: Int): Seq[Float] =
+    Seq.tabulate(64)(d =>
+      if (d == axis) 1.0f
+      else if (d == 8 + (j % 40)) 0.01f * (j % 5 + 1) else 0.0f)
+
+  private lazy val graphEmbs: Seq[Emb] =
+    (0 until 8).map(c => Emb(c.toLong, graphMember(c, 0), c)) ++
+      (for (c <- 0 until 8; j <- 1 to 10)
+        yield Emb((7 + c * 10 + j).toLong, graphMember(c, c * 10 + j), c)) ++
+      Seq(Emb(100L, graphMember(0, 3), 0))
+
+  private lazy val graphDir: String = fixtureDir(embs = graphEmbs)
+
   test("ann_graph: on well-separated clusters the walk returns the exact " +
       "top-3; graph_recall's graph arm is never below its entry baseline") {
-    // 8 tight clusters on orthogonal axes; seeds are ids 0-7 (= the
-    // kmeans init), members perturb the axis slightly; queries are ids
-    // 0 and 100 (both in cluster 0's region)
-    def member(axis: Int, j: Int): Seq[Float] =
-      Seq.tabulate(64)(d =>
-        if (d == axis) 1.0f
-        else if (d == 8 + (j % 40)) 0.01f * (j % 5 + 1) else 0.0f)
-    val embs =
-      (0 until 8).map(c => Emb(c.toLong, member(c, 0), c)) ++
-      (for (c <- 0 until 8; j <- 1 to 10)
-        yield Emb((7 + c * 10 + j).toLong, member(c, c * 10 + j), c)) ++
-      Seq(Emb(100L, member(0, 3), 0))
-    val dir = fixtureDir(embs = embs)
+    def member(axis: Int, j: Int): Seq[Float] = graphMember(axis, j)
+    val embs = graphEmbs
+    val dir = graphDir
     // in-spec exact top-3 per query (cosine over doubles, id tie-break)
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
@@ -740,6 +747,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rec("graph")._1 === 2L)
     assert(rec("graph")._2 === 1.0) // clean geometry: the walk is exact
     assert(rec("graph")._2 >= rec("ivf_probe1")._2)
+  }
+
+  test("beam_curve: recall already exact at one round on clean clusters; " +
+      "the visited set (the rescoring bill) is non-decreasing in rounds") {
+    val out = Similarity.beamCurve(spark, graphDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    out.foreach { case (_, nq, rec, _) =>
+      assert(nq === 2L)
+      assert(rec === 1.0)
+    }
+    assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+  }
+
+  test("graph_degree: every node appears once; symmetrization keeps " +
+      "degree at or above the build out-degree") {
+    val out = Similarity.graphDegree(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum === graphEmbs.length.toLong)
+    assert(out.forall(_._1 >= Similarity.GraphK))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    out.foreach { case (_, n, share) =>
+      assert(share === r4(n.toDouble / graphEmbs.length))
+    }
   }
 
   test("mmr_rerank: near-duplicate penalized, diverse candidate promoted") {
