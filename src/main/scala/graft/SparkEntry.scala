@@ -55,6 +55,7 @@ object SparkEntry {
     "graph_recall" -> (Similarity.graphRecall _),
     "beam_curve"   -> (Similarity.beamCurve _),
     "graph_degree" -> (Similarity.graphDegree _),
+    "rounds_pick"  -> (Similarity.roundsPick _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -943,6 +944,7 @@ object SparkEntry {
     "graph_recall" -> graft.oracle.DuckSql.graphRecall,
     "beam_curve" -> graft.oracle.DuckSql.beamCurve,
     "graph_degree" -> graft.oracle.DuckSql.graphDegree,
+    "rounds_pick" -> graft.oracle.DuckSql.roundsPick,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

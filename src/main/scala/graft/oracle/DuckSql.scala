@@ -2522,6 +2522,28 @@ object DuckSql {
        |ORDER BY rounds""".stripMargin
   }
 
+  /** Mirror of Similarity.roundsPick: the beamCurve arms under the
+    * meets-then-cheapest rank window (slack-relative recall floor,
+    * single-sourced).
+    */
+  lazy val roundsPick: String = {
+    import graft.operators.Similarity
+    val sl = Similarity.RoundsRecallSlack
+    s"""SELECT rounds, recall, best_recall, $sl::DOUBLE AS slack,
+       |  mean_visited
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY
+       |      CASE WHEN met THEN 0 ELSE 1 END,
+       |      CASE WHEN met THEN rounds::DOUBLE
+       |           ELSE -coalesce(recall, 0) END,
+       |      rounds) AS rk
+       |  FROM (SELECT *, max(recall) OVER () AS best_recall,
+       |          recall >= floor(max(recall) OVER () * $sl * 10000)
+       |            / 10000 AS met
+       |        FROM ($beamCurve)))
+       |WHERE rk = 1""".stripMargin
+  }
+
   /** Mirror of Similarity.graphDegree: the graph-build chain's
     * symmetrized edges, per-node degree, exact power-of-two bins.
     */

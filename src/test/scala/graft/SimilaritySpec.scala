@@ -762,6 +762,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4))
   }
 
+  test("rounds_pick: all arms exact on clean clusters, so the cheapest " +
+      "round wins; the pick reproduces the in-spec rule over beam_curve") {
+    val arms = Similarity.beamCurve(spark, graphDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)))
+    val best = arms.map(_._2).max
+    val thr = math.floor(best * Similarity.RoundsRecallSlack * 1e4) / 1e4
+    val meeting = arms.filter(_._2 >= thr)
+    val want =
+      if (meeting.nonEmpty) meeting.minBy(_._1)
+      else arms.minBy(a => (-a._2, a._1))
+    val out = Similarity.roundsPick(spark, graphDir).collect()
+    assert(out.length === 1)
+    val p = out.head
+    assert(p.getInt(0) === want._1)
+    assert(p.getInt(0) === 1) // clean geometry: one round saturates
+    assert(p.getDouble(1) === want._2 && p.getDouble(1) === 1.0)
+    assert(p.getDouble(2) === best)
+    assert(p.getDouble(4) === want._3)
+  }
+
   test("graph_degree: every node appears once; symmetrization keeps " +
       "degree at or above the build out-degree") {
     val out = Similarity.graphDegree(spark, graphDir).collect()
