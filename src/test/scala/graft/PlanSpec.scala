@@ -583,4 +583,73 @@ class PlanSpec extends SparkSpecBase {
         s"$name has unpartitioned Window(s):\n${bad.mkString("\n")}")
     }
   }
+
+  private def unpartitionedWins(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.toString
+    }
+
+  test("r13 incremental-ingest family: the band store prunes through a " +
+      "broadcast semi-join (never a store shuffle) and nothing cartesians") {
+    withNoAutoBroadcast {
+      // the store-prune semi-join and cap groupBy run inside the
+      // operator's own localCheckpoints (materialized frames), so the
+      // FINAL plan only shows the verify tail — pin what it exposes:
+      // keyed joins only, nothing cartesian, no nested loop
+      val p = planOf(Dedup.dedupDelta(spark, dir))
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      val ar = planOf(Curation.arrivalReport(spark, dir))
+      assert(!ar.contains("CartesianProduct"))
+      assert(!ar.contains("BroadcastNestedLoopJoin"))
+    }
+    // store_coverage combines 1-row aggregates per artifact (the q22
+    // sanctioned scalar class): under the default threshold they ride
+    // broadcast, and every KEYED join stays an equi-join
+    val sc = planOf(Curation.storeCoverage(spark, dir))
+    assert(!sc.contains("CartesianProduct"))
+  }
+
+  test("r13 BQ re-threshold family: the median value-grid windows stay " +
+      "dim-partitioned; the code unpack never cartesians") {
+    Seq[(String, DataFrame)](
+      "bq_bit_balance" -> Similarity.bqBitBalance(spark, dir),
+      "bq_rethreshold" -> Similarity.bqRethreshold(spark, dir)
+    ).foreach { case (name, df) =>
+      val bad = unpartitionedWins(physical(df))
+      assert(bad.isEmpty,
+        s"$name has unpartitioned Window(s):\n${bad.mkString("\n")}")
+      assert(!planOf(df).contains("CartesianProduct"), name)
+    }
+  }
+
+  test("r13 graph family: the walk's expansions ride keyed joins and " +
+      "per-query windows; only the tiny centroid side nested-loops") {
+    withNoAutoBroadcast {
+      val df = Similarity.annGraph(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"))
+      val bad = unpartitionedWins(physical(df))
+      assert(bad.isEmpty,
+        s"ann_graph has unpartitioned Window(s):\n${bad.mkString("\n")}")
+      // the walk's expansions run inside per-round localCheckpoints, so
+      // the final plan is the rank tail over the materialized visited
+      // set — group-limited BEFORE the exchange, never a global sort
+      assert(p.contains("WindowGroupLimit"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+      val dg = planOf(Similarity.graphDegree(spark, dir))
+      assert(!dg.contains("CartesianProduct"))
+      assert(unpartitionedWins(physical(
+        Similarity.graphDegree(spark, dir))).isEmpty)
+    }
+  }
+
+  test("r13 drift_gate: a pure union of the four audits — no cartesian, " +
+      "no nested loop beyond the audits' own 1-row broadcasts") {
+    val p = planOf(graft.operators.Sessions.driftGate(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
