@@ -762,6 +762,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4))
   }
 
+  test("appendToKnnGraph: inserts route via the frozen quantizer, gain " +
+      "full out-degree incl. batch twins, keep reverses; prior files " +
+      "and edges untouched") {
+    import java.io.File
+    val dir = fixtureDir(embs = graphEmbs) // private twin of graphDir:
+    // the append mutates the artifact, so it gets its own store
+    val path = Similarity.knnGraphPath(dir)
+    val before = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val files = new File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    import spark.implicits._
+    val twin = graphMember(0, 99)
+    Similarity.appendToKnnGraph(spark, dir,
+      Seq(Emb(200L, twin, 0), Emb(201L, twin, 0)).toDF())
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prior edges all survive; prior files byte-identical
+    assert(before.subsetOf(after))
+    new File(path).listFiles()
+      .filter(f => files.contains(f.getName)).foreach { f =>
+        assert(files(f.getName) === ((f.length, f.lastModified)),
+          s"${f.getName} must not be rewritten")
+      }
+    // each insert connects at full out-degree, including its batch twin
+    val out200 = after.collect { case (200L, d) => d }
+    assert(out200.size === Similarity.GraphK)
+    assert(out200.contains(201L), "batch twin must be reachable")
+    // the symmetrization invariant holds for every appended edge
+    val appended = after -- before
+    assert(appended.nonEmpty)
+    appended.foreach { case (s, d) =>
+      assert(after.contains((d, s)), s"reverse of ($s,$d) missing")
+    }
+  }
+
   test("rounds_pick: all arms exact on clean clusters, so the cheapest " +
       "round wins; the pick reproduces the in-spec rule over beam_curve") {
     val arms = Similarity.beamCurve(spark, graphDir).collect()
