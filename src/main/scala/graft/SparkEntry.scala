@@ -157,6 +157,7 @@ object SparkEntry {
     "dedup_delta" -> (Dedup.dedupDelta _),
     "arrival_report" -> (Curation.arrivalReport _),
     "store_coverage" -> (Curation.storeCoverage _),
+    "arrival_funnel" -> (Curation.arrivalFunnel _),
     "event_transitions" -> (Sessions.eventTransitions _),
     "event_paths" -> (Sessions.eventPaths _),
     "key_skew" -> (Analytics.keySkew _),
@@ -774,6 +775,7 @@ object SparkEntry {
     "dedup_delta" -> graft.oracle.DuckSql.dedupDelta,
     "arrival_report" -> graft.oracle.DuckSql.arrivalReport,
     "store_coverage" -> graft.oracle.DuckSql.storeCoverage,
+    "arrival_funnel" -> graft.oracle.DuckSql.arrivalFunnel,
     "event_transitions" -> graft.oracle.DuckSql.eventTransitions,
     "event_paths" -> graft.oracle.DuckSql.eventPaths,
     "key_skew" -> graft.oracle.DuckSql.keySkew,

@@ -1011,6 +1011,58 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** arrival_funnel's fixed stage order (= [[arrivalReport]]'s CASE
+    * precedence, `kept` closing the table; no mix stage — sampling is
+    * corpus planning, not arrival admission). Single-sourced into the
+    * oracle SQL.
+    */
+  val ArrivalStages: Seq[(Int, String)] = Seq(
+    1 -> "quality", 2 -> "exact_dup", 3 -> "near_dup",
+    4 -> "contaminated", 5 -> "kept")
+
+  /** arrival_funnel: the arriving shard's WATERFALL — per admission
+    * stage, the shard docs and token mass dropped there and what
+    * remains after it ([[curationFunnel]]'s read applied to one
+    * arrival instead of the corpus: the number an ingest dashboard
+    * plots per shard, where a shard whose near-dup share spikes is a
+    * re-crawl and one whose quality share spikes is a broken source).
+    * Zero-filled stage grid (the benford rule): an absent stage is a
+    * zero row, not a missing one.
+    *
+    * Plan: the per-doc manifest (arrival-shaped, see arrivalReport)
+    * joined to the doc-stats artifact for token mass, one ≤5-row grid
+    * with a grid-sized cumulative.
+    */
+  def arrivalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val tok = CorpusStats.docStats(spark, dir)
+      .select(col("doc_id"), col("toks_ws").as("t"))
+    val ag = arrivalReport(spark, dir)
+      .join(tok, Seq("doc_id"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val grid = spark.createDataFrame(ArrivalStages).toDF("ord", "stage")
+    val g = grid.join(ag, Seq("stage"), "left")
+      .select(col("ord"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val wCum = Window.orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val drop = (c: Column) =>
+      when(col("stage") =!= "kept", c).otherwise(lit(0L))
+    // 5 rows from here — the unpartitioned window is deliberate
+    g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("td"),
+        sum(col("n_tokens")).as("tt"))))
+      .withColumn("cd", sum(drop(col("n_docs"))).over(wCum))
+      .withColumn("ct", sum(drop(col("n_tokens"))).over(wCum))
+      .select(col("ord"), col("stage"), col("n_docs"), col("n_tokens"),
+        (col("td") - col("cd")).as("docs_remaining"),
+        (col("tt") - col("ct")).as("tokens_remaining"),
+        r4((col("td") - col("cd")).cast("double") / col("td"))
+          .as("share_remaining"))
+      .orderBy(col("ord"))
+  }
+
   /** store_coverage: the ARTIFACT RECONCILIATION audit — for each
     * persisted store with a pure membership contract, the measured
     * key population against the contract: band store (every ≥3-token

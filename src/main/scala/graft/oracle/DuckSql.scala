@@ -7133,6 +7133,44 @@ object DuckSql {
        |  UNION ALL SELECT 'ivf_lists', n, n, 0, 0 FROM em)
        |ORDER BY artifact""".stripMargin
 
+  /** Mirror of Curation.arrivalFunnel: the arrivalReport manifest as a
+    * derived table, token mass from the same whitespace expression as
+    * curationFunnel, zero-filled stage grid, grid-sized cumulative.
+    */
+  lazy val arrivalFunnel: String = {
+    val grid = graft.operators.Curation.ArrivalStages
+      .map { case (o, s) => s"($o, '$s')" }.mkString(", ")
+    s"""WITH am AS (SELECT * FROM ($arrivalReport)),
+       |atok AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '),
+       |                    x -> x <> ''))::BIGINT AS t
+       |  FROM documents),
+       |aag AS (SELECT am.stage, count(*)::BIGINT AS n_docs,
+       |          sum(atok.t)::BIGINT AS n_tokens
+       |        FROM am JOIN atok ON atok.doc_id = am.doc_id
+       |        GROUP BY 1),
+       |agr AS (SELECT v.ord, v.stage,
+       |          coalesce(aag.n_docs, 0::BIGINT) AS n_docs,
+       |          coalesce(aag.n_tokens, 0::BIGINT) AS n_tokens
+       |        FROM (VALUES $grid) v(ord, stage)
+       |        LEFT JOIN aag ON aag.stage = v.stage),
+       |att AS (SELECT sum(n_docs)::BIGINT AS td,
+       |          sum(n_tokens)::BIGINT AS tt FROM agr),
+       |acu AS (SELECT *,
+       |          sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END)
+       |            OVER wo AS cd,
+       |          sum(CASE WHEN stage <> 'kept' THEN n_tokens ELSE 0 END)
+       |            OVER wo AS ct
+       |        FROM agr
+       |        WINDOW wo AS (ORDER BY ord ROWS UNBOUNDED PRECEDING))
+       |SELECT ord::INT AS ord, stage, n_docs, n_tokens,
+       |  (td - cd)::BIGINT AS docs_remaining,
+       |  (tt - ct)::BIGINT AS tokens_remaining,
+       |  floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
+       |    AS share_remaining
+       |FROM acu, att ORDER BY ord""".stripMargin
+  }
+
   /** Mirror of Dedup.bandStoreStats: band rows over the base (non-delta)
     * corpus — the persisted store's contents re-derived inline — bucket
     * sizes, then per-band capacity aggregates.

@@ -735,5 +735,25 @@ class CurationSpec extends SparkSpecBase {
     assert(expected === Set[Seq[Any]](
       Seq(1L, "exact_dup"), Seq(2L, "near_dup"), Seq(4L, "quality"),
       Seq(17L, "contaminated"), Seq(42L, "kept")))
+    // the funnel over the same shard: one doc per stage, token mass =
+    // whitespace counts, remaining walks down to the single kept doc
+    val toks = Map(1L -> s0, 2L -> (s3 + " again"), 4L -> "short text here",
+      17L -> s17, 42L -> s42)
+      .map { case (k, v) =>
+        k -> v.split(" ").count(_.nonEmpty).toLong }
+    val fun = Curation.arrivalFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6)))
+    assert(fun.map(_._2).toSeq === Curation.ArrivalStages.map(_._2))
+    val byStage = expected.map(e =>
+      e(1).asInstanceOf[String] -> e(0).asInstanceOf[Long]).toMap
+    var remaining = 5L
+    fun.foreach { case (_, stage, nd, nt, dRem, share) =>
+      assert(nd === 1L, s"stage $stage docs")
+      assert(nt === toks(byStage(stage)), s"stage $stage tokens")
+      if (stage != "kept") remaining -= 1
+      assert(dRem === remaining)
+      assert(share === math.floor(remaining.toDouble / 5 * 1e4 + 0.5) / 1e4)
+    }
   }
 }
