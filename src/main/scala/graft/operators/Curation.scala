@@ -944,7 +944,11 @@ object Curation {
       .select(col("ord"), col("stage"), col("n_docs"), col("n_tokens"),
         (col("td") - col("cd")).as("docs_remaining"),
         (col("tt") - col("ct")).as("tokens_remaining"),
-        r4((col("td") - col("cd")).cast("double") / col("td"))
+        // td=0 guard (empty shard/corpus): Spark's x/0 yields NULL but
+        // DuckDB's IEEE float divide yields inf/NaN — both sides emit
+        // NULL explicitly so a degenerate corpus stays in parity
+        when(col("td") > 0,
+          r4((col("td") - col("cd")).cast("double") / col("td")))
           .as("share_remaining"))
       .orderBy(col("ord"))
   }
@@ -1058,7 +1062,11 @@ object Curation {
       .select(col("ord"), col("stage"), col("n_docs"), col("n_tokens"),
         (col("td") - col("cd")).as("docs_remaining"),
         (col("tt") - col("ct")).as("tokens_remaining"),
-        r4((col("td") - col("cd")).cast("double") / col("td"))
+        // td=0 guard (empty shard/corpus): Spark's x/0 yields NULL but
+        // DuckDB's IEEE float divide yields inf/NaN — both sides emit
+        // NULL explicitly so a degenerate corpus stays in parity
+        when(col("td") > 0,
+          r4((col("td") - col("cd")).cast("double") / col("td")))
           .as("share_remaining"))
       .orderBy(col("ord"))
   }

@@ -472,6 +472,36 @@ object Dedup {
   val DeltaSeed = "graft-delta"
   val DeltaRate = 0.1
 
+  /** Bloom geometry for the arrival pass's store prune: the broadcast
+    * bitmap is ≤ min(bits, hashes·|shard keys|) rows — the hard,
+    * shard-independent ceiling that replaced the shard-linear
+    * broadcast(touched). 2^22 bits at 2 hashes ≈ 1.3e-4 fp at a
+    * 24k-key (sf0.1) shard; saturation (≥ ~2M keys) degrades to the
+    * shuffled exact semi-join, never to a wrong answer.
+    */
+  val DeltaBloomBits = 1 << 22
+  val DeltaBloomHashes = 2
+
+  /** The Bloom stage-1 prune of the band store against a shard's
+    * touched (band, key) set: per hash, a map-side broadcast semi-join
+    * on the set-bit frame. Exposed for PlanSpec's shape pin; the exact
+    * stage-2 semi-join stays in [[dedupDelta]].
+    */
+  private[graft] def bloomPrunedStore(spark: SparkSession, dir: String,
+      touched: DataFrame): DataFrame = {
+    def bloomBit(i: Int): Column =
+      pmod(conv(substring(md5(concat_ws(":", lit(i.toString), col("band"),
+        col("key"))), 1, 15), 16, 10).cast("long"),
+        lit(DeltaBloomBits.toLong))
+    val bits = (0 until DeltaBloomHashes)
+      .map(i => touched.select(bloomBit(i).as("bit")))
+      .reduce(_ union _).distinct().localCheckpoint()
+    (0 until DeltaBloomHashes)
+      .foldLeft(bandStore(spark, dir)) { (df, i) =>
+        df.join(broadcast(bits), bloomBit(i) === col("bit"), "left_semi")
+      }
+  }
+
   private[graft] def isDelta(id: Column): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + DeltaSeed))),
       1, 8), 16, 10).cast("long") / lit(4294967296.0) < DeltaRate
@@ -517,6 +547,57 @@ object Dedup {
     val path = hashStorePath(dir)
     IndexStore.ensureBuilt(path)(buildHashStore(spark, dir, path))
     spark.read.parquet(path)
+  }
+
+  // --- store absorption: the write half of the incremental loop -------
+  //
+  // dedupArrival reads the stores; these append the ADMITTED shard back
+  // into them, so shard N+1 dedups against shard N without a corpus
+  // rebuild — the batch twin of the reference's immediately-visible
+  // upsert (database.py:340-374 add_document_to_knowledge_base). Same
+  // contract as appendToIvfFlat/appendToKnnGraph: existing files are
+  // never rewritten, appended files are sorted within themselves (the
+  // global (band, key) sort degrades toward per-file runs as appends
+  // accumulate — the periodic full rebuild is the re-sort/compaction
+  // step), and a repeated/overlapping append is a no-op (batch-bounded
+  // anti-join against the store slice pruned map-side to the batch's
+  // own keys — the broadcast is batch-sized; a real ingest bounds its
+  // admission batches, and the compaction rebuild resets any drift).
+
+  /** Absorb a shard's LSH band rows into the persisted band store. */
+  def appendToBandStore(spark: SparkSession, dir: String,
+      shard: DataFrame): Unit = {
+    val path = bandStorePath(dir)
+    IndexStore.ensureBuilt(path)(buildBandStore(spark, dir, path))
+    val fresh = minhashBandedFrom(shingleRowsOf(shard)).localCheckpoint()
+    val ids = fresh.select(col("doc_id")).distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    fresh.join(existing, Seq("doc_id", "band", "key"), "left_anti")
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("append").option("compression", "zstd").parquet(path)
+  }
+
+  /** Absorb a shard's normalized hashes into the persisted hash store
+    * under the FIRST-COME-FIRST-KEPT ingest rule ([[arrivalReport]]'s
+    * exact_dup semantics): a hash already in the store keeps its
+    * existing canonical; only genuinely new hashes append, with the
+    * shard's min doc_id as their canonical.
+    */
+  def appendToHashStore(spark: SparkSession, dir: String,
+      shard: DataFrame): Unit = {
+    val path = hashStorePath(dir)
+    IndexStore.ensureBuilt(path)(buildHashStore(spark, dir, path))
+    val batch = exactHashOf(shard)
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("canonical"))
+      .localCheckpoint()
+    val known = spark.read.parquet(path)
+      .join(broadcast(batch.select(col("text_hash"))),
+        Seq("text_hash"), "left_semi")
+      .select(col("text_hash"))
+    batch.join(known, Seq("text_hash"), "left_anti")
+      .sortWithinPartitions(col("text_hash"))
+      .write.mode("append").option("compression", "zstd").parquet(path)
   }
 
   /** band_store_stats: the CAPACITY audit of the persisted band store —
@@ -585,22 +666,59 @@ object Dedup {
     spark.read.parquet(path)
   }
 
-  def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
+  def dedupDelta(spark: SparkSession, dir: String): DataFrame =
+    dedupArrival(spark, dir,
+      Tables.documents(spark, dir).filter(isDelta(col("doc_id"))))
+
+  /** The arrival pass for an ARBITRARY shard frame — [[dedupDelta]] is
+    * this applied to the deterministic [[isDelta]] split; a real ingest
+    * calls it per arriving batch, then absorbs the admitted docs via
+    * [[appendToBandStore]]/[[appendToHashStore]] so the NEXT arrival
+    * sees them through the store alone (the close of the incremental
+    * loop — the reference's insert is immediately visible the same
+    * way, database.py:340-374).
+    *
+    * Contract: the shard's docs must already be present in the corpus
+    * `documents` table (ingest order: write the doc rows, then run the
+    * pass) — the Jaccard verify re-shingles candidate PARTICIPANTS
+    * from the table, never from the store.
+    */
+  def dedupArrival(spark: SparkSession, dir: String,
+      shard: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val deltaBands = minhashBandedFrom(
-      shingleRowsOf(docs.filter(isDelta(col("doc_id"))))).localCheckpoint()
-    // the store is touched ONLY in the shard's buckets: a broadcast
-    // semi-join on the shard's (band, key) set prunes it map-side — the
-    // store is scanned once and never shuffled (untouched buckets can
-    // produce no candidate, and a touched bucket's combined count over
-    // touched-store ∪ shard is its full-corpus count, so the cap
-    // semantics are exactly the batch pass's). This is what makes the
-    // arrival pass delta-linear: measured 12.9 → 3.5 s at sf0.1, and at
-    // 100 TB the difference between re-shuffling a corpus-sized store
-    // per shard and one map-only scan of it.
+    val shardIds = shard.select(col("doc_id")).distinct().localCheckpoint()
+    val deltaBands = minhashBandedFrom(shingleRowsOf(shard))
+      .localCheckpoint()
+    // the store is touched ONLY in the shard's buckets, and the prune
+    // happens map-side in two stages so the broadcast NEVER scales with
+    // the shard:
+    //  1. a Bloom bitmap of the shard's (band, key) set — the
+    //     bloom_decontaminate machinery; the broadcast frame holds the
+    //     SET bit positions, ≤ min(m=2^22, k·|touched|) rows, a hard
+    //     ceiling independent of shard size (the former explicit
+    //     broadcast(touched) was shard-linear: a 100M-doc arrival
+    //     would have built a multi-GB driver-side table and died) —
+    //     chained per-hash broadcast bit probes keep the store scan
+    //     map-only;
+    //  2. the EXACT (band, key) semi-join over the Bloom survivors,
+    //     with NO broadcast hint: touched is checkpointed so the
+    //     planner sizes it from real stats — sane shards still
+    //     broadcast, a giant arrival falls back to shuffling only the
+    //     Bloom-surviving store slice (touched buckets + fp·store).
+    // Degradation envelope: a shard big enough to saturate the bitmap
+    // (≥ ~m/k ≈ 2M distinct keys, ~500k docs) prunes nothing in stage
+    // 1 and pays the shuffled semi-join — degraded, never wrong.
+    // Untouched buckets produce no candidate, and a touched bucket's
+    // combined count over touched-store ∪ shard is its full-corpus
+    // count, so the cap semantics are exactly the batch pass's. This
+    // is what makes the arrival pass delta-linear: measured
+    // 12.9 → 3.5 s at sf0.1, and at 100 TB the difference between
+    // re-shuffling a corpus-sized store per shard and one map-only
+    // scan of it.
     val touched = deltaBands.select(col("band"), col("key")).distinct()
-    val all = bandStore(spark, dir)
-      .join(broadcast(touched), Seq("band", "key"), "left_semi")
+      .localCheckpoint()
+    val all = bloomPrunedStore(spark, dir, touched)
+      .join(touched, Seq("band", "key"), "left_semi")
       .unionByName(deltaBands)
     // materialized: the cap counts feed BOTH capped sides, and the
     // candidate set feeds both the participant semi-join and the verify
@@ -626,9 +744,18 @@ object Dedup {
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .localCheckpoint()
+    // pair_kind by shard MEMBERSHIP (not the isDelta hash): two
+    // batch-sized left joins over the tiny verified-pairs frame, so
+    // the one code path serves both the gated split and real arrivals
+    val sa = shardIds.select(col("doc_id").as("id_a"),
+      lit(true).as("a_in"))
+    val sb = shardIds.select(col("doc_id").as("id_b"),
+      lit(true).as("b_in"))
     verifyJaccard(cand, sh).filter(col("jaccard") >= JaccardThreshold)
+      .join(sa, Seq("id_a"), "left").join(sb, Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        when(isDelta(col("id_a")) && isDelta(col("id_b")), "delta_delta")
+        when(coalesce(col("a_in"), lit(false)) &&
+            coalesce(col("b_in"), lit(false)), "delta_delta")
           .otherwise("delta_base").as("pair_kind"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -451,6 +451,59 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(Dedup.dedupDelta(spark, dir0)) === expected)
   }
 
+  test("store absorption: an absorbed shard is visible to the NEXT " +
+      "arrival via the stores alone; appends are idempotent and " +
+      "store_coverage reconciles post-append") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // every id is NON-delta: the stores build from whatever the corpus
+    // table holds at first use, and absorption (not the split hash)
+    // decides store membership
+    assert(Seq(0L, 3L, 5L, 7L).forall(!isDeltaId(_)))
+    val tShard = "quick brown fox jumps over lazy dog tonight"
+    val dir = fixtureDir(
+      docs = Seq(doc(0, "alpha beta gamma delta epsilon zeta"),
+        doc(3, "one two three four five six seven")),
+      embs = Seq(Emb(0, vec(1.0), 0), Emb(1, vec(0.5, 0.5), 0),
+        Emb(2, vec(0.0, 1.0), 1)))
+    // stores build over the base corpus only
+    Dedup.bandStore(spark, dir); Dedup.hashStore(spark, dir)
+    // ingest order: the shard's doc rows land in the corpus table first
+    Seq(doc(5, tShard), doc(7, tShard)).toDF()
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val docsT = graft.sources.Tables.documents(spark, dir)
+    val shard1 = docsT.filter(col("doc_id") === 5)
+    val shard2 = docsT.filter(col("doc_id") === 7)
+    // control: without absorption, arrival 2 cannot see shard 1
+    assert(Dedup.dedupArrival(spark, dir, shard2).collect().isEmpty)
+    // absorb shard 1; arrival 2 now finds the pair VIA THE STORE ALONE
+    Dedup.appendToBandStore(spark, dir, shard1)
+    Dedup.appendToHashStore(spark, dir, shard1)
+    assert(rows(Dedup.dedupArrival(spark, dir, shard2)) === Set(
+      Seq[Any](5L, 7L, 1.0, "delta_base")))
+    // first-come-first-kept: shard 2's identical text does NOT retarget
+    // the existing hash row's canonical
+    Dedup.appendToHashStore(spark, dir, shard2)
+    val hs = spark.read.parquet(Dedup.hashStorePath(dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hs.size === 3) // two base hashes + the shard text's one
+    assert(hs.values.toSet === Set(0L, 3L, 5L))
+    // absorb shard 2's bands too: every corpus doc is now behind the
+    // stores and the reconciliation audit reads clean
+    Dedup.appendToBandStore(spark, dir, shard2)
+    val cov = rows(graft.operators.Curation.storeCoverage(spark, dir))
+      .map(r => r.head -> (r(3), r(4))).toMap
+    assert(cov("band_store") === ((0L, 0L)))
+    assert(cov("hash_store") === ((0L, 0L)))
+    // repeated appends are no-ops (batch-bounded anti-join dedupe)
+    val nb = spark.read.parquet(Dedup.bandStorePath(dir)).count()
+    val nh = spark.read.parquet(Dedup.hashStorePath(dir)).count()
+    Dedup.appendToBandStore(spark, dir, shard1)
+    Dedup.appendToHashStore(spark, dir, shard1)
+    assert(spark.read.parquet(Dedup.bandStorePath(dir)).count() === nb)
+    assert(spark.read.parquet(Dedup.hashStorePath(dir)).count() === nh)
+  }
+
   test("band_store_stats: per-band bucket aggregates match a driver-side " +
       "rollup of the base-corpus band rows") {
     import org.apache.spark.sql.functions.col

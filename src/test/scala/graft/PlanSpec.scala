@@ -606,6 +606,26 @@ class PlanSpec extends SparkSpecBase {
       assert(!ar.contains("CartesianProduct"))
       assert(!ar.contains("BroadcastNestedLoopJoin"))
     }
+    // r14: the store's stage-1 prune is the BLOOM bitmap — per hash one
+    // map-side broadcast bit probe; the store itself is never shuffled
+    // (no exchange on its side), and the broadcast frame is the set-bit
+    // set, hard-capped at DeltaBloomBits rows regardless of shard size
+    val touched = Dedup.minhashBandedFrom(
+        Dedup.shingleRowsOf(graft.sources.Tables.documents(spark, dir)
+          .filter(Dedup.isDelta(org.apache.spark.sql.functions
+            .col("doc_id")))))
+      .select(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("key")).distinct()
+      .localCheckpoint()
+    val bp = physical(Dedup.bloomPrunedStore(spark, dir, touched))
+    val semis = bp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.size === Dedup.DeltaBloomHashes,
+      s"expected ${Dedup.DeltaBloomHashes} Bloom bit probes, plan:\n$bp")
+    assert(!planOf(Dedup.bloomPrunedStore(spark, dir, touched))
+      .contains("SortMergeJoin"))
     // store_coverage combines 1-row aggregates per artifact (the q22
     // sanctioned scalar class): under the default threshold they ride
     // broadcast, and every KEYED join stays an equi-join
