@@ -206,6 +206,39 @@ class ParamsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann.vector: an arbitrary embedding serves through the INDEX " +
+      "chain (r14 — the reference RPC's p_embedding, database.py:443), " +
+      "bit-identical to the vec_id arm for the same floats; unset " +
+      "keeps gated parity") {
+    val stored = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 100).select("embedding")
+      .head.getSeq[Float](0)
+    val csv = stored.map(_.toString).mkString(",")
+    def fams: Seq[(String, () => DataFrame)] = Seq(
+      "ann_ivf_kmeans" -> (() => Similarity.annIvfKmeans(spark, dir)),
+      "ann_filtered" -> (() => Similarity.annFiltered(spark, dir)),
+      "ann_sq" -> (() => Similarity.annSq(spark, dir)),
+      "ann_graph" -> (() => Similarity.annGraph(spark, dir)),
+      "mmr_rerank" -> (() => Similarity.mmrRerank(spark, dir)))
+    for ((name, f) <- fams) {
+      val dfltAll = sortedRows(f())
+      // qid = 100 reproduces the stored vector's own gated ranking:
+      // same floats, same self-exclusion — the slice identity
+      val slice = sortedRows(f().filter(col("q_id") === 100))
+      withParam("ann.vector", csv) {
+        withParam("ann.vector.qid", "100") {
+          assert(sortedRows(f()) === slice,
+            s"$name: literal arm must rank bit-identical to vec_id arm")
+        }
+        // the default qid (-1) matches no corpus row: nothing excluded,
+        // the stored twin itself leads the ranking
+        val open = f().collect()
+        assert(open.nonEmpty, s"$name: literal arm must serve")
+      }
+      assert(sortedRows(f()) === dfltAll, s"$name: unset parity")
+    }
+  }
+
   test("ann.filter.lang: empty string disables the predicate entirely") {
     val embs = (0L until 10L).map(i =>
       Emb(i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f),

@@ -422,6 +422,91 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed.contains((0L, 1000L, 2)))
   }
 
+  test("compressed-code appends: PQ/IVFPQ/BQ encode under FROZEN " +
+      "quantizers, are probe-visible, and repeated appends are no-ops") {
+    import spark.implicits._
+    val d = fixtureDir(embs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Emb(i.toLong, vec(base, 0.1 * (i % 5), 0.2), i % 2)
+    })
+    // --- PQ: the appended twin of vec 0 gets vec 0's exact codes ----
+    val pqPath = Similarity.pqIndexPath(d)
+    val cbBefore = Similarity.pqIndex(spark, d).codebooks.collect()
+      .map(_.toSeq).toSet
+    Similarity.appendToPqCodes(spark, d,
+      Seq(Emb(1000L, vec(1.0, 0.0, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    val idx1 = Similarity.pqIndex(spark, d)
+    assert(idx1.codebooks.collect().map(_.toSeq).toSet === cbBefore,
+      "codebooks must stay frozen across an append")
+    val pqc = idx1.codes
+      .filter($"vec_id" === 1000L || $"vec_id" === 0L).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    (0 until 8).foreach { m =>
+      assert(pqc((1000L, m)) === pqc((0L, m)),
+        s"identical vector must take its twin's codeword in subspace $m")
+    }
+    // probe-visible immediately: idx1.codes IS the probe's scan input
+    // (annPqProbe joins it directly), and the appended rows are read
+    // through the same path — the probe itself still serves green
+    // (ADC ranks reconstructions, so the twin need not win a top-3
+    // slot; code equality above is the encode correctness check)
+    assert(Similarity.annPq(spark, d).collect().nonEmpty)
+    val nPq = spark.read.parquet(s"$pqPath/codes").count()
+    Similarity.appendToPqCodes(spark, d,
+      Seq(Emb(1000L, vec(1.0, 0.0, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    assert(spark.read.parquet(s"$pqPath/codes").count() === nPq,
+      "repeated PQ append must be a no-op")
+    // --- IVFPQ: route via frozen coarse, residual-encode, land in the
+    //     twin's cell partition --------------------------------------
+    val ivfpqPath = Similarity.ivfPqIndexPath(d)
+    val idxI = Similarity.ivfPqIndex(spark, d)
+    val coarseBefore = idxI.coarse.collect().map(_.toSeq).toSet
+    Similarity.appendToIvfPqCodes(spark, d,
+      Seq(Emb(2000L, vec(-1.0, 0.1, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    val idxI2 = Similarity.ivfPqIndex(spark, d)
+    assert(idxI2.coarse.collect().map(_.toSeq).toSet === coarseBefore)
+    val cellOf = idxI2.codes
+      .filter($"vec_id" === 2000L || $"vec_id" === 1L)
+      .select($"vec_id", $"ccell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(2000L) === cellOf(1L),
+      "the twin must route to its twin's inverted list")
+    val ivfpqCodes = idxI2.codes
+      .filter($"vec_id" === 2000L || $"vec_id" === 1L).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    (0 until 8).foreach { m =>
+      assert(ivfpqCodes((2000L, m)) === ivfpqCodes((1L, m)),
+        s"identical residual must take the twin's codeword in $m")
+    }
+    val nIvfPq = spark.read.parquet(s"$ivfpqPath/codes").count()
+    Similarity.appendToIvfPqCodes(spark, d,
+      Seq(Emb(2000L, vec(-1.0, 0.1, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    assert(spark.read.parquet(s"$ivfpqPath/codes").count() === nIvfPq,
+      "repeated IVFPQ append must be a no-op")
+    // --- BQ: sign bits against the PERSISTED frozen thresholds ------
+    val bqPath = Similarity.bqCodesPath(d)
+    val bq0 = Similarity.bqCodes(spark, d)
+      .filter($"vec_id" === 0L).collect().head
+    Similarity.appendToBqCodes(spark, d,
+      Seq(Emb(3001L, vec(1.0, 0.0, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    val bqNew = spark.read.parquet(bqPath)
+      .filter($"vec_id" === 3001L).collect().head
+    assert((bqNew.getLong(1), bqNew.getLong(2)) ===
+      ((bq0.getLong(1), bq0.getLong(2))),
+      "identical vector must code to its twin's sign bits")
+    val nBq = spark.read.parquet(bqPath).count()
+    Similarity.appendToBqCodes(spark, d,
+      Seq(Emb(3001L, vec(1.0, 0.0, 0.2), 0)).toDF()
+        .select($"vec_id", $"embedding"))
+    assert(spark.read.parquet(bqPath).count() === nBq,
+      "repeated BQ append must be a no-op")
+  }
+
   test("ivf append: works as a streaming foreachBatch sink") {
     import spark.implicits._
     val d = dir()
@@ -797,6 +882,59 @@ class SimilaritySpec extends SparkSpecBase {
     appended.foreach { case (s, d) =>
       assert(after.contains((d, s)), s"reverse of ($s,$d) missing")
     }
+    // r14: a REPEATED append is a no-op — edges are deduped against
+    // the existing graph, not just within the batch, so overlapping
+    // appends cannot multiply edge rows (the ADVICE r13 defect)
+    val nRows = spark.read.parquet(path).count()
+    Similarity.appendToKnnGraph(spark, dir,
+      Seq(Emb(200L, twin, 0), Emb(201L, twin, 0)).toDF())
+    assert(spark.read.parquet(path).count() === nRows,
+      "repeated append must not duplicate edges")
+  }
+
+  test("append receipt: on clean clusters the appended graph serves " +
+      "the rebuilt results; a delta-heavy corpus trips the mass " +
+      "trigger and rebuild_due fires") {
+    val out = Similarity.appendRecall(spark, graphDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set("appended", "rebuilt"))
+    // fresh entry pool + symmetrized reverse edges: on well-separated
+    // clusters the appended graph loses nothing vs the full rebuild
+    assert(out("appended") === out("rebuilt"))
+    val ch = Similarity.appendChurn(spark, graphDir).head()
+    assert(ch.getAs[Long]("n_changed") === 0L)
+    assert(ch.getAs[Double]("churn") === 0.0)
+    assert(ch.getAs[Boolean]("rebuild_due") === false)
+    // in-spec recompute of the mass share from the artifact itself
+    def isDeltaId(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${graft.operators.Dedup.DeltaSeed}".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) / 4294967296.0 <
+        graft.operators.Dedup.DeltaRate
+    }
+    val edges = Similarity.appendedKnnGraph(spark, graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nApp = edges.count(e => isDeltaId(e._1) || isDeltaId(e._2))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(ch.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(ch.getAs[Long]("n_appended") === nApp.toLong)
+    assert(ch.getAs[Double]("append_share") ===
+      r4(nApp.toDouble / edges.length))
+    // a delta-heavy corpus (5 of 9 ids arrive as appends) breaches the
+    // mass ceiling — the receipt flags the compaction rebuild
+    assert(Seq(1L, 2L, 4L, 17L, 42L).forall(isDeltaId))
+    assert(Seq(0L, 3L, 5L, 7L).forall(!isDeltaId(_)))
+    val d2 = fixtureDir(embs = Seq(
+      Emb(0L, graphMember(0, 0), 0), Emb(1L, graphMember(0, 11), 0),
+      Emb(2L, graphMember(0, 12), 0), Emb(3L, graphMember(1, 0), 1),
+      Emb(4L, graphMember(1, 21), 1), Emb(5L, graphMember(1, 22), 1),
+      Emb(7L, graphMember(2, 0), 2), Emb(17L, graphMember(0, 13), 0),
+      Emb(42L, graphMember(1, 23), 1)))
+    val ch2 = Similarity.appendChurn(spark, d2).head()
+    assert(ch2.getAs[Double]("append_share") > Similarity.AppShareMax)
+    assert(ch2.getAs[Boolean]("rebuild_due") === true)
   }
 
   test("rounds_pick: all arms exact on clean clusters, so the cheapest " +
