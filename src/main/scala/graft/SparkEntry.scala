@@ -56,6 +56,8 @@ object SparkEntry {
     "beam_curve"   -> (Similarity.beamCurve _),
     "graph_degree" -> (Similarity.graphDegree _),
     "rounds_pick"  -> (Similarity.roundsPick _),
+    "append_recall" -> (Similarity.appendRecall _),
+    "append_churn"  -> (Similarity.appendChurn _),
     "embedding_drift"   -> (Similarity.embeddingDrift _),
     "kb_consistency"    -> (Similarity.kbConsistency _),
     "sim_topk"          -> (Similarity.simTopk _),
@@ -947,6 +949,8 @@ object SparkEntry {
     "beam_curve" -> graft.oracle.DuckSql.beamCurve,
     "graph_degree" -> graft.oracle.DuckSql.graphDegree,
     "rounds_pick" -> graft.oracle.DuckSql.roundsPick,
+    "append_recall" -> graft.oracle.DuckSql.appendRecall,
+    "append_churn" -> graft.oracle.DuckSql.appendChurn,
     "perplexity_ood" -> graft.oracle.DuckSql.perplexityOod,
     "perplexity_backoff" -> graft.oracle.DuckSql.perplexityBackoff,
     "dsir_weights" -> graft.oracle.DuckSql.dsirWeights,

@@ -213,6 +213,80 @@ object Tenancy {
     }
   }
 
+  /** compactArtifacts: the ERASURE-DEBT write path for the persisted
+    * IndexStore artifacts — [[applyErasure]]'s posture applied to the
+    * derived surfaces. GDPR deletion that stops at the source tables
+    * leaves every pair set, band/hash store, inverted list, code table,
+    * graph and truth artifact still carrying the erased ids (exactly
+    * what store_coverage's `n_extra` column prices as debt); this
+    * drops them with LOCAL REWRITES OF TOUCHED FILES ONLY — untouched
+    * files are never read past their footer stats, never listed for
+    * rewrite, and stay byte-identical.
+    *
+    * Mechanics per artifact: `input_file_name()` locates the files
+    * holding erased rows (a footer-stat-prunable scan — the deletion
+    * batch is a bounded literal, the GDPR-queue contract), the
+    * surviving rows of ONLY those files re-stage through a
+    * localCheckpoint (cutting lineage from the path), the touched
+    * files delete, and the survivors append as fresh files (under the
+    * original hive partitioning where the layout has one). The
+    * touched-file enumeration collects a file LIST, not rows — the
+    * applyErasure kept-shard posture.
+    *
+    * Semantics notes: a hash-store row whose canonical was erased is
+    * dropped entirely (identical text arriving later re-registers
+    * under a new canonical — first-come-after-erasure); graph edges
+    * erase in both directions, so symmetry survives; the dense truth
+    * loses the erased ids' rows on BOTH sides — it is a rebuildable
+    * cache, and a post-erasure rebuild restores exact ranks. The
+    * caller erases the SOURCE tables first; then this clears the
+    * derived debt and store_coverage reconciles to n_extra=0.
+    */
+  def compactArtifacts(spark: SparkSession, dir: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    def hitIn(cs: String*) =
+      cs.map(n => col(n).isin(ids: _*)).reduce(_ || _)
+    compactFiles(spark, Dedup.pairsIndexPath(dir), hitIn("id_a", "id_b"))
+    compactFiles(spark, Dedup.deltaPairsPath(dir), hitIn("id_a", "id_b"))
+    compactFiles(spark, Dedup.bandStorePath(dir), hitIn("doc_id"))
+    compactFiles(spark, Dedup.hashStorePath(dir), hitIn("canonical"))
+    compactFiles(spark, s"${Similarity.ivfFlatIndexPath(dir)}/lists",
+      hitIn("vec_id"), Seq("ccell"))
+    compactFiles(spark, s"${Similarity.pqIndexPath(dir)}/codes",
+      hitIn("vec_id"))
+    compactFiles(spark, s"${Similarity.ivfPqIndexPath(dir)}/codes",
+      hitIn("vec_id"), Seq("ccell"))
+    compactFiles(spark, Similarity.bqCodesPath(dir), hitIn("vec_id"))
+    compactFiles(spark, Similarity.knnGraphPath(dir), hitIn("src", "dst"))
+    compactFiles(spark, Similarity.denseTruthPath(dir),
+      hitIn("q_id", "neighbor_id"))
+  }
+
+  /** Rewrite only the files of `path` that contain rows matching `hit`,
+    * dropping those rows; absent artifacts are skipped (not every
+    * corpus has every index built).
+    */
+  private def compactFiles(spark: SparkSession, path: String,
+      hit: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    val withF = spark.read.parquet(path)
+      .withColumn("_file", input_file_name())
+    val touched = withF.filter(hit).select(col("_file")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val kept = withF.filter(col("_file").isin(touched: _*)).filter(!hit)
+      .drop("_file").localCheckpoint()
+    touched.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+    val w = kept.write.mode("append").option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
   /** k_anonymity quasi-identifier balance-bucket width and the k grid
     * the profile reports.
     */

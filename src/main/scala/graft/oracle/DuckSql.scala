@@ -2583,48 +2583,168 @@ object DuckSql {
        |  SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge))""".stripMargin
   }
 
-  /** The full walk chain: graph edges + entry pool + unrolled rounds,
-    * ending at vis0..visR and f0..fR — shared by annGraph and
-    * beamCurve.
+  /** The walk chain over edge CTE `g` with CTE-name suffix `sfx`:
+    * entry pool + unrolled rounds, ending at vis0$sfx..visR$sfx and
+    * f0$sfx..fR$sfx. Suffixing lets two walks (appended vs rebuilt
+    * graph) share one query; the entry pool always reads the FRESH
+    * inverted lists (`idx`), mirroring the engine.
     */
-  private lazy val graphWalkCtes: String = {
+  private def walkCtesOver(g: String, sfx: String): String = {
     import graft.operators.Similarity
     val (ent, beam, rounds) = (Similarity.GraphEntries,
       Similarity.GraphBeam, Similarity.GraphRounds)
     val roundCtes = (1 to rounds).map { r =>
-      s"""nb$r AS (SELECT DISTINCT f.q_id, gg.dst AS vec_id
-         |  FROM f${r - 1} f JOIN g gg ON gg.src = f.vec_id),
-         |sc$r AS (SELECT n.q_id, n.vec_id,
+      s"""nb$r$sfx AS (SELECT DISTINCT f.q_id, gg.dst AS vec_id
+         |  FROM f${r - 1}$sfx f JOIN $g gg ON gg.src = f.vec_id),
+         |sc$r$sfx AS (SELECT n.q_id, n.vec_id,
          |    list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s
-         |  FROM nb$r n JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |  FROM nb$r$sfx n JOIN embeddings ne ON ne.vec_id = n.vec_id
          |       JOIN embeddings qe ON qe.vec_id = n.q_id
          |  WHERE n.vec_id <> n.q_id),
-         |vis$r AS MATERIALIZED (SELECT q_id, vec_id, max(s) AS s FROM (
-         |    SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r)
+         |vis$r$sfx AS MATERIALIZED (SELECT q_id, vec_id, max(s) AS s FROM (
+         |    SELECT * FROM vis${r - 1}$sfx UNION ALL SELECT * FROM sc$r$sfx)
          |  GROUP BY q_id, vec_id),
-         |f$r AS (SELECT q_id, vec_id, s FROM (
+         |f$r$sfx AS (SELECT q_id, vec_id, s FROM (
          |    SELECT q_id, vec_id, s, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY s DESC, vec_id) AS rk FROM vis$r)
+         |      ORDER BY s DESC, vec_id) AS rk FROM vis$r$sfx)
          |  WHERE rk <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""$graphEdgeCtes,
-       |p1 AS (SELECT q_id, pcid FROM (
+    s"""p1$sfx AS (SELECT q_id, pcid FROM (
        |  SELECT q.vec_id AS q_id, c.cid AS pcid,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
        |               c.cid) AS pr
        |  FROM embeddings q, c2 c WHERE q.vec_id % 100 = 0) WHERE pr = 1),
-       |vis0 AS MATERIALIZED (SELECT q_id, vec_id, s FROM (
+       |vis0$sfx AS MATERIALIZED (SELECT q_id, vec_id, s FROM (
        |  SELECT p.q_id, x.vec_id,
        |    list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS s,
        |    row_number() OVER (PARTITION BY p.q_id
        |      ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC,
        |               x.vec_id) AS rk
-       |  FROM p1 p JOIN idx x ON x.cid = p.pcid
+       |  FROM p1$sfx p JOIN idx x ON x.cid = p.pcid
        |       JOIN embeddings qe ON qe.vec_id = p.q_id
        |  WHERE x.vec_id <> p.q_id) WHERE rk <= $ent),
-       |f0 AS (SELECT * FROM vis0),
+       |f0$sfx AS (SELECT * FROM vis0$sfx),
        |$roundCtes""".stripMargin
+  }
+
+  /** The full walk chain: graph edges + entry pool + unrolled rounds,
+    * ending at vis0..visR and f0..fR — shared by annGraph and
+    * beamCurve.
+    */
+  private lazy val graphWalkCtes: String =
+    s"""$graphEdgeCtes,
+       |${walkCtesOver("g", "")}""".stripMargin
+
+  /** The APPENDED graph's edge CTEs on top of [[graphEdgeCtes]]: base
+    * edges (non-delta probes over non-delta members) plus the real
+    * append's edges (delta probes over ALL members — the frozen
+    * quantizer's add-after-train contract), both symmetrized — the
+    * mirror of Similarity.buildAppendedKnnGraph.
+    */
+  private lazy val appendedEdgeCtes: String = {
+    import graft.operators.Similarity
+    s"""geb AS (SELECT gv AS src, nv AS dst FROM (
+       |  SELECT p.gv, x.vec_id AS nv,
+       |    row_number() OVER (PARTITION BY p.gv
+       |      ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], ve.embedding::DOUBLE[]) DESC,
+       |               x.vec_id) AS rk
+       |  FROM gp p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings ve ON ve.vec_id = p.gv
+       |  WHERE x.vec_id <> p.gv AND NOT ${isDeltaSql("x.vec_id")}
+       |        AND NOT ${isDeltaSql("p.gv")})
+       |  WHERE rk <= ${Similarity.GraphK}),
+       |gea AS (SELECT gv AS src, nv AS dst FROM (
+       |  SELECT p.gv, x.vec_id AS nv,
+       |    row_number() OVER (PARTITION BY p.gv
+       |      ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], ve.embedding::DOUBLE[]) DESC,
+       |               x.vec_id) AS rk
+       |  FROM gp p JOIN idx x ON x.cid = p.pcid
+       |       JOIN embeddings ve ON ve.vec_id = p.gv
+       |  WHERE x.vec_id <> p.gv AND ${isDeltaSql("p.gv")})
+       |  WHERE rk <= ${Similarity.GraphK}),
+       |gapp AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM geb UNION ALL SELECT dst, src FROM geb
+       |  UNION ALL
+       |  SELECT src, dst FROM gea UNION ALL SELECT dst, src FROM gea))"""
+      .stripMargin
+  }
+
+  /** Mirror of Similarity.appendRecall: both walk chains (appended
+    * edge set `gapp` with suffix `a`, rebuilt `g` with suffix `r`)
+    * against the brute exact top-3, one row per arm.
+    */
+  lazy val appendRecall: String = {
+    import graft.operators.Similarity
+    val R = Similarity.GraphRounds
+    def armSql(name: String, sfx: String) =
+      s"""SELECT '$name' AS arm, n_queries, n_matched,
+         |  floor(n_matched::DOUBLE / (n_queries * 3) * 10000 + 0.5)
+         |    / 10000 AS recall
+         |FROM (SELECT count(DISTINCT ex.q_id)::BIGINT AS n_queries,
+         |        count(a.vec_id)::BIGINT AS n_matched
+         |      FROM ex LEFT JOIN t$sfx a ON a.q_id = ex.q_id
+         |                              AND a.vec_id = ex.neighbor_id)"""
+        .stripMargin
+    s"""WITH $graphWalkCtes,
+       |$appendedEdgeCtes,
+       |${walkCtesOver("gapp", "a")},
+       |ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM embeddings e, embeddings q
+       |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |ta AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY s DESC, vec_id) AS rk FROM vis${R}a) WHERE rk <= 3),
+       |tr AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY s DESC, vec_id) AS rk FROM vis$R) WHERE rk <= 3)
+       |SELECT * FROM (
+       |  ${armSql("appended", "a")}
+       |  UNION ALL
+       |  ${armSql("rebuilt", "r")})
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** Mirror of Similarity.appendChurn: appended-edge mass share of
+    * `gapp`, per-query top-3 symmetric difference between the two
+    * walks, and the rebuild_due decision on the rounded shares.
+    */
+  lazy val appendChurn: String = {
+    import graft.operators.Similarity
+    val R = Similarity.GraphRounds
+    s"""WITH $graphWalkCtes,
+       |$appendedEdgeCtes,
+       |${walkCtesOver("gapp", "a")},
+       |em AS (SELECT count(*)::BIGINT AS n_edges,
+       |    sum(CASE WHEN ${isDeltaSql("src")} OR ${isDeltaSql("dst")}
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_appended FROM gapp),
+       |ta AS (SELECT q_id AS q, vec_id AS n, TRUE AS ia FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY s DESC, vec_id) AS rk FROM vis${R}a) WHERE rk <= 3),
+       |tr AS (SELECT q_id AS q, vec_id AS n, TRUE AS ir FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY s DESC, vec_id) AS rk FROM vis$R) WHERE rk <= 3),
+       |ch AS (SELECT count(*)::BIGINT AS n_queries,
+       |    sum(chg)::BIGINT AS n_changed FROM (
+       |  SELECT q, max(CASE WHEN ia IS NULL OR ir IS NULL
+       |      THEN 1 ELSE 0 END) AS chg
+       |  FROM ta FULL OUTER JOIN tr USING (q, n) GROUP BY q))
+       |SELECT n_edges, n_appended,
+       |  floor(n_appended::DOUBLE / n_edges * 10000 + 0.5) / 10000
+       |    AS append_share,
+       |  n_queries, n_changed,
+       |  floor(n_changed::DOUBLE / n_queries * 10000 + 0.5) / 10000
+       |    AS churn,
+       |  (floor(n_appended::DOUBLE / n_edges * 10000 + 0.5) / 10000
+       |     > ${Similarity.AppShareMax}
+       |   OR floor(n_changed::DOUBLE / n_queries * 10000 + 0.5) / 10000
+       |     > ${Similarity.AppChurnMax}) AS rebuild_due
+       |FROM em, ch""".stripMargin
   }
 
   /** Mirror of Similarity.graphRecall: dense truth vs the graph walk
@@ -6402,8 +6522,9 @@ object DuckSql {
        |SELECT ord::INT AS ord, stage, n_docs, n_tokens,
        |  (td - cd)::BIGINT AS docs_remaining,
        |  (tt - ct)::BIGINT AS tokens_remaining,
-       |  floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
-       |    AS share_remaining
+       |  CASE WHEN td > 0
+       |    THEN floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
+       |  END AS share_remaining
        |FROM ccu, ctt ORDER BY ord""".stripMargin
   }
 
@@ -7166,8 +7287,9 @@ object DuckSql {
        |SELECT ord::INT AS ord, stage, n_docs, n_tokens,
        |  (td - cd)::BIGINT AS docs_remaining,
        |  (tt - ct)::BIGINT AS tokens_remaining,
-       |  floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
-       |    AS share_remaining
+       |  CASE WHEN td > 0
+       |    THEN floor((td - cd)::DOUBLE / td * 10000 + 0.5) / 10000
+       |  END AS share_remaining
        |FROM acu, att ORDER BY ord""".stripMargin
   }
 

@@ -132,6 +132,89 @@ class TenancySpec extends SparkSpecBase {
     assert(Tenancy.tenantView(spark, path, userId = 7L).count() === 10L)
   }
 
+  test("compactArtifacts: erased ids leave every persisted artifact, " +
+      "untouched files stay byte-identical, store_coverage reconciles " +
+      "to zero debt") {
+    import graft.operators.{Curation, Dedup, Similarity, Tenancy}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // docs 0=3 and 8=9 are identical-text dup groups (identical shingle
+    // sets ALWAYS band-collide, so both verified pairs are guaranteed);
+    // 5 and 7 are unique; vec 1 sits in every vector artifact. Erase
+    // set = {1, 3, 5}: a pair member, a hash canonical, a vector.
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tD = "red green blue cyan magenta yellow"
+    val dir = fixtureDir(
+      docs = Seq(doc(0, tA), doc(3, tA),
+        doc(5, "one two three four five six"),
+        doc(7, "quick brown fox jumps over dog"),
+        doc(8, tD), doc(9, tD)),
+      embs = Seq(Emb(0, vec(1.0), 0), Emb(1, vec(0.5, 0.5), 0),
+        Emb(2, vec(0.0, 1.0), 1)))
+    // build the artifact population: coverage stores + pair set + graph
+    assert(rows(Curation.storeCoverage(spark, dir))
+      .forall(r => r(3) == 0L && r(4) == 0L), "pre: coverage green")
+    assert(rows(Dedup.dedupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))) ===
+      Set(Seq[Any](0L, 3L), Seq[Any](8L, 9L)))
+    Similarity.knnGraph(spark, dir).count()
+    Similarity.pqIndex(spark, dir).codes.count()
+    Similarity.denseTruth(spark, dir).count()
+    // snapshot every artifact file that does NOT contain an erased id
+    def files(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length, f.lastModified))).toMap
+    }
+    val bandPath = Dedup.bandStorePath(dir)
+    val untouchedBefore = files(bandPath).filter { case (p, _) =>
+      // a band-store file is untouched iff it holds no erased doc row
+      spark.read.parquet(p).filter(col("doc_id").isin(1L, 3L, 5L))
+        .isEmpty
+    }
+    // the caller erases the SOURCE tables first (docs 3 & 5, vec 1) ...
+    Seq(doc(0, tA), doc(7, "quick brown fox jumps over dog"),
+      doc(8, tD), doc(9, tD)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(Emb(0, vec(1.0), 0), Emb(2, vec(0.0, 1.0), 1)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ... then clears the derived debt
+    Tenancy.compactArtifacts(spark, dir, Seq(1L, 3L, 5L))
+    // no artifact row carries an erased id anywhere
+    val del = Seq(1L, 3L, 5L)
+    assert(spark.read.parquet(bandPath)
+      .filter(col("doc_id").isin(del: _*)).isEmpty)
+    assert(spark.read.parquet(Dedup.hashStorePath(dir))
+      .filter(col("canonical").isin(del: _*)).isEmpty)
+    assert(spark.read.parquet(Similarity.bqCodesPath(dir))
+      .filter(col("vec_id").isin(del: _*)).isEmpty)
+    assert(spark.read
+      .parquet(s"${Similarity.ivfFlatIndexPath(dir)}/lists")
+      .filter(col("vec_id").isin(del: _*)).isEmpty)
+    assert(spark.read.parquet(s"${Similarity.pqIndexPath(dir)}/codes")
+      .filter(col("vec_id").isin(del: _*)).isEmpty)
+    assert(spark.read.parquet(Similarity.knnGraphPath(dir))
+      .filter(col("src").isin(del: _*) || col("dst").isin(del: _*))
+      .isEmpty)
+    assert(spark.read.parquet(Similarity.denseTruthPath(dir))
+      .filter(col("q_id").isin(del: _*) ||
+        col("neighbor_id").isin(del: _*)).isEmpty)
+    // the erased pair is gone; the unrelated pair SURVIVES compaction
+    assert(rows(spark.read.parquet(Dedup.pairsIndexPath(dir))
+      .select(col("id_a"), col("id_b"))) === Set(Seq[Any](8L, 9L)))
+    // untouched band-store files byte-identical (never rewritten)
+    val after = files(bandPath)
+    untouchedBefore.foreach { case (p, meta) =>
+      assert(after.get(p) === Some(meta), s"$p must not be rewritten")
+    }
+    // the standing audit reads ZERO erasure debt on every artifact
+    assert(rows(Curation.storeCoverage(spark, dir))
+      .forall(r => r(3) == 0L && r(4) == 0L),
+      "post-erasure coverage must read n_missing=0, n_extra=0")
+  }
+
   test("dp_release: hand-computed Laplace draw; release = count + " +
       "rounded noise") {
     val d = fixtureDir(docs = Seq(
