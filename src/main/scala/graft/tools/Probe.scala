@@ -47,12 +47,15 @@ object Probe {
       System.gc()
       t
     }
+    // PROBE_RUNS (default 2): more runs tighten the min on a host whose
+    // ambient noise can double a single steady-state run (measured r14)
+    val runs = sys.env.getOrElse("PROBE_RUNS", "2").toInt.max(2)
     SparkEntry.queries.keys.filter(only).toSeq.sorted.foreach { name =>
-      // both runs printed: run 1 carries the per-JVM IndexStore builds
+      // all runs timed: run 1 carries the per-JVM IndexStore builds
       // (the Bench queries_max convention), min is the consumer cost
-      val t1 = once(name); val t2 = once(name)
-      println(f"PROBE $name%-24s min=${math.min(t1, t2)}%8.3f s  " +
-        f"max=${math.max(t1, t2)}%8.3f s")
+      val ts = Seq.fill(runs)(once(name))
+      println(f"PROBE $name%-24s min=${ts.min}%8.3f s  " +
+        f"max=${ts.max}%8.3f s")
     }
     spark.stop()
   }
