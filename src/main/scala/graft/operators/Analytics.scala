@@ -192,7 +192,7 @@ object Analytics {
         expr("(ref_sec - last_sec) div 86400").cast("int").as("recency_days"),
         col("frequency"), col("cents"),
         expr(s"cents div $RfmMonBucketCents").as("mon_bin"))
-      .localCheckpoint() // feeds the three threshold frames + scoring
+      .localCheckpoint(false) // feeds the three threshold frames + scoring
     def sc(v: Column, t1: Column, t2: Column, t3: Column): Column =
       lit(1) + (v > t1).cast("int") + (v > t2).cast("int") + (v > t3).cast("int")
     val scored = base
@@ -358,7 +358,7 @@ object Analytics {
   }
 
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val capped = cappedBaskets(spark, dir).localCheckpoint()
+    val capped = cappedBaskets(spark, dir).localCheckpoint(false)
     val tot = capped.agg(
       count_distinct(col("l_orderkey")).as("n_orders"))
     val n = capped.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
@@ -590,7 +590,7 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
         col("l_extendedprice"))
-      .localCheckpoint() // feeds the per-part stats AND the probe
+      .localCheckpoint(false) // feeds the per-part stats AND the probe
     val st = lp.groupBy(col("l_partkey"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
     lp.join(st, Seq("l_partkey"))
@@ -661,7 +661,7 @@ object Analytics {
     val ps = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("price"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val best = ps.groupBy(col("l_partkey"))
       .agg(min(col("price")).as("min_price"),
         count(lit(1)).as("n_suppliers"))
@@ -923,7 +923,7 @@ object Analytics {
       .select(col("l_suppkey"),
         (floor(col("ru").cast("double") / 100 + 0.5) / 100)
           .as("total_revenue"))
-      .localCheckpoint() // feeds the global max AND the witness probe
+      .localCheckpoint(false) // feeds the global max AND the witness probe
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))
@@ -974,7 +974,7 @@ object Analytics {
       .join(natSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(valU).as("vu"))
-      .localCheckpoint() // feeds the national total AND the filter
+      .localCheckpoint(false) // feeds the national total AND the filter
     val total = grouped.agg(sum(col("vu")).as("tot"),
       count(lit(1)).as("np"))
     // DECIMAL(38,0) products: at the 100 TB design point vu·np and
@@ -1030,7 +1030,7 @@ object Analytics {
     val perPS = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("sq"))
-      .localCheckpoint() // feeds the per-part totals AND the probe
+      .localCheckpoint(false) // feeds the per-part totals AND the probe
     val perP = perPS.groupBy(col("l_partkey"))
       .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
     val dominant = perPS.join(perP, Seq("l_partkey"))
@@ -1186,7 +1186,7 @@ object Analytics {
       .groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rc").cast("decimal(38,0)")).as("bc"))
-      .localCheckpoint() // grid feeds totals, shares, and the cum window
+      .localCheckpoint(false) // grid feeds totals, shares, and the cum window
     val tot = bins.agg(sum(col("n_customers")).as("tn"),
       sum(col("bc")).as("tc"))
     val wTop = Window.orderBy(col("bin_lo").desc)
@@ -1332,7 +1332,7 @@ object Analytics {
     // parquet scans in the plan and +60% wall)
     val g = grid.select(col("rc"), col("c"),
       expr("length(bin(rc))").as("blen"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wIn = Window.partitionBy(col("blen")).orderBy(col("rc"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val lt = g.groupBy(col("blen"))
@@ -1412,9 +1412,9 @@ object Analytics {
       .groupBy(col("o_custkey")).agg(sum(col("cu")).as("rc"))
       .groupBy(col("rc")).agg(count(lit(1)).as("c"))
     val cum = valueGridCum(grid)
-      .localCheckpoint() // feeds the totals and the boundary join
+      .localCheckpoint(false) // feeds the totals and the boundary join
     val tot = broadcast(cum.agg(sum(col("c")).as("n"),
-      sum(d38(col("rc")) * d38(col("c"))).as("s")).localCheckpoint())
+      sum(d38(col("rc")) * d38(col("c"))).as("s")).localCheckpoint(false))
     val decs = broadcast(spark.range(1, 11)
       .select(col("id").cast("int").as("decile")))
     cum.crossJoin(tot).crossJoin(decs)
@@ -1453,12 +1453,12 @@ object Analytics {
         .cast("long").as("xu"))
     val mu = broadcast(daily.agg(
       floor(sum(col("xu")).cast("double") / count(lit(1)) + lit(0.5))
-        .cast("long").as("mu")).localCheckpoint())
+        .cast("long").as("mu")).localCheckpoint(false))
     val cent = daily.crossJoin(mu)
       .select(col("day"), (col("xu") - col("mu")).as("c"))
-      .localCheckpoint() // feeds the denominator and all 14 lag joins
+      .localCheckpoint(false) // feeds the denominator and all 14 lag joins
     val den = broadcast(cent.agg(sum(col("c") * col("c")).as("den"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     val lags = broadcast(spark.range(1, AcfMaxLag + 1)
       .select(col("id").cast("int").as("lag")))
     cent.crossJoin(lags)
@@ -1502,13 +1502,13 @@ object Analytics {
       .join(broadcast(observed), Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val tot = broadcast(digits.agg(sum(col("n_obs")).as("n"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     val exp10 = r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
     val scored = digits.crossJoin(tot)
       .select(col("digit"), col("n_obs"),
         r6(col("n_obs").cast("double") / col("n")).as("obs_share"),
         exp10.as("exp_share"), col("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // per-digit terms round to 1e-6 units and sum exactly (a raw
     // double Σ would be partition-order dependent — the decSum lesson)
     val chi2 = broadcast(scored
@@ -1517,7 +1517,7 @@ object Analytics {
         / (col("exp_share") * col("n"))) * 1000000 + lit(0.5))
         .cast("long").as("t6"))
       .agg(r4(sum(col("t6")).cast("double") / 1000000).as("chi2"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     scored.crossJoin(chi2)
       .select(col("digit"), col("n_obs"), col("obs_share"),
         col("exp_share"), col("chi2"))
@@ -1554,7 +1554,7 @@ object Analytics {
       .select(col("xu"),
         floor(col("sq").cast("double") / col("nl") / 100 * 1000000
           + lit(0.5)).cast("long").as("yu"))
-      .localCheckpoint() // feeds the pair join and the residual pass
+      .localCheckpoint(false) // feeds the pair join and the residual pass
     val a = lvl.select(col("xu").as("xa"), col("yu").as("ya"))
     val b = lvl.select(col("xu").as("xb"), col("yu").as("yb"))
     val slopes = a.join(b, col("xa") < col("xb"))
@@ -1576,7 +1576,7 @@ object Analytics {
     }
     val slope = broadcast(median(slopes, "s")
       .select(col("med").as("slope"), col("cnt").as("n_pairs"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     val resid = lvl.crossJoin(slope)
       .select(r6(col("yu").cast("double") / 1000000 -
         col("slope") * (col("xu").cast("double") / 100)).as("r"),
@@ -1628,7 +1628,7 @@ object Analytics {
     }
     val local = survivors(
       base.withColumn("bkt", pmod(col("p_partkey"), lit(SkylineBuckets))),
-      Seq(col("bkt"))).drop("bkt").localCheckpoint()
+      Seq(col("bkt"))).drop("bkt").localCheckpoint(false)
     survivors(local, Seq.empty)
       .select(col("p_partkey"),
         (col("pu").cast("double") / 100).as("price"),
@@ -1675,9 +1675,9 @@ object Analytics {
     val cum = daily.select(col("day"), col("xu"), au.as("au"))
       .withColumn("t", row_number().over(Window.orderBy(col("day"))))
       .withColumn("s", sum(col("xu")).over(wCum))
-      .localCheckpoint() // |days| rows: feeds the totals and the scan
+      .localCheckpoint(false) // |days| rows: feeds the totals and the scan
     val tot = broadcast(cum.agg(max(col("t")).as("n"),
-      max(col("s")).as("sn"), sum(col("au")).as("a")).localCheckpoint())
+      max(col("s")).as("sn"), sum(col("au")).as("a")).localCheckpoint(false))
     def term(s: Column, k: Column): Column =
       floor(s.cast("double") * s / k / 1000000 + lit(0.5)).cast("long")
     val cand = cum.crossJoin(tot).filter(col("t") < col("n"))

@@ -194,7 +194,7 @@ object CorpusStats {
       .select(col("doc_id"),
         posexplode(filter(Dedup.normToks(col("text")),
           t => !array_contains(sw, t))).as(Seq("pos", "term")))
-      .localCheckpoint() // feeds the pair windows AND the unigram agg
+      .localCheckpoint(false) // feeds the pair windows AND the unigram agg
     val led = (1 to PmiWindow).foldLeft(toks) { (df, k) =>
       df.withColumn(s"t$k", lead(col("term"), k).over(w))
     }
@@ -209,7 +209,7 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= PmiMinPairs)
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint() // feeds both join sides and the total
+      .localCheckpoint(false) // feeds both join sides and the total
     val tot = broadcast(uni.agg(sum(col("cu")).as("t")))
     val ptot = broadcast(pairs.agg(sum(col("n_pair")).as("p")))
     pairs
@@ -327,7 +327,7 @@ object CorpusStats {
         when(col("share") > 0,
           rnd6(exp(lit(tau) * log(col("share")))))
           .otherwise(lit(0.0)).cast("decimal(18,6)").as("u"))
-      .localCheckpoint() // feeds the denominator AND the final select
+      .localCheckpoint(false) // feeds the denominator AND the final select
     val denom = up.agg(sum(col("u")).as("du"))
     up.crossJoin(broadcast(denom))
       .select(col("source"), col("n_docs"), col("share"),
@@ -467,7 +467,7 @@ object CorpusStats {
       .join(perSrcBin, Seq("source", "bin"), "left")
       .select(col("source"), col("bin"),
         coalesce(col("c"), lit(0L)).as("c"))
-      .localCheckpoint() // feeds the corpus rollup AND the per-source terms
+      .localCheckpoint(false) // feeds the corpus rollup AND the per-source terms
     val nSrc = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val corpus = full.groupBy(col("bin")).agg(sum(col("c")).as("cc"))
     val nTot = corpus.agg(sum(col("cc")).as("nt"))
@@ -625,7 +625,7 @@ object CorpusStats {
 
   /** Unpersisted twin: train on `docs`, score `docs` (hand-corpus specs). */
   private[graft] def perplexityScoreOf(docs: DataFrame): DataFrame =
-    scoreAgainstLm(docs, bigramLmOf(docs).localCheckpoint())
+    scoreAgainstLm(docs, bigramLmOf(docs).localCheckpoint(false))
 
   /** ccnet_buckets: CCNet's head/middle/tail corpus split (Wenzek et
     * al., LREC 2020 §4.3 — the crawl is sorted by LM perplexity per
@@ -779,7 +779,7 @@ object CorpusStats {
     // re-evaluates the collapsed signal projections once per emitted
     // struct (the chunk_docs Generate rule — 4x the tokenize chain)
     val binned = sig.join(keep.hint("merge"), col("doc_id") === col("kdid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
       .select(col("keep"), explode(array(
         struct(lit("n_words").as("signal"),
           b9(floor(log((col("n_words") + 1).cast("double")))).as("bin")),
@@ -792,7 +792,7 @@ object CorpusStats {
       .select(col("s.signal"), col("s.bin"), col("keep"))
     val c = binned.groupBy(col("signal"), col("bin"), col("keep"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds three margins and the term join
+      .localCheckpoint(false) // feeds three margins and the term join
     val cb = c.groupBy(col("signal"), col("bin"))
       .agg(sum(col("c")).as("cb"))
     val cy = c.groupBy(col("signal"), col("keep"))
@@ -1138,7 +1138,7 @@ object CorpusStats {
           .as("bin_lo"))
       .groupBy(col("lang"), col("bin_lo"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      .localCheckpoint() // feeds the grid and the per-language totals
+      .localCheckpoint(false) // feeds the grid and the per-language totals
     val lt = g.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_n"))
     g.join(broadcast(lt), "lang")
       .select(col("lang"), col("bin_lo"), col("n_docs"), col("n_tokens"),
@@ -1172,7 +1172,7 @@ object CorpusStats {
           .cast("int").as("bin"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the grid plus three total re-aggs
+      .localCheckpoint(false) // feeds the grid plus three total re-aggs
     val st = sb.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val cb = sb.groupBy(col("bin")).agg(sum(col("c")).as("cc"))
     val nc = sb.agg(sum(col("c")).as("n_corpus"))
@@ -1456,7 +1456,7 @@ object CorpusStats {
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("tok"), "(.)", S + "$1" + E).as("seq"),
         col("freq"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var merges = List.empty[DataFrame]
     for (t <- 1 to BpeMerges) {
       val syms = split(trim(col("seq"), S + E), E + S)
@@ -1469,7 +1469,7 @@ object CorpusStats {
           element_at(col("s"), col("i") + 1).as("r"))
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .localCheckpoint() // feeds the output row AND the merge rewrite
+        .localCheckpoint(false) // feeds the output row AND the merge rewrite
       merges :+= best.select(lit(t).as("merge"), col("l").as("left"),
         col("r").as("right"), col("cnt").as("pair_count"))
       v = v.crossJoin(broadcast(best))
@@ -1477,7 +1477,7 @@ object CorpusStats {
           concat(lit(S), col("l"), lit(E), lit(S), col("r"), lit(E)),
           concat(lit(S), col("l"), col("r"), lit(E))).as("seq"),
           col("freq"))
-        .localCheckpoint() // round-over-round lineage cut
+        .localCheckpoint(false) // round-over-round lineage cut
     }
     merges.reduce(_ unionByName _).orderBy(col("merge"))
   }
@@ -1518,7 +1518,7 @@ object CorpusStats {
       .filter(!col("tok").contains(S) && !col("tok").contains(E))
     val dt = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the vocab collapse AND the join back
+      .localCheckpoint(false) // feeds the vocab collapse AND the join back
     val vocab = dt.select(col("tok")).distinct()
       .select(col("tok"),
         regexp_replace(col("tok"), "(.)", S + "$1" + E).as("seq"))
@@ -1643,7 +1643,7 @@ object CorpusStats {
       .withColumn("b",
         floor(Curation.hashU(col("doc_id")) * VocabBuckets).cast("int"))
       .groupBy(col("b"), col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val perB = bt.groupBy(col("b")).agg(sum(col("c")).as("toks"))
     val firstB = bt.groupBy(col("tok")).agg(min(col("b")).as("mb"))
       .groupBy(col("mb")).agg(count(lit(1)).as("new_types"))
@@ -1892,7 +1892,7 @@ object CorpusStats {
         posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("source"), col("tok"),
         lead(col("tok"), 1).over(w).as("nxt"))
-      .localCheckpoint() // one tokenize feeds both gram arms
+      .localCheckpoint(false) // one tokenize feeds both gram arms
     def ttrArm(gram: Column, keep: Column, pfx: String) =
       toks.filter(keep)
         .groupBy(col("source"), gram.as("g"))
@@ -2020,7 +2020,7 @@ object CorpusStats {
       .filter(col("full"))
       .groupBy(col("g")).agg(count(lit(1)).as("tf"))
       .groupBy(col("tf").as("r")).agg(count(lit(1)).as("n_r"))
-      .localCheckpoint() // feeds both join sides and the totals
+      .localCheckpoint(false) // feeds both join sides and the totals
     val tots = broadcast(fof.agg(
       sum(col("r") * col("n_r")).as("n_tokens"),
       sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1")))
@@ -2070,12 +2070,12 @@ object CorpusStats {
         explode(array_distinct(Dedup.normToks(col("text")))).as("term"))
     val bySrc = pres.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("a"))
-      .localCheckpoint() // feeds the term margin and the scored rows
+      .localCheckpoint(false) // feeds the term margin and the scored rows
     val dft = bySrc.groupBy(col("term")).agg(sum(col("a")).as("dft"))
       .filter(col("dft") >= Chi2MinDf)
     val ns = broadcast(docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("ns")).localCheckpoint())
-    val nn = broadcast(docs.agg(count(lit(1)).as("nt")).localCheckpoint())
+      .agg(count(lit(1)).as("ns")).localCheckpoint(false))
+    val nn = broadcast(docs.agg(count(lit(1)).as("nt")).localCheckpoint(false))
     val d1 = (col("a") * (col("nt") - col("ns") - col("dft") + col("a"))
       - (col("dft") - col("a")) * (col("ns") - col("a"))).cast("double")
     val scored = bySrc.join(dft, Seq("term")).join(ns, Seq("source"))
@@ -2100,7 +2100,7 @@ object CorpusStats {
     val docs = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
-    val nn = broadcast(docs.agg(count(lit(1)).as("nd")).localCheckpoint())
+    val nn = broadcast(docs.agg(count(lit(1)).as("nd")).localCheckpoint(false))
     val tf = docs
       .select(col("doc_id"), explode(Dedup.normToks(col("text")))
         .as("term"))
@@ -2147,11 +2147,11 @@ object CorpusStats {
       .select(col("source"), explode(Dedup.normToks(col("text")))
         .as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the global vocab AND the source rollup
+      .localCheckpoint(false) // feeds the global vocab AND the source rollup
     val vocab = broadcast(st.groupBy(col("tok"))
       .agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(OovVocabK)
-      .select(col("tok"), lit(1).as("in_v")).localCheckpoint())
+      .select(col("tok"), lit(1).as("in_v")).localCheckpoint(false))
     st.join(vocab, Seq("tok"), "left")
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"),
@@ -2195,9 +2195,9 @@ object CorpusStats {
       col("doc_id"))
       .select(explode(Dedup.normToks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // totals AND the ranked head
+      .localCheckpoint(false) // totals AND the ranked head
     val tot = broadcast(counts.agg(sum(col("cnt")).as("nn"),
-      count(lit(1)).as("v")).localCheckpoint())
+      count(lit(1)).as("v")).localCheckpoint(false))
     val head = counts.orderBy(col("cnt").desc, col("tok"))
       .limit(CoverageKs.max)
       .withColumn("r", row_number().over(
@@ -2271,12 +2271,12 @@ object CorpusStats {
     val obs = Tables.documents(spark, dir)
       .select(col("source"), col("lang"))
       .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
-      .localCheckpoint() // margins and the grid both read it
+      .localCheckpoint(false) // margins and the grid both read it
     val rs = obs.groupBy(col("source")).agg(sum(col("o")).as("ns"))
     val cs = obs.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
     val tot = broadcast(obs.agg(sum(col("o")).as("nn"),
       countDistinct(col("source")).as("r"),
-      countDistinct(col("lang")).as("c")).localCheckpoint())
+      countDistinct(col("lang")).as("c")).localCheckpoint(false))
     val e = col("ns").cast("double") * col("nl") / col("nn")
     val grid = rs.crossJoin(cs)
       .join(obs, Seq("source", "lang"), "left")

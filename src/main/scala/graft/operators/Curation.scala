@@ -106,7 +106,7 @@ object Curation {
       col("doc_id"))
       .select(col("doc_id"),
         posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
-      .localCheckpoint() // one tokenize feeds all three arms
+      .localCheckpoint(false) // one tokenize feeds all three arms
     def arm(k: Int): DataFrame = {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val gramCols = (0 until k).map(i =>
@@ -120,11 +120,11 @@ object Curation {
         // posture; md5 is engine-identical so the mirror hashes too
         .select(col("doc_id"), substring(md5(col("g0")), 1, 16).as("g"))
         .dropDuplicates("doc_id", "g")
-        .localCheckpoint() // feeds the bench AND train sides
+        .localCheckpoint(false) // feeds the bench AND train sides
       val bench = sh.filter(isBench)
       val benchG = bench.select(col("g")).distinct()
       val hits = sh.filter(!isBench).join(benchG, "g")
-        .localCheckpoint() // feeds three aggregates
+        .localCheckpoint(false) // feeds three aggregates
       val a = hits.agg(count(lit(1)).as("n_collisions"),
         count_distinct(col("doc_id")).as("n_train_docs_flagged"))
       val b = bench.join(hits.select(col("g")).distinct(), "g")
@@ -370,15 +370,15 @@ object Curation {
     val sh = Dedup.shingleRows(spark, dir)
     val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
     val benchG = sh.filter(isBench).select(col("g")).distinct()
-      .localCheckpoint() // feeds the bit build AND the truth arm
+      .localCheckpoint(false) // feeds the bit build AND the truth arm
     def bitOf(i: Int, g: Column): Column =
       pmod(conv(substring(md5(concat(lit(i + ":"), g)), 1, 15), 16, 10)
         .cast("long"), lit(BloomBits.toLong))
     val bits = (0 until BloomHashes)
       .map(i => benchG.select(bitOf(i, col("g")).as("bit")))
-      .reduce(_ union _).distinct().localCheckpoint()
+      .reduce(_ union _).distinct().localCheckpoint(false)
     val trainG = sh.filter(!isBench).select(col("g")).distinct()
-      .localCheckpoint() // probed by the filter AND the truth arm
+      .localCheckpoint(false) // probed by the filter AND the truth arm
     val pos = trainG
       .select(col("g"), explode(array((0 until BloomHashes)
         .map(i => bitOf(i, col("g"))): _*)).as("bit"))
@@ -461,7 +461,7 @@ object Curation {
         col("instruction"), col("input"), col("output"))
       // checkpoint before the export sort: the range sampler otherwise
       // re-runs the three-frame join (the curate_corpus rule)
-      .localCheckpoint()
+      .localCheckpoint(false)
       .orderBy(col("shard"), col("pos"))
   }
 
@@ -581,7 +581,7 @@ object Curation {
     g.withColumn("ccp", sum(col("cp")).over(wCum))
       .withColumn("ccn", sum(col("cn")).over(wCum))
       .crossJoin(broadcast(g.agg(sum(col("cp")).as("np"),
-        sum(col("cn")).as("nn")).localCheckpoint()))
+        sum(col("cn")).as("nn")).localCheckpoint(false)))
       .select(col("su"), col("np"), col("nn"),
         abs(d(col("ccp")) * d(col("nn")) - d(col("ccn")) * d(col("np")))
           .as("gap"))
@@ -980,7 +980,7 @@ object Curation {
   def arrivalReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = Dedup.exactHashOf(docs.filter(Dedup.isDelta(col("doc_id"))))
-      .localCheckpoint() // feeds the store probe and the twin window
+      .localCheckpoint(false) // feeds the store probe and the twin window
     val touched = sh.select(col("text_hash")).distinct()
     val inStore = Dedup.hashStore(spark, dir)
       .join(broadcast(touched), Seq("text_hash"), "left_semi")
@@ -1090,8 +1090,8 @@ object Curation {
     val emb = Tables.embeddings(spark, dir)
     def row(name: String, present: DataFrame, expected: DataFrame)
         : DataFrame = {
-      val p = present.toDF("k").distinct().localCheckpoint()
-      val e = expected.toDF("k").distinct().localCheckpoint()
+      val p = present.toDF("k").distinct().localCheckpoint(false)
+      val e = expected.toDF("k").distinct().localCheckpoint(false)
       p.agg(count(lit(1)).as("n_present"))
         .crossJoin(e.agg(count(lit(1)).as("n_expected")))
         .crossJoin(e.join(p, Seq("k"), "left_anti")
@@ -1173,7 +1173,7 @@ object Curation {
     val keep = qualityFilterOf(Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id")))
-      .localCheckpoint()
+      .localCheckpoint(false)
       .filter(col("keep")).select(col("doc_id").as("kdid"))
     val phased = CorpusStats.ccnetBucketsUnsorted(spark, dir)
       .join(keep.hint("merge"), col("doc_id") === col("kdid"))
@@ -1190,7 +1190,7 @@ object Curation {
     // posture; identical positions, parallelism phases×256.
     val withHb = phased
       .withColumn("hb", shiftright(col("h"), 24).cast("int"))
-      .localCheckpoint() // feeds the offset grid and the rank join
+      .localCheckpoint(false) // feeds the offset grid and the rank join
     val wOff = Window.partitionBy(col("phase")).orderBy(col("hb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = withHb.groupBy(col("phase"), col("hb"))
@@ -1296,7 +1296,7 @@ object Curation {
     val ex = classifierExamples(spark, dir)
       .join(trainIds, Seq("doc_id"), "left_semi")
       .select(clfUnits :+ (col("label").cast("long") * 1000000L).as("yu"): _*)
-      .localCheckpoint() // one pass per round reads this frame
+      .localCheckpoint(false) // one pass per round reads this frame
     var w: DataFrame = spark.range(1)
       .select((0 to 4).map(i => lit(0L).as(s"wu$i")): _*)
     val traj = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1313,7 +1313,7 @@ object Curation {
           (col(s"wu$i") + floor(lit(ClfLr) * col(s"g$i").cast("double")
             / col("n") / lit(1000000.0) + lit(0.5)).cast("long"))
             .as(s"wu$i")): _*)
-        .localCheckpoint() // 1 row; cuts the round-over-round lineage
+        .localCheckpoint(false) // 1 row; cuts the round-over-round lineage
       traj += w.select(lit(t).as("round"),
         posexplode(array((0 to 4).map(i => col(s"wu$i")): _*))
           .as(Seq("fi", "wu")))
@@ -1441,7 +1441,7 @@ object Curation {
       .join(d, Seq("doc_id"), "left")
       .select(col("doc_id"), col("kh"), col("kc"),
         coalesce(col("kd"), lit(false)).as("kd"))
-      .localCheckpoint() // feeds three pairwise arms
+      .localCheckpoint(false) // feeds three pairwise arms
     def arm(name: String, a: Column, b: Column) =
       u.agg(count(lit(1)).as("n_docs"),
         sum(when(a, 1L).otherwise(0L)).as("n_a"),
@@ -1505,7 +1505,7 @@ object Curation {
         count(lit(1)).as("n_sample"))
       .select(col("b.h").as("kh"), col("b.doc_id").as("kid"),
         col("n_sample"))
-      .localCheckpoint())
+      .localCheckpoint(false))
 
   /** bottomk_sample: the DETERMINISTIC uniform corpus sample — the
     * [[SampleK]] documents with the smallest md5(doc_id) (a bottom-k
@@ -1554,7 +1554,7 @@ object Curation {
       .withColumn("cca", sum(col("ca")).over(w))
       .withColumn("ccb", sum(col("cb")).over(w))
       .crossJoin(broadcast(grid.agg(sum(col("ca")).as("na"),
-        sum(col("cb")).as("nb")).localCheckpoint()))
+        sum(col("cb")).as("nb")).localCheckpoint(false)))
       .agg(max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
         .as("dint"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     val ks = r6(col("dint").cast("double") / col("na") / col("nb"))

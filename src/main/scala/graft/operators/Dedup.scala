@@ -161,7 +161,7 @@ object Dedup {
   private[graft] def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   /** (doc_id, text_hash): the exact-dedup content hash of any
     * (doc_id, text) frame — shared by [[dedupExact]] and the streaming
@@ -210,7 +210,7 @@ object Dedup {
       col("g").as("ga"))
     val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
       col("g").as("gb"))
-    cand.localCheckpoint()
+    cand.localCheckpoint(false)
       .join(a.hint("merge"), "id_a")
       .join(b.hint("merge"),
         col("id_b") === col("id_b2") && col("ga") === col("gb"))
@@ -240,7 +240,7 @@ object Dedup {
       col("g").as("ga"))
     val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
       col("g").as("gb"))
-    val j1 = SkewJoin.saltedJoin(cand.localCheckpoint(), a, salts)(
+    val j1 = SkewJoin.saltedJoin(cand.localCheckpoint(false), a, salts)(
       (bg, sm) => bg("id_a") === sm("id_a2"))
     val j2 = SkewJoin.saltedJoin(j1, b, salts)(
       (bg, sm) => bg("id_b") === sm("id_b2") && bg("ga") === sm("gb"))
@@ -271,10 +271,10 @@ object Dedup {
       col("g").as("ga"))
     val b = sh.select(col("doc_id").as("id_b2"), col("n").as("nb"),
       col("g").as("gb"))
-    val c0 = cand.localCheckpoint()
+    val c0 = cand.localCheckpoint(false)
     val hotA = c0.groupBy(col("id_a").as("hk"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= hotThreshold)
-      .select(col("hk")).localCheckpoint()
+      .select(col("hk")).localCheckpoint(false)
     val j1 = c0.join(broadcast(hotA), col("id_a") === col("hk"), "left_anti")
       .join(a.hint("merge"), col("id_a") === col("id_a2"))
       .unionByName(SkewJoin.saltedJoin(
@@ -329,9 +329,9 @@ object Dedup {
         .as("bin_lo"))
       .groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
-      .localCheckpoint() // grid rows feed the share against the total
+      .localCheckpoint(false) // grid rows feed the share against the total
     val tot = broadcast(g.agg(sum(col("n_clusters")).as("t"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     g.crossJoin(tot)
       .select(col("bin_lo"), col("n_clusters"), col("n_docs"),
         r4(col("n_clusters").cast("double") / col("t"))
@@ -361,12 +361,12 @@ object Dedup {
       .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
         .as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // <=10 rows; totals + grid both read it, or
+      .localCheckpoint(false) // <=10 rows; totals + grid both read it, or
       // the candidate-verify pass runs once per consumer
     val grid = broadcast(spark.range(10)
       .select(col("id").cast("int").as("b")))
     val tot = broadcast(binned.agg(
-      coalesce(sum(col("n")), lit(0L)).as("t")).localCheckpoint())
+      coalesce(sum(col("n")), lit(0L)).as("t")).localCheckpoint(false))
     val wGe = Window.orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // 10 rows from here — the unpartitioned window is deliberate
@@ -495,7 +495,7 @@ object Dedup {
         lit(DeltaBloomBits.toLong))
     val bits = (0 until DeltaBloomHashes)
       .map(i => touched.select(bloomBit(i).as("bit")))
-      .reduce(_ union _).distinct().localCheckpoint()
+      .reduce(_ union _).distinct().localCheckpoint(false)
     (0 until DeltaBloomHashes)
       .foldLeft(bandStore(spark, dir)) { (df, i) =>
         df.join(broadcast(bits), bloomBit(i) === col("bit"), "left_semi")
@@ -686,9 +686,9 @@ object Dedup {
   def dedupArrival(spark: SparkSession, dir: String,
       shard: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val shardIds = shard.select(col("doc_id")).distinct().localCheckpoint()
+    val shardIds = shard.select(col("doc_id")).distinct().localCheckpoint(false)
     val deltaBands = minhashBandedFrom(shingleRowsOf(shard))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the store is touched ONLY in the shard's buckets, and the prune
     // happens map-side in two stages so the broadcast NEVER scales with
     // the shard:
@@ -716,7 +716,7 @@ object Dedup {
     // re-shuffling a corpus-sized store per shard and one map-only
     // scan of it.
     val touched = deltaBands.select(col("band"), col("key")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val all = bloomPrunedStore(spark, dir, touched)
       .join(touched, Seq("band", "key"), "left_semi")
       .unionByName(deltaBands)
@@ -727,7 +727,7 @@ object Dedup {
     val ok = all.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bc")).filter(col("bc") <= BUCKET_CAP)
       .select(col("band"), col("key"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cappedAll = all.join(ok, Seq("band", "key"), "left_semi")
     val cappedDelta = deltaBands.join(ok, Seq("band", "key"), "left_semi")
     val cand = cappedDelta.alias("a").hint("merge")
@@ -737,13 +737,13 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ids = cand.select(col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
     val sh = shingleRowsOf(docs.join(ids, Seq("doc_id"), "left_semi"))
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // pair_kind by shard MEMBERSHIP (not the isDelta hash): two
     // batch-sized left joins over the tiny verified-pairs frame, so
     // the one code path serves both the gated split and real arrivals
@@ -784,7 +784,7 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // materialized: consumed by the band self-join and both hamming sides
-    val sigs = simhashSigs(shingleRows(spark, dir)).localCheckpoint()
+    val sigs = simhashSigs(shingleRows(spark, dir)).localCheckpoint(false)
     val bandKeys = array((0 until SIM_BANDS).map { b =>
       // band b = signature bits [16b, 16b+16) = long bits 63-16b .. 48-16b
       shiftright(col("sig"), 48 - 16 * b).bitwiseAND(lit(0xFFFFL))
@@ -855,9 +855,9 @@ object Dedup {
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("u", "v").localCheckpoint()
+      .toDF("u", "v").localCheckpoint(false)
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+      .withColumn("lbl", col("doc_id")).localCheckpoint(false)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < MaxClusterRounds) {
@@ -872,7 +872,7 @@ object Dedup {
         .join(nm, col("doc_id") === col("u"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // pointer jump: follow the label one hop (label of my label);
       // the pre-round label rides along so convergence needs no re-join
       val next = prop.alias("p")
@@ -880,7 +880,7 @@ object Dedup {
           .alias("q"), col("p.lbl") === col("l2"), "left")
         .select(col("p.doc_id").as("doc_id"), col("p.old").as("old"),
           least(col("p.lbl"), coalesce(col("ll"), col("p.lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("lbl"))
       round += 1
@@ -920,7 +920,7 @@ object Dedup {
       .agg(count(lit(1)).as("sz"), sum(col("nt")).as("tok_sum"))
       // excess = tokens beyond one average-sized copy, exact floor-div
       .withColumn("excess", col("tok_sum") - expr("tok_sum div sz"))
-      .localCheckpoint() // feeds the histogram AND the 1-row total
+      .localCheckpoint(false) // feeds the histogram AND the 1-row total
     val total = cl.agg(sum(col("tok_sum")).as("corpus_tokens"))
     cl.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -1015,7 +1015,7 @@ object Dedup {
         (col("rk") === 1).as("keep"))
       // checkpoint before the gated sort: the range sampler otherwise
       // re-runs the cluster join + scoring pass (the curate_corpus rule)
-      .localCheckpoint()
+      .localCheckpoint(false)
       .orderBy(col("doc_id"))
   }
 
@@ -1132,7 +1132,7 @@ object Dedup {
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val gramPos = windowHashRows(spark, dir)
-      .localCheckpoint() // feeds both duplicate detection and the rejoin
+      .localCheckpoint(false) // feeds both duplicate detection and the rejoin
     val dup = gramPos.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -1292,7 +1292,7 @@ object Dedup {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val mh = dedupPairs(spark, dir).select(col("id_a"), col("id_b"))
     val sh = dedupSimhash(spark, dir).select(col("id_a"), col("id_b"))
-      .localCheckpoint() // feeds its count AND the overlap semi join
+      .localCheckpoint(false) // feeds its count AND the overlap semi join
     val both = mh.join(sh, Seq("id_a", "id_b"), "left_semi")
     val g = mh.agg(count(lit(1)).as("n_minhash"))
       .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
@@ -1372,10 +1372,10 @@ object Dedup {
     * full table, ordered) and [[bandingPick]] (the decision row).
     */
   private def bandingArms(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigsOf(shingleRows(spark, dir)).localCheckpoint()
+    val sigs = minhashSigsOf(shingleRows(spark, dir)).localCheckpoint(false)
     val exact = exactPairs(spark, dir)
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     def arm(b: Int, r: Int): DataFrame = {
       val bandKeys = array((0 until b).map { i =>
@@ -1385,7 +1385,7 @@ object Dedup {
       }: _*)
       val banded = sigs.select(col("doc_id"),
         posexplode(bandKeys).as(Seq("band", "key")))
-      val cand = bandCandidates(banded).localCheckpoint() // count + semi
+      val cand = bandCandidates(banded).localCheckpoint(false) // count + semi
       val caught = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -1487,7 +1487,7 @@ object Dedup {
   def minhashError(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val sigs = minhashSigsOf(shingleRowsWithSize(spark, dir))
-      .localCheckpoint() // feeds both pair sides
+      .localCheckpoint(false) // feeds both pair sides
     val pairs = dedupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val a = sigs.select(col("doc_id").as("id_a") +:
@@ -1540,7 +1540,7 @@ object Dedup {
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .select(col("p_name"), col("n_parts"),
         element_at(split(col("p_name"), " "), -1).as("blk"))
-      .localCheckpoint() // the vocabulary feeds both join sides
+      .localCheckpoint(false) // the vocabulary feeds both join sides
     val a = names.select(col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"), col("blk"))
     val b = names.select(col("p_name").as("name_b"),

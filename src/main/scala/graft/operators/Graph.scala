@@ -102,15 +102,15 @@ object Graph {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // deg is static across rounds: fold it into the edge list ONCE, so
     // each iteration is one edge⋈rank join + one agg, not two joins
-    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint(false)
     // the 1-row node count is consumed by EVERY round's teleport term:
     // checkpoint it, or each round's job re-derives the whole pair
     // self-join chain just to count nodes (measured 2 s × 5 rounds)
     val nn = broadcast(edgesD.select(col("src")).distinct()
-      .agg(count(lit(1)).as("n")).localCheckpoint())
+      .agg(count(lit(1)).as("n")).localCheckpoint(false))
     var pr = edgesD.select(col("src")).distinct().crossJoin(nn)
       .select(col("src").as("node"), r6(lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to PrIters) {
       pr = edgesD.join(pr, col("node") === col("src"))
         .select(col("dst"),
@@ -121,7 +121,7 @@ object Graph {
         .select(col("dst").as("node"),
           r6(lit(PrTeleport) / col("n") +
             lit(PrDamping) * col("s").cast("double")).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val top = pr.orderBy(col("pr").desc, col("node")).limit(PrTopK)
     top.withColumn("rank", row_number().over(
@@ -147,7 +147,7 @@ object Graph {
     */
   def graphStats(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val e0 = prunedPairs(spark, dir).localCheckpoint(false)
     val deg = e0.select(col("pa").as("v")).union(e0.select(col("pb")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val degStats = deg.agg(
@@ -255,10 +255,10 @@ object Graph {
     val e0 = prunedPairs(spark, dir)
     val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to LpRounds) {
       val w = Window.partitionBy(col("dst"))
         .orderBy(col("c").desc, col("lbl"))
@@ -268,7 +268,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("dst").as("node"), col("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     Tables.part(spark, dir).select(col("p_partkey"))
       .join(lbl, col("p_partkey") === col("node"), "left")
@@ -281,16 +281,16 @@ object Graph {
     val e0 = prunedPairs(spark, dir)
     var edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to CorePeelRounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= CoreK).select(col("src").as("k"))
-        .localCheckpoint() // feeds BOTH endpoint semi-joins
+        .localCheckpoint(false) // feeds BOTH endpoint semi-joins
       edges = edges
         .join(keep, col("src") === col("k"), "left_semi")
         .join(keep.select(col("k").as("k2")), col("dst") === col("k2"),
           "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("part"), col("core_deg"))
@@ -339,7 +339,7 @@ object Graph {
     */
   def localClustering(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val e0 = prunedPairs(spark, dir).localCheckpoint(false)
     val deg = e0.select(col("pa").as("v")).union(e0.select(col("pb")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
     val ab = e0.select(col("pa").as("a"), col("pb").as("b"))
@@ -392,11 +392,11 @@ object Graph {
     */
   def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    val e0 = prunedPairs(spark, dir).localCheckpoint()
+    val e0 = prunedPairs(spark, dir).localCheckpoint(false)
     val sym = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // gates the wedge AND serves both denominators
+      .localCheckpoint(false) // gates the wedge AND serves both denominators
     // adjacency restricted to cap-ok MIDDLE nodes (symmetry lets both
     // wedge arms read the same src-filtered frame)
     val symM = sym.join(
@@ -429,7 +429,7 @@ object Graph {
     val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // joins onto BOTH edge ends
+      .localCheckpoint(false) // joins onto BOTH edge ends
     val d = (c: Column) => c.cast("decimal(38,0)")
     val j = edges
       .join(deg.select(col("src"), col("deg").as("dj")), Seq("src"))

@@ -245,7 +245,7 @@ object Multimodal {
         length(col("payload")).cast("int").as("n"))
       .filter(col("n") >= 1)
       .select(col("doc_id"), col("payload"), ends.as("ends"))
-      .localCheckpoint()
+      .localCheckpoint(false)
       .select(col("doc_id"), col("payload"), col("ends"),
         posexplode(col("ends")).as(Seq("k", "e")))
       .select(col("doc_id"), col("e"),
@@ -320,7 +320,7 @@ object Multimodal {
     val sigs = base
       .withColumn("s", sumPix)
       .select(col("doc_id"), half(0).as("h1"), half(32).as("h2"))
-      .localCheckpoint() // feeds the band explode and both verify sides
+      .localCheckpoint(false) // feeds the band explode and both verify sides
     val bandKeys = array(
       shiftright(col("h1"), 16).bitwiseAND(lit(0xFFFFL)),
       col("h1").bitwiseAND(lit(0xFFFFL)),

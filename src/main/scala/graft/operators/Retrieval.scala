@@ -172,7 +172,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // corpus stats: ONE row (exact integer sums), broadcast everywhere
     val stats = ctf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
@@ -181,7 +181,7 @@ object Retrieval {
 
     val qterms = toks.filter(isQuery)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
-      .localCheckpoint() // consumed by the vocab restriction AND the join
+      .localCheckpoint(false) // consumed by the vocab restriction AND the join
     val qvocab = qterms.select(col("term")).distinct()
     // df over the corpus, restricted to query vocabulary before grouping
     val dft = ctf.join(broadcast(qvocab), "term")
@@ -315,7 +315,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coll = ctf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val stats = ctf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(sum(col("dl")).as("total_len"))
@@ -328,7 +328,7 @@ object Retrieval {
       .withColumn("qr", row_number().over(wQ))
       .filter(col("qr") <= QlMaxQueryTerms)
       .drop("qr")
-      .localCheckpoint() // feeds |q| AND the scoring join
+      .localCheckpoint(false) // feeds |q| AND the scoring join
     val qlen = qt.groupBy(col("q_id")).agg(count(lit(1)).as("qlen"))
     val capped =
       if (cap == Int.MaxValue) ctf
@@ -458,11 +458,11 @@ object Retrieval {
     // this frame IS hybridRetrieve's vec arm)
     val exact = denseRanked(spark, dir)
       .withColumnRenamed("vrank", "pos")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // ONE bm25 pipeline (checkpointed): the lexical arm AND the fusion
     val lex = bm25Topk(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val rel = exact.select(col("q_id"), col("doc_id"),
       (lit(NdcgK + 1) - col("pos")).as("rel"))
     def dcgOf(name: String, ranked: DataFrame): DataFrame = {
@@ -514,19 +514,19 @@ object Retrieval {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     val exact = denseRanked(spark, dir)
-      .withColumnRenamed("vrank", "pos").localCheckpoint()
+      .withColumnRenamed("vrank", "pos").localCheckpoint(false)
     val rel = exact.select(col("q_id"), col("doc_id"))
       .withColumn("is_rel", lit(1))
     val lex = bm25Topk(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
-      .localCheckpoint() // the lexical arm AND the fusion input
+      .localCheckpoint(false) // the lexical arm AND the fusion input
     val hyb = rrfFuse(lex.withColumnRenamed("pos", "lrank"),
       exact.withColumnRenamed("pos", "vrank"))
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     val prf = prfExpand(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     val nq = broadcast(exact.select(col("q_id")).distinct()
-      .agg(count(lit(1)).as("nq")).localCheckpoint())
+      .agg(count(lit(1)).as("nq")).localCheckpoint(false))
     def armOf(name: String, ranked: DataFrame): DataFrame =
       ranked.join(rel, Seq("q_id", "doc_id"), "left")
         .groupBy(col("q_id"))
@@ -585,7 +585,7 @@ object Retrieval {
     // materialized: feeds stats, df, and the scoring join (see bm25Topk)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val stats = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -688,7 +688,7 @@ object Retrieval {
       .join(cells, col("doc_id") === col("vec_id"))
       .groupBy(col("ccell"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds n_cells, df, and the scoring join
+      .localCheckpoint(false) // feeds n_cells, df, and the scoring join
     val nc = tf.select(col("ccell")).distinct()
       .agg(count(lit(1)).as("n_cells"))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -733,7 +733,7 @@ object Retrieval {
       .join(cells, col("doc_id") === col("vec_id"))
       .groupBy(col("ccell"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // feeds the grid plus three total re-aggs
+      .localCheckpoint(false) // feeds the grid plus three total re-aggs
     val cellT = g.groupBy(col("ccell")).agg(sum(col("n_docs")).as("cell_n"))
     val srcT = g.groupBy(col("source")).agg(sum(col("n_docs")).as("src_n"))
     val tot = g.agg(sum(col("n_docs")).as("tot"))
@@ -941,11 +941,11 @@ object Retrieval {
         col("rank_nonq") <= NdcgK)
       .select(col("q_id"), col("neighbor_id").as("doc_id"), col("s"),
         col("rank_nonq").as("pos")), "vn")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val lex = mmNorm(bm25Topk(spark, dir)
       .select(col("q_id"), col("doc_id"), col("score").as("s"),
         col("rank").as("pos")), "ln")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val rel = exact.select(col("q_id"), col("doc_id"),
       (lit(NdcgK + 1) - col("pos")).as("rel"))
     val wD = rnd6(lit(1.0) / log2(col("pos") + 1)).cast("decimal(18,6)")
@@ -956,7 +956,7 @@ object Retrieval {
         .groupBy(col("q_id")).agg(sum(col("t")).as("dcgs"))
     val ideal = dcgOf(exact)
       .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
-      .localCheckpoint() // reused by every grid point
+      .localCheckpoint(false) // reused by every grid point
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("blend").desc, col("doc_id"))
     val perA = FusionAlphas.map { a =>
@@ -1169,7 +1169,7 @@ object Retrieval {
     val exp = fb.withColumn("er", row_number().over(wE))
       .filter(col("er") <= PrfFbTerms)
       .select(col("q_id"), col("term"), col("wu"))
-      .localCheckpoint() // feeds the vocab restriction AND the join
+      .localCheckpoint(false) // feeds the vocab restriction AND the join
     val stats = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .select(col("n_docs"),
@@ -1271,7 +1271,7 @@ object Retrieval {
     // substitute the packed-lane sum tree into the predicate (the
     // curriculum_order filter-pushdown rule, at expression scale)
     val docVec = Embedder.hashSumRows(docToks, Seq("doc_id"))
-      .localCheckpoint() // feeds the query and candidate sides
+      .localCheckpoint(false) // feeds the query and candidate sides
       .filter(col("n2") > 0)
     import graft.functions.VectorFunctions.dotLong
     val q = docVec.filter(pmod(col("doc_id"), lit(QueryMod)) === 0)
@@ -1320,7 +1320,7 @@ object Retrieval {
       .filter(col("pr") <= LiPoolC)
       .select(col("q_id"), col("doc_id").as("d_id"),
         col("simq").as("pool_sim"))
-      .localCheckpoint() // feeds both chunk semi-joins and the output
+      .localCheckpoint(false) // feeds both chunk semi-joins and the output
   }
 
   /** li_pool_recall: how much of the late-interaction BRUTE pool the

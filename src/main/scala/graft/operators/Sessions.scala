@@ -97,7 +97,7 @@ object Sessions {
         "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(gap_sec)) AS INT) - 1)")
         .as("bin_lo"))
       .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_gaps"))
-      .localCheckpoint() // feeds the grid and its share total
+      .localCheckpoint(false) // feeds the grid and its share total
     g.crossJoin(broadcast(g.agg(sum(col("n_gaps")).as("total"))))
       .select(col("bin_lo"), col("n_gaps"),
         r4(col("n_gaps").cast("double") / col("total")).as("gap_share"))
@@ -215,7 +215,7 @@ object Sessions {
       .select(col("event_type"), expr("ts div 86400000000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // both sides of the lag self-join
+      .localCheckpoint(false) // both sides of the lag self-join
     val prev = daily.select(col("event_type").as("pt"),
       (col("day") + 7).as("pd"), col("n").as("np"))
     daily.join(prev, col("event_type") === col("pt") &&
@@ -398,7 +398,7 @@ object Sessions {
         col("event_type"), col("value"))
     val first = ev.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"))
-      .localCheckpoint() // feeds the size table AND the value join
+      .localCheckpoint(false) // feeds the size table AND the value join
     val sizes = first.groupBy(col("cohort_wk"))
       .agg(count(lit(1)).as("cohort_users"))
     val vU = floor(col("value") * 10000 + lit(0.5)).cast("long")
@@ -434,7 +434,7 @@ object Sessions {
     val s = sessionize(spark, dir)
       .select(col("n_events").cast("long").as("ne"), col("duration_sec"),
         expr("duration_sec div 60").as("bin"))
-      .localCheckpoint() // feeds the totals AND the histogram
+      .localCheckpoint(false) // feeds the totals AND the histogram
     val tot = s.agg(count(lit(1)).as("n_sessions"),
       sum(col("ne")).as("se"), sum(col("duration_sec")).as("sd"))
     val wCum = Window.orderBy(col("bin"))
@@ -482,7 +482,7 @@ object Sessions {
         expr("ts div 1000000000 div 86400").as("day"))
       .distinct()
       .withColumn("period", expr(s"day div $AuPeriodDays"))
-      .localCheckpoint() // feeds the DAU and MAU series
+      .localCheckpoint(false) // feeds the DAU and MAU series
     val dau = ud.groupBy(col("period"), col("day"))
       .agg(count(lit(1)).as("dau"))
       .groupBy(col("period"))
@@ -604,7 +604,7 @@ object Sessions {
     * both consumers, so it is localCheckpoint-ed once.
     */
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCounts(Tables.events(spark, dir)).localCheckpoint()
+    val daily = dailyCounts(Tables.events(spark, dir)).localCheckpoint(false)
     flagDaily(daily, dayStatsOf(daily))
   }
 
@@ -668,7 +668,7 @@ object Sessions {
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the quantile grid and the clamp-sum
+      .localCheckpoint(false) // feeds the quantile grid and the clamp-sum
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("event_type"))
@@ -712,7 +712,7 @@ object Sessions {
   def dowAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyCounts(Tables.events(spark, dir))
       .withColumn("dow", pmod(col("day") + 3, lit(7)).cast("int"))
-      .localCheckpoint() // feeds the stats and the flagging join
+      .localCheckpoint(false) // feeds the stats and the flagging join
     val mean = col("s1").cast("double") / col("d")
     val stats = daily.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
@@ -759,7 +759,7 @@ object Sessions {
     * per type over grid rows (bounded by types × days, never events).
     */
   def cusumShift(spark: SparkSession, dir: String): DataFrame =
-    cusumOfDaily(dailyCounts(Tables.events(spark, dir)).localCheckpoint())
+    cusumOfDaily(dailyCounts(Tables.events(spark, dir)).localCheckpoint(false))
 
   /** The CUSUM chart over a `(event_type, day, n)` count frame — shared
     * with the streaming twin ([[graft.streaming.CusumStream]]), whose
@@ -813,7 +813,7 @@ object Sessions {
       .select(col("lat"), expr("lat div 60").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("c"), sum(col("lat")).as("sl"))
-      .localCheckpoint() // feeds the cumulative grid and the rollup
+      .localCheckpoint(false) // feeds the cumulative grid and the rollup
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -971,7 +971,7 @@ object Sessions {
       .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
     val span = ev.groupBy(col("user_id"))
       .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
-      .localCheckpoint() // feeds the max-week scalar AND the grid
+      .localCheckpoint(false) // feeds the max-week scalar AND the grid
     val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1053,7 +1053,7 @@ object Sessions {
       .groupBy(col("user_id"))
       .agg(min(col("wk")).as("f"), max(col("wk")).as("l"))
       .select(pmod(h, lit(2L)).cast("int").as("arm"), col("f"), col("l"))
-      .localCheckpoint() // feeds the max-week scalar, arm totals, grid
+      .localCheckpoint(false) // feeds the max-week scalar, arm totals, grid
     val maxWk = broadcast(span.agg(max(col("l")).as("maxwk")))
     val tot = broadcast(span.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nu_a"),
@@ -1123,7 +1123,7 @@ object Sessions {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
     val mid = broadcast(ev.agg(
-      expr("(min(wk) + max(wk) + 1) div 2").as("mid")).localCheckpoint())
+      expr("(min(wk) + max(wk) + 1) div 2").as("mid")).localCheckpoint(false))
     val per = ev.crossJoin(mid)
       .groupBy(col("user_id"))
       .agg(sum(when(col("wk") < col("mid"), 1L).otherwise(0L)).as("x"),
@@ -1275,7 +1275,7 @@ object Sessions {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val du = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint() // feeds the sketch AND the exact arm
+      .localCheckpoint(false) // feeds the sketch AND the exact arm
     val ex = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
     hllEstimateOf(hllRegisters(du)).join(ex, "event_type")
       .select(col("event_type"), col("n_exact"), col("n_buckets"),
@@ -1311,7 +1311,7 @@ object Sessions {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val uc = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the counters AND the exact top-k arm
+      .localCheckpoint(false) // feeds the counters AND the exact top-k arm
     def bucketOf(d: Column, u: Column): Column =
       pmod(conv(substring(md5(concat(d.cast("string"), lit(":"),
         u.cast("string"))), 1, 15), 16, 10).cast("long"),
@@ -1408,7 +1408,7 @@ object Sessions {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val ut = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint() // feeds sizes, the pair join, and the U count
+      .localCheckpoint(false) // feeds sizes, the pair join, and the U count
     val sz = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val totalU = ut.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("tu"))
@@ -1493,7 +1493,7 @@ object Sessions {
       .select(col("event_type"),
         expr("ts div 1000000000 div 86400").as("day"))
     val days = broadcast(ev.agg(min(col("day")).as("d0"),
-        max(col("day")).as("d1")).localCheckpoint()
+        max(col("day")).as("d1")).localCheckpoint(false)
       .select(explode(sequence(col("d0"), col("d1"))).as("day")))
     val counts = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
@@ -1502,7 +1502,7 @@ object Sessions {
       .join(counts, Seq("event_type", "day"), "left")
       .select(col("event_type"), pmod(col("day") + 3, lit(7)).as("dow"),
         coalesce(col("c"), lit(0L)).as("n"))
-      .localCheckpoint() // feeds the dow terms and the totals
+      .localCheckpoint(false) // feeds the dow terms and the totals
     val sw = grid.groupBy(col("event_type"), col("dow"))
       .agg(sum(col("n")).as("sg"), count(lit(1)).as("cg"))
       .groupBy(col("event_type"))
@@ -1581,11 +1581,11 @@ object Sessions {
       .select(col("from_type"), col("to_type"),
         floor(col("n").cast("double") / sum(col("n")).over(wf) * 1000000
           + lit(0.5)).cast("long").as("pu"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emp = base.groupBy(col("event_type")).agg(count(lit(1)).as("ne"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val k = broadcast(emp.agg(count(lit(1)).as("k"),
-      sum(col("ne")).as("tot")).localCheckpoint())
+      sum(col("ne")).as("tot")).localCheckpoint(false))
     // r14: the iteration runs WITHOUT per-round eager checkpoints or
     // broadcast normalizers — each round's renormalizer is a window sum
     // over the k-row frame (k = |event types|, bounded at any corpus
@@ -1656,15 +1656,15 @@ object Sessions {
       .groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("wa"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sym = comp.select(col("ta").as("t"), col("tb").as("o"), col("n"),
         col("wa").as("w"))
       .unionByName(comp.select(col("tb").as("t"), col("ta").as("o"),
         col("n"), (col("n") - col("wa")).as("w")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wins = sym.groupBy(col("t"))
       .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // r14: the MM rounds run without eager per-round jobs — the round's
     // two normalizers (Σ pr and the type count k) are window aggregates
     // over the k-row strength frame (k = |event types|, bounded at any
@@ -1877,7 +1877,7 @@ object Sessions {
     val daily = dailyCounts(Tables.events(spark, dir))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("day"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val stats = dayStatsOf(daily.select(col("event_type"), col("day"),
       col("n")))
     val wts = broadcast(daily.sparkSession.createDataFrame(EwmaWeights)
@@ -1940,7 +1940,7 @@ object Sessions {
       .select(col("event_type"), expr("ts div 1000000000").as("sec"),
         floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vu"))
     val mid = broadcast(ev.agg(
-      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint())
+      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint(false))
     val grid = ev.crossJoin(mid)
       .groupBy(col("event_type"), col("vu"))
       .agg(sum(when(col("sec") < col("mid"), 1L).otherwise(0L)).as("ca"),
@@ -2002,7 +2002,7 @@ object Sessions {
       .select(col("event_type"), expr("ts div 1000000000").as("sec"),
         floor(col("value") * 1000000 + lit(0.5)).cast("long").as("vu"))
     val mid = broadcast(ev.agg(
-      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint())
+      expr("(min(sec) + max(sec)) div 2").as("mid")).localCheckpoint(false))
     val grid = ev.crossJoin(mid)
       .groupBy(col("event_type"), col("vu"))
       .agg(sum(when(col("sec") < col("mid"), 1L).otherwise(0L)).as("ca"),
@@ -2131,7 +2131,7 @@ object Sessions {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), expr("ts div 86400000000000").as("day"))
     val span = broadcast(ev.agg(min(col("day")).as("d0"),
-        max(col("day")).as("d1")).localCheckpoint())
+        max(col("day")).as("d1")).localCheckpoint(false))
     val days = span
       .select(explode(sequence(col("d0"), col("d1"))).as("day"),
         col("d0"))
@@ -2142,7 +2142,7 @@ object Sessions {
       .join(counts, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), col("d0"),
         coalesce(col("c"), lit(0L)).as("n"))
-      .localCheckpoint() // target side and 28 lag probes
+      .localCheckpoint(false) // target side and 28 lag probes
     val lagW = SesWeights.zipWithIndex
       .foldLeft(lit(0.0)) { case (acc, (w, i)) =>
         when(col("id") === (i + 1), lit(w)).otherwise(acc) }
@@ -2208,7 +2208,7 @@ object Sessions {
       .filter(col("b").isNotNull && col("c").isNotNull)
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("n3"))
-      .localCheckpoint() // all three margins re-read it
+      .localCheckpoint(false) // all three margins re-read it
     val nab = tri.groupBy(col("a"), col("b")).agg(sum(col("n3")).as("n2f"))
     val nbc = tri.groupBy(col("b"), col("c")).agg(sum(col("n3")).as("n2s"))
     val nb = tri.groupBy(col("b")).agg(sum(col("n3")).as("n1"))
@@ -2221,7 +2221,7 @@ object Sessions {
             (col("n2f").cast("double") * col("n2s"))) * 1000000 + 0.5)
           .cast("long").as("t6"))
     val kf = broadcast(tri.agg(
-      countDistinct(col("b")).as("k")).localCheckpoint())
+      countDistinct(col("b")).as("k")).localCheckpoint(false))
     val dfn = col("k") * (col("k") - 1) * (col("k") - 1)
     terms.agg(sum(col("n3")).as("n_trigrams"),
       count(lit(1)).as("n_cells"), sum(col("t6")).as("st6"))
@@ -2253,9 +2253,9 @@ object Sessions {
         .as("bin_lo"))
       .groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
-      .localCheckpoint() // grid rows feed the share against the total
+      .localCheckpoint(false) // grid rows feed the share against the total
     val tot = broadcast(g.agg(sum(col("n_sessions")).as("t"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     g.crossJoin(tot)
       .select(col("bin_lo"), col("n_sessions"), col("n_events"),
         r4(col("n_sessions").cast("double") / col("t"))
@@ -2352,9 +2352,9 @@ object Sessions {
     def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-      .localCheckpoint() // feeds the point estimate and the replicas
+      .localCheckpoint(false) // feeds the point estimate and the replicas
     val est = broadcast(perUser.agg(count(lit(1)).as("n_users"),
-      sum(col("x")).as("sx")).localCheckpoint())
+      sum(col("x")).as("sx")).localCheckpoint(false))
     val reps = broadcast(spark.range(0, BootB)
       .select(col("id").cast("int").as("b")))
     val u = conv(substring(md5(concat(col("user_id").cast("string"),

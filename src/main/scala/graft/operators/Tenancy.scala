@@ -72,7 +72,7 @@ object Tenancy {
       .groupBy(col("tenant_shard"), col("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).as("v"))
-      .localCheckpoint() // feeds the rollup AND the argmax window
+      .localCheckpoint(false) // feeds the rollup AND the argmax window
     val top = perUser.withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("tenant_shard"))
@@ -278,6 +278,9 @@ object Tenancy {
     val touched = withF.filter(hit).select(col("_file")).distinct()
       .collect().map(_.getString(0))
     if (touched.isEmpty) return
+    // EAGER checkpoint required: the kept rows must be materialized
+    // BEFORE the touched files are deleted below — a lazy plan would
+    // read the deleted files at write time.
     val kept = withF.filter(col("_file").isin(touched: _*)).filter(!hit)
       .drop("_file").localCheckpoint()
     touched.foreach(f =>
@@ -454,7 +457,7 @@ object Tenancy {
         floor(col("c_acctbal") / KAnonBalBucket).as("bal_bucket"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds class totals, the global margin, the grid
+      .localCheckpoint(false) // feeds class totals, the global margin, the grid
     val cls = cs.groupBy(col("c_nationkey"), col("bal_bucket"))
       .agg(sum(col("cnt")).as("n_c"))
     val glob = cs.groupBy(col("c_mktsegment")).agg(sum(col("cnt")).as("g"))

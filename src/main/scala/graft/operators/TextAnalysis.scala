@@ -179,7 +179,7 @@ object TextAnalysis {
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     def rnd4(c: Column) = floor(c * 10000 + 0.5) / 10000
     // feeds the hot-fp filter, both join sides, and the per-doc sizes
-    val fps = winnowFingerprints(spark, dir).localCheckpoint()
+    val fps = winnowFingerprints(spark, dir).localCheckpoint(false)
     val keep = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= WinnowHotCap)
@@ -281,7 +281,7 @@ object TextAnalysis {
     val p = langPredFrame(spark, dir)
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds true/pred/tp rollups
+      .localCheckpoint(false) // feeds true/pred/tp rollups
     val tn = p.groupBy(col("lang")).agg(sum(col("n")).as("true_n"))
     val pn = p.groupBy(col("lang_pred"))
       .agg(sum(col("n")).as("pred_n"))
@@ -299,7 +299,7 @@ object TextAnalysis {
         r4(col("tp").cast("double") / col("true_n")).as("recall"),
         r4(lit(2) * col("tp").cast("double") /
           (col("pred_n") + col("true_n"))).as("f1"))
-      .localCheckpoint() // feeds the macro rollup and the union
+      .localCheckpoint(false) // feeds the macro rollup and the union
     // 4dp values ×1e4 are exact integers — the macro means stay exact
     val macroRow = per.agg(
       sum(col("tp")).as("tp"), sum(col("true_n")).as("true_n"),

@@ -47,7 +47,7 @@ object SkewProbe {
           concat_ws(" ", lit("g"), pmod(col("doc_id"), lit(1000)),
             col("i")).as("g"),
           lit(22L).as("n")),
-      col("doc_id")).localCheckpoint()
+      col("doc_id")).localCheckpoint(false)
     // Candidate pairs: the hot doc pairs with ids 1..hotPairs; cold
     // pairs link consecutive high ids.
     val hot = spark.range(1, hotPairs.toLong + 1)
@@ -55,7 +55,7 @@ object SkewProbe {
     val cold = spark.range(hotPairs.toLong + 1, hotPairs.toLong + coldDocs)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val cand = Tables.cpuPartition(hot.unionByName(cold), col("id_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def time2(f: => Unit): Double = {
       def once: Double = {
