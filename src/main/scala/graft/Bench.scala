@@ -71,6 +71,9 @@ object Bench {
       // (clean_text, classify, token_count, ...) was timing NOTHING. The
       // noop write materializes every output column through the full plan.
       def once(): Double = {
+        // label the jobs (UI/event-log attribution); outside no timed
+        // work happens before t0
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9

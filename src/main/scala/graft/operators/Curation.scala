@@ -1101,9 +1101,14 @@ object Curation {
         .select(lit(name).as("artifact"), col("n_present"),
           col("n_expected"), col("n_missing"), col("n_extra"))
     }
+    // expected band-store population = docs eligible to shingle (≥3
+    // normalized tokens) — the map-only twin of shingleRowsOf's doc
+    // set (its 3-gram needs lead(w,2) non-null ⟺ size ≥ 3), without
+    // the per-gram explode + window + dedup corpus pass (r14)
     row("band_store",
         Dedup.bandStore(spark, dir).select(col("doc_id")),
-        Dedup.shingleRowsOf(base).select(col("doc_id")))
+        base.filter(size(Dedup.normToks(col("text"))) >= 3)
+          .select(col("doc_id")))
       .unionByName(row("bq_codes",
         Similarity.bqCodes(spark, dir).select(col("vec_id")),
         emb.select(col("vec_id"))))

@@ -959,11 +959,16 @@ object Retrieval {
       .localCheckpoint(false) // reused by every grid point
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("blend").desc, col("doc_id"))
+    // r14: the arm union is the SAME k-bounded full-outer join five
+    // times over — only the blend expression differs per α. Join once,
+    // blend per arm (row-identical: the blend reads the joined ln/vn).
+    val paired = lex.drop("pos")
+      .join(exact.drop("pos"), Seq("q_id", "doc_id"), "full_outer")
+      .localCheckpoint(false)
     val perA = FusionAlphas.map { a =>
       val blend = rnd6(lit(a) * coalesce(col("ln"), lit(0.0)) +
         lit(1 - a) * coalesce(col("vn"), lit(0.0)))
-      val fused = lex.drop("pos")
-        .join(exact.drop("pos"), Seq("q_id", "doc_id"), "full_outer")
+      val fused = paired
         .select(col("q_id"), col("doc_id"), blend.as("blend"))
         .withColumn("pos", row_number().over(wF))
       dcgOf(fused)
