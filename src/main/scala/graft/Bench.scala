@@ -26,6 +26,20 @@ object Bench {
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // Status-store retention is pure driver overhead in a headless
+        // sweep: even with the UI off, the app/SQL status listeners
+        // retain the last 1000 executions (each holding the FULL plan
+        // description string — 1000+-line plans here) plus 1000 jobs /
+        // 1000 stages / 100k tasks in driver heap. Across a 318-query ×
+        // 3-run sweep that is ~950 live plan graphs competing with
+        // execution memory and listener-bus throughput (the measured
+        // "in-sweep backlog" that inflated late queries 2-7× vs
+        // isolation). Keep a post-mortem handful; a long-lived
+        // production driver wants the same bound for the same reason.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

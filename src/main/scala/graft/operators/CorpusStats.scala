@@ -1523,10 +1523,23 @@ object CorpusStats {
       .select(col("tok"),
         regexp_replace(col("tok"), "(.)", S + "$1" + E).as("seq"))
       .crossJoin(broadcast(wide))
+    // A missing merge round (possible on tiny corpora) is a NO-OP
+    // REPLACE on a pattern that cannot occur — coalescing the null
+    // symbol to E yields a search string containing an S+E (empty
+    // symbol) boundary, and every symbol in a wrapped seq has ≥1
+    // non-marker char. The former `when(isNull, acc).otherwise(
+    // replace(acc, …))` fold referenced acc TWICE per level: 2^8
+    // duplicated copies of the inner expression in the generated
+    // code, which pushed the fused join+agg stage past Janino's
+    // 64 KB method limit and dropped the whole corpus-sized stage
+    // to interpreted execution (3× "Code grows beyond 64 KB" per
+    // sweep, measured r14). The linear replace chain compiles.
     val seqFinal = (1 to BpeMerges).foldLeft(col("seq")) { (acc, t) =>
-      when(col(s"l$t").isNull, acc).otherwise(replace(acc,
-        concat(lit(S), col(s"l$t"), lit(E), lit(S), col(s"r$t"), lit(E)),
-        concat(lit(S), col(s"l$t"), col(s"r$t"), lit(E))))
+      replace(acc,
+        concat(lit(S), coalesce(col(s"l$t"), lit(E)), lit(E),
+          lit(S), coalesce(col(s"r$t"), lit(E)), lit(E)),
+        concat(lit(S), coalesce(col(s"l$t"), lit(E)),
+          coalesce(col(s"r$t"), lit(E)), lit(E)))
     }
     val enc = vocab.select(col("tok").as("etok"),
       size(split(trim(seqFinal, S + E), E + S)).cast("long").as("n_sub"))

@@ -467,8 +467,11 @@ object Retrieval {
       (lit(NdcgK + 1) - col("pos")).as("rel"))
     def dcgOf(name: String, ranked: DataFrame): DataFrame = {
       val w = rnd6(lit(1.0) / log2(col("pos") + 1)).cast("decimal(18,6)")
+      // rel is the k-bounded truth gauge (≤ |q|·k rows — the recall-
+      // audit broadcast envelope): hash-join it instead of letting the
+      // planner sort-merge every arm against it
       ranked.filter(col("pos") <= NdcgK)
-        .join(rel, Seq("q_id", "doc_id"), "left")
+        .join(broadcast(rel), Seq("q_id", "doc_id"), "left")
         .select(col("q_id"), (coalesce(col("rel"), lit(0)) * w).as("t"))
         .groupBy(col("q_id")).agg(sum(col("t")).as("dcgs"))
         .select(lit(name).as("arm"), col("q_id"), col("dcgs"))
@@ -484,7 +487,7 @@ object Retrieval {
       .unionByName(dcgOf("ql", ql))
     val ideal = dcgOf("i", exact)
       .select(col("q_id").as("iq"), col("dcgs").as("ideal"))
-    arms.join(ideal, col("q_id") === col("iq"))
+    arms.join(broadcast(ideal), col("q_id") === col("iq"))
       .select(col("arm"), col("q_id"),
         rnd6(col("dcgs").cast("double")).as("dcg"),
         rnd6(col("dcgs").cast("double") / col("ideal").cast("double"))
@@ -528,7 +531,9 @@ object Retrieval {
     val nq = broadcast(exact.select(col("q_id")).distinct()
       .agg(count(lit(1)).as("nq")).localCheckpoint(false))
     def armOf(name: String, ranked: DataFrame): DataFrame =
-      ranked.join(rel, Seq("q_id", "doc_id"), "left")
+      // rel = the k-bounded dense-truth membership gauge: broadcast
+      // (same envelope as ndcg_eval's rel side)
+      ranked.join(broadcast(rel), Seq("q_id", "doc_id"), "left")
         .groupBy(col("q_id"))
         .agg(min(when(col("is_rel") === 1, col("pos"))).as("frp"),
           sum(when(col("is_rel") === 1, 1L).otherwise(0L)).as("hits"),
