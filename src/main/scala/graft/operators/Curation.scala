@@ -88,54 +88,72 @@ object Curation {
     * phrase noise. The n=3 collisions reconcile with [[decontaminate]]
     * by construction (same grams, same slot rule).
     *
-    * Plan: tokens explode ONCE into a materialized narrow
-    * (doc_id, pos, w) frame that feeds ALL THREE arms — the regex
-    * tokenize (the expensive map stage) runs once, and because the
-    * checkpoint keeps the cpuPartition doc_id partitioning, each arm's
-    * lead() window re-sorts but never re-shuffles. (A single shared
-    * window materializing the full w0..w12 lead chain was tried and
-    * measured SLOWER — 13 string columns per token outweigh two
-    * window sorts.) Candidate generation is the equi-join on the
-    * gram — never train × eval. The eval gram set is mod-bounded and
-    * the hit frame is materialized once for its three aggregates.
+    * Plan (r14): ONE map pass tokenizes and builds all three arms'
+    * per-doc DISTINCT gram-fingerprint ARRAYS (the oracle's
+    * list_transform shape) — no window sort, no per-arm dedupe
+    * exchange: the former lead()-window gram build re-sorted the
+    * exploded token frame once per arm and paid a (doc_id, g)
+    * dropDuplicates aggregate per arm, all to recover an ordering the
+    * token array already has. array_distinct per doc IS the
+    * (doc_id, g) dedupe. Grams dedupe/join on a 16-hex md5 fingerprint
+    * (a 13-gram is ~70 shuffle bytes, the hash 16 — the bandKey
+    * posture; md5 is engine-identical so the mirror hashes too).
+    * Candidate generation is the equi-join on the gram — never
+    * train × eval. The eval gram set is mod-bounded; the hit frame is
+    * materialized once per arm for its three aggregates; everything
+    * upstream of the join is map-only over the one checkpointed
+    * gram-array frame.
     */
   def decontamSweep(spark: SparkSession, dir: String): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(ContamMod)) === ContamSlot
-    val toks = Tables.cpuPartition(
+    def gramArr(k: Int): Column = {
+      val ws = col("ws")
+      def gram(j: Column) = substring(md5(concat_ws(" ",
+        (0 until k).map(i => element_at(ws, j + i + 1)): _*)), 1, 16)
+      when(size(ws) >= k,
+        array_distinct(transform(sequence(lit(0), size(ws) - k), gram(_))))
+        .otherwise(array().cast("array<string>"))
+    }
+    // one exploded (doc_id, n, g) frame carries ALL arms, keyed on the
+    // arm length n — one bench-gram distinct, one candidate equi-join,
+    // one hit checkpoint, per-n aggregates (instead of 3 checkpointed
+    // per-arm chains built serially): row-identical per n by
+    // construction (same grams, same slot rule, join key (n, g))
+    val expl = Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(Dedup.normToks(col("text"))).as(Seq("pos", "w")))
-      .localCheckpoint(false) // one tokenize feeds all three arms
-    def arm(k: Int): DataFrame = {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val gramCols = (0 until k).map(i =>
-        if (i == 0) col("w") else lead(col("w"), i).over(w))
-      val sh = toks
-        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g0"),
-          lead(col("w"), k - 1).over(w).isNotNull.as("full"))
-        .filter(col("full"))
-        // dedupe/join on a 16-hex gram fingerprint, not the raw string:
-        // a 13-gram is ~70 shuffle bytes, the hash 16 — the bandKey
-        // posture; md5 is engine-identical so the mirror hashes too
-        .select(col("doc_id"), substring(md5(col("g0")), 1, 16).as("g"))
-        .dropDuplicates("doc_id", "g")
-        .localCheckpoint(false) // feeds the bench AND train sides
-      val bench = sh.filter(isBench)
-      val benchG = bench.select(col("g")).distinct()
-      val hits = sh.filter(!isBench).join(benchG, "g")
-        .localCheckpoint(false) // feeds three aggregates
-      val a = hits.agg(count(lit(1)).as("n_collisions"),
+      .select(col("doc_id"), Dedup.normToks(col("text")).as("ws"))
+      .select(col("doc_id"), explode(flatten(array(
+        DecontamSweepNs.map(k => transform(gramArr(k),
+          g => struct(lit(k).as("n"), g.as("g")))): _*))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .localCheckpoint(false) // one tokenize+hash pass feeds all arms
+    val bench = expl.filter(isBench)
+    val benchG = bench.select(col("n"), col("g")).distinct()
+    val hits = expl.filter(!isBench).join(benchG, Seq("n", "g"))
+      .localCheckpoint(false) // feeds three aggregates
+    val a = hits.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_collisions"),
         count_distinct(col("doc_id")).as("n_train_docs_flagged"))
-      val b = bench.join(hits.select(col("g")).distinct(), "g")
-        .agg(count_distinct(col("doc_id")).as("n_eval_docs_touched"))
-      val c = benchG.agg(count(lit(1)).as("n_eval_grams"))
-      a.crossJoin(b).crossJoin(c)
-        .select(lit(k).as("n"), col("n_train_docs_flagged"),
-          col("n_eval_docs_touched"), col("n_collisions"),
-          col("n_eval_grams"))
-    }
-    DecontamSweepNs.map(arm).reduce(_ unionByName _).orderBy(col("n"))
+    val b = bench
+      .join(hits.select(col("n"), col("g")).distinct(), Seq("n", "g"))
+      .groupBy(col("n"))
+      .agg(count_distinct(col("doc_id")).as("n_eval_docs_touched"))
+    val c = benchG.groupBy(col("n")).agg(count(lit(1)).as("n_eval_grams"))
+    // an arm with zero hits/grams must still emit its row (the former
+    // per-arm global aggregates always did): left-join from the arm list
+    import spark.implicits._
+    DecontamSweepNs.toDF("n")
+      .join(a, Seq("n"), "left").join(b, Seq("n"), "left")
+      .join(c, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_train_docs_flagged"), lit(0L))
+          .as("n_train_docs_flagged"),
+        coalesce(col("n_eval_docs_touched"), lit(0L))
+          .as("n_eval_docs_touched"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"))
+      .orderBy(col("n"))
   }
 
   /** contamination_report: the EVAL-side transpose of [[decontaminate]]
