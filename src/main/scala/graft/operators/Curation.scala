@@ -1123,19 +1123,24 @@ object Curation {
     // normalized tokens) — the map-only twin of shingleRowsOf's doc
     // set (its 3-gram needs lead(w,2) non-null ⟺ size ≥ 3), without
     // the per-gram explode + window + dedup corpus pass (r14)
-    row("band_store",
+    // the four artifact rows BUILD in parallel (Par.build): each row
+    // materializes its own present/expected checkpoints — serially
+    // those eight waves queued back-to-back
+    graft.operators.Par.build(Seq(
+      () => row("band_store",
         Dedup.bandStore(spark, dir).select(col("doc_id")),
         base.filter(size(Dedup.normToks(col("text"))) >= 3)
-          .select(col("doc_id")))
-      .unionByName(row("bq_codes",
+          .select(col("doc_id"))),
+      () => row("bq_codes",
         Similarity.bqCodes(spark, dir).select(col("vec_id")),
-        emb.select(col("vec_id"))))
-      .unionByName(row("hash_store",
+        emb.select(col("vec_id"))),
+      () => row("hash_store",
         Dedup.hashStore(spark, dir).select(col("text_hash")),
-        Dedup.exactHashOf(base).select(col("text_hash"))))
-      .unionByName(row("ivf_lists",
+        Dedup.exactHashOf(base).select(col("text_hash"))),
+      () => row("ivf_lists",
         Similarity.ivfFlatIndex(spark, dir).lists.select(col("vec_id")),
-        emb.select(col("vec_id"))))
+        emb.select(col("vec_id")))))
+      .reduce(_ unionByName _)
       .orderBy(col("artifact"))
   }
 

@@ -134,19 +134,26 @@ object Dedup {
     * a corpus directory.
     */
   private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // r14: per-doc DISTINCT gram ARRAYS instead of explode + lead()
+    // window + (doc_id, g) dropDuplicates — the window re-sorted the
+    // exploded token frame to recover an ordering the token array
+    // already has, and the dedupe aggregate is array_distinct per doc
+    // (doc_id is unique in every caller's frame). The generator keeps
+    // a higher-order function inside, so the Generate stays
+    // INTERPRETED and the token array evaluates once per row (the
+    // codegen'd-Generate re-evaluation trap); the ws projection is
+    // multi-referenced and non-cheap, so CollapseProject keeps it a
+    // distinct level (the transform/element_at inlining trap).
+    val grams = when(size(col("ws")) >= 3,
+      array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+        j => concat_ws(" ", element_at(col("ws"), j + 1),
+          element_at(col("ws"), j + 2), element_at(col("ws"), j + 3)))))
+      .otherwise(array().cast("array<string>"))
     Tables.cpuPartition(
       docs.select(col("doc_id"), col("source"), col("text")),
       col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        posexplode(normToks(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("w"), lead(col("w"), 1).over(w),
-          lead(col("w"), 2).over(w)).as("g"),
-        lead(col("w"), 2).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("source"), col("g"))
-      .dropDuplicates("doc_id", "g")
+      .select(col("doc_id"), col("source"), normToks(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), explode(grams).as("g"))
   }
 
   /** Shingle rows + per-doc set size (for |A∪B| arithmetic).

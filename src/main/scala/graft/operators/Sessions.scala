@@ -2056,14 +2056,25 @@ object Sessions {
     * Plan: pure four-audit consumer — each input is its own bounded
     * plan (grids/windows bounded by types × days, sources × bins);
     * the gate adds |types|+|sources|-sized projections and a union.
+    * The four branches BUILD in parallel (guide §2.6 overlap): each
+    * audit materializes its own localCheckpoint chain, and built
+    * serially those AQE waves queue behind one another on an idle
+    * cluster; four driver threads let the scheduler interleave them.
+    * Results are unaffected — the branches share no frames and each
+    * audit is deterministic regardless of materialization order.
     */
   def driftGate(spark: SparkSession, dir: String): DataFrame = {
-    val ks = ksDrift(spark, dir).select(
+    val Seq(ksA, csA, psiA, emA) = graft.operators.Par.build(Seq(
+      () => ksDrift(spark, dir),
+      () => cusumShift(spark, dir),
+      () => CorpusStats.qualityPsi(spark, dir),
+      () => Similarity.embeddingDrift(spark, dir)))
+    val ks = ksA.select(
       lit("ks_value").as("monitor"), col("event_type").as("key"),
       col("p_value").as("stat"), lit(DriftKsAlpha).as("threshold"),
       lit("lt").as("rule"),
       coalesce(col("p_value") < DriftKsAlpha, lit(false)).as("triggered"))
-    val cs = cusumShift(spark, dir)
+    val cs = csA
       .groupBy(col("event_type"))
       .agg(max(greatest(col("cusum_up"), col("cusum_down"))).as("stat"),
         max(when(col("is_shift"), 1L).otherwise(0L)).as("trg"))
@@ -2071,12 +2082,12 @@ object Sessions {
         col("event_type").as("key"), col("stat"),
         lit(CusumThreshU / 10000.0).as("threshold"),
         lit("gt").as("rule"), (col("trg") === 1L).as("triggered"))
-    val psi = CorpusStats.qualityPsi(spark, dir).select(
+    val psi = psiA.select(
       lit("psi_quality").as("monitor"), col("source").as("key"),
       col("psi").as("stat"), lit(DriftPsiBound).as("threshold"),
       lit("gt").as("rule"),
       (col("psi") > DriftPsiBound).as("triggered"))
-    val em = Similarity.embeddingDrift(spark, dir).select(
+    val em = emA.select(
       lit("embedding_centroid").as("monitor"), col("source").as("key"),
       col("drift_cos").as("stat"),
       lit(DriftCentroidFloor).as("threshold"), lit("lt").as("rule"),
