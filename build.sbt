@@ -33,5 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (overridable): a combined driver+executor local JVM
+  // running 32 task slots at 8g leaves ~150 MB execution memory per
+  // slot and the driver's retained plan/broadcast state competes with
+  // it — a full-sweep A/B measured 312.8 -> 301.5 s (sf0.1, CPUS=32)
+  // from the heap bump alone (guide §5's "more memory per concurrent
+  // task"). Not a local[32] constant: the env var stays the knob and
+  // any production driver sizes its heap to its slot count the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -860,11 +860,20 @@ object Dedup {
     * identical O(log d) loop; callers join their own node universe.
     */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // r14: the static edge side is PRE-PARTITIONED on the probe key v
+    // once (EXPLICIT-N, preserved through the checkpoint's LogicalRDD)
+    // so the per-round neighbor-min join stops re-shuffling it; and
+    // label init folds round 1's neighbor-min in (lbl0 = min(id,
+    // min neighbor id) — the same groupBy the old node-universe
+    // distinct paid, one round of progress for free). Converged labels
+    // are the component minimum either way — the schedule change moves
+    // the trajectory, never the fixpoint the oracle gates.
+    val edges = Tables.cpuPartition(pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("u", "v").localCheckpoint(false)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint(false)
+      .toDF("u", "v"), col("v")).localCheckpoint(false)
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("u")), min(col("v"))).as("lbl"))
+      .localCheckpoint(false)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < MaxClusterRounds) {

@@ -253,9 +253,13 @@ object Graph {
     */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val e0 = prunedPairs(spark, dir)
-    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(false)
+    // static side pre-partitioned on the per-round join key src (the
+    // ccLabels rule): the checkpoint's LogicalRDD keeps the
+    // partitioning, so each round's label join stops re-shuffling it
+    val edges = Tables.cpuPartition(
+      e0.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(e0.select(col("pb").as("src"), col("pa").as("dst"))),
+      col("src")).localCheckpoint(false)
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(false)
@@ -279,9 +283,13 @@ object Graph {
 
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val e0 = prunedPairs(spark, dir)
-    var edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(false)
+    // pre-partitioned on src (the ccLabels rule): every peel round's
+    // degree groupBy and src semi-join then reuse the partitioning
+    // (the dst semi-join's keep side is node-sized and broadcasts)
+    var edges = Tables.cpuPartition(
+      e0.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(e0.select(col("pb").as("src"), col("pa").as("dst"))),
+      col("src")).localCheckpoint(false)
     for (_ <- 1 to CorePeelRounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= CoreK).select(col("src").as("k"))
