@@ -16,6 +16,16 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same status-store retention bound as Bench: even with the UI
+      // off, the SQL/app status listeners retain the last 1000
+      // executions' full plan-description strings in driver heap — a
+      // 318-query dump accretes ~640 of them plus job/stage/task rows,
+      // competing with execution memory for the whole run (the r14
+      // bench A/B measured the bound at −18.6% of sweep total).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -890,7 +890,12 @@ object Dedup {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint(false)
       // pointer jump: follow the label one hop (label of my label);
-      // the pre-round label rides along so convergence needs no re-join
+      // the pre-round label rides along so convergence needs no re-join.
+      // (r15 note: an explicit-N repartition on doc_id here — to keep
+      // the label frame co-partitioned with the edge side — was A/B
+      // measured SLOWER at sf0.1 (+1.7 s isolated): at gate scale the
+      // per-round label joins broadcast the label side, so the extra
+      // exchange bought nothing. Reverted.)
       val next = prop.alias("p")
         .join(prop.select(col("doc_id").as("l2"), col("lbl").as("ll"))
           .alias("q"), col("p.lbl") === col("l2"), "left")
@@ -1132,17 +1137,26 @@ object Dedup {
     */
   private[graft] def windowHashRows(spark: SparkSession,
       dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until SubGramN).map(i => lead(col("tok"), i).over(w))
+    // r15: per-doc (pos, h) window arrays instead of posexplode + an
+    // 8-slot lead() chain — the window re-sorted the exploded token
+    // frame to recover an adjacency the token array already has (the
+    // shingleRowsOf rule applied to the span-gram primitive; one
+    // exchange + sort fewer for every consumer). Same rows: window at
+    // token position p covers tokens p..p+7, docs under 8 tokens emit
+    // nothing (explode of the empty array ≡ the old full-window
+    // filter). The generator keeps a higher-order function inside
+    // (interpreted Generate — no per-element re-evaluation) and ws is
+    // multi-referenced, so CollapseProject keeps it a distinct level.
+    val wins = when(size(col("ws")) >= SubGramN,
+      transform(sequence(lit(0), size(col("ws")) - SubGramN),
+        j => md5(concat_ws(" ",
+          (0 until SubGramN).map(i => element_at(col("ws"), j + i + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
     Tables.cpuPartition(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(normToks(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", (col("tok") +: leads): _*)).as("h"),
-        leads.last.isNotNull.as("full"))
-      .filter(col("full"))
+      .select(col("doc_id"), normToks(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos"), col("h"))
   }
 

@@ -283,9 +283,13 @@ object Graph {
 
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val e0 = prunedPairs(spark, dir)
-    // pre-partitioned on src (the ccLabels rule): every peel round's
-    // degree groupBy and src semi-join then reuse the partitioning
-    // (the dst semi-join's keep side is node-sized and broadcasts)
+    // pre-partitioned on src (the ccLabels rule): round 1's degree
+    // groupBy and src semi-join reuse this partitioning directly. Later
+    // rounds read the previous round's semi-join OUTPUT checkpoint,
+    // which keeps src partitioning only while both semi-joins broadcast
+    // their node-sized keep side (they do at every gate corpus; a
+    // planner/stats change falls back to per-round shuffles — slower,
+    // never wrong)
     var edges = Tables.cpuPartition(
       e0.select(col("pa").as("src"), col("pb").as("dst"))
         .union(e0.select(col("pb").as("src"), col("pa").as("dst"))),

@@ -455,14 +455,16 @@ object Retrieval {
     def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
     // ONE dense sweep (checkpointed): truth grades, the dense arm, the
     // ideal, AND the hybrid fusion's vector side (NdcgK = BmTopK, so
-    // this frame IS hybridRetrieve's vec arm)
-    val exact = denseRanked(spark, dir)
-      .withColumnRenamed("vrank", "pos")
-      .localCheckpoint(false)
-    // ONE bm25 pipeline (checkpointed): the lexical arm AND the fusion
-    val lex = bm25Topk(spark, dir)
-      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
-      .localCheckpoint(false)
+    // this frame IS hybridRetrieve's vec arm); ONE bm25 pipeline
+    // (checkpointed): the lexical arm AND the fusion. The two are
+    // independent — their checkpoint waves BUILD in parallel (Par.build)
+    val Seq(exact, lex) = graft.operators.Par.build(Seq(
+      () => denseRanked(spark, dir)
+        .withColumnRenamed("vrank", "pos")
+        .localCheckpoint(false),
+      () => bm25Topk(spark, dir)
+        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+        .localCheckpoint(false)))
     val rel = exact.select(col("q_id"), col("doc_id"),
       (lit(NdcgK + 1) - col("pos")).as("rel"))
     def dcgOf(name: String, ranked: DataFrame): DataFrame = {
@@ -516,20 +518,27 @@ object Retrieval {
   def irMetrics(spark: SparkSession, dir: String): DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     def rnd6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
-    val exact = denseRanked(spark, dir)
-      .withColumnRenamed("vrank", "pos").localCheckpoint(false)
+    // dense truth and the bm25 pipeline are independent — their
+    // checkpoint waves BUILD in parallel (Par.build)
+    val Seq(exact, lex) = graft.operators.Par.build(Seq(
+      () => denseRanked(spark, dir)
+        .withColumnRenamed("vrank", "pos").localCheckpoint(false),
+      () => bm25Topk(spark, dir)
+        .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+        .localCheckpoint(false))) // the lexical arm AND the fusion input
     val rel = exact.select(col("q_id"), col("doc_id"))
       .withColumn("is_rel", lit(1))
-    val lex = bm25Topk(spark, dir)
-      .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
-      .localCheckpoint(false) // the lexical arm AND the fusion input
     val hyb = rrfFuse(lex.withColumnRenamed("pos", "lrank"),
       exact.withColumnRenamed("pos", "vrank"))
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
     val prf = prfExpand(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("pos"))
+    // nq stays lineage (r15): a 1-row aggregate over the checkpointed
+    // exact frame — every arm's crossJoin broadcasts it, and
+    // ReuseExchange computes the identical broadcast subtree once in
+    // the sink job; the former checkpoint paid a dedicated wave for it
     val nq = broadcast(exact.select(col("q_id")).distinct()
-      .agg(count(lit(1)).as("nq")).localCheckpoint(false))
+      .agg(count(lit(1)).as("nq")))
     def armOf(name: String, ranked: DataFrame): DataFrame =
       // rel = the k-bounded dense-truth membership gauge: broadcast
       // (same envelope as ndcg_eval's rel side)

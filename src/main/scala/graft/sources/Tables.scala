@@ -46,7 +46,12 @@ object Tables {
     * and never overrides a caller's own setting.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.getOption(NanosFlag).isEmpty) s.conf.set(NanosFlag, "true")
+    // synchronized: reachable from Par.build worker threads, and a
+    // check-then-act on shared session conf is a race even when both
+    // racers write the same value
+    synchronized {
+      if (s.conf.getOption(NanosFlag).isEmpty) s.conf.set(NanosFlag, "true")
+    }
     val df = load(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     df.schema("ts").dataType match {

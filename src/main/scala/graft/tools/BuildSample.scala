@@ -6,20 +6,24 @@ import graft.SparkEntry
 import graft.sources.Tables
 
 /** Throwaway build-time sampler: rebuilds a query's DataFrame in a loop
-  * while a sampler thread histograms the main thread's stack frames, so
-  * the driver-side build cost (plan/exec prep per localCheckpoint,
-  * artifact reads, ...) is attributed to real frames instead of guesses.
+  * while a sampler thread histograms every RUNNABLE thread's stack
+  * frames (build work under AQE spans the main thread plus scheduler /
+  * broadcast threads, so filtering to main would hide where waves go),
+  * attributing driver-side build cost (plan/exec prep per
+  * localCheckpoint, artifact reads, ...) to real frames.
   *
   * Usage: runMain graft.tools.BuildSample <dir> <query> [reps]
+  * Core count from SPARK_GRAFT_CPUS (default 32) like the bench.
   */
 object BuildSample {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config(Tables.NanosFlag, "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
